@@ -1,0 +1,15 @@
+package graft.queries
+
+/** All declared queries. SparkEntry derives `queries`/`oracleSql` from here;
+  * Bench runs the subset with `benchmark = true`.
+  */
+object Registry {
+  def defs: Seq[QueryDef] =
+    CoreQueries.all
+
+  def queryMap: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    defs.map(d => d.name -> d.fn).toMap
+
+  def oracleMap: Map[String, String] =
+    defs.flatMap(d => d.oracle.map(sql => d.name -> sql.trim)).toMap
+}

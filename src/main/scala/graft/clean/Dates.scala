@@ -1,0 +1,64 @@
+package graft.clean
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Date parsing + calendar spine — SURVEY.md §2.3 F11-F15.
+  *
+  * Key semantic (F11): multi-format parse where an unparseable string yields
+  * NULL, never an error — reference coalesces `try_to_date` over format
+  * lists (3_pricing_data_processing.py:100-114 — 8 formats;
+  * 1_full_load_fact.py:117-125 — 4 formats with weekday-prefix strip).
+  * Coalesce order is semantic: for `1/8/25`, `M/d/yy` before `d/M/yy` decides
+  * Jan 8 vs Aug 1 — preserve the caller's order.
+  */
+object Dates {
+
+  /** F3 — strip long-form weekday prefix `"Monday, "` before parsing
+    * (1_full_load_fact:111-114).
+    */
+  def stripWeekday(c: Column): Column =
+    regexp_replace(c, "^[A-Za-z]+,\\s*", "")
+
+  /** F11 — first-format-wins multi-format parse; all-fail → NULL. */
+  def multiFormatDate(c: Column, formats: Seq[String]): Column =
+    coalesce(formats.map(f => try_to_date(c, f)): _*)
+
+  /** The reference's order-date parser: weekday strip + 4 formats
+    * (1_full_load_fact:111-125). Single-digit-day long forms
+    * ("Saturday, January 3, 2026") intentionally fall to NULL — observed
+    * reference behavior (SURVEY §7.5).
+    */
+  val orderDateFormats: Seq[String] =
+    Seq("dd-MM-yyyy", "dd/MM/yyyy", "yyyy/MM/dd", "MMMM dd, yyyy")
+
+  def parseOrderDate(c: Column): Column =
+    multiFormatDate(stripWeekday(c), orderDateFormats)
+
+  /** The reference's price-month parser order (3_pricing:100-114). */
+  val priceMonthFormats: Seq[String] =
+    Seq("M/d/yy", "M/d/yyyy", "MM/dd/yy", "MM/dd/yyyy",
+      "yyyy-MM-dd", "d-M-yy", "dd-MM-yyyy", "yyyy/MM/dd")
+
+  def parsePriceMonth(c: Column): Column = multiFormatDate(c, priceMonthFormats)
+
+  /** F15 — daily→month-start alignment (1_full_load_fact:217). */
+  def monthStart(c: Column): Column = trunc(c, "MM")
+
+  /** F12-F14 — dim_date month spine (dim_date_table_creation.py:17-46):
+    * one row per month start in [start, end], with yyyyMM int key, names,
+    * quarter labels.
+    */
+  def monthSpine(spark: SparkSession, start: String, end: String): DataFrame = {
+    val spine = spark.sql(
+      s"SELECT explode(sequence(to_date('$start'), to_date('$end'), interval 1 month)) AS month_start_date")
+    spine
+      .withColumn("date_key", date_format(col("month_start_date"), "yyyyMM").cast("int"))
+      .withColumn("year", year(col("month_start_date")))
+      .withColumn("month_name", date_format(col("month_start_date"), "MMMM"))
+      .withColumn("month_short_name", date_format(col("month_start_date"), "MMM"))
+      .withColumn("quarter", concat(lit("Q"), quarter(col("month_start_date"))))
+      .withColumn("year_quarter",
+        concat(col("year"), lit("-Q"), quarter(col("month_start_date"))))
+  }
+}

@@ -1,0 +1,38 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Landing-zone file archival — SURVEY.md §2.1 S10.
+  *
+  * Reference: `dbutils.fs.ls` + `dbutils.fs.mv` loop moving processed CSVs
+  * landing→processed after ingest (1_full_load_fact.py:72-78,
+  * 2_incremental_load_fact.py:95-101). Driver-side metadata ops only — file
+  * bytes never move through Spark.
+  */
+object Landing {
+
+  def list(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isFile).map(_.getPath.toString).toSeq.sorted
+  }
+
+  /** Move every file in `landing` into `processed`, creating it if needed.
+    * Returns the moved file names.
+    */
+  def archive(spark: SparkSession, landing: String, processed: String): Seq[String] = {
+    val lp = new Path(landing)
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(lp)) return Seq.empty
+    val pp = new Path(processed)
+    if (!fs.exists(pp)) fs.mkdirs(pp)
+    fs.listStatus(lp).filter(_.isFile).map { st =>
+      val dst = new Path(pp, st.getPath.getName)
+      if (!fs.rename(st.getPath, dst))
+        throw new IllegalStateException(s"Landing: could not archive ${st.getPath}")
+      st.getPath.getName
+    }.toSeq.sorted
+  }
+}

@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.Td
+import graft.clean.Dates
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import QueryDef.dsum
+
+/** Join / set-operation queries — SURVEY.md §2.4 (J1-J6) + union/except
+  * engine surface.
+  */
+object JoinQueries {
+
+  /** J1 — left join to a small lookup + coalesce fallback (1_customer:203-210
+    * city-fix join). Customer dim is broadcast by Catalyst (assert in
+    * PlanSpec).
+    */
+  val j1LeftBroadcast = QueryDef(
+    "j1_left_broadcast",
+    (s, dir) => {
+      val cust = Td(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      Td(s, dir, "orders")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left")
+        .select(
+          col("o_orderkey"),
+          coalesce(col("c_name"), lit("Unknown")).as("customer_name"),
+          coalesce(col("c_mktsegment"), lit("Unknown")).as("segment"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey,
+             COALESCE(c_name, 'Unknown') AS customer_name,
+             COALESCE(c_mktsegment, 'Unknown') AS segment
+      FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_orderkey
+    """))
+
+  /** J2/J3 — inner join to a dim silently drops unmatched fact rows
+    * (1_full_load_fact:148-149: orders ⋈ products on product_id), then
+    * aggregates per dim attribute.
+    */
+  val j2InnerDimAgg = QueryDef(
+    "j2_inner_dim_agg",
+    (s, dir) => {
+      val part = Td(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      Td(s, dir, "lineitem")
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"), "inner")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""
+      SELECT p_brand, COUNT(*) AS n_lines,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand
+    """))
+
+  /** J4 — equi-join on a derived expression: affected-months restriction
+    * (2_incremental_load_fact.py:258-263: `trunc(date,'MM') = start_month`).
+    */
+  val j4JoinOnExpr = QueryDef(
+    "j4_join_on_expr",
+    (s, dir) => {
+      val spine = Dates.monthSpine(s, "1995-01-01", "2001-12-01")
+        .select(col("month_start_date"))
+      Td(s, dir, "orders")
+        .join(spine,
+          trunc(to_date(col("o_orderdate")), "MM") === col("month_start_date"), "inner")
+        .groupBy(col("month_start_date"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("month_sales"))
+        .orderBy(col("month_start_date"))
+    },
+    Some("""
+      SELECT month_start_date, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_sales
+      FROM orders
+      JOIN (SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '2001-12-01', INTERVAL 1 MONTH)) AS DATE) AS month_start_date) spine
+        ON CAST(date_trunc('month', o_orderdate) AS DATE) = month_start_date
+      GROUP BY month_start_date ORDER BY month_start_date
+    """))
+
+  /** J5 — the 4-way star enrichment with derived revenue
+    * (Tableu dashboard/denormalise_table_query_fmcg.txt:34-52), aggregated
+    * to the dashboard's region/nation/month trend.
+    */
+  val j5StarEnriched = QueryDef(
+    "j5_star_enriched",
+    (s, dir) => {
+      val orders = Td(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), to_date(col("o_orderdate")).as("o_date"))
+      val cust = Td(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val nation = Td(s, dir, "nation")
+      val region = Td(s, dir, "region")
+      Td(s, dir, "lineitem")
+        .join(orders, col("l_orderkey") === col("o_orderkey"), "inner")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left")
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"), "left")
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"), "left")
+        .groupBy(col("r_name"), col("n_name"), trunc(col("o_date"), "MM").as("order_month"))
+        .agg(
+          sum((col("l_extendedprice").cast(DecimalType(18, 2))) *
+            (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+            .cast("double").as("revenue"),
+          dsum(col("l_quantity")).as("quantity"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("r_name"), col("n_name"), col("order_month"))
+    },
+    Some("""
+      SELECT r_name, n_name,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS quantity,
+             COUNT(*) AS n_lines
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      LEFT JOIN customer ON o_custkey = c_custkey
+      LEFT JOIN nation ON c_nationkey = n_nationkey
+      LEFT JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """))
+
+  /** Left-semi / left-anti — free in Spark, used inside the MERGE rewrite
+    * (SURVEY §2.4 note).
+    */
+  val j6SemiAnti = QueryDef(
+    "j6_semi_anti",
+    (s, dir) => {
+      val cust = Td(s, dir, "customer")
+      val orders = Td(s, dir, "orders").select(col("o_custkey"))
+      val withO = cust.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n")).withColumn("kind", lit("with_orders"))
+      val withoutO = cust.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n")).withColumn("kind", lit("without_orders"))
+      withO.unionByName(withoutO).select(col("kind"), col("n")).orderBy(col("kind"))
+    },
+    Some("""
+      SELECT 'with_orders' AS kind, COUNT(*) AS n FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      UNION ALL
+      SELECT 'without_orders', COUNT(*) FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY kind
+    """))
+
+  /** Set operations — union / intersect / except engine surface (SURVEY §2.5:
+    * none in the reference, surfaced by the engine; except/intersect are
+    * set-distinct in both engines).
+    */
+  val setOps = QueryDef(
+    "set_ops",
+    (s, dir) => {
+      val c = Td(s, dir, "customer").select(col("c_custkey").as("k"))
+      val o = Td(s, dir, "orders").select(col("o_custkey").as("k"))
+      val onlyC = c.except(o).withColumn("kind", lit("customer_only"))
+      val both = c.intersect(o).withColumn("kind", lit("both"))
+      onlyC.unionByName(both).select(col("kind"), col("k"))
+        .orderBy(col("kind"), col("k"))
+    },
+    Some("""
+      SELECT 'both' AS kind, k FROM (
+        SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders)
+      UNION ALL
+      SELECT 'customer_only', k FROM (
+        SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders)
+      ORDER BY kind, k
+    """))
+
+  val all: Seq[QueryDef] = Seq(
+    j1LeftBroadcast, j2InnerDimAgg, j4JoinOnExpr, j5StarEnriched,
+    j6SemiAnti, setOps)
+}

@@ -1,0 +1,47 @@
+package graft.ingest
+
+import graft.SparkSpec
+import graft.tables.TableStore
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.functions._
+
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeCsv(dir: Path, name: String, lines: String*): Unit =
+    Files.write(dir.resolve(name), lines.mkString("\n").getBytes)
+
+  test("CsvIngest attaches lineage columns (S1-S3)") {
+    val dir = Files.createTempDirectory("graft_csv")
+    writeCsv(dir, "a.csv", "id,v", "1,x", "2,y")
+    val df = CsvIngest.read(spark, dir.toString, inferSchema = true)
+    assert(df.columns.toSet === Set("id", "v", "file_name", "file_size", "read_timestamp"))
+    val rows = df.select("id", "file_name").as[(Int, String)].collect()
+    assert(rows.forall(_._2 == "a.csv") && rows.length === 2)
+  }
+
+  test("Landing.archive moves files landing→processed (S10)") {
+    val root = Files.createTempDirectory("graft_landing")
+    val landing = root.resolve("landing"); Files.createDirectories(landing)
+    writeCsv(landing, "f1.csv", "id", "1")
+    writeCsv(landing, "f2.csv", "id", "2")
+    val moved = Landing.archive(spark, landing.toString, root.resolve("processed").toString)
+    assert(moved === Seq("f1.csv", "f2.csv"))
+    assert(Landing.list(spark, landing.toString).isEmpty)
+    assert(Landing.list(spark, root.resolve("processed").toString).size === 2)
+  }
+
+  test("IdempotentCopy loads each file exactly once (S9 COPY INTO)") {
+    val root = Files.createTempDirectory("graft_copy")
+    val src = root.resolve("src"); Files.createDirectories(src)
+    writeCsv(src, "a.csv", "id,q", "1,10")
+    val store = new TableStore(spark, root.resolve("tables").toString)
+    def load() = IdempotentCopy.copyInto(spark, store, "fact", src.toString,
+      df => df.select(col("id").cast("long"), col("q").cast("long")))
+    assert(load() === 1)
+    assert(load() === 0) // rerun: nothing new
+    writeCsv(src, "b.csv", "id,q", "2,20")
+    assert(load() === 1) // only the new file
+    assert(store.read("fact").count() === 2)
+  }
+}

@@ -1,75 +1,66 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's t2 correctness gate.
+"""Local approximation of the driver's DuckDB-oracle compare.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
-
-Reads each <verifyOutDir>/<name>/ parquet (Spark result), runs the matching
-oracle SQL from oracle_sql.json in DuckDB over <sfDir>/*.parquet views, and
-compares: column names (sorted), row counts, and exact values (rows sorted,
-columns aligned by sorted name). Reports per-query PASS/FAIL.
-
-Driver-side tooling only — NOT part of the Scala library.
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+For each <name>/ parquet in verify_out_dir, runs oracle_sql.json[name] in
+DuckDB over the sf_dir tables and compares (columns sorted by name, rows
+sorted, values hashed with light float canonicalization).
 """
-import json
-import math
-import sys
+import sys, json, glob, os
+import duckdb, pandas as pd, numpy as np
 
-import duckdb
+out_dir, sf_dir = sys.argv[1], sys.argv[2]
+if not os.path.exists(os.path.join(out_dir, "oracle_sql.json")):
+    out_dir, sf_dir = sf_dir, out_dir  # accept either arg order
+oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 
-TABLES = ["region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem", "events", "documents", "embeddings"]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    p = f"{sf_dir}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+def canon(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object:
+            # bytes (sha256 blobs etc.) → hex string
+            if s.map(lambda x: isinstance(x, (bytes, bytearray))).any():
+                df[c] = s.map(lambda x: x.hex() if isinstance(x, (bytes, bytearray)) else x)
+            else:
+                import datetime as _dt
+                if s.map(lambda x: isinstance(x, (_dt.date, _dt.datetime)) or x is None).all() and s.notna().any():
+                    df[c] = pd.to_datetime(s)
+        s = df[c]
+        if np.issubdtype(s.dtype, np.floating):
+            df[c] = s.round(6)
+        if np.issubdtype(s.dtype, np.datetime64):
+            df[c] = s.astype("datetime64[us]")
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
 
-def canon(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    return repr(v)
-
-
-def main(sf_dir, out_dir):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
-    for name, sql in sorted(oracle.items()):
-        try:
-            spark_rel = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            s_cols = list(spark_rel.description and [d[0] for d in spark_rel.description])
-            s_rows = spark_rel.fetchall()
-            duck_rel = con.execute(sql)
-            d_cols = [d[0] for d in duck_rel.description]
-            d_rows = duck_rel.fetchall()
-        except Exception as e:
-            print(f"FAIL {name}: exception {e}")
-            n_fail += 1
-            continue
-        if sorted(s_cols) != sorted(d_cols):
-            print(f"FAIL {name}: columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
-            n_fail += 1
-            continue
-        s_ix = [s_cols.index(c) for c in sorted(s_cols)]
-        d_ix = [d_cols.index(c) for c in sorted(d_cols)]
-        s_set = sorted(tuple(canon(r[i]) for i in s_ix) for r in s_rows)
-        d_set = sorted(tuple(canon(r[i]) for i in d_ix) for r in d_rows)
-        if len(s_set) != len(d_set):
-            print(f"FAIL {name}: rows spark={len(s_set)} duck={len(d_set)}")
-            n_fail += 1
-            continue
-        if s_set != d_set:
-            diff = [(a, b) for a, b in zip(s_set, d_set) if a != b]
-            print(f"FAIL {name}: {len(diff)} mismatched rows; first: spark={diff[0][0]} duck={diff[0][1]}")
-            n_fail += 1
-            continue
-        print(f"PASS {name} ({len(s_set)} rows)")
-        n_pass += 1
-    print(f"== {n_pass} pass / {n_fail} fail ==")
-    return 1 if n_fail else 0
-
-
-if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+fails = 0
+for name in sorted(oracle):
+    qdir = os.path.join(out_dir, name)
+    files = glob.glob(f"{qdir}/*.parquet")
+    if not files:
+        print(f"MISS  {name}: no spark output"); fails += 1; continue
+    spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+    try:
+        duck_df = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        print(f"ORAERR {name}: {e}"); fails += 1; continue
+    a, b = canon(spark_df), canon(duck_df)
+    if list(a.columns) != list(b.columns):
+        print(f"SCHEMA {name}: spark={list(a.columns)} duck={list(b.columns)}"); fails += 1; continue
+    if len(a) != len(b):
+        print(f"ROWS  {name}: spark={len(a)} duck={len(b)}"); fails += 1; continue
+    try:
+        pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9)
+        print(f"OK    {name} ({len(a)} rows)")
+    except AssertionError as e:
+        print(f"DIFF  {name}: {str(e).splitlines()[-1] if str(e) else ''}"); fails += 1
+print(f"\n{'ALL PASS' if fails == 0 else f'{fails} FAILURES'} / {len(oracle)} queries")
+sys.exit(1 if fails else 0)

@@ -1,0 +1,118 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Vector-similarity operators over embedding columns (`array<float>`):
+  * exact cosine, brute-force top-k (the correctness baseline), IVF-bucketed
+  * approximate search (the scale path), and cosine near-dup pairs.
+  *
+  * Numeric parity with the DuckDB oracle: float→double casts are exact; the
+  * dot product is a strict LEFT FOLD over the array (Spark `aggregate` ≡
+  * DuckDB `list_reduce`) so double rounding happens in the same order in
+  * both engines — results are bit-identical, and IEEE sqrt/divide are
+  * correctly rounded. No UDFs: `zip_with`/`aggregate` are Catalyst
+  * expressions and stay inside codegen.
+  *
+  * Scale: brute-force kNN is O(|Q|×|C|) — fine for a broadcast query set
+  * against a partitioned corpus (each executor scans its corpus slice; no
+  * shuffle until the per-query top-k agg). IVF cuts the scanned fraction to
+  * nprobe/nlist by pre-clustering the corpus; the cluster assignment is a
+  * one-off broadcast-join pass, then searches touch only probed clusters
+  * (partition-prune by `cluster` when the corpus is written bucketed).
+  */
+object Similarity {
+
+  private def asDouble(c: Column): Column = c.cast(ArrayType(DoubleType))
+
+  /** Strict left-fold sum of element products — deterministic order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Corpus with a precomputed norm column (one pass, reused by every
+    * query batch — at scale this is materialized alongside the vectors).
+    */
+  def withNorm(df: DataFrame, vecCol: String, normCol: String = "nrm"): DataFrame =
+    df.withColumn(normCol, norm(col(vecCol)))
+
+  /** Exact top-k cosine neighbors of each query vector (self-match
+    * excluded). `queries` is expected to be small → broadcast side of the
+    * cross join; the corpus scan parallelizes per partition.
+    */
+  def knnBrute(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int = 10): DataFrame = {
+    val q = withNorm(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "qv", "qn")
+    val c = withNorm(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "cv", "cn")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** IVF cluster assignment: nearest (max-cosine) centroid per corpus
+    * vector; ties broken by centroid id. Centroids are a small broadcast
+    * table.
+    */
+  def ivfAssign(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val c = withNorm(corpus.select(col(idCol), col(vecCol)), vecCol, "nrm")
+    val cent = withNorm(
+      centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("centv")), "centv", "centn")
+    val scored = c.crossJoin(broadcast(cent))
+      .select(col(idCol), col(vecCol), col("nrm"), col("centroid_id"),
+        (dot(col(vecCol), col("centv")) / (col("nrm") * col("centn"))).as("ccos"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("centroid_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select(col(idCol), col(vecCol), col("nrm"), col("centroid_id").as("cluster"))
+  }
+
+  /** IVF approximate top-k: probe the `nprobe` nearest clusters per query,
+    * rank only vectors assigned to those clusters. Recall < 1 by design;
+    * the tradeoff knob is nprobe/nlist.
+    */
+  def ivfSearch(
+      queries: DataFrame, assigned: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val q = withNorm(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "qv", "qn")
+    val cent = withNorm(
+      centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("centv")), "centv", "centn")
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("centroid_id"))
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"),
+        (dot(col("qv"), col("centv")) / (col("qn") * col("centn"))).as("ccos"))
+      .withColumn("rnk", row_number().over(probeW)).filter(col("rnk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id").as("cluster"))
+    val scored = assigned.join(broadcast(probes), Seq("cluster"))
+      .filter(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        (dot(col("qv"), col(vecCol)) / (col("qn") * col("nrm"))).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
+    * All-pairs — correctness baseline for small/medium corpora; at scale
+    * route through [[ivfAssign]] and pair only within clusters.
+    */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val n = withNorm(df.select(col(idCol), col(vecCol)), vecCol, "nrm")
+    val a = n.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("nrm").as("na"))
+    val b = n.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, document fingerprinting.
+  *
+  * Beyond the reference's own surface (BASELINE.json north-star: "add the
+  * LLM-data-pipeline operators"); the reference supplies only the relational
+  * substrate (SURVEY.md §2). Every helper is a pure `Column` expression —
+  * whole-stage-codegen-friendly, no UDFs — so the operators scale to 100 TB
+  * as embarrassingly-parallel per-row map work with no shuffle.
+  *
+  * Cross-engine parity (DuckDB oracle): only correctly-rounded IEEE ops
+  * (+ - * / sqrt), md5 (identical hex), and regex primitives shared by both
+  * engines; no libm transcendentals (exp/log differ in final ulp across
+  * implementations).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text (empty → single empty token, same as
+    * DuckDB `regexp_split_to_array`).
+    */
+  def wsTokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(wsTokens(c))
+
+  /** BPE-ish subword count: runs of letters, single digits, single
+    * punctuation — the pre-tokenizer split GPT-style BPE vocabularies start
+    * from. Counts pieces without needing a vocab.
+    */
+  val BpePattern = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit(BpePattern), lit(0)))
+
+  def punctCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("[^a-z0-9\\s]"), lit(0)))
+
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+  /** Tokens ∈ stopword list, with multiplicity. */
+  def stopwordCount(c: Column): Column =
+    size(filter(wsTokens(c), t => t.isInCollection(Stopwords)))
+
+  /** Mean token length = non-whitespace chars / token count. */
+  def meanTokenLen(c: Column): Column =
+    length(regexp_replace(c, "\\s", "")).cast("double") / tokenCount(c)
+
+  /** Heuristic quality score in ~[0,1]: length credit, penalized by
+    * punctuation density and stopword-free (unnatural) text. Linear —
+    * rational arithmetic only, bit-identical across engines.
+    */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c).cast("double")
+    val lenCredit = least(nTok / lit(64.0), lit(1.0))
+    val punctRatio = punctCount(c).cast("double") / greatest(length(c), lit(1)).cast("double")
+    val stopRatio = stopwordCount(c).cast("double") / nTok
+    lit(0.5) * lenCredit + lit(0.5) * least(stopRatio * lit(4.0), lit(1.0)) - punctRatio * lit(2.0)
+  }
+
+  /** Language marker words (token-exact match, multiplicity counted). The
+    * classic fasttext-style n-gram model needs trained weights; a marker-word
+    * vote is the deterministic, dependency-free heuristic.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "les", "et", "des", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "zh" -> Seq("的", "是", "了", "在", "有"))
+
+  def langScore(c: Column, markers: Seq[String]): Column =
+    size(filter(wsTokens(c), t => t.isInCollection(markers)))
+
+  /** Predicted language: argmax marker count, ties broken by LangMarkers
+    * order; all-zero → "und".
+    */
+  def langId(c: Column): Column = {
+    val scores = LangMarkers.map { case (l, m) => l -> langScore(c, m) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // foldRight nests later langs in the otherwise-branch, so the CASE tests
+    // langs in LangMarkers order — first max wins.
+    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Canonical form for fingerprinting: lowercase, whitespace collapsed. */
+  def normalized(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** md5 content fingerprint of the normalized text. */
+  def fingerprintMd5(c: Column): Column = md5(normalized(c))
+
+  /** Polynomial rolling hash over the normalized text's character codes:
+    * left fold h = (h*31 + code) mod 1e9+7, seeded with the first code
+    * (DuckDB `list_reduce` semantics so the oracle matches). Values stay
+    * < 2^35 — no overflow in either engine.
+    */
+  def fingerprintRolling(c: Column): Column = {
+    val codes = transform(
+      filter(split(normalized(c), ""), ch => length(ch) > 0),
+      ch => ascii(ch).cast("long"))
+    aggregate(
+      slice(codes, lit(2), greatest(size(codes) - 1, lit(0))),
+      element_at(codes, 1),
+      (acc, x) => (acc * 31 + x) % 1000000007L)
+  }
+}

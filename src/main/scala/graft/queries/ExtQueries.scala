@@ -1,0 +1,345 @@
+package graft.queries
+
+import graft.Td
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline extension queries (BASELINE.json north-star):
+  * text analysis, dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash /
+  * embedding-cosine), similarity search (brute kNN + IVF ANN), multimodal
+  * binary plumbing — each oracle-checked against DuckDB.
+  *
+  * Cross-engine parity strategy: md5 for all content hashing (identical hex
+  * in both engines), strict left-fold double summation for vector math
+  * (Spark `aggregate` ≡ DuckDB `list_reduce` — same rounding order, so
+  * bit-identical doubles), counts cast to BIGINT on the Spark side.
+  */
+object ExtQueries {
+
+  // Shared oracle CTEs: whitespace tokens and distinct 3-gram shingles.
+  private val shingleCte =
+    """w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |         CASE WHEN len(ws) >= 3
+      |           THEN list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' '))
+      |           ELSE [array_to_string(ws, ' ')] END)) AS shingle FROM w)""".stripMargin
+
+  /** T1 — token counting: whitespace tokens, BPE-ish pieces, length stats. */
+  val t1TextTokens = QueryDef(
+    "t1_text_tokens",
+    (s, dir) => {
+      val t = col("text")
+      Td(s, dir, "documents")
+        .select(col("doc_id"),
+          length(t).cast("long").as("n_chars_txt"),
+          TA.tokenCount(t).cast("long").as("n_tokens"),
+          TA.bpeTokenCount(t).cast("long").as("n_bpe"),
+          TA.meanTokenLen(t).as("mean_token_len"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars_txt,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_bpe,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\s+')) AS mean_token_len
+      FROM documents ORDER BY doc_id
+    """))
+
+  /** T2 — quality scoring: punctuation/stopword ratios + linear score. */
+  val t2TextQuality = QueryDef(
+    "t2_text_quality",
+    (s, dir) => {
+      val t = col("text")
+      Td(s, dir, "documents")
+        .select(col("doc_id"),
+          TA.punctCount(t).cast("long").as("n_punct"),
+          TA.stopwordCount(t).cast("long").as("n_stop"),
+          (TA.punctCount(t).cast("double") / greatest(length(t), lit(1)).cast("double")).as("punct_ratio"),
+          (TA.stopwordCount(t).cast("double") / TA.tokenCount(t).cast("double")).as("stop_ratio"),
+          TA.qualityScore(t).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS BIGINT) AS n_punct,
+               CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                 x -> list_contains(${sqlList(TA.Stopwords)}, x))) AS BIGINT) AS n_stop,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+               CAST(greatest(length(text), 1) AS DOUBLE) AS n_len
+        FROM documents)
+      SELECT doc_id, n_punct, n_stop,
+             CAST(n_punct AS DOUBLE) / n_len AS punct_ratio,
+             CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+             0.5 * least(n_tok / 64.0, 1.0)
+               + 0.5 * least((CAST(n_stop AS DOUBLE) / n_tok) * 4.0, 1.0)
+               - (CAST(n_punct AS DOUBLE) / n_len) * 2.0 AS quality
+      FROM b ORDER BY doc_id
+    """))
+
+  /** T3 — language ID: marker-word vote per language, first-max argmax. */
+  val t3LangId = QueryDef(
+    "t3_lang_id",
+    (s, dir) => {
+      val t = col("text")
+      val scoreCols = TA.LangMarkers.map { case (l, m) =>
+        TA.langScore(t, m).cast("long").as(s"${l}_n")
+      }
+      Td(s, dir, "documents")
+        .select((col("doc_id") +: scoreCols :+ TA.langId(t).as("lang_pred")): _*)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val counts = TA.LangMarkers.map { case (l, m) =>
+        s"CAST(len(list_filter(ws, x -> list_contains(${sqlList(m)}, x))) AS BIGINT) AS ${l}_n"
+      }.mkString(",\n               ")
+      val langs = TA.LangMarkers.map(_._1)
+      val best = s"greatest(${langs.map(_ + "_n").mkString(", ")})"
+      val caseArm = langs.map(l => s"WHEN ${l}_n = $best AND $best > 0 THEN '$l'").mkString(" ")
+      s"""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+      sc AS (SELECT doc_id,
+               $counts
+             FROM w)
+      SELECT doc_id, ${langs.map(_ + "_n").mkString(", ")},
+             CASE $caseArm ELSE 'und' END AS lang_pred
+      FROM sc ORDER BY doc_id
+    """
+    })
+
+  /** T4 — document fingerprinting: md5 of normalized text + polynomial
+    * rolling hash over character codes.
+    */
+  val t4Fingerprint = QueryDef(
+    "t4_fingerprint",
+    (s, dir) => {
+      val t = col("text")
+      Td(s, dir, "documents")
+        .select(col("doc_id"),
+          TA.fingerprintMd5(t).as("fp_md5"),
+          TA.fingerprintRolling(t).as("fp_roll"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt FROM documents)
+      SELECT doc_id, md5(nt) AS fp_md5,
+             list_reduce(list_transform(str_split(nt, ''), x -> CAST(ascii(x) AS BIGINT)),
+               (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
+      FROM n ORDER BY doc_id
+    """))
+
+  /** D1 — exact dedup: duplicate groups by content digest. */
+  val d1DedupExact = QueryDef(
+    "d1_dedup_exact",
+    (s, dir) =>
+      Dedup.exactGroups(Td(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("content_md5")),
+    Some("""
+      SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY content_md5
+    """))
+
+  /** D2 — n-gram Jaccard near-dup pairs via shingle inverted index. */
+  val d2DedupNgram = QueryDef(
+    "d2_dedup_ngram",
+    (s, dir) => {
+      val sh = Dedup.shingleIndex(Td(s, dir, "documents"), "doc_id", "text", 3)
+      Dedup.jaccardPairs(sh, "doc_id")
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""
+      WITH $shingleCte,
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             CAST(n_inter AS DOUBLE) / CAST(x.n + y.n - n_inter AS DOUBLE) AS jaccard
+      FROM inter JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
+      WHERE CAST(n_inter AS DOUBLE) / CAST(x.n + y.n - n_inter AS DOUBLE) >= 0.5
+      ORDER BY id_a, id_b
+    """))
+
+  /** D3 — MinHash+LSH near-dup: band-bucket candidates, Jaccard-verified. */
+  val d3DedupMinhash = QueryDef(
+    "d3_dedup_minhash",
+    (s, dir) =>
+      Dedup.minhashDedup(Td(s, dir, "documents"), "doc_id", "text",
+          n = 3, k = 12, bands = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b")),
+    Some {
+      val sigs = (0 until 12).map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(", ")
+      val bandSelects = (0 until 3).map { b =>
+        val cat = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($cat) AS bucket FROM sig"
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH $shingleCte,
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      sig AS (SELECT doc_id, $sigs FROM sh GROUP BY doc_id),
+      eb AS ($bandSelects),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM eb a JOIN eb b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT i.id_a, i.id_b,
+             CAST(n_inter AS DOUBLE) / CAST(x.n + y.n - n_inter AS DOUBLE) AS jaccard
+      FROM inter i JOIN cand c ON i.id_a = c.id_a AND i.id_b = c.id_b
+      JOIN sizes x ON i.id_a = x.doc_id JOIN sizes y ON i.id_b = y.doc_id
+      WHERE CAST(n_inter AS DOUBLE) / CAST(x.n + y.n - n_inter AS DOUBLE) >= 0.8
+      ORDER BY i.id_a, i.id_b
+    """
+    })
+
+  /** D4 — SimHash near-dup: 32-bit sketch, Hamming ≤ 3 via chunk pigeonhole. */
+  val d4DedupSimhash = QueryDef(
+    "d4_dedup_simhash",
+    (s, dir) => {
+      val sh = Dedup.shingleIndex(Td(s, dir, "documents"), "doc_id", "text", 3)
+      Dedup.simhashPairs(Dedup.simhash(sh, "doc_id"), "doc_id", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some {
+      val votes = (0 until 32).map { bit =>
+        s"sum((((strpos('0123456789abcdef', substr(hh, ${bit / 4 + 1}, 1)) - 1) >> ${3 - bit % 4}) & 1) * 2 - 1) AS v$bit"
+      }.mkString(",\n               ")
+      val simBits = (0 until 32).map(b => s"(CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)").mkString(" + ")
+      s"""
+      WITH $shingleCte,
+      h AS (SELECT doc_id, md5(shingle) AS hh FROM sh),
+      votes AS (SELECT doc_id,
+               $votes
+             FROM h GROUP BY doc_id),
+      sim AS (SELECT doc_id, $simBits AS simhash FROM votes),
+      ex AS (SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS ci FROM sim),
+      ex2 AS (SELECT doc_id, simhash, ci, (simhash >> (ci * 8)) & 255 AS cv FROM ex),
+      pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+                FROM ex2 a JOIN ex2 b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b
+    """
+    })
+
+  // Oracle CTE: embeddings as double vectors with left-fold norms.
+  private val vecCte =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |        sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM e)""".stripMargin
+  private val dotSql =
+    "list_reduce(list_transform(list_zip(%s, %s), p -> p[1] * p[2]), (a, b) -> a + b)"
+
+  /** D5 — embedding-cosine near-dup pairs (all-pairs baseline; IVF is the
+    * scale path, see s2).
+    */
+  val d5DedupEmbed = QueryDef(
+    "d5_dedup_embed",
+    (s, dir) =>
+      Similarity.cosinePairs(Td(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+        .orderBy(col("id_a"), col("id_b")),
+    Some(s"""
+      WITH $vecCte
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ${dotSql.format("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE ${dotSql.format("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.45
+      ORDER BY id_a, id_b
+    """))
+
+  /** S1 — brute-force cosine top-10 for query vectors vec_id < 5. */
+  val s1KnnBrute = QueryDef(
+    "s1_knn_brute",
+    (s, dir) => {
+      val emb = Td(s, dir, "embeddings")
+      Similarity.knnBrute(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk").cast("long").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some(s"""
+      WITH $vecCte,
+      scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ${dotSql.format("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+                 FROM n q JOIN n c ON c.vec_id <> q.vec_id WHERE q.vec_id < 5),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+            FROM scored)
+      SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 10 ORDER BY query_id, rnk
+    """))
+
+  /** S2 — IVF approximate search: centroid seeds vec_id < 8, nprobe=2,
+    * top-5 within probed clusters.
+    */
+  val s2AnnIvf = QueryDef(
+    "s2_ann_ivf",
+    (s, dir) => {
+      val emb = Td(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+      val assigned = Similarity.ivfAssign(emb, centroids, "vec_id", "embedding")
+      Similarity.ivfSearch(emb.filter(col("vec_id") < 5), assigned, centroids,
+          "vec_id", "embedding", k = 5, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk").cast("long").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some(s"""
+      WITH $vecCte,
+      cent AS (SELECT vec_id AS centroid_id, v AS centv, nrm AS centn FROM n WHERE vec_id < 8),
+      asg0 AS (SELECT n.vec_id, n.v, n.nrm, cent.centroid_id,
+                 ${dotSql.format("n.v", "centv")} / (n.nrm * centn) AS ccos
+               FROM n CROSS JOIN cent),
+      asg AS (SELECT vec_id, v, nrm, centroid_id AS cluster FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rnk
+                FROM asg0) WHERE rnk = 1),
+      probes0 AS (SELECT n.vec_id AS query_id, n.v AS qv, n.nrm AS qn, cent.centroid_id,
+                    ${dotSql.format("n.v", "centv")} / (n.nrm * centn) AS ccos
+                  FROM n CROSS JOIN cent WHERE n.vec_id < 5),
+      probes AS (SELECT query_id, qv, qn, centroid_id AS cluster FROM (
+                   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ccos DESC, centroid_id) AS rnk
+                   FROM probes0) WHERE rnk <= 2),
+      scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+                   ${dotSql.format("p.qv", "a.v")} / (p.qn * a.nrm) AS cos
+                 FROM asg a JOIN probes p ON a.cluster = p.cluster AND p.query_id <> a.vec_id),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+            FROM scored)
+      SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5 ORDER BY query_id, rnk
+    """))
+
+  /** M1 — multimodal plumbing: documents' UTF-8 bytes as opaque media blobs
+    * through the typed-Dataset decode stage (mapPartitions + stub codec),
+    * plus pure byte slicing as Column work. The oracle recomputes the stub
+    * codec's arithmetic from the text (ASCII ⇒ bytes ≡ chars).
+    */
+  val m1MediaMeta = QueryDef(
+    "m1_media_meta",
+    (s, dir) => {
+      val docs = Td(s, dir, "documents")
+      val meta = Multimodal.decodeMeta(Multimodal.fromText(s, docs, "doc_id", "text")).toDF()
+      val slices = docs.select(col("doc_id").cast("long").as("media_id"),
+        hex(substring(encode(col("text"), "UTF-8"), 1, 16)).as("head_hex"))
+      meta.join(slices, Seq("media_id"))
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"), col("mean_byte"), col("head_hex"))
+        .orderBy(col("media_id"))
+    },
+    Some("""
+      SELECT doc_id AS media_id, 'image' AS kind,
+             CAST(length(text) AS BIGINT) AS n_bytes,
+             CAST((ascii(substr(text, 1, 1)) * 16 + (ascii(substr(text, 2, 1)) >> 4)) + 1 AS BIGINT) AS width,
+             CAST((ascii(substr(text, 3, 1)) * 16 + (ascii(substr(text, 4, 1)) >> 4)) + 1 AS BIGINT) AS height,
+             CAST(3 AS BIGINT) AS channels,
+             CAST(list_reduce(list_transform(str_split(text, ''), x -> CAST(ascii(x) AS BIGINT)),
+               (a, b) -> a + b) AS DOUBLE) / length(text) AS mean_byte,
+             hex(substr(text, 1, 16)::BLOB) AS head_hex
+      FROM documents ORDER BY media_id
+    """))
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  val all: Seq[QueryDef] = Seq(
+    t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint,
+    d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
+    s1KnnBrute, s2AnnIvf, m1MediaMeta)
+}

@@ -1,0 +1,147 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit specs for the training-data extension operators (text analysis,
+  * dedup, similarity, multimodal) on small in-memory frames with
+  * hand-computable expectations.
+  */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the cat sat on the mat"), // exact dup of 1
+    (3L, "the cat sat on the big mat"), // near-dup of 1
+    (4L, "completely different words entirely here now"),
+    (5L, "el gato de la casa y que")
+  ).toDF("doc_id", "text")
+
+  test("tokenCount / bpeTokenCount / meanTokenLen (T1)") {
+    val r = docs.filter($"doc_id" === 1)
+      .select(TextAnalysis.tokenCount($"text"), TextAnalysis.meanTokenLen($"text"))
+      .head()
+    assert(r.getInt(0) === 6)
+    assert(r.getDouble(1) === 17.0 / 6) // "thecatsatonthemat" = 17 chars
+  }
+
+  test("stopword + quality: stopword-free text scores lower (T2)") {
+    val q = docs.select($"doc_id", TextAnalysis.qualityScore($"text").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q(1) > q(4)) // "the ... the" has stopwords; doc 4 has none
+  }
+
+  test("langId votes markers, first-max tiebreak (T3)") {
+    val r = docs.select($"doc_id", TextAnalysis.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(r(1) === "en")
+    assert(r(5) === "es") // el/de/la/y/que markers
+    assert(r(4) === "und") // no markers at all
+  }
+
+  test("fingerprints: identical for exact dups, different otherwise (T4)") {
+    val fp = docs.select($"doc_id", TextAnalysis.fingerprintMd5($"text").as("m"),
+        TextAnalysis.fingerprintRolling($"text").as("r"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(fp(1) === fp(2))
+    assert(fp(1) !== fp(3))
+  }
+
+  test("exactGroups: dup group collapses to min id (D1)") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(g.length === 4) // 5 docs, one exact-dup pair
+    val dupGroup = g.find(_.getAs[Long]("n_copies") === 2L).get
+    assert(dupGroup.getAs[Long]("keep_id") === 1L)
+  }
+
+  test("shingleIndex: distinct word 3-grams; short text falls back whole (D2)") {
+    val sh = Dedup.shingleIndex(Seq((1L, "a b c d")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(_.getString(1)).sorted
+    assert(sh.toSeq === Seq("a b c", "b c d"))
+    val short = Dedup.shingleIndex(Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(_.getString(1))
+    assert(short.toSeq === Seq("a b"))
+  }
+
+  test("jaccardPairs finds the near-dup pair with correct jaccard (D2)") {
+    val sh = Dedup.shingleIndex(docs, "doc_id", "text")
+    val pairs = Dedup.jaccardPairs(sh, "doc_id").filter($"jaccard" >= 0.2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard")))
+    assert(pairs.exists { case (a, b, j) => a == 1 && b == 2 && j == 1.0 }) // exact dup
+    assert(pairs.exists { case (a, b, j) => Set(a, b) == Set(1L, 3L) && j > 0.2 && j < 1.0 })
+  }
+
+  test("minhashDedup recovers exact + near dups, drops unrelated (D3)") {
+    val pairs = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("simhash: identical text → identical sketch; hamming pairs (D4)") {
+    val sh = Dedup.shingleIndex(docs, "doc_id", "text")
+    val sims = Dedup.simhash(sh, "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sims(1) === sims(2))
+    assert(sims.values.forall(v => v >= 0 && v <= 0xffffffffL))
+    val pairs = Dedup.simhashPairs(Dedup.simhash(sh, "doc_id"), "doc_id", maxHamming = 0)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("cosine: orthogonal=0, identical=1; knnBrute ranks by cosine (S1)") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.1f)), (3L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cos = vecs.filter($"vec_id" === 0).crossJoin(
+        vecs.filter($"vec_id" === 1).select($"embedding".as("e2")))
+      .select(Similarity.cosine($"embedding", $"e2")).head().getDouble(0)
+    assert(math.abs(cos) < 1e-12)
+    val knn = Similarity.knnBrute(vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", k = 3)
+      .orderBy($"rnk").collect().map(_.getAs[Long]("neighbor_id"))
+    assert(knn.toSeq === Seq(2L, 1L, 3L)) // by descending cosine to (1,0)
+  }
+
+  test("ivfAssign + ivfSearch: probed clusters cover the true neighbor (S2)") {
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, Array(math.cos(i * 0.3).toFloat, math.sin(i * 0.3).toFloat))
+    ).toDF("vec_id", "embedding")
+    val cents = vecs.filter($"vec_id" < 4)
+    val assigned = Similarity.ivfAssign(vecs, cents, "vec_id", "embedding")
+    assert(assigned.count() === 20)
+    assert(assigned.select("cluster").distinct().count() <= 4)
+    val res = Similarity.ivfSearch(vecs.filter($"vec_id" === 5), assigned, cents,
+      "vec_id", "embedding", k = 2, nprobe = 2)
+    val top = res.orderBy($"rnk").collect().map(_.getAs[Long]("neighbor_id"))
+    assert(top.nonEmpty && (top.contains(4L) || top.contains(6L))) // angular neighbors
+  }
+
+  test("cosinePairs: near-identical vectors cross the threshold (D5)") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.999f, 0.01f)), (2L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosinePairs(vecs, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.toSeq === Seq((0L, 1L)))
+  }
+
+  test("multimodal: decodeMeta derives stable dims/mean; frames slice bytes (M1)") {
+    val media = Multimodal.fromText(spark, docs, "doc_id", "text")
+    val meta = Multimodal.decodeMeta(media).collect().map(m => m.media_id -> m).toMap
+    assert(meta(1L) === meta(2L).copy(media_id = 1L)) // same bytes → same meta
+    val m1 = meta(1L)
+    assert(m1.n_bytes === 22L && m1.channels === 3)
+    // width from bytes 't','h': (116<<4)|(104>>4) + 1
+    assert(m1.width === ((116 << 4) | (104 >> 4)) + 1)
+    assert(m1.mean_byte === "the cat sat on the mat".getBytes("UTF-8").map(_ & 0xff).sum.toDouble / 22)
+    val framed = Multimodal.sampleFrames(
+      media.toDF(), "media", nFrames = 3, frameBytes = 4)
+    val frames = framed.filter($"media_id" === 1).select($"frames").head().getSeq[Array[Byte]](0)
+    assert(frames.length === 3 && frames.forall(_.length === 4))
+    assert(new String(frames.head, "UTF-8") === "the ")
+    val rp = Multimodal.resizePlan(Multimodal.decodeMeta(media), maxSide = 256).collect()
+    assert(rp.forall(r => r.getAs[Int]("out_width") <= 256 && r.getAs[Int]("out_height") <= 256))
+  }
+}

@@ -1,0 +1,133 @@
+package graft.streaming
+
+import graft.tables.{TableStore, Upsert}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming surface: the streaming-native re-expression of the
+  * reference's batch-micro-batch incremental pattern (SURVEY.md §2.7), plus
+  * watermarked windowed aggregation and custom session state.
+  *
+  * The reference polls a landing directory and re-runs a notebook; Spark's
+  * file source + `Trigger.AvailableNow` + `foreachBatch` gives the same
+  * at-least-once file semantics with checkpointed progress (no hand-rolled
+  * archival needed — `cleanSource` handles it). Late/re-delivered rows are
+  * handled the same way the reference does: keyed upsert in the sink, not
+  * watermark-discard; watermarks bound state for the windowed aggregations.
+  *
+  * Scale notes: stateful ops shuffle by grouping key; state lives in the
+  * executor state store (RocksDB at scale — config, not code). The upsert
+  * sink rewrites only affected months per micro-batch, mirroring the batch
+  * pipeline's affected-month restriction.
+  */
+object Streams {
+
+  final case class Event(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionSummary(
+      user_id: Long, n_events: Long, total_value: Double,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp)
+
+  /** File-source stream over a landing dir of order CSVs — the streaming
+    * twin of `Pipelines.runFactIncremental`'s ingest step.
+    */
+  def landingStream(
+      spark: SparkSession, landingDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream
+      .format("csv")
+      .option("header", "true")
+      .schema(schema)
+      .option("maxFilesPerTrigger", "64") // bound micro-batch size
+      .load(landingDir)
+
+  /** foreachBatch keyed-upsert sink: each micro-batch merges into `table`
+    * by `keys` — late data updates in place, exactly the reference's
+    * incremental semantics. Returns the started query (AvailableNow: drains
+    * what exists, then stops — the reference's "process what landed" run).
+    */
+  def upsertSink(
+      df: DataFrame, store: TableStore, table: String, keys: Seq[String],
+      checkpoint: String): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val deduped = graft.clean.Normalize.dedupKeep(
+          batch, keys, batch.columns.filterNot(keys.contains).map(col).toSeq)
+        store.overwriteIfAbsentElse(table, deduped)(target =>
+          Upsert.merge(target, deduped, keys,
+            onDuplicate = Upsert.DuplicatePolicy.DedupDeterministic))
+      }
+      .start()
+
+  /** Watermarked tumbling-window aggregation per event type — the streaming
+    * form of the e1_event_hourly batch query. Watermark bounds state: windows
+    * older than `lateness` beyond max-seen ts are finalized and evicted.
+    */
+  def eventWindowAgg(
+      events: DataFrame, window_ : String = "1 hour",
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Custom session state via flatMapGroupsWithState: per-user sessions that
+    * close after `gap` of event-time inactivity. Event-time timeouts (not
+    * processing-time) make sessions deterministic — they fire when the
+    * watermark passes session_end + gap, regardless of wall clock, so a
+    * replay yields identical sessions. Emits a summary when a session
+    * closes — the stateful pattern the reference never needed but a
+    * streaming engine must offer.
+    *
+    * `events` must already carry a watermark on `ts` (see
+    * [[withEventWatermark]]).
+    */
+  def sessionize(
+      events: Dataset[Event], gapMs: Long): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionSummary, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionSummary]) =>
+          if (state.hasTimedOut) {
+            val out = state.get
+            state.remove()
+            Iterator.single(out)
+          } else {
+            val evs = batch.toSeq
+            val prev = state.getOption
+            val starts = prev.map(_.session_start).toSeq ++ evs.map(_.ts)
+            val ends = prev.map(_.session_end).toSeq ++ evs.map(_.ts)
+            val ord = Ordering.by((t: java.sql.Timestamp) => t.getTime)
+            val updated = SessionSummary(
+              user_id = userId,
+              n_events = prev.map(_.n_events).getOrElse(0L) + evs.size,
+              total_value = prev.map(_.total_value).getOrElse(0.0) + evs.map(_.value).sum,
+              session_start = starts.min(ord),
+              session_end = ends.max(ord))
+            state.update(updated)
+            state.setTimeoutTimestamp(updated.session_end.getTime + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Watermarked event source for [[sessionize]]. */
+  def withEventWatermark(events: Dataset[Event], lateness: String): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", lateness).as[Event]
+  }
+}

@@ -17,6 +17,9 @@ object SparkSpec {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // no .crc sidecars: avoids the RawLocalFileSystem checksum-rename race
+      // in streaming state-store commits under /tmp
+      .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.model.Star
+import graft.tables.TableStore
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Structured Streaming specs: MemoryStream-driven windowed aggregation and
+  * sessionization, file-source landing stream with foreachBatch upsert.
+  */
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("eventWindowAgg: tumbling windows with watermark (memory sink)") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Streams.Event]
+    val agg = Streams.eventWindowAgg(in.toDF(), "1 hour", "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_agg")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(
+        Streams.Event(1, ts("2026-01-01 10:05:00"), 1, "click", 1.0),
+        Streams.Event(2, ts("2026-01-01 10:45:00"), 2, "click", 2.0),
+        Streams.Event(3, ts("2026-01-01 11:05:00"), 1, "purchase", 10.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_agg").collect()
+        .map(r => (r.getAs[Timestamp]("window_start").toString,
+          r.getAs[String]("event_type"), r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+        .toSet
+      assert(rows === Set(
+        ("2026-01-01 10:00:00.0", "click", 2L, 3.0),
+        ("2026-01-01 11:00:00.0", "purchase", 1L, 10.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize: sessions close when the watermark passes the gap (event time)") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Streams.Event]
+    val sessions = Streams.sessionize(
+      Streams.withEventWatermark(in.toDS(), "0 seconds"), gapMs = 60000)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Streams.Event(1, ts("2026-01-01 10:00:00"), 7, "click", 1.5),
+        Streams.Event(2, ts("2026-01-01 10:00:10"), 7, "click", 2.5))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() === 0) // still open
+      // a later event advances the watermark past 10:00:10 + 60s → user 7's
+      // session times out and flushes on the next batch
+      in.addData(Streams.Event(3, ts("2026-01-01 10:30:00"), 8, "view", 0.0))
+      q.processAllAvailable()
+      in.addData(Streams.Event(4, ts("2026-01-01 10:31:00"), 8, "view", 0.0))
+      q.processAllAvailable()
+      val done = spark.table("sessions").filter($"user_id" === 7).collect()
+      assert(done.length === 1)
+      assert(done.head.getAs[Long]("n_events") === 2)
+      assert(done.head.getAs[Double]("total_value") === 4.0)
+      assert(done.head.getAs[Timestamp]("session_start") === ts("2026-01-01 10:00:00"))
+      assert(done.head.getAs[Timestamp]("session_end") === ts("2026-01-01 10:00:10"))
+    } finally q.stop()
+  }
+
+  test("landingStream + upsertSink: file micro-batches upsert by key, late re-delivery updates in place") {
+    val dir = Files.createTempDirectory("graft_landing").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val store = new TableStore(spark, Files.createTempDirectory("graft_str").toString)
+
+    Files.writeString(java.nio.file.Paths.get(s"$dir/orders_1.csv"),
+      "order_id,order_placement_date,customer_id,product_id,order_qty\n" +
+        "ORD001,01-12-2025,789401,25891101,10\nORD002,01-12-2025,789402,25891102,5\n")
+    val s1 = Streams.landingStream(spark, dir, Star.rawOrders)
+    val q1 = Streams.upsertSink(s1, store, "orders_live",
+      Seq("order_id", "product_id"), ckpt)
+    q1.awaitTermination()
+    assert(store.read("orders_live").count() === 2)
+
+    // second file: one new order + one re-delivery with corrected qty
+    Files.writeString(java.nio.file.Paths.get(s"$dir/orders_2.csv"),
+      "order_id,order_placement_date,customer_id,product_id,order_qty\n" +
+        "ORD003,02-12-2025,789403,25891103,3\nORD001,01-12-2025,789401,25891101,12\n")
+    val q2 = Streams.upsertSink(Streams.landingStream(spark, dir, Star.rawOrders),
+      store, "orders_live", Seq("order_id", "product_id"), ckpt)
+    q2.awaitTermination()
+    val live = store.read("orders_live")
+    assert(live.count() === 3) // upsert, not append
+    assert(live.filter(col("order_id") === "ORD001")
+      .head().getAs[Double]("order_qty") === 12.0)
+  }
+}

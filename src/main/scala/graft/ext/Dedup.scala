@@ -90,14 +90,22 @@ object Dedup {
   }
 
   /** MinHash-LSH near-dup pairs, verified: candidates from band collisions,
-    * then exact Jaccard computed only for candidate pairs.
+    * then exact Jaccard computed ONLY for candidate pairs — the shingle
+    * index is first semi-join-pruned to candidate docs, so the verify
+    * join touches a vanishing fraction of the corpus (this restriction is
+    * the entire point of LSH at scale; verifying all co-shingle pairs would
+    * re-introduce the quadratic cost LSH exists to avoid).
     */
   def minhashDedup(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 12, bands: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sh = shingleIndex(df, idCol, textCol, n).cache()
     val cands = minhashCandidates(minhashSignature(sh, idCol, k), idCol, bands, k / bands)
-    jaccardPairs(sh, idCol)
+      .cache()
+    val candDocs = cands.select(col("id_a").as(idCol))
+      .union(cands.select(col("id_b").as(idCol))).distinct()
+    val shCand = sh.join(broadcast(candDocs), Seq(idCol), "left_semi")
+    jaccardPairs(shCand, idCol)
       .join(cands, Seq("id_a", "id_b"), "left_semi")
       .filter(col("jaccard") >= threshold)
   }
@@ -107,12 +115,15 @@ object Dedup {
     */
   def simhash(shingles: DataFrame, idCol: String): DataFrame = {
     val nib = "0123456789abcdef"
+    // md5 once per shingle row; the 32 vote aggregates only slice nibbles
+    // out of the precomputed hex (32 substr+instr, not 32 md5).
+    val hashed = shingles.withColumn("_gm_hh", md5(col("shingle")))
     // vote_b = Σ_tokens (2*bit_b − 1); bit_b from hex nibble (b/4)+1, shift 3−b%4
     val votes = (0 until 32).map { bit =>
-      val nibbleVal = expr(s"instr('$nib', substr(md5(shingle), ${bit / 4 + 1}, 1)) - 1")
+      val nibbleVal = expr(s"instr('$nib', substr(_gm_hh, ${bit / 4 + 1}, 1)) - 1")
       sum(shiftright(nibbleVal.cast("int"), 3 - bit % 4).bitwiseAND(1) * 2 - 1).as(s"v$bit")
     }
-    shingles.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    hashed.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
       .select(col(idCol),
         (0 until 32).map(b =>
             when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))

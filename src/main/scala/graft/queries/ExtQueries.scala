@@ -161,7 +161,10 @@ object ExtQueries {
       FROM inter JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
       WHERE CAST(n_inter AS DOUBLE) / CAST(x.n + y.n - n_inter AS DOUBLE) >= 0.5
       ORDER BY id_a, id_b
-    """))
+    """),
+    // all-co-shingle-pairs correctness baseline — the bench covers near-dup
+    // text dedup via d3_dedup_minhash (the sub-quadratic LSH scale path)
+    benchmark = false)
 
   /** D3 — MinHash+LSH near-dup: band-bucket candidates, Jaccard-verified. */
   val d3DedupMinhash = QueryDef(
@@ -247,7 +250,10 @@ object ExtQueries {
       FROM n a JOIN n b ON a.vec_id < b.vec_id
       WHERE ${dotSql.format("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.45
       ORDER BY id_a, id_b
-    """))
+    """),
+    // all-pairs O(n²) correctness baseline — the bench covers vector search
+    // via s2_ann_ivf (the scale path)
+    benchmark = false)
 
   /** S1 — brute-force cosine top-10 for query vectors vec_id < 5. */
   val s1KnnBrute = QueryDef(

@@ -12,4 +12,10 @@ object Registry {
 
   def oracleMap: Map[String, String] =
     defs.flatMap(d => d.oracle.map(sql => d.name -> sql.trim)).toMap
+
+  /** Headline subset timed by Bench (benchmark=false marks correctness-only
+    * baselines, e.g. the all-pairs cosine dedup).
+    */
+  def benchMap: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    defs.filter(_.benchmark).map(d => d.name -> d.fn).toMap
 }

@@ -168,7 +168,33 @@ object JoinQueries {
       ORDER BY kind, k
     """))
 
+  /** S12/S13 — SQL-text surface: temp-view registration + `spark.sql`
+    * (reference: CREATE OR REPLACE VIEW denormalise_table_query_fmcg.txt:1,
+    * temp-view handoff 2_incremental_load_fact.py:254). Same engine path the
+    * BI dashboards use.
+    */
+  val v1SqlView = QueryDef(
+    "v1_sql_view",
+    (s, dir) => {
+      Td(s, dir, "orders").createOrReplaceTempView("v_orders")
+      Td(s, dir, "customer").createOrReplaceTempView("v_customer")
+      s.sql("""
+        SELECT c_mktsegment AS segment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales
+        FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY segment
+      """)
+    },
+    Some("""
+      SELECT c_mktsegment AS segment,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY segment
+    """))
+
   val all: Seq[QueryDef] = Seq(
     j1LeftBroadcast, j2InnerDimAgg, j4JoinOnExpr, j5StarEnriched,
-    j6SemiAnti, setOps)
+    j6SemiAnti, setOps, v1SqlView)
 }

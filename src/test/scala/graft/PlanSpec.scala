@@ -1,0 +1,76 @@
+package graft
+
+import graft.queries.{CoreQueries, FuncQueries, JoinQueries}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions: the plans we ship are the plans we want at
+  * scale — dims broadcast (no fact shuffle for enrichment), predicates and
+  * projections pushed into the parquet scan, aggregates partial-before-
+  * exchange, hot paths inside WholeStageCodegen.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("dim joins broadcast — the fact side never shuffles for enrichment (J1/J2/J5)") {
+    val p1 = plan(JoinQueries.j1LeftBroadcast.fn(spark, sf))
+    assert(p1.contains("BroadcastHashJoin"), p1.linesIterator.take(30).mkString("\n"))
+    val p5 = plan(JoinQueries.j5StarEnriched.fn(spark, sf))
+    assert(p5.contains("BroadcastHashJoin"))
+    // the three dim joins are all broadcast: no SortMergeJoin for dims
+    assert(p5.split("BroadcastHashJoin").length >= 4,
+      "expected >=3 broadcast joins in the star enrichment")
+  }
+
+  test("filter pushdown + column pruning reach the parquet scan (P2/P1)") {
+    val p = plan(FuncQueries.p2FilterPredicates.fn(spark, sf))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull"), "null filter should push to scan")
+    // projection pruning: the scan must not read all 9 orders columns
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("o_clerk") && !read.contains("o_comment"),
+      s"scan should prune unused columns: $read")
+  }
+
+  test("aggregation is partial before the exchange (Q1 map-side combine)") {
+    val p = plan(CoreQueries.q1PricingSummary.fn(spark, sf))
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg >= 0)
+    // map-side combine: partial_sum/partial_count run before the exchange
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      "expected partial (map-side) aggregation")
+    assert(p.contains("hashpartitioning"), "expected hash exchange on group keys")
+  }
+
+  test("hot paths stay inside WholeStageCodegen (no interpreted row loops)") {
+    Seq(
+      CoreQueries.q1PricingSummary.fn(spark, sf),
+      FuncQueries.f2HashKeys.fn(spark, sf),
+      CoreQueries.a3MonthlyRollup.fn(spark, sf)
+    ).foreach { df =>
+      df.collect() // AQE finalizes the plan only on execution
+      val p = df.queryExecution.executedPlan.toString
+      // codegen stages print as "*(n) Op" in the final adaptive plan
+      assert("\\*\\(\\d+\\) ".r.findFirstIn(p).isDefined,
+        p.linesIterator.take(8).mkString("\n"))
+    }
+  }
+
+  test("upsert merge compiles to one join, not repeated target passes (S8)") {
+    val t = Td(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    val s = Td(spark, sf, "customer").select("c_custkey", "c_acctbal")
+      .withColumn("c_acctbal", org.apache.spark.sql.functions.col("c_acctbal") * 2)
+    val merged = graft.tables.Upsert.merge(t, s, Seq("c_custkey"))
+    val p = merged.queryExecution.explainString(ExplainMode.fromString("simple"))
+    val joins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r.findAllIn(p).length
+    assert(joins === 1, s"merge should be a single full-outer join, found $joins:\n$p")
+    // the dup-check window must ride the join's shuffle: the source side gets
+    // exactly one exchange (window + join share hashpartitioning on the key)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 2, s"expected 2 exchanges (one per side), found $exchanges:\n$p")
+  }
+}

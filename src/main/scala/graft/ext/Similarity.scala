@@ -27,10 +27,13 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast(ArrayType(DoubleType))
 
-  /** Strict left-fold sum of element products — deterministic order. */
+  /** Strict left-fold sum of element products — deterministic order.
+    * Backed by the codegen'd [[graft.functions.DotProduct]] expression (the
+    * equivalent `aggregate(zip_with(…))` fold is interpreted per element —
+    * ~10× slower in the similarity hot loops, same bits).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.dotProduct(asDouble(a), asDouble(b))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -32,12 +32,20 @@ final class TableStore(spark: SparkSession, root: String) {
 
   /** Atomic overwrite: write staging, swap, drop previous. Safe when `df`
     * reads from the table being replaced.
+    *
+    * `partitionBy` lays the table out hive-style (e.g. month partitions for
+    * the consolidated fact): partition-pruned scans + dynamic partition
+    * pruning on dim-filtered star joins come free from Catalyst, and the
+    * incremental affected-month rewrite touches only the changed
+    * directories.
     */
-  def overwrite(name: String, df: DataFrame): Unit = {
+  def overwrite(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
     val staging = new Path(s"$root/.staging_${name}_${java.util.UUID.randomUUID().toString.take(8)}")
     val live = new Path(path(name))
     val trash = new Path(s"$root/.trash_${name}_${java.util.UUID.randomUUID().toString.take(8)}")
-    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(staging.toString)
     val f = fs
     if (f.exists(live)) {
       if (!f.rename(live, trash))

@@ -27,7 +27,8 @@ object IdempotentCopy {
       table: String,
       srcDir: String,
       project: DataFrame => DataFrame,
-      header: Boolean = true): Long = {
+      header: Boolean = true,
+      partitionBy: Seq[String] = Nil): Long = {
     val logTable = s"${table}__copy_log"
     val raw = spark.read.option("header", header.toString).csv(srcDir)
       .select(col("*"), col("_metadata.file_path").as("_file_path"))
@@ -37,7 +38,7 @@ object IdempotentCopy {
     val newFiles = unseen.select("_file_path").distinct().cache()
     val n = newFiles.count()
     if (n > 0) {
-      store.append(table, project(unseen.drop("_file_path")))
+      store.append(table, project(unseen.drop("_file_path")), partitionBy)
       if (store.exists(logTable)) store.append(logTable, newFiles)
       else store.overwrite(logTable, newFiles)
     }

@@ -58,10 +58,49 @@ final class TableStore(spark: SparkSession, root: String) {
   }
 
   /** Append (reference S5: fact bronze accumulates landed files,
-    * 1_full_load_fact.py:59-63).
+    * 1_full_load_fact.py:59-63). `partitionBy` must match the table's
+    * existing layout.
     */
-  def append(name: String, df: DataFrame): Unit =
-    df.write.mode(SaveMode.Append).parquet(path(name))
+  def append(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path(name))
+  }
+
+  /** Replace ONLY the partitions present in `df`, leaving all other
+    * partition directories untouched (dynamic-partition-overwrite
+    * semantics, catalog-free). This is what makes incremental recompute
+    * partition-local at scale: an increment touching 2 months moves 2
+    * directories, not a 10-year table.
+    */
+  def overwritePartitions(name: String, df: DataFrame, partitionBy: Seq[String]): Unit = {
+    require(partitionBy.nonEmpty, "overwritePartitions needs partition columns")
+    if (!exists(name)) { overwrite(name, df, partitionBy); return }
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new Path(s"$root/.staging_${name}_$stamp")
+    val trash = new Path(s"$root/.trash_${name}_$stamp")
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).parquet(staging.toString)
+    val f = fs
+    def leafDirs(base: Path, depth: Int): Seq[Path] =
+      if (depth == 0) Seq(base)
+      else f.listStatus(base).filter(_.isDirectory).toSeq
+        .flatMap(st => leafDirs(st.getPath, depth - 1))
+    val live = new Path(path(name))
+    f.mkdirs(trash)
+    val stagingPath = f.makeQualified(staging).toUri.getPath
+    leafDirs(staging, partitionBy.length).foreach { sp =>
+      val rel = sp.toUri.getPath.stripPrefix(stagingPath).stripPrefix("/")
+      val lp = new Path(live, rel)
+      if (f.exists(lp) && !f.rename(lp, new Path(trash, rel.replace("/", "_"))))
+        throw new IllegalStateException(s"TableStore: could not stage out partition $lp")
+      if (!f.exists(lp.getParent)) f.mkdirs(lp.getParent)
+      if (!f.rename(sp, lp))
+        throw new IllegalStateException(s"TableStore: could not promote partition $sp")
+    }
+    f.delete(staging, true)
+    f.delete(trash, true)
+    spark.catalog.refreshByPath(live.toString)
+  }
 
   /** DROP TABLE (reference S15: staging teardown, 2_incremental:300-306). */
   def drop(name: String): Unit = fs.delete(new Path(path(name)), true)

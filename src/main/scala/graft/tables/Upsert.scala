@@ -113,4 +113,35 @@ object Upsert {
     if (insert) merged
     else joined.filter(tMatched).select(out: _*)
   }
+
+  /** Partition-scoped MERGE into a partitioned table: only the partitions
+    * the source touches are read (static partition pruning via a collected
+    * value list — partition counts are small by construction) and only
+    * those directories are rewritten. The 100 TB incremental path: an
+    * increment touching 2 months costs 2 partition scans + 2 directory
+    * swaps, independent of table history length.
+    */
+  def mergePartitioned(
+      store: TableStore,
+      table: String,
+      source: DataFrame,
+      keys: Seq[String],
+      partitionCol: String,
+      update: Boolean = true,
+      insert: Boolean = true,
+      onDuplicate: DuplicatePolicy = DuplicatePolicy.Error): Unit = {
+    require(keys.contains(partitionCol),
+      s"partition column $partitionCol must be part of the merge keys " +
+        "(otherwise a matched row could move across partitions)")
+    if (!store.exists(table)) {
+      store.overwrite(table, source, Seq(partitionCol))
+      return
+    }
+    val touched = source.select(col(partitionCol)).distinct().collect().map(_.get(0))
+    if (touched.isEmpty) return
+    val slice = store.read(table)
+      .filter(col(partitionCol).isin(touched.toIndexedSeq: _*))
+    val merged = merge(slice, source, keys, None, update, insert, onDuplicate)
+    store.overwritePartitions(table, merged, Seq(partitionCol))
+  }
 }

@@ -56,4 +56,33 @@ class SkewAndPartitionSpec extends SparkSpec {
       scan.contains("= 2025-03-01)"), scan)
     assert(q.count() === fact.filter($"month" === "2025-03-01").count())
   }
+
+  test("mergePartitioned rewrites only touched partitions, preserves the rest") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft_mp").toString)
+    val base = Seq(
+      ("2025-01-01", "A", 10.0), ("2025-01-01", "B", 20.0),
+      ("2025-02-01", "A", 30.0), ("2025-03-01", "C", 40.0)
+    ).toDF("month", "k", "v")
+    store.overwrite("fact", base, partitionBy = Seq("month"))
+    val janDir = new java.io.File(store.path("fact"), "month=2025-01-01")
+    val janFilesBefore = janDir.listFiles().map(_.getName).toSet
+
+    // increment touches only February (update A, insert D)
+    val inc = Seq(("2025-02-01", "A", 31.0), ("2025-02-01", "D", 5.0)).toDF("month", "k", "v")
+    Upsert.mergePartitioned(store, "fact", inc, Seq("month", "k"), "month")
+
+    val out = store.read("fact").selectExpr("CAST(month AS STRING) AS month", "k", "v").orderBy("month", "k")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(
+      ("2025-01-01", "A", 10.0), ("2025-01-01", "B", 20.0),
+      ("2025-02-01", "A", 31.0), ("2025-02-01", "D", 5.0),
+      ("2025-03-01", "C", 40.0)))
+    // untouched partitions keep their exact files (no rewrite)
+    assert(janDir.listFiles().map(_.getName).toSet === janFilesBefore)
+
+    // merge key must contain the partition column
+    assertThrows[IllegalArgumentException] {
+      Upsert.mergePartitioned(store, "fact", inc, Seq("k"), "month")
+    }
+  }
 }

@@ -181,7 +181,61 @@ object CoreQueries {
       ORDER BY c_acctbal DESC, c_custkey LIMIT 10
     """))
 
+  /** A7 — ROLLUP hierarchy totals (engine surface beyond the reference's
+    * flat groupBys; the dashboard's division→category drill-down shape).
+    * grouping_id disambiguates NULL-as-total from NULL data.
+    */
+  val a7Rollup = QueryDef(
+    "a7_rollup",
+    (s, dir) => {
+      Td(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sales"),
+          grouping_id().cast("long").as("gid"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+          coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+          col("gid"), col("n"), col("sales"))
+        .orderBy(col("gid"), col("status"), col("priority"))
+    },
+    Some("""
+      SELECT COALESCE(o_orderstatus, '<all>') AS status,
+             COALESCE(o_orderpriority, '<all>') AS priority,
+             CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales
+      FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      ORDER BY gid, status, priority
+    """))
+
+  /** A8 — pivot: status × priority matrix (Spark `pivot`; oracle via
+    * conditional aggregation — the relational core of pivot).
+    */
+  val a8Pivot = QueryDef(
+    "a8_pivot",
+    (s, dir) => {
+      Td(s, dir, "orders")
+        .withColumn("prio", substring(col("o_orderpriority"), 1, 1))
+        .groupBy(col("o_orderstatus"))
+        .pivot("prio", Seq("1", "2", "3", "4", "5"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("o_orderstatus").as("status"),
+          col("1").as("p1"), col("2").as("p2"), col("3").as("p3"),
+          col("4").as("p4"), col("5").as("p5"))
+        .orderBy(col("status"))
+    },
+    Some("""
+      SELECT o_orderstatus AS status,
+             COUNT(*) FILTER (substr(o_orderpriority, 1, 1) = '1') AS p1,
+             COUNT(*) FILTER (substr(o_orderpriority, 1, 1) = '2') AS p2,
+             COUNT(*) FILTER (substr(o_orderpriority, 1, 1) = '3') AS p3,
+             COUNT(*) FILTER (substr(o_orderpriority, 1, 1) = '4') AS p4,
+             COUNT(*) FILTER (substr(o_orderpriority, 1, 1) = '5') AS p5
+      FROM orders GROUP BY o_orderstatus ORDER BY status
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, a1DupDetect, a2DedupKeyed, a3MonthlyRollup,
-    a4MinMax, a5Distinct, a6Counts, w1LatestPerGroup, o1TopK)
+    a4MinMax, a5Distinct, a6Counts, a7Rollup, a8Pivot, w1LatestPerGroup, o1TopK)
 }

@@ -341,11 +341,51 @@ object ExtQueries {
       FROM documents ORDER BY media_id
     """))
 
+  /** T5 — TF-IDF-style salient terms: top-3 terms per doc by
+    * tf × (N/df). Rational arithmetic only (no log — libm transcendentals
+    * differ across engines in the last ulp); same parenthesization both
+    * sides ⇒ bit-identical scores ⇒ identical ranks.
+    */
+  val t5Tfidf = QueryDef(
+    "t5_tfidf",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Td(s, dir, "documents")
+      val terms = docs.select(col("doc_id"),
+          explode(graft.ext.TextAnalysis.wsTokens(col("text"))).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tcnt"))
+      val docLen = terms.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.count().toDouble
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(docLen, Seq("doc_id")).join(df_, Seq("term"))
+        .withColumn("score",
+          (col("tcnt").cast("double") / col("dlen").cast("double")) *
+            (lit(n) / col("df").cast("double")))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"), col("score"), col("rnk").cast("long").as("rnk"))
+        .orderBy(col("doc_id"), col("rnk"))
+    },
+    Some("""
+      WITH terms AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tcnt FROM terms GROUP BY 1, 2),
+      dl AS (SELECT doc_id, COUNT(*) AS dlen FROM terms GROUP BY 1),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.term,
+               (CAST(tcnt AS DOUBLE) / CAST(dlen AS DOUBLE)) * (n.n / CAST(df.df AS DOUBLE)) AS score
+        FROM tf JOIN dl ON tf.doc_id = dl.doc_id JOIN df ON tf.term = df.term CROSS JOIN n),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk FROM scored)
+      SELECT doc_id, term, score, rnk FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk
+    """))
+
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
   val all: Seq[QueryDef] = Seq(
-    t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint,
+    t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     s1KnnBrute, s2AnnIvf, m1MediaMeta)
 }

@@ -105,9 +105,28 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Embedding-cosine near-dup pairs within IVF clusters — the scale path
+    * for [[cosinePairs]]: the pair space shrinks from n² to Σ|cluster|²,
+    * trading recall for the cross-cluster pairs (near-dups almost always
+    * share a nearest centroid; increase centroid count to tighten buckets).
+    */
+  def cosinePairsClustered(
+      df: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val assigned = ivfAssign(df, centroids, idCol, vecCol)
+    val a = assigned.select(col("cluster"),
+      col(idCol).as("id_a"), col(vecCol).as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cluster"),
+      col(idCol).as("id_b"), col(vecCol).as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
     * All-pairs — correctness baseline for small/medium corpora; at scale
-    * route through [[ivfAssign]] and pair only within clusters.
+    * route through [[cosinePairsClustered]].
     */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     val n = withNorm(df.select(col(idCol), col(vecCol)), vecCol, "nrm")

@@ -255,6 +255,34 @@ object ExtQueries {
     // via s2_ann_ivf (the scale path)
     benchmark = false)
 
+  /** D6 — embedding near-dup at scale: pair only within IVF clusters
+    * (centroid seeds vec_id < 8). Approximate by design — misses
+    * cross-cluster pairs; the bench path for what d5 does exhaustively.
+    */
+  val d6DedupEmbedIvf = QueryDef(
+    "d6_dedup_embed_ivf",
+    (s, dir) => {
+      val emb = Td(s, dir, "embeddings")
+      Similarity.cosinePairsClustered(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", 0.45)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""
+      WITH $vecCte,
+      cent AS (SELECT vec_id AS centroid_id, v AS centv, nrm AS centn FROM n WHERE vec_id < 8),
+      asg0 AS (SELECT n.vec_id, n.v, n.nrm, cent.centroid_id,
+                 ${dotSql.format("n.v", "centv")} / (n.nrm * centn) AS ccos
+               FROM n CROSS JOIN cent),
+      asg AS (SELECT vec_id, v, nrm, centroid_id AS cluster FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rnk
+                FROM asg0) WHERE rnk = 1)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ${dotSql.format("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+      FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE ${dotSql.format("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.45
+      ORDER BY id_a, id_b
+    """))
+
   /** S1 — brute-force cosine top-10 for query vectors vec_id < 5. */
   val s1KnnBrute = QueryDef(
     "s1_knn_brute",
@@ -387,5 +415,6 @@ object ExtQueries {
   val all: Seq[QueryDef] = Seq(
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
+    d6DedupEmbedIvf,
     s1KnnBrute, s2AnnIvf, m1MediaMeta)
 }

@@ -1,0 +1,52 @@
+package graft.serve
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality probes — the reference's documented acceptance checks
+  * (README.md:257-266: duplicate detection, schema/key-type alignment,
+  * join coverage) as reusable library calls instead of ad-hoc notebook
+  * cells (SURVEY.md §5).
+  */
+object Quality {
+
+  /** Duplicate-key report: keys with >1 row (1_customer_data_processing
+    * .py:69 probe, generalized to composite keys).
+    */
+  def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > 1)
+
+  /** Join coverage: how many fact rows find a dim partner, and the top
+    * missing keys. The reference's fact→dim_customers / dim_products /
+    * (product_code, year) checks (README.md:257-266).
+    */
+  def joinCoverage(fact: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame = {
+    val matched = fact.join(dim.select(keys.map(col): _*).distinct(), keys, "left_semi").count()
+    val total = fact.count()
+    val spark = fact.sparkSession
+    import spark.implicits._
+    Seq((total, matched, total - matched,
+      if (total == 0) 1.0 else matched.toDouble / total))
+      .toDF("fact_rows", "matched", "missing", "coverage")
+  }
+
+  /** The fact rows that would be dropped/nulled by a dim join — top
+    * offenders by frequency (actionable form of the missing-key probe).
+    */
+  def missingKeys(fact: DataFrame, dim: DataFrame, keys: Seq[String], topN: Int = 20): DataFrame =
+    fact.join(dim.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("n_rows").desc, col(keys.head))
+      .limit(topN)
+
+  /** Column null-rate profile — cheap schema-drift tripwire. */
+  def nullRates(df: DataFrame): DataFrame = {
+    val total = df.count().max(1L)
+    val exprs = df.columns.map(c =>
+      (sum(when(col(c).isNull, 1L).otherwise(0L)) / lit(total.toDouble)).as(c))
+    df.agg(exprs.head, exprs.tail: _*)
+  }
+}

@@ -39,6 +39,30 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("eventWindowAgg append mode: watermark finalizes windows and discards late data") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Streams.Event]
+    val agg = Streams.eventWindowAgg(in.toDF(), "1 hour", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_append")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Streams.Event(1, ts("2026-01-01 10:05:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // advance watermark past 11:10 → the 10:00 window finalizes and emits
+      in.addData(Streams.Event(2, ts("2026-01-01 11:20:00"), 2, "view", 5.0))
+      q.processAllAvailable()
+      in.addData(Streams.Event(3, ts("2026-01-01 11:21:00"), 2, "view", 0.0))
+      q.processAllAvailable()
+      val emitted = spark.table("win_append").collect()
+        .map(r => (r.getAs[Timestamp]("window_start").toString, r.getAs[Long]("n_events")))
+      assert(emitted.toSeq === Seq(("2026-01-01 10:00:00.0", 1L)))
+      // a late event for the finalized 10:00 window is DISCARDED, not re-emitted
+      in.addData(Streams.Event(4, ts("2026-01-01 10:30:00"), 3, "click", 9.0))
+      q.processAllAvailable()
+      assert(spark.table("win_append").count() === 1)
+    } finally q.stop()
+  }
+
   test("sessionize: sessions close when the watermark passes the gap (event time)") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Streams.Event]

@@ -130,4 +130,37 @@ object Streams {
     import events.sparkSession.implicits._
     events.withWatermark("ts", lateness).as[Event]
   }
+
+  /** Streaming exact dedup with bounded state: duplicates arriving within
+    * the watermark horizon are dropped; state for keys older than the
+    * watermark is evicted (`dropDuplicatesWithinWatermark` — the streaming
+    * twin of the batch keyed dedup, with the re-delivery window the
+    * reference handles via keyed upsert).
+    */
+  def dedupStream(df: DataFrame, keys: Seq[String], tsCol: String, lateness: String): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Stream-stream interval join: each click pairs with purchases of the
+    * same user within `[click.ts, click.ts + horizon]`. Watermarks on both
+    * sides bound the buffered state (Spark purges rows that can no longer
+    * join). The reference has no streaming joins; this is core engine
+    * surface for event attribution at scale.
+    */
+  def attributionJoin(
+      clicks: DataFrame, purchases: DataFrame, horizon: String,
+      lateness: String = "30 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", lateness)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", lateness)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("click_ts"), col("purchase_ts"), col("purchase_value"))
+  }
 }

@@ -91,6 +91,48 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops duplicates within the watermark horizon") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Streams.Event]
+    val deduped = Streams.dedupStream(in.toDF(), Seq("event_id"), "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Streams.Event(1, ts("2026-01-01 10:00:00"), 1, "click", 1.0),
+        Streams.Event(1, ts("2026-01-01 10:00:01"), 1, "click", 1.0), // dup id
+        Streams.Event(2, ts("2026-01-01 10:01:00"), 2, "view", 2.0))
+      q.processAllAvailable()
+      // re-delivery of id 1 within the horizon is dropped too
+      in.addData(Streams.Event(1, ts("2026-01-01 10:02:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").select("event_id").collect()
+        .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("attributionJoin: stream-stream interval join pairs clicks with in-horizon purchases") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[Streams.Event]
+    val purchases = MemoryStream[Streams.Event]
+    val joined = Streams.attributionJoin(clicks.toDF(), purchases.toDF(), "1 hour")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(
+        Streams.Event(10, ts("2026-01-01 10:00:00"), 7, "click", 0.0),
+        Streams.Event(11, ts("2026-01-01 12:00:00"), 7, "click", 0.0))
+      purchases.addData(
+        Streams.Event(90, ts("2026-01-01 10:30:00"), 7, "purchase", 99.0), // in horizon of click 10
+        Streams.Event(91, ts("2026-01-01 13:30:00"), 7, "purchase", 5.0), // outside both
+        Streams.Event(92, ts("2026-01-01 10:30:00"), 8, "purchase", 1.0)) // other user
+      q.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+        .map(r => (r.getAs[Long]("click_id"), r.getAs[Double]("purchase_value")))
+      assert(rows.toSeq.sorted === Seq((10L, 99.0)))
+    } finally q.stop()
+  }
+
   test("landingStream + upsertSink: file micro-batches upsert by key, late re-delivery updates in place") {
     val dir = Files.createTempDirectory("graft_landing").toString
     val ckpt = Files.createTempDirectory("graft_ckpt").toString

@@ -409,6 +409,79 @@ object ExtQueries {
       SELECT doc_id, term, score, rnk FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk
     """))
 
+  /** The MinHash-LSH verified-pairs CTE chain (mirrors Dedup.minhashDedup)
+    * over any source CTE exposing (doc_id, text). Yields CTE `mh_pairs`
+    * with (id_a, id_b, jaccard ≥ threshold).
+    */
+  private def minhashPairsSql(src: String, threshold: Double): String = {
+    val sigs = (0 until 12).map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(", ")
+    val bandSelects = (0 until 3).map { b =>
+      val cat = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS bucket FROM mh_sig"
+    }.mkString("\n        UNION ALL ")
+    s"""mh_w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM $src),
+      mh_sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(ws) >= 3
+                 THEN list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' '))
+                 ELSE [array_to_string(ws, ' ')] END)) AS shingle FROM mh_w),
+      mh_sizes AS (SELECT doc_id, count(*) AS n FROM mh_sh GROUP BY 1),
+      mh_sig AS (SELECT doc_id, $sigs FROM mh_sh GROUP BY doc_id),
+      mh_eb AS ($bandSelects),
+      mh_cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM mh_eb a JOIN mh_eb b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      mh_inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                FROM mh_sh a JOIN mh_sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      mh_pairs AS (
+        SELECT i.id_a, i.id_b,
+               CAST(n_inter AS DOUBLE) / CAST(x.n + y.n - n_inter AS DOUBLE) AS jaccard
+        FROM mh_inter i JOIN mh_cand c ON i.id_a = c.id_a AND i.id_b = c.id_b
+        JOIN mh_sizes x ON i.id_a = x.doc_id JOIN mh_sizes y ON i.id_b = y.doc_id
+        WHERE CAST(n_inter AS DOUBLE) / CAST(x.n + y.n - n_inter AS DOUBLE) >= $threshold)"""
+  }
+
+  /** C1 — the composed curation pipeline, the training-data use case
+    * end-to-end: quality filter → exact dedup (keep min id per digest) →
+    * MinHash near-dup drop (keep the lower id of each pair) → kept docs.
+    * Every stage is the already-verified operator; the oracle replays the
+    * same composition.
+    */
+  val c1Curation = QueryDef(
+    "c1_curation",
+    (s, dir) => {
+      val scored = Td(s, dir, "documents")
+        .select(col("doc_id"), col("text"), TA.qualityScore(col("text")).as("quality"))
+      val kept = scored.filter(col("quality") >= 0.4)
+      val exactKeep = kept.groupBy(md5(col("text")).as("cmd5"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val ek = kept.join(exactKeep.select("doc_id"), Seq("doc_id"), "left_semi")
+      val dropIds = Dedup.minhashDedup(ek, "doc_id", "text", n = 3, k = 12, bands = 3, threshold = 0.8)
+        .select(col("id_b").as("doc_id")).distinct()
+      ek.join(dropIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("quality"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT doc_id, text,
+               0.5 * least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) / 64.0, 1.0)
+                 + 0.5 * least((CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> list_contains(${sqlList(TA.Stopwords)}, x))) AS DOUBLE)
+                   / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)) * 4.0, 1.0)
+                 - (CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS DOUBLE)
+                   / CAST(greatest(length(text), 1) AS DOUBLE)) * 2.0 AS quality
+        FROM documents),
+      kept AS (SELECT * FROM q WHERE quality >= 0.4),
+      exact AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+      ek AS (SELECT k.* FROM kept k JOIN exact e ON k.doc_id = e.doc_id),
+      ${minhashPairsSql("ek", 0.8)},
+      drops AS (SELECT DISTINCT id_b AS doc_id FROM mh_pairs)
+      SELECT ek.doc_id, ek.quality
+      FROM ek LEFT JOIN drops d ON ek.doc_id = d.doc_id
+      WHERE d.doc_id IS NULL
+      ORDER BY ek.doc_id
+    """))
+
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
@@ -416,5 +489,5 @@ object ExtQueries {
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf,
-    s1KnnBrute, s2AnnIvf, m1MediaMeta)
+    s1KnnBrute, s2AnnIvf, m1MediaMeta, c1Curation)
 }

@@ -37,12 +37,12 @@ object Dedup {
     * Shingling is the unit for both Jaccard and MinHash.
     */
   def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val toks = TextAnalysis.wsTokens(col(textCol))
-    val sh = when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array(array_join(toks, " ")))
-    df.select(col(idCol), explode(array_distinct(sh)).as("shingle"))
+    // native one-pass expression; ≡ array_distinct(transform(sequence(…),
+    // i -> array_join(slice(toks, i, n), " "))) with whole-text fallback,
+    // minus the interpreted per-element lambda chain
+    val sh = org.apache.spark.sql.graft.WordShingles.shingles(
+      TextAnalysis.wsTokens(col(textCol)), n)
+    df.select(col(idCol), explode(sh).as("shingle"))
   }
 
   /** Pairwise n-gram Jaccard over an inverted shingle index: documents

@@ -82,3 +82,64 @@ object VectorExpressions {
     ExpressionUtils.column(
       DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
+
+/** Native distinct word-n-gram shingling: `word_shingles(tokens, n)` ≡
+  * `array_distinct(transform(sequence(1, size-n+1), i -> array_join(
+  * slice(tokens, i, n), " ")))` with a whole-tokens fallback when
+  * size < n — but in ONE pass per row instead of interpreted per-element
+  * lambda chains (transform/slice/array_join are non-codegen higher-order
+  * functions; this is the hot path of every shingle-based dedup operator).
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.StringType
+
+  require(n >= 1, "shingle size must be >= 1")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.WordShingles.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** One-pass distinct n-gram computation (first-occurrence order — set
+    * semantics match array_distinct; callers aggregate/join, order-free).
+    */
+  def compute(toks: ArrayData, n: Int): ArrayData = {
+    val len = toks.numElements()
+    val set = new java.util.LinkedHashSet[UTF8String]()
+    if (len < n) {
+      val parts = new Array[UTF8String](len)
+      var j = 0
+      while (j < len) { parts(j) = toks.getUTF8String(j); j += 1 }
+      set.add(UTF8String.concatWs(Space, parts: _*))
+    } else {
+      var i = 0
+      while (i <= len - n) {
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+        set.add(UTF8String.concatWs(Space, parts: _*))
+        i += 1
+      }
+    }
+    new GenericArrayData(set.toArray.asInstanceOf[Array[Any]])
+  }
+
+  def shingles(tokens: Column, n: Int): Column =
+    ExpressionUtils.column(WordShingles(ExpressionUtils.expression(tokens), n))
+}

@@ -454,6 +454,10 @@ object ExtQueries {
       val kept = scored.filter(col("quality") >= 0.4)
       val exactKeep = kept.groupBy(md5(col("text")).as("cmd5"))
         .agg(min(col("doc_id")).as("doc_id"))
+      // ek is referenced 4× downstream but deliberately NOT cached:
+      // serializing text-bearing rows into the block store measures slower
+      // than recomputing the filter chain (8.2s vs 6.7s warm at sf0.1) —
+      // same result as the shingle-index cache experiment
       val ek = kept.join(exactKeep.select("doc_id"), Seq("doc_id"), "left_semi")
       val dropIds = Dedup.minhashDedup(ek, "doc_id", "text", n = 3, k = 12, bands = 3, threshold = 0.8)
         .select(col("id_b").as("doc_id")).distinct()

@@ -12,6 +12,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // coalesce post-shuffle partitions to target size instead of keeping
+      // cpus-many tiny partitions — at local[32] on bench-scale data, task
+      // scheduling overhead dominates otherwise
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

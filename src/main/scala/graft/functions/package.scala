@@ -6,5 +6,7 @@ package graft
   */
 package object functions {
   type DotProduct = org.apache.spark.sql.graft.DotProduct
+  type WordShingles = org.apache.spark.sql.graft.WordShingles
   val VectorExpressions = org.apache.spark.sql.graft.VectorExpressions
+  val WordShingles = org.apache.spark.sql.graft.WordShingles
 }

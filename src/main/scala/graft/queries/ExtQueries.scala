@@ -486,6 +486,47 @@ object ExtQueries {
       ORDER BY ek.doc_id
     """))
 
+  /** X1 — deterministic HyperLogLog sketch (m=64 registers, md5-based):
+    * the "novel sketch" operator class. Unlike approx_count_distinct (whose
+    * xxhash/HLL++ internals differ per engine), every step here is
+    * cross-engine exact: md5 registers, nibble-CASE leading-zero count,
+    * power-of-two register terms (all partial sums exact in 53-bit
+    * mantissa ⇒ order-independent), raw Flajolet estimate with no
+    * transcendental correction. ONE SQL text runs on both engines — the
+    * Spark side executes it via spark.sql over a temp view.
+    */
+  val x1HllDistinct: QueryDef = {
+    val nib = "'0123456789abcdef'"
+    def nv(i: Int) = s"(instr($nib, substr(h, $i, 1)) - 1)"
+    // leading zeros of one hex nibble (0..15) given its char
+    def lzNibble(i: Int) =
+      s"(CASE WHEN ${nv(i)} = 0 THEN 4 WHEN ${nv(i)} = 1 THEN 3 WHEN ${nv(i)} <= 3 THEN 2 WHEN ${nv(i)} <= 7 THEN 1 ELSE 0 END)"
+    // rho over the 32 bits in hex chars 3..10: 4*(k-1) + lz(nibble_k) + 1
+    val rho = (3 to 10).map { i =>
+      s"WHEN substr(h, $i, 1) <> '0' THEN ${4 * (i - 3)} + ${lzNibble(i)} + 1"
+    }.mkString("CASE ", " ", " ELSE 33 END")
+    // 2^-M as exact double literals (M = 1..33)
+    val term = (1 to 33).map(m =>
+      s"WHEN M = $m THEN ${math.pow(2.0, -m)}").mkString("CASE ", " ", " ELSE 1.0 END")
+    val sql = s"""
+      WITH h AS (SELECT md5(CAST(o_custkey AS STRING)) AS h FROM %s),
+      buck AS (SELECT ((${nv(1)} * 16 + ${nv(2)}) %% 64) AS bucket, $rho AS rho FROM h),
+      regs AS (SELECT bucket, MAX(rho) AS M FROM buck GROUP BY bucket),
+      terms AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_regs, SUM($term) AS reg_sum FROM regs),
+      exact AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact FROM %s)
+      SELECT n_exact, n_regs,
+             0.709 * 64.0 * 64.0 / (reg_sum + (64.0 - n_regs) * 1.0) AS hll_estimate
+      FROM terms CROSS JOIN exact
+    """
+    QueryDef(
+      "x1_hll_distinct",
+      (s, dir) => {
+        Td(s, dir, "orders").createOrReplaceTempView("x1_orders")
+        s.sql(sql.format("x1_orders", "x1_orders"))
+      },
+      Some(sql.format("orders", "orders")))
+  }
+
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
@@ -493,5 +534,5 @@ object ExtQueries {
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf,
-    s1KnnBrute, s2AnnIvf, m1MediaMeta, c1Curation)
+    s1KnnBrute, s2AnnIvf, m1MediaMeta, c1Curation, x1HllDistinct)
 }

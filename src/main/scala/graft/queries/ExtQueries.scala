@@ -454,11 +454,16 @@ object ExtQueries {
       val kept = scored.filter(col("quality") >= 0.4)
       val exactKeep = kept.groupBy(md5(col("text")).as("cmd5"))
         .agg(min(col("doc_id")).as("doc_id"))
-      // ek is referenced 4× downstream but deliberately NOT cached:
-      // serializing text-bearing rows into the block store measures slower
-      // than recomputing the filter chain (8.2s vs 6.7s warm at sf0.1) —
-      // same result as the shingle-index cache experiment
-      val ek = kept.join(exactKeep.select("doc_id"), Seq("doc_id"), "left_semi")
+      // ek feeds three downstream passes (signature, candidate verify,
+      // final anti-join); within one plan Spark re-evaluates the shared
+      // subtree each time. Stage it to parquet — the at-scale pattern (an
+      // intermediate stage table) and the measured winner: 4.4s vs 5.8s
+      // plain vs 8.2s block-manager cache at sf0.1 (cache serializes
+      // text rows more expensively than a columnar write+read).
+      val stage = java.nio.file.Files.createTempDirectory("graft_c1_stage").toString
+      kept.join(exactKeep.select("doc_id"), Seq("doc_id"), "left_semi")
+        .write.mode("overwrite").parquet(stage)
+      val ek = s.read.parquet(stage)
       val dropIds = Dedup.minhashDedup(ek, "doc_id", "text", n = 3, k = 12, bands = 3, threshold = 0.8)
         .select(col("id_b").as("doc_id")).distinct()
       ek.join(dropIds, Seq("doc_id"), "left_anti")

@@ -1,0 +1,78 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Property tests for the sub-quadratic dedup paths against their
+  * brute-force definitions on generated corpora: the scale paths must never
+  * invent pairs, and their completeness guarantees must hold.
+  */
+class DedupPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic corpus: word-soup docs + planted near-dup pairs
+  private def corpus(seed: Int, nDocs: Int): Seq[(Long, String)] = {
+    val rnd = new Random(seed)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val base = (0 until nDocs).map { i =>
+      (i.toLong, Seq.fill(12 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // plant near-dups: copy of doc i with one word changed
+    val planted = (0 until nDocs by 7).map { i =>
+      val words = base(i)._2.split(" ")
+      words(words.length - 1) = vocab(rnd.nextInt(vocab.size))
+      ((nDocs + i).toLong, words.mkString(" "))
+    }
+    base ++ planted
+  }
+
+  test("minhashDedup reports only true pairs (jaccard >= threshold), incl. every exact dup") {
+    for (seed <- Seq(1, 2)) {
+      val df = corpus(seed, 40).toDF("doc_id", "text")
+      val sh = Dedup.shingleIndex(df, "doc_id", "text", 3)
+      val truth = Dedup.jaccardPairs(sh, "doc_id").filter($"jaccard" >= 0.7)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lsh = Dedup.minhashDedup(df, "doc_id", "text", threshold = 0.7)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(lsh.subsetOf(truth), s"LSH invented pairs: ${lsh -- truth}")
+      // identical texts (jaccard 1.0) can never be missed: every band collides
+      val exactDups = truth.filter { case (a, b) =>
+        val byId = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        byId(a) == byId(b)
+      }
+      assert(exactDups.subsetOf(lsh))
+    }
+  }
+
+  test("simhashPairs bucket join == brute-force Hamming <= 3 (pigeonhole completeness)") {
+    for (seed <- Seq(3, 4)) {
+      val df = corpus(seed, 35).toDF("doc_id", "text")
+      val sims = Dedup.simhash(Dedup.shingleIndex(df, "doc_id", "text", 3), "doc_id")
+      val vals = sims.collect().map(r => r.getLong(0) -> r.getLong(1))
+      val brute = (for {
+        (a, sa) <- vals; (b, sb) <- vals if a < b
+        if java.lang.Long.bitCount(sa ^ sb) <= 3
+      } yield (a, b)).toSet
+      val bucketed = Dedup.simhashPairs(sims, "doc_id", maxHamming = 3)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(bucketed === brute)
+    }
+  }
+
+  test("cosinePairsClustered ⊆ cosinePairs; identical vectors always pair") {
+    val rnd = new Random(7)
+    val vecs = ((0 until 40).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))) :+
+      (100L, Array.fill(16)(0.5f)) :+ (101L, Array.fill(16)(0.5f))
+    ).toDF("vec_id", "embedding")
+    val all = Similarity.cosinePairs(vecs, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clustered = Similarity.cosinePairsClustered(vecs, vecs.filter($"vec_id" < 4),
+        "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clustered.subsetOf(all))
+    assert(clustered.contains((100L, 101L))) // identical → same cluster, cos 1.0
+  }
+}

@@ -25,8 +25,12 @@ object Td {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.read.parquet(s"$sfDir/$name.parquet")
       } else spark.read.parquet(s"$sfDir/$name.parquet")
+    // Integral `div`, not `/`: epoch nanos (~1.7e18) exceed a double's 53-bit
+    // mantissa, so IEEE division would round the value before truncation and
+    // could land one microsecond low — a cross-engine parity break vs DuckDB's
+    // exact TIMESTAMP(NANOS) read for instants on bucket boundaries.
     if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 }

@@ -33,16 +33,29 @@ object Streams {
 
   /** File-source stream over a landing dir of order CSVs — the streaming
     * twin of `Pipelines.runFactIncremental`'s ingest step.
+    *
+    * `archiveDir` wires `cleanSource=archive`: completed source files are
+    * moved out of the landing dir by the stream itself — the streaming-path
+    * replacement for the reference's hand-rolled `dbutils.fs.mv` archival
+    * loop (2_incremental_load_fact.py:95-101; batch twin: `Landing.archive`).
+    * The archive dir must not sit under the source glob (Spark would re-read
+    * it); archival happens after the micro-batch that read the file commits,
+    * so at-least-once is preserved across failures.
     */
   def landingStream(
       spark: SparkSession, landingDir: String,
-      schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.readStream
+      schema: org.apache.spark.sql.types.StructType,
+      archiveDir: Option[String] = None): DataFrame = {
+    val r = spark.readStream
       .format("csv")
       .option("header", "true")
       .schema(schema)
       .option("maxFilesPerTrigger", "64") // bound micro-batch size
-      .load(landingDir)
+    val withClean = archiveDir.fold(r) { dir =>
+      r.option("cleanSource", "archive").option("sourceArchiveDir", dir)
+    }
+    withClean.load(landingDir)
+  }
 
   /** foreachBatch keyed-upsert sink: each micro-batch merges into `table`
     * by `keys` — late data updates in place, exactly the reference's
@@ -119,7 +132,15 @@ object Streams {
               session_start = starts.min(ord),
               session_end = ends.max(ord))
             state.update(updated)
-            state.setTimeoutTimestamp(updated.session_end.getTime + gapMs)
+            // Clamp to the watermark: an event may legally trail the current
+            // watermark by more than the gap (when the watermark delay exceeds
+            // the session gap), and Spark rejects timeout timestamps <= the
+            // watermark with IllegalArgumentException — which would fail the
+            // whole streaming query, not just this group.
+            val timeoutAt = math.max(
+              state.getCurrentWatermarkMs() + 1,
+              updated.session_end.getTime + gapMs)
+            state.setTimeoutTimestamp(timeoutAt)
             Iterator.empty
           }
       }

@@ -60,19 +60,29 @@ object Upsert {
     val src = onDuplicate match {
       case DuplicatePolicy.Error =>
         // Distributed lazy check — no extra driver action; the count window
-        // rides the same shuffle as the merge join key. The raise_error guard
-        // wraps a NON-key column: rewriting a key expression would hide the
-        // window's hashpartitioning(keys) from the planner and force a second
-        // source shuffle before the join.
-        val guarded = tCols.find(!keys.contains(_)).getOrElse(tCols.head)
+        // rides the same shuffle as the merge join key.
+        val err = raise_error(concat(
+          lit(s"Upsert: multiple source rows share merge key ${keys.mkString(",")}: "),
+          concat_ws(",", keys.map(k => col(k).cast("string")): _*)))
         val chk = src0.withColumn("_gm_cnt", count(lit(1)).over(keyW))
-        chk.withColumn(guarded,
-            when(col("_gm_cnt") > 1, raise_error(concat(
-              lit(s"Upsert: multiple source rows share merge key ${keys.mkString(",")}: "),
-              concat_ws(",", keys.map(k => col(k).cast("string")): _*))).cast(
-                src0.schema(guarded).dataType))
-              .otherwise(col(guarded)))
-          .drop("_gm_cnt")
+        tCols.find(!keys.contains(_)) match {
+          case Some(guarded) =>
+            // The raise_error guard wraps a NON-key column: rewriting a key
+            // expression would hide the window's hashpartitioning(keys) from
+            // the planner and force a second source shuffle before the join.
+            chk.withColumn(guarded,
+                when(col("_gm_cnt") > 1, err.cast(src0.schema(guarded).dataType))
+                  .otherwise(col(guarded)))
+              .drop("_gm_cnt")
+          case None =>
+            // Every column is a merge key: guard via a Filter instead of a
+            // column rewrite, so no key expression is touched and the window's
+            // hashpartitioning(keys) still reaches the merge join intact
+            // (Filter preserves child output partitioning).
+            chk.filter(when(col("_gm_cnt") > 1, err.cast("boolean"))
+                .otherwise(lit(true)))
+              .drop("_gm_cnt")
+        }
       case DuplicatePolicy.DedupDeterministic =>
         val nonKeys = tCols.filterNot(keys.contains)
         val w = keyW.orderBy(nonKeys.map(c => col(c).asc_nulls_last): _*)

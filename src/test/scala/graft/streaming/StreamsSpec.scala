@@ -159,4 +159,41 @@ class StreamsSpec extends SparkSpec {
     assert(live.filter(col("order_id") === "ORD001")
       .head().getAs[Double]("order_qty") === 12.0)
   }
+
+  test("landingStream cleanSource=archive moves processed files out of landing (S10 streaming path)") {
+    val dir = Files.createTempDirectory("graft_landing_arch").toString
+    val archive = Files.createTempDirectory("graft_archive").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_arch").toString
+    val store = new TableStore(spark, Files.createTempDirectory("graft_str_arch").toString)
+
+    Files.writeString(java.nio.file.Paths.get(s"$dir/orders_1.csv"),
+      "order_id,order_placement_date,customer_id,product_id,order_qty\n" +
+        "ORD001,01-12-2025,789401,25891101,10\n")
+    val s1 = Streams.landingStream(spark, dir, Star.rawOrders, Some(archive))
+    Streams.upsertSink(s1, store, "orders_arch",
+      Seq("order_id", "product_id"), ckpt).awaitTermination()
+    assert(store.read("orders_arch").count() === 1)
+
+    // Archival is committed when the NEXT batch commits (the source archives
+    // files of batch N on commit of N+1) — land a second file and drain again.
+    Files.writeString(java.nio.file.Paths.get(s"$dir/orders_2.csv"),
+      "order_id,order_placement_date,customer_id,product_id,order_qty\n" +
+        "ORD002,02-12-2025,789402,25891102,5\n")
+    Streams.upsertSink(Streams.landingStream(spark, dir, Star.rawOrders, Some(archive)),
+      store, "orders_arch", Seq("order_id", "product_id"), ckpt).awaitTermination()
+
+    // The cleaner runs on a background pool; poll briefly for the move.
+    def landed = new java.io.File(dir).listFiles().count(_.getName.endsWith(".csv"))
+    def archived: Int = {
+      val found = scala.collection.mutable.ArrayBuffer.empty[String]
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(walk)
+        else if (f.getName.endsWith(".csv")) found += f.getName
+      walk(new java.io.File(archive)); found.size
+    }
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (archived < 1 && System.nanoTime() < deadline) Thread.sleep(200)
+    assert(archived >= 1, s"expected at least one archived file under $archive")
+    assert(landed + archived === 2, "every landed file is either pending or archived, never lost")
+  }
 }

@@ -34,6 +34,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    graft.tables.Scratch.cleanup(spark) // drop stage tables (all actions done)
     spark.stop()
   }
 }

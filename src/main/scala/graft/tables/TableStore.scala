@@ -2,6 +2,8 @@ package graft.tables
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Parquet-backed managed tables with atomic overwrite.
   *
@@ -28,7 +30,79 @@ final class TableStore(spark: SparkSession, root: String) {
 
   def exists(name: String): Boolean = fs.exists(new Path(path(name)))
 
-  def read(name: String): DataFrame = spark.read.parquet(path(name))
+  /** Read with the table's recorded schema when one exists: files written
+    * before a schema evolution lack the newer columns in their footers, and
+    * an explicit read schema null-fills them (parquet reads missing columns
+    * as NULL) — without paying a mergeSchema footer sweep over every file,
+    * which is the 100 TB-hostile alternative.
+    */
+  def read(name: String): DataFrame = schemaOf(name) match {
+    case Some(st) => spark.read.schema(st).parquet(path(name))
+    case None => spark.read.parquet(path(name))
+  }
+
+  // ---- schema evolution (reference S7: `option("mergeSchema", true)` on
+  // every silver write, e.g. 1_customer_data_processing.py:255) ----
+
+  /** Sidecar file inside the table dir recording the authoritative table
+    * schema. Underscore-prefixed, so Spark's file listing ignores it (same
+    * convention as `_SUCCESS`). Rewritten by every write that can change
+    * the schema; swapped atomically with the data on overwrite.
+    */
+  private def schemaSidecar(dir: Path): Path = new Path(dir, "_graft_schema.json")
+
+  /** The table's recorded schema (sidecar), or footer-inferred for tables
+    * predating the sidecar, or None when the table doesn't exist.
+    */
+  def schemaOf(name: String): Option[StructType] = {
+    if (!exists(name)) None
+    else {
+      val sc = schemaSidecar(new Path(path(name)))
+      if (fs.exists(sc)) {
+        val in = fs.open(sc)
+        val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        Some(DataType.fromJson(json).asInstanceOf[StructType])
+      } else Some(spark.read.parquet(path(name)).schema)
+    }
+  }
+
+  private def writeSidecar(dir: Path, schema: StructType): Unit = {
+    val out = fs.create(schemaSidecar(dir), true)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Union of table and incoming schemas: table columns keep their position,
+    * brand-new incoming columns append at the end (Delta mergeSchema order);
+    * same-name columns must agree on type — conflicting types are rejected
+    * rather than silently written as mixed parquet footers.
+    */
+  private def unionSchema(table: String, existing: StructType, incoming: StructType): StructType = {
+    val byName = incoming.fields.map(f => f.name -> f).toMap
+    val merged = existing.fields.map { ef =>
+      byName.get(ef.name) match {
+        case Some(inf) if inf.dataType != ef.dataType =>
+          throw new IllegalArgumentException(
+            s"TableStore: schema conflict on $table.${ef.name}: " +
+              s"table has ${ef.dataType.simpleString}, incoming has ${inf.dataType.simpleString}")
+        case Some(inf) => ef.copy(nullable = ef.nullable || inf.nullable)
+        case None => ef.copy(nullable = true) // incoming lacks it → null-filled
+      }
+    }
+    val existingNames = existing.fieldNames.toSet
+    val added = incoming.fields.filterNot(f => existingNames(f.name))
+      .map(_.copy(nullable = true)) // older files lack it → reads as NULL
+    StructType(merged ++ added)
+  }
+
+  /** Project `df` onto `target`: matching columns pass through, columns the
+    * frame lacks are null-filled at the target type.
+    */
+  private def alignTo(df: DataFrame, target: StructType): DataFrame = {
+    val have = df.columns.toSet
+    df.select(target.fields.toIndexedSeq.map { (f: StructField) =>
+      if (have(f.name)) col(f.name) else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
 
   /** Atomic overwrite: write staging, swap, drop previous. Safe when `df`
     * reads from the table being replaced.
@@ -39,13 +113,20 @@ final class TableStore(spark: SparkSession, root: String) {
     * incremental affected-month rewrite touches only the changed
     * directories.
     */
-  def overwrite(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+  def overwrite(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
+      mergeSchema: Boolean = false): Unit = {
+    // mergeSchema: Delta's overwrite+mergeSchema keeps columns the new frame
+    // dropped (null-filled) instead of narrowing the table (reference S7).
+    val toWrite =
+      if (mergeSchema) schemaOf(name).fold(df)(ex => alignTo(df, unionSchema(name, ex, df.schema)))
+      else df
     val staging = new Path(s"$root/.staging_${name}_${java.util.UUID.randomUUID().toString.take(8)}")
     val live = new Path(path(name))
     val trash = new Path(s"$root/.trash_${name}_${java.util.UUID.randomUUID().toString.take(8)}")
-    val w = df.write.mode(SaveMode.Overwrite)
+    val w = toWrite.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(staging.toString)
+    writeSidecar(staging, toWrite.schema)
     val f = fs
     if (f.exists(live)) {
       if (!f.rename(live, trash))
@@ -60,11 +141,35 @@ final class TableStore(spark: SparkSession, root: String) {
   /** Append (reference S5: fact bronze accumulates landed files,
     * 1_full_load_fact.py:59-63). `partitionBy` must match the table's
     * existing layout.
+    *
+    * Schema evolution (reference S7, mergeSchema=true default to match the
+    * reference's silver writes): an appended frame may add columns (older
+    * files read back NULL there via the recorded union schema) or omit
+    * columns (null-filled at write). Same-name/different-type conflicts are
+    * rejected — the failure mode this replaces was silently appending mixed
+    * parquet footers that read back wrong. With `mergeSchema=false` any
+    * schema drift is rejected outright (Delta's strict default).
     */
-  def append(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(SaveMode.Append)
+  def append(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
+      mergeSchema: Boolean = true): Unit = {
+    val toWrite = schemaOf(name) match {
+      case Some(existing) if mergeSchema =>
+        val union = unionSchema(name, existing, df.schema)
+        writeSidecar(new Path(path(name)), union)
+        alignTo(df, union)
+      case Some(existing) =>
+        require(StructType(existing.map(_.copy(nullable = true))) ==
+            StructType(df.schema.map(_.copy(nullable = true))),
+          s"TableStore: append schema mismatch on $name (mergeSchema=false): " +
+            s"table ${existing.simpleString} vs incoming ${df.schema.simpleString}")
+        df
+      case None => df
+    }
+    val w = toWrite.write.mode(SaveMode.Append)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path(name))
+    if (!exists(name) || !fs.exists(schemaSidecar(new Path(path(name)))))
+      writeSidecar(new Path(path(name)), toWrite.schema)
   }
 
   /** Replace ONLY the partitions present in `df`, leaving all other

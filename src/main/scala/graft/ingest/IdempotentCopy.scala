@@ -1,7 +1,7 @@
 package graft.ingest
 
 import graft.tables.TableStore
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** `COPY INTO`-style idempotent file append — SURVEY.md §2.1 S9.
@@ -11,9 +11,24 @@ import org.apache.spark.sql.functions._
   * incremental_data_parent_company_query.txt:2-12) uses Databricks
   * `COPY INTO … FILEFORMAT = CSV`, which loads each file at most once.
   * Emulated here by tracking loaded file paths in a `<table>__copy_log`
-  * sidecar table and anti-joining new file paths against it: re-running the
-  * load after a partial failure or with a mix of old and new files appends
-  * only the unseen files' rows.
+  * sidecar table.
+  *
+  * Pruning happens at the LISTING level: the directory file list (driver
+  * metadata op) is compared against the copy log and only unseen files are
+  * ever opened. An anti-join over row-level `_metadata.file_path` would drop
+  * the duplicate rows but still re-parse every historical byte on every
+  * incremental run — at 100 TB that turns a 2-file increment into a full
+  * table re-scan. The log side is never collected: the (small) listing
+  * broadcasts into a semi-join against the log, so driver memory is bounded
+  * by the directory size, not load history.
+  *
+  * Failure semantics: the data append commits before the copy log does, so
+  * a crash between the two re-loads those files on the next run —
+  * at-least-once under partial failure, exactly-once otherwise. The order
+  * is deliberate: logging first would silently LOSE files on the same
+  * crash. Downstream keyed upserts (the reference's consumption pattern)
+  * absorb re-loaded rows; true exactly-once needs an atomic multi-table
+  * commit, which plain parquet does not offer.
   */
 object IdempotentCopy {
 
@@ -29,20 +44,22 @@ object IdempotentCopy {
       project: DataFrame => DataFrame,
       header: Boolean = true,
       partitionBy: Seq[String] = Nil): Long = {
+    import spark.implicits._
     val logTable = s"${table}__copy_log"
-    val raw = spark.read.option("header", header.toString).csv(srcDir)
-      .select(col("*"), col("_metadata.file_path").as("_file_path"))
-    val unseen =
-      if (!store.exists(logTable)) raw
-      else raw.join(store.read(logTable), Seq("_file_path"), "left_anti")
-    val newFiles = unseen.select("_file_path").distinct().cache()
-    val n = newFiles.count()
-    if (n > 0) {
-      store.append(table, project(unseen.drop("_file_path")), partitionBy)
-      if (store.exists(logTable)) store.append(logTable, newFiles)
-      else store.overwrite(logTable, newFiles)
-    }
-    newFiles.unpersist()
-    n
+    val listed = Landing.list(spark, srcDir)
+    if (listed.isEmpty) return 0L
+    val seen: Set[String] =
+      if (!store.exists(logTable)) Set.empty
+      else store.read(logTable)
+        .join(broadcast(listed.toDF("_file_path")), Seq("_file_path"), "left_semi")
+        .as[String].collect().toSet
+    val unseen = listed.filterNot(seen)
+    if (unseen.isEmpty) return 0L
+    val raw = spark.read.option("header", header.toString).csv(unseen: _*)
+    store.append(table, project(raw), partitionBy)
+    val logDf = unseen.toDF("_file_path")
+    if (store.exists(logTable)) store.append(logTable, logDf)
+    else store.overwrite(logTable, logDf)
+    unseen.size.toLong
   }
 }

@@ -24,21 +24,26 @@ object Dates {
   def multiFormatDate(c: Column, formats: Seq[String]): Column =
     coalesce(formats.map(f => try_to_date(c, f)): _*)
 
-  /** The reference's order-date parser: weekday strip + 4 formats
-    * (1_full_load_fact:111-125). Single-digit-day long forms
-    * ("Saturday, January 3, 2026") intentionally fall to NULL — observed
-    * reference behavior (SURVEY §7.5).
+  /** The reference's order-date parser: weekday strip + 4 formats in the
+    * reference's exact coalesce order (1_full_load_fact:117-125).
+    * Single-digit-day long forms ("Saturday, January 3, 2026")
+    * intentionally fall to NULL — observed reference behavior (SURVEY §7.5).
     */
   val orderDateFormats: Seq[String] =
-    Seq("dd-MM-yyyy", "dd/MM/yyyy", "yyyy/MM/dd", "MMMM dd, yyyy")
+    Seq("yyyy/MM/dd", "dd-MM-yyyy", "dd/MM/yyyy", "MMMM dd, yyyy")
 
   def parseOrderDate(c: Column): Column =
     multiFormatDate(stripWeekday(c), orderDateFormats)
 
-  /** The reference's price-month parser order (3_pricing:100-114). */
+  /** The reference's price-month parser, exact coalesce order
+    * (3_pricing:100-114). Order is load-bearing twice over: fixed-width
+    * `dd/MM/yyyy` rejects single-digit "7/1/25" (falls through to `M/d/yy`
+    * → Jul 1) but claims "05/06/2025" as Jun 5 before `M/d/yyyy` could read
+    * May 6.
+    */
   val priceMonthFormats: Seq[String] =
-    Seq("M/d/yy", "M/d/yyyy", "MM/dd/yy", "MM/dd/yyyy",
-      "yyyy-MM-dd", "d-M-yy", "dd-MM-yyyy", "yyyy/MM/dd")
+    Seq("yyyy/MM/dd", "dd/MM/yyyy", "yyyy-MM-dd", "dd-MM-yyyy",
+      "M/d/yy", "MM/dd/yy", "M/d/yyyy", "MM/dd/yyyy")
 
   def parsePriceMonth(c: Column): Column = multiFormatDate(c, priceMonthFormats)
 

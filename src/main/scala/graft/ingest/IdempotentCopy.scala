@@ -32,9 +32,24 @@ import org.apache.spark.sql.functions._
   */
 object IdempotentCopy {
 
+  /** Every URI rendering a path may have been logged under: the raw listing
+    * string, the normalized URI (`file:///p` vs `file:/p` agree here), and
+    * the bare path. Older logs recorded `_metadata.file_path`, whose
+    * rendering can differ from `FileStatus.getPath.toString` — matching the
+    * log against all renderings keeps already-loaded files seen across that
+    * change (re-appending them would duplicate rows in append-only
+    * consumers).
+    */
+  private def renderings(p: String): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    Seq(p, path.toUri.toString, path.toUri.getPath).distinct
+  }
+
   /** Append rows from CSV files under `srcDir` into `table`, skipping files
     * already recorded in the copy log. `project` applies the COPY INTO
-    * select-list (casts/renames). Returns number of newly loaded files.
+    * select-list (casts/renames); `pattern` is the COPY INTO `PATTERN`
+    * clause (a glob on the file name, e.g. `*.csv`). Returns number of
+    * newly loaded files.
     */
   def copyInto(
       spark: SparkSession,
@@ -43,16 +58,24 @@ object IdempotentCopy {
       srcDir: String,
       project: DataFrame => DataFrame,
       header: Boolean = true,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil,
+      pattern: Option[String] = None): Long = {
     import spark.implicits._
     val logTable = s"${table}__copy_log"
-    val listed = Landing.list(spark, srcDir)
+    val matcher = pattern.map(g =>
+      java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$g"))
+    val listed = Landing.list(spark, srcDir).filter(p => matcher.forall(m =>
+      m.matches(java.nio.file.Paths.get(new org.apache.hadoop.fs.Path(p).getName))))
     if (listed.isEmpty) return 0L
+    // rendering → the listed path it belongs to
+    val byRendering: Map[String, String] =
+      listed.flatMap(p => renderings(p).map(_ -> p)).toMap
     val seen: Set[String] =
       if (!store.exists(logTable)) Set.empty
       else store.read(logTable)
-        .join(broadcast(listed.toDF("_file_path")), Seq("_file_path"), "left_semi")
-        .as[String].collect().toSet
+        .join(broadcast(byRendering.keys.toSeq.toDF("_file_path")), Seq("_file_path"), "left_semi")
+        .as[String].collect().toSet // bounded: ≤ |listing| × renderings
+        .map(byRendering)
     val unseen = listed.filterNot(seen)
     if (unseen.isEmpty) return 0L
     val raw = spark.read.option("header", header.toString).csv(unseen: _*)

@@ -12,11 +12,18 @@ import org.apache.spark.sql.SparkSession
   */
 object Landing {
 
+  /** Plain files under `dir`, excluding hidden/marker names (`_SUCCESS`,
+    * `.tmp` in-flight uploads) — the same filter Spark's own directory
+    * listing applies; passing explicit paths to `spark.read` bypasses it,
+    * so it must happen here.
+    */
   def list(spark: SparkSession, dir: String): Seq[String] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).filter(_.isFile).map(_.getPath.toString).toSeq.sorted
+    else fs.listStatus(p).filter(_.isFile)
+      .filterNot(st => st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith("."))
+      .map(_.getPath.toString).toSeq.sorted
   }
 
   /** Move every file in `landing` into `processed`, creating it if needed.

@@ -22,24 +22,39 @@ import org.apache.spark.sql.functions._
   */
 object Pipelines {
 
-  /** Reference-observed domain maps (1_customer_data_processing.py:104-137,
-    * 233-240; 2_products_data_processing.py:151-162). Deliberately explicit
-    * config, not code, so the cleaning library stays generic.
+  /** Reference-observed domain maps, transcribed EXACTLY from the
+    * notebooks — values here are data, not design, and a self-consistent
+    * mistranslation would silently break replay parity against the
+    * reference's own dashboard numbers. Deliberately explicit config, not
+    * code, so the cleaning library stays generic.
     */
   object Config {
-    val validCities = Seq("Austin", "New York", "Chicago", "Boston")
+    /** Allowed city list (1_customer_data_processing.py:119). */
+    val validCities = Seq("New York", "Chicago", "Austin")
+    /** City typo map incl. identity entries (1_customer:104-117). */
     val cityFixes = Map(
-      "Austn" -> "Austin", "Austiin" -> "Austin", "Austinn" -> "Austin",
-      "Newyork" -> "New York", "New yok" -> "New York",
-      "Chicagoo" -> "Chicago", "Chciago" -> "Chicago", "Chicgo" -> "Chicago")
-    /** Lookup table for customers with an empty city (1_customer:181-210). */
-    val cityLookup = Seq(789403 -> "Chicago", 789603 -> "Austin")
-    val marketByCity = Map(
-      "Austin" -> "South", "New York" -> "Northeast",
-      "Chicago" -> "Midwest", "Boston" -> "Northeast")
-    val divisionByCategory = Map(
-      "Protein Bars" -> "Performance Foods", "Energy Gels" -> "Performance Foods",
-      "Drink Mixes" -> "Beverages", "Shakes" -> "Beverages")
+      "New York" -> "New York", "Newyork" -> "New York", "New yok" -> "New York",
+      "Chicago" -> "Chicago", "Chcago" -> "Chicago", "Chicgo" -> "Chicago",
+      "Chicagoo" -> "Chicago", "Chciago" -> "Chicago",
+      "Austin" -> "Austin", "Austn" -> "Austin", "Austiin" -> "Austin",
+      "Austinn" -> "Austin")
+    /** Lookup table for customers with an empty city (1_customer:181-186). */
+    val cityLookup = Seq(
+      789403 -> "Chicago", 789420 -> "Austin",
+      789521 -> "New York", 789603 -> "New York")
+    /** Ordered when-chain city→market, fallback Unknown (1_customer:233-240). */
+    val marketByCity = Seq(
+      "New York" -> "Northeast", "Chicago" -> "Midwest",
+      "Austin" -> "South", "Los Angeles" -> "West Coast")
+    val marketFallback = "Unknown"
+    /** Ordered when-chain category→division, fallback Other
+      * (2_products_data_processing.py:151-163).
+      */
+    val divisionByCategory = Seq(
+      "Energy Bars" -> "Nutrition Bars", "Protein Bars" -> "Nutrition Bars",
+      "Granola & Cereals" -> "Breakfast Foods", "Recovery Dairy" -> "Dairy & Recovery",
+      "Healthy Snacks" -> "Healthy Snacks", "Electrolyte Mix" -> "Hydration & Electrolytes")
+    val divisionFallback = "Other"
     val childPlatform = "PowerBite Nutrition"
     val childChannel = "Acquisition"
   }
@@ -66,8 +81,8 @@ object Pipelines {
       .select("customer_id", "customer_name", "city")
     store.overwrite("silver_customers", silver)
 
-    val marketExpr = marketByCity.foldLeft(lit(null).cast("string")) {
-      case (acc, (c, m)) => when(col("city") === c, lit(m)).otherwise(acc)
+    val marketExpr = marketByCity.foldRight(lit(marketFallback)) {
+      case ((c, m), acc) => when(col("city") === c, lit(m)).otherwise(acc)
     }
     val sb = store.read("silver_customers").select(
       col("customer_id").cast("string").as("customer_code"),
@@ -100,14 +115,17 @@ object Pipelines {
       .select("product_id", "product_name", "category", "product_code")
     store.overwrite("silver_products", silver)
 
-    val divisionExpr = divisionByCategory.foldLeft(lit("Other")) {
-      case (acc, (c, d)) => when(col("category") === c, lit(d)).otherwise(acc)
+    val divisionExpr = divisionByCategory.foldRight(lit(divisionFallback)) {
+      case ((c, d), acc) => when(col("category") === c, lit(d)).otherwise(acc)
     }
+    // `product` keeps the full (variant-suffixed) name — the reference only
+    // renames product_name→product (2_products:193), it never strips the
+    // "(60g)" parens even though variant is also extracted.
     val sb = store.read("silver_products").select(
       col("product_code"),
       divisionExpr.as("division"),
       col("category"),
-      regexp_replace(col("product_name"), "\\s*\\(.*?\\)", "").as("product"),
+      col("product_name").as("product"),
       regexp_extract(col("product_name"), "\\((.*?)\\)", 1).as("variant"))
     store.overwrite("sb_dim_products", sb)
 
@@ -282,5 +300,8 @@ object Pipelines {
         col("product_code"),
         col("customer_code"),
         col("sold_quantity").cast("double").as("sold_quantity")),
-      partitionBy = Seq("date"))
+      partitionBy = Seq("date"),
+      // the reference drop targets the CSV alone; its landing dir also holds
+      // the query .txt, which must never be parsed as data
+      pattern = Some("*.csv"))
 }

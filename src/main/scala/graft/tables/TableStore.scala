@@ -80,11 +80,16 @@ final class TableStore(spark: SparkSession, root: String) {
     val byName = incoming.fields.map(f => f.name -> f).toMap
     val merged = existing.fields.map { ef =>
       byName.get(ef.name) match {
-        case Some(inf) if inf.dataType != ef.dataType =>
+        // nested types differing only in inner-field nullability /
+        // containsNull (CSV-inferred all-nullable vs computed frames) are
+        // compatible — merge to the permissive shape instead of rejecting
+        case Some(inf) if inf.dataType.asNullable != ef.dataType.asNullable =>
           throw new IllegalArgumentException(
             s"TableStore: schema conflict on $table.${ef.name}: " +
               s"table has ${ef.dataType.simpleString}, incoming has ${inf.dataType.simpleString}")
-        case Some(inf) => ef.copy(nullable = ef.nullable || inf.nullable)
+        case Some(inf) =>
+          val dt = if (inf.dataType == ef.dataType) ef.dataType else ef.dataType.asNullable
+          ef.copy(dataType = dt, nullable = ef.nullable || inf.nullable)
         case None => ef.copy(nullable = true) // incoming lacks it → null-filled
       }
     }
@@ -181,10 +186,17 @@ final class TableStore(spark: SparkSession, root: String) {
   def overwritePartitions(name: String, df: DataFrame, partitionBy: Seq[String]): Unit = {
     require(partitionBy.nonEmpty, "overwritePartitions needs partition columns")
     if (!exists(name)) { overwrite(name, df, partitionBy); return }
+    // Same sidecar discipline as append: validate the incoming schema
+    // against the recorded one (type drift rejected), align to the union,
+    // and record the union — otherwise a partition rewrite adding a column
+    // would write files whose column every subsequent sidecar-schema'd read
+    // silently drops.
+    val union = schemaOf(name).fold(df.schema)(ex => unionSchema(name, ex, df.schema))
+    val aligned = alignTo(df, union)
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val staging = new Path(s"$root/.staging_${name}_$stamp")
     val trash = new Path(s"$root/.trash_${name}_$stamp")
-    df.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).parquet(staging.toString)
+    aligned.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).parquet(staging.toString)
     val f = fs
     def leafDirs(base: Path, depth: Int): Seq[Path] =
       if (depth == 0) Seq(base)
@@ -204,6 +216,7 @@ final class TableStore(spark: SparkSession, root: String) {
     }
     f.delete(staging, true)
     f.delete(trash, true)
+    writeSidecar(live, union)
     spark.catalog.refreshByPath(live.toString)
   }
 

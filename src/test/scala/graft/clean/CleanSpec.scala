@@ -55,10 +55,13 @@ class CleanSpec extends SparkSpec {
       Some("2025-12-01"), None, None))
   }
 
-  test("parsePriceMonth: M/d/yy first wins the 1/8/25 ambiguity (SURVEY §7.5)") {
-    val got = Seq("7/1/25", "1/8/25", "2025-03-01").toDF("d")
+  test("parsePriceMonth: reference coalesce order (3_pricing:100-114)") {
+    // single-digit forms skip the fixed-width dd/MM/yyyy and land on M/d/yy
+    // (7/1/25 → Jul 1, 1/8/25 → Jan 8); two-digit 4-year forms are claimed
+    // by dd/MM/yyyy first (05/06/2025 → Jun 5, NOT May 6)
+    val got = Seq("7/1/25", "1/8/25", "05/06/2025", "2025-03-01").toDF("d")
       .select(Dates.parsePriceMonth(col("d")).cast("string")).as[String].collect().toSeq
-    assert(got === Seq("2025-07-01", "2025-01-08", "2025-03-01"))
+    assert(got === Seq("2025-07-01", "2025-01-08", "2025-06-05", "2025-03-01"))
   }
 
   test("monthSpine: 24 months with keys/quarters (dim_date)") {

@@ -39,24 +39,32 @@ class PipelineSpec extends SparkSpec {
     // misspelled city normalized  →  market derived
     assert(byCode("789402").getAs[String]("customer") === "Sprintx Nutrition-Austin")
     assert(byCode("789402").getAs[String]("market") === "South")
-    // empty city fixed via lookup join
+    // empty city fixed via lookup join (1_customer:181-186 values)
     assert(byCode("789403").getAs[String]("customer") === "Peakfuel Foods-Chicago")
-    assert(byCode("789603").getAs[String]("customer") === "Vitasurge Labs-Austin")
+    assert(byCode("789603").getAs[String]("customer") === "Vitasurge Labs-New York")
+    assert(byCode("789603").getAs[String]("market") === "Northeast")
+    // city not in the allowed list or typo map → null city → Unknown label +
+    // Unknown market (reference fallback, 1_customer:226/239)
+    assert(byCode("789410").getAs[String]("customer") === "Summit Snacks-Unknown")
+    assert(byCode("789410").getAs[String]("market") === "Unknown")
     // child rows tagged
     assert(byCode("789401").getAs[String]("platform") === "PowerBite Nutrition")
     assert(byCode("789401").getAs[String]("channel") === "Acquisition")
     // parent rows untouched by merge
     assert(byCode("AT001").getAs[String]("channel") === "Retail")
 
-    // products: 5 raw − 1 dup = 4; Protien fixed, variant extracted, division mapped
+    // products: 5 raw − 1 dup = 4; Protien fixed, variant extracted, division
+    // mapped; `product` keeps the variant suffix (reference 2_products:193)
     val prod = store.read("gold_dim_products").collect()
     assert(prod.length === 2 + 4)
     val prodByName = prod.map(r => r.getAs[String]("product") -> r).toMap
-    assert(prodByName.contains("PowerBite Protein Bar"))
-    assert(prodByName("PowerBite Protein Bar").getAs[String]("variant") === "60g")
-    assert(prodByName("PowerBite Protein Bar").getAs[String]("category") === "Protein Bars")
-    assert(prodByName("PowerBite Protein Bar").getAs[String]("division") === "Performance Foods")
-    assert(prodByName("Endura Energy Gel").getAs[String]("variant") === "30 Sachets")
+    assert(prodByName.contains("PowerBite Protein Bar (60g)"))
+    assert(prodByName("PowerBite Protein Bar (60g)").getAs[String]("variant") === "60g")
+    assert(prodByName("PowerBite Protein Bar (60g)").getAs[String]("category") === "Protein Bars")
+    assert(prodByName("PowerBite Protein Bar (60g)").getAs[String]("division") === "Nutrition Bars")
+    // category outside the reference map → Other fallback (2_products:161)
+    assert(prodByName("Endura Energy Gel (30 Sachets)").getAs[String]("division") === "Other")
+    assert(prodByName("Endura Energy Gel (30 Sachets)").getAs[String]("variant") === "30 Sachets")
 
     // pricing: bogus product 77777777 dropped by inner join; latest non-zero
     // price per (product, year): 25891101/2025 → |−8.4| = 8.4 (Aug beats Jul,
@@ -137,7 +145,7 @@ class PipelineSpec extends SparkSpec {
     // child row: 25891101 qty 14 total in Nov @ 8.4
     val childBar = ev.filter(col("date") === "2025-11-01" && col("customer_code") === "789401").head()
     assert(childBar.getAs[Double]("total_amount") === 14 * 8.4)
-    assert(childBar.getAs[String]("division") === "Performance Foods")
+    assert(childBar.getAs[String]("division") === "Nutrition Bars")
 
     val k = EnrichedView.kpis(ev).head()
     assert(k.getAs[Long]("n_customers") === ev.select("customer_code").distinct().count())

@@ -76,6 +76,22 @@ final class TableStore(spark: SparkSession, root: String) {
     * same-name columns must agree on type — conflicting types are rejected
     * rather than silently written as mixed parquet footers.
     */
+  /** Recursively force every nested nullability flag to true (StructField
+    * nullable, ArrayType containsNull, MapType valueContainsNull) so types
+    * differing only in those flags compare equal. Spark's own
+    * `DataType.asNullable` is `private[sql]`, so this is a local equivalent.
+    */
+  private def permissive(dt: DataType): DataType = dt match {
+    case st: StructType =>
+      StructType(st.fields.map(f => f.copy(dataType = permissive(f.dataType), nullable = true)))
+    case at: org.apache.spark.sql.types.ArrayType =>
+      at.copy(elementType = permissive(at.elementType), containsNull = true)
+    case mt: org.apache.spark.sql.types.MapType =>
+      mt.copy(keyType = permissive(mt.keyType), valueType = permissive(mt.valueType),
+        valueContainsNull = true)
+    case other => other
+  }
+
   private def unionSchema(table: String, existing: StructType, incoming: StructType): StructType = {
     val byName = incoming.fields.map(f => f.name -> f).toMap
     val merged = existing.fields.map { ef =>
@@ -83,12 +99,12 @@ final class TableStore(spark: SparkSession, root: String) {
         // nested types differing only in inner-field nullability /
         // containsNull (CSV-inferred all-nullable vs computed frames) are
         // compatible — merge to the permissive shape instead of rejecting
-        case Some(inf) if inf.dataType.asNullable != ef.dataType.asNullable =>
+        case Some(inf) if permissive(inf.dataType) != permissive(ef.dataType) =>
           throw new IllegalArgumentException(
             s"TableStore: schema conflict on $table.${ef.name}: " +
               s"table has ${ef.dataType.simpleString}, incoming has ${inf.dataType.simpleString}")
         case Some(inf) =>
-          val dt = if (inf.dataType == ef.dataType) ef.dataType else ef.dataType.asNullable
+          val dt = if (inf.dataType == ef.dataType) ef.dataType else permissive(ef.dataType)
           ef.copy(dataType = dt, nullable = ef.nullable || inf.nullable)
         case None => ef.copy(nullable = true) // incoming lacks it → null-filled
       }

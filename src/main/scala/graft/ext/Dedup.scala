@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact, n-gram
@@ -15,9 +16,12 @@ import org.apache.spark.sql.functions._
   *     reduces that further to band-bucket collisions: cost ~
   *     O(docs × bands), the standard sub-quadratic route (Broder '97,
   *     Leskovec MMDS ch.3).
-  *   - SimHash: near-dup via Hamming distance on a 32-bit sketch; the
+  *   - SimHash: near-dup via Hamming distance on a 64-bit sketch; the
   *     4-chunk pigeonhole bucket join finds all pairs with Hamming ≤ 3
   *     without an all-pairs pass (Manku et al., WWW'07).
+  *   - hot buckets (m near-identical docs — boilerplate, the normal case at
+  *     corpus scale) are capped: over `bucketCap` members, star-pair with
+  *     the min-id representative — O(m) pairs, group stays connected.
   *
   * Everything is Column-expression work + hash-partitioned joins/aggs — no
   * UDFs, no driver-side loops; md5 is used as the shared hash so the DuckDB
@@ -48,11 +52,28 @@ object Dedup {
   /** Pairwise n-gram Jaccard over an inverted shingle index: documents
     * sharing ≥1 shingle are paired (a<b), |∩| counted, sizes joined back.
     * Output: id_a, id_b, jaccard — filter at the caller's threshold.
+    *
+    * `maxDf` caps document frequency: shingles occurring in more than
+    * `maxDf` docs (boilerplate, templates — the normal case in web-scale
+    * corpora) are dropped from BOTH the intersection and the set sizes, so
+    * jaccard stays a true set similarity over the retained shingles. Without
+    * the cap a single hot shingle turns the self-join into O(df²) pairs on
+    * one skewed key.
     */
-  def jaccardPairs(shingles: DataFrame, idCol: String): DataFrame = {
-    val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val a = shingles.select(col(idCol).as("id_a"), col("shingle"))
-    val b = shingles.select(col(idCol).as("id_b"), col("shingle"))
+  def jaccardPairs(shingles: DataFrame, idCol: String, maxDf: Int = Int.MaxValue): DataFrame = {
+    val sh =
+      if (maxDf == Int.MaxValue) shingles
+      else {
+        // df-filter rides the same hash partitioning on `shingle` the
+        // self-join below needs — one extra agg, no extra exchange pattern
+        val rare = shingles.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("_df")).filter(col("_df") <= maxDf)
+          .select("shingle")
+        shingles.join(rare, Seq("shingle"), "left_semi")
+      }
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
     a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
       .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
@@ -75,18 +96,74 @@ object Dedup {
 
   /** LSH candidate pairs: signatures split into `bands` bands of `rows`
     * hashes; docs sharing any band bucket become candidates (a<b, distinct).
+    *
+    * `bucketCap` bounds the quadratic blowup on hot buckets: a bucket of m
+    * near-identical docs (boilerplate) would emit m(m−1)/2 pairs on ONE
+    * skewed key on ONE executor. Buckets over the cap instead star-pair
+    * every member with the bucket representative (min id) — O(m) pairs that
+    * keep the duplicate group connected for the usual connected-components
+    * consumption, at the cost of non-representative cross pairs (which for
+    * a bucket that hot are near-certain duplicates of the rep anyway).
     */
-  def minhashCandidates(sig: DataFrame, idCol: String, bands: Int = 3, rows: Int = 4): DataFrame = {
+  def minhashCandidates(sig: DataFrame, idCol: String, bands: Int = 3, rows: Int = 4,
+      bucketCap: Int = Int.MaxValue): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|", (0 until rows).map(r => col(s"h${b * rows + r}")): _*)).as("bucket"))
     }
     val exploded = sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
-    val a = exploded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
-    val b = exploded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
-    a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+    cappedPairs(exploded, idCol, Seq("band", "bucket"), bucketCap, Nil)
       .select("id_a", "id_b").distinct()
+  }
+
+  /** Bucket-join pairing with a hot-bucket cap: buckets of size ≤ cap emit
+    * all (a<b) pairs via self-join; larger buckets emit only (rep, member)
+    * star pairs, rep = min id. The size/rep window rides the same hash
+    * partitioning on the bucket keys the self-join shuffles on.
+    * `carry` maps payload columns to per-side output names
+    * (e.g. "simhash" → ("sh_a","sh_b")).
+    */
+  private def cappedPairs(ex: DataFrame, idCol: String, keys: Seq[String], cap: Int,
+      carry: Seq[(String, (String, String))]): DataFrame = {
+    val aSide = ex.select((col(idCol).as("id_a") +: keys.map(col)) ++
+      carry.map { case (c, (an, _)) => col(c).as(an) }: _*)
+    val bSide = ex.select((col(idCol).as("id_b") +: keys.map(col)) ++
+      carry.map { case (c, (_, bn)) => col(c).as(bn) }: _*)
+    val outCols = Seq("id_a", "id_b") ++ carry.flatMap { case (_, (an, bn)) => Seq(an, bn) }
+    if (cap == Int.MaxValue)
+      aSide.join(bSide, keys).filter(col("id_a") < col("id_b"))
+        .select(outCols.map(col): _*)
+    else {
+      val w = Window.partitionBy(keys.map(col): _*)
+      val ann = ex
+        .withColumn("_sz", count(lit(1)).over(w))
+        .withColumn("_rep", min(col(idCol)).over(w))
+      val small = ann.filter(col("_sz") <= cap)
+      val smallA = small.select((col(idCol).as("id_a") +: keys.map(col)) ++
+        carry.map { case (c, (an, _)) => col(c).as(an) }: _*)
+      val smallB = small.select((col(idCol).as("id_b") +: keys.map(col)) ++
+        carry.map { case (c, (_, bn)) => col(c).as(bn) }: _*)
+      val smallPairs = smallA.join(smallB, keys).filter(col("id_a") < col("id_b"))
+        .select(outCols.map(col): _*)
+      // big buckets: (rep, member) star pairs; join back to the exploded
+      // rows to recover the rep's carried payload
+      val bigMembers = ann.filter(col("_sz") > cap && col(idCol) =!= col("_rep"))
+      val repPayload = ann.filter(col(idCol) === col("_rep"))
+        .select((keys.map(col) :+ col(idCol).as("id_a")) ++
+          carry.map { case (c, (an, _)) => col(c).as(an) }: _*)
+        .dropDuplicates(keys :+ "id_a")
+      val bigPairs =
+        if (carry.isEmpty)
+          bigMembers.select(col("_rep").as("id_a"), col(idCol).as("id_b"))
+            .select(outCols.map(col): _*)
+        else
+          bigMembers.select((col("_rep").as("id_a") +: col(idCol).as("id_b") +: keys.map(col)) ++
+              carry.map { case (c, (_, bn)) => col(c).as(bn) }: _*)
+            .join(repPayload, keys :+ "id_a")
+            .select(outCols.map(col): _*)
+      smallPairs.union(bigPairs)
+    }
   }
 
   /** MinHash-LSH near-dup pairs, verified: candidates from band collisions,
@@ -98,12 +175,14 @@ object Dedup {
     */
   def minhashDedup(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 12, bands: Int = 3, threshold: Double = 0.8): DataFrame = {
+      n: Int = 3, k: Int = 12, bands: Int = 3, threshold: Double = 0.8,
+      bucketCap: Int = Int.MaxValue): DataFrame = {
     // deliberately uncached: the shingle index is cheap per-row map work
     // (recompute ≈ 3s at sf0.1) while caching 450k exploded rows costs more
     // than the two recomputes it saves — measured 11.6s cached vs 8.6s not
     val sh = shingleIndex(df, idCol, textCol, n)
-    val cands = minhashCandidates(minhashSignature(sh, idCol, k), idCol, bands, k / bands)
+    val cands = minhashCandidates(minhashSignature(sh, idCol, k), idCol, bands, k / bands,
+      bucketCap)
     val candDocs = cands.select(col("id_a").as(idCol))
       .union(cands.select(col("id_b").as(idCol))).distinct()
     val shCand = sh.join(broadcast(candDocs), Seq(idCol), "left_semi")
@@ -112,40 +191,48 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 32-bit SimHash over distinct shingles: bit b of md5's first 8 hex chars
-    * votes ±1; simhash bit = sign of the vote sum. Returns (id, simhash).
+  /** 64-bit SimHash over distinct shingles: bit b of md5's first 16 hex
+    * chars votes ±1; simhash bit = sign of the vote sum. Returns
+    * (id, simhash). 64 bits (vs 32) keeps the sketch discriminative on
+    * corpus-scale document counts where 32-bit sketches saturate
+    * (collision probability grows with n²/2^bits).
     */
   def simhash(shingles: DataFrame, idCol: String): DataFrame = {
     val nib = "0123456789abcdef"
-    // md5 once per shingle row; the 32 vote aggregates only slice nibbles
-    // out of the precomputed hex (32 substr+instr, not 32 md5).
+    // md5 once per shingle row; the 64 vote aggregates only slice nibbles
+    // out of the precomputed hex (64 substr+instr, not 64 md5).
     val hashed = shingles.withColumn("_gm_hh", md5(col("shingle")))
     // vote_b = Σ_tokens (2*bit_b − 1); bit_b from hex nibble (b/4)+1, shift 3−b%4
-    val votes = (0 until 32).map { bit =>
+    val votes = (0 until 64).map { bit =>
       val nibbleVal = expr(s"instr('$nib', substr(_gm_hh, ${bit / 4 + 1}, 1)) - 1")
       sum(shiftright(nibbleVal.cast("int"), 3 - bit % 4).bitwiseAND(1) * 2 - 1).as(s"v$bit")
     }
     hashed.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
       .select(col(idCol),
-        (0 until 32).map(b =>
+        (0 until 64).map(b =>
+            // b = 63 ⇒ 1L << 63 = Long.MinValue: the sign bit in two's
+            // complement, added like any other term
             when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
 
   /** Near-dup pairs with Hamming(simhash) ≤ `maxHamming` (< 4): pigeonhole
-    * over 4 byte-chunks — any pair within Hamming 3 agrees on ≥1 chunk, so a
-    * bucket join on (chunk_idx, chunk_value) finds all of them without an
-    * all-pairs comparison.
+    * over 4 16-bit chunks — any pair within Hamming 3 agrees on ≥1 chunk, so
+    * a bucket join on (chunk_idx, chunk_value) finds all of them without an
+    * all-pairs comparison (Manku et al., WWW'07). `bucketCap` guards hot
+    * chunk buckets the same way [[minhashCandidates]] does: oversized
+    * buckets star-pair against the min-id representative instead of
+    * emitting O(m²) pairs on one skewed key.
     */
-  def simhashPairs(sh: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(sh: DataFrame, idCol: String, maxHamming: Int = 3,
+      bucketCap: Int = Int.MaxValue): DataFrame = {
     require(maxHamming < 4, "4-chunk pigeonhole covers Hamming <= 3")
     val chunks = (0 until 4).map(i =>
-      struct(lit(i).as("ci"), shiftright(col("simhash"), i * 8).bitwiseAND(0xff).as("cv")))
+      struct(lit(i).as("ci"), shiftright(col("simhash"), i * 16).bitwiseAND(0xffff).as("cv")))
     val ex = sh.select(col(idCol), col("simhash"), explode(array(chunks: _*)).as("c"))
       .select(col(idCol), col("simhash"), col("c.ci"), col("c.cv"))
-    val a = ex.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("ci"), col("cv"))
-    val b = ex.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("ci"), col("cv"))
-    a.join(b, Seq("ci", "cv")).filter(col("id_a") < col("id_b"))
+    cappedPairs(ex, idCol, Seq("ci", "cv"), bucketCap,
+        Seq("simhash" -> ("sh_a", "sh_b")))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .distinct()

@@ -105,6 +105,74 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Quantize vector components to the 2^-20 binary grid. Quantized sums
+    * are EXACT in double arithmetic (components |x|≤~1 scale to ≤2^20-grid
+    * integers; up to 2^33 of them sum inside the 53-bit mantissa), so
+    * per-cluster component sums are independent of aggregation order —
+    * plain partial-aggregated SUMs, bit-reproducible across engines and
+    * cluster topologies, no decimal types and no sorted folds.
+    */
+  private val QuantScale = 1048576.0 // 2^20
+
+  def quantize(c: Column): Column =
+    transform(asDouble(c), x => round(x * QuantScale) / QuantScale)
+
+  /** Deterministic fixed-iteration Lloyd k-means over 2^-20-quantized
+    * embeddings — IVF centroid training (replaces any "first k vectors as
+    * centroids" demo seeding with actual cluster structure).
+    *
+    *   - seeding: the k smallest-id vectors (deterministic, no RNG);
+    *   - assignment: max cosine, ties to the lower centroid id;
+    *   - update: component mean via exact quantized SUM / COUNT — empty
+    *     clusters keep their previous centroid;
+    *   - per iteration the k×dim centroid matrix (bounded by k, never by
+    *     data size) is collected and re-broadcast as literals, so each
+    *     Lloyd pass is ONE distributed job with a broadcast cross join and
+    *     one shuffle on (cluster, pos).
+    *
+    * Returns (centroid_id ∈ [1,k], `vecCol` array<double>). Training at
+    * 100 TB runs on a sample; assignment of the full corpus is the
+    * broadcast-join pass in [[ivfAssign]].
+    */
+  def kmeansTrain(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val corpus = withNorm(
+      df.select(col(idCol), quantize(col(vecCol)).as(vecCol)), vecCol, "nrm")
+
+    val seedW = Window.orderBy(col(idCol))
+    var centroids: Seq[(Int, Seq[Double])] = corpus
+      .withColumn("centroid_id", row_number().over(seedW))
+      .filter(col("centroid_id") <= k)
+      .select(col("centroid_id"), col(vecCol))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq
+
+    for (_ <- 0 until iters) {
+      val centDf = broadcast(centroids.toDF("centroid_id", "centv")
+        .withColumn("centn", norm(col("centv"))))
+      val assignW = Window.partitionBy(col(idCol))
+        .orderBy(col("ccos").desc, col("centroid_id"))
+      val assigned = corpus.crossJoin(centDf)
+        .select(col(idCol), col(vecCol), col("centroid_id"),
+          (dot(col(vecCol), col("centv")) / (col("nrm") * col("centn"))).as("ccos"))
+        .withColumn("rnk", row_number().over(assignW)).filter(col("rnk") === 1)
+      val sums = assigned
+        .select(col("centroid_id").as("cluster"), posexplode(col(vecCol)))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      val means: Map[Int, Seq[Double]] = sums.groupBy(_._1).map { case (cl, rows) =>
+        cl -> rows.sortBy(_._2).map(t => t._3 / t._4).toSeq
+      }
+      centroids = centroids.map { case (id, old) => id -> means.getOrElse(id, old) }
+    }
+    centroids.toDF("centroid_id", vecCol)
+  }
+
   /** Embedding-cosine near-dup pairs within IVF clusters — the scale path
     * for [[cosinePairs]]: the pair space shrinks from n² to Σ|cluster|²,
     * trading recall for the cross-cluster pairs (near-dups almost always

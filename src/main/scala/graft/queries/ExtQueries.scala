@@ -141,20 +141,27 @@ object ExtQueries {
       FROM documents GROUP BY 1 ORDER BY content_md5
     """))
 
-  /** D2 — n-gram Jaccard near-dup pairs via shingle inverted index. */
+  /** D2 — n-gram Jaccard near-dup pairs via shingle inverted index, with a
+    * document-frequency cap: shingles in >6 docs (p99.9 of this corpus) are
+    * boilerplate and excluded from both intersections and sizes, bounding
+    * the hot-shingle self-join blowup. The cap is live at sf0.01 (4
+    * shingles have df 7).
+    */
   val d2DedupNgram = QueryDef(
     "d2_dedup_ngram",
     (s, dir) => {
       val sh = Dedup.shingleIndex(Td(s, dir, "documents"), "doc_id", "text", 3)
-      Dedup.jaccardPairs(sh, "doc_id")
+      Dedup.jaccardPairs(sh, "doc_id", maxDf = 6)
         .filter(col("jaccard") >= 0.5)
         .orderBy(col("id_a"), col("id_b"))
     },
     Some(s"""
       WITH $shingleCte,
-      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      shf AS (SELECT * FROM sh
+              WHERE shingle IN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 6)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                 GROUP BY 1, 2)
       SELECT id_a, id_b,
              CAST(n_inter AS DOUBLE) / CAST(x.n + y.n - n_inter AS DOUBLE) AS jaccard
@@ -166,12 +173,30 @@ object ExtQueries {
     // text dedup via d3_dedup_minhash (the sub-quadratic LSH scale path)
     benchmark = false)
 
-  /** D3 — MinHash+LSH near-dup: band-bucket candidates, Jaccard-verified. */
+  /** Oracle fragment: capped band-bucket candidate pairs over an `eb`
+    * (doc_id, band, bucket) CTE — buckets ≤ cap emit all (a<b) pairs,
+    * larger buckets star-pair with the min-id representative. Mirrors
+    * [[Dedup.cappedPairs]].
+    */
+  private def cappedCandSql(cap: Int): String =
+    s"""ebw AS (SELECT doc_id, band, bucket,
+               count(*) OVER (PARTITION BY band, bucket) AS sz,
+               min(doc_id) OVER (PARTITION BY band, bucket) AS rep FROM eb),
+      cand AS (SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ebw a JOIN ebw b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE a.sz <= $cap
+        UNION ALL
+        SELECT rep AS id_a, doc_id AS id_b FROM ebw WHERE sz > $cap AND doc_id <> rep))"""
+
+  /** D3 — MinHash+LSH near-dup: band-bucket candidates (hot buckets capped
+    * at 32 members — see [[Dedup.minhashCandidates]]), Jaccard-verified.
+    */
   val d3DedupMinhash = QueryDef(
     "d3_dedup_minhash",
     (s, dir) =>
       Dedup.minhashDedup(Td(s, dir, "documents"), "doc_id", "text",
-          n = 3, k = 12, bands = 3, threshold = 0.8)
+          n = 3, k = 12, bands = 3, threshold = 0.8, bucketCap = 32)
         .orderBy(col("id_a"), col("id_b")),
     Some {
       val sigs = (0 until 12).map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(", ")
@@ -184,8 +209,7 @@ object ExtQueries {
       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       sig AS (SELECT doc_id, $sigs FROM sh GROUP BY doc_id),
       eb AS ($bandSelects),
-      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-               FROM eb a JOIN eb b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      ${cappedCandSql(32)},
       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                 GROUP BY 1, 2)
@@ -198,19 +222,73 @@ object ExtQueries {
     """
     })
 
-  /** D4 — SimHash near-dup: 32-bit sketch, Hamming ≤ 3 via chunk pigeonhole. */
+  /** D7 — hot-bucket cap end-to-end: the corpus plus 40 exact copies of its
+    * min-id document. All 41 copies collide in every LSH band; with
+    * bucketCap=8 the bucket star-pairs against the representative — 40
+    * pairs instead of 820, proving O(m) candidate growth on an m-doc hot
+    * bucket with the group still connected.
+    */
+  val d7DedupHotbucket = QueryDef(
+    "d7_dedup_hotbucket",
+    (s, dir) => {
+      val docs = Td(s, dir, "documents").select(col("doc_id"), col("text"))
+      val seed = docs.orderBy(col("doc_id")).limit(1)
+      val copies = seed.select(
+        explode(sequence(lit(1), lit(40))).as("i"), col("text"))
+        .select((col("i") + lit(1000000)).cast("long").as("doc_id"), col("text"))
+      val corpus = docs.union(copies)
+      val sh = Dedup.shingleIndex(corpus, "doc_id", "text", 3)
+      Dedup.minhashCandidates(Dedup.minhashSignature(sh, "doc_id", 12),
+          "doc_id", bands = 3, rows = 4, bucketCap = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some {
+      val sigs = (0 until 12).map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(", ")
+      val bandSelects = (0 until 3).map { b =>
+        val cat = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($cat) AS bucket FROM sig"
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT CAST(1000000 + i AS BIGINT) AS doc_id,
+               (SELECT text FROM documents ORDER BY doc_id LIMIT 1) AS text
+        FROM generate_series(1, 40) t(i)),
+      w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM corpus),
+      sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(ws) >= 3
+                 THEN list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' '))
+                 ELSE [array_to_string(ws, ' ')] END)) AS shingle FROM w),
+      sig AS (SELECT doc_id, $sigs FROM sh GROUP BY doc_id),
+      eb AS ($bandSelects),
+      ${cappedCandSql(8)}
+      SELECT id_a, id_b FROM cand ORDER BY id_a, id_b
+    """
+    })
+
+  /** D4 — SimHash near-dup: 64-bit sketch, Hamming ≤ 3 via 16-bit-chunk
+    * pigeonhole, hot chunk-buckets capped at 32 members.
+    */
   val d4DedupSimhash = QueryDef(
     "d4_dedup_simhash",
     (s, dir) => {
       val sh = Dedup.shingleIndex(Td(s, dir, "documents"), "doc_id", "text", 3)
-      Dedup.simhashPairs(Dedup.simhash(sh, "doc_id"), "doc_id", maxHamming = 3)
+      Dedup.simhashPairs(Dedup.simhash(sh, "doc_id"), "doc_id", maxHamming = 3,
+          bucketCap = 32)
         .orderBy(col("id_a"), col("id_b"))
     },
     Some {
-      val votes = (0 until 32).map { bit =>
+      val votes = (0 until 64).map { bit =>
         s"sum((((strpos('0123456789abcdef', substr(hh, ${bit / 4 + 1}, 1)) - 1) >> ${3 - bit % 4}) & 1) * 2 - 1) AS v$bit"
       }.mkString(",\n               ")
-      val simBits = (0 until 32).map(b => s"(CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)").mkString(" + ")
+      // bit 63 is the sign bit: emit Long.MinValue as (-MAX - 1) so the
+      // literal stays in BIGINT range; partial sums of the remaining
+      // positive terms peak at 2^63-1, so the addition chain never overflows
+      val simBits = (0 until 64).map { b =>
+        val term = if (b == 63) "-9223372036854775807 - 1" else s"CAST(${1L << b} AS BIGINT)"
+        s"(CASE WHEN v$b > 0 THEN $term ELSE 0 END)"
+      }.mkString(" + ")
       s"""
       WITH $shingleCte,
       h AS (SELECT doc_id, md5(shingle) AS hh FROM sh),
@@ -218,11 +296,21 @@ object ExtQueries {
                $votes
              FROM h GROUP BY doc_id),
       sim AS (SELECT doc_id, $simBits AS simhash FROM votes),
-      ex AS (SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS ci FROM sim),
-      ex2 AS (SELECT doc_id, simhash, ci, (simhash >> (ci * 8)) & 255 AS cv FROM ex),
-      pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-                FROM ex2 a JOIN ex2 b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
+      exc AS (SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS ci FROM sim),
+      ex2 AS (SELECT doc_id, simhash, ci, (simhash >> (ci * 16)) & 65535 AS cv FROM exc),
+      ex2w AS (SELECT *, count(*) OVER (PARTITION BY ci, cv) AS sz,
+                      min(doc_id) OVER (PARTITION BY ci, cv) AS rep FROM ex2),
+      rawp AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sh_a, b.simhash AS sh_b
+        FROM ex2w a JOIN ex2w b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+        WHERE a.sz <= 32
+        UNION ALL
+        SELECT r.rep, m.doc_id, r.simhash, m.simhash
+        FROM ex2w m JOIN (SELECT DISTINCT ci, cv, rep, simhash FROM ex2w WHERE doc_id = rep) r
+          ON m.ci = r.ci AND m.cv = r.cv
+        WHERE m.sz > 32 AND m.doc_id <> m.rep),
+      pairs AS (SELECT DISTINCT id_a, id_b,
+                  CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming FROM rawp)
       SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b
     """
     })
@@ -259,17 +347,58 @@ object ExtQueries {
     * (centroid seeds vec_id < 8). Approximate by design — misses
     * cross-cluster pairs; the bench path for what d5 does exhaustively.
     */
+  /** Oracle CTE chain replaying [[Similarity.kmeansTrain]] exactly:
+    * quantized corpus (2^-20 grid — sums exact in double, so SUM order
+    * can't matter in either engine), row_number seed, then per Lloyd
+    * iteration assignment (max cosine, ties to lower centroid id) and
+    * exact-sum component means with empty-cluster carry-over. Final
+    * centroids are CTE `c<iters>` (centroid_id, cv).
+    */
+  private def kmeansCte(k: Int, iters: Int): String = {
+    val base =
+      s"""q AS (SELECT vec_id, list_transform(embedding,
+           x -> round(CAST(x AS DOUBLE) * 1048576.0) / 1048576.0) AS qv FROM embeddings),
+      qn AS (SELECT vec_id, qv,
+               sqrt(list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b)) AS qnrm FROM q),
+      c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, qv AS cv
+             FROM qn QUALIFY centroid_id <= $k)"""
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      s"""s$i AS (SELECT e.vec_id, e.qv, e.qnrm, c.centroid_id,
+               ${dotSql.format("e.qv", "c.cv")} /
+                 (e.qnrm * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (a, b) -> a + b))) AS ccos
+             FROM qn e CROSS JOIN c$p c),
+      a$i AS (SELECT vec_id, qv, centroid_id AS cluster FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rnk
+               FROM s$i) WHERE rnk = 1),
+      m$i AS (SELECT cluster, unnest(range(len(qv))) AS pos, unnest(qv) AS val FROM a$i),
+      g$i AS (SELECT cluster AS centroid_id, pos, sum(val) / count(*) AS mval FROM m$i GROUP BY 1, 2),
+      u$i AS (SELECT centroid_id, list(mval ORDER BY pos) AS cv FROM g$i GROUP BY 1),
+      c$i AS (SELECT centroid_id, cv FROM u$i UNION ALL
+              SELECT centroid_id, cv FROM c$p WHERE centroid_id NOT IN (SELECT centroid_id FROM u$i))"""
+    }
+    (base +: steps).mkString(",\n      ")
+  }
+
+  /** Oracle fragment: trained centroids as (centroid_id, centv, centn). */
+  private def trainedCentSql(iters: Int): String =
+    s"""cent AS (SELECT centroid_id, cv AS centv,
+             sqrt(list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b)) AS centn
+           FROM c$iters)"""
+
   val d6DedupEmbedIvf = QueryDef(
     "d6_dedup_embed_ivf",
     (s, dir) => {
       val emb = Td(s, dir, "embeddings")
-      Similarity.cosinePairsClustered(emb, emb.filter(col("vec_id") < 8),
-          "vec_id", "embedding", 0.45)
+      val cents = Similarity.kmeansTrain(emb, "vec_id", "embedding", k = 8, iters = 2)
+        .select(col("centroid_id").cast("long").as("vec_id"), col("embedding"))
+      Similarity.cosinePairsClustered(emb, cents, "vec_id", "embedding", 0.45)
         .orderBy(col("id_a"), col("id_b"))
     },
     Some(s"""
       WITH $vecCte,
-      cent AS (SELECT vec_id AS centroid_id, v AS centv, nrm AS centn FROM n WHERE vec_id < 8),
+      ${kmeansCte(8, 2)},
+      ${trainedCentSql(2)},
       asg0 AS (SELECT n.vec_id, n.v, n.nrm, cent.centroid_id,
                  ${dotSql.format("n.v", "centv")} / (n.nrm * centn) AS ccos
                FROM n CROSS JOIN cent),
@@ -302,14 +431,15 @@ object ExtQueries {
       SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 10 ORDER BY query_id, rnk
     """))
 
-  /** S2 — IVF approximate search: centroid seeds vec_id < 8, nprobe=2,
-    * top-5 within probed clusters.
+  /** S2 — IVF approximate search: k-means-trained centroids (k=8, 2 Lloyd
+    * iterations), nprobe=2, top-5 within probed clusters.
     */
   val s2AnnIvf = QueryDef(
     "s2_ann_ivf",
     (s, dir) => {
       val emb = Td(s, dir, "embeddings")
-      val centroids = emb.filter(col("vec_id") < 8)
+      val centroids = Similarity.kmeansTrain(emb, "vec_id", "embedding", k = 8, iters = 2)
+        .select(col("centroid_id").cast("long").as("vec_id"), col("embedding"))
       val assigned = Similarity.ivfAssign(emb, centroids, "vec_id", "embedding")
       Similarity.ivfSearch(emb.filter(col("vec_id") < 5), assigned, centroids,
           "vec_id", "embedding", k = 5, nprobe = 2)
@@ -318,7 +448,8 @@ object ExtQueries {
     },
     Some(s"""
       WITH $vecCte,
-      cent AS (SELECT vec_id AS centroid_id, v AS centv, nrm AS centn FROM n WHERE vec_id < 8),
+      ${kmeansCte(8, 2)},
+      ${trainedCentSql(2)},
       asg0 AS (SELECT n.vec_id, n.v, n.nrm, cent.centroid_id,
                  ${dotSql.format("n.v", "centv")} / (n.nrm * centn) AS ccos
                FROM n CROSS JOIN cent),
@@ -465,12 +596,16 @@ object ExtQueries {
       // plain vs 8.2s block-manager cache at sf0.1 (cache serializes
       // text rows more expensively than a columnar write+read). The stage
       // lives in shared-FS scratch (Scratch.store), NOT a driver-local temp
-      // dir, so executor shards land where every node can read them; the
-      // fixed name + atomic overwrite means bench loops reuse one directory.
+      // dir, so executor shards land where every node can read them. The
+      // stage name is per-invocation (generation counter, no wall clock) so
+      // interleaved c1 runs can't clobber each other; gc() drops stale
+      // generations, bounding what bench loops leave behind.
       val scratch = graft.tables.Scratch.store(s)
-      scratch.overwrite("c1_ek_stage",
+      val stage = graft.tables.Scratch.stageName("c1_ek_stage")
+      scratch.overwrite(stage,
         kept.join(exactKeep.select("doc_id"), Seq("doc_id"), "left_semi"))
-      val ek = scratch.read("c1_ek_stage")
+      graft.tables.Scratch.gc(s, "c1_ek_stage")
+      val ek = scratch.read(stage)
       val dropIds = Dedup.minhashDedup(ek, "doc_id", "text", n = 3, k = 12, bands = 3, threshold = 0.8)
         .select(col("id_b").as("doc_id")).distinct()
       ek.join(dropIds, Seq("doc_id"), "left_anti")
@@ -539,12 +674,40 @@ object ExtQueries {
       Some(sql.format("orders", "orders")))
   }
 
+  /** X2 — deterministic Lloyd k-means (3 iterations, k=8) over quantized
+    * embeddings, then full-corpus IVF assignment to the trained centroids.
+    * Oracles the entire training replay: any drift in seeding, tie-breaks,
+    * mean arithmetic, or empty-cluster handling flips assignments.
+    */
+  val x2KmeansIvf = QueryDef(
+    "x2_kmeans_ivf",
+    (s, dir) => {
+      val emb = Td(s, dir, "embeddings")
+      val cents = Similarity.kmeansTrain(emb, "vec_id", "embedding", k = 8, iters = 3)
+        .select(col("centroid_id").cast("long").as("vec_id"), col("embedding"))
+      Similarity.ivfAssign(emb, cents, "vec_id", "embedding")
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH $vecCte,
+      ${kmeansCte(8, 3)},
+      ${trainedCentSql(3)},
+      asg0 AS (SELECT n.vec_id, cent.centroid_id,
+                 ${dotSql.format("n.v", "centv")} / (n.nrm * centn) AS ccos
+               FROM n CROSS JOIN cent),
+      asg AS (SELECT vec_id, centroid_id AS cluster FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rnk
+                FROM asg0) WHERE rnk = 1)
+      SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM asg ORDER BY vec_id
+    """))
+
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
   val all: Seq[QueryDef] = Seq(
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
-    d6DedupEmbedIvf,
-    s1KnnBrute, s2AnnIvf, m1MediaMeta, c1Curation, x1HllDistinct)
+    d6DedupEmbedIvf, d7DedupHotbucket,
+    s1KnnBrute, s2AnnIvf, m1MediaMeta, c1Curation, x1HllDistinct, x2KmeansIvf)
 }

@@ -17,22 +17,54 @@ import org.apache.spark.sql.SparkSession
   *      shared path in any properly configured deployment, and local runs
   *      get a working default with zero configuration
   *
-  * Stage tables use fixed names and [[TableStore.overwrite]]'s atomic swap,
-  * so repeated invocations (bench loops) reuse one directory instead of
-  * leaking a parquet copy per run. Call [[cleanup]] after the final action
-  * on any DataFrame still reading a stage table.
+  * Concurrency: the root is namespaced by Spark application id (two driver
+  * processes sharing one warehouse never collide), and per-invocation stage
+  * names from [[stageName]] carry a process-wide generation counter (two
+  * interleaved runs of the same query in one session never clobber each
+  * other — no wall clock involved, so replays stay deterministic).
+  * [[gc]] bounds the leak: generations more than `keepLast` behind the
+  * counter are dropped at the next invocation; [[cleanup]] (run after the
+  * final action of a bench/verify pass) removes this app's whole scratch.
   */
 object Scratch {
 
   private val ScratchSubdir = "_graft_scratch"
+  private val gen = new java.util.concurrent.atomic.AtomicLong(0)
 
   def root(spark: SparkSession): String =
     spark.conf.getOption("graft.scratch.dir")
-      .getOrElse(s"${spark.conf.get("spark.sql.warehouse.dir")}/$ScratchSubdir")
+      .getOrElse(s"${spark.conf.get("spark.sql.warehouse.dir")}/$ScratchSubdir") +
+      "/" + spark.sparkContext.applicationId
 
   def store(spark: SparkSession): TableStore = new TableStore(spark, root(spark))
 
-  /** Drop every stage table under the scratch root (driver-side FS call). */
+  /** Unique per-invocation stage-table name: `<base>_g<n>` with a
+    * monotonically increasing in-process generation.
+    */
+  def stageName(base: String): String = s"${base}_g${gen.incrementAndGet()}"
+
+  /** Drop stale generations of `base`: anything more than `keepLast`
+    * behind the current counter. `keepLast` is the concurrency bound — a
+    * stage still being read is safe as long as no more than `keepLast`
+    * newer invocations started since it was written.
+    */
+  def gc(spark: SparkSession, base: String, keepLast: Int = 4): Unit = {
+    val current = gen.get()
+    val p = new org.apache.hadoop.fs.Path(root(spark))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val pat = s"${java.util.regex.Pattern.quote(base)}_g(\\d+)".r
+      fs.listStatus(p).foreach { st =>
+        st.getPath.getName match {
+          case pat(n) if n.toLong <= current - keepLast =>
+            fs.delete(st.getPath, true); ()
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  /** Drop this application's entire scratch tree (driver-side FS call). */
   def cleanup(spark: SparkSession): Unit = {
     val p = new org.apache.hadoop.fs.Path(root(spark))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

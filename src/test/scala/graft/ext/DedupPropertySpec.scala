@@ -61,6 +61,71 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("hot bucket: m identical docs ⇒ O(m) capped candidates, group connected") {
+    val m = 30
+    val base = corpus(11, 20)
+    val hot = (0 until m).map(i => ((1000 + i).toLong, ("omega " * 15).trim))
+    val df = (base ++ hot).toDF("doc_id", "text")
+    val sh = Dedup.shingleIndex(df, "doc_id", "text", 3)
+    val sig = Dedup.minhashSignature(sh, "doc_id", 12)
+
+    val capped = Dedup.minhashCandidates(sig, "doc_id", 3, 4, bucketCap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hotPairs = capped.filter { case (a, b) => a >= 1000 && b >= 1000 }
+    // star pairing: exactly m-1 pairs (rep 1000 with each other member),
+    // not m(m-1)/2 = 435
+    assert(hotPairs.length === m - 1, s"expected ${m - 1} star pairs, got ${hotPairs.length}")
+    assert(hotPairs.forall(_._1 === 1000L))
+    assert(hotPairs.map(_._2).toSet === (1001 until 1000 + m).map(_.toLong).toSet)
+
+    // uncapped on the same corpus: the full quadratic set, for contrast
+    val uncapped = Dedup.minhashCandidates(sig, "doc_id", 3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .count { case (a, b) => a >= 1000 && b >= 1000 }
+    assert(uncapped === m * (m - 1) / 2)
+  }
+
+  test("hot bucket: capped simhashPairs keeps identical docs connected in O(m)") {
+    val m = 25
+    val base = corpus(12, 20)
+    val hot = (0 until m).map(i => ((2000 + i).toLong, ("sigma tau upsilon " * 6).trim))
+    val df = (base ++ hot).toDF("doc_id", "text")
+    val sims = Dedup.simhash(Dedup.shingleIndex(df, "doc_id", "text", 3), "doc_id")
+    val pairs = Dedup.simhashPairs(sims, "doc_id", maxHamming = 3, bucketCap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hotPairs = pairs.filter { case (a, b) => a >= 2000 && b >= 2000 }
+    // identical docs: hamming 0, all 4 chunk buckets hold all m docs —
+    // star pairs only, deduped across chunks
+    assert(hotPairs.length === m - 1)
+    assert(hotPairs.forall(_._1 === 2000L))
+  }
+
+  test("capped == uncapped when no bucket exceeds the cap") {
+    val df = corpus(13, 40).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(Dedup.shingleIndex(df, "doc_id", "text", 3), "doc_id")
+    val un = Dedup.minhashCandidates(sig, "doc_id", 3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cap = Dedup.minhashCandidates(sig, "doc_id", 3, 4, bucketCap = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cap === un)
+  }
+
+  test("jaccardPairs maxDf drops boilerplate shingles from sizes and intersections") {
+    // 3 docs share the hot shingle "x y z"; docs 0,1 also share "p q r"
+    val df = Seq(
+      (0L, "x y z p q r"),
+      (1L, "x y z p q r"),
+      (2L, "x y z a b c")).toDF("doc_id", "text")
+    val sh = Dedup.shingleIndex(df, "doc_id", "text", 3)
+    // maxDf=2: shingles present in all 3 docs ("x y z") are dropped
+    val capped = Dedup.jaccardPairs(sh, "doc_id", maxDf = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // docs 0,1 identical: all retained shingles shared → jaccard 1.0
+    assert(capped((0L, 1L)) === 1.0)
+    // doc 2 shares only dropped shingles with 0/1 → no pair emitted
+    assert(!capped.contains((0L, 2L)) && !capped.contains((1L, 2L)))
+  }
+
   test("cosinePairsClustered ⊆ cosinePairs; identical vectors always pair") {
     val rnd = new Random(7)
     val vecs = ((0 until 40).map(i =>

@@ -84,7 +84,9 @@ class ExtSpec extends SparkSpec {
     val sims = Dedup.simhash(sh, "doc_id").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
     assert(sims(1) === sims(2))
-    assert(sims.values.forall(v => v >= 0 && v <= 0xffffffffL))
+    // 64-bit sketch: any Long value is in range; distinct texts should
+    // yield distinct sketches on this fixture
+    assert(sims.values.toSet.size > 1)
     val pairs = Dedup.simhashPairs(Dedup.simhash(sh, "doc_id"), "doc_id", maxHamming = 0)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
     assert(pairs.contains((1L, 2L)))

@@ -121,6 +121,42 @@ object MergeQueries {
       FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """))
 
+  /** S4@scale — partition-prune proof at the query surface: stage orders
+    * month-partitioned through the TableStore layout (hive-style
+    * `month=…/` directories — the same `partitionBy` path that lays out
+    * `gold_fact_orders`), then read back with a month-equality predicate.
+    * At 100 TB this is THE access pattern for the fact table: the scan must
+    * touch one month's directory, not 10 years of history. PlanSpec pins
+    * the physical proof (PartitionFilters + partitions-read metric = 1);
+    * this query pins the result itself against the oracle.
+    */
+  val s4PartitionPrune = QueryDef(
+    "s4_partition_prune",
+    (s, dir) => {
+      val monthly = Td(s, dir, "orders").select(
+        trunc(col("o_orderdate").cast("date"), "MM").as("month"),
+        col("o_orderkey"), col("o_totalprice"))
+      val scratch = graft.tables.Scratch.store(s)
+      val stage = graft.tables.Scratch.stageName("s4_fact_stage")
+      scratch.overwrite(stage, monthly, partitionBy = Seq("month"))
+      graft.tables.Scratch.gc(s, "s4_fact_stage")
+      scratch.read(stage)
+        .filter(col("month") === lit("1995-02-01").cast("date"))
+        .groupBy(col("month"))
+        .agg(QueryDef.dsum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("month"))
+    },
+    Some("""
+      SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             count(*) AS n_orders
+      FROM orders
+      WHERE date_trunc('month', CAST(o_orderdate AS DATE)) = DATE '1995-02-01'
+      GROUP BY 1 ORDER BY 1
+    """))
+
   val all: Seq[QueryDef] = Seq(
-    s8MergeUpsert, s8MergeInsertOnly, s8AffectedMonths, e1EventHourly)
+    s8MergeUpsert, s8MergeInsertOnly, s8AffectedMonths, e1EventHourly,
+    s4PartitionPrune)
 }

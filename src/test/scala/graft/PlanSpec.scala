@@ -60,6 +60,42 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("month predicate prunes the partitioned fact scan to one partition (S4@scale)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions._
+    val store = new graft.tables.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_prune").toString)
+    val monthly = Td(spark, sf, "orders").select(
+      trunc(col("o_orderdate").cast("date"), "MM").as("month"),
+      col("o_orderkey"), col("o_totalprice"))
+    store.overwrite("fact_m", monthly, partitionBy = Seq("month"))
+    val nMonths = store.read("fact_m").select("month").distinct().count()
+    assert(nMonths > 1, "fixture must span multiple month partitions")
+
+    val df = store.read("fact_m")
+      .filter(col("month") === lit("1995-02-01").cast("date"))
+      .agg(sum("o_totalprice"))
+    df.collect()
+    // AQE wraps materialized stages in QueryStageExec LEAF nodes — a plain
+    // collect stops there; descend explicitly
+    def findScan(p: org.apache.spark.sql.execution.SparkPlan): Option[FileSourceScanExec] =
+      p match {
+        case f: FileSourceScanExec => Some(f)
+        case a: AdaptiveSparkPlanExec => findScan(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => findScan(q.plan)
+        case other => other.children.view.flatMap(findScan(_)).headOption
+      }
+    val scan = findScan(df.queryExecution.executedPlan)
+      .getOrElse(fail(s"no FileSourceScan in:\n${df.queryExecution.executedPlan}"))
+    // the month predicate must become a partition filter (directory prune),
+    // not a data filter evaluated after reading every partition
+    assert(scan.partitionFilters.exists(_.toString.contains("month")),
+      s"month predicate not in partitionFilters: ${scan.partitionFilters}")
+    assert(scan.metrics("numPartitions").value === 1,
+      s"scan read ${scan.metrics("numPartitions").value} of $nMonths partitions")
+  }
+
   test("upsert merge compiles to one join, not repeated target passes (S8)") {
     val t = Td(spark, sf, "customer").select("c_custkey", "c_acctbal")
     val s = Td(spark, sf, "customer").select("c_custkey", "c_acctbal")

@@ -42,7 +42,15 @@ object IdempotentCopy {
     */
   private def renderings(p: String): Seq[String] = {
     val path = new org.apache.hadoop.fs.Path(p)
-    Seq(p, path.toUri.toString, path.toUri.getPath).distinct
+    val uri = path.toUri
+    // empty-authority form ("file:///p") — java.net.URI renders a null
+    // authority as "file:/p", but Spark's _metadata.file_path logs the
+    // triple-slash form; a log entry in either must still match
+    val emptyAuthority =
+      if (uri.getScheme != null && uri.getAuthority == null)
+        Seq(s"${uri.getScheme}://${uri.getPath}")
+      else Seq.empty
+    (Seq(p, uri.toString, uri.getPath) ++ emptyAuthority).distinct
   }
 
   /** Append rows from CSV files under `srcDir` into `table`, skipping files

@@ -26,8 +26,16 @@ object Landing {
       .map(_.getPath.toString).toSeq.sorted
   }
 
-  /** Move every file in `landing` into `processed`, creating it if needed.
-    * Returns the moved file names.
+  /** Move every plain file in `landing` into `processed`, creating it if
+    * needed. Returns the moved file names.
+    *
+    * The same hidden/marker filter as [[list]] applies: an in-flight
+    * `.tmp`/`._*` upload or a `_SUCCESS` marker is never swept into
+    * `processed` without having been ingested. Files [[list]] DID return
+    * but a COPY INTO `PATTERN` excluded are still archived — that mirrors
+    * the reference's sweep-everything move (1_full_load_fact.py:72-78),
+    * where the landing dir is owned by exactly one load and anything
+    * non-matching is debris by definition.
     */
   def archive(spark: SparkSession, landing: String, processed: String): Seq[String] = {
     val lp = new Path(landing)
@@ -35,11 +43,13 @@ object Landing {
     if (!fs.exists(lp)) return Seq.empty
     val pp = new Path(processed)
     if (!fs.exists(pp)) fs.mkdirs(pp)
-    fs.listStatus(lp).filter(_.isFile).map { st =>
-      val dst = new Path(pp, st.getPath.getName)
-      if (!fs.rename(st.getPath, dst))
-        throw new IllegalStateException(s"Landing: could not archive ${st.getPath}")
-      st.getPath.getName
-    }.toSeq.sorted
+    fs.listStatus(lp).filter(_.isFile)
+      .filterNot(st => st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith("."))
+      .map { st =>
+        val dst = new Path(pp, st.getPath.getName)
+        if (!fs.rename(st.getPath, dst))
+          throw new IllegalStateException(s"Landing: could not archive ${st.getPath}")
+        st.getPath.getName
+      }.toSeq.sorted
   }
 }

@@ -31,6 +31,36 @@ class IngestSpec extends SparkSpec {
     assert(Landing.list(spark, root.resolve("processed").toString).size === 2)
   }
 
+  test("Landing.archive leaves hidden/marker files (in-flight uploads) alone") {
+    val root = Files.createTempDirectory("graft_landing_hidden")
+    val landing = root.resolve("landing"); Files.createDirectories(landing)
+    writeCsv(landing, "f1.csv", "id", "1")
+    writeCsv(landing, ".f2.csv.tmp", "id", "2") // in-flight upload
+    writeCsv(landing, "_SUCCESS", "", "")       // marker
+    val moved = Landing.archive(spark, landing.toString, root.resolve("processed").toString)
+    assert(moved === Seq("f1.csv"))
+    assert(Files.exists(landing.resolve(".f2.csv.tmp")))
+    assert(Files.exists(landing.resolve("_SUCCESS")))
+  }
+
+  test("IdempotentCopy matches old triple-slash (file:///p) log entries") {
+    val root = Files.createTempDirectory("graft_copy_uri")
+    val src = root.resolve("src"); Files.createDirectories(src)
+    writeCsv(src, "a.csv", "id,q", "1,10")
+    val store = new TableStore(spark, root.resolve("tables").toString)
+    def load() = IdempotentCopy.copyInto(spark, store, "fact", src.toString,
+      df => df.select(col("id").cast("long"), col("q").cast("long")))
+    assert(load() === 1)
+    // rewrite the log as an older pipeline would have recorded it:
+    // _metadata.file_path's empty-authority rendering "file:///p"
+    import spark.implicits._
+    val rewritten = store.read("fact__copy_log").as[String].collect()
+      .map(p => "file://" + new org.apache.hadoop.fs.Path(p).toUri.getPath)
+    store.overwrite("fact__copy_log", rewritten.toSeq.toDF("_file_path"))
+    assert(load() === 0, "triple-slash log entry must still mark the file as seen")
+    assert(store.read("fact").count() === 1)
+  }
+
   test("IdempotentCopy loads each file exactly once (S9 COPY INTO)") {
     val root = Files.createTempDirectory("graft_copy")
     val src = root.resolve("src"); Files.createDirectories(src)

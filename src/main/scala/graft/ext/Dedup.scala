@@ -107,61 +107,86 @@ object Dedup {
     */
   def minhashCandidates(sig: DataFrame, idCol: String, bands: Int = 3, rows: Int = 4,
       bucketCap: Int = Int.MaxValue): DataFrame = {
+    // the capped path references the exploded index several times (hot
+    // detection, small self-join, star pairs) and Spark re-evaluates a
+    // shared subtree per reference — stage the per-doc signature table
+    // (one narrow row per doc) so each pass scans cheap parquet instead of
+    // recomputing shingles + k MinHash aggs (the c1 stage-table pattern)
+    val sigS = if (bucketCap == Int.MaxValue) sig else staged(sig, "mh_sig_stage")
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|", (0 until rows).map(r => col(s"h${b * rows + r}")): _*)).as("bucket"))
     }
-    val exploded = sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+    val exploded = sigS.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
     cappedPairs(exploded, idCol, Seq("band", "bucket"), bucketCap, Nil)
       .select("id_a", "id_b").distinct()
   }
 
+  /** Materialize a small sketch/signature table to shared-FS scratch so
+    * multi-reference consumers scan parquet instead of recomputing the
+    * aggregation pipeline behind it per reference.
+    */
+  private def staged(df: DataFrame, base: String): DataFrame = {
+    val spark = df.sparkSession
+    val scratch = graft.tables.Scratch.store(spark)
+    val name = graft.tables.Scratch.stageName(base)
+    scratch.overwrite(name, df)
+    graft.tables.Scratch.gc(spark, base)
+    scratch.read(name)
+  }
+
   /** Bucket-join pairing with a hot-bucket cap: buckets of size ≤ cap emit
     * all (a<b) pairs via self-join; larger buckets emit only (rep, member)
-    * star pairs, rep = min id. The size/rep window rides the same hash
-    * partitioning on the bucket keys the self-join shuffles on.
-    * `carry` maps payload columns to per-side output names
+    * star pairs, rep = min id.
+    *
+    * Hot buckets are found with a partial-aggregated groupBy (map-side
+    * combine) and joined back, so the common no-hot-bucket case pays one
+    * cheap agg and an anti-join instead of a full window sort over the
+    * exploded index. The hot list is usually tiny (AQE picks a broadcast
+    * join at runtime) but is NOT hint-broadcast: in a boilerplate-heavy
+    * corpus it can reach n/cap buckets, where a forced broadcast would
+    * OOM and the shuffled anti-join rides the self-join's partitioning
+    * anyway. `carry` maps payload columns to per-side output names
     * (e.g. "simhash" → ("sh_a","sh_b")).
     */
   private def cappedPairs(ex: DataFrame, idCol: String, keys: Seq[String], cap: Int,
       carry: Seq[(String, (String, String))]): DataFrame = {
-    val aSide = ex.select((col(idCol).as("id_a") +: keys.map(col)) ++
+    def aSideOf(df: DataFrame) = df.select((col(idCol).as("id_a") +: keys.map(col)) ++
       carry.map { case (c, (an, _)) => col(c).as(an) }: _*)
-    val bSide = ex.select((col(idCol).as("id_b") +: keys.map(col)) ++
+    def bSideOf(df: DataFrame) = df.select((col(idCol).as("id_b") +: keys.map(col)) ++
       carry.map { case (c, (_, bn)) => col(c).as(bn) }: _*)
     val outCols = Seq("id_a", "id_b") ++ carry.flatMap { case (_, (an, bn)) => Seq(an, bn) }
     if (cap == Int.MaxValue)
-      aSide.join(bSide, keys).filter(col("id_a") < col("id_b"))
+      aSideOf(ex).join(bSideOf(ex), keys).filter(col("id_a") < col("id_b"))
         .select(outCols.map(col): _*)
     else {
-      val w = Window.partitionBy(keys.map(col): _*)
-      val ann = ex
-        .withColumn("_sz", count(lit(1)).over(w))
-        .withColumn("_rep", min(col(idCol)).over(w))
-      val small = ann.filter(col("_sz") <= cap)
-      val smallA = small.select((col(idCol).as("id_a") +: keys.map(col)) ++
-        carry.map { case (c, (an, _)) => col(c).as(an) }: _*)
-      val smallB = small.select((col(idCol).as("id_b") +: keys.map(col)) ++
-        carry.map { case (c, (_, bn)) => col(c).as(bn) }: _*)
-      val smallPairs = smallA.join(smallB, keys).filter(col("id_a") < col("id_b"))
+      val hot = ex.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("_sz"), min(col(idCol)).as("_rep"))
+        .filter(col("_sz") > cap)
+        .select(keys.map(col) :+ col("_rep"): _*)
+      val small = ex.join(hot.select(keys.map(col): _*), keys, "left_anti")
+      val smallPairs = aSideOf(small).join(bSideOf(small), keys)
+        .filter(col("id_a") < col("id_b"))
         .select(outCols.map(col): _*)
-      // big buckets: (rep, member) star pairs; join back to the exploded
-      // rows to recover the rep's carried payload
-      val bigMembers = ann.filter(col("_sz") > cap && col(idCol) =!= col("_rep"))
-      val repPayload = ann.filter(col(idCol) === col("_rep"))
-        .select((keys.map(col) :+ col(idCol).as("id_a")) ++
-          carry.map { case (c, (an, _)) => col(c).as(an) }: _*)
-        .dropDuplicates(keys :+ "id_a")
+      // hot buckets: (rep, member) star pairs; the rep's carried payload
+      // comes from its own exploded row (tiny — one per hot bucket)
+      val members = ex.join(hot, keys).filter(col(idCol) =!= col("_rep"))
       val bigPairs =
         if (carry.isEmpty)
-          bigMembers.select(col("_rep").as("id_a"), col(idCol).as("id_b"))
+          members.select(col("_rep").as("id_a"), col(idCol).as("id_b"))
             .select(outCols.map(col): _*)
-        else
-          bigMembers.select((col("_rep").as("id_a") +: col(idCol).as("id_b") +: keys.map(col)) ++
+        else {
+          val repPayload = ex.join(hot, keys)
+            .filter(col(idCol) === col("_rep"))
+            .select((keys.map(col) :+ col(idCol).as("id_a")) ++
+              carry.map { case (c, (an, _)) => col(c).as(an) }: _*)
+            .dropDuplicates(keys :+ "id_a")
+          members.select((col("_rep").as("id_a") +: col(idCol).as("id_b") +: keys.map(col)) ++
               carry.map { case (c, (_, bn)) => col(c).as(bn) }: _*)
             .join(repPayload, keys :+ "id_a")
             .select(outCols.map(col): _*)
+        }
       smallPairs.union(bigPairs)
     }
   }
@@ -199,13 +224,16 @@ object Dedup {
     */
   def simhash(shingles: DataFrame, idCol: String): DataFrame = {
     val nib = "0123456789abcdef"
-    // md5 once per shingle row; the 64 vote aggregates only slice nibbles
-    // out of the precomputed hex (64 substr+instr, not 64 md5).
-    val hashed = shingles.withColumn("_gm_hh", md5(col("shingle")))
-    // vote_b = Σ_tokens (2*bit_b − 1); bit_b from hex nibble (b/4)+1, shift 3−b%4
+    // md5 once per shingle row, then each of the 16 hex nibbles decoded
+    // ONCE into a projected column; the 64 vote aggregates only shift/mask
+    // the shared nibble ints (16 substr+instr per row, not 64).
+    val hashed = shingles
+      .withColumn("_gm_hh", md5(col("shingle")))
+      .select(col(idCol) +: (0 until 16).map(j =>
+        expr(s"instr('$nib', substr(_gm_hh, ${j + 1}, 1)) - 1").cast("int").as(s"_nv$j")): _*)
+    // vote_b = Σ_tokens (2*bit_b − 1); bit_b from nibble b/4, shift 3−b%4
     val votes = (0 until 64).map { bit =>
-      val nibbleVal = expr(s"instr('$nib', substr(_gm_hh, ${bit / 4 + 1}, 1)) - 1")
-      sum(shiftright(nibbleVal.cast("int"), 3 - bit % 4).bitwiseAND(1) * 2 - 1).as(s"v$bit")
+      sum(shiftright(col(s"_nv${bit / 4}"), 3 - bit % 4).bitwiseAND(1) * 2 - 1).as(s"v$bit")
     }
     hashed.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
       .select(col(idCol),
@@ -227,9 +255,12 @@ object Dedup {
   def simhashPairs(sh: DataFrame, idCol: String, maxHamming: Int = 3,
       bucketCap: Int = Int.MaxValue): DataFrame = {
     require(maxHamming < 4, "4-chunk pigeonhole covers Hamming <= 3")
+    // capped path: stage the (id, simhash) table — two longs per doc — so
+    // the hot/small/star passes don't re-run the 64-vote aggregation
+    val shS = if (bucketCap == Int.MaxValue) sh else staged(sh, "simhash_stage")
     val chunks = (0 until 4).map(i =>
       struct(lit(i).as("ci"), shiftright(col("simhash"), i * 16).bitwiseAND(0xffff).as("cv")))
-    val ex = sh.select(col(idCol), col("simhash"), explode(array(chunks: _*)).as("c"))
+    val ex = shS.select(col(idCol), col("simhash"), explode(array(chunks: _*)).as("c"))
       .select(col(idCol), col("simhash"), col("c.ci"), col("c.cv"))
     cappedPairs(ex, idCol, Seq("ci", "cv"), bucketCap,
         Seq("simhash" -> ("sh_a", "sh_b")))

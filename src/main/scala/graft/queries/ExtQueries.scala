@@ -265,7 +265,10 @@ object ExtQueries {
       ${cappedCandSql(8)}
       SELECT id_a, id_b FROM cand ORDER BY id_a, id_b
     """
-    })
+    },
+    // synthetic planted-copies prove-out of the capped path — the bench
+    // covers LSH dedup on the real corpus via d3_dedup_minhash
+    benchmark = false)
 
   /** D4 — SimHash near-dup: 64-bit sketch, Hamming ≤ 3 via 16-bit-chunk
     * pigeonhole, hot chunk-buckets capped at 32 members.

@@ -225,23 +225,32 @@ object Dedup {
   def simhash(shingles: DataFrame, idCol: String): DataFrame = {
     val nib = "0123456789abcdef"
     // md5 once per shingle row, then each of the 16 hex nibbles decoded
-    // ONCE into a projected column; the 64 vote aggregates only shift/mask
-    // the shared nibble ints (16 substr+instr per row, not 64).
+    // ONCE into a projected column (16 substr+instr per row, not 64).
     val hashed = shingles
       .withColumn("_gm_hh", md5(col("shingle")))
       .select(col(idCol) +: (0 until 16).map(j =>
-        expr(s"instr('$nib', substr(_gm_hh, ${j + 1}, 1)) - 1").cast("int").as(s"_nv$j")): _*)
-    // vote_b = Σ_tokens (2*bit_b − 1); bit_b from nibble b/4, shift 3−b%4
-    val votes = (0 until 64).map { bit =>
-      sum(shiftright(col(s"_nv${bit / 4}"), 3 - bit % 4).bitwiseAND(1) * 2 - 1).as(s"v$bit")
+        expr(s"instr('$nib', substr(_gm_hh, ${j + 1}, 1)) - 1").cast("bigint").as(s"_nv$j")): _*)
+    // Lane-packed vote counting: the 4 bits of nibble j ride one long in
+    // four 16-bit lanes, so 16 packed SUMs replace 64 per-bit SUMs. Lanes
+    // can't interfere: each accumulates a set-bit count ≤ #shingles per
+    // doc (≪ 65535), exact integer math — bit-identical to per-bit sums,
+    // so the DuckDB oracle keeps its straightforward 64-sum form.
+    val packed = (0 until 16).map { j =>
+      val n = col(s"_nv$j")
+      sum((0 until 4).map(k =>
+          shiftleft(shiftright(n, 3 - k).bitwiseAND(1L), k * 16))
+        .reduce(_ + _)).as(s"p$j")
     }
-    hashed.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-      .select(col(idCol),
-        (0 until 64).map(b =>
-            // b = 63 ⇒ 1L << 63 = Long.MinValue: the sign bit in two's
-            // complement, added like any other term
-            when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+    val counts = hashed.groupBy(col(idCol))
+      .agg(count(lit(1)).as("_n"), packed: _*)
+    // vote for bit b (nibble j = b/4, bit k = b%4): 2*lane_count − n > 0
+    counts.select(col(idCol),
+      (0 until 64).map { b =>
+        val lane = shiftright(col(s"p${b / 4}"), (b % 4) * 16).bitwiseAND(0xffffL)
+        // b = 63 ⇒ 1L << 63 = Long.MinValue: the sign bit in two's
+        // complement, added like any other term
+        when(lane * 2 - col("_n") > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _).as("simhash"))
   }
 
   /** Near-dup pairs with Hamming(simhash) ≤ `maxHamming` (< 4): pigeonhole

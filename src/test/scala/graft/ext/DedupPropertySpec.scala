@@ -126,6 +126,20 @@ class DedupPropertySpec extends SparkSpec {
     assert(!capped.contains((0L, 2L)) && !capped.contains((1L, 2L)))
   }
 
+  test("kmeansTrain is bit-identical across partitionings (quantized exact sums)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def centroids(df: org.apache.spark.sql.DataFrame): Seq[(Int, Seq[Double])] =
+      Similarity.kmeansTrain(df, "vec_id", "embedding", k = 6, iters = 2)
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+        .sortBy(_._1).toSeq
+    val base = centroids(emb)
+    // different partition count AND different row order: per-cluster sums
+    // must not depend on aggregation order — quantization makes them exact
+    val shuffled = centroids(emb.repartition(7).sortWithinPartitions(col("vec_id").desc))
+    assert(base === shuffled)
+    assert(base.map(_._1) === (1 to 6))
+  }
+
   test("cosinePairsClustered ⊆ cosinePairs; identical vectors always pair") {
     val rnd = new Random(7)
     val vecs = ((0 until 40).map(i =>

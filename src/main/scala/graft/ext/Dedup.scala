@@ -202,9 +202,12 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 12, bands: Int = 3, threshold: Double = 0.8,
       bucketCap: Int = Int.MaxValue): DataFrame = {
-    // deliberately uncached: the shingle index is cheap per-row map work
-    // (recompute ≈ 3s at sf0.1) while caching 450k exploded rows costs more
-    // than the two recomputes it saves — measured 11.6s cached vs 8.6s not
+    // deliberately recomputed per reference: the shingle index is cheap
+    // per-row map work (native WordShingles). Block-manager caching LOSES
+    // (11.6s vs 8.6s at sf0.1 — row serialization of text beats recompute)
+    // and a parquet scratch stage measured neutral-to-worse too (write
+    // cost ≈ three recomputes) — unlike the regex-heavy c1 intermediate,
+    // where staging wins.
     val sh = shingleIndex(df, idCol, textCol, n)
     val cands = minhashCandidates(minhashSignature(sh, idCol, k), idCol, bands, k / bands,
       bucketCap)

@@ -64,21 +64,61 @@ object Similarity {
   }
 
   /** IVF cluster assignment: nearest (max-cosine) centroid per corpus
-    * vector; ties broken by centroid id. Centroids are a small broadcast
-    * table.
+    * vector; ties broken by the LOWER centroid id.
+    *
+    * Map-only plan: the k centroids (bounded by k, never by data) are
+    * collected and inlined as literals — one codegen'd dot column per
+    * centroid plus a chained-`when` argmax, NO cross join, NO window, NO
+    * shuffle. At 100 TB this is the difference between a projection over
+    * the corpus scan and shuffling n×k rows to rank them; the equivalent
+    * windowed form is what the DuckDB oracles replay, with identical
+    * results (exact IEEE comparisons, same tie rule).
     */
   def ivfAssign(
       corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
-    val c = withNorm(corpus.select(col(idCol), col(vecCol)), vecCol, "nrm")
-    val cent = withNorm(
-      centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("centv")), "centv", "centn")
-    val scored = c.crossJoin(broadcast(cent))
-      .select(col(idCol), col(vecCol), col("nrm"), col("centroid_id"),
-        (dot(col(vecCol), col("centv")) / (col("nrm") * col("centn"))).as("ccos"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("centroid_id"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
-      .select(col(idCol), col(vecCol), col("nrm"), col("centroid_id").as("cluster"))
+    val cents: Seq[(Long, Seq[Double], Double)] = centroids
+      .select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Double](1).toSeq
+        (r.getLong(0), v, normOf(v))
+      }.sortBy(_._1).toSeq
+    assignToCentroids(withNorm(corpus.select(col(idCol), col(vecCol)), vecCol, "nrm"),
+      cents, idCol, vecCol)
+  }
+
+  /** Strict left fold ‖v‖ — same operation order as the DotProduct
+    * expression, so a driver-side norm is bit-identical to an engine-side
+    * one.
+    */
+  private def normOf(v: Seq[Double]): Double =
+    math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+
+  /** Nearest-centroid assignment as a map-only projection: one codegen'd
+    * dot column per centroid literal plus a chained-`when` argmax. Ties go
+    * to the LOWER centroid id: candidates are processed in ascending id
+    * order and only a STRICT `>` displaces the running best — exactly
+    * `ORDER BY ccos DESC, centroid_id LIMIT 1`. `corpus` must already
+    * carry a `nrm` column.
+    */
+  private def assignToCentroids(
+      corpus: DataFrame, cents: Seq[(Long, Seq[Double], Double)],
+      idCol: String, vecCol: String): DataFrame = {
+    require(cents.nonEmpty, "assignment needs at least one centroid")
+    val ccosCols = cents.map { case (cid, v, cn) =>
+      (dot(col(vecCol), lit(v.toArray)) / (col("nrm") * lit(cn))).as(s"_ccos$cid")
+    }
+    val scored = corpus.select(col(idCol) +: col(vecCol) +: col("nrm") +: ccosCols: _*)
+    val (first, rest) = (cents.head, cents.tail)
+    val best = rest.foldLeft(
+      struct(col(s"_ccos${first._1}").as("ccos"), lit(first._1).as("cid"))) {
+      case (acc, (cid, _, _)) =>
+        when(col(s"_ccos$cid") > acc.getField("ccos"),
+          struct(col(s"_ccos$cid").as("ccos"), lit(cid).as("cid"))).otherwise(acc)
+    }
+    scored.withColumn("_best", best)
+      .select(col(idCol), col(vecCol), col("nrm"), col("_best.cid").as("cluster"))
   }
 
   /** IVF approximate top-k: probe the `nprobe` nearest clusters per query,
@@ -151,20 +191,17 @@ object Similarity {
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq
 
     for (_ <- 0 until iters) {
-      val centDf = broadcast(centroids.toDF("centroid_id", "centv")
-        .withColumn("centn", norm(col("centv"))))
-      val assignW = Window.partitionBy(col(idCol))
-        .orderBy(col("ccos").desc, col("centroid_id"))
-      val assigned = corpus.crossJoin(centDf)
-        .select(col(idCol), col(vecCol), col("centroid_id"),
-          (dot(col(vecCol), col("centv")) / (col("nrm") * col("centn"))).as("ccos"))
-        .withColumn("rnk", row_number().over(assignW)).filter(col("rnk") === 1)
+      // map-only nearest-centroid projection (no cross join, no window —
+      // see assignToCentroids): each Lloyd pass is one scan + one shuffle
+      // on (cluster, pos) for the mean
+      val assigned = assignToCentroids(corpus,
+        centroids.map { case (id, v) => (id.toLong, v, normOf(v)) }, idCol, vecCol)
       val sums = assigned
-        .select(col("centroid_id").as("cluster"), posexplode(col(vecCol)))
+        .select(col("cluster"), posexplode(col(vecCol)))
         .groupBy(col("cluster"), col("pos"))
         .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
         .collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+        .map(r => (r.getLong(0).toInt, r.getInt(1), r.getDouble(2), r.getLong(3)))
       val means: Map[Int, Seq[Double]] = sums.groupBy(_._1).map { case (cl, rows) =>
         cl -> rows.sortBy(_._2).map(t => t._3 / t._4).toSeq
       }

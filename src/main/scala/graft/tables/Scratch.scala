@@ -29,7 +29,12 @@ import org.apache.spark.sql.SparkSession
 object Scratch {
 
   private val ScratchSubdir = "_graft_scratch"
-  private val gen = new java.util.concurrent.atomic.AtomicLong(0)
+  // per-base generation counters: gc's keepLast bound then counts
+  // invocations of the SAME stage family, not unrelated stage activity
+  private val gens =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private def gen(base: String) =
+    gens.computeIfAbsent(base, _ => new java.util.concurrent.atomic.AtomicLong(0))
 
   def root(spark: SparkSession): String =
     spark.conf.getOption("graft.scratch.dir")
@@ -41,7 +46,7 @@ object Scratch {
   /** Unique per-invocation stage-table name: `<base>_g<n>` with a
     * monotonically increasing in-process generation.
     */
-  def stageName(base: String): String = s"${base}_g${gen.incrementAndGet()}"
+  def stageName(base: String): String = s"${base}_g${gen(base).incrementAndGet()}"
 
   /** Drop stale generations of `base`: anything more than `keepLast`
     * behind the current counter. `keepLast` is the concurrency bound — a
@@ -49,7 +54,7 @@ object Scratch {
     * newer invocations started since it was written.
     */
   def gc(spark: SparkSession, base: String, keepLast: Int = 4): Unit = {
-    val current = gen.get()
+    val current = gen(base).get()
     val p = new org.apache.hadoop.fs.Path(root(spark))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) {

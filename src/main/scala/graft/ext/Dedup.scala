@@ -127,14 +127,8 @@ object Dedup {
     * multi-reference consumers scan parquet instead of recomputing the
     * aggregation pipeline behind it per reference.
     */
-  private def staged(df: DataFrame, base: String): DataFrame = {
-    val spark = df.sparkSession
-    val scratch = graft.tables.Scratch.store(spark)
-    val name = graft.tables.Scratch.stageName(base)
-    scratch.overwrite(name, df)
-    graft.tables.Scratch.gc(spark, base)
-    scratch.read(name)
-  }
+  private def staged(df: DataFrame, base: String): DataFrame =
+    graft.tables.Scratch.stage(df, base)
 
   /** Bucket-join pairing with a hot-bucket cap: buckets of size ≤ cap emit
     * all (a<b) pairs via self-join; larger buckets emit only (rep, member)

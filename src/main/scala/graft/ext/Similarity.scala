@@ -110,15 +110,21 @@ object Similarity {
       (dot(col(vecCol), lit(v.toArray)) / (col("nrm") * lit(cn))).as(s"_ccos$cid")
     }
     val scored = corpus.select(col(idCol) +: col(vecCol) +: col("nrm") +: ccosCols: _*)
-    val (first, rest) = (cents.head, cents.tail)
-    val best = rest.foldLeft(
-      struct(col(s"_ccos${first._1}").as("ccos"), lit(first._1).as("cid"))) {
-      case (acc, (cid, _, _)) =>
-        when(col(s"_ccos$cid") > acc.getField("ccos"),
-          struct(col(s"_ccos$cid").as("ccos"), lit(cid).as("cid"))).otherwise(acc)
+    // two flat steps, both linear in k (a nested best-so-far fold would
+    // reference its accumulator twice per level — 2^k codegen blowup):
+    // best = greatest(ccos…), then the FIRST column equal to it in
+    // ascending id order wins ties (Spark: NaN = NaN is true, NaN sorts
+    // greatest — consistent on degenerate zero-norm vectors)
+    val bestCol =
+      if (cents.size == 1) col(s"_ccos${cents.head._1}")
+      else greatest(cents.map { case (cid, _, _) => col(s"_ccos$cid") }: _*)
+    val withBest = scored.withColumn("_bestc", bestCol)
+    val cluster = cents.tail.foldLeft(
+      when(col(s"_ccos${cents.head._1}") === col("_bestc"), lit(cents.head._1))) {
+      case (acc, (cid, _, _)) => acc.when(col(s"_ccos$cid") === col("_bestc"), lit(cid))
     }
-    scored.withColumn("_best", best)
-      .select(col(idCol), col(vecCol), col("nrm"), col("_best.cid").as("cluster"))
+    withBest
+      .select(col(idCol), col(vecCol), col("nrm"), cluster.as("cluster"))
   }
 
   /** IVF approximate top-k: probe the `nprobe` nearest clusters per query,
@@ -218,7 +224,13 @@ object Similarity {
   def cosinePairsClustered(
       df: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val assigned = ivfAssign(df, centroids, idCol, vecCol)
+    // materialize the assignment as a cluster-partitioned index stage —
+    // building the IVF index IS a materialization step in any real system.
+    // It evaluates the per-row argmax exactly once, and keeps the join's
+    // isnotnull(cluster) constraint from being pushdown-substituted with
+    // the full k-dot argmax expression (a measured 3× regression).
+    val assigned = graft.tables.Scratch.stage(
+      ivfAssign(df, centroids, idCol, vecCol), "ivf_pairs_index", Seq("cluster"))
     val a = assigned.select(col("cluster"),
       col(idCol).as("id_a"), col(vecCol).as("va"), col("nrm").as("na"))
     val b = assigned.select(col("cluster"),

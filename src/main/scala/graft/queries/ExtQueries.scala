@@ -443,7 +443,11 @@ object ExtQueries {
       val emb = Td(s, dir, "embeddings")
       val centroids = Similarity.kmeansTrain(emb, "vec_id", "embedding", k = 8, iters = 2)
         .select(col("centroid_id").cast("long").as("vec_id"), col("embedding"))
-      val assigned = Similarity.ivfAssign(emb, centroids, "vec_id", "embedding")
+      // the IVF index build is a materialization: cluster-partitioned stage
+      // (probe joins can prune to nprobe cluster directories at scale)
+      val assigned = graft.tables.Scratch.stage(
+        Similarity.ivfAssign(emb, centroids, "vec_id", "embedding"),
+        "s2_ivf_index", Seq("cluster"))
       Similarity.ivfSearch(emb.filter(col("vec_id") < 5), assigned, centroids,
           "vec_id", "embedding", k = 5, nprobe = 2)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk").cast("long").as("rnk"))

@@ -48,6 +48,23 @@ object Scratch {
     */
   def stageName(base: String): String = s"${base}_g${gen(base).incrementAndGet()}"
 
+  /** Materialize `df` as a fresh generation of stage family `base` and
+    * return a reader over it: one write, then every downstream reference
+    * scans columnar parquet instead of re-evaluating the producing plan —
+    * and the stage is a hard optimizer barrier (no predicate-pushdown
+    * substitution of big projected expressions into filters). Optionally
+    * hive-partitioned for downstream partition pruning.
+    */
+  def stage(df: org.apache.spark.sql.DataFrame, base: String,
+      partitionBy: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val s = store(spark)
+    val name = stageName(base)
+    s.overwrite(name, df, partitionBy)
+    gc(spark, base)
+    s.read(name)
+  }
+
   /** Drop stale generations of `base`: anything more than `keepLast`
     * behind the current counter. `keepLast` is the concurrency bound — a
     * stage still being read is safe as long as no more than `keepLast`

@@ -203,11 +203,19 @@ object Dedup {
     // cost ≈ three recomputes) — unlike the regex-heavy c1 intermediate,
     // where staging wins.
     val sh = shingleIndex(df, idCol, textCol, n)
-    val cands = minhashCandidates(minhashSignature(sh, idCol, k), idCol, bands, k / bands,
-      bucketCap)
+    // candidate pairs are referenced three times (both candDocs
+    // projections + the final verify semi-join) and the candidate-pruned
+    // shingle table three more inside jaccardPairs (sizes + both join
+    // sides) — stage both: they are tiny (candidates only), so one small
+    // write replaces repeated recomputes of the LSH band join and of the
+    // full shingle index + semi-join
+    val cands = staged(
+      minhashCandidates(minhashSignature(sh, idCol, k), idCol, bands, k / bands, bucketCap),
+      "mh_cands_stage")
     val candDocs = cands.select(col("id_a").as(idCol))
       .union(cands.select(col("id_b").as(idCol))).distinct()
-    val shCand = sh.join(broadcast(candDocs), Seq(idCol), "left_semi")
+    val shCand = staged(sh.join(broadcast(candDocs), Seq(idCol), "left_semi"),
+      "mh_shcand_stage")
     jaccardPairs(shCand, idCol)
       .join(cands, Seq("id_a", "id_b"), "left_semi")
       .filter(col("jaccard") >= threshold)

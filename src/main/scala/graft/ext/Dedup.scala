@@ -102,8 +102,11 @@ object Dedup {
     * skewed key on ONE executor. Buckets over the cap instead star-pair
     * every member with the bucket representative (min id) — O(m) pairs that
     * keep the duplicate group connected for the usual connected-components
-    * consumption, at the cost of non-representative cross pairs (which for
-    * a bucket that hot are near-certain duplicates of the rep anyway).
+    * consumption. The cost is recall on non-rep cross pairs: a downstream
+    * verify (e.g. [[minhashDedup]]'s jaccard threshold) sees only
+    * (rep, member) pairs from a hot bucket, so two docs similar to each
+    * other but not to the rep can drop out. Size the cap above legitimate
+    * duplicate-group sizes; `Int.MaxValue` disables the tradeoff.
     */
   def minhashCandidates(sig: DataFrame, idCol: String, bands: Int = 3, rows: Int = 4,
       bucketCap: Int = Int.MaxValue): DataFrame = {
@@ -235,23 +238,28 @@ object Dedup {
       .withColumn("_gm_hh", md5(col("shingle")))
       .select(col(idCol) +: (0 until 16).map(j =>
         expr(s"instr('$nib', substr(_gm_hh, ${j + 1}, 1)) - 1").cast("bigint").as(s"_nv$j")): _*)
-    // Lane-packed vote counting: the 4 bits of nibble j ride one long in
-    // four 16-bit lanes, so 16 packed SUMs replace 64 per-bit SUMs. Lanes
-    // can't interfere: each accumulates a set-bit count ≤ #shingles per
-    // doc (≪ 65535), exact integer math — bit-identical to per-bit sums,
-    // so the DuckDB oracle keeps its straightforward 64-sum form.
-    val packed = (0 until 16).map { j =>
-      val n = col(s"_nv$j")
-      sum((0 until 4).map(k =>
-          shiftleft(shiftright(n, 3 - k).bitwiseAND(1L), k * 16))
+    // Lane-packed vote counting: bits (2j, 2j+1) of the sketch ride one
+    // long in two 32-bit lanes, so 32 packed SUMs replace 64 per-bit SUMs.
+    // Lanes can't interfere: each accumulates a set-bit count ≤ #distinct
+    // shingles per doc, and a 32-bit lane holds counts to 2^31 — no
+    // realistic document overflows it (16-bit lanes would corrupt the
+    // neighbor bit at 65536 shingles ≈ a 65k-word page, which web corpora
+    // do contain). Exact integer math — bit-identical to per-bit sums, so
+    // the DuckDB oracle keeps its straightforward 64-sum form.
+    val packed = (0 until 32).map { j =>
+      val n = col(s"_nv${j / 2}")
+      // pair (k0, k0+1) of nibble j/2: k = 2*(j%2) selects which half
+      val k0 = 2 * (j % 2)
+      sum((0 until 2).map(i =>
+          shiftleft(shiftright(n, 3 - (k0 + i)).bitwiseAND(1L), i * 32))
         .reduce(_ + _)).as(s"p$j")
     }
     val counts = hashed.groupBy(col(idCol))
       .agg(count(lit(1)).as("_n"), packed: _*)
-    // vote for bit b (nibble j = b/4, bit k = b%4): 2*lane_count − n > 0
+    // vote for bit b (packed col j = b/2, lane i = b%2): 2*lane − n > 0
     counts.select(col(idCol),
       (0 until 64).map { b =>
-        val lane = shiftright(col(s"p${b / 4}"), (b % 4) * 16).bitwiseAND(0xffffL)
+        val lane = shiftright(col(s"p${b / 2}"), (b % 2) * 32).bitwiseAND(0xffffffffL)
         // b = 63 ⇒ 1L << 63 = Long.MinValue: the sign bit in two's
         // complement, added like any other term
         when(lane * 2 - col("_n") > 0, lit(1L << b)).otherwise(lit(0L))
@@ -261,10 +269,20 @@ object Dedup {
   /** Near-dup pairs with Hamming(simhash) ≤ `maxHamming` (< 4): pigeonhole
     * over 4 16-bit chunks — any pair within Hamming 3 agrees on ≥1 chunk, so
     * a bucket join on (chunk_idx, chunk_value) finds all of them without an
-    * all-pairs comparison (Manku et al., WWW'07). `bucketCap` guards hot
-    * chunk buckets the same way [[minhashCandidates]] does: oversized
-    * buckets star-pair against the min-id representative instead of
-    * emitting O(m²) pairs on one skewed key.
+    * all-pairs comparison (Manku et al., WWW'07).
+    *
+    * `bucketCap` guards hot chunk buckets the same way
+    * [[minhashCandidates]] does: oversized buckets star-pair against the
+    * min-id representative instead of emitting O(m²) pairs on one skewed
+    * key. PRECISE GUARANTEE: pigeonhole completeness holds while every
+    * agreeing chunk bucket is ≤ cap. A pair whose ONLY agreeing chunk is a
+    * hot bucket of mutually-near docs still connects through the rep
+    * (hamming(rep, x) ≤ hamming(a, b) bounds don't hold in general, but
+    * identical-sketch floods — the case caps exist for — have hamming 0 to
+    * the rep); a hot bucket of UNRELATED sketches (e.g. many short docs
+    * sharing chunk 0) can hide a genuine pair whose star pairs fail the
+    * Hamming filter. Size the cap above any legitimate duplicate-group
+    * size, or pass `Int.MaxValue` to restore the unconditional guarantee.
     */
   def simhashPairs(sh: DataFrame, idCol: String, maxHamming: Int = 3,
       bucketCap: Int = Int.MaxValue): DataFrame = {

@@ -122,7 +122,11 @@ object Similarity {
     val cluster = cents.tail.foldLeft(
       when(col(s"_ccos${cents.head._1}") === col("_bestc"), lit(cents.head._1))) {
       case (acc, (cid, _, _)) => acc.when(col(s"_ccos$cid") === col("_bestc"), lit(cid))
-    }
+    // degenerate rows (null embedding → every ccos null): both the old
+    // windowed form (DESC sorts nulls last, centroid-id tiebreak) and the
+    // DuckDB oracle resolve to the lowest centroid id — keep that here
+    // instead of a null cluster falling out of downstream joins
+    }.otherwise(lit(cents.head._1))
     withBest
       .select(col(idCol), col(vecCol), col("nrm"), cluster.as("cluster"))
   }

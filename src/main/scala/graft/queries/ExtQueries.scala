@@ -607,12 +607,9 @@ object ExtQueries {
       // stage name is per-invocation (generation counter, no wall clock) so
       // interleaved c1 runs can't clobber each other; gc() drops stale
       // generations, bounding what bench loops leave behind.
-      val scratch = graft.tables.Scratch.store(s)
-      val stage = graft.tables.Scratch.stageName("c1_ek_stage")
-      scratch.overwrite(stage,
-        kept.join(exactKeep.select("doc_id"), Seq("doc_id"), "left_semi"))
-      graft.tables.Scratch.gc(s, "c1_ek_stage")
-      val ek = scratch.read(stage)
+      val ek = graft.tables.Scratch.stage(
+        kept.join(exactKeep.select("doc_id"), Seq("doc_id"), "left_semi"),
+        "c1_ek_stage")
       val dropIds = Dedup.minhashDedup(ek, "doc_id", "text", n = 3, k = 12, bands = 3, threshold = 0.8)
         .select(col("id_b").as("doc_id")).distinct()
       ek.join(dropIds, Seq("doc_id"), "left_anti")

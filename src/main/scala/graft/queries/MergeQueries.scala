@@ -136,11 +136,7 @@ object MergeQueries {
       val monthly = Td(s, dir, "orders").select(
         trunc(col("o_orderdate").cast("date"), "MM").as("month"),
         col("o_orderkey"), col("o_totalprice"))
-      val scratch = graft.tables.Scratch.store(s)
-      val stage = graft.tables.Scratch.stageName("s4_fact_stage")
-      scratch.overwrite(stage, monthly, partitionBy = Seq("month"))
-      graft.tables.Scratch.gc(s, "s4_fact_stage")
-      scratch.read(stage)
+      graft.tables.Scratch.stage(monthly, "s4_fact_stage", Seq("month"))
         .filter(col("month") === lit("1995-02-01").cast("date"))
         .groupBy(col("month"))
         .agg(QueryDef.dsum(col("o_totalprice")).as("revenue"),

@@ -67,10 +67,13 @@ object Scratch {
 
   /** Drop stale generations of `base`: anything more than `keepLast`
     * behind the current counter. `keepLast` is the concurrency bound — a
-    * stage still being read is safe as long as no more than `keepLast`
-    * newer invocations started since it was written.
+    * stage is safe to read as long as fewer than `keepLast` newer
+    * invocations of the SAME family started since it was written. 16
+    * accommodates wide fan-outs of lazily-consumed results (e.g. building
+    * many dedup DataFrames before executing any) while still bounding the
+    * on-disk footprint.
     */
-  def gc(spark: SparkSession, base: String, keepLast: Int = 4): Unit = {
+  def gc(spark: SparkSession, base: String, keepLast: Int = 16): Unit = {
     val current = gen(base).get()
     val p = new org.apache.hadoop.fs.Path(root(spark))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -86,11 +89,25 @@ object Scratch {
     }
   }
 
-  /** Drop this application's entire scratch tree (driver-side FS call). */
+  /** Drop this application's entire scratch tree, and opportunistically
+    * reclaim sibling app directories idle for over an hour — crashed or
+    * test-suite JVMs never reach their own cleanup, and nothing else can
+    * ever delete a dead app's namespace. The idle threshold is generous:
+    * any live app touches its stages far more often. (Wall-clock here is
+    * housekeeping only — never in a query path, so determinism/replay are
+    * unaffected.)
+    */
   def cleanup(spark: SparkSession): Unit = {
-    val p = new org.apache.hadoop.fs.Path(root(spark))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
-    ()
+    val mine = new org.apache.hadoop.fs.Path(root(spark))
+    val fs = mine.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(mine, true)
+    val parent = mine.getParent
+    if (parent != null && fs.exists(parent)) {
+      val idleMs = 60L * 60 * 1000
+      val now = System.currentTimeMillis()
+      fs.listStatus(parent)
+        .filter(st => st.isDirectory && now - st.getModificationTime > idleMs)
+        .foreach { st => fs.delete(st.getPath, true); () }
+    }
   }
 }

@@ -140,6 +140,19 @@ class DedupPropertySpec extends SparkSpec {
     assert(base.map(_._1) === (1 to 6))
   }
 
+  test("ivfAssign: null embedding falls to the lowest centroid id, never a null cluster") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    val cents = vecs.filter($"vec_id" < 2)
+    val assigned = Similarity.ivfAssign(vecs, cents, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // the windowed form (DESC ranks nulls last, centroid-id tiebreak) and
+    // the DuckDB oracles both resolve a degenerate row to the lowest id
+    assert(assigned(2L) === Some(0L))
+    assert(assigned(0L) === Some(0L) && assigned(1L) === Some(1L))
+  }
+
   test("cosinePairsClustered ⊆ cosinePairs; identical vectors always pair") {
     val rnd = new Random(7)
     val vecs = ((0 until 40).map(i =>

@@ -133,6 +133,45 @@ object Dedup {
   private def staged(df: DataFrame, base: String): DataFrame =
     graft.tables.Scratch.stage(df, base)
 
+  /** Duplicate-group formation: connected components over an undirected
+    * near-dup pair set (the standard consumption of [[minhashDedup]] /
+    * [[simhashPairs]] output — group duplicates, keep one canonical doc).
+    *
+    * Fixed-iteration min-label propagation: every node starts labeled with
+    * its own id; each round takes the min over its own and its neighbors'
+    * labels. After `iters` rounds every component of diameter ≤ `iters`
+    * is uniformly labeled with its min member id. Iterations are exact
+    * integer min-aggregations — deterministic, engine-independent, and
+    * replayable as unrolled SQL CTEs (the oracle runs the identical
+    * rounds, converged or not).
+    *
+    * Scale: each round is one shuffle on the node id (edges pre-projected
+    * both directions); near-dup components are boilerplate clusters with
+    * tiny diameters, so a handful of rounds suffices — the giant-diameter
+    * adversary (a long chain) needs the large-star/small-star family
+    * instead, which trades determinism for O(log n) rounds. The pair set
+    * is staged once so each round scans parquet, not the dedup pipeline.
+    */
+  def components(pairs: DataFrame, iters: Int = 8): DataFrame = {
+    val p = staged(pairs.select(col("id_a"), col("id_b")), "cc_pairs_stage")
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val nodes = edges.select(col("src").as("id")).distinct()
+    var labels = nodes.select(col("id"), col("id").as("label"))
+    for (i <- 1 to iters) {
+      val viaNbr = edges
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .select(col("src").as("id"), col("label"))
+      labels = labels.union(viaNbr)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+      // stage every other round: keeps the lineage (and its re-execution
+      // cost under Spark's per-reference recompute) from growing
+      // geometrically with the iteration count
+      if (i % 2 == 0 && i < iters) labels = staged(labels, "cc_labels_stage")
+    }
+    labels
+  }
+
   /** Bucket-join pairing with a hot-bucket cap: buckets of size ≤ cap emit
     * all (a<b) pairs via self-join; larger buckets emit only (rep, member)
     * star pairs, rep = min id.

@@ -706,6 +706,44 @@ object ExtQueries {
       SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM asg ORDER BY vec_id
     """))
 
+  /** X3 — dedup-group formation: connected components over the verified
+    * MinHash near-dup pairs (4 rounds of min-label propagation — a
+    * jaccard-0.8 near-dup cluster with graph diameter over 4 does not
+    * occur in practice, and the fixed round count is part of the query's
+    * semantics: the oracle unrolls the identical rounds as chained CTEs,
+    * so both engines agree converged or not).
+    */
+  val x3DedupGroups = QueryDef(
+    "x3_dedup_groups",
+    (s, dir) => {
+      val pairs = Dedup.minhashDedup(Td(s, dir, "documents"), "doc_id", "text",
+        n = 3, k = 12, bands = 3, threshold = 0.8)
+      Dedup.components(pairs, iters = 4)
+        .select(col("id").as("doc_id"), col("label").as("group_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      // every round references its predecessor twice — MATERIALIZED stops
+      // DuckDB's CTE inlining from expanding the whole minhash pipeline
+      // 2^8 times (mirrors the Spark side's every-other-round staging)
+      val rounds = (1 to 4).map { t =>
+        s"""l$t AS MATERIALIZED (SELECT id, min(label) AS label FROM (
+              SELECT id, label FROM l${t - 1}
+              UNION ALL
+              SELECT e.src AS id, l${t - 1}.label FROM e JOIN l${t - 1} ON e.dst = l${t - 1}.id
+            ) u GROUP BY id)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH ${minhashPairsSql("documents", 0.8)},
+      e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM mh_pairs
+            UNION ALL SELECT id_b AS src, id_a AS dst FROM mh_pairs),
+      n0 AS (SELECT DISTINCT src AS id FROM e),
+      l0 AS MATERIALIZED (SELECT id, id AS label FROM n0),
+      $rounds
+      SELECT id AS doc_id, label AS group_id FROM l4 ORDER BY doc_id
+    """
+    })
+
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
@@ -713,5 +751,6 @@ object ExtQueries {
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket,
-    s1KnnBrute, s2AnnIvf, m1MediaMeta, c1Curation, x1HllDistinct, x2KmeansIvf)
+    s1KnnBrute, s2AnnIvf, m1MediaMeta, c1Curation, x1HllDistinct, x2KmeansIvf,
+    x3DedupGroups)
 }

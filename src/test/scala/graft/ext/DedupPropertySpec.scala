@@ -140,6 +140,28 @@ class DedupPropertySpec extends SparkSpec {
     assert(base.map(_._1) === (1 to 6))
   }
 
+  test("components: min-label propagation groups chains, keeps components apart") {
+    // chain 1-2-3-4 (diameter 3), pair 10-11, pair 20-21 sharing nothing
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.components(pairs, iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("components: a diameter-d chain converges within d rounds, not before") {
+    val chain = (1L to 9L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id_a", "id_b")
+    val full = Dedup.components(chain, iters = 8)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(full === Set(1L)) // diameter 8 fully labeled in 8 rounds
+    // after t rounds a node holds the min id within t hops: node 9 sees 7
+    val partial = Dedup.components(chain, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(partial(9L) === 7L)
+    assert(partial(3L) === 1L)
+  }
+
   test("ivfAssign: null embedding falls to the lowest centroid id, never a null cluster") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),

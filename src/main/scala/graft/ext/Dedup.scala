@@ -172,6 +172,54 @@ object Dedup {
     labels
   }
 
+  /** Connected components to convergence — the adversarial-diameter variant
+    * of [[components]] (same input/output contract: pairs in, (id, label =
+    * component min id) out). Each round does min-label propagation over the
+    * edges PLUS a pointer jump (label := the label's own label — labels are
+    * node ids, so the self-join always resolves). The jump halves the
+    * remaining label-chain length every round, so a path graph of n nodes
+    * converges in O(log n) rounds instead of n — the large-star/small-star
+    * complexity class (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) with the same per-round shape this file already
+    * uses: hash-shuffled joins and min-aggs, no driver-side graph.
+    *
+    * Convergence is detected exactly: labels only ever decrease, so the
+    * exact decimal SUM of labels strictly decreases until the fixpoint —
+    * equal consecutive sums ⇔ converged. That probe is one action per
+    * round (each round is staged anyway, keeping lineage flat), which makes
+    * this variant driver-interactive rather than single-plan — use
+    * [[components]] when the result must be replayable as unrolled SQL; use
+    * this when the graph's diameter is unknown.
+    */
+  def componentsConverged(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val p = staged(pairs.select(col("id_a"), col("id_b")), "ccs_pairs_stage")
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val nodes = edges.select(col("src").as("id")).distinct()
+    var labels = staged(nodes.select(col("id"), col("id").as("label")), "ccs_labels_stage")
+    var prevSum: Option[java.math.BigDecimal] = None
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val viaNbr = edges
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .select(col("src").as("id"), col("label"))
+      val prop = labels.union(viaNbr)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+      val jumped = prop.alias("a")
+        .join(prop.select(col("id").as("_lid"), col("label").as("_llabel")),
+          col("a.label") === col("_lid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.label"), coalesce(col("_llabel"), col("a.label"))).as("label"))
+      labels = staged(jumped, "ccs_labels_stage")
+      val s = labels.agg(sum(col("label").cast("decimal(38,0)")).as("s")).head.getDecimal(0)
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
+      round += 1
+    }
+    labels
+  }
+
   /** Bucket-join pairing with a hot-bucket cap: buckets of size ≤ cap emit
     * all (a<b) pairs via self-join; larger buckets emit only (rep, member)
     * star pairs, rep = min id.

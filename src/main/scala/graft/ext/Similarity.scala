@@ -167,6 +167,16 @@ object Similarity {
   def quantize(c: Column): Column =
     transform(asDouble(c), x => round(x * QuantScale) / QuantScale)
 
+  /** Deterministic, engine-independent sampling bucket over an id column:
+    * the first two hex nibbles of md5(id-as-string), an integer in [0, 256).
+    * `sampleBucket(col(id)) % m === 0` keeps a ~1/m pseudo-random,
+    * content-independent sample — replayable bit-for-bit by any engine with
+    * md5 (DuckDB: `(strpos('0123456789abcdef', substr(md5(CAST(id AS
+    * VARCHAR)), 1, 1)) - 1) * 16 + (strpos(…, 2, 1) - 1)`).
+    */
+  def sampleBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 2), 16, 10).cast("int")
+
   /** Deterministic fixed-iteration Lloyd k-means over 2^-20-quantized
     * embeddings — IVF centroid training (replaces any "first k vectors as
     * centroids" demo seeding with actual cluster structure).
@@ -181,24 +191,36 @@ object Similarity {
     *     one shuffle on (cluster, pos).
     *
     * Returns (centroid_id ∈ [1,k], `vecCol` array<double>). Training at
-    * 100 TB runs on a sample; assignment of the full corpus is the
-    * broadcast-join pass in [[ivfAssign]].
+    * 100 TB runs on a sample: `sampleMod = Some(m)` trains on the
+    * deterministic ~1/m md5-bucket sample of the corpus
+    * ([[sampleBucket]] % m == 0 — engine-independent, so the oracle replays
+    * the identical subset as a WHERE clause); assignment of the full corpus
+    * is the broadcast-join pass in [[ivfAssign]].
     */
   def kmeansTrain(
       df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int, sampleMod: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val src = sampleMod.fold(df)(m => df.filter(sampleBucket(col(idCol)) % m === 0))
     val corpus = withNorm(
-      df.select(col(idCol), quantize(col(vecCol)).as(vecCol)), vecCol, "nrm")
+      src.select(col(idCol), quantize(col(vecCol)).as(vecCol)), vecCol, "nrm")
 
-    val seedW = Window.orderBy(col(idCol))
+    // Seed with the k smallest-id vectors via orderBy + limit: Spark plans
+    // TakeOrderedAndProject — a parallel per-partition top-k with a driver
+    // merge of k rows — instead of the former no-partition Window, which
+    // sorted the ENTIRE training frame into a single partition just to pick
+    // k rows (disqualifying at 100 TB, even on a sample). Centroid ids 1..k
+    // are assigned on the driver in ascending id order — bit-identical to
+    // row_number() seeding, so the DuckDB oracle's QUALIFY form is unchanged.
     var centroids: Seq[(Int, Seq[Double])] = corpus
-      .withColumn("centroid_id", row_number().over(seedW))
-      .filter(col("centroid_id") <= k)
-      .select(col("centroid_id"), col(vecCol))
+      .select(col(idCol), col(vecCol))
+      .orderBy(col(idCol))
+      .limit(k)
       .collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq
+      .zipWithIndex
+      .map { case (r, i) => (i + 1) -> r.getSeq[Double](1).toSeq }
+      .toSeq
 
     for (_ <- 0 until iters) {
       // map-only nearest-centroid projection (no cross join, no window —

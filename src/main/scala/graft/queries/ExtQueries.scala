@@ -357,10 +357,10 @@ object ExtQueries {
     * exact-sum component means with empty-cluster carry-over. Final
     * centroids are CTE `c<iters>` (centroid_id, cv).
     */
-  private def kmeansCte(k: Int, iters: Int): String = {
+  private def kmeansCte(k: Int, iters: Int, srcWhere: String = ""): String = {
     val base =
       s"""q AS (SELECT vec_id, list_transform(embedding,
-           x -> round(CAST(x AS DOUBLE) * 1048576.0) / 1048576.0) AS qv FROM embeddings),
+           x -> round(CAST(x AS DOUBLE) * 1048576.0) / 1048576.0) AS qv FROM embeddings$srcWhere),
       qn AS (SELECT vec_id, qv,
                sqrt(list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b)) AS qnrm FROM q),
       c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, qv AS cv
@@ -706,6 +706,45 @@ object ExtQueries {
       SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM asg ORDER BY vec_id
     """))
 
+  /** DuckDB twin of [[Similarity.sampleBucket]] % m == 0: first two md5 hex
+    * nibbles of the id as an integer, mod m. Same md5, same nibble
+    * arithmetic ⇒ the identical subset in both engines.
+    */
+  private def sampleFilterSql(idCol: String, m: Int): String =
+    s"((strpos('0123456789abcdef', substr(md5(CAST($idCol AS VARCHAR)), 1, 1)) - 1) * 16 + " +
+      s"(strpos('0123456789abcdef', substr(md5(CAST($idCol AS VARCHAR)), 2, 1)) - 1)) % $m = 0"
+
+  /** X5 — sampled k-means training, the documented 100 TB path in code:
+    * centroids train on the deterministic ~1/4 md5-bucket sample of the
+    * corpus, then the FULL corpus is IVF-assigned to them. The sample filter
+    * is engine-independent (md5 nibbles, no RNG), so the oracle replays the
+    * identical training subset — any drift in the sampling, seeding, or
+    * Lloyd arithmetic flips assignments.
+    */
+  val x5KmeansSample = QueryDef(
+    "x5_kmeans_sample",
+    (s, dir) => {
+      val emb = Td(s, dir, "embeddings")
+      val cents = Similarity.kmeansTrain(emb, "vec_id", "embedding", k = 8, iters = 2,
+          sampleMod = Some(4))
+        .select(col("centroid_id").cast("long").as("vec_id"), col("embedding"))
+      Similarity.ivfAssign(emb, cents, "vec_id", "embedding")
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH $vecCte,
+      ${kmeansCte(8, 2, srcWhere = s" WHERE ${sampleFilterSql("vec_id", 4)}")},
+      ${trainedCentSql(2)},
+      asg0 AS (SELECT n.vec_id, cent.centroid_id,
+                 ${dotSql.format("n.v", "centv")} / (n.nrm * centn) AS ccos
+               FROM n CROSS JOIN cent),
+      asg AS (SELECT vec_id, centroid_id AS cluster FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rnk
+                FROM asg0) WHERE rnk = 1)
+      SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM asg ORDER BY vec_id
+    """))
+
   /** X3 — dedup-group formation: connected components over the verified
     * MinHash near-dup pairs (4 rounds of min-label propagation — a
     * jaccard-0.8 near-dup cluster with graph diameter over 4 does not
@@ -752,5 +791,5 @@ object ExtQueries {
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket,
     s1KnnBrute, s2AnnIvf, m1MediaMeta, c1Curation, x1HllDistinct, x2KmeansIvf,
-    x3DedupGroups)
+    x3DedupGroups, x5KmeansSample)
 }

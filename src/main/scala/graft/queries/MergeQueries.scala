@@ -152,7 +152,41 @@ object MergeQueries {
       GROUP BY 1 ORDER BY 1
     """))
 
+  /** X4 — sessionization, batch twin of the streaming
+    * `flatMapGroupsWithState` sessionizer ([[graft.streaming.Streams
+    * .sessionize]]): per-user sessions closing after 30 minutes of
+    * event-time inactivity, as gaps-and-islands (lag + cumulative sum of
+    * session opens). Oracles the one streaming operator that previously had
+    * only a spec: same gap, same tie rule (ts, event_id), so the streaming
+    * path, this batch path, and the DuckDB replay all agree on session
+    * boundaries and aggregates.
+    */
+  val x4Sessionize = QueryDef(
+    "x4_sessionize",
+    (s, dir) =>
+      graft.streaming.Streams.sessionizeBatch(Td(s, dir, "events"), gapMs = 30L * 60 * 1000)
+        .orderBy(col("user_id"), col("session_id")),
+    Some("""
+      WITH f AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                    THEN 1 ELSE 0 END AS opens
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT *, SUM(opens) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM f)
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+      FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id
+    """))
+
   val all: Seq[QueryDef] = Seq(
     s8MergeUpsert, s8MergeInsertOnly, s8AffectedMonths, e1EventHourly,
-    s4PartitionPrune)
+    s4PartitionPrune, x4Sessionize)
 }

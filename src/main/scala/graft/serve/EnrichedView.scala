@@ -31,10 +31,13 @@ object EnrichedView {
       .join(dimDate, fact("date") === dimDate("month_start_date"), "left")
       .join(dimCust, Seq("customer_code"), "left")
       .join(dimProd, Seq("product_code"), "left")
+      // price joins on (product_code, year) ONLY — matching the reference
+      // view exactly (denormalise_table_query_fmcg.txt:49-51): a fact row
+      // missing from dim_products but priced in dim_gross_price still gets
+      // its price (and a revenue), with null product attributes.
       .join(dimPrice,
-        dimProd("product_code").isNotNull.and(
-          dimPrice("product_code") === fact("product_code")).and(
-          dimPrice("year") === year(fact("date"))), "left")
+        dimPrice("product_code") === fact("product_code") &&
+          dimPrice("year") === year(fact("date")), "left")
       .select(
         fact("date"), col("date_key"), col("year_quarter"),
         fact("product_code"), col("division"), col("category"),

@@ -23,13 +23,18 @@ object Quality {
     * (product_code, year) checks (README.md:257-266).
     */
   def joinCoverage(fact: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame = {
-    val matched = fact.join(dim.select(keys.map(col): _*).distinct(), keys, "left_semi").count()
-    val total = fact.count()
-    val spark = fact.sparkSession
-    import spark.implicits._
-    Seq((total, matched, total - matched,
-      if (total == 0) 1.0 else matched.toDouble / total))
-      .toDF("fact_rows", "matched", "missing", "coverage")
+    // single aggregation over one left join against the DISTINCT dim keys
+    // (distinct keeps the join row-preserving on the fact side) — one job
+    // when the caller acts on it, instead of two driver-side count() jobs;
+    // nothing is collected here at all
+    val hit = dim.select(keys.map(col): _*).distinct().withColumn("_gm_hit", lit(1))
+    fact.join(hit, keys, "left")
+      .agg(count(lit(1)).as("fact_rows"), count(col("_gm_hit")).as("matched"))
+      .select(col("fact_rows"), col("matched"),
+        (col("fact_rows") - col("matched")).as("missing"),
+        when(col("fact_rows") === 0, lit(1.0))
+          .otherwise(col("matched").cast("double") / col("fact_rows").cast("double"))
+          .as("coverage"))
   }
 
   /** The fact rows that would be dropped/nulled by a dim join — top

@@ -120,17 +120,32 @@ object Streams {
             state.remove()
             Iterator.single(out)
           } else {
-            val evs = batch.toSeq
-            val prev = state.getOption
-            val starts = prev.map(_.session_start).toSeq ++ evs.map(_.ts)
-            val ends = prev.map(_.session_end).toSeq ++ evs.map(_.ts)
-            val ord = Ordering.by((t: java.sql.Timestamp) => t.getTime)
-            val updated = SessionSummary(
-              user_id = userId,
-              n_events = prev.map(_.n_events).getOrElse(0L) + evs.size,
-              total_value = prev.map(_.total_value).getOrElse(0.0) + evs.map(_.value).sum,
-              session_start = starts.min(ord),
-              session_end = ends.max(ord))
+            // Replay the batch in event-time order and split on intra-batch
+            // gaps too: a session boundary is a property of the DATA, not of
+            // micro-batch framing — without this, a backfill arriving as one
+            // big batch would fuse sessions a live stream (or the batch twin
+            // [[sessionizeBatch]]) keeps apart. Gap-closed sessions emit
+            // immediately; only the trailing open session stays in state.
+            val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionSummary]
+            var cur = state.getOption
+            for (e <- evs) cur match {
+              case Some(s) if e.ts.getTime - s.session_end.getTime > gapMs =>
+                closed += s
+                cur = Some(SessionSummary(userId, 1L, e.value, e.ts, e.ts))
+              case Some(s) =>
+                cur = Some(SessionSummary(
+                  user_id = userId,
+                  n_events = s.n_events + 1,
+                  total_value = s.total_value + e.value,
+                  session_start =
+                    if (e.ts.getTime < s.session_start.getTime) e.ts else s.session_start,
+                  session_end =
+                    if (e.ts.getTime > s.session_end.getTime) e.ts else s.session_end))
+              case None =>
+                cur = Some(SessionSummary(userId, 1L, e.value, e.ts, e.ts))
+            }
+            val updated = cur.get
             state.update(updated)
             // Clamp to the watermark: an event may legally trail the current
             // watermark by more than the gap (when the watermark delay exceeds
@@ -141,7 +156,7 @@ object Streams {
               state.getCurrentWatermarkMs() + 1,
               updated.session_end.getTime + gapMs)
             state.setTimeoutTimestamp(timeoutAt)
-            Iterator.empty
+            closed.iterator
           }
       }
   }
@@ -150,6 +165,35 @@ object Streams {
   def withEventWatermark(events: Dataset[Event], lateness: String): Dataset[Event] = {
     import events.sparkSession.implicits._
     events.withWatermark("ts", lateness).as[Event]
+  }
+
+  /** Batch twin of [[sessionize]]: gaps-and-islands over a static events
+    * frame. A session opens at the first event of a user and at any event
+    * whose gap to the user's previous event exceeds `gapMs`; the session id
+    * is the running count of opens — the exact session definition the
+    * streaming path implements with state + event-time timeouts, so on a
+    * fully-drained input the two agree (StreamsSpec asserts it, and the
+    * x4_sessionize oracle replays this as DuckDB lag + cumulative sum).
+    *
+    * Gap comparison is on millisecond epochs (exact integer arithmetic both
+    * engines); window order carries `event_id` as tiebreak so tied
+    * timestamps sessionize deterministically. One shuffle on user_id; both
+    * windows and the aggregation ride the same hash partitioning.
+    */
+  def sessionizeBatch(events: DataFrame, gapMs: Long): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("_prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("_opens", when(col("_prev").isNull ||
+        unix_millis(col("ts")) - unix_millis(col("_prev")) > gapMs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("_opens")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        graft.queries.QueryDef.dsum(col("value"), 28, 10).as("total_value"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"))
   }
 
   /** Streaming exact dedup with bounded state: duplicates arriving within

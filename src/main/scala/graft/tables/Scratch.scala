@@ -22,19 +22,39 @@ import org.apache.spark.sql.SparkSession
   * names from [[stageName]] carry a process-wide generation counter (two
   * interleaved runs of the same query in one session never clobber each
   * other — no wall clock involved, so replays stay deterministic).
-  * [[gc]] bounds the leak: generations more than `keepLast` behind the
-  * counter are dropped at the next invocation; [[cleanup]] (run after the
-  * final action of a bench/verify pass) removes this app's whole scratch.
+  *
+  * Lifecycle: [[gc]] bounds the in-app leak (generations more than
+  * `graft.scratch.keepLast` behind the counter are dropped at the next
+  * invocation); the first [[stage]] call registers a SparkListener that
+  * removes this app's whole namespace at application end, so normal exits
+  * leave nothing behind; [[cleanup]] additionally reclaims crashed sibling
+  * apps' namespaces — but ONLY directories that look like Spark application
+  * ids AND whose `_heartbeat` file (touched on every stage write) has been
+  * stale for over an hour. A live-but-paused app keeps its heartbeat's
+  * mtime from its last write — if that is over an hour old it can still be
+  * reclaimed, which is the documented residual risk of crash recovery
+  * without a lease service; directory mtimes (unreliable on object stores)
+  * are never consulted for liveness.
   */
 object Scratch {
 
   private val ScratchSubdir = "_graft_scratch"
+  private val HeartbeatFile = "_heartbeat"
+  // sibling reclamation only ever touches directories we could have
+  // created: Spark application-id shapes (local-*, app-*, application_*,
+  // spark-*). A user-configured graft.scratch.dir containing unrelated
+  // subdirectories never loses them to housekeeping.
+  private val AppDirPattern = "^(local-|app-|application_|spark-).*".r
+
   // per-base generation counters: gc's keepLast bound then counts
   // invocations of the SAME stage family, not unrelated stage activity
   private val gens =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
   private def gen(base: String) =
     gens.computeIfAbsent(base, _ => new java.util.concurrent.atomic.AtomicLong(0))
+
+  // app ids whose end-of-application cleanup listener is already registered
+  private val endHooks = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   def root(spark: SparkSession): String =
     spark.conf.getOption("graft.scratch.dir")
@@ -54,6 +74,10 @@ object Scratch {
     * and the stage is a hard optimizer barrier (no predicate-pushdown
     * substitution of big projected expressions into filters). Optionally
     * hive-partitioned for downstream partition pruning.
+    *
+    * Every stage write refreshes this app's `_heartbeat` (the liveness
+    * signal sibling reclamation checks) and — once per app — registers the
+    * end-of-application cleanup listener.
     */
   def stage(df: org.apache.spark.sql.DataFrame, base: String,
       partitionBy: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
@@ -61,6 +85,8 @@ object Scratch {
     val s = store(spark)
     val name = stageName(base)
     s.overwrite(name, df, partitionBy)
+    touchHeartbeat(spark)
+    registerEndHook(spark)
     gc(spark, base)
     s.read(name)
   }
@@ -68,12 +94,17 @@ object Scratch {
   /** Drop stale generations of `base`: anything more than `keepLast`
     * behind the current counter. `keepLast` is the concurrency bound — a
     * stage is safe to read as long as fewer than `keepLast` newer
-    * invocations of the SAME family started since it was written. 16
-    * accommodates wide fan-outs of lazily-consumed results (e.g. building
-    * many dedup DataFrames before executing any) while still bounding the
-    * on-disk footprint.
+    * invocations of the SAME family started since it was written; the
+    * `keepLast+1`-th invocation deletes the files under a still-unexecuted
+    * DataFrame, which then fails at action time with FileNotFoundException.
+    * The default 16 accommodates wide fan-outs of lazily-consumed results
+    * (e.g. building many dedup DataFrames before executing any); raise
+    * `graft.scratch.keepLast` for wider fan-outs, at the cost of on-disk
+    * footprint.
     */
   def gc(spark: SparkSession, base: String, keepLast: Int = 16): Unit = {
+    val keep = spark.conf.getOption("graft.scratch.keepLast")
+      .map(_.toInt).getOrElse(keepLast)
     val current = gen(base).get()
     val p = new org.apache.hadoop.fs.Path(root(spark))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -81,7 +112,7 @@ object Scratch {
       val pat = s"${java.util.regex.Pattern.quote(base)}_g(\\d+)".r
       fs.listStatus(p).foreach { st =>
         st.getPath.getName match {
-          case pat(n) if n.toLong <= current - keepLast =>
+          case pat(n) if n.toLong <= current - keep =>
             fs.delete(st.getPath, true); ()
           case _ => ()
         }
@@ -89,13 +120,45 @@ object Scratch {
     }
   }
 
-  /** Drop this application's entire scratch tree, and opportunistically
-    * reclaim sibling app directories idle for over an hour — crashed or
-    * test-suite JVMs never reach their own cleanup, and nothing else can
-    * ever delete a dead app's namespace. The idle threshold is generous:
-    * any live app touches its stages far more often. (Wall-clock here is
-    * housekeeping only — never in a query path, so determinism/replay are
-    * unaffected.)
+  /** Refresh this app's liveness marker (an empty `_heartbeat` file whose
+    * mtime is the last stage write). File mtimes are the upload time on
+    * object stores too — unlike directory mtimes, which S3A synthesizes.
+    */
+  private def touchHeartbeat(spark: SparkSession): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root(spark), HeartbeatFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(p, true).close()
+  }
+
+  /** Once per app: remove this app's namespace when the application ends —
+    * normal exits (benches, test suites, notebooks) clean up after
+    * themselves, making sibling reclamation a crash-recovery last resort.
+    * Root and Hadoop conf are captured eagerly: at onApplicationEnd the
+    * session is tearing down and conf lookups are no longer safe.
+    */
+  private def registerEndHook(spark: SparkSession): Unit = {
+    val appId = spark.sparkContext.applicationId
+    if (endHooks.add(appId)) {
+      val rootPath = new org.apache.hadoop.fs.Path(root(spark))
+      val hconf = new org.apache.hadoop.conf.Configuration(
+        spark.sparkContext.hadoopConfiguration)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          try rootPath.getFileSystem(hconf).delete(rootPath, true)
+          catch { case scala.util.control.NonFatal(_) => () } // best-effort
+      })
+    }
+  }
+
+  /** Drop this application's entire scratch tree, and reclaim crashed
+    * sibling app namespaces: directories that (a) are named like a Spark
+    * application id and (b) have a `_heartbeat` stale for over an hour
+    * (or no heartbeat at all and nothing newer to go on). Live apps
+    * refresh their heartbeat on every stage write, and normal exits remove
+    * their namespace via the end-of-application listener — this reap only
+    * ever fires for crashed JVMs. (Wall-clock here is housekeeping only —
+    * never in a query path, so determinism/replay are unaffected.)
     */
   def cleanup(spark: SparkSession): Unit = {
     val mine = new org.apache.hadoop.fs.Path(root(spark))
@@ -106,8 +169,26 @@ object Scratch {
       val idleMs = 60L * 60 * 1000
       val now = System.currentTimeMillis()
       fs.listStatus(parent)
-        .filter(st => st.isDirectory && now - st.getModificationTime > idleMs)
+        .filter { st =>
+          st.isDirectory &&
+          AppDirPattern.matches(st.getPath.getName) &&
+          heartbeatStaleSince(fs, st, now) > idleMs
+        }
         .foreach { st => fs.delete(st.getPath, true); () }
     }
+  }
+
+  /** Millis since the sibling's last liveness signal: its `_heartbeat`
+    * mtime if present, else the directory's own mtime (pre-heartbeat or
+    * foreign layouts — already filtered to app-id-shaped names).
+    */
+  private def heartbeatStaleSince(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.FileStatus, now: Long): Long = {
+    val hb = new org.apache.hadoop.fs.Path(dir.getPath, HeartbeatFile)
+    val last =
+      if (fs.exists(hb)) fs.getFileStatus(hb).getModificationTime
+      else dir.getModificationTime
+    now - last
   }
 }

@@ -162,6 +162,42 @@ class DedupPropertySpec extends SparkSpec {
     assert(partial(3L) === 1L)
   }
 
+  test("componentsConverged labels a 1000-node path in O(log n) rounds (adversarial diameter)") {
+    // the documented limitation of fixed-round components: a diameter-999
+    // chain would need 999 min-label rounds; the pointer-jumping variant
+    // must fully label it inside its default 30-round budget (~log2 n)
+    val chain = (1L to 1000L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id_a", "id_b")
+    val got = Dedup.componentsConverged(chain).collect().map(r => r.getLong(1)).toSet
+    assert(got === Set(1L))
+  }
+
+  test("componentsConverged agrees with fixed-round components on small-diameter graphs") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val fixed = Dedup.components(pairs, iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val conv = Dedup.componentsConverged(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(conv === fixed)
+  }
+
+  test("kmeansTrain sampleMod trains on exactly the md5-bucket sample") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val sampled = Similarity.kmeansTrain(emb, "vec_id", "embedding",
+        k = 4, iters = 2, sampleMod = Some(4))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).sortBy(_._1).toSeq
+    // hand-filtered equivalent: same bucket filter applied up front
+    val manual = Similarity.kmeansTrain(
+        emb.filter(Similarity.sampleBucket(col("vec_id")) % 4 === 0),
+        "vec_id", "embedding", k = 4, iters = 2)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).sortBy(_._1).toSeq
+    assert(sampled === manual)
+    // the sample is real: training on it diverges from full-corpus training
+    val full = Similarity.kmeansTrain(emb, "vec_id", "embedding", k = 4, iters = 2)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).sortBy(_._1).toSeq
+    assert(sampled !== full)
+  }
+
   test("ivfAssign: null embedding falls to the lowest centroid id, never a null cluster") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),

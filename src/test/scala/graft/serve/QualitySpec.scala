@@ -27,6 +27,23 @@ class QualitySpec extends SparkSpec {
     assert(r.getDouble(3) === 0.5)
   }
 
+  test("joinCoverage is lazy: building it runs zero jobs (single-aggregation form)") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val cov = Quality.joinCoverage(fact, dim, Seq("product_code"))
+      Thread.sleep(1000) // listener delivery is async; any eager job has long started
+      // the old implementation ran two eager count() actions right here
+      assert(jobs.get() === 0, "building the coverage frame must not run jobs")
+      assert(cov.head().getDouble(3) === 0.5)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("missingKeys surfaces top offenders by frequency") {
     val m = Quality.missingKeys(fact, dim, Seq("product_code")).collect()
       .map(r => (r.getString(0), r.getLong(1)))

@@ -91,6 +91,44 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeBatch agrees with streaming sessionize on a fully-drained input") {
+    implicit val sc = spark.sqlContext
+    val fixture = Seq(
+      Streams.Event(1, ts("2026-01-01 10:00:00"), 7, "click", 1.5),
+      Streams.Event(2, ts("2026-01-01 10:00:10"), 7, "click", 2.5),
+      Streams.Event(3, ts("2026-01-01 11:00:00"), 7, "view", 1.0), // gap > 60s → new session
+      Streams.Event(4, ts("2026-01-01 10:30:00"), 8, "view", 0.5))
+
+    val in = MemoryStream[Streams.Event]
+    val sessions = Streams.sessionize(
+      Streams.withEventWatermark(in.toDS(), "0 seconds"), gapMs = 60000)
+    val q = sessions.writeStream.format("memory").queryName("sessions_twin")
+      .outputMode(OutputMode.Append).start()
+    val streamed =
+      try {
+        in.addData(fixture: _*)
+        q.processAllAvailable()
+        // sentinel user advances the watermark past every fixture session's
+        // timeout; the flush lands on the following batch
+        in.addData(Streams.Event(98, ts("2026-01-01 12:00:00"), 99, "view", 0.0))
+        q.processAllAvailable()
+        in.addData(Streams.Event(99, ts("2026-01-01 12:01:00"), 99, "view", 0.0))
+        q.processAllAvailable()
+        spark.table("sessions_twin").collect()
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start").toString,
+            r.getAs[Timestamp]("session_end").toString,
+            r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+      } finally q.stop()
+
+    val batch = Streams.sessionizeBatch(fixture.toDF(), gapMs = 60000).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        ts(r.getAs[String]("session_start")).toString, ts(r.getAs[String]("session_end")).toString,
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+
+    assert(streamed === batch)
+    assert(batch.size === 3) // two sessions for user 7, one for user 8
+  }
+
   test("dedupStream drops duplicates within the watermark horizon") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Streams.Event]

@@ -783,6 +783,37 @@ object ExtQueries {
     """
     })
 
+  /** X6 — dedup groups to CONVERGENCE: [[Dedup.componentsConverged]]
+    * (pointer-jumping min-label, O(log n) rounds) over the same verified
+    * MinHash pair set as x3. Unlike x3's fixed-round contract, the output
+    * here is the true component minimum for every node regardless of
+    * diameter — which a recursive CTE expresses exactly (the transitive
+    * closure's min reachable id), so even the convergent variant is
+    * oracle-checked, not just property-tested.
+    */
+  val x6DedupGroupsConv = QueryDef(
+    "x6_dedup_groups_conv",
+    (s, dir) => {
+      val pairs = Dedup.minhashDedup(Td(s, dir, "documents"), "doc_id", "text",
+        n = 3, k = 12, bands = 3, threshold = 0.8)
+      Dedup.componentsConverged(pairs)
+        .select(col("id").as("doc_id"), col("label").as("group_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${minhashPairsSql("documents", 0.8)},
+      e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM mh_pairs
+            UNION ALL SELECT id_b AS src, id_a AS dst FROM mh_pairs),
+      reach AS (
+        SELECT src AS id, src AS label FROM e
+        UNION
+        SELECT e.src AS id, reach.label FROM e JOIN reach ON e.dst = reach.id)
+      SELECT id AS doc_id, min(label) AS group_id FROM reach GROUP BY id ORDER BY doc_id
+    """),
+    // the bench covers group formation via x3_dedup_groups (same pair set,
+    // fixed rounds); this convergence variant is correctness surface
+    benchmark = false)
+
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
@@ -791,5 +822,5 @@ object ExtQueries {
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket,
     s1KnnBrute, s2AnnIvf, m1MediaMeta, c1Curation, x1HllDistinct, x2KmeansIvf,
-    x3DedupGroups, x5KmeansSample)
+    x3DedupGroups, x5KmeansSample, x6DedupGroupsConv)
 }

@@ -1,0 +1,41 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data curation.
+  *
+  * Data mixing — downsampling over-represented strata (a language, a crawl
+  * source) to a target recipe — is a core corpus-building op at 100 TB. The
+  * usual `df.sample(fraction)` is RNG-seeded per partition: results change
+  * with partitioning and reruns, which breaks replayable pipelines and
+  * cross-engine verification. These operators sample by md5 bucket of the
+  * row id ([[Similarity.sampleBucket]]): content-independent,
+  * partitioning-independent, replayable bit-for-bit in any engine with md5
+  * — pure per-row map work, no shuffle, no state.
+  */
+object Sampling {
+
+  /** Keep ~1/m of rows, deterministically: md5-bucket(id) % m == 0. */
+  def uniform(df: DataFrame, idCol: String, m: Int): DataFrame =
+    df.filter(Similarity.sampleBucket(col(idCol)) % m === 0)
+
+  /** Per-stratum sampling rate as a Column: rows whose `strataCol` matches
+    * a key of `rates` keep ~1/rate, everything else ~1/defaultRate.
+    * `rates` is ordered (first match wins) so the expression is
+    * deterministic and replayable as a SQL CASE.
+    */
+  def strataRate(strataCol: Column, rates: Seq[(String, Int)], defaultRate: Int): Column =
+    rates.foldRight(lit(defaultRate): Column) { case ((k, m), acc) =>
+      when(strataCol === k, lit(m)).otherwise(acc)
+    }
+
+  /** Stratified deterministic sample: per-stratum keep rates (data-mixing
+    * recipe), md5-bucket membership. One codegen'd filter over the scan —
+    * the 100 TB shape: no shuffle, no per-stratum pass, no RNG.
+    */
+  def stratified(df: DataFrame, idCol: String, strataCol: String,
+      rates: Seq[(String, Int)], defaultRate: Int): DataFrame =
+    df.filter(
+      Similarity.sampleBucket(col(idCol)) % strataRate(col(strataCol), rates, defaultRate) === 0)
+}

@@ -155,6 +155,48 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** IVF approximate top-k for a SMALL query set (interactive search):
+    * same semantics as [[ivfSearch]], but the probed cluster ids — bounded
+    * by |Q|×nprobe BY CONTRACT, never by data size — are resolved on the
+    * driver first and pushed as a static `isin` partition filter on the
+    * cluster-partitioned index, so the scan reads the probed cluster
+    * directories and nothing else. (The dynamic-partition-pruning route
+    * falls back to a full scan here: the probe side's broadcast is not
+    * reusable for pruning under AQE — `dynamicpruningexpression(true)` —
+    * so the explicit prune is the reliable 100 TB shape. PlanSpec pins it:
+    * partitions read == probed clusters.) The collected probe rows are
+    * re-broadcast as a local relation, so the probe subplan runs exactly
+    * once. Use [[ivfSearch]] when the query set is itself data-sized —
+    * a single full index scan with a broadcast join is the right plan
+    * there, and nothing driver-side may depend on |Q|.
+    */
+  def ivfSearchPruned(
+      queries: DataFrame, assigned: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    val q = withNorm(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "qv", "qn")
+    val cent = withNorm(
+      centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("centv")), "centv", "centn")
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("centroid_id"))
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"),
+        (dot(col("qv"), col("centv")) / (col("qn") * col("centn"))).as("ccos"))
+      .withColumn("rnk", row_number().over(probeW)).filter(col("rnk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id").as("cluster"))
+    val probeRows = probes.collect() // |Q|×nprobe rows — driver-bounded by contract
+    val probedClusters = probeRows.map(_.getAs[Long]("cluster")).distinct.sorted.toSeq
+    val probesLocal = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probes.schema)
+    val scored = assigned
+      .filter(col("cluster").isInCollection(probedClusters)) // static partition prune
+      .join(broadcast(probesLocal), Seq("cluster"))
+      .filter(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        (dot(col("qv"), col(vecCol)) / (col("qn") * col("nrm"))).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Quantize vector components to the 2^-20 binary grid. Quantized sums
     * are EXACT in double arithmetic (components |x|≤~1 scale to ≤2^20-grid
     * integers; up to 2^33 of them sum inside the 53-bit mantissa), so

@@ -87,6 +87,17 @@ object TextAnalysis {
     }
   }
 
+  /** Non-distinct word bigrams — repetition analysis needs multiplicity,
+    * which the (deliberately deduplicating) shingle expression discards.
+    * Empty array for texts under two tokens.
+    */
+  def bigramsAll(c: Column): Column = {
+    val toks = wsTokens(c)
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+  }
+
   /** Canonical form for fingerprinting: lowercase, whitespace collapsed. */
   def normalized(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")

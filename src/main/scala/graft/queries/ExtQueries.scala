@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Td
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis => TA}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline extension queries (BASELINE.json north-star):
@@ -448,7 +448,10 @@ object ExtQueries {
       val assigned = graft.tables.Scratch.stage(
         Similarity.ivfAssign(emb, centroids, "vec_id", "embedding"),
         "s2_ivf_index", Seq("cluster"))
-      Similarity.ivfSearch(emb.filter(col("vec_id") < 5), assigned, centroids,
+      // pruned variant: the 5-query probe set resolves driver-side and the
+      // index scan reads only the probed cluster directories (PlanSpec pins
+      // partitions-read == probed clusters)
+      Similarity.ivfSearchPruned(emb.filter(col("vec_id") < 5), assigned, centroids,
           "vec_id", "embedding", k = 5, nprobe = 2)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk").cast("long").as("rnk"))
         .orderBy(col("query_id"), col("rnk"))
@@ -549,6 +552,56 @@ object ExtQueries {
         FROM tf JOIN dl ON tf.doc_id = dl.doc_id JOIN df ON tf.term = df.term CROSS JOIN n),
       r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk FROM scored)
       SELECT doc_id, term, score, rnk FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk
+    """))
+
+  /** T6 — repetition scoring (Gopher-style quality rule): the fraction of a
+    * document's word bigrams taken by its single most frequent bigram.
+    * Boilerplate and degenerate generations repeat n-grams; natural text
+    * doesn't. Non-distinct bigrams (multiplicity is the signal), one
+    * explode + two aggregations, single exact division.
+    */
+  val t6Repetition = QueryDef(
+    "t6_repetition",
+    (s, dir) => {
+      val bg = Td(s, dir, "documents")
+        .select(col("doc_id"), explode(TA.bigramsAll(col("text"))).as("bigram"))
+      bg.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_bigrams"), max(col("cnt")).as("top_count"))
+        .select(col("doc_id"), col("n_bigrams"), col("top_count"),
+          (col("top_count").cast("double") / col("n_bigrams").cast("double")).as("rep_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1),
+               i -> ws[i] || ' ' || ws[i+1])) AS bigram
+             FROM w WHERE len(ws) >= 2),
+      c AS (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2)
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams, CAST(MAX(cnt) AS BIGINT) AS top_count,
+             CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS rep_ratio
+      FROM c GROUP BY doc_id ORDER BY doc_id
+    """))
+
+  /** X7 — stratified deterministic sampling (the data-mixing op): keep 1/2
+    * of English docs and 1/4 of everything else, selected by md5 id-bucket
+    * — content-independent, partitioning-independent, and replayable as a
+    * plain WHERE in any engine (no RNG anywhere). At 100 TB this is a
+    * codegen'd filter riding the scan: no shuffle, no per-stratum pass.
+    */
+  val x7StratifiedSample = QueryDef(
+    "x7_stratified_sample",
+    (s, dir) =>
+      Sampling.stratified(Td(s, dir, "documents"), "doc_id", "lang",
+          rates = Seq("en" -> 2), defaultRate = 4)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      SELECT doc_id, lang, source FROM documents
+      WHERE ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1))
+            % (CASE WHEN lang = 'en' THEN 2 ELSE 4 END) = 0
+      ORDER BY doc_id
     """))
 
   /** The MinHash-LSH verified-pairs CTE chain (mirrors Dedup.minhashDedup)
@@ -818,9 +871,9 @@ object ExtQueries {
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
   val all: Seq[QueryDef] = Seq(
-    t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf,
+    t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket,
     s1KnnBrute, s2AnnIvf, m1MediaMeta, c1Curation, x1HllDistinct, x2KmeansIvf,
-    x3DedupGroups, x5KmeansSample, x6DedupGroupsConv)
+    x3DedupGroups, x5KmeansSample, x6DedupGroupsConv, x7StratifiedSample)
 }

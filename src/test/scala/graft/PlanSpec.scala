@@ -96,6 +96,45 @@ class PlanSpec extends SparkSpec {
       s"scan read ${scan.metrics("numPartitions").value} of $nMonths partitions")
   }
 
+  test("IVF pruned search reads only the probed cluster partitions (S2@scale)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions._
+    import graft.ext.Similarity
+    val emb = Td(spark, sf, "embeddings")
+    val cents = Similarity.kmeansTrain(emb, "vec_id", "embedding", k = 4, iters = 1)
+      .select(col("centroid_id").cast("long").as("vec_id"), col("embedding"))
+    val assigned = graft.tables.Scratch.stage(
+      Similarity.ivfAssign(emb, cents, "vec_id", "embedding"),
+      "plan_ivf_index", Seq("cluster"))
+    val nClusters = assigned.select("cluster").distinct().count()
+    assert(nClusters > 1, "index must span multiple cluster partitions")
+
+    // one query, nprobe=1: the pruned search must touch exactly 1 directory.
+    // (The DPP route is a no-op here — AQE plans dynamicpruningexpression(true)
+    // for this join — which is WHY ivfSearchPruned pushes the probed cluster
+    // set as a static isin partition filter instead.)
+    val df = Similarity.ivfSearchPruned(emb.filter(col("vec_id") === 0), assigned, cents,
+      "vec_id", "embedding", k = 3, nprobe = 1)
+    df.collect()
+    def findScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case f: FileSourceScanExec => Seq(f)
+        case a: AdaptiveSparkPlanExec => findScans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => findScans(q.plan)
+        case other => other.children.flatMap(findScans)
+      }
+    val idxScan = findScans(df.queryExecution.executedPlan)
+      .find(_.metadata.get("Location").exists(_.contains("plan_ivf_index")))
+      .getOrElse(fail(s"no index scan in:\n${df.queryExecution.executedPlan}"))
+    // the probed cluster set must reach the scan as a partition filter
+    // (directory prune), so the search reads nprobe directories, not the index
+    assert(idxScan.partitionFilters.exists(_.toString.contains("cluster")),
+      s"no cluster partition filter on the index scan: ${idxScan.partitionFilters}")
+    assert(idxScan.metrics("numPartitions").value === 1,
+      s"scan read ${idxScan.metrics("numPartitions").value} of $nClusters cluster partitions")
+  }
+
   test("upsert merge compiles to one join, not repeated target passes (S8)") {
     val t = Td(spark, sf, "customer").select("c_custkey", "c_acctbal")
     val s = Td(spark, sf, "customer").select("c_custkey", "c_acctbal")

@@ -211,6 +211,23 @@ class DedupPropertySpec extends SparkSpec {
     assert(assigned(0L) === Some(0L) && assigned(1L) === Some(1L))
   }
 
+  test("ivfSearchPruned returns exactly what ivfSearch returns (pruning is plan-only)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kmeansTrain(emb, "vec_id", "embedding", k = 4, iters = 2)
+      .select(col("centroid_id").cast("long").as("vec_id"), col("embedding"))
+    val assigned = graft.tables.Scratch.stage(
+      Similarity.ivfAssign(emb, cents, "vec_id", "embedding"), "prune_eq_index", Seq("cluster"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cos", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val full = rows(Similarity.ivfSearch(emb.filter($"vec_id" < 3), assigned, cents,
+      "vec_id", "embedding", k = 5, nprobe = 2))
+    val pruned = rows(Similarity.ivfSearchPruned(emb.filter($"vec_id" < 3), assigned, cents,
+      "vec_id", "embedding", k = 5, nprobe = 2))
+    assert(pruned === full)
+    assert(full.nonEmpty)
+  }
+
   test("cosinePairsClustered ⊆ cosinePairs; identical vectors always pair") {
     val rnd = new Random(7)
     val vecs = ((0 until 40).map(i =>

@@ -108,6 +108,18 @@ object Dedup {
     * other but not to the rep can drop out. Size the cap above legitimate
     * duplicate-group sizes; `Int.MaxValue` disables the tradeoff.
     */
+  /** Explode a signature table into (id, band, bucket): bucket = md5 of the
+    * band's concatenated hash slots.
+    */
+  private def bandBuckets(sig: DataFrame, idCol: String, bands: Int, rows: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", (0 until rows).map(r => col(s"h${b * rows + r}")): _*)).as("bucket"))
+    }
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+  }
+
   def minhashCandidates(sig: DataFrame, idCol: String, bands: Int = 3, rows: Int = 4,
       bucketCap: Int = Int.MaxValue): DataFrame = {
     // the capped path references the exploded index several times (hot
@@ -116,12 +128,7 @@ object Dedup {
     // (one narrow row per doc) so each pass scans cheap parquet instead of
     // recomputing shingles + k MinHash aggs (the c1 stage-table pattern)
     val sigS = if (bucketCap == Int.MaxValue) sig else staged(sig, "mh_sig_stage")
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws("|", (0 until rows).map(r => col(s"h${b * rows + r}")): _*)).as("bucket"))
-    }
-    val exploded = sigS.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    val exploded = bandBuckets(sigS, idCol, bands, rows)
     cappedPairs(exploded, idCol, Seq("band", "bucket"), bucketCap, Nil)
       .select("id_a", "id_b").distinct()
   }
@@ -306,6 +313,48 @@ object Dedup {
       .union(cands.select(col("id_b").as(idCol))).distinct()
     val shCand = staged(sh.join(broadcast(candDocs), Seq(idCol), "left_semi"),
       "mh_shcand_stage")
+    jaccardPairs(shCand, idCol)
+      .join(cands, Seq("id_a", "id_b"), "left_semi")
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental MinHash-LSH dedup: verified near-dup pairs TOUCHING the
+    * increment — new docs against the existing corpus and against each
+    * other — without re-pairing the base corpus with itself. This is the
+    * daily-crawl-against-history shape: the band-bucket index over
+    * base ∪ increment is the reusable artifact (staged here; at scale it
+    * persists across runs and the base share is append-only), and
+    * candidate generation joins only the increment's bucket rows against
+    * it — cost O(|inc| × bands) bucket probes, independent of |base|²
+    * (pairing the whole corpus per crawl is exactly what an incremental
+    * pipeline exists to avoid). Verification then prices only candidate
+    * docs, as in [[minhashDedup]].
+    *
+    * Output: (id_a < id_b, jaccard ≥ threshold) where at least one side is
+    * an increment doc — the base-base pair space is deliberately untouched.
+    */
+  def minhashDedupIncremental(
+      base: DataFrame, inc: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 12, bands: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val union = base.unionByName(inc)
+    val sh = shingleIndex(union, idCol, textCol, n)
+    val sig = minhashSignature(sh, idCol, k)
+    // the index artifact: one narrow (id, band, bucket) table
+    val eb = staged(bandBuckets(sig, idCol, bands, k / bands), "mh_inc_eb_stage")
+    val ebInc = eb.join(inc.select(col(idCol)), Seq(idCol), "left_semi")
+    val cands = staged(
+      ebInc.select(col(idCol).as("_x"), col("band"), col("bucket"))
+        .join(eb.select(col(idCol).as("_y"), col("band"), col("bucket")),
+          Seq("band", "bucket"))
+        .filter(col("_x") =!= col("_y"))
+        .select(least(col("_x"), col("_y")).as("id_a"),
+          greatest(col("_x"), col("_y")).as("id_b"))
+        .distinct(),
+      "mh_inc_cands_stage")
+    val candDocs = cands.select(col("id_a").as(idCol))
+      .union(cands.select(col("id_b").as(idCol))).distinct()
+    val shCand = staged(sh.join(broadcast(candDocs), Seq(idCol), "left_semi"),
+      "mh_inc_shcand_stage")
     jaccardPairs(shCand, idCol)
       .join(cands, Seq("id_a", "id_b"), "left_semi")
       .filter(col("jaccard") >= threshold)

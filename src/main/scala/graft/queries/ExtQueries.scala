@@ -270,6 +270,33 @@ object ExtQueries {
     // covers LSH dedup on the real corpus via d3_dedup_minhash
     benchmark = false)
 
+  /** D8 — incremental dedup: the "increment" is a deterministic ~1/4
+    * md5-bucket slice of the corpus (standing in for today's crawl), the
+    * rest is the existing base. Verified near-dup pairs touching the
+    * increment, found by probing only the increment's band buckets against
+    * the staged index — never re-pairing base against base. The oracle
+    * computes the FULL verified pair set and restricts it to
+    * increment-touching pairs: the incremental path must find exactly
+    * those, proving no recall is lost by skipping the base-base space.
+    */
+  val d8DedupIncremental = QueryDef(
+    "d8_dedup_incremental",
+    (s, dir) => {
+      val docs = Td(s, dir, "documents")
+      val isInc = Similarity.sampleBucket(col("doc_id")) % 4 === 0
+      Dedup.minhashDedupIncremental(
+          docs.filter(!isInc), docs.filter(isInc), "doc_id", "text",
+          n = 3, k = 12, bands = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""
+      WITH ${minhashPairsSql("documents", 0.8)},
+      inc AS (SELECT doc_id FROM documents WHERE ${sampleFilterSql("doc_id", 4)})
+      SELECT id_a, id_b, jaccard FROM mh_pairs
+      WHERE id_a IN (SELECT doc_id FROM inc) OR id_b IN (SELECT doc_id FROM inc)
+      ORDER BY id_a, id_b
+    """))
+
   /** D4 — SimHash near-dup: 64-bit sketch, Hamming ≤ 3 via 16-bit-chunk
     * pigeonhole, hot chunk-buckets capped at 32 members.
     */
@@ -873,7 +900,7 @@ object ExtQueries {
   val all: Seq[QueryDef] = Seq(
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
-    d6DedupEmbedIvf, d7DedupHotbucket,
+    d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental,
     s1KnnBrute, s2AnnIvf, m1MediaMeta, c1Curation, x1HllDistinct, x2KmeansIvf,
     x3DedupGroups, x5KmeansSample, x6DedupGroupsConv, x7StratifiedSample)
 }

@@ -47,11 +47,14 @@ object Quality {
       .orderBy(col("n_rows").desc, col(keys.head))
       .limit(topN)
 
-  /** Column null-rate profile — cheap schema-drift tripwire. */
+  /** Column null-rate profile — cheap schema-drift tripwire. One lazy
+    * aggregation (row count included), no eager driver count().
+    */
   def nullRates(df: DataFrame): DataFrame = {
-    val total = df.count().max(1L)
-    val exprs = df.columns.map(c =>
-      (sum(when(col(c).isNull, 1L).otherwise(0L)) / lit(total.toDouble)).as(c))
-    df.agg(exprs.head, exprs.tail: _*)
+    val nullCounts = df.columns.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_gm_null_$c"))
+    df.agg(count(lit(1)).as("_gm_n"), nullCounts.toSeq: _*)
+      .select(df.columns.map(c =>
+        (col(s"_gm_null_$c") / greatest(col("_gm_n"), lit(1)).cast("double")).as(c)).toSeq: _*)
   }
 }

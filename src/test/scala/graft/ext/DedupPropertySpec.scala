@@ -46,6 +46,23 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("minhashDedupIncremental == full pairs restricted to increment-touching (no recall loss)") {
+    for (seed <- Seq(5, 6)) {
+      val df = corpus(seed, 40).toDF("doc_id", "text")
+      val full = Dedup.minhashDedup(df, "doc_id", "text", threshold = 0.7)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // increment = every third doc (planted copies land on both sides)
+      val isInc = col("doc_id") % 3 === 0
+      val incIds = df.filter(isInc).select("doc_id").collect().map(_.getLong(0)).toSet
+      val incr = Dedup.minhashDedupIncremental(
+          df.filter(!isInc), df.filter(isInc), "doc_id", "text", threshold = 0.7)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = full.filter { case (a, b) => incIds(a) || incIds(b) }
+      assert(incr === expected)
+      assert(incr.nonEmpty, "fixture should plant at least one increment-touching pair")
+    }
+  }
+
   test("simhashPairs bucket join == brute-force Hamming <= 3 (pigeonhole completeness)") {
     for (seed <- Seq(3, 4)) {
       val df = corpus(seed, 35).toDF("doc_id", "text")

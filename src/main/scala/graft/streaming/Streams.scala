@@ -196,6 +196,45 @@ object Streams {
         date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"))
   }
 
+  /** Streaming near-dup detection — the streaming twin of
+    * [[graft.ext.Dedup.minhashDedupIncremental]]: each micro-batch of
+    * documents is deduped against the accumulated history via the
+    * incremental MinHash path (the batch probes the band index; history is
+    * never re-paired against itself), verified pairs append to
+    * `pairsTable`, and the batch then joins the history so later batches
+    * dedup against it. The first batch self-dedups (empty base degrades
+    * incremental to the plain path). Near-dup state is the HISTORY TABLE,
+    * not executor state-store memory — at 100 TB the corpus can't live in
+    * state, and a shared-FS table is exactly where an incremental dedup
+    * index belongs; the checkpoint still gives at-least-once batch
+    * processing. AvailableNow trigger: drain-what-landed semantics.
+    */
+  def nearDupSink(
+      docs: DataFrame, store: TableStore, historyTable: String, pairsTable: String,
+      checkpoint: String, threshold: Double = 0.8): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // re-delivered doc ids must not near-dup-match themselves
+        val b = graft.clean.Normalize.dedupKeep(batch, Seq("doc_id"), Seq(col("text")))
+        val fresh =
+          if (store.exists(historyTable))
+            b.join(store.read(historyTable).select("doc_id"), Seq("doc_id"), "left_anti")
+          else b
+        val base =
+          if (store.exists(historyTable)) store.read(historyTable) else fresh.limit(0)
+        val pairs = graft.ext.Dedup.minhashDedupIncremental(
+            base, fresh, "doc_id", "text", threshold = threshold)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+        if (store.exists(pairsTable)) store.append(pairsTable, pairs)
+        else store.overwrite(pairsTable, pairs)
+        if (store.exists(historyTable)) store.append(historyTable, fresh)
+        else store.overwrite(historyTable, fresh)
+      }
+      .start()
+
   /** Streaming exact dedup with bounded state: duplicates arriving within
     * the watermark horizon are dropped; state for keys older than the
     * watermark is evicted (`dropDuplicatesWithinWatermark` — the streaming

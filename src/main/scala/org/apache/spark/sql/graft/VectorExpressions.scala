@@ -83,14 +83,19 @@ object VectorExpressions {
       DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
 
-/** Native distinct word-n-gram shingling: `word_shingles(tokens, n)` ≡
+/** Native word-n-gram shingling: `word_shingles(tokens, n)` ≡
   * `array_distinct(transform(sequence(1, size-n+1), i -> array_join(
   * slice(tokens, i, n), " ")))` with a whole-tokens fallback when
   * size < n — but in ONE pass per row instead of interpreted per-element
-  * lambda chains (transform/slice/array_join are non-codegen higher-order
-  * functions; this is the hot path of every shingle-based dedup operator).
+  * lambda chains. Beyond being non-codegen, a captured subexpression
+  * inside a higher-order lambda (e.g. the `split` producing the token
+  * array) is RE-EVALUATED per element — O(n²) regex work per document;
+  * this is the hot path of every shingle-based operator.
+  *
+  * `distinct = false` keeps multiplicity (repetition analysis needs the
+  * counts the set form deliberately discards).
   */
-case class WordShingles(child: Expression, n: Int)
+case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
   import org.apache.spark.sql.types.StringType
 
@@ -100,11 +105,11 @@ case class WordShingles(child: Expression, n: Int)
   override def prettyName: String = "word_shingles"
 
   override def nullSafeEval(input: Any): Any =
-    WordShingles.compute(input.asInstanceOf[ArrayData], n)
+    WordShingles.compute(input.asInstanceOf[ArrayData], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"org.apache.spark.sql.graft.WordShingles.compute($c, $n)")
+      s"org.apache.spark.sql.graft.WordShingles.compute($c, $n, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
@@ -116,30 +121,38 @@ object WordShingles {
 
   private val Space = UTF8String.fromString(" ")
 
-  /** One-pass distinct n-gram computation (first-occurrence order — set
-    * semantics match array_distinct; callers aggregate/join, order-free).
+  /** One-pass n-gram computation. Distinct form: first-occurrence order —
+    * set semantics match array_distinct; callers aggregate/join, order-free.
+    * Non-distinct form: positional order with multiplicity.
     */
-  def compute(toks: ArrayData, n: Int): ArrayData = {
+  def compute(toks: ArrayData, n: Int, distinct: Boolean = true): ArrayData = {
     val len = toks.numElements()
-    val set = new java.util.LinkedHashSet[UTF8String]()
+    val out: java.util.Collection[UTF8String] =
+      if (distinct) new java.util.LinkedHashSet[UTF8String]()
+      else new java.util.ArrayList[UTF8String](math.max(len - n + 1, 1))
     if (len < n) {
       val parts = new Array[UTF8String](len)
       var j = 0
       while (j < len) { parts(j) = toks.getUTF8String(j); j += 1 }
-      set.add(UTF8String.concatWs(Space, parts: _*))
+      out.add(UTF8String.concatWs(Space, parts: _*))
     } else {
       var i = 0
       while (i <= len - n) {
         val parts = new Array[UTF8String](n)
         var j = 0
         while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
-        set.add(UTF8String.concatWs(Space, parts: _*))
+        out.add(UTF8String.concatWs(Space, parts: _*))
         i += 1
       }
     }
-    new GenericArrayData(set.toArray.asInstanceOf[Array[Any]])
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
 
   def shingles(tokens: Column, n: Int): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(tokens), n))
+
+  /** Non-distinct positional n-grams (multiplicity preserved). */
+  def shinglesAll(tokens: Column, n: Int): Column =
+    ExpressionUtils.column(
+      WordShingles(ExpressionUtils.expression(tokens), n, distinct = false))
 }

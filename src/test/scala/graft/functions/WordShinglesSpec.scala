@@ -38,6 +38,20 @@ class WordShinglesSpec extends SparkSpec {
     assert(out.toSet === Set("a b", "b a"))
   }
 
+  test("non-distinct mode keeps multiplicity in positional order") {
+    val out = Seq("a b a b a b").toDF("text")
+      .select(WS.shinglesAll(split(col("text"), " "), 2).as("sh"))
+      .head().getSeq[String](0)
+    assert(out.toSeq === Seq("a b", "b a", "a b", "b a", "a b"))
+    // equivalent lambda form (non-distinct) on a generic sentence
+    val df = Seq("one two three two three").toDF("text")
+    val toks = split(col("text"), " ")
+    val native = df.select(WS.shinglesAll(toks, 2)).head().getSeq[String](0)
+    val lambda = df.select(transform(sequence(lit(1), size(toks) - 1),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))).head().getSeq[String](0)
+    assert(native.toSeq === lambda.toSeq)
+  }
+
   test("interpreted eval matches codegen result") {
     import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
     import org.apache.spark.unsafe.types.UTF8String

@@ -198,6 +198,40 @@ class StreamsSpec extends SparkSpec {
       .head().getAs[Double]("order_qty") === 12.0)
   }
 
+  test("nearDupSink: micro-batches near-dup against accumulated history, re-deliveries ignored") {
+    val dir = Files.createTempDirectory("graft_nd_landing").toString
+    val ckpt = Files.createTempDirectory("graft_nd_ckpt").toString
+    val store = new TableStore(spark, Files.createTempDirectory("graft_nd_store").toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    def docsStream = spark.readStream.format("json").schema(schema).load(dir)
+    def drain(): Unit = Streams.nearDupSink(docsStream, store, "nd_history", "nd_pairs",
+      ckpt, threshold = 0.8).awaitTermination()
+
+    val d1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b1.json"),
+      s"""{"doc_id":1,"text":"$d1"}
+         |{"doc_id":2,"text":"one two three four five six seven eight nine ten"}
+         |""".stripMargin)
+    drain()
+    assert(store.read("nd_pairs").count() === 0) // nothing similar yet
+    assert(store.read("nd_history").count() === 2)
+
+    // batch 2: near-copy of doc 1 (last word changed: jaccard 9/11 ≈ 0.82),
+    // one unrelated doc, and a RE-DELIVERY of doc 1 (must not self-pair)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b2.json"),
+      s"""{"doc_id":3,"text":"${d1.replace(" mu", " nu")}"}
+         |{"doc_id":4,"text":"red orange yellow green blue indigo violet pink brown black"}
+         |{"doc_id":1,"text":"$d1"}
+         |""".stripMargin)
+    drain()
+    val pairs = store.read("nd_pairs").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.toSeq === Seq((1L, 3L)))
+    assert(store.read("nd_history").count() === 4) // re-delivered doc 1 not duplicated
+  }
+
   test("landingStream cleanSource=archive moves processed files out of landing (S10 streaming path)") {
     val dir = Files.createTempDirectory("graft_landing_arch").toString
     val archive = Files.createTempDirectory("graft_archive").toString

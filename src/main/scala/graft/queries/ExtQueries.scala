@@ -717,6 +717,70 @@ object ExtQueries {
       ORDER BY ek.doc_id
     """))
 
+  /** C2 — the full curation RECIPE end-to-end (complements c1's near-dup
+    * focus): quality score + predicted language + repetition ratio as
+    * filters → exact dedup (keep min id per digest) → stratified
+    * deterministic sampling by source (keep all of src0, half of the
+    * rest — the data-mixing step). Every stage is an already-verified
+    * operator (t2, t3, t6, d1, x7); the oracle replays the identical
+    * composition, so filter thresholds, classifier tie-breaks, digest
+    * grouping, and the mixing recipe are all pinned cross-engine at once.
+    */
+  val c2CurationRecipe = QueryDef(
+    "c2_curation_recipe",
+    (s, dir) => {
+      val docs = Td(s, dir, "documents")
+      val scored = docs.select(col("doc_id"), col("text"), col("source"),
+        TA.qualityScore(col("text")).as("quality"),
+        TA.langId(col("text")).as("lang_pred"))
+      val rep = docs
+        .select(col("doc_id"), explode(TA.bigramsAll(col("text"))).as("bigram"))
+        .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg((max(col("cnt")).cast("double") / sum(col("cnt")).cast("double")).as("rep_ratio"))
+      val kept = scored.join(rep, Seq("doc_id"))
+        .filter(col("quality") >= 0.4 && col("lang_pred") === "en" && col("rep_ratio") <= 0.1)
+      val exactKeep = kept.groupBy(md5(col("text")).as("cmd5"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val ek = kept.join(exactKeep.select("doc_id"), Seq("doc_id"), "left_semi")
+      Sampling.stratified(ek, "doc_id", "source", rates = Seq("src0" -> 1), defaultRate = 2)
+        .select(col("doc_id"), col("source"), col("quality"), col("rep_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val counts = TA.LangMarkers.map { case (l, m) =>
+        s"CAST(len(list_filter(ws, x -> list_contains(${sqlList(m)}, x))) AS BIGINT) AS ${l}_n"
+      }.mkString(",\n               ")
+      val langs = TA.LangMarkers.map(_._1)
+      val best = s"greatest(${langs.map(_ + "_n").mkString(", ")})"
+      val caseArm = langs.map(l => s"WHEN ${l}_n = $best AND $best > 0 THEN '$l'").mkString(" ")
+      s"""
+      WITH w AS (SELECT doc_id, text, source, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+      scored AS (SELECT doc_id, text, source,
+               0.5 * least(CAST(len(ws) AS DOUBLE) / 64.0, 1.0)
+                 + 0.5 * least((CAST(len(list_filter(ws, x -> list_contains(${sqlList(TA.Stopwords)}, x))) AS DOUBLE)
+                     / CAST(len(ws) AS DOUBLE)) * 4.0, 1.0)
+                 - (CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS DOUBLE)
+                   / CAST(greatest(length(text), 1) AS DOUBLE)) * 2.0 AS quality,
+               CASE $caseArm ELSE 'und' END AS lang_pred
+             FROM (SELECT *, $counts FROM w) langcounts),
+      bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1),
+               i -> ws[i] || ' ' || ws[i+1])) AS bigram FROM w WHERE len(ws) >= 2),
+      bc AS (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2),
+      rep AS (SELECT doc_id, CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS rep_ratio
+              FROM bc GROUP BY 1),
+      kept AS (SELECT s.*, rep.rep_ratio FROM scored s JOIN rep ON s.doc_id = rep.doc_id
+               WHERE s.quality >= 0.4 AND s.lang_pred = 'en' AND rep.rep_ratio <= 0.1),
+      exact AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+      ek AS (SELECT k.* FROM kept k JOIN exact e ON k.doc_id = e.doc_id)
+      SELECT doc_id, source, quality, rep_ratio FROM ek
+      WHERE ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1))
+            % (CASE WHEN source = 'src0' THEN 1 ELSE 2 END) = 0
+      ORDER BY doc_id
+    """
+    })
+
   /** X1 — deterministic HyperLogLog sketch (m=64 registers, md5-based):
     * the "novel sketch" operator class. Unlike approx_count_distinct (whose
     * xxhash/HLL++ internals differ per engine), every step here is
@@ -901,6 +965,6 @@ object ExtQueries {
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental,
-    s1KnnBrute, s2AnnIvf, m1MediaMeta, c1Curation, x1HllDistinct, x2KmeansIvf,
+    s1KnnBrute, s2AnnIvf, m1MediaMeta, c1Curation, c2CurationRecipe, x1HllDistinct, x2KmeansIvf,
     x3DedupGroups, x5KmeansSample, x6DedupGroupsConv, x7StratifiedSample)
 }

@@ -129,6 +129,26 @@ class ExtSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((0L, 1L)))
   }
 
+  test("sampling is deterministic and partitioning-independent (no RNG)") {
+    val df = (1L to 400L).map(i => (i, if (i % 3 == 0) "en" else "other"))
+      .toDF("doc_id", "lang")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id").collect().map(_.getLong(0)).toSet
+    val base = ids(Sampling.stratified(df, "doc_id", "lang", Seq("en" -> 2), defaultRate = 4))
+    // identical under repartitioning and row reordering — df.sample() is not
+    val shuffled = ids(Sampling.stratified(
+      df.repartition(13).sortWithinPartitions($"doc_id".desc),
+      "doc_id", "lang", Seq("en" -> 2), defaultRate = 4))
+    assert(base === shuffled)
+    // per-stratum rates are roughly honored (md5 buckets ≈ uniform)
+    val en = df.filter($"lang" === "en").count().toDouble
+    val enKept = Sampling.stratified(df, "doc_id", "lang", Seq("en" -> 2), defaultRate = 4)
+      .filter($"lang" === "en").count().toDouble
+    assert(enKept / en > 0.3 && enKept / en < 0.7, s"~1/2 expected, got ${enKept / en}")
+    // uniform m=1 keeps everything
+    assert(ids(Sampling.uniform(df, "doc_id", 1)) === (1L to 400L).toSet)
+  }
+
   test("multimodal: decodeMeta derives stable dims/mean; frames slice bytes (M1)") {
     val media = Multimodal.fromText(spark, docs, "doc_id", "text")
     val meta = Multimodal.decodeMeta(media).collect().map(m => m.media_id -> m).toMap

@@ -309,6 +309,61 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Deterministic sign-LSH hyperplanes: `h`×`dim` components on the 1/128
+    * grid, derived from md5 of the (plane, dim) index — no RNG, and the
+    * values are short dyadic rationals that print exactly in decimal, so
+    * the SAME literals drive both the Spark plan and the DuckDB oracle.
+    */
+  def lshHyperplanes(h: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until h).map { i =>
+      (0 until dim).map { d =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"hp:$i:$d".getBytes("UTF-8"))
+        ((md(0) & 0xff) - 128) / 128.0
+      }
+    }
+
+  /** Sign-LSH bucketed cosine near-dup pairs — the second ANN scale path
+    * beside [[cosinePairsClustered]], with no training step: each vector's
+    * band bucket packs the signs of `rowsPerBand` hyperplane dots
+    * (sign-random-projection LSH, Charikar '02 — here with deterministic
+    * md5-derived planes); vectors sharing any band bucket become
+    * candidates, then candidates are verified with the exact cosine.
+    * Sub-quadratic like the IVF path (Σ|bucket|² pairs, not n²) and
+    * embarrassingly parallel to bucket: 16 codegen'd dots per row, one
+    * shuffle on (band, bucket). Recall < 1 by design — a pair collides
+    * with probability (1-θ/π)^rowsPerBand per band; raise bands for
+    * recall, rowsPerBand for precision. Identical vectors always collide
+    * (every sign agrees).
+    */
+  def cosinePairsLsh(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int, threshold: Double,
+      bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val planes = lshHyperplanes(bands * rowsPerBand, dim)
+    val n = withNorm(df.select(col(idCol), col(vecCol)), vecCol, "nrm")
+    val bitCols = planes.zipWithIndex.map { case (p, i) =>
+      (when(dot(col(vecCol), lit(p.toArray)) >= 0, lit(1 << (i % rowsPerBand)))
+        .otherwise(lit(0))).as(s"_sb$i")
+    }
+    val withBits = n.select(col(idCol) +: bitCols: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        (0 until rowsPerBand).map(r => col(s"_sb${b * rowsPerBand + r}")).reduce(_ + _).as("bucket"))
+    }
+    val ex = withBits.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    val cands = ex.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+      .join(ex.select(col(idCol).as("id_b"), col("band"), col("bucket")), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val a = n.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("nrm").as("na"))
+    val b = n.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("nrm").as("nb"))
+    cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
     * All-pairs — correctness baseline for small/medium corpora; at scale
     * route through [[cosinePairsClustered]].

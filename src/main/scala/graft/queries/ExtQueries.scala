@@ -442,6 +442,44 @@ object ExtQueries {
       ORDER BY id_a, id_b
     """))
 
+  /** D9 — sign-LSH bucketed embedding near-dup: the training-free ANN
+    * scale path (vs d6's IVF, which needs k-means). The 16 hyperplanes are
+    * md5-derived dyadic rationals, so the IDENTICAL literals drive both
+    * engines — the oracle replays bucketing, candidate join, and exact
+    * verification with the same constants. Approximate by design (misses
+    * pairs that collide in no band); every reported pair is exact-verified.
+    */
+  val d9DedupEmbedLsh = QueryDef(
+    "d9_dedup_embed_lsh",
+    (s, dir) =>
+      Similarity.cosinePairsLsh(Td(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, threshold = 0.45, bands = 4, rowsPerBand = 4)
+        .orderBy(col("id_a"), col("id_b")),
+    Some {
+      val planes = Similarity.lshHyperplanes(16, 64)
+      val bitExprs = planes.zipWithIndex.map { case (p, i) =>
+        val lits = p.mkString("[", ", ", "]")
+        s"(CASE WHEN ${dotSql.format("v", lits)} >= 0 THEN ${1 << (i % 4)} ELSE 0 END) AS sb$i"
+      }.mkString(",\n               ")
+      val bandSelects = (0 until 4).map { b =>
+        val sum = (0 until 4).map(r => s"sb${b * 4 + r}").mkString(" + ")
+        s"SELECT vec_id, $b AS band, $sum AS bucket FROM bits"
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH $vecCte,
+      bits AS (SELECT vec_id, v, nrm,
+               $bitExprs
+             FROM n),
+      eb AS ($bandSelects),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM eb a JOIN eb b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      SELECT c.id_a, c.id_b, ${dotSql.format("x.v", "y.v")} / (x.nrm * y.nrm) AS cos
+      FROM cand c JOIN n x ON c.id_a = x.vec_id JOIN n y ON c.id_b = y.vec_id
+      WHERE ${dotSql.format("x.v", "y.v")} / (x.nrm * y.nrm) >= 0.45
+      ORDER BY id_a, id_b
+    """
+    })
+
   /** S1 — brute-force cosine top-10 for query vectors vec_id < 5. */
   val s1KnnBrute = QueryDef(
     "s1_knn_brute",
@@ -964,7 +1002,7 @@ object ExtQueries {
   val all: Seq[QueryDef] = Seq(
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
-    d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental,
+    d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     s1KnnBrute, s2AnnIvf, m1MediaMeta, c1Curation, c2CurationRecipe, x1HllDistinct, x2KmeansIvf,
     x3DedupGroups, x5KmeansSample, x6DedupGroupsConv, x7StratifiedSample)
 }

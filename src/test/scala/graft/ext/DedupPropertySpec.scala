@@ -245,6 +245,20 @@ class DedupPropertySpec extends SparkSpec {
     assert(full.nonEmpty)
   }
 
+  test("cosinePairsLsh ⊆ cosinePairs; identical vectors always collide") {
+    val rnd = new Random(9)
+    val vecs = ((0 until 40).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))) :+
+      (200L, Array.fill(16)(0.25f)) :+ (201L, Array.fill(16)(0.25f))
+    ).toDF("vec_id", "embedding")
+    val all = Similarity.cosinePairs(vecs, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosinePairsLsh(vecs, "vec_id", "embedding", dim = 16, threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(all))
+    assert(lsh.contains((200L, 201L))) // every sign agrees → collide in every band
+  }
+
   test("cosinePairsClustered ⊆ cosinePairs; identical vectors always pair") {
     val rnd = new Random(7)
     val vecs = ((0 until 40).map(i =>

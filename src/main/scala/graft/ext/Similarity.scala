@@ -131,6 +131,24 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("nrm"), cluster.as("cluster"))
   }
 
+  /** Probe set shared by [[ivfSearch]] and [[ivfSearchPruned]]: per query,
+    * the `nprobe` max-cosine centroids (ties to the lower centroid id),
+    * with the query vector and norm carried for the downstream rank.
+    */
+  private def probesOf(
+      queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, nprobe: Int): DataFrame = {
+    val q = withNorm(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "qv", "qn")
+    val cent = withNorm(
+      centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("centv")), "centv", "centn")
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("centroid_id"))
+    q.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"),
+        (dot(col("qv"), col("centv")) / (col("qn") * col("centn"))).as("ccos"))
+      .withColumn("rnk", row_number().over(probeW)).filter(col("rnk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id").as("cluster"))
+  }
+
   /** IVF approximate top-k: probe the `nprobe` nearest clusters per query,
     * rank only vectors assigned to those clusters. Recall < 1 by design;
     * the tradeoff knob is nprobe/nlist.
@@ -138,15 +156,7 @@ object Similarity {
   def ivfSearch(
       queries: DataFrame, assigned: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int = 5, nprobe: Int = 2): DataFrame = {
-    val q = withNorm(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "qv", "qn")
-    val cent = withNorm(
-      centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("centv")), "centv", "centn")
-    val probeW = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("centroid_id"))
-    val probes = q.crossJoin(broadcast(cent))
-      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"),
-        (dot(col("qv"), col("centv")) / (col("qn") * col("centn"))).as("ccos"))
-      .withColumn("rnk", row_number().over(probeW)).filter(col("rnk") <= nprobe)
-      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id").as("cluster"))
+    val probes = probesOf(queries, centroids, idCol, vecCol, nprobe)
     val scored = assigned.join(broadcast(probes), Seq("cluster"))
       .filter(col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
@@ -174,15 +184,7 @@ object Similarity {
       queries: DataFrame, assigned: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int = 5, nprobe: Int = 2): DataFrame = {
     val spark = queries.sparkSession
-    val q = withNorm(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "qv", "qn")
-    val cent = withNorm(
-      centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("centv")), "centv", "centn")
-    val probeW = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("centroid_id"))
-    val probes = q.crossJoin(broadcast(cent))
-      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"),
-        (dot(col("qv"), col("centv")) / (col("qn") * col("centn"))).as("ccos"))
-      .withColumn("rnk", row_number().over(probeW)).filter(col("rnk") <= nprobe)
-      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id").as("cluster"))
+    val probes = probesOf(queries, centroids, idCol, vecCol, nprobe)
     val probeRows = probes.collect() // |Q|×nprobe rows — driver-bounded by contract
     val probedClusters = probeRows.map(_.getAs[Long]("cluster")).distinct.sorted.toSeq
     val probesLocal = spark.createDataFrame(

@@ -97,7 +97,7 @@ object TextAnalysis {
   def bigramsAll(c: Column): Column = {
     val toks = wsTokens(c)
     when(size(toks) < 2, array().cast("array<string>"))
-      .otherwise(org.apache.spark.sql.graft.WordShingles.shinglesAll(wsTokens(c), 2))
+      .otherwise(org.apache.spark.sql.graft.WordShingles.shinglesAll(toks, 2))
   }
 
   /** Canonical form for fingerprinting: lowercase, whitespace collapsed. */

@@ -663,9 +663,7 @@ object ExtQueries {
         .orderBy(col("doc_id")),
     Some(s"""
       SELECT doc_id, lang, source FROM documents
-      WHERE ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
-             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1))
-            % (CASE WHEN lang = 'en' THEN 2 ELSE 4 END) = 0
+      WHERE ${sampleBucketSql("doc_id")} % (CASE WHEN lang = 'en' THEN 2 ELSE 4 END) = 0
       ORDER BY doc_id
     """))
 
@@ -812,9 +810,7 @@ object ExtQueries {
       exact AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
       ek AS (SELECT k.* FROM kept k JOIN exact e ON k.doc_id = e.doc_id)
       SELECT doc_id, source, quality, rep_ratio FROM ek
-      WHERE ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
-             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1))
-            % (CASE WHEN source = 'src0' THEN 1 ELSE 2 END) = 0
+      WHERE ${sampleBucketSql("doc_id")} % (CASE WHEN source = 'src0' THEN 1 ELSE 2 END) = 0
       ORDER BY doc_id
     """
     })
@@ -888,13 +884,19 @@ object ExtQueries {
       SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM asg ORDER BY vec_id
     """))
 
-  /** DuckDB twin of [[Similarity.sampleBucket]] % m == 0: first two md5 hex
-    * nibbles of the id as an integer, mod m. Same md5, same nibble
-    * arithmetic ⇒ the identical subset in both engines.
+  /** DuckDB twin of [[Similarity.sampleBucket]]: first two md5 hex nibbles
+    * of the id as an integer in [0, 256). Same md5, same nibble arithmetic
+    * ⇒ the identical buckets in both engines. The ONE definition every
+    * sampling oracle interpolates (x5/x7/c2/d8) — a drift here would
+    * desync them all at once, loudly.
     */
-  private def sampleFilterSql(idCol: String, m: Int): String =
+  private def sampleBucketSql(idCol: String): String =
     s"((strpos('0123456789abcdef', substr(md5(CAST($idCol AS VARCHAR)), 1, 1)) - 1) * 16 + " +
-      s"(strpos('0123456789abcdef', substr(md5(CAST($idCol AS VARCHAR)), 2, 1)) - 1)) % $m = 0"
+      s"(strpos('0123456789abcdef', substr(md5(CAST($idCol AS VARCHAR)), 2, 1)) - 1))"
+
+  /** Uniform-rate form: bucket % m == 0. */
+  private def sampleFilterSql(idCol: String, m: Int): String =
+    s"${sampleBucketSql(idCol)} % $m = 0"
 
   /** X5 — sampled k-means training, the documented 100 TB path in code:
     * centroids train on the deterministic ~1/4 md5-bucket sample of the

@@ -31,6 +31,12 @@ object Streams {
       user_id: Long, n_events: Long, total_value: Double,
       session_start: java.sql.Timestamp, session_end: java.sql.Timestamp)
 
+  /** [[sessionize]] state: this user's sessions not yet emittable — open or
+    * gap-closed but still inside the watermark horizon (a late event may
+    * yet legally join them).
+    */
+  final case class SessionState(sessions: Seq[SessionSummary])
+
   /** File-source stream over a landing dir of order CSVs — the streaming
     * twin of `Pipelines.runFactIncremental`'s ingest step.
     *
@@ -97,12 +103,22 @@ object Streams {
         col("event_type"), col("n_events"), col("sum_value"))
 
   /** Custom session state via flatMapGroupsWithState: per-user sessions that
-    * close after `gap` of event-time inactivity. Event-time timeouts (not
-    * processing-time) make sessions deterministic — they fire when the
-    * watermark passes session_end + gap, regardless of wall clock, so a
-    * replay yields identical sessions. Emits a summary when a session
-    * closes — the stateful pattern the reference never needed but a
-    * streaming engine must offer.
+    * close after `gap` of event-time inactivity — the stateful pattern the
+    * reference never needed but a streaming engine must offer.
+    *
+    * Session boundaries are a property of the DATA, not of micro-batch
+    * framing or arrival order: each invocation interval-merges the held
+    * sessions with the batch's events (sorted by event time), so an
+    * intra-batch gap splits, a bridging late event fuses, and an event
+    * older than every session opens its own — identical to what
+    * [[sessionizeBatch]] computes over the drained input. A session is
+    * EMITTED only once `session_end + gap <= watermark`: no event at or
+    * above the watermark can still join it, so emission is final and safe
+    * (emitting earlier would orphan late events that legally belong to an
+    * already-output session). Event-time timeouts re-arm to the earliest
+    * held session's close point, clamped above the watermark (Spark
+    * rejects timeout timestamps <= watermark with a query-failing
+    * IllegalArgumentException).
     *
     * `events` must already carry a watermark on `ts` (see
     * [[withEventWatermark]]).
@@ -112,52 +128,37 @@ object Streams {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionSummary, SessionSummary](
+      .flatMapGroupsWithState[SessionState, SessionSummary](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, batch: Iterator[Event], state: GroupState[SessionSummary]) =>
-          if (state.hasTimedOut) {
-            val out = state.get
-            state.remove()
-            Iterator.single(out)
-          } else {
-            // Replay the batch in event-time order and split on intra-batch
-            // gaps too: a session boundary is a property of the DATA, not of
-            // micro-batch framing — without this, a backfill arriving as one
-            // big batch would fuse sessions a live stream (or the batch twin
-            // [[sessionizeBatch]]) keeps apart. Gap-closed sessions emit
-            // immediately; only the trailing open session stays in state.
-            val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionSummary]
-            var cur = state.getOption
-            for (e <- evs) cur match {
-              case Some(s) if e.ts.getTime - s.session_end.getTime > gapMs =>
-                closed += s
-                cur = Some(SessionSummary(userId, 1L, e.value, e.ts, e.ts))
-              case Some(s) =>
-                cur = Some(SessionSummary(
-                  user_id = userId,
-                  n_events = s.n_events + 1,
-                  total_value = s.total_value + e.value,
-                  session_start =
-                    if (e.ts.getTime < s.session_start.getTime) e.ts else s.session_start,
-                  session_end =
-                    if (e.ts.getTime > s.session_end.getTime) e.ts else s.session_end))
-              case None =>
-                cur = Some(SessionSummary(userId, 1L, e.value, e.ts, e.ts))
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          // one body serves both arrival and timeout: a timeout is just an
+          // empty batch with an advanced watermark
+          val wm = state.getCurrentWatermarkMs()
+          val held = state.getOption.map(_.sessions.toVector).getOrElse(Vector.empty)
+          val units = held ++ batch.toSeq
+            .sortBy(e => (e.ts.getTime, e.event_id))
+            .map(e => SessionSummary(userId, 1L, e.value, e.ts, e.ts))
+          val merged = units.sortBy(u => (u.session_start.getTime, u.session_end.getTime))
+            .foldLeft(Vector.empty[SessionSummary]) { (acc, u) =>
+              acc.lastOption match {
+                case Some(last) if u.session_start.getTime - last.session_end.getTime <= gapMs =>
+                  acc.init :+ SessionSummary(userId,
+                    last.n_events + u.n_events,
+                    last.total_value + u.total_value,
+                    last.session_start,
+                    if (u.session_end.getTime > last.session_end.getTime) u.session_end
+                    else last.session_end)
+                case _ => acc :+ u
+              }
             }
-            val updated = cur.get
-            state.update(updated)
-            // Clamp to the watermark: an event may legally trail the current
-            // watermark by more than the gap (when the watermark delay exceeds
-            // the session gap), and Spark rejects timeout timestamps <= the
-            // watermark with IllegalArgumentException — which would fail the
-            // whole streaming query, not just this group.
-            val timeoutAt = math.max(
-              state.getCurrentWatermarkMs() + 1,
-              updated.session_end.getTime + gapMs)
-            state.setTimeoutTimestamp(timeoutAt)
-            closed.iterator
+          val (closed, open) = merged.partition(_.session_end.getTime + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionState(open))
+            state.setTimeoutTimestamp(math.max(wm + 1,
+              open.map(_.session_end.getTime + gapMs).min))
           }
+          closed.iterator
       }
   }
 

@@ -84,9 +84,13 @@ object Scratch {
     val spark = df.sparkSession
     val s = store(spark)
     val name = stageName(base)
-    s.overwrite(name, df, partitionBy)
+    // heartbeat BEFORE the write too: the namespace must never exist
+    // without a liveness marker (a sibling's cleanup() during a long first
+    // write would otherwise see an unmarked directory)
     touchHeartbeat(spark)
     registerEndHook(spark)
+    s.overwrite(name, df, partitionBy)
+    touchHeartbeat(spark)
     gc(spark, base)
     s.read(name)
   }
@@ -104,7 +108,8 @@ object Scratch {
     */
   def gc(spark: SparkSession, base: String, keepLast: Int = 16): Unit = {
     val keep = spark.conf.getOption("graft.scratch.keepLast")
-      .map(_.toInt).getOrElse(keepLast)
+      .flatMap(_.toIntOption) // malformed conf falls back rather than failing housekeeping
+      .getOrElse(keepLast)
     val current = gen(base).get()
     val p = new org.apache.hadoop.fs.Path(root(spark))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -179,16 +184,17 @@ object Scratch {
   }
 
   /** Millis since the sibling's last liveness signal: its `_heartbeat`
-    * mtime if present, else the directory's own mtime (pre-heartbeat or
-    * foreign layouts — already filtered to app-id-shaped names).
+    * mtime. A namespace WITHOUT a heartbeat is never considered stale
+    * (returns 0): every stage() writes the marker before its first byte of
+    * data, so an unmarked directory is either another tool's, or an app
+    * caught in the instant before its first marker — and directory mtimes
+    * (synthesized on object stores, epoch-zero on S3A) must not stand in
+    * as a liveness signal.
     */
   private def heartbeatStaleSince(
       fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.FileStatus, now: Long): Long = {
     val hb = new org.apache.hadoop.fs.Path(dir.getPath, HeartbeatFile)
-    val last =
-      if (fs.exists(hb)) fs.getFileStatus(hb).getModificationTime
-      else dir.getModificationTime
-    now - last
+    if (fs.exists(hb)) now - fs.getFileStatus(hb).getModificationTime else 0L
   }
 }

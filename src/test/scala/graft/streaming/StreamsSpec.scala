@@ -129,6 +129,52 @@ class StreamsSpec extends SparkSpec {
     assert(batch.size === 3) // two sessions for user 7, one for user 8
   }
 
+  test("sessionize: late events join held sessions; emission waits for the watermark") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Streams.Event]
+    // 2h watermark delay >> 60s gap: gap-closed sessions must be HELD, not
+    // emitted, because in-horizon late events can still legally join them
+    val sessions = Streams.sessionize(
+      Streams.withEventWatermark(in.toDS(), "2 hours"), gapMs = 60000)
+    val q = sessions.writeStream.format("memory").queryName("sessions_late")
+      .outputMode(OutputMode.Append).start()
+    val streamed =
+      try {
+        in.addData(
+          Streams.Event(1, ts("2026-01-01 10:00:00"), 7, "click", 1.0),
+          Streams.Event(2, ts("2026-01-01 10:10:00"), 7, "click", 2.0)) // intra-batch gap
+        q.processAllAvailable()
+        in.addData(
+          // joins the ALREADY-CLOSED first session (would be orphaned if
+          // gap-closed sessions emitted eagerly)
+          Streams.Event(3, ts("2026-01-01 10:00:30"), 7, "click", 0.5),
+          // older than every session minus the gap: opens its own, must NOT
+          // merge backwards into a later session
+          Streams.Event(4, ts("2026-01-01 09:00:00"), 7, "click", 4.0))
+        q.processAllAvailable()
+        in.addData(Streams.Event(98, ts("2026-01-01 13:00:00"), 99, "view", 0.0))
+        q.processAllAvailable()
+        in.addData(Streams.Event(99, ts("2026-01-01 13:01:00"), 99, "view", 0.0))
+        q.processAllAvailable()
+        spark.table("sessions_late").collect()
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start").toString,
+            r.getAs[Timestamp]("session_end").toString,
+            r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+      } finally q.stop()
+
+    val batchEvents = Seq(
+      Streams.Event(1, ts("2026-01-01 10:00:00"), 7, "click", 1.0),
+      Streams.Event(2, ts("2026-01-01 10:10:00"), 7, "click", 2.0),
+      Streams.Event(3, ts("2026-01-01 10:00:30"), 7, "click", 0.5),
+      Streams.Event(4, ts("2026-01-01 09:00:00"), 7, "click", 4.0))
+    val batch = Streams.sessionizeBatch(batchEvents.toDF(), gapMs = 60000).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        ts(r.getAs[String]("session_start")).toString, ts(r.getAs[String]("session_end")).toString,
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+    assert(streamed === batch)
+    assert(batch.size === 3) // [9:00], [10:00..10:00:30], [10:10]
+  }
+
   test("dedupStream drops duplicates within the watermark horizon") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Streams.Event]

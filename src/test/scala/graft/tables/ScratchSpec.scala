@@ -47,15 +47,23 @@ class ScratchSpec extends SparkSpec {
     fs.mkdirs(foreign)
     fs.setTimes(foreign, twoHoursAgo, -1)
 
+    // app-id-shaped but NO heartbeat (mid-first-write, or another tool):
+    // dir mtime must not stand in as a liveness signal → survives
+    val unmarked = new Path(parent, "local-333-nomark")
+    fs.mkdirs(unmarked)
+    fs.setTimes(unmarked, twoHoursAgo, -1)
+
     try {
       Scratch.cleanup(spark)
       assert(!fs.exists(dead), "stale-heartbeat app dir must be reclaimed")
       assert(fs.exists(alive), "fresh-heartbeat app dir must survive")
       assert(fs.exists(foreign), "non-app-id dir must never be touched")
+      assert(fs.exists(unmarked), "heartbeat-less app dir must survive (dir mtime is not liveness)")
       assert(!fs.exists(new Path(Scratch.root(spark))), "own namespace removed")
     } finally {
       fs.delete(alive, true)
       fs.delete(foreign, true)
+      fs.delete(unmarked, true)
       ()
     }
   }

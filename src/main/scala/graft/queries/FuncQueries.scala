@@ -248,7 +248,56 @@ object FuncQueries {
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """))
 
+  /** F8 — exact quantiles per group (interpolating percentile). The
+    * percentages are dyadic rationals (0.25/0.5/0.75) ON PURPOSE: the rank
+    * position p×(n−1) and interpolation fraction stay exact in double, and
+    * both engines use lower + (upper−lower)×fraction, so results are
+    * bit-identical. Non-dyadic percentages (0.9) can land one ulp apart
+    * between engines — use approx sketches for those at scale.
+    */
+  val f8Quantiles = QueryDef(
+    "f8_quantiles",
+    (s, dir) =>
+      Td(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("q25"),
+          expr("percentile(l_quantity, 0.5)").as("q50"),
+          expr("percentile(l_quantity, 0.75)").as("q75"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.25) AS q25,
+             quantile_cont(l_quantity, 0.5) AS q50,
+             quantile_cont(l_quantity, 0.75) AS q75,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """))
+
+  /** X8 — histogram binning: fixed-width bins via integer floor division
+    * (exact in both engines; width_bucket's float boundary math is not
+    * guaranteed bit-stable cross-engine). The shape behind every length /
+    * score distribution panel in a curation dashboard.
+    */
+  val x8LengthHist = QueryDef(
+    "x8_length_hist",
+    (s, dir) =>
+      Td(s, dir, "documents")
+        .groupBy(expr("n_chars div 50").as("bin")) // integer div — `/` on longs is double division in Spark
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).cast("long").as("min_chars"),
+          max(col("n_chars")).cast("long").as("max_chars"))
+        .orderBy(col("bin")),
+    Some("""
+      SELECT CAST(n_chars // 50 AS BIGINT) AS bin, COUNT(*) AS n_docs,
+             CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+             CAST(MAX(n_chars) AS BIGINT) AS max_chars
+      FROM documents GROUP BY 1 ORDER BY bin
+    """))
+
   val all: Seq[QueryDef] = Seq(
     p1ProjectCastRename, p2FilterPredicates, f1StringClean, f2HashKeys,
-    f3DatesMultiformat, f4MonthSpine, f5MathArith, f6CaseJson, f7AggStats)
+    f3DatesMultiformat, f4MonthSpine, f5MathArith, f6CaseJson, f7AggStats,
+    f8Quantiles, x8LengthHist)
 }

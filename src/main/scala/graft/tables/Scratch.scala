@@ -107,8 +107,12 @@ object Scratch {
     * footprint.
     */
   def gc(spark: SparkSession, base: String, keepLast: Int = 16): Unit = {
-    val keep = spark.conf.getOption("graft.scratch.keepLast")
-      .flatMap(_.toIntOption) // malformed conf falls back rather than failing housekeeping
+    // this conf controls DELETION — a malformed value must fail fast with
+    // the key named, not silently fall back to a smaller bound and delete
+    // generations a wide lazy fan-out still needs
+    val keep = spark.conf.getOption("graft.scratch.keepLast").map(_.trim)
+      .map(v => v.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"graft.scratch.keepLast must be an integer, got '$v'")))
       .getOrElse(keepLast)
     val current = gen(base).get()
     val p = new org.apache.hadoop.fs.Path(root(spark))
@@ -158,8 +162,11 @@ object Scratch {
 
   /** Drop this application's entire scratch tree, and reclaim crashed
     * sibling app namespaces: directories that (a) are named like a Spark
-    * application id and (b) have a `_heartbeat` stale for over an hour
-    * (or no heartbeat at all and nothing newer to go on). Live apps
+    * application id and (b) have a `_heartbeat` stale for over an hour.
+    * A namespace WITHOUT a heartbeat is never reaped (see
+    * [[heartbeatStaleSince]]) — foreign or mid-first-write directories are
+    * left alone, at the cost of never reclaiming a namespace from an app
+    * that crashed before its first marker; remove those by hand. Live apps
     * refresh their heartbeat on every stage write, and normal exits remove
     * their namespace via the end-of-application listener — this reap only
     * ever fires for crashed JVMs. (Wall-clock here is housekeeping only —

@@ -710,8 +710,12 @@ object ExtQueries {
       val scored = Td(s, dir, "documents")
         .select(col("doc_id"), col("text"), TA.qualityScore(col("text")).as("quality"))
       val kept = scored.filter(col("quality") >= 0.4)
-      val exactKeep = kept.groupBy(md5(col("text")).as("cmd5"))
-        .agg(min(col("doc_id")).as("doc_id"))
+      // exact dedup as ONE windowed pass (rank by doc_id within digest):
+      // the groupBy-min + semi-join form evaluates the regex-heavy `kept`
+      // subtree twice before the stage write — same result, double the
+      // pre-stage scoring work
+      val digestW = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
       // ek feeds three downstream passes (signature, candidate verify,
       // final anti-join); within one plan Spark re-evaluates the shared
       // subtree each time. Stage it to parquet — the at-scale pattern (an
@@ -724,7 +728,8 @@ object ExtQueries {
       // interleaved c1 runs can't clobber each other; gc() drops stale
       // generations, bounding what bench loops leave behind.
       val ek = graft.tables.Scratch.stage(
-        kept.join(exactKeep.select("doc_id"), Seq("doc_id"), "left_semi"),
+        kept.withColumn("_gm_rn", row_number().over(digestW))
+          .filter(col("_gm_rn") === 1).drop("_gm_rn"),
         "c1_ek_stage")
       val dropIds = Dedup.minhashDedup(ek, "doc_id", "text", n = 3, k = 12, bands = 3, threshold = 0.8)
         .select(col("id_b").as("doc_id")).distinct()
@@ -776,9 +781,11 @@ object ExtQueries {
         .agg((max(col("cnt")).cast("double") / sum(col("cnt")).cast("double")).as("rep_ratio"))
       val kept = scored.join(rep, Seq("doc_id"))
         .filter(col("quality") >= 0.4 && col("lang_pred") === "en" && col("rep_ratio") <= 0.1)
-      val exactKeep = kept.groupBy(md5(col("text")).as("cmd5"))
-        .agg(min(col("doc_id")).as("doc_id"))
-      val ek = kept.join(exactKeep.select("doc_id"), Seq("doc_id"), "left_semi")
+      // windowed exact dedup — one pass over kept, no self-join (see c1)
+      val digestW = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val ek = kept.withColumn("_gm_rn", row_number().over(digestW))
+        .filter(col("_gm_rn") === 1).drop("_gm_rn")
       Sampling.stratified(ek, "doc_id", "source", rates = Seq("src0" -> 1), defaultRate = 2)
         .select(col("doc_id"), col("source"), col("quality"), col("rep_ratio"))
         .orderBy(col("doc_id"))

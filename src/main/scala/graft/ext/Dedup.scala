@@ -72,6 +72,16 @@ object Dedup {
         shingles.join(rare, Seq("shingle"), "left_semi")
       }
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    jaccardPairsWithSizes(sh, sizes, idCol)
+  }
+
+  /** [[jaccardPairs]] with precomputed per-doc distinct-shingle counts
+    * (schema: idCol, n_sh) — e.g. the durable index's sizes table
+    * ([[DedupIndex]]), saving the count-agg over the shingle rows. The
+    * sizes frame must cover every doc in `sh` and count the SAME retained
+    * shingle set (df-capping must be applied to both or neither).
+    */
+  def jaccardPairsWithSizes(sh: DataFrame, sizes: DataFrame, idCol: String): DataFrame = {
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))
     a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
@@ -111,7 +121,7 @@ object Dedup {
   /** Explode a signature table into (id, band, bucket): bucket = md5 of the
     * band's concatenated hash slots.
     */
-  private def bandBuckets(sig: DataFrame, idCol: String, bands: Int, rows: Int): DataFrame = {
+  private[ext] def bandBuckets(sig: DataFrame, idCol: String, bands: Int, rows: Int): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|", (0 until rows).map(r => col(s"h${b * rows + r}")): _*)).as("bucket"))
@@ -224,6 +234,11 @@ object Dedup {
       prevSum = Some(s)
       round += 1
     }
+    // "to convergence" is the contract: exhausting maxRounds without the
+    // label-sum fixpoint means the returned labels may still be coarse
+    if (!converged) throw new IllegalStateException(
+      s"componentsConverged: label fixpoint not reached after $maxRounds rounds " +
+        "(pointer-jumped diameter exceeds 2^maxRounds); raise maxRounds")
     labels
   }
 

@@ -17,18 +17,29 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Keep ~1/m of rows, deterministically: md5-bucket(id) % m == 0. */
-  def uniform(df: DataFrame, idCol: String, m: Int): DataFrame =
+  def uniform(df: DataFrame, idCol: String, m: Int): DataFrame = {
+    // m=0 would make `bucket % 0` NULL in Spark (silently dropping every
+    // row) while the oracle engines error on modulo-by-zero
+    require(m >= 1, s"sampling rate must be >= 1, got $m")
     df.filter(Similarity.sampleBucket(col(idCol)) % m === 0)
+  }
 
   /** Per-stratum sampling rate as a Column: rows whose `strataCol` matches
     * a key of `rates` keep ~1/rate, everything else ~1/defaultRate.
     * `rates` is ordered (first match wins) so the expression is
     * deterministic and replayable as a SQL CASE.
     */
-  def strataRate(strataCol: Column, rates: Seq[(String, Int)], defaultRate: Int): Column =
+  def strataRate(strataCol: Column, rates: Seq[(String, Int)], defaultRate: Int): Column = {
+    // any 0 rate → `% 0` → NULL in Spark (rows silently dropped) vs an
+    // error in the oracle — reject the invalid recipe up front
+    require(defaultRate >= 1, s"default sampling rate must be >= 1, got $defaultRate")
+    rates.foreach { case (k, m) =>
+      require(m >= 1, s"sampling rate for stratum '$k' must be >= 1, got $m")
+    }
     rates.foldRight(lit(defaultRate): Column) { case ((k, m), acc) =>
       when(strataCol === k, lit(m)).otherwise(acc)
     }
+  }
 
   /** Stratified deterministic sample: per-stratum keep rates (data-mixing
     * recipe), md5-bucket membership. One codegen'd filter over the scan —

@@ -186,7 +186,10 @@ object Similarity {
     val spark = queries.sparkSession
     val probes = probesOf(queries, centroids, idCol, vecCol, nprobe)
     val probeRows = probes.collect() // |Q|×nprobe rows — driver-bounded by contract
-    val probedClusters = probeRows.map(_.getAs[Long]("cluster")).distinct.sorted.toSeq
+    // cluster ids arrive as Int straight from kmeansTrain output or Long from a
+    // cast index — read type-agnostically so callers need not remember to cast
+    val probedClusters =
+      probeRows.map(_.getAs[Number]("cluster").longValue()).distinct.sorted.toSeq
     val probesLocal = spark.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probes.schema)
     val scored = assigned

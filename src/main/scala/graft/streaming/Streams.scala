@@ -31,11 +31,23 @@ object Streams {
       user_id: Long, n_events: Long, total_value: Double,
       session_start: java.sql.Timestamp, session_end: java.sql.Timestamp)
 
+  /** One held session inside [[SessionState]]. `total` is an exact decimal
+    * (each event value quantized to scale 10 on arrival, mirroring the
+    * batch twin's `CAST(value AS DECIMAL(28,10))` before SUM), so the
+    * accumulated sum is independent of merge order — held+batch interval
+    * merges happen in event-time order, not arrival order, and a
+    * double-typed accumulator could drift from [[sessionizeBatch]] by a
+    * rounding ulp on values without an exact binary representation.
+    */
+  final case class SessionAcc(
+      n_events: Long, total: BigDecimal,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp)
+
   /** [[sessionize]] state: this user's sessions not yet emittable — open or
     * gap-closed but still inside the watermark horizon (a late event may
     * yet legally join them).
     */
-  final case class SessionState(sessions: Seq[SessionSummary])
+  final case class SessionState(sessions: Seq[SessionAcc])
 
   /** File-source stream over a landing dir of order CSVs — the streaming
     * twin of `Pipelines.runFactIncremental`'s ingest step.
@@ -137,14 +149,18 @@ object Streams {
           val held = state.getOption.map(_.sessions.toVector).getOrElse(Vector.empty)
           val units = held ++ batch.toSeq
             .sortBy(e => (e.ts.getTime, e.event_id))
-            .map(e => SessionSummary(userId, 1L, e.value, e.ts, e.ts))
+            // quantize like the batch twin's CAST(value AS DECIMAL(28,10))
+            // (Spark's double→decimal cast rounds half-up)
+            .map(e => SessionAcc(1L,
+              BigDecimal(e.value).setScale(10, scala.math.BigDecimal.RoundingMode.HALF_UP),
+              e.ts, e.ts))
           val merged = units.sortBy(u => (u.session_start.getTime, u.session_end.getTime))
-            .foldLeft(Vector.empty[SessionSummary]) { (acc, u) =>
+            .foldLeft(Vector.empty[SessionAcc]) { (acc, u) =>
               acc.lastOption match {
                 case Some(last) if u.session_start.getTime - last.session_end.getTime <= gapMs =>
-                  acc.init :+ SessionSummary(userId,
+                  acc.init :+ SessionAcc(
                     last.n_events + u.n_events,
-                    last.total_value + u.total_value,
+                    last.total + u.total,
                     last.session_start,
                     if (u.session_end.getTime > last.session_end.getTime) u.session_end
                     else last.session_end)
@@ -158,7 +174,8 @@ object Streams {
             state.setTimeoutTimestamp(math.max(wm + 1,
               open.map(_.session_end.getTime + gapMs).min))
           }
-          closed.iterator
+          closed.iterator.map(s => SessionSummary(
+            userId, s.n_events, s.total.toDouble, s.session_start, s.session_end))
       }
   }
 

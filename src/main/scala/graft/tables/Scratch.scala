@@ -111,9 +111,11 @@ object Scratch {
     // the key named, not silently fall back to a smaller bound and delete
     // generations a wide lazy fan-out still needs
     val keep = spark.conf.getOption("graft.scratch.keepLast").map(_.trim)
-      .map(v => v.toIntOption.getOrElse(throw new IllegalArgumentException(
-        s"graft.scratch.keepLast must be an integer, got '$v'")))
+      .map(v => v.toIntOption.filter(_ >= 1).getOrElse(throw new IllegalArgumentException(
+        s"graft.scratch.keepLast must be an integer >= 1, got '$v'")))
       .getOrElse(keepLast)
+    // keep <= 0 would delete the generation stage() just wrote (n <= current - 0)
+    require(keep >= 1, s"scratch keepLast must be >= 1, got $keep")
     val current = gen(base).get()
     val p = new org.apache.hadoop.fs.Path(root(spark))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

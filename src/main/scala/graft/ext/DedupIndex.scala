@@ -1,0 +1,113 @@
+package graft.ext
+
+import graft.tables.{Scratch, TableStore}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Durable MinHash-LSH dedup index: the crawl-vs-history artifact that makes
+  * incremental dedup actually incremental.
+  *
+  * [[Dedup.minhashDedupIncremental]] recomputes shingles and signatures over
+  * base ∪ increment every run — correct, but at the 100 TB design point a
+  * daily crawl re-pays the full-corpus shingling daily, the exact cost an
+  * incremental pipeline exists to avoid. This object persists the index as
+  * three narrow [[TableStore]] tables, append-only across runs:
+  *
+  *   - `{name}_bands`    (id, band, bucket) — the LSH probe index
+  *   - `{name}_shingles` (id, shingle)      — distinct shingles per doc, for
+  *                                            exact-Jaccard candidate verify
+  *   - `{name}_sizes`    (id, n_sh)         — per-doc distinct-shingle count
+  *
+  * An incremental run ([[dedupIncrement]]) shingles ONLY the increment,
+  * appends the increment's rows, and probes the stored band table — the base
+  * corpus's text is never re-read, let alone re-shingled: per-run cost is
+  * O(|inc| × bands) bucket probes plus verification priced on candidate docs
+  * only, independent of |base| except for the narrow index-side scans.
+  *
+  * The shingle table stores raw shingle strings so verification (and the
+  * cross-engine oracle) is exact; at 100 TB you would store a 128-bit digest
+  * instead (Jaccard over per-doc distinct digests equals Jaccard over
+  * shingles up to md5 collisions) to shrink the table ~4×, and bucket all
+  * three tables by id so candidate-restricted reads co-locate. Same
+  * sub-quadratic shape as the reference's dedup surface
+  * (MergerMetrics-Lakehouse-Pipeline has no incremental index at all; this
+  * is the scale path the brief's training-data pipeline needs).
+  */
+object DedupIndex {
+
+  private def bandsT(name: String) = s"${name}_bands"
+  private def shinglesT(name: String) = s"${name}_shingles"
+  private def sizesT(name: String) = s"${name}_sizes"
+
+  /** Full (re)build of the index over the base corpus. The corpus text is
+    * scanned exactly once: the shingle table is written first, then the
+    * signature/band and size tables derive from the stored parquet.
+    */
+  def build(store: TableStore, name: String, df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, k: Int = 12, bands: Int = 3): Unit = {
+    require(k % bands == 0, s"k ($k) must be divisible by bands ($bands)")
+    store.overwrite(shinglesT(name), Dedup.shingleIndex(df, idCol, textCol, n))
+    val sh = store.read(shinglesT(name))
+    store.overwrite(sizesT(name), sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh")))
+    store.overwrite(bandsT(name),
+      Dedup.bandBuckets(Dedup.minhashSignature(sh, idCol, k), idCol, bands, k / bands))
+  }
+
+  /** Incremental run: verified near-dup pairs (id_a < id_b, jaccard ≥
+    * threshold) touching the increment — same output contract as
+    * [[Dedup.minhashDedupIncremental]] on (stored corpus, inc) — and, as a
+    * side effect, the increment's rows appended to the index so the next
+    * run's "base" includes this increment.
+    *
+    * `k`/`bands`/`n` must match the values the index was built with (the
+    * band buckets are only comparable under identical hashing).
+    *
+    * Plan shape (the point): the increment's text is scanned once, into a
+    * scratch-staged shingle table; every other input is a narrow parquet
+    * scan of the stored index. Candidate generation joins the increment's
+    * band rows (probe side, |inc| × bands rows) against the stored band
+    * table on (band, bucket); verification exact-Jaccards only candidate
+    * docs' stored shingle rows using the stored sizes. No WordShingles, no
+    * signature agg, and no text read ever touches the base corpus —
+    * DedupIndexSpec pins that at the executed-plan level.
+    */
+  def dedupIncrement(store: TableStore, name: String, inc: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, k: Int = 12, bands: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    require(k % bands == 0, s"k ($k) must be divisible by bands ($bands)")
+    // the ONLY pass over increment text: staged so the three appends and
+    // the signature agg scan cheap scratch parquet, not re-shingle
+    val shInc = Scratch.stage(
+      Dedup.shingleIndex(inc, idCol, textCol, n), s"${name}_inc_sh")
+    val ebInc = Scratch.stage(
+      Dedup.bandBuckets(Dedup.minhashSignature(shInc, idCol, k), idCol, bands, k / bands),
+      s"${name}_inc_eb")
+    store.append(shinglesT(name), shInc)
+    store.append(sizesT(name),
+      shInc.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh")))
+    store.append(bandsT(name), ebInc)
+    // probe: increment band rows vs the full stored index (which now
+    // includes the increment, so inc-inc pairs surface too — identical
+    // candidate space to minhashDedupIncremental's ebInc ⋈ eb(base ∪ inc))
+    val eb = store.read(bandsT(name))
+    val cands = Scratch.stage(
+      ebInc.select(col(idCol).as("_x"), col("band"), col("bucket"))
+        .join(eb.select(col(idCol).as("_y"), col("band"), col("bucket")),
+          Seq("band", "bucket"))
+        .filter(col("_x") =!= col("_y"))
+        .select(least(col("_x"), col("_y")).as("id_a"),
+          greatest(col("_x"), col("_y")).as("id_b"))
+        .distinct(),
+      s"${name}_inc_cands")
+    val candDocs = cands.select(col("id_a").as(idCol))
+      .union(cands.select(col("id_b").as(idCol))).distinct()
+    val shCand = Scratch.stage(
+      store.read(shinglesT(name)).join(broadcast(candDocs), Seq(idCol), "left_semi"),
+      s"${name}_inc_shcand")
+    val sizesCand = store.read(sizesT(name))
+      .join(broadcast(candDocs), Seq(idCol), "left_semi")
+    Dedup.jaccardPairsWithSizes(shCand, sizesCand, idCol)
+      .join(cands, Seq("id_a", "id_b"), "left_semi")
+      .filter(col("jaccard") >= threshold)
+  }
+}

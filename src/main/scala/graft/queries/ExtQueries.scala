@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Td
-import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis => TA}
+import graft.ext.{Dedup, DedupIndex, Multimodal, Sampling, Similarity, TextAnalysis => TA}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline extension queries (BASELINE.json north-star):
@@ -287,6 +287,37 @@ object ExtQueries {
       Dedup.minhashDedupIncremental(
           docs.filter(!isInc), docs.filter(isInc), "doc_id", "text",
           n = 3, k = 12, bands = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""
+      WITH ${minhashPairsSql("documents", 0.8)},
+      inc AS (SELECT doc_id FROM documents WHERE ${sampleFilterSql("doc_id", 4)})
+      SELECT id_a, id_b, jaccard FROM mh_pairs
+      WHERE id_a IN (SELECT doc_id FROM inc) OR id_b IN (SELECT doc_id FROM inc)
+      ORDER BY id_a, id_b
+    """))
+
+  /** D10 — durable-index incremental dedup: the same split and output
+    * contract as [[d8DedupIncremental]], but through [[DedupIndex]]: the
+    * base corpus is indexed ONCE into TableStore tables (bands, shingles,
+    * sizes), and the incremental run shingles only the increment, probes
+    * the stored band table, and verifies against the stored shingle rows —
+    * the base text is never re-read (DedupIndexSpec pins that at the
+    * executed-plan level). The oracle is d8's: the durable path must find
+    * exactly the pair set the recompute-everything path finds.
+    */
+  val d10DedupIndexReuse = QueryDef(
+    "d10_dedup_index_reuse",
+    (s, dir) => {
+      val docs = Td(s, dir, "documents")
+      val isInc = Similarity.sampleBucket(col("doc_id")) % 4 === 0
+      val store = graft.tables.Scratch.store(s)
+      // build is the once-ever cost; each query invocation rebuilds so the
+      // run is self-contained and idempotent (appends land on a fresh index)
+      DedupIndex.build(store, "d10_mhidx", docs.filter(!isInc), "doc_id", "text",
+        n = 3, k = 12, bands = 3)
+      DedupIndex.dedupIncrement(store, "d10_mhidx", docs.filter(isInc),
+          "doc_id", "text", n = 3, k = 12, bands = 3, threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
     },
     Some(s"""
@@ -1012,6 +1043,7 @@ object ExtQueries {
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
+    d10DedupIndexReuse,
     s1KnnBrute, s2AnnIvf, m1MediaMeta, c1Curation, c2CurationRecipe, x1HllDistinct, x2KmeansIvf,
     x3DedupGroups, x5KmeansSample, x6DedupGroupsConv, x7StratifiedSample)
 }

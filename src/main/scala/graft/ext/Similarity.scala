@@ -314,6 +314,95 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Top-`nprobe` centroid assignment: like [[ivfAssign]], but each vector
+    * lands in its `nprobe` nearest clusters (ranked by cosine DESC, ties to
+    * the lower centroid id — exactly `ROW_NUMBER() OVER (ORDER BY ccos
+    * DESC, centroid_id) <= nprobe`). Same map-only shape: centroids inlined
+    * as literals, the per-rank argmax is an iterated flat when-chain that
+    * masks already-chosen centroids to -∞, and the final explode of the
+    * rank array is a generate — still NO cross join, NO window, NO shuffle.
+    * Output carries one row per (vector, probed cluster): |corpus| × nprobe
+    * rows.
+    */
+  def ivfAssignMulti(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, nprobe: Int = 2): DataFrame = {
+    val cents: Seq[(Long, Seq[Double], Double)] = centroids
+      .select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Double](1).toSeq
+        (r.getLong(0), v, normOf(v))
+      }.sortBy(_._1).toSeq
+    require(cents.nonEmpty, "assignment needs at least one centroid")
+    val np = math.min(nprobe, cents.size)
+    val ccosCols = cents.map { case (cid, v, cn) =>
+      (dot(col(vecCol), lit(v.toArray)) / (col("nrm") * lit(cn))).as(s"_ccos$cid")
+    }
+    var scored = withNorm(corpus.select(col(idCol), col(vecCol)), vecCol, "nrm")
+      .select(col(idCol) +: col(vecCol) +: col("nrm") +: ccosCols: _*)
+    for (p <- 0 until np) {
+      val chosen = (0 until p).map(i => col(s"_cl$i"))
+      def taken(cid: Long): Column =
+        chosen.map(_ === cid).reduceOption(_ || _).getOrElse(lit(false))
+      // rank-p candidate score: already-chosen centroids masked out; the
+      // ccos columns are materialized projections, so the mask is a cheap
+      // column reference, not a re-evaluated dot
+      val masked = cents.map { case (cid, _, _) =>
+        if (p == 0) col(s"_ccos$cid")
+        else when(taken(cid), lit(Double.NegativeInfinity)).otherwise(col(s"_ccos$cid"))
+      }
+      val best = if (masked.size == 1) masked.head else greatest(masked: _*)
+      scored = scored.withColumn(s"_best$p", best)
+      // first unmasked column equal to best, ascending centroid id = the
+      // (ccos DESC, centroid_id ASC) rank-p winner; degenerate rows (null
+      // embedding → every ccos null → no strict match) fall through to the
+      // lowest not-yet-chosen id, matching the oracle's NULLS LAST order
+      val eqChain = cents.zip(masked).foldLeft(Option.empty[Column]) {
+        case (acc, ((cid, _, _), m)) =>
+          val hit = m === col(s"_best$p") && !taken(cid)
+          Some(acc.fold(when(hit, lit(cid)))(_.when(hit, lit(cid))))
+      }.get
+      val fallback = cents.foldLeft(Option.empty[Column]) {
+        case (acc, (cid, _, _)) =>
+          val hit = !taken(cid)
+          Some(acc.fold(when(hit, lit(cid)))(_.when(hit, lit(cid))))
+      }.get
+      scored = scored.withColumn(s"_cl$p", coalesce(eqChain, fallback))
+    }
+    scored.select(col(idCol), col(vecCol), col("nrm"),
+      explode(array((0 until np).map(i => col(s"_cl$i")): _*)).as("cluster"))
+  }
+
+  /** Multi-probe variant of [[cosinePairsClustered]]: each vector is
+    * indexed under its `nprobe` nearest centroids, so near-dup pairs
+    * straddling a Voronoi boundary — the recall loss the single-probe path
+    * documents — are caught whenever the two vectors share ANY probed
+    * cluster. Pair space grows to at most nprobe² × Σ|cluster|² in the
+    * worst case (still ≪ n²); duplicate emissions from multiply-shared
+    * clusters are removed by the final distinct (cos is computed
+    * identically on every emission, so the distinct collapses them
+    * exactly). Recall strictly contains the single-probe result by
+    * construction — DedupPropertySpec measures both against the exact
+    * [[cosinePairs]] ground truth.
+    */
+  def cosinePairsClusteredMultiProbe(
+      df: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, threshold: Double, nprobe: Int = 2): DataFrame = {
+    val assigned = graft.tables.Scratch.stage(
+      ivfAssignMulti(df, centroids, idCol, vecCol, nprobe),
+      "ivf_mp_index", Seq("cluster"))
+    val a = assigned.select(col("cluster"),
+      col(idCol).as("id_a"), col(vecCol).as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cluster"),
+      col(idCol).as("id_b"), col(vecCol).as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
+  }
+
   /** Deterministic sign-LSH hyperplanes: `h`×`dim` components on the 1/128
     * grid, derived from md5 of the (plane, dim) index — no RNG, and the
     * values are short dyadic rationals that print exactly in decimal, so

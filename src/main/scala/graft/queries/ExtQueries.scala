@@ -473,6 +473,42 @@ object ExtQueries {
       ORDER BY id_a, id_b
     """))
 
+  /** D11 — multi-probe IVF near-dup: d6's clustered pair search with each
+    * vector indexed under its TWO nearest centroids, closing the
+    * Voronoi-boundary recall loss the single-probe path documents (a pair
+    * is caught when the vectors share ANY probed cluster). The oracle
+    * replays the same top-2 assignment windowed (`rnk <= 2`) and dedups
+    * multiply-shared emissions with DISTINCT — results must match the
+    * map-only masked-argmax chain bit-for-bit, including ties and
+    * degenerate rows.
+    */
+  val d11DedupIvfMultiprobe = QueryDef(
+    "d11_dedup_ivf_multiprobe",
+    (s, dir) => {
+      val emb = Td(s, dir, "embeddings")
+      val cents = Similarity.kmeansTrain(emb, "vec_id", "embedding", k = 8, iters = 2)
+        .select(col("centroid_id").cast("long").as("vec_id"), col("embedding"))
+      Similarity.cosinePairsClusteredMultiProbe(emb, cents, "vec_id", "embedding",
+          0.45, nprobe = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""
+      WITH $vecCte,
+      ${kmeansCte(8, 2)},
+      ${trainedCentSql(2)},
+      asg0 AS (SELECT n.vec_id, n.v, n.nrm, cent.centroid_id,
+                 ${dotSql.format("n.v", "centv")} / (n.nrm * centn) AS ccos
+               FROM n CROSS JOIN cent),
+      asg AS (SELECT vec_id, v, nrm, centroid_id AS cluster FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rnk
+                FROM asg0) WHERE rnk <= 2)
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+             ${dotSql.format("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+      FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE ${dotSql.format("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.45
+      ORDER BY id_a, id_b
+    """))
+
   /** D9 — sign-LSH bucketed embedding near-dup: the training-free ANN
     * scale path (vs d6's IVF, which needs k-means). The 16 hyperplanes are
     * md5-derived dyadic rationals, so the IDENTICAL literals drive both
@@ -1043,7 +1079,7 @@ object ExtQueries {
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
-    d10DedupIndexReuse,
+    d10DedupIndexReuse, d11DedupIvfMultiprobe,
     s1KnnBrute, s2AnnIvf, m1MediaMeta, c1Curation, c2CurationRecipe, x1HllDistinct, x2KmeansIvf,
     x3DedupGroups, x5KmeansSample, x6DedupGroupsConv, x7StratifiedSample)
 }

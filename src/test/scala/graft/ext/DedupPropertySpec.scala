@@ -273,4 +273,24 @@ class DedupPropertySpec extends SparkSpec {
     assert(clustered.subsetOf(all))
     assert(clustered.contains((100L, 101L))) // identical → same cluster, cos 1.0
   }
+
+  test("multi-probe IVF: single-probe ⊆ multi-probe ⊆ exact, recall strictly improves (sf0.01)") {
+    import graft.Td
+    val emb = Td(spark, "/root/testdata/sf0.01", "embeddings")
+    val cents = Similarity.kmeansTrain(emb, "vec_id", "embedding", k = 8, iters = 2)
+      .select(col("centroid_id").cast("long").as("vec_id"), col("embedding"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.cosinePairs(emb, "vec_id", "embedding", 0.45))
+    val single = pairs(Similarity.cosinePairsClustered(emb, cents, "vec_id", "embedding", 0.45))
+    val multi = pairs(Similarity.cosinePairsClusteredMultiProbe(
+      emb, cents, "vec_id", "embedding", 0.45, nprobe = 2))
+    // containment by construction: probe-1 buckets are a subset of probe-2's
+    assert(single.subsetOf(multi), s"single-probe pairs lost: ${single -- multi}")
+    // never invents pairs: every emission is an exact cosine ≥ threshold
+    assert(multi.subsetOf(truth), s"multi-probe invented: ${multi -- truth}")
+    // the point: Voronoi-boundary pairs the single probe loses are caught
+    assert(multi.size > single.size,
+      s"no recall gain: single=${single.size}, multi=${multi.size}, exact=${truth.size}")
+  }
 }

@@ -45,15 +45,58 @@ object Multimodal {
     }
   }
 
+  /** REAL image decode via JDK-built-in `javax.imageio` (PNG, JPEG, GIF,
+    * BMP — no dependencies beyond the JDK): true width/height, channel
+    * count from the color model, and the mean over every raster sample
+    * (the decoded-pixel analog of FakeCodec's mean over raw bytes).
+    *
+    * Rows whose payload ImageIO cannot parse — and non-image kinds — fall
+    * back to [[FakeCodec]], so a dirty web-scale corpus (truncated files,
+    * mislabeled MIME types) decodes deterministically instead of failing
+    * the stage; a real pipeline would also project out a `decoded` flag
+    * (width/height > 1 distinguishes the paths here).
+    */
+  object ImageIoCodec {
+    def decode(r: MediaRow): MediaMeta = {
+      if (r.kind != "image") FakeCodec.decode(r)
+      else {
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+          catch { case _: Exception => null }
+        if (img == null) FakeCodec.decode(r)
+        else {
+          val raster = img.getRaster
+          val (w, h, ch) = (img.getWidth, img.getHeight, raster.getNumBands)
+          var sum = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var b = 0
+              while (b < ch) { sum += raster.getSample(x, y, b); b += 1 }
+              x += 1
+            }
+            y += 1
+          }
+          MediaMeta(r.media_id, r.kind, r.media.length.toLong, w, h, ch,
+            sum / (w.toLong * h * ch))
+        }
+      }
+    }
+  }
+
   /** Decode stage: partition-parallel metadata extraction. The iterator
     * shape lets a real codec init once per partition (the reason for
-    * mapPartitions over map).
+    * mapPartitions over map). `codec` defaults to the deterministic
+    * [[FakeCodec]] (cross-engine-replayable, used by the m1 oracle query);
+    * pass `ImageIoCodec.decode` for real image decoding.
     */
-  def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+  def decodeMeta(media: Dataset[MediaRow],
+      codec: MediaRow => MediaMeta = FakeCodec.decode): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition codec init would go here
-      it.map(FakeCodec.decode)
+      it.map(codec)
     }
   }
 

@@ -166,4 +166,35 @@ class ExtSpec extends SparkSpec {
     val rp = Multimodal.resizePlan(Multimodal.decodeMeta(media), maxSide = 256).collect()
     assert(rp.forall(r => r.getAs[Int]("out_width") <= 256 && r.getAs[Int]("out_height") <= 256))
   }
+
+  test("multimodal: ImageIoCodec decodes a real PNG — true dims, channels, pixel mean") {
+    import Multimodal.MediaRow
+    // deterministic 7×5 RGB gradient, written as a real PNG in-test
+    val img = new java.awt.image.BufferedImage(7, 5,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 5; x <- 0 until 7)
+      img.setRGB(x, y, ((x * 30) << 16) | ((y * 40) << 8) | 7)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+
+    val rows = Seq(
+      MediaRow(1L, "image", png),
+      MediaRow(2L, "image", "definitely not an image".getBytes("UTF-8")),
+      MediaRow(3L, "audio", Array[Byte](9, 8, 7, 6)))
+    val out = Multimodal.decodeMeta(rows.toDS(), Multimodal.ImageIoCodec.decode)
+      .collect().map(m => m.media_id -> m).toMap
+
+    // the real decode: true dimensions and channel count, exact pixel mean
+    // (PNG is lossless, so the gradient samples round-trip exactly)
+    assert(out(1L).width === 7 && out(1L).height === 5 && out(1L).channels === 3)
+    assert(out(1L).n_bytes === png.length.toLong)
+    val expMean = (for { y <- 0 until 5; x <- 0 until 7; v <- Seq(x * 30, y * 40, 7) }
+      yield v.toDouble).sum / (7 * 5 * 3)
+    assert(out(1L).mean_byte === expMean)
+    // unparseable image bytes and non-image kinds fall back to FakeCodec
+    // deterministically instead of failing the stage
+    assert(out(2L) === Multimodal.FakeCodec.decode(rows(1)))
+    assert(out(3L) === Multimodal.FakeCodec.decode(rows(2)))
+  }
 }

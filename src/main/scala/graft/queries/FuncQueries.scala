@@ -275,6 +275,43 @@ object FuncQueries {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """))
 
+  /** F9 — grid-sketch quantiles at ARBITRARY (non-dyadic) percentages:
+    * the bounded-error path f8's exact `percentile` scaladoc routes large
+    * or skewed groups to. Per-group state is a fixed-grid counting
+    * histogram (map-side combinable), never the buffered values; the
+    * estimate is the lower edge of the bin holding the ⌈p·n⌉-th order
+    * statistic — error < grid width (1000 here, on a ~[900, 105000] price
+    * range), and every step is integer math or a single IEEE
+    * multiply/floor, so the oracle replays it bit-for-bit at any
+    * percentage (0.1/0.9/0.99 included — exactly where the exact path
+    * loses cross-engine parity to interpolation rounding).
+    */
+  val f9QuantilesSketch = QueryDef(
+    "f9_quantiles_sketch",
+    (s, dir) =>
+      graft.functions.GridQuantiles.gridQuantiles(
+          Td(s, dir, "lineitem"), "l_returnflag", "l_extendedprice", width = 1000,
+          ps = Seq("q10" -> 0.10, "q50" -> 0.50, "q90" -> 0.90, "q99" -> 0.99))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      WITH hist AS (
+        SELECT l_returnflag, CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS bin,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2),
+      cum AS (
+        SELECT l_returnflag, bin,
+               SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS c,
+               SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+        FROM hist)
+      SELECT l_returnflag,
+             CAST(MIN(CASE WHEN c >= ceil(0.1 * n) THEN bin END) * 1000 AS BIGINT) AS q10,
+             CAST(MIN(CASE WHEN c >= ceil(0.5 * n) THEN bin END) * 1000 AS BIGINT) AS q50,
+             CAST(MIN(CASE WHEN c >= ceil(0.9 * n) THEN bin END) * 1000 AS BIGINT) AS q90,
+             CAST(MIN(CASE WHEN c >= ceil(0.99 * n) THEN bin END) * 1000 AS BIGINT) AS q99,
+             CAST(MAX(n) AS BIGINT) AS n
+      FROM cum GROUP BY l_returnflag ORDER BY l_returnflag
+    """))
+
   /** X8 — histogram binning: fixed-width bins via integer floor division
     * (exact in both engines; width_bucket's float boundary math is not
     * guaranteed bit-stable cross-engine). The shape behind every length /
@@ -299,5 +336,5 @@ object FuncQueries {
   val all: Seq[QueryDef] = Seq(
     p1ProjectCastRename, p2FilterPredicates, f1StringClean, f2HashKeys,
     f3DatesMultiformat, f4MonthSpine, f5MathArith, f6CaseJson, f7AggStats,
-    f8Quantiles, x8LengthHist)
+    f8Quantiles, f9QuantilesSketch, x8LengthHist)
 }

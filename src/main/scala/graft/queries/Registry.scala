@@ -5,7 +5,8 @@ package graft.queries
   */
 object Registry {
   def defs: Seq[QueryDef] =
-    CoreQueries.all ++ FuncQueries.all ++ JoinQueries.all ++ MergeQueries.all ++ ExtQueries.all
+    CoreQueries.all ++ FuncQueries.all ++ JoinQueries.all ++ MergeQueries.all ++
+      ServeQueries.all ++ ExtQueries.all
 
   def queryMap: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     defs.map(d => d.name -> d.fn).toMap

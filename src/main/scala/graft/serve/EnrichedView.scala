@@ -50,13 +50,18 @@ object EnrichedView {
 
   // ---- dashboard workload (README.md:194-208) ----
 
-  /** KPI cards: Revenue, Quantity, #Customers, ASP. */
+  /** KPI cards: Revenue, Quantity, #Customers, ASP. Sums keep the input
+    * column type (decimal in → exact decimal out); ASP divides the
+    * double-cast sums so the division is plain IEEE arithmetic regardless
+    * of input type (decimal÷decimal result scales differ between engines —
+    * double division replays identically everywhere).
+    */
   def kpis(enriched: DataFrame): DataFrame =
     enriched.agg(
       sum("total_amount").as("revenue"),
       sum("sold_quantity").as("quantity"),
       countDistinct("customer_code").as("n_customers"),
-      (sum("total_amount") / sum("sold_quantity")).as("asp"))
+      (sum("total_amount").cast("double") / sum("sold_quantity").cast("double")).as("asp"))
 
   def topProducts(enriched: DataFrame, n: Int = 10): DataFrame =
     enriched.groupBy("product_code", "product")

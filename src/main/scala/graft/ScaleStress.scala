@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.FloatType
+
+import graft.ext.{Dedup, Similarity}
+
+/** Empirical scale-stress harness: runs the headline dedup/ANN pipelines on
+  * the driver testdata AND on a deterministic `factor`× expansion of it,
+  * and reports wall-clock plus total shuffle-write bytes per query — the
+  * evidence that the claimed sub-quadratic designs actually scale like the
+  * data (time ratio ≈ data ratio), not like its square.
+  *
+  * Usage: `runMain graft.ScaleStress <sfDir> <workDir> [factor] [reps]`
+  *
+  * == Expansion construction (why it is a fair scale-up) ==
+  * Each replica `r ∈ [1, factor)` re-emits every row with its id offset by
+  * `r·10^8` and its content perturbed so that CROSS-replica pairs are NOT
+  * near-duplicates while WITHIN-replica dup structure survives:
+  *
+  *  - documents: a replica-unique token (`zq<r>x`) is spliced after every
+  *    4th word. Word-3-gram shingles ([[Dedup.shingleIndex]]) then put a
+  *    replica token inside 3 of every 5 shingles, pinning cross-replica
+  *    Jaccard of a doc with its own twin at ≈ 2/8 = 0.25 — far below the
+  *    0.8 dedup threshold. Docs inside one replica carry the same splice,
+  *    so their mutual overlap is (approximately) preserved.
+  *  - embeddings: each element is multiplied by a deterministic ±1 drawn
+  *    from murmur3 `hash(r, i)`. A ±1 diagonal is orthogonal: within a
+  *    replica every dot product and norm — hence every cosine — is EXACTLY
+  *    preserved, while across replicas the signs decorrelate the vectors
+  *    (expected cosine ≈ 0). Near-dup structure replicates per replica;
+  *    nothing pairs across replicas.
+  *
+  * The corpus therefore grows `factor`× with per-replica dup statistics
+  * matching the original — a genuinely `factor`-times-larger workload, not
+  * `factor²` extra pairs from colliding replicas.
+  *
+  * == What is timed ==
+  * The oracle-pinned pipelines exactly as registered (d3/d8/x3/c1 via
+  * [[graft.queries.Registry]]), plus the IVF near-dup path twice: once with
+  * the cluster count scaled with the data (constant cluster size — the knob
+  * a production deployment turns, keeping within-cluster pairing linear)
+  * and once with the 1× cluster count held fixed, to show the quadratic
+  * trap the knob exists to avoid. Results print as one JSON line per
+  * (query, scale) and a final ratio summary.
+  */
+object ScaleStress {
+
+  /** Replica id offset — far above any testdata id, so replica id spaces
+    * are disjoint and `least/greatest` pair ordering stays within-replica
+    * meaningful. */
+  private val Off = 100000000L
+
+  /** Deterministic factor× expansion of documents + embeddings into
+    * `outDir` (see class doc for the construction). Replica 0 is the
+    * original rows byte-for-byte. */
+  def expand(spark: SparkSession, sfDir: String, outDir: String, factor: Int): Unit = {
+    require(factor >= 2, s"factor must be >= 2, got $factor")
+    val reps = spark.range(1, factor).select(col("id").cast("int").as("r"))
+
+    val docs = Td(spark, sfDir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val mutDocs = docs.crossJoin(broadcast(reps)).select(
+      (col("doc_id") + col("r").cast("long") * Off).as("doc_id"),
+      regexp_replace(col("text"), lit("((\\S+\\s+){4})"),
+        concat(lit("$1zq"), col("r"), lit("x "))).as("text"),
+      col("lang"), col("source"), col("r"))
+    docs.unionByName(
+        mutDocs.withColumn("n_chars", length(col("text")).cast("long")).drop("r"))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val emb = Td(spark, sfDir, "embeddings").select("vec_id", "embedding", "label")
+    val mutEmb = emb.crossJoin(broadcast(reps)).select(
+      (col("vec_id") + col("r").cast("long") * Off).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x * when(pmod(hash(col("r"), i), lit(2)) === 0, lit(1.0f)).otherwise(lit(-1.0f)))
+          .cast(FloatType)).as("embedding"),
+      col("label"))
+    emb.unionByName(mutEmb)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  /** The stressed pipelines. d3/d8/x3/c1 run the exact registered
+    * oracle-pinned code; the two IVF variants differ only in whether the
+    * cluster-count knob follows the data. */
+  private def stressQueries(kFor: Int => Int): Seq[(String, (SparkSession, String) => DataFrame)] = {
+    def ivf(k: Int)(s: SparkSession, dir: String): DataFrame = {
+      val emb = Td(s, dir, "embeddings")
+      val cents = Similarity.kmeansTrain(emb, "vec_id", "embedding", k = k, iters = 2)
+        .select(col("centroid_id").cast("long").as("vec_id"), col("embedding"))
+      Similarity.cosinePairsClustered(emb, cents, "vec_id", "embedding", 0.45)
+    }
+    val reg = graft.queries.Registry.queryMap
+    Seq(
+      "d3_minhash" -> reg("d3_dedup_minhash"),
+      "d8_incremental" -> reg("d8_dedup_incremental"),
+      "x3_groups" -> reg("x3_dedup_groups"),
+      "c1_curation" -> reg("c1_curation"),
+      "d6_ivf_scaled_k" -> ((s: SparkSession, dir: String) => ivf(kFor(dirFactor(dir)))(s, dir)),
+      // k ∝ √N: the classic IVF balance point — assignment O(N·k) and
+      // within-cluster pairing O(N²/k) both grow as N^1.5
+      "d6_ivf_sqrt_k" -> ((s: SparkSession, dir: String) =>
+        ivf(math.round(kFor(1) * math.sqrt(dirFactor(dir))).toInt)(s, dir)),
+      "d6_ivf_fixed_k" -> ((s: SparkSession, dir: String) => ivf(kFor(1))(s, dir)))
+  }
+
+  /** Scale factor encoded in the data dir name by `main` (`…/x<factor>`);
+    * 1 for the original sf dir. */
+  private def dirFactor(dir: String): Int = {
+    val m = "x(\\d+)$".r.findFirstMatchIn(dir)
+    m.map(_.group(1).toInt).getOrElse(1)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val workDir = args.lift(1).getOrElse("/tmp/graft_scale_stress")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val nReps = args.lift(3).map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+
+    val expDir = s"$workDir/x$factor"
+    expand(spark, sfDir, expDir, factor)
+
+    val scales = Seq(1 -> sfDir, factor -> expDir)
+    // warmup: parquet footers + codegen for both scales
+    scales.foreach { case (_, dir) =>
+      Seq("documents", "embeddings").foreach(t => Td(spark, dir, t).count())
+    }
+
+    // avg cluster size held constant: k grows with the data
+    val results = stressQueries(f => 8 * f).flatMap { case (name, fn) =>
+      scales.map { case (f, dir) =>
+        val runs = (1 to nReps).map { _ =>
+          val b0 = shuffleBytes.get()
+          val t0 = System.nanoTime()
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(300) // let the listener bus drain task-end events
+          (sec, shuffleBytes.get() - b0)
+        }
+        val (sec, bytes) = runs.minBy(_._1)
+        println(f"""{"query":"$name","scale":$f,"sec":$sec%.2f,"shuffle_mb":${bytes / 1e6}%.1f}""")
+        (name, f, sec, bytes)
+      }
+    }
+    results.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (name, rs) =>
+      val base = rs.find(_._2 == 1).get
+      val big = rs.find(_._2 == factor).get
+      println(f"""{"query":"$name","data_ratio":$factor,"time_ratio":${big._3 / base._3}%.2f,"shuffle_ratio":${big._4.toDouble / math.max(base._4, 1)}%.2f}""")
+    }
+    graft.tables.Scratch.cleanup(spark)
+    spark.stop()
+  }
+}

@@ -168,6 +168,44 @@ object JoinQueries {
       ORDER BY kind, k
     """))
 
+  /** J7 — as-of (point-in-time) join, engine surface beyond the reference:
+    * each event is joined to the same user's most recent STRICTLY-earlier
+    * purchase event — the no-future-leakage feature lookup. The engine path
+    * ([[graft.ext.AsOfJoin.asOf]]) is the single-shuffle union+window form
+    * (never materializes the per-key event×purchase product); the oracle
+    * deliberately IS that quadratic product + argmax, so the linear plan is
+    * checked against the definitional semantics, ties (same user, same ts)
+    * pinned by the event-id tie-break on both sides.
+    */
+  val j7AsofJoin = QueryDef(
+    "j7_asof_join",
+    (s, dir) => {
+      val events = Td(s, dir, "events")
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("prev_purchase_id"),
+          col("value").as("prev_purchase_value"))
+      graft.ext.AsOfJoin.asOf(
+          events.select(col("event_id"), col("user_id"), col("ts")),
+          purchases, keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+          rightCols = Seq("prev_purchase_id", "prev_purchase_value"),
+          tieBreak = Seq("prev_purchase_id"), inclusive = false)
+        .select(col("event_id"), col("user_id"),
+          col("prev_purchase_id"), col("prev_purchase_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+      r AS (
+        SELECT e.event_id, p.event_id AS prev_purchase_id, p.value AS prev_purchase_value,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY p.ts DESC, p.event_id DESC) AS rnk
+        FROM events e JOIN p ON p.user_id = e.user_id AND p.ts < e.ts)
+      SELECT e.event_id, e.user_id, r.prev_purchase_id, r.prev_purchase_value
+      FROM events e LEFT JOIN (SELECT * FROM r WHERE rnk = 1) r USING (event_id)
+      ORDER BY event_id
+    """))
+
   /** S12/S13 — SQL-text surface: temp-view registration + `spark.sql`
     * (reference: CREATE OR REPLACE VIEW denormalise_table_query_fmcg.txt:1,
     * temp-view handoff 2_incremental_load_fact.py:254). Same engine path the
@@ -196,5 +234,5 @@ object JoinQueries {
 
   val all: Seq[QueryDef] = Seq(
     j1LeftBroadcast, j2InnerDimAgg, j4JoinOnExpr, j5StarEnriched,
-    j6SemiAnti, setOps, v1SqlView)
+    j6SemiAnti, j7AsofJoin, setOps, v1SqlView)
 }

@@ -148,4 +148,18 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges === 2, s"expected 2 exchanges (one per side), found $exchanges:\n$p")
   }
+
+  test("as-of join is one key shuffle + one window — never a pairwise join (J7)") {
+    val p = plan(JoinQueries.j7AsofJoin.fn(spark, sf))
+    // the definitional form is a quadratic join + argmax; the shipped plan
+    // must contain NO join operator at all
+    val joins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|CartesianProduct".r
+      .findAllIn(p).length
+    assert(joins === 0, s"as-of must not compile to a join, found $joins:\n$p")
+    assert("Window".r.findAllIn(p).length >= 1, "expected the carry-forward window")
+    // both sides union, shuffled ONCE on the key (the final ORDER BY adds a
+    // range exchange; no other hash exchange may appear)
+    val exchanges = "hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected exactly 1 hash exchange, found $exchanges:\n$p")
+  }
 }

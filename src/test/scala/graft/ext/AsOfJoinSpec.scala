@@ -1,0 +1,108 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // quotes: (key, time, quote_id, px); trades: (key, time, trade_id)
+  private lazy val quotes = Seq(
+    ("A", ts("2024-01-01 10:00:00"), 1L, 100.0),
+    ("A", ts("2024-01-01 10:00:02"), 2L, 101.0),
+    ("A", ts("2024-01-01 10:00:02"), 3L, 102.0), // tie on ts with quote 2
+    ("A", ts("2024-01-01 10:00:05"), 4L, 103.0),
+    ("B", ts("2024-01-01 10:00:03"), 5L, 200.0)
+  ).toDF("key", "qts", "quote_id", "px")
+
+  private lazy val trades = Seq(
+    ("A", ts("2024-01-01 09:59:59"), 10L), // before any quote
+    ("A", ts("2024-01-01 10:00:02"), 11L), // equal-time boundary
+    ("A", ts("2024-01-01 10:00:04"), 12L),
+    ("B", ts("2024-01-01 10:00:10"), 13L),
+    ("C", ts("2024-01-01 10:00:10"), 14L)  // key with no quotes at all
+  ).toDF("key", "tts", "trade_id")
+
+  private def byTrade(df: DataFrame): Map[Long, (Any, Any)] =
+    df.collect().map(r => r.getAs[Long]("trade_id") ->
+      (r.getAs[Any]("quote_id"), r.getAs[Any]("px"))).toMap
+
+  test("inclusive as-of picks the latest right row at-or-before, ties by tieBreak") {
+    val got = byTrade(AsOfJoin.asOf(trades, quotes, Seq("key"), "tts", "qts",
+      rightCols = Seq("quote_id", "px"), tieBreak = Seq("quote_id")))
+    assert(got(10L) == ((null, null)))         // nothing at-or-before
+    assert(got(11L) == ((3L, 102.0)))          // equal ts visible; tie -> max quote_id
+    assert(got(12L) == ((3L, 102.0)))
+    assert(got(13L) == ((5L, 200.0)))
+    assert(got(14L) == ((null, null)))         // key never quoted
+  }
+
+  test("strict as-of excludes equal-time right rows") {
+    val got = byTrade(AsOfJoin.asOf(trades, quotes, Seq("key"), "tts", "qts",
+      rightCols = Seq("quote_id", "px"), tieBreak = Seq("quote_id"),
+      inclusive = false))
+    assert(got(11L) == ((1L, 100.0)))          // 10:00:02 quotes invisible
+    assert(got(12L) == ((3L, 102.0)))
+  }
+
+  test("a matched row with NULL payload fields wins; it does not fall back to older rows") {
+    val q = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 1L, Some(100.0)),
+      ("A", ts("2024-01-01 10:00:02"), 2L, None: Option[Double])
+    ).toDF("key", "qts", "quote_id", "px")
+    val t = Seq(("A", ts("2024-01-01 10:00:03"), 11L)).toDF("key", "tts", "trade_id")
+    val got = byTrade(AsOfJoin.asOf(t, q, Seq("key"), "tts", "qts",
+      rightCols = Seq("quote_id", "px"), tieBreak = Seq("quote_id")))
+    assert(got(11L) == ((2L, null))) // quote 2 matched, its NULL px carried as-is
+  }
+
+  test("tolerance nulls out payloads older than the window") {
+    val got = byTrade(AsOfJoin.asOf(trades, quotes, Seq("key"), "tts", "qts",
+      rightCols = Seq("quote_id", "px"), tieBreak = Seq("quote_id"),
+      tolerance = Some(expr("INTERVAL 3 SECONDS"))))
+    assert(got(13L) == ((null, null))) // B's only quote is 7s stale
+    assert(got(11L) == ((3L, 102.0)))  // 0s stale, kept
+  }
+
+  test("right rows with NULL time are dropped, not sorted first") {
+    val q = Seq(
+      ("A", Option(ts("2024-01-01 10:00:00")), 1L, 100.0),
+      ("A", None: Option[Timestamp], 2L, 999.0)
+    ).toDF("key", "qts", "quote_id", "px")
+    val t = Seq(("A", ts("2024-01-01 10:00:03"), 11L)).toDF("key", "tts", "trade_id")
+    val got = byTrade(AsOfJoin.asOf(t, q, Seq("key"), "tts", "qts",
+      rightCols = Seq("quote_id", "px"), tieBreak = Seq("quote_id")))
+    assert(got(11L) == ((1L, 100.0)))
+  }
+
+  test("agrees with the definitional quadratic join+argmax on the events table") {
+    val events = graft.Td(spark, "/root/testdata/sf0.001", "events")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("pid"), col("value").as("pval"))
+
+    val fast = AsOfJoin.asOf(
+      events.select(col("event_id"), col("user_id"), col("ts")),
+      purchases, Seq("user_id"), "ts", "ts",
+      rightCols = Seq("pid", "pval"), tieBreak = Seq("pid"), inclusive = false)
+      .select(col("event_id"), col("user_id"), col("pid"), col("pval"))
+
+    val pr = purchases.withColumnRenamed("ts", "pts").withColumnRenamed("user_id", "puid")
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("pts").desc, col("pid").desc)
+    val naive = events.select(col("event_id"), col("user_id"), col("ts"))
+      .join(pr, col("puid") === col("user_id") && col("pts") < col("ts"), "left")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1) // unmatched events keep their single null row
+      .select(col("event_id"), col("user_id"), col("pid"), col("pval"))
+
+    assert(fast.count() === events.count())
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+}

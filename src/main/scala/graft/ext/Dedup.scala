@@ -297,6 +297,41 @@ object Dedup {
     }
   }
 
+  /** Probe-vs-index capped candidate pairs — the probe-side analog of
+    * [[cappedPairs]]. Each probe band row joins its index bucket; buckets
+    * over `cap` members instead pair the probe with the bucket
+    * representative only (min id): O(1) fan-out per probe row on a hot
+    * bucket, where the uncapped join emits one candidate per member — the
+    * unbounded |inc|×m blow-up an incremental run hits when the stored
+    * corpus carries a boilerplate flood. Same connectivity contract and
+    * recall caveat as [[cappedPairs]]: hot-bucket members stay reachable
+    * through the rep; member-member pairs inside a hot bucket are not
+    * emitted. The bucket stats come from one partial-aggregated pass over
+    * the narrow index (at scale, maintain them incrementally next to the
+    * index itself). Output: distinct (id_a < id_b).
+    */
+  private[ext] def probeCappedPairs(probe: DataFrame, index: DataFrame,
+      idCol: String, cap: Int): DataFrame = {
+    val keys = Seq("band", "bucket")
+    val p = probe.select(col(idCol).as("_x"), col("band"), col("bucket"))
+    val ix = index.select(col(idCol).as("_y"), col("band"), col("bucket"))
+    val pairs =
+      if (cap == Int.MaxValue) p.join(ix, keys)
+      else {
+        val stats = index.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("_sz"), min(col(idCol)).as("_rep"))
+        val pj = p.join(stats, keys) // one row per probe band row
+        pj.filter(col("_sz") <= cap).select(col("_x"), col("band"), col("bucket"))
+          .join(ix, keys)
+          .select("_x", "_y")
+          .union(pj.filter(col("_sz") > cap).select(col("_x"), col("_rep").as("_y")))
+      }
+    pairs.filter(col("_x") =!= col("_y"))
+      .select(least(col("_x"), col("_y")).as("id_a"),
+        greatest(col("_x"), col("_y")).as("id_b"))
+      .distinct()
+  }
+
   /** MinHash-LSH near-dup pairs, verified: candidates from band collisions,
     * then exact Jaccard computed ONLY for candidate pairs — the shingle
     * index is first semi-join-pruned to candidate docs, so the verify
@@ -350,21 +385,15 @@ object Dedup {
     */
   def minhashDedupIncremental(
       base: DataFrame, inc: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 12, bands: Int = 3, threshold: Double = 0.8): DataFrame = {
+      n: Int = 3, k: Int = 12, bands: Int = 3, threshold: Double = 0.8,
+      bucketCap: Int = Int.MaxValue): DataFrame = {
     val union = base.unionByName(inc)
     val sh = shingleIndex(union, idCol, textCol, n)
     val sig = minhashSignature(sh, idCol, k)
     // the index artifact: one narrow (id, band, bucket) table
     val eb = staged(bandBuckets(sig, idCol, bands, k / bands), "mh_inc_eb_stage")
     val ebInc = eb.join(inc.select(col(idCol)), Seq(idCol), "left_semi")
-    val cands = staged(
-      ebInc.select(col(idCol).as("_x"), col("band"), col("bucket"))
-        .join(eb.select(col(idCol).as("_y"), col("band"), col("bucket")),
-          Seq("band", "bucket"))
-        .filter(col("_x") =!= col("_y"))
-        .select(least(col("_x"), col("_y")).as("id_a"),
-          greatest(col("_x"), col("_y")).as("id_b"))
-        .distinct(),
+    val cands = staged(probeCappedPairs(ebInc, eb, idCol, bucketCap),
       "mh_inc_cands_stage")
     val candDocs = cands.select(col("id_a").as(idCol))
       .union(cands.select(col("id_b").as(idCol))).distinct()

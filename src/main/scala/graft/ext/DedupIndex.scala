@@ -73,7 +73,7 @@ object DedupIndex {
     */
   def dedupIncrement(store: TableStore, name: String, inc: DataFrame,
       idCol: String, textCol: String, n: Int = 3, k: Int = 12, bands: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, bucketCap: Int = Int.MaxValue): DataFrame = {
     require(k % bands == 0, s"k ($k) must be divisible by bands ($bands)")
     // the ONLY pass over increment text: staged so the three appends and
     // the signature agg scan cheap scratch parquet, not re-shingle
@@ -88,16 +88,14 @@ object DedupIndex {
     store.append(bandsT(name), ebInc)
     // probe: increment band rows vs the full stored index (which now
     // includes the increment, so inc-inc pairs surface too — identical
-    // candidate space to minhashDedupIncremental's ebInc ⋈ eb(base ∪ inc))
+    // candidate space to minhashDedupIncremental's ebInc ⋈ eb(base ∪ inc)).
+    // `bucketCap` bounds the per-probe fan-out on hot stored buckets via
+    // rep-star pairing (Dedup.probeCappedPairs) — without it a boilerplate
+    // flood in the history makes every probing crawl doc emit one candidate
+    // per flood member.
     val eb = store.read(bandsT(name))
     val cands = Scratch.stage(
-      ebInc.select(col(idCol).as("_x"), col("band"), col("bucket"))
-        .join(eb.select(col(idCol).as("_y"), col("band"), col("bucket")),
-          Seq("band", "bucket"))
-        .filter(col("_x") =!= col("_y"))
-        .select(least(col("_x"), col("_y")).as("id_a"),
-          greatest(col("_x"), col("_y")).as("id_b"))
-        .distinct(),
+      Dedup.probeCappedPairs(ebInc, eb, idCol, bucketCap),
       s"${name}_inc_cands")
     val candDocs = cands.select(col("id_a").as(idCol))
       .union(cands.select(col("id_b").as(idCol))).distinct()

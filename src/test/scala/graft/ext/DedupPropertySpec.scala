@@ -117,6 +117,35 @@ class DedupPropertySpec extends SparkSpec {
     assert(hotPairs.forall(_._1 === 2000L))
   }
 
+  test("incremental probe cap: hot stored bucket fans out O(1) per probe, flood stays connected") {
+    // history carries an m-doc boilerplate flood; the crawl increment adds
+    // 3 more copies. Uncapped, every inc copy pairs with all m stored
+    // members; capped, each pairs only with the flood's rep.
+    val m = 30
+    val flood = (0 until m).map(i => ((3000 + i).toLong, ("rho phi chi " * 6).trim))
+    val base = (corpus(14, 20) ++ flood).toDF("doc_id", "text")
+    val inc = (0 until 3).map(i => ((9000 + i).toLong, ("rho phi chi " * 6).trim))
+      .toDF("doc_id", "text")
+
+    val capped = Dedup.minhashDedupIncremental(base, inc, "doc_id", "text",
+        threshold = 0.8, bucketCap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // each inc doc pairs exactly with the flood rep (3000) and, through
+    // least/greatest ordering, possibly the other inc docs via the rep —
+    // never with every stored flood member
+    val incTouching = capped.filter { case (a, b) => a >= 9000 || b >= 9000 }
+    assert(incTouching.nonEmpty, "flood must stay reachable from the increment")
+    assert(incTouching.forall { case (a, b) => a === 3000L || b === 3000L },
+      s"capped probe must star-pair with the rep only: $incTouching")
+    assert(incTouching.size === 3)
+
+    // uncapped for contrast: every inc copy pairs with all m members + each other
+    val un = Dedup.minhashDedupIncremental(base, inc, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .count { case (a, b) => a >= 9000 || b >= 9000 }
+    assert(un === 3 * m + 3, s"uncapped inc-touching pairs: $un")
+  }
+
   test("capped == uncapped when no bucket exceeds the cap") {
     val df = corpus(13, 40).toDF("doc_id", "text")
     val sig = Dedup.minhashSignature(Dedup.shingleIndex(df, "doc_id", "text", 3), "doc_id")

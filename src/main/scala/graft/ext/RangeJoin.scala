@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Binned range (interval) join: pair every point row with every interval
+  * row whose `[lo, hi]` contains the point — attribution windows, session
+  * containment, calendar/maintenance-window lookup.
+  *
+  * == Why not write the predicate directly? ==
+  * `points.join(intervals, t >= lo && t <= hi)` has no equi-condition, so
+  * Catalyst plans BroadcastNestedLoopJoin — |P|×|I| comparisons, the
+  * quadratic trap. With an equi-key prefix (`user_id` etc.) Spark shuffles
+  * on the key but still pairs everything within a key group, which a hot
+  * key turns back into the same trap.
+  *
+  * == The binning trick ==
+  * Time is cut into fixed `binWidth`-second bins. Each interval row is
+  * exploded to the bins it covers (`sequence(floor(lo/w), floor(hi/w))`);
+  * each point row maps to exactly ONE bin. An ordinary equi-join on
+  * (keys…, bin) then meets every qualifying pair — a point inside [lo, hi]
+  * is necessarily in one of the interval's bins — and the exact predicate
+  * filters bin-edge false positives. Because the point side maps to a
+  * single bin, each (point, interval) pair meets exactly once: no dedup.
+  *
+  * Cost: |I| × (avg interval length / binWidth + 1) exploded rows + one
+  * hash shuffle, instead of a nested loop. Size `binWidth` near the typical
+  * interval length: one-to-few bins per interval, and a bin holds only
+  * co-temporal rows, so even the keyless join stays linear-ish. Exactness
+  * never depends on the bin width — only the pruning efficiency does.
+  */
+object RangeJoin {
+
+  /** Join `points` (timestamp `tCol`) to `intervals` (`loCol`/`hiCol`
+    * timestamps, inclusive ends) on containment, equi-restricted by `keys`
+    * (present in both sides; may be empty for a global interval lookup).
+    * Output columns: both sides' columns (keys once); names must not
+    * otherwise collide — rename before joining.
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+      tCol: String, loCol: String, hiCol: String, binWidth: Long = 3600L): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1 second, got $binWidth")
+    val overlap = (points.columns.toSet intersect intervals.columns.toSet) -- keys
+    require(overlap.isEmpty, s"non-key columns collide across sides: $overlap")
+    def bin(c: Column): Column = floor(c.cast("double") / binWidth).cast("long")
+    val p = points.withColumn("_bin", bin(col(tCol)))
+    val i = intervals
+      .withColumn("_bin", explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
+    p.join(i, keys :+ "_bin")
+      .filter(col(tCol) >= col(loCol) && col(tCol) <= col(hiCol))
+      .drop("_bin")
+  }
+}

@@ -206,6 +206,40 @@ object JoinQueries {
       ORDER BY event_id
     """))
 
+  /** J8 — binned range (interval) join, engine surface beyond the reference:
+    * click→purchase attribution, each click paired with the same user's
+    * purchases inside [click, click + 1 hour]. The engine path
+    * ([[graft.ext.RangeJoin.pointInInterval]]) explodes intervals to
+    * fixed-width time bins and equi-joins on (user, bin) — never a
+    * nested-loop pair scan; the oracle is the definitional inequality join.
+    */
+  val j8RangeJoin = QueryDef(
+    "j8_range_join",
+    (s, dir) => {
+      val events = Td(s, dir, "events")
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("click_hi"))
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts"), col("value").as("purchase_value"))
+      graft.ext.RangeJoin.pointInInterval(purchases, clicks, Seq("user_id"),
+          tCol = "ts", loCol = "click_ts", hiCol = "click_hi", binWidth = 3600L)
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          col("purchase_value"))
+        .orderBy(col("click_id"), col("purchase_id"))
+    },
+    Some("""
+      SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+             p.value AS purchase_value
+      FROM events c JOIN events p
+        ON p.user_id = c.user_id
+       AND c.event_type = 'click' AND p.event_type = 'purchase'
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      ORDER BY click_id, purchase_id
+    """))
+
   /** S12/S13 — SQL-text surface: temp-view registration + `spark.sql`
     * (reference: CREATE OR REPLACE VIEW denormalise_table_query_fmcg.txt:1,
     * temp-view handoff 2_incremental_load_fact.py:254). Same engine path the
@@ -234,5 +268,5 @@ object JoinQueries {
 
   val all: Seq[QueryDef] = Seq(
     j1LeftBroadcast, j2InnerDimAgg, j4JoinOnExpr, j5StarEnriched,
-    j6SemiAnti, j7AsofJoin, setOps, v1SqlView)
+    j6SemiAnti, j7AsofJoin, j8RangeJoin, setOps, v1SqlView)
 }

@@ -149,6 +149,15 @@ class PlanSpec extends SparkSpec {
     assert(exchanges === 2, s"expected 2 exchanges (one per side), found $exchanges:\n$p")
   }
 
+  test("range join is an equi-join on (key, bin) — never a nested loop (J8)") {
+    val p = JoinQueries.j8RangeJoin.fn(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must bin to an equi-join:\n$p")
+    val equiJoins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r.findAllIn(p).length
+    assert(equiJoins === 1, s"expected one equi-join, found $equiJoins:\n$p")
+  }
+
   test("as-of join is one key shuffle + one window — never a pairwise join (J7)") {
     val p = plan(JoinQueries.j7AsofJoin.fn(spark, sf))
     // the definitional form is a quadratic join + argmax; the shipped plan

@@ -113,6 +113,58 @@ object ScaleStress {
     m.map(_.group(1).toInt).getOrElse(1)
   }
 
+  /** Durable-index incremental tracking ([[graft.ext.DedupIndex]]): the
+    * design claim is that a crawl run's cost follows |inc|, not |base| —
+    * the increment is shingled and the stored index probed; base text is
+    * never re-read. Three measurements pin it empirically, all with
+    * increments drawn from the same md5 id-bucketing so absolute sizes are
+    * comparable:
+    *
+    *   - the SAME increment against a 1× and a `factor`× base: `factor`×
+    *     more history must not move the probe time (only the narrow
+    *     index-side scans grow);
+    *   - a `factor`× increment against the `factor`× base: probe time may
+    *     grow toward the increment's share, never the corpus's;
+    *   - doubling the crawl against the same base: roughly additive in
+    *     |inc|.
+    *
+    * The index BUILD is timed too — it scales with |base| by design (the
+    * once-ever cost the incremental path amortizes away).
+    */
+  private def incTracking(spark: SparkSession, sfDir: String, expDir: String,
+      factor: Int, workDir: String): Unit = {
+    import graft.ext.DedupIndex
+    import graft.tables.TableStore
+    val b = Similarity.sampleBucket(col("doc_id")) % 10
+    def split(dir: String) = {
+      val docs = Td(spark, dir, "documents")
+      (docs.filter(b >= 2), docs.filter(b === 0), docs.filter(b <= 1))
+    }
+    val (baseSmall, inc1Small, _) = split(sfDir)
+    val (baseBig, inc1, inc2) = split(expDir) // inc1 ⊂ inc2, same base
+    // inc1Small's ids are original-corpus ids with bucket 0 — absent from
+    // BOTH bases (b >= 2), so the same increment replays against either
+    val cases = Seq(
+      ("small_base", baseSmall, inc1Small),
+      ("big_base_same_inc", baseBig, inc1Small),
+      ("big_base", baseBig, inc1),
+      ("big_base_2inc", baseBig, inc2))
+    val times = cases.map { case (tag, base, inc) =>
+      val store = new TableStore(spark, s"$workDir/incstore_$tag")
+      val t0 = System.nanoTime()
+      DedupIndex.build(store, "idx", base, "doc_id", "text")
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val nInc = inc.count()
+      val t1 = System.nanoTime()
+      DedupIndex.dedupIncrement(store, "idx", inc, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+      val probeSec = (System.nanoTime() - t1) / 1e9
+      println(f"""{"incbench":"$tag","base_docs":${base.count()},"inc_docs":$nInc,"build_sec":$buildSec%.2f,"probe_sec":$probeSec%.2f}""")
+      tag -> probeSec
+    }.toMap
+    println(f"""{"incbench":"summary","same_inc_base_x$factor":${times("big_base_same_inc") / times("small_base")}%.2f,"incx$factor":${times("big_base") / times("small_base")}%.2f,"inc_x2":${times("big_base_2inc") / times("big_base")}%.2f}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val workDir = args.lift(1).getOrElse("/tmp/graft_scale_stress")
@@ -139,6 +191,13 @@ object ScaleStress {
 
     val expDir = s"$workDir/x$factor"
     expand(spark, sfDir, expDir, factor)
+
+    if (args.contains("inconly")) { // incremental-index tracking alone
+      incTracking(spark, sfDir, expDir, factor, workDir)
+      graft.tables.Scratch.cleanup(spark)
+      spark.stop()
+      return
+    }
 
     val scales = Seq(1 -> sfDir, factor -> expDir)
     // warmup: parquet footers + codegen for both scales
@@ -167,6 +226,7 @@ object ScaleStress {
       val big = rs.find(_._2 == factor).get
       println(f"""{"query":"$name","data_ratio":$factor,"time_ratio":${big._3 / base._3}%.2f,"shuffle_ratio":${big._4.toDouble / math.max(base._4, 1)}%.2f}""")
     }
+    incTracking(spark, sfDir, expDir, factor, workDir)
     graft.tables.Scratch.cleanup(spark)
     spark.stop()
   }

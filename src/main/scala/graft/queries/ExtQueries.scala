@@ -1075,11 +1075,62 @@ object ExtQueries {
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
+  /** X9 — deterministic Count-Min heavy hitters: the counts sketch
+    * completing the trio (x1 HLL distinct, f9 grid quantiles). Builds a
+    * 4×1024 md5-hashed counter grid over every token occurrence in the
+    * corpus, then reads back estimates for the exact top-20 tokens. The
+    * oracle replays the identical construction (same md5 row-salts, same
+    * 4-hex-digit bucket arithmetic) in SQL — integer math end to end, so
+    * the estimates hash-match exactly, and `n_est >= n_exact` by the CM
+    * overestimate property (spec-pinned corpus-wide).
+    */
+  val x9CmsHeavyHitters: QueryDef = {
+    val (d, w) = (4, 1024)
+    QueryDef(
+      "x9_cms_heavyhitters",
+      (s, dir) => {
+        val terms = Td(s, dir, "documents")
+          .select(explode(graft.ext.TextAnalysis.wsTokens(col("text"))).as("term"))
+        val cms = graft.functions.CountMin.build(terms, "term", d, w)
+        val top = terms.groupBy("term").agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("term")).limit(20)
+        graft.functions.CountMin.lookup(cms, top, "term", d, w)
+          .select(col("term"), col("n_exact"), col("n_est"))
+          .orderBy(col("n_exact").desc, col("term"))
+      },
+      Some {
+        // int value of the first 4 md5 hex digits of "<row>:<term>", mod w —
+        // the DuckDB twin of CountMin.bucket (Spark's conv(hex, 16, 10))
+        def nib(i: Int) =
+          s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+        val bucket =
+          s"((((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)}) % $w)"
+        val rowsVals = (0 until d).map(i => s"($i)").mkString(", ")
+        s"""
+        WITH terms AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term FROM documents),
+        rws AS (SELECT r FROM (VALUES $rowsVals) t(r)),
+        tb AS (SELECT r, bucket, COUNT(*) AS cnt FROM (
+                 SELECT r, $bucket AS bucket FROM (
+                   SELECT r, md5(CAST(r AS VARCHAR) || ':' || term) AS h
+                   FROM terms CROSS JOIN rws))
+               GROUP BY 1, 2),
+        top AS (SELECT term, COUNT(*) AS n_exact FROM terms GROUP BY 1
+                ORDER BY n_exact DESC, term LIMIT 20),
+        probe AS (SELECT term, n_exact, r, $bucket AS bucket FROM (
+                    SELECT term, n_exact, r, md5(CAST(r AS VARCHAR) || ':' || term) AS h
+                    FROM top CROSS JOIN rws))
+        SELECT p.term, p.n_exact, MIN(COALESCE(tb.cnt, 0)) AS n_est
+        FROM probe p LEFT JOIN tb ON tb.r = p.r AND tb.bucket = p.bucket
+        GROUP BY 1, 2 ORDER BY n_exact DESC, term
+      """
+      })
+  }
+
   val all: Seq[QueryDef] = Seq(
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     d10DedupIndexReuse, d11DedupIvfMultiprobe,
     s1KnnBrute, s2AnnIvf, m1MediaMeta, c1Curation, c2CurationRecipe, x1HllDistinct, x2KmeansIvf,
-    x3DedupGroups, x5KmeansSample, x6DedupGroupsConv, x7StratifiedSample)
+    x3DedupGroups, x5KmeansSample, x6DedupGroupsConv, x7StratifiedSample, x9CmsHeavyHitters)
 }

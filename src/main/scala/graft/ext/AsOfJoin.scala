@@ -29,7 +29,9 @@ import org.apache.spark.sql.functions._
   * == Determinism ==
   * Right rows tied on (key, time) are resolved by `tieBreak` columns,
   * ascending, last wins — pass a unique id to make the result a function of
-  * the data. Right rows with a NULL time cannot be ordered and are dropped.
+  * the data. Right rows with a NULL time cannot be ordered and are dropped;
+  * so are right rows with a NULL key (NULL = NULL never matches in a join,
+  * and a left row with a NULL key carries a NULL payload).
   * The payload is carried as ONE struct, so a right row whose payload
   * columns are themselves NULL still wins over an older row (the struct is
   * non-null; `ignoreNulls` skips only rows from the left side).
@@ -53,7 +55,9 @@ object AsOfJoin {
     require(rightCols.nonEmpty, "asOf: rightCols must name the payload to carry")
     val collide = rightCols.toSet intersect left.columns.toSet
     require(collide.isEmpty, s"asOf: rightCols collide with left columns: $collide")
-    require(!rightCols.contains("_rt"), "asOf: _rt is reserved")
+    val reserved = Set("_rt", "_t", "_side", "_p", "_tb", "_c")
+    val hit = (left.columns.toSet ++ right.columns.toSet ++ rightCols) intersect reserved
+    require(hit.isEmpty, s"asOf: reserved column names in use: $hit")
 
     // side ordering encodes the time predicate: inclusive (rt <= lt) sorts an
     // equal-time right row BEFORE the left row (visible); strict (rt < lt)
@@ -66,7 +70,11 @@ object AsOfJoin {
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(leftSide))
     val r = right
-      .filter(col(rightTime).isNotNull)
+      // a NULL time cannot be ordered; a NULL key never matches under join
+      // semantics — without this filter the window's NULL-safe partitioning
+      // would hand NULL-key left rows a NULL-key right payload
+      .filter(col(rightTime).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
       .select(
         keys.map(col) :+
           col(rightTime).as("_t") :+

@@ -303,11 +303,15 @@ object Dedup {
     * representative only (min id): O(1) fan-out per probe row on a hot
     * bucket, where the uncapped join emits one candidate per member — the
     * unbounded |inc|×m blow-up an incremental run hits when the stored
-    * corpus carries a boilerplate flood. Same connectivity contract and
-    * recall caveat as [[cappedPairs]]: hot-bucket members stay reachable
-    * through the rep; member-member pairs inside a hot bucket are not
-    * emitted. The bucket stats come from one partial-aggregated pass over
-    * the narrow index (at scale, maintain them incrementally next to the
+    * corpus carries a boilerplate flood. Connectivity contract (weaker than
+    * [[cappedPairs]]'s, be precise): each PROBE is linked to the hot
+    * bucket's rep — stored members beyond the rep get no pair from THIS
+    * run. That suffices in the incremental steady state, where every stored
+    * member was once an increment and earned its own (member, rep) link in
+    * its own run; on a freshly built index whose history must also be
+    * retired, run the batch [[minhashDedup]] with its cap once instead.
+    * The bucket stats come from one partial-aggregated pass over the
+    * narrow index (at scale, maintain them incrementally next to the
     * index itself). Output: distinct (id_a < id_b).
     */
   private[ext] def probeCappedPairs(probe: DataFrame, index: DataFrame,

@@ -38,13 +38,29 @@ object RangeJoin {
     * otherwise collide — rename before joining.
     */
   def pointInInterval(points: DataFrame, intervals: DataFrame, keys: Seq[String],
-      tCol: String, loCol: String, hiCol: String, binWidth: Long = 3600L): DataFrame = {
+      tCol: String, loCol: String, hiCol: String, binWidth: Long = 3600L,
+      maxBinsPerInterval: Long = 100000L): DataFrame = {
     require(binWidth >= 1, s"binWidth must be >= 1 second, got $binWidth")
+    require(maxBinsPerInterval >= 1, s"maxBinsPerInterval must be >= 1")
     val overlap = (points.columns.toSet intersect intervals.columns.toSet) -- keys
     require(overlap.isEmpty, s"non-key columns collide across sides: $overlap")
+    require(!points.columns.contains("_bin") && !intervals.columns.contains("_bin"),
+      "_bin is reserved")
     def bin(c: Column): Column = floor(c.cast("double") / binWidth).cast("long")
     val p = points.withColumn("_bin", bin(col(tCol)))
     val i = intervals
+      // hi < lo matches nothing under the definitional predicate — drop it
+      // here rather than let sequence() step BACKWARD and emit junk bins
+      .filter(col(hiCol) >= col(loCol))
+      // fail fast on runaway spans (an open-ended 9999-12-31 sentinel would
+      // allocate a ~70M-element bin array PER ROW): assert_true throws at
+      // action time with the offending bounds; the isNull filter keeps the
+      // assertion referenced (it is NULL on success) so it cannot be pruned
+      .filter(assert_true(
+        bin(col(hiCol)) - bin(col(loCol)) < lit(maxBinsPerInterval),
+        concat(lit(s"RangeJoin: interval spans >= $maxBinsPerInterval bins of $binWidth s — " +
+          "raise binWidth or close the interval: lo="),
+          col(loCol).cast("string"), lit(" hi="), col(hiCol).cast("string"))).isNull)
       .withColumn("_bin", explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
     p.join(i, keys :+ "_bin")
       .filter(col(tCol) >= col(loCol) && col(tCol) <= col(hiCol))

@@ -50,11 +50,17 @@ object CountMin {
   def lookup(cms: DataFrame, probes: DataFrame, keyCol: String,
       d: Int = 4, w: Int = 1024): DataFrame = {
     val carried = probes.columns.toSeq
+    // internal names are _cm_-prefixed so probe columns named row/bucket/cnt
+    // survive; only the prefix itself (and the output name) is reserved
+    val bad = carried.filter(c => c.startsWith("_cm_") || c == "n_est")
+    require(bad.isEmpty, s"lookup: reserved probe column names: $bad")
+    val c = cms.select(col("row").as("_cm_row"), col("bucket").as("_cm_bucket"),
+      col("cnt").as("_cm_cnt"))
     probes
-      .withColumn("row", explode(array((0 until d).map(i => lit(i)): _*)))
-      .withColumn("bucket", bucket(col("row"), col(keyCol), w))
-      .join(cms, Seq("row", "bucket"), "left")
+      .withColumn("_cm_row", explode(array((0 until d).map(i => lit(i)): _*)))
+      .withColumn("_cm_bucket", bucket(col("_cm_row"), col(keyCol), w))
+      .join(c, Seq("_cm_row", "_cm_bucket"), "left")
       .groupBy(carried.map(col): _*)
-      .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
+      .agg(min(coalesce(col("_cm_cnt"), lit(0L))).as("n_est"))
   }
 }

@@ -52,19 +52,27 @@ object Compact {
     *
     * Lane normalization to 16 bits: numeric / date / timestamp columns
     * scale linearly between the table-global min and max
-    * (locality-preserving) — the mins/maxes for ALL lanes come from ONE
-    * pass over the table (a single 1-row agg, the only action this key
-    * construction costs); strings hash-bucket (equal values cluster; no
-    * order locality — parquet still skips on exact-equality stats).
+    * (locality-preserving; dates go through a timestamp cast — a direct
+    * date→double cast is illegal in Spark) — the mins/maxes for ALL lanes
+    * come from ONE pass over the table (a single 1-row agg, the only
+    * action this key construction costs); strings hash-bucket (equal
+    * values cluster; no order locality — parquet still skips on
+    * exact-equality stats). NULL and NaN values land in lane 0 (NaN is
+    * nulled BEFORE the stats agg too — one NaN row would otherwise poison
+    * max() and with it every row's scale).
     */
   private[tables] def mortonKey(df: DataFrame, cols: Seq[String]): Column = {
     require(cols.nonEmpty && cols.size <= 3, s"zorderBy supports 1-3 columns, got ${cols.size}")
+    def asDouble(c: String): Column = df.schema(c).dataType match {
+      case DateType => col(c).cast("timestamp").cast("double")
+      case DoubleType | FloatType => nanvl(col(c).cast("double"), lit(null))
+      case _ => col(c).cast("double")
+    }
     val numeric = cols.filter(c => df.schema(c).dataType != StringType)
     val stats: Map[String, (Double, Double)] =
       if (numeric.isEmpty) Map.empty
       else {
-        val aggs = numeric.flatMap(c =>
-          Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+        val aggs = numeric.flatMap(c => Seq(min(asDouble(c)), max(asDouble(c))))
         val row = df.agg(aggs.head, aggs.tail: _*).head()
         numeric.zipWithIndex.map { case (c, i) =>
           def v(j: Int) = if (row.isNullAt(j)) 0.0 else row.getDouble(j)
@@ -76,9 +84,12 @@ object Compact {
       case _ =>
         val (mn, mx) = stats(c)
         if (mx <= mn) lit(0L)
-        else least(greatest(
-          ((col(c).cast("double") - lit(mn)) / lit(mx - mn) * lit(65535.0)).cast("long"),
-          lit(0L)), lit(65535L))
+        else coalesce( // clamp as DOUBLE first: ANSI long-cast of a stray
+          // out-of-range value (e.g. +Inf) would otherwise throw mid-rewrite
+          least(greatest(
+            (asDouble(c) - lit(mn)) / lit(mx - mn) * lit(65535.0),
+            lit(0.0)), lit(65535.0)).cast("long"),
+          lit(0L)) // NULL/NaN rows
     }
     val lanes = cols.map(lane)
     val n = lanes.size
@@ -105,7 +116,12 @@ object Compact {
     val before = dataFiles(fs, new Path(store.path(name)))
     val bytes = before.map(_._2).sum
     require(numFiles.forall(_ >= 1), s"numFiles must be >= 1, got $numFiles")
-    val nOut = numFiles.getOrElse(math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt)
+    val nOutL = numFiles.map(_.toLong)
+      .getOrElse(math.max(1L, (bytes + targetBytes - 1) / targetBytes))
+    require(nOutL <= Int.MaxValue, // Long math: a TB-scale table with a KB
+      // target would wrap a 32-bit count negative and crash the repartition
+      s"compact: $bytes bytes / $targetBytes-byte target = $nOutL files — raise targetBytes")
+    val nOut = nOutL.toInt
 
     val out =
       if (zorderBy.nonEmpty) {

@@ -81,6 +81,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(11L) == ((1L, 100.0)))
   }
 
+  test("NULL keys follow join semantics: no NULL = NULL match on either side") {
+    val q = Seq(
+      (Option("A"), ts("2024-01-01 10:00:00"), 1L, 100.0),
+      (None: Option[String], ts("2024-01-01 10:00:01"), 2L, 999.0)
+    ).toDF("key", "qts", "quote_id", "px")
+    val t = Seq(
+      (Option("A"), ts("2024-01-01 10:00:03"), 11L),
+      (None: Option[String], ts("2024-01-01 10:00:03"), 12L)
+    ).toDF("key", "tts", "trade_id")
+    val got = byTrade(AsOfJoin.asOf(t, q, Seq("key"), "tts", "qts",
+      rightCols = Seq("quote_id", "px"), tieBreak = Seq("quote_id")))
+    assert(got(11L) == ((1L, 100.0))) // normal match unaffected
+    assert(got(12L) == ((null, null))) // NULL-key trade never sees the NULL-key quote
+  }
+
+  test("reserved internal names are rejected, not silently clobbered") {
+    val t = trades.withColumnRenamed("trade_id", "_t")
+    assertThrows[IllegalArgumentException] {
+      AsOfJoin.asOf(t, quotes, Seq("key"), "tts", "qts", rightCols = Seq("px"))
+    }
+  }
+
   test("agrees with the definitional quadratic join+argmax on the events table") {
     val events = graft.Td(spark, "/root/testdata/sf0.001", "events")
     val purchases = events.filter(col("event_type") === "purchase")

@@ -61,6 +61,26 @@ class RangeJoinSpec extends SparkSpec {
     assert(got === naive && got.nonEmpty)
   }
 
+  test("hi < lo intervals match nothing (dropped, not a backward sequence)") {
+    val intervals = Seq(("A", 1L, ts("2024-01-01 11:00:00"), ts("2024-01-01 10:00:00")))
+      .toDF("k", "iid", "lo", "hi")
+    val points = Seq(("A", 10L, ts("2024-01-01 10:30:00"))).toDF("k", "pid", "t")
+    assert(RangeJoin.pointInInterval(points, intervals, Seq("k"), "t", "lo", "hi", 60L)
+      .count() === 0)
+  }
+
+  test("runaway interval spans fail fast with the offending bounds") {
+    val intervals = Seq(("A", 1L, ts("2024-01-01 00:00:00"), ts("9999-12-31 00:00:00")))
+      .toDF("k", "iid", "lo", "hi")
+    val points = Seq(("A", 10L, ts("2024-01-02 00:00:00"))).toDF("k", "pid", "t")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(points, intervals, Seq("k"), "t", "lo", "hi",
+        binWidth = 3600L, maxBinsPerInterval = 1000L).count()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("RangeJoin"),
+      s"expected the span guard, got: ${e.getMessage}")
+  }
+
   test("agrees with the inequality join on the events table (attribution shape)") {
     val events = graft.Td(spark, "/root/testdata/sf0.001", "events")
     val clicks = events.filter(col("event_type") === "click")

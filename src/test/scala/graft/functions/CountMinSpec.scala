@@ -40,6 +40,16 @@ class CountMinSpec extends SparkSpec {
     assert(CountMin.build(bigger, "term", d = 4, w = 32).count() <= 4L * 32)
   }
 
+  test("probe columns named row/bucket/cnt pass through untouched") {
+    val exact = words.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .withColumn("row", lit(7)).withColumn("bucket", lit(9))
+    val cms = CountMin.build(words, "term", d = 4, w = 65536)
+    val est = CountMin.lookup(cms, exact, "term", d = 4, w = 65536)
+    assert(est.filter(col("n_est") =!= col("cnt")).isEmpty) // still exact per key
+    assert(est.filter(col("row") =!= 7 || col("bucket") =!= 9).isEmpty)
+    assert(est.count() === 202) // one output row per probe, not d
+  }
+
   test("sketches merge by counter addition (shard-and-add == build-on-union)") {
     val shard1 = words.limit(100)
     val shard2 = words.exceptAll(shard1)

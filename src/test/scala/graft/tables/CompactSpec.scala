@@ -91,6 +91,24 @@ class CompactSpec extends SparkSpec {
     assert(store.read("pt").as[(Int, String)].collect().sortBy(_._1).toSeq === orig)
   }
 
+  test("zorder handles date columns and NaN/null doubles without poisoning the scale") {
+    val store = newStore()
+    val rows = (0 until 100).map { i =>
+      (i, java.sql.Date.valueOf(f"2024-01-${i % 28 + 1}%02d"),
+        if (i == 7) Double.NaN else if (i == 13) Double.PositiveInfinity else i.toDouble)
+    } :+ ((100, null.asInstanceOf[java.sql.Date], 50.0))
+    store.append("dz", rows.toDF("id", "d", "x"))
+    Compact.compact(store, "dz", numFiles = Some(2), zorderBy = Seq("d", "x"))
+    assert(store.read("dz").count() === 101) // lossless despite NaN/Inf/null
+    // the NaN row must not have flattened every lane: the two files differ
+    val spans = parquetFiles(store, "dz").map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col("id")), max(col("id"))).head()
+      (r.getInt(0), r.getInt(1))
+    }
+    assert(spans.size === 2 && spans.distinct.size === 2)
+  }
+
   test("string zorder lanes hash-bucket instead of range-scaling") {
     val store = newStore()
     store.append("s", Seq.tabulate(100)(i => (i, s"k${i % 5}")).toDF("id", "k"))

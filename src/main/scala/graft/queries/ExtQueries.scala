@@ -1126,11 +1126,43 @@ object ExtQueries {
       })
   }
 
+  /** X10 — sequence packing: documents concat-and-chunked into 2048-token
+    * packs per source shard ([[graft.ext.Packing]]), the training-batch
+    * assembly step. The oracle replays the identical prefix-sum arithmetic
+    * (window sum over the same order, integer div/mod) — any drift in
+    * ordering, token counting, or boundary handling flips pack ids.
+    */
+  val x10SequencePack = QueryDef(
+    "x10_sequence_pack",
+    (s, dir) => {
+      val docs = Td(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.ext.TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+      graft.ext.Packing.assign(docs, "doc_id", "n_bpe", Seq("source"), budget = 2048L)
+        .select(col("doc_id"), col("source"), col("n_bpe"),
+          col("pack_id"), col("pack_offset"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_bpe
+        FROM documents),
+      p AS (
+        SELECT doc_id, source, n_bpe,
+               COALESCE(SUM(n_bpe) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        FROM d)
+      SELECT doc_id, source, n_bpe, pre // 2048 AS pack_id, pre % 2048 AS pack_offset
+      FROM p ORDER BY doc_id
+    """))
+
   val all: Seq[QueryDef] = Seq(
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     d10DedupIndexReuse, d11DedupIvfMultiprobe,
     s1KnnBrute, s2AnnIvf, m1MediaMeta, c1Curation, c2CurationRecipe, x1HllDistinct, x2KmeansIvf,
-    x3DedupGroups, x5KmeansSample, x6DedupGroupsConv, x7StratifiedSample, x9CmsHeavyHitters)
+    x3DedupGroups, x5KmeansSample, x6DedupGroupsConv, x7StratifiedSample, x9CmsHeavyHitters,
+    x10SequencePack)
 }

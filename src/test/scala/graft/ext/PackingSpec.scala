@@ -1,0 +1,49 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("prefix-sum packing: boundaries, straddles, offsets") {
+    // shard A: tokens 1000, 1000, 100 with budget 2048
+    //   doc 1 starts at 0    -> pack 0, offset 0
+    //   doc 2 starts at 1000 -> pack 0, offset 1000
+    //   doc 3 starts at 2000 -> pack 0, offset 2000 (straddles into pack 1)
+    //   doc 4 starts at 2100 -> pack 1, offset 52
+    val docs = Seq(
+      ("A", 1L, 1000L), ("A", 2L, 1000L), ("A", 3L, 100L), ("A", 4L, 500L),
+      ("B", 5L, 3000L), ("B", 6L, 10L) // oversized doc: starts pack 0, next doc pack 1
+    ).toDF("source", "doc_id", "n")
+    val got = Packing.assign(docs, "doc_id", "n", Seq("source"), 2048L)
+      .select("doc_id", "pack_id", "pack_offset")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) === ((0L, 0L)))
+    assert(got(2L) === ((0L, 1000L)))
+    assert(got(3L) === ((0L, 2000L)))
+    assert(got(4L) === ((1L, 52L)))
+    assert(got(5L) === ((0L, 0L)))
+    assert(got(6L) === ((1L, 952L))) // 3000 div/mod 2048
+  }
+
+  test("shards pack independently and packs never cross shards") {
+    val docs = (0 until 300).map(i => (s"s${i % 3}", i.toLong, 700L)).toDF("source", "doc_id", "n")
+    val out = Packing.assign(docs, "doc_id", "n", Seq("source"), 2048L)
+    // per shard: last of 100 docs starts at 99 x 700 = 69300 -> pack 33;
+    // every shard identical
+    val perShard = out.groupBy("source").agg(max(col("pack_id")).as("mx"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(perShard === Set(("s0", 33L, 100L), ("s1", 33L, 100L), ("s2", 33L, 100L)))
+    // conservation: every pack except a shard's last holds >= budget - max doc
+    val full = out.groupBy("source", "pack_id").agg(sum(col("n")).as("tok")).collect()
+    assert(full.forall(_.getLong(2) <= 2048 + 700), "no pack exceeds budget + one doc tail")
+  }
+
+  test("a keyless global pack is refused") {
+    val docs = Seq(("A", 1L, 10L)).toDF("source", "doc_id", "n")
+    assertThrows[IllegalArgumentException] {
+      Packing.assign(docs, "doc_id", "n", Nil, 2048L)
+    }
+  }
+}

@@ -408,6 +408,46 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Train/eval contamination detection — the decontamination step of a
+    * training-data pipeline: find (train doc, eval doc) pairs sharing at
+    * least `minShared` distinct word n-grams, with the shared fraction of
+    * the eval doc's n-grams. Eval-set leakage into a 100 TB crawl is found
+    * exactly this way (long-n-gram overlap against the benchmark suite).
+    *
+    * Shape: two shingle indexes, an inner join on the shingle, one
+    * count per pair — the inverted-index form, never eval×train text
+    * comparison. The join key is the n-gram itself, so cost is
+    * Σ_shingle df_train(s)·df_eval(s): `maxDf` caps the train-side
+    * document frequency (a boilerplate n-gram in millions of train docs
+    * would fan every eval doc containing it into millions of pairs), the
+    * same df-capping contract as [[jaccardPairs]]. With a typical small
+    * eval suite, broadcast the eval index side by sizing
+    * autoBroadcastJoinThreshold — the train corpus then never shuffles.
+    */
+  def contamination(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 5, minShared: Int = 1,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    val shT = shingleIndex(train, idCol, textCol, n)
+      .withColumnRenamed(idCol, "train_id")
+    val shE = shingleIndex(eval, idCol, textCol, n)
+      .withColumnRenamed(idCol, "eval_id")
+    val shTc =
+      if (maxDf == Int.MaxValue) shT
+      else shT.join(
+        shT.groupBy("shingle").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > maxDf).select("shingle"),
+        Seq("shingle"), "left_anti")
+    val sizesE = shE.groupBy(col("eval_id")).agg(count(lit(1)).as("n_ev"))
+    shTc.join(shE, Seq("shingle"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizesE, Seq("eval_id"))
+      .select(col("train_id"), col("eval_id"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_ev").cast("double"))
+          .as("overlap_frac"))
+  }
+
   /** 64-bit SimHash over distinct shingles: bit b of md5's first 16 hex
     * chars votes ±1; simhash bit = sign of the vote sum. Returns
     * (id, simhash). 64 bits (vs 32) keeps the sketch discriminative on

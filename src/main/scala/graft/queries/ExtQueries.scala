@@ -1126,6 +1126,41 @@ object ExtQueries {
       })
   }
 
+  /** D12 — train/eval contamination: the d8 split replayed as a
+    * decontamination probe — training docs sharing ≥3 distinct word
+    * 5-grams with an "eval" doc, plus the shared fraction of the eval
+    * doc's 5-grams ([[graft.ext.Dedup.contamination]]). The oracle builds
+    * the same 5-gram inverted indexes and join.
+    */
+  val d12Contamination = QueryDef(
+    "d12_contamination",
+    (s, dir) => {
+      val docs = Td(s, dir, "documents")
+      val isEval = Similarity.sampleBucket(col("doc_id")) % 4 === 0
+      Dedup.contamination(docs.filter(!isEval), docs.filter(isEval),
+          "doc_id", "text", n = 5, minShared = 3)
+        .orderBy(col("train_id"), col("eval_id"))
+    },
+    Some(s"""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+      sh5 AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(ws) >= 5
+                 THEN list_transform(generate_series(1, len(ws)-4), i -> array_to_string(ws[i:i+4], ' '))
+                 ELSE [array_to_string(ws, ' ')] END)) AS shingle FROM w),
+      tr AS (SELECT doc_id AS train_id, shingle FROM sh5
+             WHERE NOT ${sampleFilterSql("doc_id", 4)}),
+      ev AS (SELECT doc_id AS eval_id, shingle FROM sh5
+             WHERE ${sampleFilterSql("doc_id", 4)}),
+      sz AS (SELECT eval_id, COUNT(*) AS n_ev FROM ev GROUP BY 1),
+      p AS (SELECT train_id, eval_id, COUNT(*) AS n_shared
+            FROM tr JOIN ev USING (shingle) GROUP BY 1, 2)
+      SELECT p.train_id, p.eval_id, p.n_shared,
+             CAST(p.n_shared AS DOUBLE) / CAST(sz.n_ev AS DOUBLE) AS overlap_frac
+      FROM p JOIN sz USING (eval_id)
+      WHERE n_shared >= 3
+      ORDER BY train_id, eval_id
+    """))
+
   /** X10 — sequence packing: documents concat-and-chunked into 2048-token
     * packs per source shard ([[graft.ext.Packing]]), the training-batch
     * assembly step. The oracle replays the identical prefix-sum arithmetic
@@ -1161,7 +1196,7 @@ object ExtQueries {
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
-    d10DedupIndexReuse, d11DedupIvfMultiprobe,
+    d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination,
     s1KnnBrute, s2AnnIvf, m1MediaMeta, c1Curation, c2CurationRecipe, x1HllDistinct, x2KmeansIvf,
     x3DedupGroups, x5KmeansSample, x6DedupGroupsConv, x7StratifiedSample, x9CmsHeavyHitters,
     x10SequencePack)

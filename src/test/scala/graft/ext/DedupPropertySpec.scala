@@ -146,6 +146,30 @@ class DedupPropertySpec extends SparkSpec {
     assert(un === 3 * m + 3, s"uncapped inc-touching pairs: $un")
   }
 
+  test("contamination: a planted eval copy is found at overlap 1.0; maxDf kills boilerplate fan-out") {
+    val train = corpus(15, 30).toDF("doc_id", "text")
+    // eval doc 9001 is an exact copy of train doc 3; 9002 is unrelated
+    val copied = train.filter($"doc_id" === 3L).head().getString(1)
+    val eval = Seq((9001L, copied), (9002L, "totally unrelated eval words here today"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contamination(train, eval, "doc_id", "text", n = 3, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val hit = got.filter(p => p._1 == 3L && p._2 == 9001L)
+    assert(hit.length === 1 && hit.head._3 === 1.0,
+      s"exact copy must surface at overlap 1.0: ${got.toSeq}")
+    assert(!got.exists(_._2 == 9002L), "unrelated eval doc must not pair")
+
+    // boilerplate: one shingle present in EVERY train doc fans each eval doc
+    // into |train| pairs; the train-side df-cap removes it
+    val boiler = train.withColumn("text", concat(lit("zz yy xx "), $"text"))
+    val evalB = Seq((9003L, "zz yy xx nothing else in common")).toDF("doc_id", "text")
+    val un = Dedup.contamination(boiler, evalB, "doc_id", "text", n = 3, minShared = 1).count()
+    val capped = Dedup.contamination(boiler, evalB, "doc_id", "text", n = 3,
+      minShared = 1, maxDf = 5).count()
+    assert(un >= 30L, s"uncapped boilerplate should fan out, got $un")
+    assert(capped === 0L, s"df-capped boilerplate must not pair, got $capped")
+  }
+
   test("capped == uncapped when no bucket exceeds the cap") {
     val df = corpus(13, 40).toDF("doc_id", "text")
     val sig = Dedup.minhashSignature(Dedup.shingleIndex(df, "doc_id", "text", 3), "doc_id")

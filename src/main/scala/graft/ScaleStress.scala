@@ -98,6 +98,7 @@ object ScaleStress {
       "d8_incremental" -> reg("d8_dedup_incremental"),
       "x3_groups" -> reg("x3_dedup_groups"),
       "c1_curation" -> reg("c1_curation"),
+      "d12_contamination" -> reg("d12_contamination"),
       "d6_ivf_scaled_k" -> ((s: SparkSession, dir: String) => ivf(kFor(dirFactor(dir)))(s, dir)),
       // k ∝ √N: the classic IVF balance point — assignment O(N·k) and
       // within-cluster pairing O(N²/k) both grow as N^1.5

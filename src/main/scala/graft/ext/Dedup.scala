@@ -60,17 +60,24 @@ object Dedup {
     * the cap a single hot shingle turns the self-join into O(df²) pairs on
     * one skewed key.
     */
+  /** Shingle rows whose shingle's document frequency IN `dfSource` is ≤
+    * `maxDf` — the ONE df-capping definition ([[jaccardPairs]] caps a
+    * self-joined index against itself; [[contamination]] caps both sides
+    * against the train index). The df-filter rides the same hash
+    * partitioning on `shingle` the downstream join needs — one extra agg,
+    * no extra exchange pattern.
+    */
+  private def dfCapped(sh: DataFrame, dfSource: DataFrame, maxDf: Int): DataFrame =
+    if (maxDf == Int.MaxValue) sh
+    else sh.join( // anti against the HOT list (not semi against the rare
+      // list): rows whose shingle is absent from dfSource — e.g. eval-only
+      // n-grams in [[contamination]] — must survive the cap
+      dfSource.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+        .filter(col("_df") > maxDf).select("shingle"),
+      Seq("shingle"), "left_anti")
+
   def jaccardPairs(shingles: DataFrame, idCol: String, maxDf: Int = Int.MaxValue): DataFrame = {
-    val sh =
-      if (maxDf == Int.MaxValue) shingles
-      else {
-        // df-filter rides the same hash partitioning on `shingle` the
-        // self-join below needs — one extra agg, no extra exchange pattern
-        val rare = shingles.groupBy(col("shingle"))
-          .agg(count(lit(1)).as("_df")).filter(col("_df") <= maxDf)
-          .select("shingle")
-        shingles.join(rare, Seq("shingle"), "left_semi")
-      }
+    val sh = dfCapped(shingles, shingles, maxDf)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     jaccardPairsWithSizes(sh, sizes, idCol)
   }
@@ -417,28 +424,26 @@ object Dedup {
     * Shape: two shingle indexes, an inner join on the shingle, one
     * count per pair — the inverted-index form, never eval×train text
     * comparison. The join key is the n-gram itself, so cost is
-    * Σ_shingle df_train(s)·df_eval(s): `maxDf` caps the train-side
-    * document frequency (a boilerplate n-gram in millions of train docs
-    * would fan every eval doc containing it into millions of pairs), the
-    * same df-capping contract as [[jaccardPairs]]. With a typical small
-    * eval suite, broadcast the eval index side by sizing
+    * Σ_shingle df_train(s)·df_eval(s): `maxDf` caps by TRAIN-side document
+    * frequency (a boilerplate n-gram in millions of train docs would fan
+    * every eval doc containing it into millions of pairs), and the cap is
+    * applied to BOTH sides — numerator and the eval-size denominator count
+    * the same retained-shingle universe, [[jaccardPairs]]'s contract, so a
+    * verbatim copy still scores overlap_frac 1.0 under a cap. With a
+    * typical small eval suite, broadcast the eval index side by sizing
     * autoBroadcastJoinThreshold — the train corpus then never shuffles.
     */
   def contamination(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 5, minShared: Int = 1,
       maxDf: Int = Int.MaxValue): DataFrame = {
-    val shT = shingleIndex(train, idCol, textCol, n)
+    val shTAll = shingleIndex(train, idCol, textCol, n)
       .withColumnRenamed(idCol, "train_id")
-    val shE = shingleIndex(eval, idCol, textCol, n)
-      .withColumnRenamed(idCol, "eval_id")
-    val shTc =
-      if (maxDf == Int.MaxValue) shT
-      else shT.join(
-        shT.groupBy("shingle").agg(count(lit(1)).as("_df"))
-          .filter(col("_df") > maxDf).select("shingle"),
-        Seq("shingle"), "left_anti")
+    val shT = dfCapped(shTAll, shTAll, maxDf)
+    val shE = dfCapped(
+      shingleIndex(eval, idCol, textCol, n).withColumnRenamed(idCol, "eval_id"),
+      shTAll, maxDf)
     val sizesE = shE.groupBy(col("eval_id")).agg(count(lit(1)).as("n_ev"))
-    shTc.join(shE, Seq("shingle"))
+    shT.join(shE, Seq("shingle"))
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

@@ -38,6 +38,15 @@ object Packing {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
+      // fail fast on a NULL/negative count (e.g. Spark's size(NULL) = -1):
+      // it would silently shift every later prefix sum in the shard; the
+      // isNull filter keeps the assertion referenced so it can't be pruned
+      .filter(assert_true(col(nTokCol) >= 0,
+        concat(lit(s"Packing: $nTokCol must be a non-negative token count, got "),
+          coalesce(col(nTokCol).cast("string"), lit("NULL")), // a NULL operand
+          // would NULL the whole concat and blank the error message
+          lit(s" at $orderCol="),
+          coalesce(col(orderCol).cast("string"), lit("NULL")))).isNull)
       .withColumn("_pre", coalesce(sum(col(nTokCol)).over(w), lit(0L)))
       // `div`, not `/`: integer division — float division of big prefix
       // sums would round above 2^53 before the floor

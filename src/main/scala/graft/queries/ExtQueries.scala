@@ -1188,7 +1188,9 @@ object ExtQueries {
                COALESCE(SUM(n_bpe) OVER (PARTITION BY source ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
         FROM d)
-      SELECT doc_id, source, n_bpe, pre // 2048 AS pack_id, pre % 2048 AS pack_offset
+      SELECT doc_id, source, n_bpe,
+             CAST(pre // 2048 AS BIGINT) AS pack_id,
+             CAST(pre % 2048 AS BIGINT) AS pack_offset
       FROM p ORDER BY doc_id
     """))
 

@@ -168,6 +168,16 @@ class DedupPropertySpec extends SparkSpec {
       minShared = 1, maxDf = 5).count()
     assert(un >= 30L, s"uncapped boilerplate should fan out, got $un")
     assert(capped === 0L, s"df-capped boilerplate must not pair, got $capped")
+
+    // the cap hits numerator AND denominator: a verbatim copy of a
+    // boilerplate-carrying train doc still scores 1.0 under the cap
+    val copiedB = boiler.filter($"doc_id" === 3L).head().getString(1)
+    val evalCopy = Seq((9004L, copiedB)).toDF("doc_id", "text")
+    val cappedCopy = Dedup.contamination(boiler, evalCopy, "doc_id", "text",
+        n = 3, minShared = 1, maxDf = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(cappedCopy.exists(p => p._1 == 3L && p._2 === 1.0),
+      s"capped verbatim copy must stay at overlap 1.0: ${cappedCopy.toSeq}")
   }
 
   test("capped == uncapped when no bucket exceeds the cap") {

@@ -35,9 +35,30 @@ class PackingSpec extends SparkSpec {
     val perShard = out.groupBy("source").agg(max(col("pack_id")).as("mx"), count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(perShard === Set(("s0", 33L, 100L), ("s1", 33L, 100L), ("s2", 33L, 100L)))
-    // conservation: every pack except a shard's last holds >= budget - max doc
-    val full = out.groupBy("source", "pack_id").agg(sum(col("n")).as("tok")).collect()
-    assert(full.forall(_.getLong(2) <= 2048 + 700), "no pack exceeds budget + one doc tail")
+    // conservation both ways: no pack exceeds budget + one doc tail, and
+    // every NON-FINAL pack is near-full (>= budget - one doc) — a broken
+    // prefix sum that fragments packs fails the lower bound
+    val full = out.groupBy("source", "pack_id")
+      .agg(sum(col("n")).as("tok"), max(col("pack_id")).as("pid"))
+      .join(out.groupBy("source").agg(max(col("pack_id")).as("last")), Seq("source"))
+      .collect()
+    assert(full.forall(_.getAs[Long]("tok") <= 2048 + 700), "pack exceeds budget + one doc")
+    assert(full.filter(r => r.getAs[Long]("pid") < r.getAs[Long]("last"))
+      .forall(_.getAs[Long]("tok") >= 2048 - 700), "non-final pack under-filled")
+  }
+
+  test("a NULL or negative token count fails fast instead of corrupting the shard") {
+    val withNull = Seq(("A", 1L, Option(10L)), ("A", 2L, None: Option[Long]))
+      .toDF("source", "doc_id", "n")
+    val e1 = intercept[Exception] {
+      Packing.assign(withNull, "doc_id", "n", Seq("source"), 2048L).collect()
+    }
+    assert(e1.getMessage != null && e1.getMessage.contains("Packing"))
+    val negative = Seq(("A", 1L, 10L), ("A", 2L, -1L)).toDF("source", "doc_id", "n")
+    val e2 = intercept[Exception] {
+      Packing.assign(negative, "doc_id", "n", Seq("source"), 2048L).collect()
+    }
+    assert(e2.getMessage != null && e2.getMessage.contains("Packing"))
   }
 
   test("a keyless global pack is refused") {

@@ -112,15 +112,19 @@ object Multimodal {
   }
 
   /** Frame sampling as pure byte slicing — a Column expression, no decode:
-    * `nFrames` fixed-width windows at even stride through the blob.
+    * `nFrames` fixed-width windows at even stride through the blob. The
+    * stride is floored to whole bytes BEFORE the frame-index multiply, so
+    * every offset is exact integer arithmetic (float offsets truncate in
+    * Spark but round in other engines — m2's oracle pins the parity).
     */
-  def sampleFrames(df: DataFrame, mediaCol: String, nFrames: Int, frameBytes: Int): DataFrame =
+  def sampleFrames(df: DataFrame, mediaCol: String, nFrames: Int, frameBytes: Int): DataFrame = {
+    val stride = floor(
+      greatest(octet_length(col(mediaCol)) - frameBytes, lit(0)) /
+        lit(math.max(nFrames - 1, 1))).cast("long")
     df.withColumn("frames",
       transform(sequence(lit(0), lit(nFrames - 1)),
-        i => substring(col(mediaCol),
-          (i * (greatest(octet_length(col(mediaCol)) - frameBytes, lit(0)) /
-            lit(math.max(nFrames - 1, 1)))) + 1,
-          lit(frameBytes))))
+        i => substring(col(mediaCol), (i * stride + 1).cast("int"), lit(frameBytes))))
+  }
 
   /** Wrap any table into media rows by treating a string column's UTF-8
     * bytes as the payload — the harness's stand-in for real blobs (testdata

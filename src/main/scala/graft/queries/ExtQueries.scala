@@ -642,6 +642,34 @@ object ExtQueries {
       FROM documents ORDER BY media_id
     """))
 
+  /** M2 — multimodal frame sampling: 4 fixed-width byte windows at an even
+    * floored stride through each media blob ([[Multimodal.sampleFrames]] —
+    * pure byte slicing, no decode), frames surfaced as hex. Documents'
+    * UTF-8 text stands in for the blob (ASCII ⇒ byte-exact both engines);
+    * the oracle replays the integer stride/offset arithmetic with `//`.
+    */
+  val m2FrameSample = QueryDef(
+    "m2_frame_sample",
+    (s, dir) => {
+      val docs = Td(s, dir, "documents")
+      val media = Multimodal.fromText(s, docs, "doc_id", "text").toDF()
+      Multimodal.sampleFrames(media, "media", nFrames = 4, frameBytes = 8)
+        .select(col("media_id"), posexplode(col("frames")).as(Seq("frame_idx", "frame")))
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          hex(col("frame")).as("frame_hex"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    },
+    Some("""
+      WITH f AS (SELECT doc_id AS media_id, text, length(text) AS n,
+                   unnest(range(0, 4)) AS frame_idx
+                 FROM documents)
+      SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+             hex(substr(text,
+               CAST(frame_idx * ((CASE WHEN n - 8 > 0 THEN n - 8 ELSE 0 END) // 3) + 1 AS INT),
+               8)::BLOB) AS frame_hex
+      FROM f ORDER BY media_id, frame_idx
+    """))
+
   /** T5 — TF-IDF-style salient terms: top-3 terms per doc by
     * tf × (N/df). Rational arithmetic only (no log — libm transcendentals
     * differ across engines in the last ulp); same parenthesization both
@@ -1199,7 +1227,8 @@ object ExtQueries {
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination,
-    s1KnnBrute, s2AnnIvf, m1MediaMeta, c1Curation, c2CurationRecipe, x1HllDistinct, x2KmeansIvf,
+    s1KnnBrute, s2AnnIvf, m1MediaMeta, m2FrameSample, c1Curation, c2CurationRecipe,
+    x1HllDistinct, x2KmeansIvf,
     x3DedupGroups, x5KmeansSample, x6DedupGroupsConv, x7StratifiedSample, x9CmsHeavyHitters,
     x10SequencePack)
 }

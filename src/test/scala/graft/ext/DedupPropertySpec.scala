@@ -251,6 +251,16 @@ class DedupPropertySpec extends SparkSpec {
     assert(got === Set(1L))
   }
 
+  test("componentsConverged refuses to return unconverged labels when maxRounds exhausts") {
+    // a 200-chain needs ~log2(200) ≈ 8 pointer-jump rounds; a 2-round
+    // budget must throw, not silently hand back coarse labels
+    val chain = (1L to 200L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.componentsConverged(chain, maxRounds = 2)
+    }
+    assert(ex.getMessage.contains("maxRounds"))
+  }
+
   test("componentsConverged agrees with fixed-round components on small-diameter graphs") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
       .toDF("id_a", "id_b")
@@ -306,6 +316,27 @@ class DedupPropertySpec extends SparkSpec {
       "vec_id", "embedding", k = 5, nprobe = 2))
     assert(pruned === full)
     assert(full.nonEmpty)
+  }
+
+  test("ivfSearchPruned tolerates Int-typed cluster ids (kmeansTrain's natural output)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // centroid_id used as-is — INT, not cast to long as the other specs do.
+    // probesOf inherits that type into the probe rows' `cluster` column, so
+    // the driver-side collect must read it type-agnostically (the old
+    // getAs[Long] threw ClassCastException here)
+    val cents = Similarity.kmeansTrain(emb, "vec_id", "embedding", k = 4, iters = 2)
+      .select(col("centroid_id").as("vec_id"), col("embedding"))
+    val assignedInt = graft.tables.Scratch.stage(
+      Similarity.ivfAssign(emb, cents, "vec_id", "embedding"), "prune_int_index", Seq("cluster"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val pruned = rows(Similarity.ivfSearchPruned(emb.filter($"vec_id" < 3), assignedInt, cents,
+      "vec_id", "embedding", k = 5, nprobe = 2))
+    val full = rows(Similarity.ivfSearch(emb.filter($"vec_id" < 3), assignedInt, cents,
+      "vec_id", "embedding", k = 5, nprobe = 2))
+    assert(pruned === full)
+    assert(pruned.nonEmpty)
   }
 
   test("cosinePairsLsh ⊆ cosinePairs; identical vectors always collide") {

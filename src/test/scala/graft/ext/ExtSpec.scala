@@ -149,6 +149,18 @@ class ExtSpec extends SparkSpec {
     assert(ids(Sampling.uniform(df, "doc_id", 1)) === (1L to 400L).toSet)
   }
 
+  test("sampling rejects rate < 1 (Spark's % 0 is NULL → silent full drop; oracles error)") {
+    val df = Seq((1L, "en")).toDF("doc_id", "lang")
+    intercept[IllegalArgumentException] { Sampling.uniform(df, "doc_id", 0) }
+    intercept[IllegalArgumentException] { Sampling.uniform(df, "doc_id", -2) }
+    intercept[IllegalArgumentException] {
+      Sampling.stratified(df, "doc_id", "lang", Seq("en" -> 2), defaultRate = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.stratified(df, "doc_id", "lang", Seq("en" -> 0), defaultRate = 4)
+    }
+  }
+
   test("multimodal: decodeMeta derives stable dims/mean; frames slice bytes (M1)") {
     val media = Multimodal.fromText(spark, docs, "doc_id", "text")
     val meta = Multimodal.decodeMeta(media).collect().map(m => m.media_id -> m).toMap

@@ -129,6 +129,39 @@ class StreamsSpec extends SparkSpec {
     assert(batch.size === 3) // two sessions for user 7, one for user 8
   }
 
+  test("sessionize accumulates decimally: many 0.1 values match the batch DECIMAL sum exactly") {
+    // 0.1 has no exact binary representation: 50 double-summed 0.1s give
+    // 4.999999999999998…, while the batch twin's CAST(value AS
+    // DECIMAL(28,10)) SUM gives exactly 5.0 — the streaming accumulator
+    // must quantize per event like the batch path, not drift by an ulp
+    implicit val sc = spark.sqlContext
+    val fixture = (0 until 50).map(i =>
+      Streams.Event(i.toLong, ts(f"2026-01-01 10:00:${i}%02d"), 7, "click", 0.1))
+    assert(fixture.map(_.value).sum !== 5.0) // the naive double fold DOES drift
+
+    val in = MemoryStream[Streams.Event]
+    val sessions = Streams.sessionize(
+      Streams.withEventWatermark(in.toDS(), "0 seconds"), gapMs = 60000)
+    val q = sessions.writeStream.format("memory").queryName("sessions_dec")
+      .outputMode(OutputMode.Append).start()
+    val streamed =
+      try {
+        in.addData(fixture: _*)
+        q.processAllAvailable()
+        in.addData(Streams.Event(98, ts("2026-01-01 12:00:00"), 99, "view", 0.0))
+        q.processAllAvailable()
+        in.addData(Streams.Event(99, ts("2026-01-01 12:01:00"), 99, "view", 0.0))
+        q.processAllAvailable()
+        spark.table("sessions_dec").filter($"user_id" === 7).collect()
+      } finally q.stop()
+
+    assert(streamed.length === 1)
+    assert(streamed.head.getAs[Double]("total_value") === 5.0)
+    val batch = Streams.sessionizeBatch(fixture.toDF(), gapMs = 60000)
+      .filter($"user_id" === 7).collect()
+    assert(batch.head.getAs[Double]("total_value") === streamed.head.getAs[Double]("total_value"))
+  }
+
   test("sessionize: late events join held sessions; emission waits for the watermark") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Streams.Event]

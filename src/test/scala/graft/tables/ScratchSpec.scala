@@ -83,4 +83,22 @@ class ScratchSpec extends SparkSpec {
       assert(dfs.last.collect().map(_.getInt(0)).toSeq === Seq(4))
     } finally spark.conf.unset("graft.scratch.keepLast")
   }
+
+  test("gc refuses keepLast <= 0 (would delete the generation just staged)") {
+    // conf-supplied zero: must fail fast naming the key, not silently
+    // delete the generation stage() just wrote
+    spark.conf.set("graft.scratch.keepLast", "0")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Scratch.stage(Seq((1, "a")).toDF("id", "v"), "keep_zero_probe")
+      }
+      assert(ex.getMessage.contains("graft.scratch.keepLast"))
+    } finally spark.conf.unset("graft.scratch.keepLast")
+    // parameter-supplied zero and negative: same contract
+    intercept[IllegalArgumentException] { Scratch.gc(spark, "keep_zero_probe", 0) }
+    intercept[IllegalArgumentException] { Scratch.gc(spark, "keep_zero_probe", -3) }
+    // and a staged frame written under a VALID bound still reads back
+    val df = Scratch.stage(Seq((7, "ok")).toDF("id", "v"), "keep_zero_probe")
+    assert(df.collect().map(_.getInt(0)).toSeq === Seq(7))
+  }
 }

@@ -614,8 +614,10 @@ object ExtQueries {
 
   /** M1 — multimodal plumbing: documents' UTF-8 bytes as opaque media blobs
     * through the typed-Dataset decode stage (mapPartitions + stub codec),
-    * plus pure byte slicing as Column work. The oracle recomputes the stub
-    * codec's arithmetic from the text (ASCII ⇒ bytes ≡ chars).
+    * plus pure byte slicing as Column work. The oracle replays the stub
+    * codec's arithmetic over the UTF-8 BYTES — `hex(encode(text))` gives
+    * two hex chars per byte, so byte k is `('0x' || substr(hx, 2k-1, 2))`
+    * — byte-exact for any encoding, no chars≡bytes assumption (ADVICE r6).
     */
   val m1MediaMeta = QueryDef(
     "m1_media_meta",
@@ -631,22 +633,27 @@ object ExtQueries {
         .orderBy(col("media_id"))
     },
     Some("""
-      SELECT doc_id AS media_id, 'image' AS kind,
-             CAST(length(text) AS BIGINT) AS n_bytes,
-             CAST((ascii(substr(text, 1, 1)) * 16 + (ascii(substr(text, 2, 1)) >> 4)) + 1 AS BIGINT) AS width,
-             CAST((ascii(substr(text, 3, 1)) * 16 + (ascii(substr(text, 4, 1)) >> 4)) + 1 AS BIGINT) AS height,
+      WITH h AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS n
+                 FROM documents)
+      SELECT media_id, 'image' AS kind,
+             CAST(n AS BIGINT) AS n_bytes,
+             CAST(('0x' || substr(hx, 1, 2))::INT * 16 + (('0x' || substr(hx, 3, 2))::INT >> 4) + 1 AS BIGINT) AS width,
+             CAST(('0x' || substr(hx, 5, 2))::INT * 16 + (('0x' || substr(hx, 7, 2))::INT >> 4) + 1 AS BIGINT) AS height,
              CAST(3 AS BIGINT) AS channels,
-             CAST(list_reduce(list_transform(str_split(text, ''), x -> CAST(ascii(x) AS BIGINT)),
-               (a, b) -> a + b) AS DOUBLE) / length(text) AS mean_byte,
-             hex(substr(text, 1, 16)::BLOB) AS head_hex
-      FROM documents ORDER BY media_id
+             CAST(list_reduce(list_transform(range(1, n + 1), k -> ('0x' || substr(hx, 2 * k - 1, 2))::BIGINT),
+               (a, b) -> a + b) AS DOUBLE) / n AS mean_byte,
+             substr(hx, 1, 32) AS head_hex
+      FROM h ORDER BY media_id
     """))
 
   /** M2 — multimodal frame sampling: 4 fixed-width byte windows at an even
     * floored stride through each media blob ([[Multimodal.sampleFrames]] —
     * pure byte slicing, no decode), frames surfaced as hex. Documents'
-    * UTF-8 text stands in for the blob (ASCII ⇒ byte-exact both engines);
-    * the oracle replays the integer stride/offset arithmetic with `//`.
+    * UTF-8 text stands in for the blob; the oracle replays the integer
+    * stride/offset arithmetic with `//` and slices the HEX of the UTF-8
+    * bytes (2 hex chars per byte), so the comparison is byte-exact even
+    * for non-ASCII text (ADVICE r6).
     */
   val m2FrameSample = QueryDef(
     "m2_frame_sample",
@@ -660,13 +667,14 @@ object ExtQueries {
         .orderBy(col("media_id"), col("frame_idx"))
     },
     Some("""
-      WITH f AS (SELECT doc_id AS media_id, text, length(text) AS n,
+      WITH f AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS n,
                    unnest(range(0, 4)) AS frame_idx
                  FROM documents)
       SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
-             hex(substr(text,
-               CAST(frame_idx * ((CASE WHEN n - 8 > 0 THEN n - 8 ELSE 0 END) // 3) + 1 AS INT),
-               8)::BLOB) AS frame_hex
+             substr(hx,
+               CAST(2 * (frame_idx * ((CASE WHEN n - 8 > 0 THEN n - 8 ELSE 0 END) // 3)) + 1 AS INT),
+               16) AS frame_hex
       FROM f ORDER BY media_id, frame_idx
     """))
 

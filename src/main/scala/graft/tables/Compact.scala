@@ -57,15 +57,20 @@ object Compact {
     * come from ONE pass over the table (a single 1-row agg, the only
     * action this key construction costs); strings hash-bucket (equal
     * values cluster; no order locality — parquet still skips on
-    * exact-equality stats). NULL and NaN values land in lane 0 (NaN is
-    * nulled BEFORE the stats agg too — one NaN row would otherwise poison
-    * max() and with it every row's scale).
+    * exact-equality stats). NULL and non-finite (NaN, ±Infinity) values
+    * land in lane 0 for every lane type, strings included; non-finite
+    * doubles are nulled BEFORE the stats agg too — one NaN or +Inf row
+    * would otherwise poison min()/max() and with it every finite row's
+    * scale (mx=+Inf maps all of them to bucket 0, silently erasing that
+    * dimension's clustering).
     */
   private[tables] def mortonKey(df: DataFrame, cols: Seq[String]): Column = {
     require(cols.nonEmpty && cols.size <= 3, s"zorderBy supports 1-3 columns, got ${cols.size}")
     def asDouble(c: String): Column = df.schema(c).dataType match {
       case DateType => col(c).cast("timestamp").cast("double")
-      case DoubleType | FloatType => nanvl(col(c).cast("double"), lit(null))
+      case DoubleType | FloatType =>
+        val d = col(c).cast("double")
+        when(isnan(d) || abs(d) === lit(Double.PositiveInfinity), lit(null)).otherwise(d)
       case _ => col(c).cast("double")
     }
     val numeric = cols.filter(c => df.schema(c).dataType != StringType)
@@ -80,7 +85,10 @@ object Compact {
         }.toMap
       }
     def lane(c: String): Column = df.schema(c).dataType match {
-      case StringType => pmod(xxhash64(col(c)), lit(65536L))
+      // isNotNull guard: xxhash64(NULL) returns the seed (42), which would
+      // park NULL strings in bucket 42 instead of the documented lane 0
+      case StringType =>
+        when(col(c).isNotNull, pmod(xxhash64(col(c)), lit(65536L))).otherwise(lit(0L))
       case _ =>
         val (mn, mx) = stats(c)
         if (mx <= mn) lit(0L)

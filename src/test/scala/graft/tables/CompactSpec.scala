@@ -109,6 +109,26 @@ class CompactSpec extends SparkSpec {
     assert(spans.size === 2 && spans.distinct.size === 2)
   }
 
+  test("zorder double lane survives a +Inf row (non-finite must not collapse the scale)") {
+    val store = newStore()
+    // x is the ONLY zorder lane, so a collapse (mx=+Inf → every finite row
+    // scales to bucket 0) has nowhere to hide behind another lane: all keys
+    // equal → one range partition → the file x-spans overlap fully
+    val rows = (0 until 100).map(i => (i, i.toDouble)) :+
+      ((100, Double.PositiveInfinity)) :+ ((101, Double.NaN))
+    store.append("zi", rows.toDF("id", "x"))
+    Compact.compact(store, "zi", numFiles = Some(2), zorderBy = Seq("x"))
+    assert(store.read("zi").count() === 102) // lossless
+    val spans = parquetFiles(store, "zi").flatMap { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .filter(!isnan(col("x")) && abs(col("x")) =!= lit(Double.PositiveInfinity))
+        .agg(min(col("x")), max(col("x")), count(lit(1))).head()
+      if (r.getLong(2) == 0L) None else Some((r.getDouble(0), r.getDouble(1)))
+    }.sortBy(_._1)
+    assert(spans.size === 2, s"finite rows must split across both files, got $spans")
+    assert(spans(0)._2 < spans(1)._1, s"x lane collapsed: file spans overlap $spans")
+  }
+
   test("string zorder lanes hash-bucket instead of range-scaling") {
     val store = newStore()
     store.append("s", Seq.tabulate(100)(i => (i, s"k${i % 5}")).toDF("id", "k"))

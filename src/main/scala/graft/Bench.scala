@@ -30,11 +30,24 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4 decimals (0.1 ms): full double precision tripled the line length,
+    // and the driver's stdout tail once truncated the head of the r6 line —
+    // keep the one-line artifact short enough to survive any sane tail
+    def f(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the self-sufficient artifact: same JSON, durable on disk next to the
+    // round records, so a truncated driver tail can't lose the total/anchor
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
     graft.tables.Scratch.cleanup(spark) // drop stage tables (all actions done)
     spark.stop()
+    // printed LAST, after every Spark/log line, so a bounded tail of stdout
+    // always contains the complete JSON
+    println(line)
   }
 }

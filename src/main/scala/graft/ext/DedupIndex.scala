@@ -24,14 +24,21 @@ import org.apache.spark.sql.functions._
   * O(|inc| × bands) bucket probes plus verification priced on candidate docs
   * only, independent of |base| except for the narrow index-side scans.
   *
-  * The shingle table stores raw shingle strings so verification (and the
-  * cross-engine oracle) is exact; at 100 TB you would store a 128-bit digest
-  * instead (Jaccard over per-doc distinct digests equals Jaccard over
-  * shingles up to md5 collisions) to shrink the table ~4×, and bucket all
-  * three tables by id so candidate-restricted reads co-locate. Same
-  * sub-quadratic shape as the reference's dedup surface
-  * (MergerMetrics-Lakehouse-Pipeline has no incremental index at all; this
-  * is the scale path the brief's training-data pipeline needs).
+  * With `digest = true` (the 100 TB storage mode) the shingle table stores
+  * the 128-bit md5 of each shingle as 16 raw bytes instead of the raw
+  * string: Jaccard over per-doc digests equals Jaccard over shingles up to
+  * md5 collisions — and the cross-engine oracle stays EXACT even then,
+  * because the DuckDB twin replays md5 over the same shingles and neither
+  * engine dedupes digests, so both see identical multisets. Signatures and
+  * bucket probes hash the digest's lowercase hex (`md5("i:" || md5(sh))`),
+  * reproducible verbatim in any engine with md5. The raw-string mode
+  * (default) keeps the index human-debuggable; both modes share every scan
+  * and join below — only the stored bytes differ. A further id-bucketed
+  * layout (co-locating candidate-restricted reads) is the remaining
+  * documented-not-implemented knob. Same sub-quadratic shape as the
+  * reference's dedup surface (MergerMetrics-Lakehouse-Pipeline has no
+  * incremental index at all; this is the scale path the brief's
+  * training-data pipeline needs).
   */
 object DedupIndex {
 
@@ -39,15 +46,28 @@ object DedupIndex {
   private def shinglesT(name: String) = s"${name}_shingles"
   private def sizesT(name: String) = s"${name}_sizes"
 
+  /** Storage form of a shingle frame: raw strings, or 16-byte md5 digests. */
+  private def toStored(sh: DataFrame, idCol: String, digest: Boolean): DataFrame =
+    if (digest) sh.select(col(idCol), unhex(md5(col("shingle"))).as("shingle")) else sh
+
+  /** Hashing/join form of a STORED shingle frame: digests come back as
+    * lowercase hex — the exact md5 string any engine computes — so the
+    * signature/verify pipeline is byte-identical across modes' engines.
+    */
+  private def toLogical(sh: DataFrame, idCol: String, digest: Boolean): DataFrame =
+    if (digest) sh.select(col(idCol), lower(hex(col("shingle"))).as("shingle")) else sh
+
   /** Full (re)build of the index over the base corpus. The corpus text is
     * scanned exactly once: the shingle table is written first, then the
     * signature/band and size tables derive from the stored parquet.
     */
   def build(store: TableStore, name: String, df: DataFrame, idCol: String,
-      textCol: String, n: Int = 3, k: Int = 12, bands: Int = 3): Unit = {
+      textCol: String, n: Int = 3, k: Int = 12, bands: Int = 3,
+      digest: Boolean = false): Unit = {
     require(k % bands == 0, s"k ($k) must be divisible by bands ($bands)")
-    store.overwrite(shinglesT(name), Dedup.shingleIndex(df, idCol, textCol, n))
-    val sh = store.read(shinglesT(name))
+    store.overwrite(shinglesT(name),
+      toStored(Dedup.shingleIndex(df, idCol, textCol, n), idCol, digest))
+    val sh = toLogical(store.read(shinglesT(name)), idCol, digest)
     store.overwrite(sizesT(name), sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh")))
     store.overwrite(bandsT(name),
       Dedup.bandBuckets(Dedup.minhashSignature(sh, idCol, k), idCol, bands, k / bands))
@@ -73,16 +93,20 @@ object DedupIndex {
     */
   def dedupIncrement(store: TableStore, name: String, inc: DataFrame,
       idCol: String, textCol: String, n: Int = 3, k: Int = 12, bands: Int = 3,
-      threshold: Double = 0.8, bucketCap: Int = Int.MaxValue): DataFrame = {
+      threshold: Double = 0.8, bucketCap: Int = Int.MaxValue,
+      digest: Boolean = false): DataFrame = {
     require(k % bands == 0, s"k ($k) must be divisible by bands ($bands)")
-    // the ONLY pass over increment text: staged so the three appends and
-    // the signature agg scan cheap scratch parquet, not re-shingle
-    val shInc = Scratch.stage(
-      Dedup.shingleIndex(inc, idCol, textCol, n), s"${name}_inc_sh")
+    // the ONLY pass over increment text: staged IN STORAGE FORM so the three
+    // appends and the signature agg scan cheap scratch parquet, not
+    // re-shingle (and, in digest mode, carry 16-byte digests, not text)
+    val shIncStored = Scratch.stage(
+      toStored(Dedup.shingleIndex(inc, idCol, textCol, n), idCol, digest),
+      s"${name}_inc_sh")
+    val shInc = toLogical(shIncStored, idCol, digest)
     val ebInc = Scratch.stage(
       Dedup.bandBuckets(Dedup.minhashSignature(shInc, idCol, k), idCol, bands, k / bands),
       s"${name}_inc_eb")
-    store.append(shinglesT(name), shInc)
+    store.append(shinglesT(name), shIncStored)
     store.append(sizesT(name),
       shInc.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh")))
     store.append(bandsT(name), ebInc)
@@ -100,7 +124,8 @@ object DedupIndex {
     val candDocs = cands.select(col("id_a").as(idCol))
       .union(cands.select(col("id_b").as(idCol))).distinct()
     val shCand = Scratch.stage(
-      store.read(shinglesT(name)).join(broadcast(candDocs), Seq(idCol), "left_semi"),
+      toLogical(store.read(shinglesT(name)), idCol, digest)
+        .join(broadcast(candDocs), Seq(idCol), "left_semi"),
       s"${name}_inc_shcand")
     val sizesCand = store.read(sizesT(name))
       .join(broadcast(candDocs), Seq(idCol), "left_semi")

@@ -328,6 +328,34 @@ object ExtQueries {
       ORDER BY id_a, id_b
     """))
 
+  /** D13 — the durable index in digest storage mode ([[DedupIndex]] with
+    * `digest = true`): same incremental contract as d10, but the shingle
+    * table persists 16-byte md5 digests instead of raw strings — the 100 TB
+    * storage shape. The oracle replays the whole MinHash pipeline over
+    * `md5(shingle)` (signatures, buckets, intersections, sizes), so the
+    * comparison stays exact even at a digest collision: neither engine
+    * dedupes digests, so both see the same multiset.
+    */
+  val d13DedupIndexDigest = QueryDef(
+    "d13_dedup_index_digest",
+    (s, dir) => {
+      val docs = Td(s, dir, "documents")
+      val isInc = Similarity.sampleBucket(col("doc_id")) % 4 === 0
+      val store = graft.tables.Scratch.store(s)
+      DedupIndex.build(store, "d13_mhidx", docs.filter(!isInc), "doc_id", "text",
+        n = 3, k = 12, bands = 3, digest = true)
+      DedupIndex.dedupIncrement(store, "d13_mhidx", docs.filter(isInc),
+          "doc_id", "text", n = 3, k = 12, bands = 3, threshold = 0.8, digest = true)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""
+      WITH ${minhashPairsSql("documents", 0.8, digest = true)},
+      inc AS (SELECT doc_id FROM documents WHERE ${sampleFilterSql("doc_id", 4)})
+      SELECT id_a, id_b, jaccard FROM mh_pairs
+      WHERE id_a IN (SELECT doc_id FROM inc) OR id_b IN (SELECT doc_id FROM inc)
+      ORDER BY id_a, id_b
+    """))
+
   /** D4 — SimHash near-dup: 64-bit sketch, Hamming ≤ 3 via 16-bit-chunk
     * pigeonhole, hot chunk-buckets capped at 32 members.
     */
@@ -774,17 +802,30 @@ object ExtQueries {
     * over any source CTE exposing (doc_id, text). Yields CTE `mh_pairs`
     * with (id_a, id_b, jaccard ≥ threshold).
     */
-  private def minhashPairsSql(src: String, threshold: Double): String = {
+  private def minhashPairsSql(src: String, threshold: Double,
+      digest: Boolean = false): String = {
     val sigs = (0 until 12).map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(", ")
     val bandSelects = (0 until 3).map { b =>
       val cat = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($cat) AS bucket FROM mh_sig"
     }.mkString("\n        UNION ALL ")
-    s"""mh_w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM $src),
-      mh_sh AS (SELECT doc_id, unnest(list_distinct(
+    // digest mode: downstream CTEs hash/join/count md5(shingle) — the exact
+    // lowercase hex the engine's digest-stored index hashes — instead of
+    // the raw shingle (neither engine dedupes digests: identical multisets)
+    val shCte =
+      if (digest)
+        """mh_sh0 AS (SELECT doc_id, unnest(list_distinct(
                CASE WHEN len(ws) >= 3
                  THEN list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' '))
                  ELSE [array_to_string(ws, ' ')] END)) AS shingle FROM mh_w),
+      mh_sh AS (SELECT doc_id, md5(shingle) AS shingle FROM mh_sh0),"""
+      else
+        """mh_sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(ws) >= 3
+                 THEN list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' '))
+                 ELSE [array_to_string(ws, ' ')] END)) AS shingle FROM mh_w),"""
+    s"""mh_w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM $src),
+      $shCte
       mh_sizes AS (SELECT doc_id, count(*) AS n FROM mh_sh GROUP BY 1),
       mh_sig AS (SELECT doc_id, $sigs FROM mh_sh GROUP BY doc_id),
       mh_eb AS ($bandSelects),
@@ -1234,7 +1275,7 @@ object ExtQueries {
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
-    d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination,
+    d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,
     s1KnnBrute, s2AnnIvf, m1MediaMeta, m2FrameSample, c1Curation, c2CurationRecipe,
     x1HllDistinct, x2KmeansIvf,
     x3DedupGroups, x5KmeansSample, x6DedupGroupsConv, x7StratifiedSample, x9CmsHeavyHitters,

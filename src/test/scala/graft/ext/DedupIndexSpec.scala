@@ -59,6 +59,39 @@ class DedupIndexSpec extends SparkSpec {
     assert(!plan.contains("wordshingles"), s"result plan re-shingles:\n$plan")
   }
 
+  test("digest storage mode: 16-byte shingle column, sound verified pairs") {
+    val all = corpus(23, 40).toDF("doc_id", "text")
+    val isInc = col("doc_id") % 3 === 0
+    val tmp = java.nio.file.Files.createTempDirectory("graft_didx_dg").toString
+    val raw = new graft.tables.TableStore(spark, s"$tmp/raw")
+    val dig = new graft.tables.TableStore(spark, s"$tmp/dig")
+
+    DedupIndex.build(raw, "idx", all.filter(!isInc), "doc_id", "text")
+    DedupIndex.build(dig, "idx", all.filter(!isInc), "doc_id", "text", digest = true)
+
+    // stored form: binary md5, 16 bytes per shingle — the 100 TB shape
+    val shD = dig.read("idx_shingles")
+    assert(shD.schema("shingle").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    assert(shD.select(max(length(col("shingle")))).head.getInt(0) === 16)
+    // both modes index the same shingle multiset (row counts match)
+    assert(shD.count() === raw.read("idx_shingles").count())
+
+    // the hash FAMILY differs (signatures hash digest hex, not raw
+    // shingles), so the candidate subset may differ from raw mode — but
+    // verification must stay SOUND: every returned pair's exact jaccard
+    // over the original raw shingles is ≥ threshold (the d13 oracle pins
+    // full exactness cross-engine; this pins no-fabrication)
+    val pDig = pairSet(DedupIndex.dedupIncrement(dig, "idx",
+      all.filter(isInc), "doc_id", "text", threshold = 0.7, digest = true))
+    assert(pDig.nonEmpty)
+    val trueJ = Dedup.jaccardPairs(Dedup.shingleIndex(all, "doc_id", "text"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pDig.foreach { p =>
+      assert(trueJ.getOrElse(p, 0.0) >= 0.7, s"pair $p below threshold: ${trueJ.get(p)}")
+    }
+  }
+
   test("index persists across runs: run 2's base includes run 1's increment") {
     val all = corpus(12, 40).toDF("doc_id", "text")
     val inc1 = col("doc_id") % 3 === 0

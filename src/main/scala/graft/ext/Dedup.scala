@@ -432,10 +432,19 @@ object Dedup {
     * verbatim copy still scores overlap_frac 1.0 under a cap. With a
     * typical small eval suite, broadcast the eval index side by sizing
     * autoBroadcastJoinThreshold — the train corpus then never shuffles.
+    *
+    * The cap DEFAULTS ON ([[ContaminationMaxDf]] = 10,000): an n-gram in
+    * more than 10k training documents is template boilerplate, not leak
+    * evidence — a real leak is flagged by its rare n-grams regardless —
+    * and one such shingle would otherwise flood the join with
+    * df_train × df_eval rows on a single hot key. Pass
+    * `maxDf = Int.MaxValue` to explicitly opt into the uncapped join.
     */
+  val ContaminationMaxDf = 10000
+
   def contamination(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 5, minShared: Int = 1,
-      maxDf: Int = Int.MaxValue): DataFrame = {
+      maxDf: Int = ContaminationMaxDf): DataFrame = {
     val shTAll = shingleIndex(train, idCol, textCol, n)
       .withColumnRenamed(idCol, "train_id")
     val shT = dfCapped(shTAll, shTAll, maxDf)

@@ -1207,7 +1207,10 @@ object ExtQueries {
     * decontamination probe — training docs sharing ≥3 distinct word
     * 5-grams with an "eval" doc, plus the shared fraction of the eval
     * doc's 5-grams ([[graft.ext.Dedup.contamination]]). The oracle builds
-    * the same 5-gram inverted indexes and join.
+    * the same 5-gram inverted indexes and join, INCLUDING the default
+    * train-side df-cap ([[graft.ext.Dedup.ContaminationMaxDf]]) — no
+    * shingle crosses it at test scale, but the twin must mirror the
+    * operator's real semantics, not its no-flood special case.
     */
   val d12Contamination = QueryDef(
     "d12_contamination",
@@ -1224,10 +1227,14 @@ object ExtQueries {
                CASE WHEN len(ws) >= 5
                  THEN list_transform(generate_series(1, len(ws)-4), i -> array_to_string(ws[i:i+4], ' '))
                  ELSE [array_to_string(ws, ' ')] END)) AS shingle FROM w),
-      tr AS (SELECT doc_id AS train_id, shingle FROM sh5
+      tr0 AS (SELECT doc_id AS train_id, shingle FROM sh5
              WHERE NOT ${sampleFilterSql("doc_id", 4)}),
-      ev AS (SELECT doc_id AS eval_id, shingle FROM sh5
+      ev0 AS (SELECT doc_id AS eval_id, shingle FROM sh5
              WHERE ${sampleFilterSql("doc_id", 4)}),
+      hot AS (SELECT shingle FROM tr0 GROUP BY 1
+              HAVING COUNT(*) > ${Dedup.ContaminationMaxDf}),
+      tr AS (SELECT * FROM tr0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      ev AS (SELECT * FROM ev0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
       sz AS (SELECT eval_id, COUNT(*) AS n_ev FROM ev GROUP BY 1),
       p AS (SELECT train_id, eval_id, COUNT(*) AS n_shared
             FROM tr JOIN ev USING (shingle) GROUP BY 1, 2)

@@ -180,6 +180,20 @@ class DedupPropertySpec extends SparkSpec {
       s"capped verbatim copy must stay at overlap 1.0: ${cappedCopy.toSeq}")
   }
 
+  test("contamination's DEFAULT df-cap bounds a boilerplate flood (no explicit maxDf)") {
+    // ContaminationMaxDf+1 train docs that are all the same boilerplate
+    // shingle: the default call must drop the hot shingle (0 pairs), while
+    // the explicit uncapped opt-in fans the eval doc into |train| pairs
+    val nTrain = Dedup.ContaminationMaxDf + 1
+    val train = spark.range(nTrain.toLong)
+      .select($"id".as("doc_id"), lit("zz yy xx").as("text"))
+    val eval = Seq((-1L, "zz yy xx")).toDF("doc_id", "text")
+    assert(Dedup.contamination(train, eval, "doc_id", "text",
+      n = 5, minShared = 1).count() === 0L)
+    assert(Dedup.contamination(train, eval, "doc_id", "text",
+      n = 5, minShared = 1, maxDf = Int.MaxValue).count() === nTrain.toLong)
+  }
+
   test("capped == uncapped when no bucket exceeds the cap") {
     val df = corpus(13, 40).toDF("doc_id", "text")
     val sig = Dedup.minhashSignature(Dedup.shingleIndex(df, "doc_id", "text", 3), "doc_id")

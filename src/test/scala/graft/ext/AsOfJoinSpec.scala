@@ -127,4 +127,60 @@ class AsOfJoinSpec extends SparkSpec {
     assert(fast.count() === events.count())
     assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
   }
+
+  // 2-second buckets split the 10:00:00–10:00:05 fixture into several
+  // buckets, exercising in-bucket, cross-bucket, and empty-bucket carry
+  private val twoSecBuckets: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    t => floor(unix_timestamp(t) / 2)
+
+  test("asOfBucketed matches asOf on every fixture contract (inclusive/strict/tolerance)") {
+    def both(inclusive: Boolean, tol: Option[org.apache.spark.sql.Column]) = {
+      val plain = byTrade(AsOfJoin.asOf(trades, quotes, Seq("key"), "tts", "qts",
+        rightCols = Seq("quote_id", "px"), tieBreak = Seq("quote_id"),
+        inclusive = inclusive, tolerance = tol))
+      val bucketed = byTrade(AsOfJoin.asOfBucketed(trades, quotes, Seq("key"), "tts", "qts",
+        rightCols = Seq("quote_id", "px"), bucketOf = twoSecBuckets,
+        tieBreak = Seq("quote_id"), inclusive = inclusive, tolerance = tol))
+      assert(bucketed === plain, s"inclusive=$inclusive tol=${tol.isDefined}")
+    }
+    both(inclusive = true, None)
+    both(inclusive = false, None)
+    both(inclusive = true, Some(expr("INTERVAL 2 SECONDS")))
+  }
+
+  test("asOfBucketed equals asOf on a million-row hot key") {
+    // one celebrity key holding 1M right rows + a normal key, bucketed
+    // hourly: the hot key spreads over ~28 buckets instead of one partition
+    val base = lit(1704103200L) // 2024-01-01 10:00:00 UTC
+    val quotesHot = spark.range(1000000L).select(
+      when($"id" % 50 === 0, "N").otherwise("H").as("key"),
+      timestamp_seconds(base + ($"id" * 7 % 100000)).as("qts"),
+      $"id".as("quote_id"),
+      ($"id" % 997).cast("double").as("px"))
+    val tradesHot = spark.range(50000L).select(
+      when($"id" % 50 === 0, "N").otherwise("H").as("key"),
+      timestamp_seconds(base + ($"id" * 13 % 100000)).as("tts"),
+      $"id".as("trade_id"))
+    val hourBuckets: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => floor(unix_timestamp(t) / 3600)
+
+    val plain = AsOfJoin.asOf(tradesHot, quotesHot, Seq("key"), "tts", "qts",
+      rightCols = Seq("quote_id", "px"), tieBreak = Seq("quote_id"))
+    val bucketed = AsOfJoin.asOfBucketed(tradesHot, quotesHot, Seq("key"), "tts", "qts",
+      rightCols = Seq("quote_id", "px"), bucketOf = hourBuckets,
+      tieBreak = Seq("quote_id"))
+    assert(bucketed.count() === 50000L)
+    assert(bucketed.exceptAll(plain).isEmpty && plain.exceptAll(bucketed).isEmpty)
+  }
+
+  test("asOfBucketed's windows partition one bucket finer; plain asOf has no bucket stage") {
+    val bucketedPlan = AsOfJoin.asOfBucketed(trades, quotes, Seq("key"), "tts", "qts",
+      rightCols = Seq("quote_id", "px"), bucketOf = twoSecBuckets)
+      .queryExecution.executedPlan.toString
+    val plainPlan = AsOfJoin.asOf(trades, quotes, Seq("key"), "tts", "qts",
+      rightCols = Seq("quote_id", "px"))
+      .queryExecution.executedPlan.toString
+    assert(bucketedPlan.contains("_bk"), "bucketed plan must shuffle/sort on (key, _bk)")
+    assert(!plainPlan.contains("_bk"), "plain asOf must not pay the bucket stage")
+  }
 }

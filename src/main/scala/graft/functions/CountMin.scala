@@ -42,6 +42,17 @@ object CountMin {
       .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Merge sketches built with the SAME (d, w): plain counter addition —
+    * build(A) ⊕ build(B) == build(A ∪ B) exactly, by linearity of the
+    * bucket counts. This is how shards, partitions, or stream micro-batches
+    * combine without re-reading data (CountMinSpec pins the equality).
+    */
+  def merge(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "merge: at least one sketch required")
+    sketches.reduce(_.unionByName(_))
+      .groupBy("row", "bucket").agg(sum(col("cnt")).as("cnt"))
+  }
+
   /** Point estimates for `probes` (distinct keys; other columns carried
     * through): min over the d row counters. A key the sketch never saw can
     * still read a colliding bucket — CM estimates are upper bounds, never

@@ -53,10 +53,15 @@ class CountMinSpec extends SparkSpec {
   test("sketches merge by counter addition (shard-and-add == build-on-union)") {
     val shard1 = words.limit(100)
     val shard2 = words.exceptAll(shard1)
-    val merged = CountMin.build(shard1, "term", 4, 256)
-      .unionByName(CountMin.build(shard2, "term", 4, 256))
-      .groupBy("row", "bucket").agg(sum(col("cnt")).as("cnt"))
+    val merged = CountMin.merge(
+      CountMin.build(shard1, "term", 4, 256),
+      CountMin.build(shard2, "term", 4, 256))
     val direct = CountMin.build(words, "term", 4, 256)
     assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+    // and merged sketches answer lookups like the direct build
+    val probes = words.select("term").distinct()
+    val viaMerged = CountMin.lookup(merged, probes, "term", 4, 256)
+    val viaDirect = CountMin.lookup(direct, probes, "term", 4, 256)
+    assert(viaMerged.exceptAll(viaDirect).isEmpty && viaDirect.exceptAll(viaMerged).isEmpty)
   }
 }

@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing is real — schema, batch shape, partition-parallel
   * `mapPartitions` over typed Datasets (the Scala analog of `mapInPandas`:
-  * one iterator per partition, amortizing per-batch codec setup). The codec
-  * itself is STUBBED with a deterministic fake (this container has no
-  * image/audio libraries): `FakeCodec` derives dimensions and "pixel" stats
-  * from the raw bytes, so tests exercise the full distributed path with
-  * verifiable outputs. Swap `FakeCodec` for a real decoder (javax.imageio,
-  * ffmpeg-cli per partition, …) without touching the pipeline.
+  * one iterator per partition, amortizing per-batch codec setup). Decode is
+  * REAL for images ([[ImageIoCodec]], `javax.imageio`) and audio
+  * ([[decodeAudioMeta]], `javax.sound.sampled`) — both JDK-built-in, no
+  * dependencies — and so is the pixel resample ([[resizeImages]], Java2D).
+  * Only video still falls to the deterministic [[FakeCodec]] (no container
+  * codec); it derives dimensions and "pixel" stats from the raw bytes, so
+  * tests exercise the full distributed path with verifiable outputs, and
+  * the m1 oracle replays it cross-engine. Swap in an ffmpeg-cli-per-
+  * partition decoder without touching the pipeline.
   *
   * Scale notes: media blobs dominate row size — keep them in their own
   * column, project them away before any shuffle (metadata-only exchanges),
@@ -100,8 +103,81 @@ object Multimodal {
     }
   }
 
-  /** Resize stub: recompute target dims preserving aspect ratio; the pixel
-    * resample itself is the codec's job (stubbed — bytes pass through).
+  final case class AudioMeta(
+      media_id: Long, n_bytes: Long, sample_rate: Double,
+      channels: Int, n_frames: Long, duration_sec: Double)
+
+  /** REAL audio metadata via JDK-built-in `javax.sound.sampled` (WAV, AIFF,
+    * AU — no dependencies): true sample rate, channel count, frame count,
+    * and duration, parsed from the container header without decoding the
+    * sample stream. Rows the sound stack cannot parse (or whose payload is
+    * not audio at all) yield the sentinel row (sample_rate -1, channels 0,
+    * n_frames -1, duration -1) rather than failing the stage — the same
+    * dirty-corpus posture as [[ImageIoCodec]]'s fallback.
+    */
+  def decodeAudioMeta(media: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        try {
+          val ff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+            new java.io.ByteArrayInputStream(r.media))
+          val f = ff.getFormat
+          val frames = ff.getFrameLength.toLong
+          val dur =
+            if (f.getFrameRate > 0 && frames >= 0) frames / f.getFrameRate.toDouble
+            else -1.0
+          AudioMeta(r.media_id, r.media.length.toLong,
+            f.getSampleRate.toDouble, f.getChannels, frames, dur)
+        } catch {
+          case _: Exception =>
+            AudioMeta(r.media_id, r.media.length.toLong, -1.0, 0, -1L, -1.0)
+        }
+      }
+    }
+  }
+
+  /** REAL pixel resample (Java2D bilinear, JDK-built-in): images larger
+    * than `maxSide` on either axis are scaled down aspect-preserving with
+    * [[resizePlan]]'s exact dimension arithmetic (floor, min-scale, ≥1) and
+    * re-encoded as PNG; images already within bounds, non-image kinds, and
+    * undecodable payloads pass through byte-identical. Partition-parallel
+    * like every codec stage; blobs never shuffle.
+    */
+  def resizeImages(media: Dataset[MediaRow], maxSide: Int): Dataset[MediaRow] = {
+    require(maxSide >= 1, s"maxSide must be >= 1, got $maxSide")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val img =
+          if (r.kind != "image") null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+            catch { case _: Exception => null }
+        if (img == null || (img.getWidth <= maxSide && img.getHeight <= maxSide)) r
+        else {
+          val scale = math.min(
+            math.min(maxSide.toDouble / img.getWidth, maxSide.toDouble / img.getHeight), 1.0)
+          val ow = math.max(1, math.floor(img.getWidth * scale).toInt)
+          val oh = math.max(1, math.floor(img.getHeight * scale).toInt)
+          val out = new java.awt.image.BufferedImage(
+            ow, oh, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          val g = out.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, ow, oh, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          MediaRow(r.media_id, r.kind, bos.toByteArray)
+        }
+      }
+    }
+  }
+
+  /** Resize planning: recompute target dims preserving aspect ratio from
+    * METADATA only — the cheap dry-run twin of [[resizeImages]] (same
+    * arithmetic), for sizing estimates without touching a single blob.
     */
   def resizePlan(meta: Dataset[MediaMeta], maxSide: Int): DataFrame = {
     meta.toDF().withColumn("scale",

@@ -209,4 +209,75 @@ class ExtSpec extends SparkSpec {
     assert(out(2L) === Multimodal.FakeCodec.decode(rows(1)))
     assert(out(3L) === Multimodal.FakeCodec.decode(rows(2)))
   }
+
+  test("multimodal: decodeAudioMeta reads a real WAV — true sample rate, channels, frames") {
+    import Multimodal.MediaRow
+    import javax.sound.sampled._
+    // 1000 frames of 16-bit stereo PCM at 22050 Hz, written as a real WAV
+    // in-test (JDK sound stack, no fixtures on disk)
+    val fmt = new AudioFormat(22050f, 16, 2, true, false)
+    val nFrames = 1000
+    val pcm = Array.tabulate(nFrames * fmt.getFrameSize)(i => (i % 251).toByte)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    val rows = Seq(
+      MediaRow(1L, "audio", wav),
+      MediaRow(2L, "audio", "not audio at all".getBytes("UTF-8")))
+    val out = Multimodal.decodeAudioMeta(rows.toDS())
+      .collect().map(m => m.media_id -> m).toMap
+    assert(out(1L).sample_rate === 22050.0)
+    assert(out(1L).channels === 2)
+    assert(out(1L).n_frames === nFrames.toLong)
+    assert(math.abs(out(1L).duration_sec - nFrames / 22050.0) < 1e-9)
+    assert(out(1L).n_bytes === wav.length.toLong)
+    // dirty payload: sentinel row, stage never fails
+    assert(out(2L).sample_rate === -1.0 && out(2L).channels === 0)
+  }
+
+  test("multimodal: resizeImages resamples real pixels with resizePlan's dims") {
+    import Multimodal.MediaRow
+    val img = new java.awt.image.BufferedImage(64, 32,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 32; x <- 0 until 64)
+      img.setRGB(x, y, ((x * 4) << 16) | ((y * 8) << 8) | 99)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+
+    val small = "tiny".getBytes("UTF-8")
+    val rows = Seq(
+      MediaRow(1L, "image", png),
+      MediaRow(2L, "image", small),      // undecodable → byte-identical
+      MediaRow(3L, "audio", png))        // non-image kind → byte-identical
+    val out = Multimodal.resizeImages(rows.toDS(), maxSide = 16)
+      .collect().map(m => m.media_id -> m).toMap
+
+    // the resample is real: the output is a decodable PNG at exactly the
+    // dims resizePlan computes for (64, 32, maxSide 16) = (16, 8)
+    val resized = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).media))
+    assert(resized.getWidth === 16 && resized.getHeight === 8)
+    val planned = Multimodal.resizePlan(
+        Multimodal.decodeMeta(rows.take(1).toDS(), Multimodal.ImageIoCodec.decode),
+        maxSide = 16)
+      .select("out_width", "out_height").head()
+    assert((resized.getWidth, resized.getHeight) ===
+      ((planned.getInt(0), planned.getInt(1))))
+    // downscaled content, not a repaint: interior pixels follow the source
+    // gradient direction (monotone left-to-right red channel)
+    val reds = (0 until 16).map(x => (resized.getRGB(x, 4) >> 16) & 0xff)
+    assert(reds.zip(reds.tail).forall { case (a, b) => a <= b }, s"reds not monotone: $reds")
+    assert(reds.last > reds.head)
+    // pass-through rows are byte-identical
+    assert(out(2L).media.toSeq === small.toSeq)
+    assert(out(3L).media.toSeq === png.toSeq)
+    // an image already inside the bound also passes through byte-identical
+    val noop = Multimodal.resizeImages(rows.take(1).toDS(), maxSide = 64)
+      .head().media
+    assert(noop.toSeq === png.toSeq)
+  }
 }

@@ -206,8 +206,15 @@ object ScaleStress {
       Seq("documents", "embeddings").foreach(t => Td(spark, dir, t).count())
     }
 
+    // only=q1,q2 restricts the stressed set — how the 30-100× datapoints on
+    // the durable paths run without paying the whole suite at that factor
+    val only = args.find(_.startsWith("only="))
+      .map(_.stripPrefix("only=").split(',').toSet)
+    val selected = stressQueries(f => 8 * f)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+
     // avg cluster size held constant: k grows with the data
-    val results = stressQueries(f => 8 * f).flatMap { case (name, fn) =>
+    val results = selected.flatMap { case (name, fn) =>
       scales.map { case (f, dir) =>
         val runs = (1 to nReps).map { _ =>
           val b0 = shuffleBytes.get()

@@ -24,19 +24,30 @@ import org.apache.spark.sql.functions._
   * O(|inc| × bands) bucket probes plus verification priced on candidate docs
   * only, independent of |base| except for the narrow index-side scans.
   *
-  * With `digest = true` (the 100 TB storage mode) the shingle table stores
-  * the 128-bit md5 of each shingle as 16 raw bytes instead of the raw
-  * string: Jaccard over per-doc digests equals Jaccard over shingles up to
-  * md5 collisions — and the cross-engine oracle stays EXACT even then,
-  * because the DuckDB twin replays md5 over the same shingles and neither
-  * engine dedupes digests, so both see identical multisets. Signatures and
-  * bucket probes hash the digest's lowercase hex (`md5("i:" || md5(sh))`),
-  * reproducible verbatim in any engine with md5. The raw-string mode
-  * (default) keeps the index human-debuggable; both modes share every scan
-  * and join below — only the stored bytes differ. A further id-bucketed
-  * layout (co-locating candidate-restricted reads) is the remaining
-  * documented-not-implemented knob. Same sub-quadratic shape as the
-  * reference's dedup surface (MergerMetrics-Lakehouse-Pipeline has no
+  * With `digest = true` the shingle table stores the 128-bit md5 of each
+  * shingle as 16 raw bytes instead of the raw string: Jaccard over per-doc
+  * digests equals Jaccard over shingles up to md5 collisions — and the
+  * cross-engine oracle stays EXACT even then, because the DuckDB twin
+  * replays md5 over the same shingles and neither engine dedupes digests,
+  * so both see identical multisets. Signatures and bucket probes hash the
+  * digest's lowercase hex (`md5("i:" || md5(sh))`), reproducible verbatim
+  * in any engine with md5.
+  *
+  * What digest mode buys — measured honestly (BENCH_LOCAL_r7): NOT size on
+  * ordinary word shingles. md5 bytes are incompressible, while parquet
+  * dictionary+snappy compress repeated text shingles ~3×, so at sf0.1 the
+  * digest table is 1.4× (3-grams, avg 15.5 chars) to 2.0× (5-grams, avg
+  * 26.5 chars) LARGER than raw. Digests win on size only when shingles are
+  * long (character shingles over URLs/code, ≫50 bytes); their structural
+  * wins are fixed-width cells (memory-bounded joins, no pathological
+  * multi-KB shingle rows from concatenated long tokens) and a text-free
+  * index (retention/licensing: the index no longer contains corpus
+  * content). The raw-string mode (default) keeps the index
+  * human-debuggable and smaller on word-shingle corpora; both modes share
+  * every scan and join below — only the stored bytes differ. A further
+  * id-bucketed layout (co-locating candidate-restricted reads) is the
+  * remaining documented-not-implemented knob. Same sub-quadratic shape as
+  * the reference's dedup surface (MergerMetrics-Lakehouse-Pipeline has no
   * incremental index at all; this is the scale path the brief's
   * training-data pipeline needs).
   */

@@ -40,10 +40,14 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // the self-sufficient artifact: same JSON, durable on disk next to the
-    // round records, so a truncated driver tail can't lose the total/anchor
+    // round records, so a truncated driver tail can't lose the total/anchor.
+    // Best-effort: an unwritable path must not discard the whole run's
+    // timings (the stdout line below is the primary contract)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"bench: could not write $out: $e") }
     graft.tables.Scratch.cleanup(spark) // drop stage tables (all actions done)
     spark.stop()
     // printed LAST, after every Spark/log line, so a bounded tail of stdout

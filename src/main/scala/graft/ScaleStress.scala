@@ -171,6 +171,17 @@ object ScaleStress {
     val workDir = args.lift(1).getOrElse("/tmp/graft_scale_stress")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val nReps = args.lift(3).map(_.toInt).getOrElse(2)
+    // only=q1,q2 restricts the stressed set — how the 30-100× datapoints on
+    // the durable paths run without paying the whole suite at that factor.
+    // Validated HERE, before the factor× expansion pays for a typo.
+    val only = args.find(_.startsWith("only="))
+      .map(_.stripPrefix("only=").split(',').toSet)
+    val known = stressQueries(f => 8 * f).map(_._1).toSet
+    only.foreach { o =>
+      val bad = o -- known
+      require(bad.isEmpty,
+        s"unknown only= queries: ${bad.mkString(",")}; known: ${known.mkString(",")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -206,10 +217,6 @@ object ScaleStress {
       Seq("documents", "embeddings").foreach(t => Td(spark, dir, t).count())
     }
 
-    // only=q1,q2 restricts the stressed set — how the 30-100× datapoints on
-    // the durable paths run without paying the whole suite at that factor
-    val only = args.find(_.startsWith("only="))
-      .map(_.stripPrefix("only=").split(',').toSet)
     val selected = stressQueries(f => 8 * f)
       .filter { case (name, _) => only.forall(_.contains(name)) }
 

@@ -107,6 +107,15 @@ object DedupIndex {
       threshold: Double = 0.8, bucketCap: Int = Int.MaxValue,
       digest: Boolean = false): DataFrame = {
     require(k % bands == 0, s"k ($k) must be divisible by bands ($bands)")
+    // the stored column type records which mode the index was BUILT with —
+    // a mismatched `digest` here would only surface later as a cryptic
+    // append-schema conflict, after the increment was already shingled
+    val storedDigest = store.read(shinglesT(name)).schema("shingle").dataType ==
+      org.apache.spark.sql.types.BinaryType
+    require(storedDigest == digest,
+      s"index '$name' was built with digest=$storedDigest; call dedupIncrement " +
+        s"with digest=$storedDigest (band buckets are only comparable under " +
+        "the hashing mode the index was built with)")
     // the ONLY pass over increment text: staged IN STORAGE FORM so the three
     // appends and the signature agg scan cheap scratch parquet, not
     // re-shingle (and, in digest mode, carry 16-byte digests, not text)

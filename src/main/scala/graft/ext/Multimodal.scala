@@ -147,10 +147,31 @@ object Multimodal {
   def resizeImages(media: Dataset[MediaRow], maxSide: Int): Dataset[MediaRow] = {
     require(maxSide >= 1, s"maxSide must be >= 1, got $maxSide")
     import media.sparkSession.implicits._
+    // header-only dimension probe: ImageReader.getWidth/Height parse the
+    // container header without decoding the raster, so already-in-bounds
+    // images (the common case in a resize sweep) never pay a pixel decode
+    def headerDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val rd = readers.next()
+          rd.setInput(iis)
+          try Some((rd.getWidth(0), rd.getHeight(0))) finally rd.dispose()
+        }
+      } catch { case _: Exception => None } finally iis.close()
+    }
     media.mapPartitions { it =>
+      // in-memory streams only: the default file-backed stream cache writes
+      // a temp file per decode on every executor
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
+        val dims = if (r.kind != "image") None else headerDims(r.media)
+        val needsResize = dims.exists { case (w, h) => w > maxSide || h > maxSide }
         val img =
-          if (r.kind != "image") null
+          if (!needsResize) null
           else
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
             catch { case _: Exception => null }

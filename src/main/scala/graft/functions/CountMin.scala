@@ -46,6 +46,14 @@ object CountMin {
     * build(A) ⊕ build(B) == build(A ∪ B) exactly, by linearity of the
     * bucket counts. This is how shards, partitions, or stream micro-batches
     * combine without re-reading data (CountMinSpec pins the equality).
+    *
+    * CALLER CONTRACT, unvalidatable here: the frames carry no (d, w) — a
+    * (4, 256) sketch and a (4, 1024) sketch have identical schemas, merge
+    * without error, and yield silently wrong estimates (shard-b keys were
+    * bucketed mod a different w). Track each sketch's geometry alongside
+    * the frame (table property, path naming) and merge only like with
+    * like; a cheap post-hoc sanity probe is
+    * `agg(max("row"), max("bucket"))` strictly below your (d, w).
     */
   def merge(sketches: DataFrame*): DataFrame = {
     require(sketches.nonEmpty, "merge: at least one sketch required")

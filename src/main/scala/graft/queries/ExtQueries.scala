@@ -666,11 +666,17 @@ object ExtQueries {
                  FROM documents)
       SELECT media_id, 'image' AS kind,
              CAST(n AS BIGINT) AS n_bytes,
-             CAST(('0x' || substr(hx, 1, 2))::INT * 16 + (('0x' || substr(hx, 3, 2))::INT >> 4) + 1 AS BIGINT) AS width,
-             CAST(('0x' || substr(hx, 5, 2))::INT * 16 + (('0x' || substr(hx, 7, 2))::INT >> 4) + 1 AS BIGINT) AS height,
+             CAST(CASE WHEN n >= 2
+               THEN ('0x' || substr(hx, 1, 2))::INT * 16 + (('0x' || substr(hx, 3, 2))::INT >> 4) + 1
+               ELSE 1 END AS BIGINT) AS width,
+             CAST(CASE WHEN n >= 4
+               THEN ('0x' || substr(hx, 5, 2))::INT * 16 + (('0x' || substr(hx, 7, 2))::INT >> 4) + 1
+               ELSE 1 END AS BIGINT) AS height,
              CAST(3 AS BIGINT) AS channels,
-             CAST(list_reduce(list_transform(range(1, n + 1), k -> ('0x' || substr(hx, 2 * k - 1, 2))::BIGINT),
-               (a, b) -> a + b) AS DOUBLE) / n AS mean_byte,
+             CASE WHEN n > 0
+               THEN CAST(list_reduce(list_transform(range(1, n + 1), k -> ('0x' || substr(hx, 2 * k - 1, 2))::BIGINT),
+                 (a, b) -> a + b) AS DOUBLE) / n
+               ELSE 0.0 END AS mean_byte,
              substr(hx, 1, 32) AS head_hex
       FROM h ORDER BY media_id
     """))

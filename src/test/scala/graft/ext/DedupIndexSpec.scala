@@ -85,6 +85,18 @@ class DedupIndexSpec extends SparkSpec {
     val pDig = pairSet(DedupIndex.dedupIncrement(dig, "idx",
       all.filter(isInc), "doc_id", "text", threshold = 0.7, digest = true))
     assert(pDig.nonEmpty)
+
+    // mode mismatch fails fast with the built-with mode named, BEFORE any
+    // increment work (not as a late append-schema conflict)
+    val exRaw = intercept[IllegalArgumentException] {
+      DedupIndex.dedupIncrement(dig, "idx", all.filter(isInc), "doc_id", "text")
+    }
+    assert(exRaw.getMessage.contains("digest=true"))
+    val exDig = intercept[IllegalArgumentException] {
+      DedupIndex.dedupIncrement(raw, "idx", all.filter(isInc), "doc_id", "text",
+        digest = true)
+    }
+    assert(exDig.getMessage.contains("digest=false"))
     val trueJ = Dedup.jaccardPairs(Dedup.shingleIndex(all, "doc_id", "text"), "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     pDig.foreach { p =>

@@ -82,8 +82,13 @@ class DedupIndexSpec extends SparkSpec {
     // verification must stay SOUND: every returned pair's exact jaccard
     // over the original raw shingles is ≥ threshold (the d13 oracle pins
     // full exactness cross-engine; this pins no-fabrication)
-    val pDig = pairSet(DedupIndex.dedupIncrement(dig, "idx",
-      all.filter(isInc), "doc_id", "text", threshold = 0.7, digest = true))
+    val digResult = DedupIndex.dedupIncrement(dig, "idx",
+      all.filter(isInc), "doc_id", "text", threshold = 0.7, digest = true)
+    // digest mode keeps the raw mode's plan contract: the result never
+    // re-shingles — every input is stored index parquet or scratch stage
+    val digPlan = digResult.queryExecution.executedPlan.toString.toLowerCase
+    assert(!digPlan.contains("wordshingles"), s"digest result plan re-shingles:\n$digPlan")
+    val pDig = pairSet(digResult)
     assert(pDig.nonEmpty)
 
     // mode mismatch fails fast with the built-with mode named, BEFORE any

@@ -49,6 +49,28 @@ object Dedup {
     df.select(col(idCol), explode(sh).as("shingle"))
   }
 
+  /** Distinct character q-gram shingles — the shingling unit for content
+    * without meaningful whitespace tokens: source code, URLs, DNA-ish
+    * strings, CJK text. Same (id, shingle) contract as [[shingleIndex]],
+    * so every consumer composes unchanged: [[jaccardPairs]],
+    * [[minhashSignature]]/[[minhashCandidates]] (the LSH scale path), and
+    * [[contamination]]-style inverted-index joins. Texts shorter than `q`
+    * fall back to one whole-text shingle, mirroring [[shingleIndex]]'s
+    * short-doc fallback. Both engines slice characters (`substr` is
+    * char-based in Spark and DuckDB alike), so the oracle twin is exact
+    * without an encoding assumption. This is also the shingle domain where
+    * [[DedupIndex]]'s digest storage mode pays on SIZE: long/high-entropy
+    * q-grams compress poorly as raw strings, while digests stay 16 bytes.
+    */
+  def charShingleIndex(df: DataFrame, idCol: String, textCol: String,
+      q: Int = 12): DataFrame = {
+    require(q >= 1, s"char shingle width must be >= 1, got $q")
+    df.select(col(idCol), explode(array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(col(textCol)) - (q - 1), lit(1))),
+        i => col(textCol).substr(i, lit(q))))).as("shingle"))
+  }
+
   /** Pairwise n-gram Jaccard over an inverted shingle index: documents
     * sharing ≥1 shingle are paired (a<b), |∩| counted, sizes joined back.
     * Output: id_a, id_b, jaccard — filter at the caller's threshold.

@@ -173,6 +173,41 @@ object ExtQueries {
     // text dedup via d3_dedup_minhash (the sub-quadratic LSH scale path)
     benchmark = false)
 
+  /** D14 — character q-gram Jaccard near-dup ([[Dedup.charShingleIndex]]):
+    * the tokenizer-free shingle domain (code, URLs, CJK). All-pairs
+    * co-shingle baseline like d2; the LSH scale path accepts the same
+    * shingle frame unchanged (DedupPropertySpec pins the composition).
+    * `substr` is char-based in both engines, so the oracle needs no
+    * encoding assumption.
+    */
+  val d14DedupChargram = QueryDef(
+    "d14_dedup_chargram",
+    (s, dir) => {
+      val sh = Dedup.charShingleIndex(Td(s, dir, "documents"), "doc_id", "text", q = 12)
+      Dedup.jaccardPairs(sh, "doc_id", maxDf = 20)
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH sh AS (SELECT doc_id, unnest(list_distinct(
+                   list_transform(generate_series(1, greatest(length(text) - 11, 1)),
+                     i -> substr(text, i, 12)))) AS shingle FROM documents),
+      shf AS (SELECT * FROM sh
+              WHERE shingle IN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 20)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             CAST(n_inter AS DOUBLE) / CAST(x.n + y.n - n_inter AS DOUBLE) AS jaccard
+      FROM inter JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
+      WHERE CAST(n_inter AS DOUBLE) / CAST(x.n + y.n - n_inter AS DOUBLE) >= 0.5
+      ORDER BY id_a, id_b
+    """),
+    // all-co-shingle-pairs correctness baseline, like d2 — the bench covers
+    // near-dup dedup via d3's LSH path, which consumes this same frame
+    benchmark = false)
+
   /** Oracle fragment: capped band-bucket candidate pairs over an `eb`
     * (doc_id, band, bucket) CTE — buckets ≤ cap emit all (a<b) pairs,
     * larger buckets star-pair with the min-id representative. Mirrors
@@ -1289,6 +1324,7 @@ object ExtQueries {
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,
+    d14DedupChargram,
     s1KnnBrute, s2AnnIvf, m1MediaMeta, m2FrameSample, c1Curation, c2CurationRecipe,
     x1HllDistinct, x2KmeansIvf,
     x3DedupGroups, x5KmeansSample, x6DedupGroupsConv, x7StratifiedSample, x9CmsHeavyHitters,

@@ -182,5 +182,11 @@ class AsOfJoinSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(bucketedPlan.contains("_bk"), "bucketed plan must shuffle/sort on (key, _bk)")
     assert(!plainPlan.contains("_bk"), "plain asOf must not pay the bucket stage")
+    // like plain asOf, the bucketed plan never builds a pairwise product:
+    // its only joins are the equi-joins on (keys, _bk)
+    assert(!bucketedPlan.toLowerCase.contains("nestedloop"),
+      "bucketed as-of must not degrade to a nested-loop join")
+    assert(!bucketedPlan.toLowerCase.contains("cartesian"),
+      "bucketed as-of must not build a cross product")
   }
 }

@@ -180,6 +180,28 @@ class DedupPropertySpec extends SparkSpec {
       s"capped verbatim copy must stay at overlap 1.0: ${cappedCopy.toSeq}")
   }
 
+  test("charShingleIndex: distinct q-grams, whole-text fallback, feeds the LSH path unchanged") {
+    val df = Seq(
+      (1L, "abcdef"), (2L, "abcdefg"), (3L, "xy"), (4L, "abcdef") // 4 ≡ 1
+    ).toDF("doc_id", "text")
+    val sh = Dedup.charShingleIndex(df, "doc_id", "text", q = 4)
+    val by = sh.collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getString(1)).toSet }
+    assert(by(1L) === Set("abcd", "bcde", "cdef"))
+    assert(by(2L) === Set("abcd", "bcde", "cdef", "defg"))
+    assert(by(3L) === Set("xy")) // shorter than q → one whole-text shingle
+    // exact jaccard over the char-gram frame: identical docs score 1.0
+    val j = Dedup.jaccardPairs(sh, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 4L)) === 1.0)
+    assert(j((1L, 2L)) === 3.0 / 4.0)
+    // the MinHash/LSH scale path accepts the same frame unchanged;
+    // identical shingle sets always share every band bucket
+    val cands = Dedup.minhashCandidates(Dedup.minhashSignature(sh, "doc_id"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 4L)))
+  }
+
   test("contamination's DEFAULT df-cap bounds a boilerplate flood (no explicit maxDf)") {
     // ContaminationMaxDf+1 train docs that are all the same boilerplate
     // shingle: the default call must drop the hot shingle (0 pairs), while

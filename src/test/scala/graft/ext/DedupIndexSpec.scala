@@ -56,7 +56,15 @@ class DedupIndexSpec extends SparkSpec {
     // and the result plan itself carries no shingling at all — every input
     // is a narrow parquet scan of the stored index or a scratch stage
     val plan = result.queryExecution.executedPlan.toString.toLowerCase
-    assert(!plan.contains("wordshingles"), s"result plan re-shingles:\n$plan")
+    // positive control first: a plan that DOES shingle renders the
+    // expression's prettyName — guards the negative assertions below
+    // against going vacuous if the rendering ever changes
+    val shinglingPlan = Dedup.shingleIndex(
+      spark.read.parquet(s"$tmp/inc"), "doc_id", "text")
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(shinglingPlan.contains("word_shingles"),
+      s"positive control: expected word_shingles in a shingling plan:\n$shinglingPlan")
+    assert(!plan.contains("word_shingles"), s"result plan re-shingles:\n$plan")
   }
 
   test("digest storage mode: 16-byte shingle column, sound verified pairs") {
@@ -87,7 +95,7 @@ class DedupIndexSpec extends SparkSpec {
     // digest mode keeps the raw mode's plan contract: the result never
     // re-shingles — every input is stored index parquet or scratch stage
     val digPlan = digResult.queryExecution.executedPlan.toString.toLowerCase
-    assert(!digPlan.contains("wordshingles"), s"digest result plan re-shingles:\n$digPlan")
+    assert(!digPlan.contains("word_shingles"), s"digest result plan re-shingles:\n$digPlan")
     val pDig = pairSet(digResult)
     assert(pDig.nonEmpty)
 

@@ -65,10 +65,12 @@ object Dedup {
   def charShingleIndex(df: DataFrame, idCol: String, textCol: String,
       q: Int = 12): DataFrame = {
     require(q >= 1, s"char shingle width must be >= 1, got $q")
-    df.select(col(idCol), explode(array_distinct(
-      transform(
-        sequence(lit(1), greatest(length(col(textCol)) - (q - 1), lit(1))),
-        i => col(textCol).substr(i, lit(q))))).as("shingle"))
+    // native one-pass expression; ≡ array_distinct(transform(sequence(1,
+    // greatest(length(text)-q+1, 1)), i -> substr(text, i, q))) — minus the
+    // interpreted lambda chain whose captured substr re-walks the string's
+    // UTF-8 bytes from offset 0 per element (O(len²) per document)
+    val sh = org.apache.spark.sql.graft.CharShingles.shingles(col(textCol), q)
+    df.select(col(idCol), explode(sh).as("shingle"))
   }
 
   /** Pairwise n-gram Jaccard over an inverted shingle index: documents

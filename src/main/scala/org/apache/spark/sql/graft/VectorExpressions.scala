@@ -115,6 +115,88 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
     copy(child = newChild)
 }
 
+/** Native character q-gram shingling: `char_shingles(text, q)` ≡
+  * `array_distinct(transform(sequence(1, greatest(length(text)-q+1, 1)),
+  * i -> substr(text, i, q)))` — but in one pass per row. The lambda form
+  * is doubly bad at scale: higher-order functions evaluate interpreted,
+  * and each `substr(text, i, q)` re-walks the string's UTF-8 bytes from
+  * offset 0 to find character `i` — O(len²) byte-walking per document.
+  * This expression computes the char→byte offset table once and slices
+  * every q-gram from it.
+  *
+  * Char-based like `substr` (codepoints, not bytes), with the same
+  * whole-text fallback when `length(text) <= q` (including the empty
+  * string → one "" shingle). One deliberate divergence from the lambda
+  * form: null text → null (the [[WordShingles]] contract), where the
+  * lambda chain yields `[null]` because `greatest` skips nulls — a junk
+  * null-shingle row after explode.
+  */
+case class CharShingles(child: Expression, q: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  require(q >= 1, "char shingle width must be >= 1")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    CharShingles.compute(input.asInstanceOf[UTF8String], q)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.CharShingles.compute($c, $q)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingles =
+    copy(child = newChild)
+}
+
+object CharShingles {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** One-pass distinct q-grams in first-occurrence order (set semantics —
+    * callers aggregate/join, order-free). Slices wrap the shared byte
+    * buffer without copying; consumers (explode → unsafe row writers)
+    * copy on materialization, so the buffer's lifetime is one row.
+    */
+  def compute(text: UTF8String, q: Int): ArrayData = {
+    val nChars = text.numChars()
+    if (nChars <= q) return new GenericArrayData(Array[Any](text))
+    val bytes = text.getBytes
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (bytes.length == nChars) {
+      // ASCII fast path: char index == byte index, no offset table
+      var i = 0
+      while (i <= nChars - q) {
+        out.add(UTF8String.fromBytes(bytes, i, q))
+        i += 1
+      }
+    } else {
+      // char c starts at byte starts(c); one walk, then O(1) slices
+      val starts = new Array[Int](nChars + 1)
+      var b = 0
+      var c = 0
+      while (c < nChars) {
+        starts(c) = b
+        b += UTF8String.numBytesForFirstByte(bytes(b))
+        c += 1
+      }
+      starts(nChars) = bytes.length
+      var i = 0
+      while (i <= nChars - q) {
+        out.add(UTF8String.fromBytes(bytes, starts(i), starts(i + q) - starts(i)))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  def shingles(text: Column, q: Int): Column =
+    ExpressionUtils.column(CharShingles(ExpressionUtils.expression(text), q))
+}
+
 object WordShingles {
   import org.apache.spark.sql.catalyst.util.GenericArrayData
   import org.apache.spark.unsafe.types.UTF8String

@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sub-document (paragraph-level) deduplication: segment each document into
+  * ordered chunks, flag chunks whose document frequency exceeds a
+  * corpus-proportional threshold as boilerplate, and reconstruct the cleaned
+  * text from the surviving chunks in order.
+  *
+  * Beyond the reference's surface (its dedup is row-level `dropDuplicates`;
+  * SURVEY.md §2 A1/A2) — this is the Dolma/CCNet-style paragraph pass a
+  * training-data pipeline runs between document dedup and quality filtering:
+  * navigation bars, cookie banners, and license footers repeat across
+  * millions of pages that are NOT document-level duplicates.
+  *
+  * Scale shape (the d12 contamination pattern): one narrow segmentation pass,
+  * a document-frequency aggregation shuffling 16-byte md5 digests with
+  * map-side partial aggregation, a digest-keyed join back, and the per-doc
+  * regroup — never doc×doc, never a driver-side collect. The threshold is
+  * proportional (df ≥ ceil(|docs|/50), integer arithmetic so the DuckDB twin
+  * computes the identical cutoff), so the semantics are scale-invariant: at
+  * 100 TB the flagged set is the corpus's true boilerplate, not a fixed-count
+  * artifact. There the df table's high-df tail (the only part the join needs)
+  * is small enough to broadcast or bloom-filter; the sort-merge join here is
+  * the general path.
+  *
+  * Real paragraph boundaries are `split(text, "\n\n")`; the synthetic corpus
+  * is single-line, so segmentation is parameterized and the query layer uses
+  * fixed token windows (`chunkTokens`) as the boundary rule.
+  */
+object Paragraphs {
+
+  /** Ordered fixed-width token chunks: (id, pos, chunk). Text with t tokens
+    * yields ceil(t/chunkTokens) chunks; the last may be short. Empty text →
+    * one empty chunk (whitespace-split of "" is [""], the cross-engine
+    * convention every TextAnalysis helper shares).
+    */
+  def chunks(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 2): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    val toks = TextAnalysis.wsTokens(col(textCol))
+    val lastIdx = ((size(toks) - 1) / chunkTokens).cast("int")
+    val chunkAt = (i: Column) =>
+      array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")
+    df.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lastIdx), chunkAt)).as(Seq("pos", "chunk")))
+  }
+
+  /** Per-document boilerplate summary over [[chunks]] output: total chunks,
+    * boilerplate chunks (df ≥ ceil(nDocs/50), min 2), and the md5 of the
+    * cleaned text (surviving chunks rejoined in order; all-boilerplate docs
+    * clean to the empty string). `collect_list` drops the nulls the `when`
+    * leaves for flagged chunks, and `array_sort` on (pos, chunk) structs
+    * restores order — pos is unique per doc, so the sort is total.
+    */
+  def boilerplateClean(ch: DataFrame, idCol: String): DataFrame = {
+    val nDocs = ch.agg(countDistinct(col(idCol)).as("n_docs"))
+    val dfq = ch.groupBy(md5(col("chunk")).as("h"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val flagged = ch
+      .join(dfq, md5(col("chunk")) === dfq("h"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("boiler",
+        col("df") >= greatest(lit(2L), expr("(n_docs + 49) div 50")))
+    flagged.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("boiler").cast("long")).as("n_boiler"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("boiler"), struct(col("pos"), col("chunk"))))),
+            s => s.getField("chunk")),
+          " ")).as("clean_md5"))
+  }
+}

@@ -100,6 +100,31 @@ object TextAnalysis {
       .otherwise(org.apache.spark.sql.graft.WordShingles.shinglesAll(toks, 2))
   }
 
+  /** PII patterns — restricted to regex constructs with identical semantics
+    * in Java regex and RE2 (char classes, bounded repetition, `\b`, `\d`):
+    * the redaction then replays exactly in the DuckDB oracle. Conservative
+    * by design — high-precision patterns a production pipeline would extend,
+    * not a recall-complete PII model.
+    */
+  val PiiEmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhonePattern = "\\+\\d{1,2} \\d{3}-\\d{4}"
+  val PiiIpv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def piiEmailCount(c: Column): Column = regexp_count(c, lit(PiiEmailPattern))
+  def piiPhoneCount(c: Column): Column = regexp_count(c, lit(PiiPhonePattern))
+  def piiIpv4Count(c: Column): Column = regexp_count(c, lit(PiiIpv4Pattern))
+
+  /** Redact PII in place with typed placeholders. Email first: its body can
+    * contain digit runs and dotted quads, so redacting it up front keeps the
+    * later phone/IP passes from matching inside an address. Pure per-row map
+    * work — no shuffle, codegen-resident.
+    */
+  def redactPii(c: Column): Column = {
+    val e = regexp_replace(c, PiiEmailPattern, "[EMAIL]")
+    val p = regexp_replace(e, PiiPhonePattern, "[PHONE]")
+    regexp_replace(p, PiiIpv4Pattern, "[IP]")
+  }
+
   /** Canonical form for fingerprinting: lowercase, whitespace collapsed. */
   def normalized(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")

@@ -820,6 +820,84 @@ object ExtQueries {
       FROM c GROUP BY doc_id ORDER BY doc_id
     """))
 
+  /** T7 — PII detection + redaction. The synthetic corpus is PII-free, so
+    * the query first plants one email / phone / IPv4 per document,
+    * deterministically derived from doc_id by the identical concat in both
+    * engines — the redaction pass is then genuinely exercised and
+    * hash-checked, not vacuously counting zeros. Patterns are restricted to
+    * the Java-regex ∩ RE2 common subset (TextAnalysis.Pii*Pattern) so
+    * replace semantics agree. Per-row map work only: at 100 TB this rides
+    * the scan with no shuffle.
+    */
+  val t7PiiRedact = QueryDef(
+    "t7_pii_redact",
+    (s, dir) => {
+      val planted = concat(col("text"),
+        lit(" Contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +1 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+        lit("."), (col("doc_id") % 100).cast("string"), lit("."))
+      Td(s, dir, "documents")
+        .select(col("doc_id"), planted.as("t"))
+        .select(col("doc_id"),
+          TA.piiEmailCount(col("t")).cast("long").as("n_email"),
+          TA.piiPhoneCount(col("t")).cast("long").as("n_phone"),
+          TA.piiIpv4Count(col("t")).cast("long").as("n_ip"),
+          md5(TA.redactPii(col("t"))).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH aug AS (
+        SELECT doc_id,
+               text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1 555-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.0.' ||
+               CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) || '.' AS t
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '${TA.PiiEmailPattern}')) AS BIGINT) AS n_email,
+             CAST(len(regexp_extract_all(t, '${TA.PiiPhonePattern}')) AS BIGINT) AS n_phone,
+             CAST(len(regexp_extract_all(t, '${TA.PiiIpv4Pattern}')) AS BIGINT) AS n_ip,
+             md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '${TA.PiiEmailPattern}', '[EMAIL]', 'g'),
+               '${TA.PiiPhonePattern}', '[PHONE]', 'g'),
+               '${TA.PiiIpv4Pattern}', '[IP]', 'g')) AS redacted_md5
+      FROM aug ORDER BY doc_id
+    """))
+
+  /** D15 — paragraph-level (sub-document) dedup, Dolma/CCNet-style: flag
+    * chunks whose document frequency clears a corpus-proportional threshold
+    * (df ≥ ceil(|docs|/50), integer math both engines) as boilerplate and
+    * hash the cleaned reconstruction. The single-line synthetic corpus has
+    * no \\n\\n paragraph boundaries, so segmentation is 2-token windows —
+    * the boundary rule is a parameter of [[graft.ext.Paragraphs.chunks]],
+    * the df/reconstruction machinery is boundary-agnostic.
+    */
+  val d15ParagraphDedup = QueryDef(
+    "d15_paragraph_dedup",
+    (s, dir) => {
+      val ch = graft.ext.Paragraphs.chunks(
+        Td(s, dir, "documents"), "doc_id", "text", chunkTokens = 2)
+      graft.ext.Paragraphs.boilerplateClean(ch, "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      c AS (SELECT doc_id, unnest(generate_series(0, (len(ws)-1)//2)) AS pos, ws FROM w),
+      ch AS (SELECT doc_id, pos, array_to_string(ws[pos*2+1:pos*2+2], ' ') AS chunk FROM c),
+      dfq AS (SELECT md5(chunk) AS h, count(DISTINCT doc_id) AS df FROM ch GROUP BY 1),
+      n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM ch),
+      j AS (SELECT ch.doc_id, ch.pos, ch.chunk,
+                   (dfq.df >= greatest(2, (n.n_docs + 49) // 50)) AS boiler
+            FROM ch JOIN dfq ON md5(ch.chunk) = dfq.h CROSS JOIN n)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+             md5(coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE NOT boiler), ''))
+               AS clean_md5
+      FROM j GROUP BY doc_id ORDER BY doc_id
+    """))
+
   /** X7 — stratified deterministic sampling (the data-mixing op): keep 1/2
     * of English docs and 1/4 of everything else, selected by md5 id-bucket
     * — content-independent, partitioning-independent, and replayable as a
@@ -1321,6 +1399,7 @@ object ExtQueries {
 
   val all: Seq[QueryDef] = Seq(
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
+    t7PiiRedact, d15ParagraphDedup,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,

@@ -1,0 +1,70 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ParagraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunks: fixed windows, short tail, empty text -> one empty chunk") {
+    val df = Seq(
+      (1L, "a b c d e"), // 5 tokens -> "a b", "c d", "e"
+      (2L, "x y"),       // exactly one window
+      (3L, "")           // [""]
+    ).toDF("doc_id", "text")
+    val out = Paragraphs.chunks(df, "doc_id", "text", chunkTokens = 2)
+      .orderBy("doc_id", "pos")
+      .as[(Long, Int, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 0, "a b"), (1L, 1, "c d"), (1L, 2, "e"),
+      (2L, 0, "x y"),
+      (3L, 0, "")))
+  }
+
+  test("boilerplateClean: proportional threshold flags shared chunks, rebuilds survivors in order") {
+    // 4 docs -> threshold max(2, ceil(4/50)) = 2: any chunk in >= 2 docs is
+    // boilerplate. "cookie banner" repeats in docs 1-3; each doc also has
+    // unique content; doc 4 is pure boilerplate and cleans to "".
+    val df = Seq(
+      (1L, "cookie banner real text one"),
+      (2L, "cookie banner other words here"),
+      // window-aligned: fixed-window segmentation only matches boilerplate
+      // that lands on a chunk boundary (real paragraph splits align by
+      // construction; token windows only when offsets agree)
+      (3L, "cookie banner more unique stuff"),
+      (4L, "cookie banner cookie banner")
+    ).toDF("doc_id", "text")
+    val ch = Paragraphs.chunks(df, "doc_id", "text", chunkTokens = 2)
+    val out = Paragraphs.boilerplateClean(ch, "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(out === Seq(
+      (1L, 3L, 1L, m("real text one")),
+      (2L, 3L, 1L, m("other words here")),
+      (3L, 3L, 1L, m("more unique stuff")),
+      (4L, 2L, 2L, m(""))))
+  }
+
+  test("df counts documents, not occurrences: within-doc repeats alone are kept") {
+    // "echo echo" appears twice in doc 1 but in no other doc: df = 1 < 2,
+    // so countDistinct-based df keeps it; an occurrence count would flag it.
+    val df = Seq(
+      (1L, "echo echo echo echo tail word"),
+      (2L, "totally different words here")
+    ).toDF("doc_id", "text")
+    val ch = Paragraphs.chunks(df, "doc_id", "text", chunkTokens = 2)
+    val out = Paragraphs.boilerplateClean(ch, "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3)) === Seq((1L, 3L, 0L), (2L, 2L, 0L)))
+  }
+
+  test("chunkTokens must be positive") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Paragraphs.chunks(df, "doc_id", "text", chunkTokens = 0)
+    }
+  }
+}

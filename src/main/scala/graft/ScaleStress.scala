@@ -99,6 +99,10 @@ object ScaleStress {
       "x3_groups" -> reg("x3_dedup_groups"),
       "c1_curation" -> reg("c1_curation"),
       "d12_contamination" -> reg("d12_contamination"),
+      // sub-document boilerplate: chunk-digest df agg + 1:1 digest join —
+      // same scale shape as d12, and the proportional threshold keeps the
+      // flagged-set semantics stable as corpus and chunk df grow together
+      "d15_paragraph" -> reg("d15_paragraph_dedup"),
       "d6_ivf_scaled_k" -> ((s: SparkSession, dir: String) => ivf(kFor(dirFactor(dir)))(s, dir)),
       // k ∝ √N: the classic IVF balance point — assignment O(N·k) and
       // within-cluster pairing O(N²/k) both grow as N^1.5

@@ -47,6 +47,22 @@ object Paragraphs {
         transform(sequence(lit(0), lastIdx), chunkAt)).as(Seq("pos", "chunk")))
   }
 
+  /** Ordered boundary-split chunks: (id, pos, chunk) by splitting on a
+    * separator regex — `"\n\n"` is the real-world paragraph rule
+    * (Dolma/CCNet). Same output contract as [[chunks]], so
+    * [[boilerplateClean]] consumes either interchangeably; a document with
+    * no separator yields one chunk (itself), and `split`'s trailing-empty
+    * retention matches DuckDB's `string_split`, so the cross-engine replay
+    * is exact. The one-row-in, few-rows-out `posexplode` keeps this a
+    * narrow map-side pass.
+    */
+  def chunksBySplit(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    require(sep.nonEmpty, "chunksBySplit: separator must be non-empty")
+    df.select(col(idCol),
+      posexplode(split(col(textCol), sep)).as(Seq("pos", "chunk")))
+  }
+
   /** Per-document boilerplate summary over [[chunks]] output: total chunks,
     * boilerplate chunks (df ≥ ceil(nDocs/50), min 2), and the md5 of the
     * cleaned text (surviving chunks rejoined in order; all-boilerplate docs

@@ -109,20 +109,31 @@ object TextAnalysis {
   val PiiEmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PiiPhonePattern = "\\+\\d{1,2} \\d{3}-\\d{4}"
   val PiiIpv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiSsnPattern = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val PiiCardPattern = "\\b\\d{16}\\b"
 
   def piiEmailCount(c: Column): Column = regexp_count(c, lit(PiiEmailPattern))
   def piiPhoneCount(c: Column): Column = regexp_count(c, lit(PiiPhonePattern))
   def piiIpv4Count(c: Column): Column = regexp_count(c, lit(PiiIpv4Pattern))
+  def piiSsnCount(c: Column): Column = regexp_count(c, lit(PiiSsnPattern))
+  def piiCardCount(c: Column): Column = regexp_count(c, lit(PiiCardPattern))
 
   /** Redact PII in place with typed placeholders. Email first: its body can
     * contain digit runs and dotted quads, so redacting it up front keeps the
-    * later phone/IP passes from matching inside an address. Pure per-row map
-    * work — no shuffle, codegen-resident.
+    * later passes from matching inside an address. SSN before phone: both
+    * use `ddd-dd…` digit-dash shapes, and a `\+d ddd-dddd` phone tail can
+    * never complete an SSN (needs a second dash) while an already-redacted
+    * SSN can never complete a phone (needs a leading `+d `), so this order
+    * is conflict-free; card and IP match digit runs the earlier redactions
+    * have already broken. Pure per-row map work — no shuffle,
+    * codegen-resident.
     */
   def redactPii(c: Column): Column = {
     val e = regexp_replace(c, PiiEmailPattern, "[EMAIL]")
-    val p = regexp_replace(e, PiiPhonePattern, "[PHONE]")
-    regexp_replace(p, PiiIpv4Pattern, "[IP]")
+    val s = regexp_replace(e, PiiSsnPattern, "[SSN]")
+    val p = regexp_replace(s, PiiPhonePattern, "[PHONE]")
+    val k = regexp_replace(p, PiiCardPattern, "[CARD]")
+    regexp_replace(k, PiiIpv4Pattern, "[IP]")
   }
 
   /** Canonical form for fingerprinting: lowercase, whitespace collapsed. */

@@ -821,13 +821,16 @@ object ExtQueries {
     """))
 
   /** T7 — PII detection + redaction. The synthetic corpus is PII-free, so
-    * the query first plants one email / phone / IPv4 per document,
-    * deterministically derived from doc_id by the identical concat in both
-    * engines — the redaction pass is then genuinely exercised and
-    * hash-checked, not vacuously counting zeros. Patterns are restricted to
-    * the Java-regex ∩ RE2 common subset (TextAnalysis.Pii*Pattern) so
-    * replace semantics agree. Per-row map work only: at 100 TB this rides
-    * the scan with no shuffle.
+    * the query first plants one email / phone / IPv4 / SSN / 16-digit card
+    * per document, deterministically derived from doc_id by the identical
+    * concat in both engines — the redaction pass is then genuinely
+    * exercised and hash-checked, not vacuously counting zeros. Patterns are
+    * restricted to the Java-regex ∩ RE2 common subset
+    * (TextAnalysis.Pii*Pattern) so replace semantics agree; the oracle
+    * replays the engine's exact redaction order (email, SSN, phone, card,
+    * IP — see [[graft.ext.TextAnalysis.redactPii]] for why that order is
+    * conflict-free). Per-row map work only: at 100 TB this rides the scan
+    * with no shuffle.
     */
   val t7PiiRedact = QueryDef(
     "t7_pii_redact",
@@ -837,13 +840,20 @@ object ExtQueries {
         lit("@example.com or +1 555-"),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
         lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
-        lit("."), (col("doc_id") % 100).cast("string"), lit("."))
+        lit("."), (col("doc_id") % 100).cast("string"), lit("."),
+        lit(" SSN "), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+        lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" card 4111"),
+        lpad((col("doc_id") % 10000).cast("string"), 12, "0"), lit("."))
       Td(s, dir, "documents")
         .select(col("doc_id"), planted.as("t"))
         .select(col("doc_id"),
           TA.piiEmailCount(col("t")).cast("long").as("n_email"),
           TA.piiPhoneCount(col("t")).cast("long").as("n_phone"),
           TA.piiIpv4Count(col("t")).cast("long").as("n_ip"),
+          TA.piiSsnCount(col("t")).cast("long").as("n_ssn"),
+          TA.piiCardCount(col("t")).cast("long").as("n_card"),
           md5(TA.redactPii(col("t"))).as("redacted_md5"))
         .orderBy(col("doc_id"))
     },
@@ -852,15 +862,23 @@ object ExtQueries {
         SELECT doc_id,
                text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1 555-' ||
                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.0.' ||
-               CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) || '.' AS t
+               CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) || '.' ||
+               ' SSN ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+               lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+               ' card 4111' || lpad(CAST(doc_id % 10000 AS VARCHAR), 12, '0') || '.' AS t
         FROM documents)
       SELECT doc_id,
              CAST(len(regexp_extract_all(t, '${TA.PiiEmailPattern}')) AS BIGINT) AS n_email,
              CAST(len(regexp_extract_all(t, '${TA.PiiPhonePattern}')) AS BIGINT) AS n_phone,
              CAST(len(regexp_extract_all(t, '${TA.PiiIpv4Pattern}')) AS BIGINT) AS n_ip,
-             md5(regexp_replace(regexp_replace(regexp_replace(t,
+             CAST(len(regexp_extract_all(t, '${TA.PiiSsnPattern}')) AS BIGINT) AS n_ssn,
+             CAST(len(regexp_extract_all(t, '${TA.PiiCardPattern}')) AS BIGINT) AS n_card,
+             md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
                '${TA.PiiEmailPattern}', '[EMAIL]', 'g'),
+               '${TA.PiiSsnPattern}', '[SSN]', 'g'),
                '${TA.PiiPhonePattern}', '[PHONE]', 'g'),
+               '${TA.PiiCardPattern}', '[CARD]', 'g'),
                '${TA.PiiIpv4Pattern}', '[IP]', 'g')) AS redacted_md5
       FROM aug ORDER BY doc_id
     """))
@@ -885,6 +903,49 @@ object ExtQueries {
       WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
       c AS (SELECT doc_id, unnest(generate_series(0, (len(ws)-1)//2)) AS pos, ws FROM w),
       ch AS (SELECT doc_id, pos, array_to_string(ws[pos*2+1:pos*2+2], ' ') AS chunk FROM c),
+      dfq AS (SELECT md5(chunk) AS h, count(DISTINCT doc_id) AS df FROM ch GROUP BY 1),
+      n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM ch),
+      j AS (SELECT ch.doc_id, ch.pos, ch.chunk,
+                   (dfq.df >= greatest(2, (n.n_docs + 49) // 50)) AS boiler
+            FROM ch JOIN dfq ON md5(ch.chunk) = dfq.h CROSS JOIN n)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+             md5(coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE NOT boiler), ''))
+               AS clean_md5
+      FROM j GROUP BY doc_id ORDER BY doc_id
+    """))
+
+  /** D16 — paragraph dedup under the REAL boundary rule: `\n\n` splitting
+    * ([[graft.ext.Paragraphs.chunksBySplit]]), not d15's synthetic token
+    * windows. The single-line corpus has no paragraph boundaries, so the
+    * query plants them (the t7 planting pattern): every document gains a
+    * universal "subscribe" paragraph (df = |docs|, always boilerplate) and
+    * a footer shared by its doc_id % 7 class (df ≈ |docs|/7, above the
+    * ceil(|docs|/50) threshold), while the original text stays the first
+    * paragraph. The df/reconstruction machinery is d15's, unchanged — only
+    * the segmentation differs, which is exactly what this row pins.
+    */
+  val d16ParagraphSplit = QueryDef(
+    "d16_paragraph_split",
+    (s, dir) => {
+      val planted = Td(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit("\n\nSubscribe to our newsletter today\n\nFooter "),
+          (col("doc_id") % 7).cast("string")).as("text"))
+      val ch = graft.ext.Paragraphs.chunksBySplit(planted, "doc_id", "text")
+      graft.ext.Paragraphs.boilerplateClean(ch, "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH aug AS (
+        SELECT doc_id,
+               text || chr(10) || chr(10) || 'Subscribe to our newsletter today' ||
+               chr(10) || chr(10) || 'Footer ' || CAST(doc_id % 7 AS VARCHAR) AS t
+        FROM documents),
+      w AS (SELECT doc_id, string_split(t, chr(10) || chr(10)) AS ps FROM aug),
+      c AS (SELECT doc_id, unnest(generate_series(1, len(ps))) AS i, ps FROM w),
+      ch AS (SELECT doc_id, i - 1 AS pos, ps[i] AS chunk FROM c),
       dfq AS (SELECT md5(chunk) AS h, count(DISTINCT doc_id) AS df FROM ch GROUP BY 1),
       n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM ch),
       j AS (SELECT ch.doc_id, ch.pos, ch.chunk,
@@ -1399,7 +1460,7 @@ object ExtQueries {
 
   val all: Seq[QueryDef] = Seq(
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
-    t7PiiRedact, d15ParagraphDedup,
+    t7PiiRedact, d15ParagraphDedup, d16ParagraphSplit,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,

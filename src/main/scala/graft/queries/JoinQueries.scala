@@ -206,6 +206,47 @@ object JoinQueries {
       ORDER BY event_id
     """))
 
+  /** J9 — the hot-key as-of join ([[graft.ext.AsOfJoin.asOfBucketed]])
+    * under the DuckDB hash gate: the identical contract as [[j7AsofJoin]]
+    * (same events/purchases split, strict time predicate, same tie-break)
+    * routed through the time-bucketed plan — rows shuffle on
+    * (user, day-bucket) and per-bucket carry state reconciles through the
+    * bucket spine, so no partition ever holds a whole hot key. Bucketing
+    * is a PLAN choice, not a semantics choice, so the oracle is j7's
+    * definitional product+argmax SQL verbatim: any bucket-boundary bug
+    * (carry-in off by one bucket, inclusive/strict leak at an equal-time
+    * boundary) hash-mismatches here.
+    */
+  val j9AsofBucketed = QueryDef(
+    "j9_asof_bucketed",
+    (s, dir) => {
+      val events = Td(s, dir, "events")
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("prev_purchase_id"),
+          col("value").as("prev_purchase_value"))
+      graft.ext.AsOfJoin.asOfBucketed(
+          events.select(col("event_id"), col("user_id"), col("ts")),
+          purchases, keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+          rightCols = Seq("prev_purchase_id", "prev_purchase_value"),
+          bucketOf = t => floor(unix_timestamp(t) / lit(86400L)),
+          tieBreak = Seq("prev_purchase_id"), inclusive = false)
+        .select(col("event_id"), col("user_id"),
+          col("prev_purchase_id"), col("prev_purchase_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+      r AS (
+        SELECT e.event_id, p.event_id AS prev_purchase_id, p.value AS prev_purchase_value,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY p.ts DESC, p.event_id DESC) AS rnk
+        FROM events e JOIN p ON p.user_id = e.user_id AND p.ts < e.ts)
+      SELECT e.event_id, e.user_id, r.prev_purchase_id, r.prev_purchase_value
+      FROM events e LEFT JOIN (SELECT * FROM r WHERE rnk = 1) r USING (event_id)
+      ORDER BY event_id
+    """))
+
   /** J8 — binned range (interval) join, engine surface beyond the reference:
     * click→purchase attribution, each click paired with the same user's
     * purchases inside [click, click + 1 hour]. The engine path
@@ -268,5 +309,5 @@ object JoinQueries {
 
   val all: Seq[QueryDef] = Seq(
     j1LeftBroadcast, j2InnerDimAgg, j4JoinOnExpr, j5StarEnriched,
-    j6SemiAnti, j7AsofJoin, j8RangeJoin, setOps, v1SqlView)
+    j6SemiAnti, j7AsofJoin, j8RangeJoin, j9AsofBucketed, setOps, v1SqlView)
 }

@@ -21,6 +21,33 @@ class ParagraphsSpec extends SparkSpec {
       (3L, 0, "")))
   }
 
+  test("chunksBySplit: \\n\\n boundaries, no separator -> one chunk, feeds boilerplateClean") {
+    val df = Seq(
+      (1L, "real text one\n\ncookie banner"),
+      (2L, "other words\n\ncookie banner"),
+      (3L, "no paragraphs here")
+    ).toDF("doc_id", "text")
+    val out = Paragraphs.chunksBySplit(df, "doc_id", "text")
+      .orderBy("doc_id", "pos")
+      .as[(Long, Int, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 0, "real text one"), (1L, 1, "cookie banner"),
+      (2L, 0, "other words"), (2L, 1, "cookie banner"),
+      (3L, 0, "no paragraphs here")))
+
+    // same (id, pos, chunk) contract: boilerplateClean consumes it as-is —
+    // 3 docs, threshold max(2, ceil(3/50)) = 2, the banner df=2 is flagged
+    val cleaned = Paragraphs.boilerplateClean(
+        Paragraphs.chunksBySplit(df, "doc_id", "text"), "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(cleaned === Seq(
+      (1L, 2L, 1L, m("real text one")),
+      (2L, 2L, 1L, m("other words")),
+      (3L, 1L, 0L, m("no paragraphs here"))))
+  }
+
   test("boilerplateClean: proportional threshold flags shared chunks, rebuilds survivors in order") {
     // 4 docs -> threshold max(2, ceil(4/50)) = 2: any chunk in >= 2 docs is
     // boilerplate. "cookie banner" repeats in docs 1-3; each doc also has

@@ -38,6 +38,36 @@ class PiiSpec extends SparkSpec {
     assert(r.getString(3) === s)
   }
 
+  test("SSN and 16-digit card: counted and redacted with typed placeholders") {
+    val r = Seq("ssn 123-45-6789 card 4111222233334444 done").toDF("t").select(
+      TA.piiSsnCount(col("t")).as("s"),
+      TA.piiCardCount(col("t")).as("c"),
+      TA.redactPii(col("t")).as("r")).head()
+    assert((r.getInt(0), r.getInt(1)) === ((1, 1)))
+    assert(r.getString(2) === "ssn [SSN] card [CARD] done")
+  }
+
+  test("digit-dash shapes stay disjoint: phone is not an SSN and vice versa") {
+    val r = Seq("call +1 555-0142 ssn 078-05-1120 x").toDF("t").select(
+      TA.piiPhoneCount(col("t")).as("p"),
+      TA.piiSsnCount(col("t")).as("s"),
+      TA.redactPii(col("t")).as("r")).head()
+    // the phone's 555-0142 tail has no second dash; the SSN has no '+d '
+    // lead — each pattern matches exactly its own plant
+    assert((r.getInt(0), r.getInt(1)) === ((1, 1)))
+    assert(r.getString(2) === "call [PHONE] ssn [SSN] x")
+  }
+
+  test("card boundary guard: 17 digits and digit-adjacent runs do not match") {
+    val r = Seq("a 41112222333344445 b x4111222233334444 c").toDF("t").select(
+      TA.piiCardCount(col("t")).as("c"),
+      TA.redactPii(col("t")).as("r")).head()
+    // \b\d{16}\b: a 17-digit run has no interior word boundary, and a
+    // letter-prefixed run has none before its first digit
+    assert(r.getInt(0) === 0)
+    assert(r.getString(1) === "a 41112222333344445 b x4111222233334444 c")
+  }
+
   test("word-boundary guard: version-like 1.2.3.4.5 is not a clean IPv4 hit") {
     // \b\d{1,3}(\.\d{1,3}){3}\b scans leftmost-first: inside 1.2.3.4.5 the
     // first four octets match (the boundary after '4' is digit→'.'), so

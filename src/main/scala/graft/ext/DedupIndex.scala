@@ -105,7 +105,7 @@ object DedupIndex {
   def dedupIncrement(store: TableStore, name: String, inc: DataFrame,
       idCol: String, textCol: String, n: Int = 3, k: Int = 12, bands: Int = 3,
       threshold: Double = 0.8, bucketCap: Int = Int.MaxValue,
-      digest: Boolean = false): DataFrame = {
+      digest: Boolean = false, broadcastCandLimit: Long = 4000000L): DataFrame = {
     require(k % bands == 0, s"k ($k) must be divisible by bands ($bands)")
     // the stored column type records which mode the index was BUILT with —
     // a mismatched `digest` here would only surface later as a cryptic
@@ -143,14 +143,43 @@ object DedupIndex {
       s"${name}_inc_cands")
     val candDocs = cands.select(col("id_a").as(idCol))
       .union(cands.select(col("id_b").as(idCol))).distinct()
+    // candidate-doc sets are bucketCap-bounded in practice and a broadcast
+    // semi-join restricts the stored-index scans without shuffling them —
+    // but a huge increment probed against a dirty history can exceed the
+    // driver/broadcast limit, so above `broadcastCandLimit` distinct docs
+    // the hint is dropped and the semi-join shuffles (AQE still promotes
+    // it back if runtime stats allow). The count is a cheap narrow scan:
+    // `cands` is already staged scratch parquet.
+    val candKeys =
+      if (candDocs.count() <= broadcastCandLimit) broadcast(candDocs)
+      else candDocs
     val shCand = Scratch.stage(
       toLogical(store.read(shinglesT(name)), idCol, digest)
-        .join(broadcast(candDocs), Seq(idCol), "left_semi"),
+        .join(candKeys, Seq(idCol), "left_semi"),
       s"${name}_inc_shcand")
     val sizesCand = store.read(sizesT(name))
-      .join(broadcast(candDocs), Seq(idCol), "left_semi")
+      .join(candKeys, Seq(idCol), "left_semi")
     Dedup.jaccardPairsWithSizes(shCand, sizesCand, idCol)
       .join(cands, Seq("id_a", "id_b"), "left_semi")
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Periodic index maintenance: compact the three append-only tables.
+    *
+    * Every [[dedupIncrement]] run appends a few small parquet parts to
+    * `_bands`/`_shingles`/`_sizes`; a year of daily crawls leaves each
+    * table thousands of KB-sized files and every probe bounded by
+    * file-open and footer latency instead of bytes — the classic
+    * operational killer of an append-only index. This rewrites each table
+    * into `targetBytes`-sized files through [[graft.tables.Compact]]'s
+    * staging + atomic-rename swap (readers see old or new generation,
+    * never a mix; content is bit-identical, so the next increment's pairs
+    * are unchanged — DedupIndexSpec pins both). Run it on the cadence the
+    * append rate dictates, e.g. weekly for daily increments.
+    */
+  def maintain(store: TableStore, name: String,
+      targetBytes: Long = 128L << 20): Map[String, graft.tables.Compact.Stats] =
+    Seq(bandsT(name), shinglesT(name), sizesT(name)).map { t =>
+      t -> graft.tables.Compact.compact(store, t, targetBytes)
+    }.toMap
 }

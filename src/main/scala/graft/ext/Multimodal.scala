@@ -10,14 +10,15 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing is real — schema, batch shape, partition-parallel
   * `mapPartitions` over typed Datasets (the Scala analog of `mapInPandas`:
   * one iterator per partition, amortizing per-batch codec setup). Decode is
-  * REAL for images ([[ImageIoCodec]], `javax.imageio`) and audio
-  * ([[decodeAudioMeta]], `javax.sound.sampled`) — both JDK-built-in, no
-  * dependencies — and so is the pixel resample ([[resizeImages]], Java2D).
-  * Only video still falls to the deterministic [[FakeCodec]] (no container
-  * codec); it derives dimensions and "pixel" stats from the raw bytes, so
-  * tests exercise the full distributed path with verifiable outputs, and
-  * the m1 oracle replays it cross-engine. Swap in an ffmpeg-cli-per-
-  * partition decoder without touching the pipeline.
+  * REAL for images ([[ImageIoCodec]], `javax.imageio`), audio
+  * ([[decodeAudioMeta]], `javax.sound.sampled`), and video container
+  * headers ([[Mp4]]/[[decodeVideoMeta]], pure byte arithmetic over the
+  * MP4 box tree — dims, timescale, duration; no frame decode) — all
+  * JDK-only, no dependencies — and so is the pixel resample
+  * ([[resizeImages]], Java2D). The deterministic [[FakeCodec]] remains as
+  * the universal fallback (dirty payloads, and the cross-engine m1 oracle
+  * replays it); decoding actual video FRAMES would still need an
+  * ffmpeg-cli-per-partition stage, which slots into the same seam.
   *
   * Scale notes: media blobs dominate row size — keep them in their own
   * column, project them away before any shuffle (metadata-only exchanges),
@@ -103,9 +104,126 @@ object Multimodal {
     }
   }
 
+  /** Minimal MP4 (ISO BMFF) header reader — pure byte arithmetic, no codec:
+    * walks the box tree (4-byte big-endian size + 4-char type; 64-bit
+    * `size==1` large boxes and `size==0` to-end boxes handled), descends
+    * the `moov`/`trak`/`mdia` containers, and reads
+    *
+    *   - `mvhd` (movie header): `timescale` (units/sec) and `duration`
+    *     (in timescale units), at version-0 (32-bit) or version-1
+    *     (64-bit) offsets;
+    *   - `tkhd` (track header): presentation width/height as 16.16 fixed
+    *     point — audio tracks carry 0×0, so the max across tracks is the
+    *     video track's dims.
+    *
+    * Returns None (→ sentinel row upstream) for anything that is not a
+    * parseable MP4: truncated boxes, corrupt sizes, or a payload with no
+    * `mvhd` at all. Never throws — the dirty-corpus posture every codec
+    * stage here shares.
+    */
+  private[ext] object Mp4 {
+    final case class Info(width: Int, height: Int, timescale: Long, duration: Long)
+
+    def parse(bs: Array[Byte]): Option[Info] = {
+      try {
+        var timescale = -1L; var duration = -1L
+        var w = 0; var h = 0; var sawMvhd = false
+        def u32(o: Int): Long =
+          ((bs(o) & 0xffL) << 24) | ((bs(o + 1) & 0xffL) << 16) |
+            ((bs(o + 2) & 0xffL) << 8) | (bs(o + 3) & 0xffL)
+        def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+        def typ(o: Int): String = new String(bs, o + 4, 4, "ISO-8859-1")
+        def walk(start: Long, end: Long): Boolean = { // false = corrupt, stop
+          var off = start
+          while (off + 8 <= end) {
+            val size0 = u32(off.toInt)
+            val (hdr, size) =
+              if (size0 == 1L && off + 16 <= end) (16L, u64(off.toInt + 8))
+              else if (size0 == 0L) (8L, end - off)
+              else (8L, size0)
+            if (size < hdr || off + size > end) return false
+            val p = (off + hdr).toInt
+            typ(off.toInt) match {
+              case "moov" | "trak" | "mdia" =>
+                if (!walk(off + hdr, off + size)) return false
+              case "mvhd" if size >= hdr + 4 =>
+                val v = bs(p) & 0xff
+                if (v == 1 && size >= hdr + 32) {
+                  timescale = u32(p + 20); duration = u64(p + 24); sawMvhd = true
+                } else if (v == 0 && size >= hdr + 20) {
+                  timescale = u32(p + 12); duration = u32(p + 16); sawMvhd = true
+                }
+              case "tkhd" if size >= hdr + 4 =>
+                val v = bs(p) & 0xff
+                val wOff = if (v == 1) p + 88 else p + 76
+                if (size >= hdr + (if (v == 1) 96 else 84)) {
+                  val tw = (u32(wOff) >> 16).toInt
+                  val th = (u32(wOff + 4) >> 16).toInt
+                  if (tw > w) w = tw
+                  if (th > h) h = th
+                }
+              case _ => ()
+            }
+            off += size
+          }
+          true
+        }
+        if (walk(0L, bs.length.toLong) && sawMvhd)
+          Some(Info(w, h, timescale, duration))
+        else None
+      } catch { case _: Exception => None }
+    }
+  }
+
+  /** REAL video container decode for [[decodeMeta]]: MP4 header dims via
+    * [[Mp4]] for `kind == "video"` (mean stays the raw-byte mean — frame
+    * pixels would need a real codec); everything unparseable, and every
+    * other kind, falls back to [[FakeCodec]] like the other codecs.
+    */
+  object Mp4Codec {
+    def decode(r: MediaRow): MediaMeta =
+      if (r.kind != "video") FakeCodec.decode(r)
+      else Mp4.parse(r.media) match {
+        case Some(i) if i.width > 0 && i.height > 0 =>
+          val mean = if (r.media.isEmpty) 0.0
+            else r.media.iterator.map(b => (b & 0xff).toDouble).sum / r.media.length
+          MediaMeta(r.media_id, r.kind, r.media.length.toLong, i.width, i.height, 3, mean)
+        case _ => FakeCodec.decode(r)
+      }
+  }
+
   final case class AudioMeta(
       media_id: Long, n_bytes: Long, sample_rate: Double,
       channels: Int, n_frames: Long, duration_sec: Double)
+
+  final case class VideoMeta(
+      media_id: Long, n_bytes: Long, width: Int, height: Int,
+      timescale: Long, duration_sec: Double)
+
+  /** REAL video metadata via the [[Mp4]] header walk (JDK-only, header
+    * bytes only — the frame stream is never touched): presentation dims,
+    * movie timescale, and duration in seconds. Non-video kinds and
+    * unparseable payloads yield the sentinel row (width/height -1,
+    * timescale -1, duration -1) without attempting a parse — the same
+    * dirty-corpus posture as [[decodeAudioMeta]].
+    */
+  def decodeVideoMeta(media: Dataset[MediaRow]): Dataset[VideoMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val info = if (r.kind == "video") Mp4.parse(r.media) else None
+        info match {
+          case Some(i) =>
+            val dur = if (i.timescale > 0 && i.duration >= 0)
+              i.duration.toDouble / i.timescale else -1.0
+            VideoMeta(r.media_id, r.media.length.toLong, i.width, i.height,
+              i.timescale, dur)
+          case None =>
+            VideoMeta(r.media_id, r.media.length.toLong, -1, -1, -1L, -1.0)
+        }
+      }
+    }
+  }
 
   /** REAL audio metadata via JDK-built-in `javax.sound.sampled` (WAV, AIFF,
     * AU — no dependencies): true sample rate, channel count, frame count,
@@ -113,13 +231,19 @@ object Multimodal {
     * sample stream. Rows the sound stack cannot parse (or whose payload is
     * not audio at all) yield the sentinel row (sample_rate -1, channels 0,
     * n_frames -1, duration -1) rather than failing the stage — the same
-    * dirty-corpus posture as [[ImageIoCodec]]'s fallback.
+    * dirty-corpus posture as [[ImageIoCodec]]'s fallback. Non-audio kinds
+    * short-circuit to the sentinel without a provider scan (the gate the
+    * other codec stages apply on `kind`): a mislabeled blob that happens
+    * to start with a RIFF header should not decode as audio, and image/
+    * video rows should not pay a per-row AudioSystem probe.
     */
   def decodeAudioMeta(media: Dataset[MediaRow]): Dataset[AudioMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        try {
+        if (r.kind != "audio")
+          AudioMeta(r.media_id, r.media.length.toLong, -1.0, 0, -1L, -1.0)
+        else try {
           val ff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
             new java.io.ByteArrayInputStream(r.media))
           val f = ff.getFormat
@@ -181,8 +305,13 @@ object Multimodal {
             math.min(maxSide.toDouble / img.getWidth, maxSide.toDouble / img.getHeight), 1.0)
           val ow = math.max(1, math.floor(img.getWidth * scale).toInt)
           val oh = math.max(1, math.floor(img.getHeight * scale).toInt)
-          val out = new java.awt.image.BufferedImage(
-            ow, oh, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          // alpha-aware output buffer: re-encoding an RGBA/transparent PNG
+          // or GIF through an opaque type would silently flatten its alpha
+          // channel onto an uninitialized black background
+          val outType =
+            if (img.getColorModel.hasAlpha) java.awt.image.BufferedImage.TYPE_4BYTE_ABGR
+            else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+          val out = new java.awt.image.BufferedImage(ow, oh, outType)
           val g = out.createGraphics()
           g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
             java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)

@@ -117,6 +117,73 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("maintain compacts the appended index tables; next increment unchanged") {
+    val all = corpus(31, 60).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_didx_m").toString
+    val store = new graft.tables.TableStore(spark, s"$tmp/store")
+    // build + two incremental appends -> >=3 write generations per table
+    DedupIndex.build(store, "idx", all.filter(col("doc_id") % 4 === 3),
+      "doc_id", "text")
+    (0 until 2).foreach { i =>
+      DedupIndex.dedupIncrement(store, "idx", all.filter(col("doc_id") % 4 === i),
+        "doc_id", "text", threshold = 0.7).collect()
+    }
+    def nFiles(t: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory)
+          f.listFiles.filterNot(x =>
+            x.getName.startsWith("_") || x.getName.startsWith(".")).map(walk).sum
+        else 1
+      walk(new java.io.File(store.path(t)))
+    }
+    val tables = Seq("idx_bands", "idx_shingles", "idx_sizes")
+    val before = tables.map(t => t -> nFiles(t)).toMap
+    assert(before.values.forall(_ >= 3), s"expected >=3 files per table: $before")
+
+    val stats = DedupIndex.maintain(store, "idx")
+    tables.foreach { t =>
+      assert(nFiles(t) < before(t), s"$t not compacted: ${nFiles(t)} vs ${before(t)}")
+      assert(stats(t).filesBefore === before(t))
+    }
+    // the compacted index answers the next increment exactly like the
+    // recompute-everything path over the same accumulated corpus
+    val prior = col("doc_id") % 4 =!= 2
+    val expected = pairSet(Dedup.minhashDedupIncremental(
+      all.filter(prior), all.filter(!prior), "doc_id", "text", threshold = 0.7))
+    val got = pairSet(DedupIndex.dedupIncrement(store, "idx", all.filter(!prior),
+      "doc_id", "text", threshold = 0.7))
+    assert(got === expected)
+  }
+
+  test("candDocs broadcast hint drops above broadcastCandLimit; pairs unchanged") {
+    val all = corpus(37, 40).toDF("doc_id", "text")
+    val isInc = col("doc_id") % 3 === 0
+    val tmp = java.nio.file.Files.createTempDirectory("graft_didx_bc").toString
+    val s1 = new graft.tables.TableStore(spark, s"$tmp/s1")
+    val s2 = new graft.tables.TableStore(spark, s"$tmp/s2")
+    DedupIndex.build(s1, "idx", all.filter(!isInc), "doc_id", "text")
+    DedupIndex.build(s2, "idx", all.filter(!isInc), "doc_id", "text")
+
+    val rBcast = DedupIndex.dedupIncrement(s1, "idx", all.filter(isInc),
+      "doc_id", "text", threshold = 0.7)
+    val rShuffle = DedupIndex.dedupIncrement(s2, "idx", all.filter(isInc),
+      "doc_id", "text", threshold = 0.7, broadcastCandLimit = 0L)
+    // same verified pair set either way — the limit changes the plan only
+    assert(pairSet(rShuffle) === pairSet(rBcast))
+    // the small case still hints broadcast on the candidate restriction —
+    // the hinted sizes semi-join appears TWICE in the returned plan (the
+    // n_a and n_b size lookups each consume sizesCand; the shingle-side
+    // twin runs during scratch staging); above the limit the hint is gone
+    // and AQE owns the strategy
+    def hints(df: org.apache.spark.sql.DataFrame): Int =
+      "strategy=broadcast".r
+        .findAllIn(df.queryExecution.optimizedPlan.toString).size
+    assert(hints(rShuffle) === 0,
+      s"fallback plan still carries a broadcast hint: ${hints(rShuffle)}")
+    assert(hints(rBcast) === 2,
+      s"expected the two hinted size-lookup joins: ${hints(rBcast)}")
+  }
+
   test("index persists across runs: run 2's base includes run 1's increment") {
     val all = corpus(12, 40).toDF("doc_id", "text")
     val inc1 = col("doc_id") % 3 === 0

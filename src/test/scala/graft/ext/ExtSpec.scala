@@ -238,6 +238,81 @@ class ExtSpec extends SparkSpec {
     assert(out(2L).sample_rate === -1.0 && out(2L).channels === 0)
   }
 
+  test("multimodal: decodeVideoMeta parses real MP4 headers (v0 and v1), sentinels the rest") {
+    import Multimodal.{MediaRow, Mp4}
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(t: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ t.getBytes("ISO-8859-1") ++ payload
+
+    // version-0 movie: timescale 600, duration 3000 (5 s), one 320x240 track
+    val mvhd0 = be32(0) ++ be32(0) ++ be32(0) ++ be32(600) ++ be32(3000)
+    val tkhd0 = Array.fill[Byte](76)(0) ++ be32(320L << 16) ++ be32(240L << 16)
+    val mp4v0 = box("ftyp", "isom".getBytes("ISO-8859-1") ++ be32(0)) ++
+      box("moov", box("mvhd", mvhd0) ++ box("trak", box("tkhd", tkhd0)))
+
+    // version-1 movie (64-bit times): timescale 1000, duration 90000 (90 s),
+    // one 640x360 track at the v1 offsets
+    val mvhd1 = Array[Byte](1, 0, 0, 0) ++ Array.fill[Byte](16)(0) ++
+      be32(1000) ++ be32(0) ++ be32(90000)
+    val tkhd1 = Array[Byte](1, 0, 0, 0) ++ Array.fill[Byte](84)(0) ++
+      be32(640L << 16) ++ be32(360L << 16)
+    val mp4v1 = box("moov", box("mvhd", mvhd1) ++ box("trak", box("tkhd", tkhd1)))
+
+    val rows = Seq(
+      MediaRow(1L, "video", mp4v0),
+      MediaRow(2L, "video", "not an mp4 container".getBytes("UTF-8")),
+      MediaRow(3L, "image", mp4v0), // non-video kind: no parse attempted
+      MediaRow(4L, "video", mp4v1))
+    val out = Multimodal.decodeVideoMeta(rows.toDS())
+      .collect().map(m => m.media_id -> m).toMap
+
+    assert(out(1L).width === 320 && out(1L).height === 240)
+    assert(out(1L).timescale === 600L)
+    assert(math.abs(out(1L).duration_sec - 5.0) < 1e-9)
+    assert(out(1L).n_bytes === mp4v0.length.toLong)
+    assert(out(4L).width === 640 && out(4L).height === 360)
+    assert(math.abs(out(4L).duration_sec - 90.0) < 1e-9)
+    // dirty payload and mislabeled kind: sentinel rows, stage never fails
+    assert(out(2L).width === -1 && out(2L).timescale === -1L)
+    assert(out(3L).width === -1 && out(3L).duration_sec === -1.0)
+
+    // the decodeMeta seam: Mp4Codec replaces FakeCodec's fake dims with the
+    // container's real ones for parseable video, falls back otherwise
+    val meta = Multimodal.Mp4Codec.decode(rows.head)
+    assert(meta.width === 320 && meta.height === 240)
+    assert(meta.mean_byte ===
+      mp4v0.iterator.map(b => (b & 0xff).toDouble).sum / mp4v0.length)
+    assert(Multimodal.Mp4Codec.decode(rows(1)) ===
+      Multimodal.FakeCodec.decode(rows(1)))
+    // a truncated box (declared size past the payload end) is corrupt, not
+    // a crash — and corrupt means sentinel, not garbage dims
+    assert(Mp4.parse(mp4v0.take(mp4v0.length - 10)) === None)
+  }
+
+  test("multimodal: resizeImages preserves the alpha channel of RGBA inputs") {
+    import Multimodal.MediaRow
+    val img = new java.awt.image.BufferedImage(64, 32,
+      java.awt.image.BufferedImage.TYPE_4BYTE_ABGR)
+    // uniform alpha 128: bilinear interpolation of a constant stays constant,
+    // so the assertion is exact
+    for (y <- 0 until 32; x <- 0 until 64)
+      img.setRGB(x, y, (128 << 24) | ((x * 4) << 16) | ((y * 8) << 8) | 99)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val out = Multimodal.resizeImages(
+        Seq(MediaRow(1L, "image", baos.toByteArray)).toDS(), maxSide = 16)
+      .head().media
+    val resized = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(resized.getWidth === 16 && resized.getHeight === 8)
+    assert(resized.getColorModel.hasAlpha,
+      "resized RGBA image lost its alpha channel")
+    val alphas = for (y <- 0 until 8; x <- 0 until 16)
+      yield (resized.getRGB(x, y) >>> 24)
+    assert(alphas.forall(_ === 128), s"alpha not preserved: ${alphas.distinct}")
+  }
+
   test("multimodal: resizeImages resamples real pixels with resizePlan's dims") {
     import Multimodal.MediaRow
     val img = new java.awt.image.BufferedImage(64, 32,

@@ -30,28 +30,43 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // 4 decimals (0.1 ms): full double precision tripled the line length,
-    // and the driver's stdout tail once truncated the head of the r6 line —
-    // keep the one-line artifact short enough to survive any sane tail
-    def f(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // the self-sufficient artifact: same JSON, durable on disk next to the
-    // round records, so a truncated driver tail can't lose the total/anchor.
-    // Best-effort: an unwritable path must not discard the whole run's
-    // timings (the stdout line below is the primary contract)
+    // 4 decimals (0.1 ms) for the durable on-disk artifact
+    def f4(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    // compact form for the stdout driver line: 2 decimals, trailing zeros
+    // (and a bare trailing dot) stripped — "1.25", "0.2", "66.33". The
+    // driver records only the LAST 2000 chars of stdout and sbt appends its
+    // own "[success] Total time: …" line after ours, so the final JSON line
+    // must stay comfortably under ~1900 bytes or its head gets clipped
+    // (exactly what nulled BENCH_r07.json's `parsed`). 10 ms granularity is
+    // ample for 0.1-6 s bench queries; full precision lives in the file.
+    def f2(v: Double) = {
+      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      val t = s.reverse.dropWhile(_ == '0').reverse
+      if (t.endsWith(".")) t.dropRight(1) else t
+    }
+    def jsonLine(f: Double => String, sf: String) = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
+    }
+    val full = jsonLine(f4, sfDir)
+    // the self-sufficient artifact: full-precision JSON, durable on disk
+    // next to the round records, so a truncated driver tail can't lose the
+    // total/anchor. Best-effort: an unwritable path must not discard the
+    // whole run's timings (the stdout line below is the primary contract)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes("UTF-8"))
+      (full + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"bench: could not write $out: $e") }
     graft.tables.Scratch.cleanup(spark) // drop stage tables (all actions done)
     spark.stop()
-    // printed LAST, after every Spark/log line, so a bounded tail of stdout
-    // always contains the complete JSON
-    println(line)
+    // printed LAST, after every Spark/log line: full-precision line first
+    // (log readers), then a sentinel, then the compact line the driver's
+    // bounded tail is guaranteed to contain in full
+    println(full)
+    println("GRAFT_BENCH_JSON")
+    println(jsonLine(f2, new java.io.File(sfDir).getName))
   }
 }

@@ -33,18 +33,23 @@ import org.apache.spark.sql.functions._
   * digest's lowercase hex (`md5("i:" || md5(sh))`), reproducible verbatim
   * in any engine with md5.
   *
-  * What digest mode buys — measured honestly (BENCH_LOCAL_r7): NOT size on
-  * ordinary word shingles. md5 bytes are incompressible, while parquet
+  * What digest mode buys — measured honestly (BENCH_LOCAL_r7 word
+  * shingles, BENCH_LOCAL_r8 char shingles): NOT size, on any shingle
+  * family tried. md5 bytes are incompressible, while parquet
   * dictionary+snappy compress repeated text shingles ~3×, so at sf0.1 the
-  * digest table is 1.4× (3-grams, avg 15.5 chars) to 2.0× (5-grams, avg
-  * 26.5 chars) LARGER than raw. Digests win on size only when shingles are
-  * long (character shingles over URLs/code, ≫50 bytes); their structural
-  * wins are fixed-width cells (memory-bounded joins, no pathological
-  * multi-KB shingle rows from concatenated long tokens) and a text-free
-  * index (retention/licensing: the index no longer contains corpus
-  * content). The raw-string mode (default) keeps the index
-  * human-debuggable and smaller on word-shingle corpora; both modes share
-  * every scan and join below — only the stored bytes differ. A further
+  * digest table is 1.4-2.0× larger than raw for word 3/5-grams — and
+  * sliding character q-grams lose at EVERY width (2.8× at q=12 shrinking
+  * only to 1.5× at q=96): successive shingles share q-1 characters, so
+  * raw text pages are near-duplicates the encoder crushes, and the r7
+  * conjecture that long char shingles would flip the sign was wrong. A
+  * size win would need long high-entropy NON-overlapping shingles
+  * (unique URLs/IDs) where dictionary coding has nothing to share.
+  * Digest mode's real wins are structural: fixed-width cells
+  * (memory-bounded joins, no pathological multi-KB shingle rows from
+  * concatenated long tokens) and a text-free index (retention/licensing:
+  * the index no longer contains corpus content). The raw-string mode
+  * (default) keeps the index human-debuggable and smaller; both modes
+  * share every scan and join below — only the stored bytes differ. A further
   * id-bucketed layout (co-locating candidate-restricted reads) is the
   * remaining documented-not-implemented knob. Same sub-quadratic shape as
   * the reference's dedup surface (MergerMetrics-Lakehouse-Pipeline has no

@@ -67,6 +67,11 @@ object Bench {
     // bounded tail is guaranteed to contain in full
     println(full)
     println("GRAFT_BENCH_JSON")
-    println(jsonLine(f2, new java.io.File(sfDir).getName))
+    val compact = jsonLine(f2, new java.io.File(sfDir).getName)
+    if (compact.length > 1900) // each new bench query adds ~25 bytes; warn
+      // BEFORE the silent head-clip regresses `parsed` to null again
+      System.err.println(s"bench: compact line ${compact.length} B is near " +
+        "the driver's 2000-char stdout tail — trim the benched set or keys")
+    println(compact)
   }
 }

@@ -146,15 +146,21 @@ object DedupIndex {
     val cands = Scratch.stage(
       Dedup.probeCappedPairs(ebInc, eb, idCol, bucketCap),
       s"${name}_inc_cands")
-    val candDocs = cands.select(col("id_a").as(idCol))
-      .union(cands.select(col("id_b").as(idCol))).distinct()
+    // staged once: the union+distinct is a real exchange, and its result
+    // feeds the gate count, the shCand staging, and the returned plan's two
+    // size-lookup semi-joins — without staging, each consumer would
+    // recompute the shuffle
+    val candDocs = Scratch.stage(
+      cands.select(col("id_a").as(idCol))
+        .union(cands.select(col("id_b").as(idCol))).distinct(),
+      s"${name}_inc_canddocs")
     // candidate-doc sets are bucketCap-bounded in practice and a broadcast
     // semi-join restricts the stored-index scans without shuffling them —
     // but a huge increment probed against a dirty history can exceed the
     // driver/broadcast limit, so above `broadcastCandLimit` distinct docs
     // the hint is dropped and the semi-join shuffles (AQE still promotes
-    // it back if runtime stats allow). The count is a cheap narrow scan:
-    // `cands` is already staged scratch parquet.
+    // it back if runtime stats allow). The count is a metadata-cheap scan
+    // of the stage just written.
     val candKeys =
       if (candDocs.count() <= broadcastCandLimit) broadcast(candDocs)
       else candDocs

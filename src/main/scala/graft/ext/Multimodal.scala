@@ -33,6 +33,14 @@ object Multimodal {
       media_id: Long, kind: String, n_bytes: Long,
       width: Int, height: Int, channels: Int, mean_byte: Double)
 
+  /** Raw-byte mean — the content-derived "pixel" stat the m1 oracle
+    * replays; shared by every codec that reports payload (not raster)
+    * statistics so the cross-codec parity cannot drift.
+    */
+  private def meanByte(bs: Array[Byte]): Double =
+    if (bs.isEmpty) 0.0
+    else bs.iterator.map(b => (b & 0xff).toDouble).sum / bs.length
+
   /** Deterministic fake codec — replace with a real decoder in production.
     * "Dimensions" come from the first bytes, "pixel mean" from the payload:
     * stable, content-derived, and cheap to verify in tests.
@@ -43,9 +51,7 @@ object Multimodal {
       val w = if (bs.length >= 2) ((bs(0) & 0xff) << 4 | (bs(1) & 0xff) >> 4) + 1 else 1
       val h = if (bs.length >= 4) ((bs(2) & 0xff) << 4 | (bs(3) & 0xff) >> 4) + 1 else 1
       val ch = r.kind match { case "image" => 3; case "audio" => 1; case _ => 3 }
-      val mean = if (bs.isEmpty) 0.0
-        else bs.iterator.map(b => (b & 0xff).toDouble).sum / bs.length
-      MediaMeta(r.media_id, r.kind, bs.length.toLong, w, h, ch, mean)
+      MediaMeta(r.media_id, r.kind, bs.length.toLong, w, h, ch, meanByte(bs))
     }
   }
 
@@ -133,7 +139,13 @@ object Multimodal {
             ((bs(o + 2) & 0xffL) << 8) | (bs(o + 3) & 0xffL)
         def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
         def typ(o: Int): String = new String(bs, o + 4, 4, "ISO-8859-1")
-        def walk(start: Long, end: Long): Boolean = { // false = corrupt, stop
+        // depth-capped recursion: a legitimate walk descends moov→trak→mdia
+        // (≤3 levels); a hostile payload of nested container headers would
+        // otherwise recurse once per 8 bytes and StackOverflowError — an
+        // Error, NOT caught by the Exception handler below — would escape
+        // the never-throws contract and fail the Spark task
+        def walk(start: Long, end: Long, depth: Int): Boolean = {
+          if (depth > 8) return false // corrupt/hostile nesting, stop
           var off = start
           while (off + 8 <= end) {
             val size0 = u32(off.toInt)
@@ -145,7 +157,7 @@ object Multimodal {
             val p = (off + hdr).toInt
             typ(off.toInt) match {
               case "moov" | "trak" | "mdia" =>
-                if (!walk(off + hdr, off + size)) return false
+                if (!walk(off + hdr, off + size, depth + 1)) return false
               case "mvhd" if size >= hdr + 4 =>
                 val v = bs(p) & 0xff
                 if (v == 1 && size >= hdr + 32) {
@@ -168,7 +180,7 @@ object Multimodal {
           }
           true
         }
-        if (walk(0L, bs.length.toLong) && sawMvhd)
+        if (walk(0L, bs.length.toLong, 0) && sawMvhd)
           Some(Info(w, h, timescale, duration))
         else None
       } catch { case _: Exception => None }
@@ -185,9 +197,8 @@ object Multimodal {
       if (r.kind != "video") FakeCodec.decode(r)
       else Mp4.parse(r.media) match {
         case Some(i) if i.width > 0 && i.height > 0 =>
-          val mean = if (r.media.isEmpty) 0.0
-            else r.media.iterator.map(b => (b & 0xff).toDouble).sum / r.media.length
-          MediaMeta(r.media_id, r.kind, r.media.length.toLong, i.width, i.height, 3, mean)
+          MediaMeta(r.media_id, r.kind, r.media.length.toLong,
+            i.width, i.height, 3, meanByte(r.media))
         case _ => FakeCodec.decode(r)
       }
   }

@@ -235,17 +235,9 @@ object JoinQueries {
           col("prev_purchase_id"), col("prev_purchase_value"))
         .orderBy(col("event_id"))
     },
-    Some("""
-      WITH p AS (
-        SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
-      r AS (
-        SELECT e.event_id, p.event_id AS prev_purchase_id, p.value AS prev_purchase_value,
-               ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY p.ts DESC, p.event_id DESC) AS rnk
-        FROM events e JOIN p ON p.user_id = e.user_id AND p.ts < e.ts)
-      SELECT e.event_id, e.user_id, r.prev_purchase_id, r.prev_purchase_value
-      FROM events e LEFT JOIN (SELECT * FROM r WHERE rnk = 1) r USING (event_id)
-      ORDER BY event_id
-    """))
+    // j7's oracle BY REFERENCE, not a copy: the "identical contract" claim
+    // is structural — a future fix to j7's definitional SQL gates j9 too
+    j7AsofJoin.oracle)
 
   /** J8 — binned range (interval) join, engine surface beyond the reference:
     * click→purchase attribution, each click paired with the same user's

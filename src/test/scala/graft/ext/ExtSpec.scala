@@ -289,6 +289,18 @@ class ExtSpec extends SparkSpec {
     // a truncated box (declared size past the payload end) is corrupt, not
     // a crash — and corrupt means sentinel, not garbage dims
     assert(Mp4.parse(mp4v0.take(mp4v0.length - 10)) === None)
+
+    // hostile nesting: 5000 container headers each declaring the remainder
+    // as payload — the depth cap returns the sentinel instead of recursing
+    // one frame per box into StackOverflowError (an Error, which the
+    // Exception-only catch would NOT convert)
+    val depth = 5000
+    val bb = java.nio.ByteBuffer.allocate(depth * 8)
+    for (i <- 0 until depth) {
+      bb.putInt((depth - i) * 8)
+      bb.put("moov".getBytes("ISO-8859-1"))
+    }
+    assert(Mp4.parse(bb.array) === None)
   }
 
   test("multimodal: resizeImages preserves the alpha channel of RGBA inputs") {

@@ -747,6 +747,58 @@ object ExtQueries {
       FROM f ORDER BY media_id, frame_idx
     """))
 
+  /** M3 — REAL video container decode under the hash gate: each document
+    * row gets a minimal but VALID MP4 header (moov{mvhd, trak{tkhd}})
+    * built from doc_id with pure Column byte arithmetic —
+    * `unhex(lpad(hex(…), 8, '0'))` is a big-endian u32, the t7 planting
+    * pattern in its binary edition — then decoded by
+    * [[graft.ext.Multimodal.decodeVideoMeta]]'s executor-side box walk.
+    * The oracle does NOT parse: it independently states what the parse
+    * MUST yield from the same doc_id arithmetic, so a single misread
+    * offset in the walk (mvhd timescale at payload+12, tkhd 16.16 dims at
+    * payload+76/+80) hash-mismatches every row. Timescale 600 with
+    * duration 600·k makes duration_sec = k exactly — no float-division
+    * noise in the compare.
+    */
+  val m3VideoMeta = QueryDef(
+    "m3_video_meta",
+    (s, dir) => {
+      import s.implicits._
+      def be32(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        unhex(lpad(hex(c), 8, "0"))
+      def tag(t: String): org.apache.spark.sql.Column = encode(lit(t), "UTF-8")
+      val secs = col("doc_id") % 50 + 1 // duration in seconds, exact
+      val wpx = (col("doc_id") % 64 + 1) * 16
+      val hpx = (col("doc_id") % 64 + 1) * 9
+      val mvhd = concat(be32(lit(28)), tag("mvhd"),
+        be32(lit(0)), be32(lit(0)), be32(lit(0)), // v0 verflags, ctime, mtime
+        be32(lit(600)), be32(secs * 600)) // timescale, duration
+      val tkhd = concat(be32(lit(92)), tag("tkhd"),
+        unhex(lit("00" * 76)), // v0 verflags..matrix, all zero
+        be32(wpx * 65536), be32(hpx * 65536)) // 16.16 fixed-point dims
+      val mp4 = concat(be32(lit(136)), tag("moov"), mvhd,
+        be32(lit(100)), tag("trak"), tkhd)
+      val media = Td(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("media_id"),
+          lit("video").as("kind"), mp4.as("media"))
+        .as[Multimodal.MediaRow]
+      Multimodal.decodeVideoMeta(media).toDF()
+        .select(col("media_id"), col("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("timescale"), col("duration_sec"))
+        .orderBy(col("media_id"))
+    },
+    Some("""
+      SELECT doc_id AS media_id,
+             CAST(136 AS BIGINT) AS n_bytes,
+             CAST((doc_id % 64 + 1) * 16 AS BIGINT) AS width,
+             CAST((doc_id % 64 + 1) * 9 AS BIGINT) AS height,
+             CAST(600 AS BIGINT) AS timescale,
+             CAST(doc_id % 50 + 1 AS DOUBLE) AS duration_sec
+      FROM documents ORDER BY media_id
+    """))
+
   /** T5 — TF-IDF-style salient terms: top-3 terms per doc by
     * tf × (N/df). Rational arithmetic only (no log — libm transcendentals
     * differ across engines in the last ulp); same parenthesization both
@@ -1465,7 +1517,8 @@ object ExtQueries {
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,
     d14DedupChargram,
-    s1KnnBrute, s2AnnIvf, m1MediaMeta, m2FrameSample, c1Curation, c2CurationRecipe,
+    s1KnnBrute, s2AnnIvf, m1MediaMeta, m2FrameSample, m3VideoMeta,
+    c1Curation, c2CurationRecipe,
     x1HllDistinct, x2KmeansIvf,
     x3DedupGroups, x5KmeansSample, x6DedupGroupsConv, x7StratifiedSample, x9CmsHeavyHitters,
     x10SequencePack)

@@ -797,7 +797,10 @@ object ExtQueries {
              CAST(600 AS BIGINT) AS timescale,
              CAST(doc_id % 50 + 1 AS DOUBLE) AS duration_sec
       FROM documents ORDER BY media_id
-    """))
+    """),
+    // synthetic planted prove-out (like d7): correctness row only — the
+    // bench covers the multimodal surface via m1/m2 on real corpus bytes
+    benchmark = false)
 
   /** T5 — TF-IDF-style salient terms: top-3 terms per doc by
     * tf × (N/df). Rational arithmetic only (no log — libm transcendentals

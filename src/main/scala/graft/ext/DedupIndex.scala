@@ -49,18 +49,55 @@ import org.apache.spark.sql.functions._
   * concatenated long tokens) and a text-free index (retention/licensing:
   * the index no longer contains corpus content). The raw-string mode
   * (default) keeps the index human-debuggable and smaller; both modes
-  * share every scan and join below — only the stored bytes differ. A further
-  * id-bucketed layout (co-locating candidate-restricted reads) is the
-  * remaining documented-not-implemented knob. Same sub-quadratic shape as
-  * the reference's dedup surface (MergerMetrics-Lakehouse-Pipeline has no
-  * incremental index at all; this is the scale path the brief's
-  * training-data pipeline needs).
+  * share every scan and join below — only the stored bytes differ. The
+  * id-bucketed layout (`build(idBuckets = N)`) hive-partitions the shingle
+  * table on an id hash so candidate verification scans only the buckets
+  * its candidates live in ([[candidateShingles]]). Same sub-quadratic
+  * shape as the reference's dedup surface
+  * (MergerMetrics-Lakehouse-Pipeline has no incremental index at all;
+  * this is the scale path the brief's training-data pipeline needs).
   */
 object DedupIndex {
 
   private def bandsT(name: String) = s"${name}_bands"
   private def shinglesT(name: String) = s"${name}_shingles"
   private def sizesT(name: String) = s"${name}_sizes"
+  private def confT(name: String) = s"${name}_conf"
+
+  /** Deterministic id→bucket assignment for the partitioned shingle
+    * layout; MUST be identical at build and probe time (both sides call
+    * this), or pruning silently drops candidate rows.
+    */
+  private def idBucket(idCol: String, n: Int) =
+    pmod(xxhash64(col(idCol)), lit(n.toLong))
+
+  /** Stored bucket count for `name` (0 = unbucketed). The conf table is
+    * written by [[build]]; indexes from before it existed read as 0.
+    */
+  private def idBucketsOf(store: TableStore, name: String): Int =
+    if (store.exists(confT(name))) store.read(confT(name)).head.getInt(0) else 0
+
+  /** The stored shingle rows restricted (at the SCAN, not after it) to the
+    * buckets holding candidate docs — the id-bucketed layout's payoff.
+    * With `idBuckets > 0` the shingle table is hive-partitioned on `_bkt`,
+    * candidate buckets are computed from `candDocs` (≤ idBuckets values —
+    * driver-bounded by construction), and the `isin` filter prunes
+    * partition directories: a probe touching k of N buckets reads k/N of
+    * the index instead of all of it. Unbucketed indexes return the full
+    * scan (the semi-join downstream still restricts rows).
+    */
+  private[ext] def candidateShingles(store: TableStore, name: String,
+      candDocs: DataFrame, idCol: String, digest: Boolean,
+      idBuckets: Int): DataFrame = {
+    val stored = store.read(shinglesT(name))
+    val pruned =
+      if (idBuckets > 0) {
+        val bkts = candDocs.select(idBucket(idCol, idBuckets).as("_b"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        stored.filter(col("_bkt").isInCollection(bkts)).drop("_bkt")
+      } else stored
+    toLogical(pruned, idCol, digest)
+  }
 
   /** Storage form of a shingle frame: raw strings, or 16-byte md5 digests. */
   private def toStored(sh: DataFrame, idCol: String, digest: Boolean): DataFrame =
@@ -76,14 +113,31 @@ object DedupIndex {
   /** Full (re)build of the index over the base corpus. The corpus text is
     * scanned exactly once: the shingle table is written first, then the
     * signature/band and size tables derive from the stored parquet.
+    *
+    * `idBuckets > 0` opts into the id-bucketed layout: the shingle table
+    * is hive-partitioned on `_bkt = pmod(xxhash64(id), idBuckets)`, so an
+    * incremental probe scans only the buckets its candidate docs hash to
+    * ([[candidateShingles]]) instead of the whole table — the knob that
+    * keeps verification I/O proportional to the candidate set when the
+    * history is 100 TB. Size it so a bucket is a few GB (hundreds to
+    * thousands of buckets at scale); the chosen count is recorded in a
+    * one-row conf table so probes and maintenance need no matching
+    * parameter.
     */
   def build(store: TableStore, name: String, df: DataFrame, idCol: String,
       textCol: String, n: Int = 3, k: Int = 12, bands: Int = 3,
-      digest: Boolean = false): Unit = {
+      digest: Boolean = false, idBuckets: Int = 0): Unit = {
     require(k % bands == 0, s"k ($k) must be divisible by bands ($bands)")
-    store.overwrite(shinglesT(name),
-      toStored(Dedup.shingleIndex(df, idCol, textCol, n), idCol, digest))
-    val sh = toLogical(store.read(shinglesT(name)), idCol, digest)
+    require(idBuckets >= 0, s"idBuckets must be >= 0, got $idBuckets")
+    val shStored = toStored(Dedup.shingleIndex(df, idCol, textCol, n), idCol, digest)
+    if (idBuckets > 0)
+      store.overwrite(shinglesT(name),
+        shStored.withColumn("_bkt", idBucket(idCol, idBuckets)),
+        partitionBy = Seq("_bkt"))
+    else store.overwrite(shinglesT(name), shStored)
+    store.overwrite(confT(name),
+      df.sparkSession.range(1).select(lit(idBuckets).as("id_buckets")))
+    val sh = toLogical(store.read(shinglesT(name)).drop("_bkt"), idCol, digest)
     store.overwrite(sizesT(name), sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh")))
     store.overwrite(bandsT(name),
       Dedup.bandBuckets(Dedup.minhashSignature(sh, idCol, k), idCol, bands, k / bands))
@@ -131,7 +185,14 @@ object DedupIndex {
     val ebInc = Scratch.stage(
       Dedup.bandBuckets(Dedup.minhashSignature(shInc, idCol, k), idCol, bands, k / bands),
       s"${name}_inc_eb")
-    store.append(shinglesT(name), shIncStored)
+    // bucketed layout: the increment's rows land in their hive partitions
+    // (same id→bucket formula as build — see idBucket's warning)
+    val idBuckets = idBucketsOf(store, name)
+    if (idBuckets > 0)
+      store.append(shinglesT(name),
+        shIncStored.withColumn("_bkt", idBucket(idCol, idBuckets)),
+        partitionBy = Seq("_bkt"))
+    else store.append(shinglesT(name), shIncStored)
     store.append(sizesT(name),
       shInc.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh")))
     store.append(bandsT(name), ebInc)
@@ -165,7 +226,7 @@ object DedupIndex {
       if (candDocs.count() <= broadcastCandLimit) broadcast(candDocs)
       else candDocs
     val shCand = Scratch.stage(
-      toLogical(store.read(shinglesT(name)), idCol, digest)
+      candidateShingles(store, name, candDocs, idCol, digest, idBuckets)
         .join(candKeys, Seq(idCol), "left_semi"),
       s"${name}_inc_shcand")
     val sizesCand = store.read(sizesT(name))
@@ -189,8 +250,13 @@ object DedupIndex {
     * append rate dictates, e.g. weekly for daily increments.
     */
   def maintain(store: TableStore, name: String,
-      targetBytes: Long = 128L << 20): Map[String, graft.tables.Compact.Stats] =
-    Seq(bandsT(name), shinglesT(name), sizesT(name)).map { t =>
-      t -> graft.tables.Compact.compact(store, t, targetBytes)
-    }.toMap
+      targetBytes: Long = 128L << 20): Map[String, graft.tables.Compact.Stats] = {
+    // the bucketed shingle table must restate its hive layout or the
+    // rewrite would collapse the partition dirs pruning depends on
+    val shPb = if (idBucketsOf(store, name) > 0) Seq("_bkt") else Nil
+    Seq(bandsT(name) -> Nil, shinglesT(name) -> shPb, sizesT(name) -> Nil)
+      .map { case (t, pb) =>
+        t -> graft.tables.Compact.compact(store, t, targetBytes, partitionBy = pb)
+      }.toMap
+  }
 }

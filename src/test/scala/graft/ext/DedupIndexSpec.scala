@@ -184,6 +184,52 @@ class DedupIndexSpec extends SparkSpec {
       s"expected the two hinted size-lookup joins: ${hints(rBcast)}")
   }
 
+  test("id-bucketed layout: partition-pruned candidate reads, identical pairs") {
+    val all = corpus(41, 40).toDF("doc_id", "text")
+    val isInc = col("doc_id") % 3 === 0
+    val tmp = java.nio.file.Files.createTempDirectory("graft_didx_bkt").toString
+    val plain = new graft.tables.TableStore(spark, s"$tmp/plain")
+    val bkt = new graft.tables.TableStore(spark, s"$tmp/bkt")
+    DedupIndex.build(plain, "idx", all.filter(!isInc), "doc_id", "text")
+    DedupIndex.build(bkt, "idx", all.filter(!isInc), "doc_id", "text", idBuckets = 8)
+
+    // the shingle table is hive-partitioned on the id hash bucket
+    val dirs = new java.io.File(s"$tmp/bkt/idx_shingles").listFiles
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("_bkt=")).toSeq
+    assert(dirs.size > 1, s"expected multiple _bkt= partition dirs, got $dirs")
+
+    // identical verified pair set through either layout
+    val pPlain = pairSet(DedupIndex.dedupIncrement(plain, "idx",
+      all.filter(isInc), "doc_id", "text", threshold = 0.7))
+    val pBkt = pairSet(DedupIndex.dedupIncrement(bkt, "idx",
+      all.filter(isInc), "doc_id", "text", threshold = 0.7))
+    assert(pBkt === pPlain)
+    assert(pBkt.nonEmpty)
+
+    // the candidate-shingle seam prunes AT THE SCAN: with one candidate
+    // doc the plan carries a non-empty PartitionFilters on _bkt, and the
+    // row count equals exactly that doc's bucket (not the whole table)
+    val oneId = all.filter(!isInc).select(min(col("doc_id"))).head.getLong(0)
+    val cand = spark.range(oneId, oneId + 1).select(col("id").as("doc_id"))
+    val seam = DedupIndex.candidateShingles(bkt, "idx", cand, "doc_id",
+      digest = false, idBuckets = 8)
+    val full = bkt.read("idx_shingles")
+    val expectRows = full.filter(col("_bkt") ===
+      pmod(xxhash64(lit(oneId)), lit(8L))).count()
+    assert(seam.count() === expectRows)
+    assert(seam.count() < full.count(), "pruned scan not smaller than full table")
+    val scan = seam.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(scan).isDefined,
+      s"no partition filter in pruned scan:\n$scan")
+
+    // maintenance preserves the bucketed layout (dirs survive compaction)
+    DedupIndex.maintain(bkt, "idx")
+    val dirsAfter = new java.io.File(s"$tmp/bkt/idx_shingles").listFiles
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("_bkt=")).toSeq
+    assert(dirsAfter.toSet === dirs.toSet,
+      s"compaction changed partition dirs: $dirs -> $dirsAfter")
+  }
+
   test("index persists across runs: run 2's base includes run 1's increment") {
     val all = corpus(12, 40).toDF("doc_id", "text")
     val inc1 = col("doc_id") % 3 === 0

@@ -149,15 +149,20 @@ object ScaleStress {
     val (baseBig, inc1, inc2) = split(expDir) // inc1 ⊂ inc2, same base
     // inc1Small's ids are original-corpus ids with bucket 0 — absent from
     // BOTH bases (b >= 2), so the same increment replays against either
+    // last column: idBuckets (0 = flat layout). The bucketed twin of the
+    // decisive case — same small increment, factor× history — measures
+    // what partition-pruned candidate verification saves when the history
+    // dwarfs the crawl (the id-bucketed layout's design point).
     val cases = Seq(
-      ("small_base", baseSmall, inc1Small),
-      ("big_base_same_inc", baseBig, inc1Small),
-      ("big_base", baseBig, inc1),
-      ("big_base_2inc", baseBig, inc2))
-    val times = cases.map { case (tag, base, inc) =>
+      ("small_base", baseSmall, inc1Small, 0),
+      ("big_base_same_inc", baseBig, inc1Small, 0),
+      ("big_base_same_inc_bkt", baseBig, inc1Small, 64),
+      ("big_base", baseBig, inc1, 0),
+      ("big_base_2inc", baseBig, inc2, 0))
+    val times = cases.map { case (tag, base, inc, idBuckets) =>
       val store = new TableStore(spark, s"$workDir/incstore_$tag")
       val t0 = System.nanoTime()
-      DedupIndex.build(store, "idx", base, "doc_id", "text")
+      DedupIndex.build(store, "idx", base, "doc_id", "text", idBuckets = idBuckets)
       val buildSec = (System.nanoTime() - t0) / 1e9
       val nInc = inc.count()
       val t1 = System.nanoTime()
@@ -167,7 +172,7 @@ object ScaleStress {
       println(f"""{"incbench":"$tag","base_docs":${base.count()},"inc_docs":$nInc,"build_sec":$buildSec%.2f,"probe_sec":$probeSec%.2f}""")
       tag -> probeSec
     }.toMap
-    println(f"""{"incbench":"summary","same_inc_base_x$factor":${times("big_base_same_inc") / times("small_base")}%.2f,"incx$factor":${times("big_base") / times("small_base")}%.2f,"inc_x2":${times("big_base_2inc") / times("big_base")}%.2f}""")
+    println(f"""{"incbench":"summary","same_inc_base_x$factor":${times("big_base_same_inc") / times("small_base")}%.2f,"same_inc_bkt_vs_flat":${times("big_base_same_inc_bkt") / times("big_base_same_inc")}%.2f,"incx$factor":${times("big_base") / times("small_base")}%.2f,"inc_x2":${times("big_base_2inc") / times("big_base")}%.2f}""")
   }
 
   def main(args: Array[String]): Unit = {

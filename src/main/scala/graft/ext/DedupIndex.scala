@@ -119,10 +119,15 @@ object DedupIndex {
     * incremental probe scans only the buckets its candidate docs hash to
     * ([[candidateShingles]]) instead of the whole table — the knob that
     * keeps verification I/O proportional to the candidate set when the
-    * history is 100 TB. Size it so a bucket is a few GB (hundreds to
-    * thousands of buckets at scale); the chosen count is recorded in a
-    * one-row conf table so probes and maintenance need no matching
-    * parameter.
+    * history is 100 TB. The win requires pruning SELECTIVITY: candidate
+    * buckets ≪ idBuckets (small crawls, large N). When candidates cover
+    * most buckets the layout only adds overhead — measured honestly at
+    * sf0.1×30 (BENCH_LOCAL_r8: probe 2.11× slower with 529 candidates
+    * saturating all 64 buckets); keep the flat default until the shingle
+    * table dwarfs executor memory. Size buckets at a few GB each
+    * (hundreds to thousands of buckets at scale); the chosen count is
+    * recorded in a one-row conf table so probes and maintenance need no
+    * matching parameter.
     */
   def build(store: TableStore, name: String, df: DataFrame, idCol: String,
       textCol: String, n: Int = 3, k: Int = 12, bands: Int = 3,

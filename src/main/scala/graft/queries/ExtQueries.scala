@@ -391,6 +391,37 @@ object ExtQueries {
       ORDER BY id_a, id_b
     """))
 
+  /** D17 — the durable index in its id-bucketed layout ([[DedupIndex]]
+    * with `idBuckets = 8`): same incremental contract and oracle as d10,
+    * but the shingle table is hive-partitioned on the id hash and
+    * candidate verification scans only candidate buckets (partition
+    * pruning pinned in DedupIndexSpec). The layout is a PLAN choice — the
+    * d8/d10 recompute-path SQL must stay the exact answer, which is what
+    * this row gates.
+    */
+  val d17DedupIndexBucketed = QueryDef(
+    "d17_dedup_index_bucketed",
+    (s, dir) => {
+      val docs = Td(s, dir, "documents")
+      val isInc = Similarity.sampleBucket(col("doc_id")) % 4 === 0
+      val store = graft.tables.Scratch.store(s)
+      DedupIndex.build(store, "d17_mhidx", docs.filter(!isInc), "doc_id", "text",
+        n = 3, k = 12, bands = 3, idBuckets = 8)
+      DedupIndex.dedupIncrement(store, "d17_mhidx", docs.filter(isInc),
+          "doc_id", "text", n = 3, k = 12, bands = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""
+      WITH ${minhashPairsSql("documents", 0.8)},
+      inc AS (SELECT doc_id FROM documents WHERE ${sampleFilterSql("doc_id", 4)})
+      SELECT id_a, id_b, jaccard FROM mh_pairs
+      WHERE id_a IN (SELECT doc_id FROM inc) OR id_b IN (SELECT doc_id FROM inc)
+      ORDER BY id_a, id_b
+    """),
+    // layout prove-out over the identical d10 contract — d10 is the
+    // benched durable-index row; timing both would double-count the build
+    benchmark = false)
+
   /** D4 — SimHash near-dup: 64-bit sketch, Hamming ≤ 3 via 16-bit-chunk
     * pigeonhole, hot chunk-buckets capped at 32 members.
     */
@@ -1519,7 +1550,7 @@ object ExtQueries {
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,
-    d14DedupChargram,
+    d14DedupChargram, d17DedupIndexBucketed,
     s1KnnBrute, s2AnnIvf, m1MediaMeta, m2FrameSample, m3VideoMeta,
     c1Curation, c2CurationRecipe,
     x1HllDistinct, x2KmeansIvf,

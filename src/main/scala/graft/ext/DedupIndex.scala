@@ -62,7 +62,6 @@ object DedupIndex {
   private def bandsT(name: String) = s"${name}_bands"
   private def shinglesT(name: String) = s"${name}_shingles"
   private def sizesT(name: String) = s"${name}_sizes"
-  private def confT(name: String) = s"${name}_conf"
 
   /** Deterministic id→bucket assignment for the partitioned shingle
     * layout; MUST be identical at build and probe time (both sides call
@@ -71,11 +70,27 @@ object DedupIndex {
   private def idBucket(idCol: String, n: Int) =
     pmod(xxhash64(col(idCol)), lit(n.toLong))
 
-  /** Stored bucket count for `name` (0 = unbucketed). The conf table is
-    * written by [[build]]; indexes from before it existed read as 0.
+  /** The partition column is NAMED for its modulus (`_bkt64`), so the
+    * layout and the number it was hashed with travel together through
+    * TableStore's single atomic overwrite swap. A separate metadata write
+    * (a conf table) would open a crash window between the two writes in
+    * which a stale modulus survives — and a stale modulus makes
+    * [[candidateShingles]] prune the WRONG partitions and silently drop
+    * pairs. Self-describing schema closes every variant of that window:
+    * flat↔bucketed↔re-bucketed transitions are all one swap.
     */
-  private def idBucketsOf(store: TableStore, name: String): Int =
-    if (store.exists(confT(name))) store.read(confT(name)).head.getInt(0) else 0
+  private def bktCol(n: Int) = s"_bkt$n"
+  private val BktPattern = "^_bkt([0-9]+)$".r
+
+  /** Stored bucket count, recovered from the shingle table's own schema
+    * (0 = unbucketed / pre-layout index). Driver-side inspection — no
+    * Spark job.
+    */
+  private def idBucketsOf(shSchema: org.apache.spark.sql.types.StructType): Int =
+    shSchema.fieldNames.collectFirst { case BktPattern(n) => n.toInt }.getOrElse(0)
+
+  private def dropBkt(df: DataFrame): DataFrame =
+    df.drop(df.schema.fieldNames.filter(BktPattern.findFirstIn(_).isDefined): _*)
 
   /** The stored shingle rows restricted (at the SCAN, not after it) to the
     * buckets holding candidate docs — the id-bucketed layout's payoff.
@@ -94,7 +109,8 @@ object DedupIndex {
       if (idBuckets > 0) {
         val bkts = candDocs.select(idBucket(idCol, idBuckets).as("_b"))
           .distinct().collect().map(_.getLong(0)).toSeq
-        stored.filter(col("_bkt").isInCollection(bkts)).drop("_bkt")
+        stored.filter(col(bktCol(idBuckets)).isInCollection(bkts))
+          .drop(bktCol(idBuckets))
       } else stored
     toLogical(pruned, idCol, digest)
   }
@@ -125,9 +141,10 @@ object DedupIndex {
     * sf0.1×30 (BENCH_LOCAL_r8: probe 2.11× slower with 529 candidates
     * saturating all 64 buckets); keep the flat default until the shingle
     * table dwarfs executor memory. Size buckets at a few GB each
-    * (hundreds to thousands of buckets at scale); the chosen count is
-    * recorded in a one-row conf table so probes and maintenance need no
-    * matching parameter.
+    * (hundreds to thousands of buckets at scale); the count is encoded in
+    * the partition column's NAME (`_bkt64`), so probes and maintenance
+    * recover it from the table's own schema — atomically with the layout,
+    * with no separate metadata write a crash could leave stale.
     */
   def build(store: TableStore, name: String, df: DataFrame, idCol: String,
       textCol: String, n: Int = 3, k: Int = 12, bands: Int = 3,
@@ -137,12 +154,10 @@ object DedupIndex {
     val shStored = toStored(Dedup.shingleIndex(df, idCol, textCol, n), idCol, digest)
     if (idBuckets > 0)
       store.overwrite(shinglesT(name),
-        shStored.withColumn("_bkt", idBucket(idCol, idBuckets)),
-        partitionBy = Seq("_bkt"))
+        shStored.withColumn(bktCol(idBuckets), idBucket(idCol, idBuckets)),
+        partitionBy = Seq(bktCol(idBuckets)))
     else store.overwrite(shinglesT(name), shStored)
-    store.overwrite(confT(name),
-      df.sparkSession.range(1).select(lit(idBuckets).as("id_buckets")))
-    val sh = toLogical(store.read(shinglesT(name)).drop("_bkt"), idCol, digest)
+    val sh = toLogical(dropBkt(store.read(shinglesT(name))), idCol, digest)
     store.overwrite(sizesT(name), sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh")))
     store.overwrite(bandsT(name),
       Dedup.bandBuckets(Dedup.minhashSignature(sh, idCol, k), idCol, bands, k / bands))
@@ -171,10 +186,12 @@ object DedupIndex {
       threshold: Double = 0.8, bucketCap: Int = Int.MaxValue,
       digest: Boolean = false, broadcastCandLimit: Long = 4000000L): DataFrame = {
     require(k % bands == 0, s"k ($k) must be divisible by bands ($bands)")
-    // the stored column type records which mode the index was BUILT with —
-    // a mismatched `digest` here would only surface later as a cryptic
-    // append-schema conflict, after the increment was already shingled
-    val storedDigest = store.read(shinglesT(name)).schema("shingle").dataType ==
+    // the stored schema records which mode AND layout the index was BUILT
+    // with — a mismatched `digest` here would only surface later as a
+    // cryptic append-schema conflict, after the increment was already
+    // shingled; the bucket modulus rides the same schema (see bktCol)
+    val shSchema = store.read(shinglesT(name)).schema
+    val storedDigest = shSchema("shingle").dataType ==
       org.apache.spark.sql.types.BinaryType
     require(storedDigest == digest,
       s"index '$name' was built with digest=$storedDigest; call dedupIncrement " +
@@ -192,11 +209,11 @@ object DedupIndex {
       s"${name}_inc_eb")
     // bucketed layout: the increment's rows land in their hive partitions
     // (same id→bucket formula as build — see idBucket's warning)
-    val idBuckets = idBucketsOf(store, name)
+    val idBuckets = idBucketsOf(shSchema)
     if (idBuckets > 0)
       store.append(shinglesT(name),
-        shIncStored.withColumn("_bkt", idBucket(idCol, idBuckets)),
-        partitionBy = Seq("_bkt"))
+        shIncStored.withColumn(bktCol(idBuckets), idBucket(idCol, idBuckets)),
+        partitionBy = Seq(bktCol(idBuckets)))
     else store.append(shinglesT(name), shIncStored)
     store.append(sizesT(name),
       shInc.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh")))
@@ -258,7 +275,8 @@ object DedupIndex {
       targetBytes: Long = 128L << 20): Map[String, graft.tables.Compact.Stats] = {
     // the bucketed shingle table must restate its hive layout or the
     // rewrite would collapse the partition dirs pruning depends on
-    val shPb = if (idBucketsOf(store, name) > 0) Seq("_bkt") else Nil
+    val nBkt = idBucketsOf(store.read(shinglesT(name)).schema)
+    val shPb = if (nBkt > 0) Seq(bktCol(nBkt)) else Nil
     Seq(bandsT(name) -> Nil, shinglesT(name) -> shPb, sizesT(name) -> Nil)
       .map { case (t, pb) =>
         t -> graft.tables.Compact.compact(store, t, targetBytes, partitionBy = pb)

@@ -193,10 +193,11 @@ class DedupIndexSpec extends SparkSpec {
     DedupIndex.build(plain, "idx", all.filter(!isInc), "doc_id", "text")
     DedupIndex.build(bkt, "idx", all.filter(!isInc), "doc_id", "text", idBuckets = 8)
 
-    // the shingle table is hive-partitioned on the id hash bucket
-    val dirs = new java.io.File(s"$tmp/bkt/idx_shingles").listFiles
-      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("_bkt=")).toSeq
-    assert(dirs.size > 1, s"expected multiple _bkt= partition dirs, got $dirs")
+    // the shingle table is hive-partitioned on the id hash bucket; the
+    // column NAME carries the modulus so layout+count swap atomically
+    def bktDirs = new java.io.File(s"$tmp/bkt/idx_shingles").listFiles
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("_bkt8=")).toSeq
+    assert(bktDirs.size > 1, s"expected multiple _bkt8= partition dirs, got $bktDirs")
 
     // identical verified pair set through either layout
     val pPlain = pairSet(DedupIndex.dedupIncrement(plain, "idx",
@@ -214,7 +215,7 @@ class DedupIndexSpec extends SparkSpec {
     val seam = DedupIndex.candidateShingles(bkt, "idx", cand, "doc_id",
       digest = false, idBuckets = 8)
     val full = bkt.read("idx_shingles")
-    val expectRows = full.filter(col("_bkt") ===
+    val expectRows = full.filter(col("_bkt8") ===
       pmod(xxhash64(lit(oneId)), lit(8L))).count()
     assert(seam.count() === expectRows)
     assert(seam.count() < full.count(), "pruned scan not smaller than full table")
@@ -222,12 +223,14 @@ class DedupIndexSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(scan).isDefined,
       s"no partition filter in pruned scan:\n$scan")
 
-    // maintenance preserves the bucketed layout (dirs survive compaction)
+    // maintenance preserves the bucketed layout — snapshot the dirs right
+    // BEFORE maintain (the increments above may have created partitions
+    // the base build left empty; comparing against a pre-append snapshot
+    // would fail spuriously on exactly correct behavior)
+    val dirsBefore = bktDirs
     DedupIndex.maintain(bkt, "idx")
-    val dirsAfter = new java.io.File(s"$tmp/bkt/idx_shingles").listFiles
-      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("_bkt=")).toSeq
-    assert(dirsAfter.toSet === dirs.toSet,
-      s"compaction changed partition dirs: $dirs -> $dirsAfter")
+    assert(bktDirs.toSet === dirsBefore.toSet,
+      s"compaction changed partition dirs: $dirsBefore -> $bktDirs")
   }
 
   test("index persists across runs: run 2's base includes run 1's increment") {

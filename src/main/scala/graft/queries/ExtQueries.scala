@@ -1511,6 +1511,105 @@ object ExtQueries {
       ORDER BY train_id, eval_id
     """))
 
+  /** C3 — decontamination as a FILTER (d12 detects, this removes): train
+    * docs whose 5-gram overlap with any eval doc reaches 50% of that eval
+    * doc's shingles are dropped; the survivors are the cleaned corpus.
+    * The flagged set is tiny by construction (contaminated docs are the
+    * pathology, not the norm), so at 100 TB the anti-join broadcasts and
+    * the pass rides the train scan — detection cost is d12's inverted
+    * index join, already df-capped and scale-stressed at 100×.
+    */
+  val c3Decontaminate = QueryDef(
+    "c3_decontaminate",
+    (s, dir) => {
+      val docs = Td(s, dir, "documents")
+      val isEval = Similarity.sampleBucket(col("doc_id")) % 4 === 0
+      val train = docs.filter(!isEval)
+      val flagged = Dedup.contamination(train, docs.filter(isEval),
+          "doc_id", "text", n = 5, minShared = 3)
+        .filter(col("overlap_frac") >= 0.5)
+        .select(col("train_id").as("doc_id")).distinct()
+      train.join(flagged, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+      sh5 AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(ws) >= 5
+                 THEN list_transform(generate_series(1, len(ws)-4), i -> array_to_string(ws[i:i+4], ' '))
+                 ELSE [array_to_string(ws, ' ')] END)) AS shingle FROM w),
+      tr0 AS (SELECT doc_id AS train_id, shingle FROM sh5
+             WHERE NOT ${sampleFilterSql("doc_id", 4)}),
+      ev0 AS (SELECT doc_id AS eval_id, shingle FROM sh5
+             WHERE ${sampleFilterSql("doc_id", 4)}),
+      hot AS (SELECT shingle FROM tr0 GROUP BY 1
+              HAVING COUNT(*) > ${Dedup.ContaminationMaxDf}),
+      tr AS (SELECT * FROM tr0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      ev AS (SELECT * FROM ev0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      sz AS (SELECT eval_id, COUNT(*) AS n_ev FROM ev GROUP BY 1),
+      p AS (SELECT train_id, eval_id, COUNT(*) AS n_shared
+            FROM tr JOIN ev USING (shingle) GROUP BY 1, 2),
+      flagged AS (SELECT DISTINCT train_id FROM p JOIN sz USING (eval_id)
+                  WHERE n_shared >= 3
+                    AND CAST(n_shared AS DOUBLE) / CAST(n_ev AS DOUBLE) >= 0.5)
+      SELECT doc_id, lang, source FROM documents
+      WHERE NOT ${sampleFilterSql("doc_id", 4)}
+        AND doc_id NOT IN (SELECT train_id FROM flagged)
+      ORDER BY doc_id
+    """),
+    // the bench times detection via d12 (the dominant cost); this row adds
+    // one broadcast anti-join on top — correctness-gated, not re-timed
+    benchmark = false)
+
+  /** U1 — URL canonicalization ([[graft.ext.Urls]]): the pass a crawl
+    * pipeline runs before url-level dedup. The corpus has no URL column,
+    * so one is planted per document from doc_id (the t7 pattern): mixed
+    * case, optional `www.`, `utm_*` tracking params around a real one, a
+    * fragment. Both engines then normalize with the identical Java∩RE2
+    * regexes — host lowering, www/tracking/fragment stripping, and
+    * registrable-domain extraction are each hash-checked per row.
+    */
+  val u1UrlNormalize = QueryDef(
+    "u1_url_normalize",
+    (s, dir) => {
+      val planted = concat(lit("https://"),
+        when(col("doc_id") % 2 === 0, lit("WWW.")).otherwise(lit("")),
+        lit("Sub"), (col("doc_id") % 5).cast("string"),
+        lit(".Example"), (col("doc_id") % 20).cast("string"),
+        lit(".COM/Path/"), col("doc_id").cast("string"),
+        lit("?utm_source=feed&id="), col("doc_id").cast("string"),
+        lit("&utm_campaign=x#sec"), col("doc_id").cast("string"))
+      Td(s, dir, "documents")
+        .select(col("doc_id"), planted.as("url"))
+        .select(col("doc_id"),
+          graft.ext.Urls.hostNoWww(col("url")).as("host"),
+          graft.ext.Urls.canonicalize(col("url")).as("canon_url"),
+          graft.ext.Urls.domain(col("url")).as("domain"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH aug AS (SELECT doc_id,
+        'https://' || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
+        'Sub' || CAST(doc_id % 5 AS VARCHAR) || '.Example' || CAST(doc_id % 20 AS VARCHAR) ||
+        '.COM/Path/' || CAST(doc_id AS VARCHAR) ||
+        '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) ||
+        '&utm_campaign=x#sec' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents),
+      n AS (SELECT doc_id,
+        regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+          '^www\.', '') AS h,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS p,
+        regexp_replace(regexp_replace(regexp_extract(url, '\?([^#]*)', 1),
+          '(^|&)utm_[^&]*', '', 'g'), '^&+', '') AS q
+        FROM aug)
+      SELECT doc_id, h AS host,
+             'https://' || h || p ||
+               (CASE WHEN length(q) > 0 THEN '?' || q ELSE '' END) AS canon_url,
+             regexp_extract(h, '([^.]+\.[^.]+)$', 1) AS domain
+      FROM n ORDER BY doc_id
+    """))
+
   /** X10 — sequence packing: documents concat-and-chunked into 2048-token
     * packs per source shard ([[graft.ext.Packing]]), the training-batch
     * assembly step. The oracle replays the identical prefix-sum arithmetic
@@ -1552,7 +1651,7 @@ object ExtQueries {
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,
     d14DedupChargram, d17DedupIndexBucketed,
     s1KnnBrute, s2AnnIvf, m1MediaMeta, m2FrameSample, m3VideoMeta,
-    c1Curation, c2CurationRecipe,
+    c1Curation, c2CurationRecipe, c3Decontaminate, u1UrlNormalize,
     x1HllDistinct, x2KmeansIvf,
     x3DedupGroups, x5KmeansSample, x6DedupGroupsConv, x7StratifiedSample, x9CmsHeavyHitters,
     x10SequencePack)

@@ -84,10 +84,17 @@ object DedupIndex {
 
   /** Stored bucket count, recovered from the shingle table's own schema
     * (0 = unbucketed / pre-layout index). Driver-side inspection — no
-    * Spark job.
+    * Spark job. A digit-less `_bkt` column is the short-lived interim
+    * layout whose modulus lived in a conf table — reading it as 0 would
+    * append unpartitioned rows into a partitioned dir and skip pruning
+    * silently, so it fails loud instead.
     */
-  private def idBucketsOf(shSchema: org.apache.spark.sql.types.StructType): Int =
+  private def idBucketsOf(shSchema: org.apache.spark.sql.types.StructType): Int = {
+    require(!shSchema.fieldNames.contains("_bkt"),
+      "index uses the interim digit-less _bkt layout (modulus in a _conf " +
+        "table); rebuild it with this version's build() before probing")
     shSchema.fieldNames.collectFirst { case BktPattern(n) => n.toInt }.getOrElse(0)
+  }
 
   private def dropBkt(df: DataFrame): DataFrame =
     df.drop(df.schema.fieldNames.filter(BktPattern.findFirstIn(_).isDefined): _*)
@@ -157,6 +164,9 @@ object DedupIndex {
         shStored.withColumn(bktCol(idBuckets), idBucket(idCol, idBuckets)),
         partitionBy = Seq(bktCol(idBuckets)))
     else store.overwrite(shinglesT(name), shStored)
+    // a rebuild sweeps away the interim layout's conf table — stale
+    // metadata beside a schema-described index would only mislead
+    if (store.exists(s"${name}_conf")) store.drop(s"${name}_conf")
     val sh = toLogical(dropBkt(store.read(shinglesT(name))), idCol, digest)
     store.overwrite(sizesT(name), sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh")))
     store.overwrite(bandsT(name),

@@ -23,11 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object Urls {
 
-  /** Lowercased authority (host[:port]) of an absolute URL; NULL-safe
-    * empty string when the pattern misses.
+  /** Lowercased host of an absolute URL, with userinfo (`user@`) and any
+    * explicit port stripped — `user@WWW.Site.COM:8080` and `site.com` must
+    * not split one real site across dedup groups. Empty string when the
+    * URL has no recognizable `scheme://authority` prefix.
     */
   def host(c: Column): Column =
-    lower(regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
+        "^[^@]*@", ""),
+      ":[0-9]+$", "")
 
   /** [[host]] with one leading `www.` stripped. */
   def hostNoWww(c: Column): Column =
@@ -38,10 +44,12 @@ object Urls {
     regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
 
   /** Query string with every `utm_*` parameter removed and separators
-    * re-normalized (no leading/dangling `&`).
+    * re-normalized (no leading/dangling `&`). The fragment is cut BEFORE
+    * the `?` search: a `?` inside a fragment (`/page#sec?x=1`) is fragment
+    * content, not a query, and must not fabricate one.
     */
   def cleanQuery(c: Column): Column = {
-    val q = regexp_extract(c, "\\?([^#]*)", 1)
+    val q = regexp_extract(regexp_replace(c, "#.*", ""), "\\?(.*)$", 1)
     regexp_replace(regexp_replace(q, "(^|&)utm_[^&]*", ""), "^&+", "")
   }
 
@@ -50,11 +58,19 @@ object Urls {
     regexp_extract(hostNoWww(c), "([^.]+\\.[^.]+)$", 1)
 
   /** The canonical URL: `https://` + cleaned host + path [+ `?` + cleaned
-    * query]. Deterministic, per-row, codegen-resident.
+    * query]. A string with no parseable `scheme://host` passes through
+    * UNCHANGED: collapsing every schemeless/relative/garbage value to
+    * `"https://"` would make downstream exact url-dedup merge unrelated
+    * documents into one group — pass-through keeps them deduping only on
+    * raw equality, the conservative behavior. Deterministic, per-row,
+    * codegen-resident.
     */
   def canonicalize(c: Column): Column = {
+    val h = hostNoWww(c)
     val q = cleanQuery(c)
-    concat(lit("https://"), hostNoWww(c), path(c),
-      when(length(q) > 0, concat(lit("?"), q)).otherwise(lit("")))
+    when(length(h) > 0,
+      concat(lit("https://"), h, path(c),
+        when(length(q) > 0, concat(lit("?"), q)).otherwise(lit(""))))
+      .otherwise(c)
   }
 }

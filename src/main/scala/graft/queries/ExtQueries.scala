@@ -1596,16 +1596,20 @@ object ExtQueries {
         '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) ||
         '&utm_campaign=x#sec' || CAST(doc_id AS VARCHAR) AS url
         FROM documents),
-      n AS (SELECT doc_id,
-        regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
-          '^www\.', '') AS h,
+      n AS (SELECT doc_id, url,
+        regexp_replace(regexp_replace(regexp_replace(
+            lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+          '^[^@]*@', ''), ':[0-9]+$', ''), '^www\.', '') AS h,
         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS p,
-        regexp_replace(regexp_replace(regexp_extract(url, '\?([^#]*)', 1),
+        regexp_replace(regexp_replace(
+            regexp_extract(regexp_replace(url, '#.*', ''), '\?(.*)$', 1),
           '(^|&)utm_[^&]*', '', 'g'), '^&+', '') AS q
         FROM aug)
       SELECT doc_id, h AS host,
-             'https://' || h || p ||
-               (CASE WHEN length(q) > 0 THEN '?' || q ELSE '' END) AS canon_url,
+             CASE WHEN length(h) > 0
+               THEN 'https://' || h || p ||
+                    (CASE WHEN length(q) > 0 THEN '?' || q ELSE '' END)
+               ELSE url END AS canon_url,
              regexp_extract(h, '([^.]+\.[^.]+)$', 1) AS domain
       FROM n ORDER BY doc_id
     """))

@@ -36,7 +36,21 @@ class UrlsSpec extends SparkSpec {
     assert(canon("https://a.io/p?b=2&utm_x=1&a=1")._2 === "https://a.io/p?b=2&a=1")
   }
 
-  test("non-URL text degrades to empty parts, never throws") {
-    assert(canon("not a url at all") === (("", "https://", "")))
+  test("non-URL text passes through unchanged: no collapse into one dedup group") {
+    // collapsing unparseable values to "https://" would merge unrelated
+    // documents under exact url-dedup — pass-through keeps them distinct
+    assert(canon("not a url at all")._2 === "not a url at all")
+    assert(canon("/relative/path")._2 === "/relative/path")
+    assert(canon("site.com/x")._2 === "site.com/x")
+  }
+
+  test("userinfo and port are stripped from host and domain") {
+    assert(canon("https://user@WWW.Site.com:8080/x") ===
+      (("site.com", "https://site.com/x", "site.com")))
+  }
+
+  test("a '?' inside the fragment does not fabricate a query") {
+    assert(canon("https://site.com/page#sec?x=1")._2 === "https://site.com/page")
+    assert(canon("https://site.com/page")._2 === "https://site.com/page")
   }
 }

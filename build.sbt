@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout VERBATIM: the round driver captures
+// the tail of `sbt runMain graft.Bench` and json-parses the final line.
+// The default LoggedOutput routes the child's stdout through sbt's logger,
+// which prefixes every line with "[info] " — that prefix is exactly what
+// made the driver's `parsed` field null in BENCH_r08.json.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

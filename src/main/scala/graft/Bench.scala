@@ -25,11 +25,19 @@ object Bench {
     graft.Td.tables.foreach { t =>
       try graft.Td(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
-    val results = graft.queries.Registry.benchMap.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // per-query MIN of two in-session passes: a single loaded-box shot (the
+    // r8/r10 artifact noise) can inflate one pass, but rarely the same query
+    // twice — the min is the reproducible number. Pass 2 runs after the full
+    // suite so its cache state matches pass 1's (each query's tables are
+    // already warm), keeping the two samples comparable.
+    def onePass() = graft.queries.Registry.benchMap.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
     }
+    val (pass1, pass2) = (onePass(), onePass())
+    val results = pass1.zip(pass2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     // 4 decimals (0.1 ms) for the durable on-disk artifact
     def f4(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
     // compact form for the stdout driver line: 2 decimals, trailing zeros

@@ -2,6 +2,7 @@ package graft.clean
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Date parsing + calendar spine — SURVEY.md §2.3 F11-F15.
   *
@@ -49,6 +50,37 @@ object Dates {
 
   /** F15 — daily→month-start alignment (1_full_load_fact:217). */
   def monthStart(c: Column): Column = trunc(c, "MM")
+
+  /** Epoch milliseconds of either timestamp flavor. Parquet written by
+    * pandas/pyarrow without a timezone arrives as TIMESTAMP_NTZ — the most
+    * common flavor in real crawl/event data — and `unix_millis` rejects it,
+    * so every epoch-arithmetic operator must route through here instead of
+    * calling `unix_millis` directly. NTZ goes through a cast to TIMESTAMP
+    * (interpreted in the session timezone, pinned UTC by Verify/Bench, so
+    * NTZ ≡ LTZ numerically and oracle replays are unchanged); exact integer
+    * millis either way. `dt` is the column's resolved type
+    * (`df.schema(name).dataType`) — Column alone carries no type before
+    * analysis, so the caller supplies it.
+    */
+  def epochMillis(c: Column, dt: DataType): Column = dt match {
+    case TimestampType => unix_millis(c)
+    case TimestampNTZType | DateType => unix_millis(c.cast(TimestampType))
+    case other =>
+      throw new IllegalArgumentException(
+        s"epochMillis: expected a timestamp/date column, got $other")
+  }
+
+  /** Epoch seconds (fractional, DOUBLE) of either timestamp flavor; plain
+    * numeric columns pass through a double cast unchanged — the contract
+    * range/bin operators need when one call site takes either a time axis
+    * or a numeric axis. Micros-through-double is exact to well past 2100
+    * (2^53 µs ≈ year 2255).
+    */
+  def epochSeconds(c: Column, dt: DataType): Column = dt match {
+    case TimestampType | TimestampNTZType | DateType =>
+      unix_micros(c.cast(TimestampType)) / 1e6
+    case _ => c.cast("double")
+  }
 
   /** F12-F14 — dim_date month spine (dim_date_table_creation.py:17-46):
     * one row per month start in [start, end], with yyyyMM int key, names,

@@ -46,8 +46,17 @@ object RangeJoin {
     require(overlap.isEmpty, s"non-key columns collide across sides: $overlap")
     require(!points.columns.contains("_bin") && !intervals.columns.contains("_bin"),
       "_bin is reserved")
-    def bin(c: Column): Column = floor(c.cast("double") / binWidth).cast("long")
-    val p = points.withColumn("_bin", bin(col(tCol)))
+    // epoch extraction is resolved-type-aware: TIMESTAMP and TIMESTAMP_NTZ
+    // both bin on epoch seconds (NTZ parquet is the normal arrival flavor
+    // for pandas-written event data), numeric axes stay on a plain double
+    // cast — each side/bound dispatches on its own schema so a ts-points /
+    // numeric-intervals mismatch fails in epochSeconds, not mid-join
+    def binOf(dt: org.apache.spark.sql.types.DataType)(c: Column): Column =
+      floor(graft.clean.Dates.epochSeconds(c, dt) / binWidth).cast("long")
+    val binT = binOf(points.schema(tCol).dataType) _
+    val binLo = binOf(intervals.schema(loCol).dataType) _
+    val binHi = binOf(intervals.schema(hiCol).dataType) _
+    val p = points.withColumn("_bin", binT(col(tCol)))
     val i = intervals
       // hi < lo matches nothing under the definitional predicate — drop it
       // here rather than let sequence() step BACKWARD and emit junk bins
@@ -57,11 +66,11 @@ object RangeJoin {
       // action time with the offending bounds; the isNull filter keeps the
       // assertion referenced (it is NULL on success) so it cannot be pruned
       .filter(assert_true(
-        bin(col(hiCol)) - bin(col(loCol)) < lit(maxBinsPerInterval),
+        binHi(col(hiCol)) - binLo(col(loCol)) < lit(maxBinsPerInterval),
         concat(lit(s"RangeJoin: interval spans >= $maxBinsPerInterval bins of $binWidth s — " +
           "raise binWidth or close the interval: lo="),
           col(loCol).cast("string"), lit(" hi="), col(hiCol).cast("string"))).isNull)
-      .withColumn("_bin", explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
+      .withColumn("_bin", explode(sequence(binLo(col(loCol)), binHi(col(hiCol)))))
     p.join(i, keys :+ "_bin")
       .filter(col(tCol) >= col(loCol) && col(tCol) <= col(hiCol))
       .drop("_bin")

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.tables.{TableStore, Upsert}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
@@ -201,10 +201,14 @@ object Streams {
   def sessionizeBatch(events: DataFrame, gapMs: Long): DataFrame = {
     val byUser = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // dual-flavor epoch millis: NTZ-written parquet (pandas default) must
+    // sessionize identically to TIMESTAMP — lag() preserves ts's type, so
+    // one schema lookup covers both columns
+    val ems = graft.clean.Dates.epochMillis(_: Column, events.schema("ts").dataType)
     events
       .withColumn("_prev", lag(col("ts"), 1).over(byUser))
       .withColumn("_opens", when(col("_prev").isNull ||
-        unix_millis(col("ts")) - unix_millis(col("_prev")) > gapMs, 1L).otherwise(0L))
+        ems(col("ts")) - ems(col("_prev")) > gapMs, 1L).otherwise(0L))
       .withColumn("session_id", sum(col("_opens")).over(byUser))
       .groupBy(col("user_id"), col("session_id"))
       .agg(

@@ -67,7 +67,11 @@ object Compact {
   private[tables] def mortonKey(df: DataFrame, cols: Seq[String]): Column = {
     require(cols.nonEmpty && cols.size <= 3, s"zorderBy supports 1-3 columns, got ${cols.size}")
     def asDouble(c: String): Column = df.schema(c).dataType match {
-      case DateType => col(c).cast("timestamp").cast("double")
+      // both timestamp flavors go through the dual-flavor epoch helper — a
+      // direct NTZ→double cast is illegal, and date→double must route
+      // through timestamp anyway
+      case DateType | TimestampType | TimestampNTZType =>
+        graft.clean.Dates.epochSeconds(col(c), df.schema(c).dataType)
       case DoubleType | FloatType =>
         val d = col(c).cast("double")
         when(isnan(d) || abs(d) === lit(Double.PositiveInfinity), lit(null)).otherwise(d)

@@ -1564,22 +1564,41 @@ object ExtQueries {
 
   /** U1 — URL canonicalization ([[graft.ext.Urls]]): the pass a crawl
     * pipeline runs before url-level dedup. The corpus has no URL column,
-    * so one is planted per document from doc_id (the t7 pattern): mixed
-    * case, optional `www.`, `utm_*` tracking params around a real one, a
-    * fragment. Both engines then normalize with the identical Java∩RE2
-    * regexes — host lowering, www/tracking/fragment stripping, and
-    * registrable-domain extraction are each hash-checked per row.
+    * so one is planted per document from doc_id (the t7 pattern), cycling
+    * six DIRTY shapes: mixed case + `:80` + utm params; `.co.uk` host with
+    * a dot-segment, `%7E`, and `fbclid`; `/./` + `%41` + `gclid`/`ref`
+    * beside a `referrer=` that must SURVIVE; userinfo + `github.io` +
+    * `%2f` (reserved — hex uppercased, NOT decoded); an unreserved escape
+    * with a ref-only query that empties; and a non-URL passthrough. The
+    * oracle rebuilds the same URLs and replays the normalization through
+    * [[graft.ext.Urls]]'s generated `…Sql` twins — both engines run the
+    * SAME constants, so any engine-side semantic drift (regex dialect,
+    * split behavior, slicing) hash-fails; ground-truth outputs are pinned
+    * per shape in UrlsSpec, and u2 asserts them end-to-end.
     */
   val u1UrlNormalize = QueryDef(
     "u1_url_normalize",
     (s, dir) => {
-      val planted = concat(lit("https://"),
-        when(col("doc_id") % 2 === 0, lit("WWW.")).otherwise(lit("")),
-        lit("Sub"), (col("doc_id") % 5).cast("string"),
-        lit(".Example"), (col("doc_id") % 20).cast("string"),
-        lit(".COM/Path/"), col("doc_id").cast("string"),
-        lit("?utm_source=feed&id="), col("doc_id").cast("string"),
-        lit("&utm_campaign=x#sec"), col("doc_id").cast("string"))
+      val id = col("doc_id")
+      def st(c: org.apache.spark.sql.Column) = c.cast("string")
+      val planted = when(id % 6 === 0, concat(
+          lit("HTTP://WWW.Sub"), st(id % 5), lit(".Example"), st(id % 20),
+          lit(".COM:80/Path/"), st(id), lit("?utm_source=feed&id="), st(id),
+          lit("&utm_campaign=x#sec"), st(id)))
+        .when(id % 6 === 1, concat(
+          lit("https://Shop"), st(id % 7), lit(".Example.CO.UK/a/../b/%7Ehome/"),
+          st(id), lit("?fbclid=f"), st(id), lit("&id="), st(id)))
+        .when(id % 6 === 2, concat(
+          lit("https://news"), st(id % 9), lit(".example.com/./x/%41rticle/"),
+          st(id), lit("?gclid=g"), st(id), lit("&ref=tw&referrer=keep"), st(id),
+          lit("&q="), st(id)))
+        .when(id % 6 === 3, concat(
+          lit("http://u"), st(id), lit("@blog"), st(id % 4),
+          lit(".github.io:8080/p%2fq/"), st(id)))
+        .when(id % 6 === 4, concat(
+          lit("https://site"), st(id % 11), lit(".org/AB%63/"), st(id),
+          lit("?ref=feed")))
+        .otherwise(concat(lit("not a url "), st(id)))
       Td(s, dir, "documents")
         .select(col("doc_id"), planted.as("url"))
         .select(col("doc_id"),
@@ -1588,31 +1607,85 @@ object ExtQueries {
           graft.ext.Urls.domain(col("url")).as("domain"))
         .orderBy(col("doc_id"))
     },
-    Some("""
-      WITH aug AS (SELECT doc_id,
-        'https://' || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
-        'Sub' || CAST(doc_id % 5 AS VARCHAR) || '.Example' || CAST(doc_id % 20 AS VARCHAR) ||
-        '.COM/Path/' || CAST(doc_id AS VARCHAR) ||
-        '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) ||
-        '&utm_campaign=x#sec' || CAST(doc_id AS VARCHAR) AS url
+    Some({
+      val U = graft.ext.Urls
+      s"""
+      WITH aug AS (SELECT doc_id, CASE doc_id % 6
+        WHEN 0 THEN 'HTTP://WWW.Sub' || CAST(doc_id % 5 AS VARCHAR) ||
+          '.Example' || CAST(doc_id % 20 AS VARCHAR) ||
+          '.COM:80/Path/' || CAST(doc_id AS VARCHAR) ||
+          '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) ||
+          '&utm_campaign=x#sec' || CAST(doc_id AS VARCHAR)
+        WHEN 1 THEN 'https://Shop' || CAST(doc_id % 7 AS VARCHAR) ||
+          '.Example.CO.UK/a/../b/%7Ehome/' || CAST(doc_id AS VARCHAR) ||
+          '?fbclid=f' || CAST(doc_id AS VARCHAR) || '&id=' || CAST(doc_id AS VARCHAR)
+        WHEN 2 THEN 'https://news' || CAST(doc_id % 9 AS VARCHAR) ||
+          '.example.com/./x/%41rticle/' || CAST(doc_id AS VARCHAR) ||
+          '?gclid=g' || CAST(doc_id AS VARCHAR) ||
+          '&ref=tw&referrer=keep' || CAST(doc_id AS VARCHAR) ||
+          '&q=' || CAST(doc_id AS VARCHAR)
+        WHEN 3 THEN 'http://u' || CAST(doc_id AS VARCHAR) ||
+          '@blog' || CAST(doc_id % 4 AS VARCHAR) ||
+          '.github.io:8080/p%2fq/' || CAST(doc_id AS VARCHAR)
+        WHEN 4 THEN 'https://site' || CAST(doc_id % 11 AS VARCHAR) ||
+          '.org/AB%63/' || CAST(doc_id AS VARCHAR) || '?ref=feed'
+        ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url
         FROM documents),
-      n AS (SELECT doc_id, url,
-        regexp_replace(regexp_replace(regexp_replace(
-            lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
-          '^[^@]*@', ''), ':[0-9]+$', ''), '^www\.', '') AS h,
-        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS p,
-        regexp_replace(regexp_replace(
-            regexp_extract(regexp_replace(url, '#.*', ''), '\?(.*)$', 1),
-          '(^|&)utm_[^&]*', '', 'g'), '^&+', '') AS q
-        FROM aug)
+      n1 AS (SELECT doc_id, url, ${U.hostNoWwwSql("url")} AS h,
+        ${U.pathSql("url")} AS p0, ${U.rawQuerySql("url")} AS q0 FROM aug),
+      n2 AS (SELECT doc_id, url, h, ${U.pctNormalizeSql("p0")} AS p1,
+        ${U.pctNormalizeSql("q0")} AS q1 FROM n1),
+      n3 AS (SELECT doc_id, url, h, ${U.removeDotSegmentsSql("p1")} AS p2,
+        ${U.trackingFilterSql("q1")} AS q2 FROM n2)
       SELECT doc_id, h AS host,
-             CASE WHEN length(h) > 0
-               THEN 'https://' || h || p ||
-                    (CASE WHEN length(q) > 0 THEN '?' || q ELSE '' END)
-               ELSE url END AS canon_url,
-             regexp_extract(h, '([^.]+\.[^.]+)$', 1) AS domain
-      FROM n ORDER BY doc_id
-    """))
+             ${U.assembleSql("url", "h", "p2", "q2")} AS canon_url,
+             ${U.domainSql("h")} AS domain
+      FROM n3 ORDER BY doc_id
+    """
+    }))
+
+  /** U2 — url-level dedup, the pass that composes u1 with d1: canonicalize
+    * → group by canonical form → keep the min-doc_id representative. Three
+    * dirty spellings of each of 50 pages (case/www/utm/fragment,
+    * dot-segment + fbclid, clean) must collapse to ONE group each. The
+    * oracle builds the expected canonical DIRECTLY from the plant key —
+    * ground truth, not a replay of the normalizer — so a normalization bug
+    * that u1's twin-implementation oracle would mirror on both sides fails
+    * HERE instead of passing twice. Group-by on a per-row derived key:
+    * one hash shuffle, broadcast-free, the d1 pattern at any scale.
+    */
+  val u2UrlDedup = QueryDef(
+    "u2_url_dedup",
+    (s, dir) => {
+      val id = col("doc_id")
+      def st(c: org.apache.spark.sql.Column) = c.cast("string")
+      val k = st(id % 50)
+      val planted = when(id % 3 === 0, concat(
+          lit("HTTP://WWW.Dup"), k, lit(".Example.COM/Page/"), k,
+          lit("?utm_x=1&id="), k, lit("#f")))
+        .when(id % 3 === 1, concat(
+          lit("https://dup"), k, lit(".example.com/a/../Page/"), k,
+          lit("?id="), k, lit("&fbclid=z"), st(id)))
+        .otherwise(concat(
+          lit("https://dup"), k, lit(".example.com/Page/"), k, lit("?id="), k))
+      Td(s, dir, "documents")
+        .select(col("doc_id"), graft.ext.Urls.canonicalize(planted).as("canon_url"))
+        .groupBy(col("canon_url"))
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_urls"))
+        .orderBy(col("canon_url"))
+    },
+    Some("""
+      WITH c AS (SELECT doc_id,
+        'https://dup' || CAST(doc_id % 50 AS VARCHAR) || '.example.com/Page/' ||
+        CAST(doc_id % 50 AS VARCHAR) || '?id=' || CAST(doc_id % 50 AS VARCHAR)
+          AS canon_url
+        FROM documents)
+      SELECT canon_url, MIN(doc_id) AS rep_id, COUNT(*) AS n_urls
+      FROM c GROUP BY canon_url ORDER BY canon_url
+    """),
+    // one map-side canonicalize + one groupBy — d1 already times the
+    // pattern; keeping it out preserves the compact bench line's headroom
+    benchmark = false)
 
   /** X10 — sequence packing: documents concat-and-chunked into 2048-token
     * packs per source shard ([[graft.ext.Packing]]), the training-batch
@@ -1655,7 +1728,7 @@ object ExtQueries {
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,
     d14DedupChargram, d17DedupIndexBucketed,
     s1KnnBrute, s2AnnIvf, m1MediaMeta, m2FrameSample, m3VideoMeta,
-    c1Curation, c2CurationRecipe, c3Decontaminate, u1UrlNormalize,
+    c1Curation, c2CurationRecipe, c3Decontaminate, u1UrlNormalize, u2UrlDedup,
     x1HllDistinct, x2KmeansIvf,
     x3DedupGroups, x5KmeansSample, x6DedupGroupsConv, x7StratifiedSample, x9CmsHeavyHitters,
     x10SequencePack)

@@ -32,8 +32,45 @@ class UrlsSpec extends SparkSpec {
     assert(canon("https://x.org")._3 === "x.org")
   }
 
-  test("only utm_* params are stripped; order of the rest is preserved") {
+  test("tracking params are stripped whole; order of the rest is preserved") {
     assert(canon("https://a.io/p?b=2&utm_x=1&a=1")._2 === "https://a.io/p?b=2&a=1")
+    assert(canon("https://a.io/p?fbclid=x&id=7&gclid=y&ref=tw")._2 === "https://a.io/p?id=7")
+    // a ref-only query empties: no dangling '?'
+    assert(canon("https://a.io/p?ref=feed")._2 === "https://a.io/p")
+  }
+
+  test("'ref' strips but 'referrer=' survives: params match whole, not by prefix") {
+    assert(canon("https://a.io/p?ref=tw&referrer=keep&q=1")._2 ===
+      "https://a.io/p?referrer=keep&q=1")
+  }
+
+  test("percent-encoding: unreserved escapes decode, reserved hex uppercases") {
+    assert(canon("https://x.org/%7Ehome/%41rticle")._2 === "https://x.org/~home/Article")
+    // %2F is a reserved '/': decoding would change path structure — only
+    // the hex case normalizes
+    assert(canon("https://x.org/p%2fq")._2 === "https://x.org/p%2Fq")
+    // malformed '%' passes through; %25 ('%') stays encoded, NO cascade:
+    // %2541 is an escaped "%41", not an 'A'
+    assert(canon("https://x.org/100%25%2541?a=%7e1")._2 === "https://x.org/100%25%2541?a=~1")
+    assert(canon("https://x.org/odd%zz%4")._2 === "https://x.org/odd%zz%4")
+  }
+
+  test("dot segments resolve: /a/../b, /./x, trailing and nested forms") {
+    assert(canon("https://x.org/a/../b")._2 === "https://x.org/b")
+    assert(canon("https://x.org/./x/y")._2 === "https://x.org/x/y")
+    assert(canon("https://x.org/a/b/../../c")._2 === "https://x.org/c")
+    assert(canon("https://x.org/../a")._2 === "https://x.org/a")
+    assert(canon("https://x.org/a/b/..")._2 === "https://x.org/a/")
+  }
+
+  test("registrable domain honors the public-suffix snapshot") {
+    // a .co.uk site must NOT collapse to 'co.uk' (one quota group for all
+    // of .co.uk would be the crawl-policy disaster case)
+    assert(canon("https://shop.Example.CO.UK/x")._3 === "example.co.uk")
+    assert(canon("https://a.b.site.github.io/x")._3 === "site.github.io")
+    assert(canon("https://deep.sub.example.com/x")._3 === "example.com")
+    // host that IS a suffix: no registrant label — falls back to last-two
+    assert(canon("https://co.uk/")._3 === "co.uk")
   }
 
   test("non-URL text passes through unchanged: no collapse into one dedup group") {

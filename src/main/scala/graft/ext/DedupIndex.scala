@@ -194,7 +194,7 @@ object DedupIndex {
   def dedupIncrement(store: TableStore, name: String, inc: DataFrame,
       idCol: String, textCol: String, n: Int = 3, k: Int = 12, bands: Int = 3,
       threshold: Double = 0.8, bucketCap: Int = Int.MaxValue,
-      digest: Boolean = false, broadcastCandLimit: Long = 4000000L): DataFrame = {
+      digest: Boolean = false, broadcastCandBytes: Long = 64L << 20): DataFrame = {
     require(k % bands == 0, s"k ($k) must be divisible by bands ($bands)")
     // the stored schema records which mode AND layout the index was BUILT
     // with — a mismatched `digest` here would only surface later as a
@@ -250,12 +250,16 @@ object DedupIndex {
     // candidate-doc sets are bucketCap-bounded in practice and a broadcast
     // semi-join restricts the stored-index scans without shuffling them —
     // but a huge increment probed against a dirty history can exceed the
-    // driver/broadcast limit, so above `broadcastCandLimit` distinct docs
-    // the hint is dropped and the semi-join shuffles (AQE still promotes
-    // it back if runtime stats allow). The count is a metadata-cheap scan
-    // of the stage just written.
+    // driver/broadcast limit, so above `broadcastCandBytes` of staged
+    // candidate parquet the hint is dropped and the semi-join shuffles
+    // (AQE still promotes it back if runtime stats allow). The gate reads
+    // the stage's FILE-SIZE metadata (candDocs was just written by
+    // Scratch.stage, so its leaf-relation stats are the listed file
+    // lengths): bytes are what the driver/broadcast limit is actually
+    // denominated in, and no extra count() job runs.
     val candKeys =
-      if (candDocs.count() <= broadcastCandLimit) broadcast(candDocs)
+      if (candDocs.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastCandBytes)
+        broadcast(candDocs)
       else candDocs
     val shCand = Scratch.stage(
       candidateShingles(store, name, candDocs, idCol, digest, idBuckets)
@@ -291,5 +295,32 @@ object DedupIndex {
       .map { case (t, pb) =>
         t -> graft.tables.Compact.compact(store, t, targetBytes, partitionBy = pb)
       }.toMap
+  }
+
+  /** [[maintain]] behind an operational TRIGGER: compact only when one of
+    * the three index tables has fragmented past `maxFiles` data files.
+    * The health check is three recursive directory listings — driver-side
+    * metadata, no Spark job — so callers run it after EVERY increment
+    * instead of inventing an external cadence; for daily ~few-file appends
+    * the default 64 fires roughly monthly. Returns the compaction stats
+    * when it fired, None when the index was healthy.
+    */
+  def maintainIfNeeded(store: TableStore, name: String, maxFiles: Int = 64,
+      targetBytes: Long = 128L << 20): Option[Map[String, graft.tables.Compact.Stats]] = {
+    require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
+    val conf = store.read(bandsT(name)).sparkSession.sparkContext.hadoopConfiguration
+    def nFiles(t: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(store.path(t))
+      val fs = p.getFileSystem(conf)
+      def walk(q: org.apache.hadoop.fs.Path): Int =
+        fs.listStatus(q).iterator.filterNot { s =>
+          val n = s.getPath.getName
+          n.startsWith("_") || n.startsWith(".")
+        }.map(s => if (s.isDirectory) walk(s.getPath) else 1).sum
+      if (fs.exists(p)) walk(p) else 0
+    }
+    val fragmented = Seq(bandsT(name), shinglesT(name), sizesT(name))
+      .exists(t => nFiles(t) > maxFiles)
+    if (fragmented) Some(maintain(store, name, targetBytes)) else None
   }
 }

@@ -155,7 +155,48 @@ class DedupIndexSpec extends SparkSpec {
     assert(got === expected)
   }
 
-  test("candDocs broadcast hint drops above broadcastCandLimit; pairs unchanged") {
+  test("maintainIfNeeded: healthy index no-ops, fragmented index compacts, pairs identical") {
+    val all = corpus(53, 60).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_didx_mif").toString
+    val store = new graft.tables.TableStore(spark, s"$tmp/store")
+    DedupIndex.build(store, "idx", all.filter(col("doc_id") % 4 === 3), "doc_id", "text")
+    (0 until 2).foreach { i =>
+      DedupIndex.dedupIncrement(store, "idx", all.filter(col("doc_id") % 4 === i),
+        "doc_id", "text", threshold = 0.7).collect()
+    }
+    def nFiles(t: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory)
+          f.listFiles.filterNot(x =>
+            x.getName.startsWith("_") || x.getName.startsWith(".")).map(walk).sum
+        else 1
+      walk(new java.io.File(store.path(t)))
+    }
+    val before = nFiles("idx_bands")
+    assert(before >= 3, s"expected a fragmented bands table, got $before files")
+
+    // below threshold: a no-op that leaves every file untouched
+    assert(DedupIndex.maintainIfNeeded(store, "idx", maxFiles = 1000).isEmpty)
+    assert(nFiles("idx_bands") === before)
+
+    // above threshold: fires, and the NEXT health check is clean again
+    val fired = DedupIndex.maintainIfNeeded(store, "idx", maxFiles = 2)
+    assert(fired.nonEmpty)
+    assert(fired.get("idx_bands").filesBefore === before)
+    assert(nFiles("idx_bands") < before)
+    assert(DedupIndex.maintainIfNeeded(store, "idx", maxFiles = 2).isEmpty)
+
+    // the compacted index answers the next increment exactly like the
+    // recompute-everything path over the same accumulated corpus
+    val prior = col("doc_id") % 4 =!= 2
+    val expected = pairSet(Dedup.minhashDedupIncremental(
+      all.filter(prior), all.filter(!prior), "doc_id", "text", threshold = 0.7))
+    val got = pairSet(DedupIndex.dedupIncrement(store, "idx", all.filter(!prior),
+      "doc_id", "text", threshold = 0.7))
+    assert(got === expected)
+  }
+
+  test("candDocs broadcast hint drops above broadcastCandBytes; pairs unchanged") {
     val all = corpus(37, 40).toDF("doc_id", "text")
     val isInc = col("doc_id") % 3 === 0
     val tmp = java.nio.file.Files.createTempDirectory("graft_didx_bc").toString
@@ -167,7 +208,7 @@ class DedupIndexSpec extends SparkSpec {
     val rBcast = DedupIndex.dedupIncrement(s1, "idx", all.filter(isInc),
       "doc_id", "text", threshold = 0.7)
     val rShuffle = DedupIndex.dedupIncrement(s2, "idx", all.filter(isInc),
-      "doc_id", "text", threshold = 0.7, broadcastCandLimit = 0L)
+      "doc_id", "text", threshold = 0.7, broadcastCandBytes = 0L)
     // same verified pair set either way — the limit changes the plan only
     assert(pairSet(rShuffle) === pairSet(rBcast))
     // the small case still hints broadcast on the candidate restriction —

@@ -171,8 +171,11 @@ object Multimodal {
                 if (size >= hdr + (if (v == 1) 96 else 84)) {
                   val tw = (u32(wOff) >> 16).toInt
                   val th = (u32(wOff + 4) >> 16).toInt
-                  if (tw > w) w = tw
-                  if (th > h) h = th
+                  // the reported pair must belong to ONE real track: keep
+                  // the max-AREA track's (w, h). A per-axis max across
+                  // tracks would report phantom dimensions no track has
+                  // (640x480 video + 480x640 thumbnail -> "640x640")
+                  if (tw.toLong * th > w.toLong * h) { w = tw; h = th }
                 }
               case _ => ()
             }

@@ -48,19 +48,25 @@ object Paragraphs {
   }
 
   /** Ordered boundary-split chunks: (id, pos, chunk) by splitting on a
-    * separator regex — `"\n\n"` is the real-world paragraph rule
-    * (Dolma/CCNet). Same output contract as [[chunks]], so
-    * [[boilerplateClean]] consumes either interchangeably; a document with
-    * no separator yields one chunk (itself), and `split`'s trailing-empty
-    * retention matches DuckDB's `string_split`, so the cross-engine replay
-    * is exact. The one-row-in, few-rows-out `posexplode` keeps this a
-    * narrow map-side pass.
+    * LITERAL separator — `"\n\n"` is the real-world paragraph rule
+    * (Dolma/CCNet). The separator is `Pattern.quote`d before reaching
+    * Spark's regex `split`: callers pass strings, and a `"."` or `"|"`
+    * separator interpreted as regex would shatter every document into
+    * characters — and silently diverge from DuckDB's `string_split`,
+    * which is literal, breaking the d16 oracle replay. Same output
+    * contract as [[chunks]], so [[boilerplateClean]] consumes either
+    * interchangeably; a document with no separator yields one chunk
+    * (itself), and `split`'s trailing-empty retention matches
+    * `string_split`, so the cross-engine replay is exact. The
+    * one-row-in, few-rows-out `posexplode` keeps this a narrow map-side
+    * pass.
     */
   def chunksBySplit(df: DataFrame, idCol: String, textCol: String,
       sep: String = "\n\n"): DataFrame = {
     require(sep.nonEmpty, "chunksBySplit: separator must be non-empty")
     df.select(col(idCol),
-      posexplode(split(col(textCol), sep)).as(Seq("pos", "chunk")))
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "chunk")))
   }
 
   /** Per-document boilerplate summary over [[chunks]] output: total chunks,

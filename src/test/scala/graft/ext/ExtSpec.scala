@@ -303,6 +303,33 @@ class ExtSpec extends SparkSpec {
     assert(Mp4.parse(bb.array) === None)
   }
 
+  test("multimodal: MP4 dims belong to ONE track (max area), never a per-axis max") {
+    import Multimodal.Mp4
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(t: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ t.getBytes("ISO-8859-1") ++ payload
+    val mvhd = be32(0) ++ be32(0) ++ be32(0) ++ be32(600) ++ be32(600)
+    def tkhd(w: Long, h: Long) =
+      Array.fill[Byte](76)(0) ++ be32(w << 16) ++ be32(h << 16)
+    // 640x480 video + 200x800 portrait banner: a per-axis max would report
+    // 640x800 — dimensions NO track has; the real answer is the max-area
+    // track's pair, in either track order
+    def movie(first: (Long, Long), second: (Long, Long)) =
+      box("moov", box("mvhd", mvhd) ++
+        box("trak", box("tkhd", tkhd(first._1, first._2))) ++
+        box("trak", box("tkhd", tkhd(second._1, second._2))))
+    val a = Mp4.parse(movie((200L, 800L), (640L, 480L))).get
+    assert((a.width, a.height) === (640, 480))
+    val b = Mp4.parse(movie((640L, 480L), (200L, 800L))).get
+    assert((b.width, b.height) === (640, 480))
+    // equal areas tie: the FIRST track wins (strict greater-than), still a
+    // real pair
+    val t = Mp4.parse(movie((480L, 640L), (640L, 480L))).get
+    assert((t.width, t.height) === (480, 640))
+  }
+
   test("multimodal: resizeImages preserves the alpha channel of RGBA inputs") {
     import Multimodal.MediaRow
     val img = new java.awt.image.BufferedImage(64, 32,

@@ -21,6 +21,19 @@ class ParagraphsSpec extends SparkSpec {
       (3L, 0, "")))
   }
 
+  test("chunksBySplit separators are LITERAL: '.' and '|' split like DuckDB string_split") {
+    val df = Seq((1L, "a.b|c")).toDF("doc_id", "text")
+    // regex-interpreted '.' would split between every character; literal
+    // '.' (= DuckDB string_split semantics) yields exactly two chunks
+    val byDot = Paragraphs.chunksBySplit(df, "doc_id", "text", sep = ".")
+      .orderBy("pos").as[(Long, Int, String)].collect().toSeq
+    assert(byDot === Seq((1L, 0, "a"), (1L, 1, "b|c")))
+    // regex-interpreted '|' is an empty alternation (splits everywhere)
+    val byPipe = Paragraphs.chunksBySplit(df, "doc_id", "text", sep = "|")
+      .orderBy("pos").as[(Long, Int, String)].collect().toSeq
+    assert(byPipe === Seq((1L, 0, "a.b"), (1L, 1, "c")))
+  }
+
   test("chunksBySplit: \\n\\n boundaries, no separator -> one chunk, feeds boilerplateClean") {
     val df = Seq(
       (1L, "real text one\n\ncookie banner"),

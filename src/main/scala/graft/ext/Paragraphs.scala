@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions._
   * proportional (df ≥ ceil(|docs|/50), integer arithmetic so the DuckDB twin
   * computes the identical cutoff), so the semantics are scale-invariant: at
   * 100 TB the flagged set is the corpus's true boilerplate, not a fixed-count
-  * artifact. There the df table's high-df tail (the only part the join needs)
-  * is small enough to broadcast or bloom-filter; the sort-merge join here is
-  * the general path.
+  * artifact. The join back carries only the df table's high-df tail (the
+  * flaggable digests — all the join needs, since sub-threshold chunks are
+  * never boilerplate), so its build side is the corpus's actual boilerplate
+  * set and AQE broadcasts it at runtime; the chunk relation itself is
+  * touched exactly twice (df agg, flag join), never sorted against a
+  * same-sized table.
   *
   * Real paragraph boundaries are `split(text, "\n\n")`; the synthetic corpus
   * is single-line, so segmentation is parameterized and the query layer uses
@@ -80,11 +83,20 @@ object Paragraphs {
     val nDocs = ch.agg(countDistinct(col(idCol)).as("n_docs"))
     val dfq = ch.groupBy(md5(col("chunk")).as("h"))
       .agg(countDistinct(col(idCol)).as("df"))
+    // Only the high-df tail can be flagged (threshold ≥ 2), and on natural
+    // text most chunks are unique — so filter the df table down to the
+    // flaggable digests BEFORE the join back. The join's right side shrinks
+    // from |distinct chunks| to |boilerplate digests| (the corpus's actual
+    // boilerplate set), which AQE then broadcasts at runtime instead of
+    // sort-merging the full chunk relation against itself-sized df rows.
+    // An unmatched chunk is by construction below threshold → left join,
+    // boiler = matched.
+    val dfqTail = dfq.crossJoin(broadcast(nDocs))
+      .filter(col("df") >= greatest(lit(2L), expr("(n_docs + 49) div 50")))
+      .select(col("h"))
     val flagged = ch
-      .join(dfq, md5(col("chunk")) === dfq("h"))
-      .crossJoin(broadcast(nDocs))
-      .withColumn("boiler",
-        col("df") >= greatest(lit(2L), expr("(n_docs + 49) div 50")))
+      .join(dfqTail, md5(col("chunk")) === dfqTail("h"), "left")
+      .withColumn("boiler", col("h").isNotNull)
     flagged.groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_chunks"),

@@ -153,10 +153,18 @@ object ScaleStress {
     // decisive case — same small increment, factor× history — measures
     // what partition-pruned candidate verification saves when the history
     // dwarfs the crawl (the id-bucketed layout's design point).
+    // The layout's FAVORABLE-selectivity point: a ≤8-doc crawl against the
+    // factor× history, where the candidates land in ≤8 of 64 buckets and
+    // partition pruning skips ≥7/8 of the shingle scan. The ~500-doc
+    // increment above covers essentially all buckets (selectivity ≈ 1,
+    // measured 2.11× SLOWER in r8) — this pair measures the other end.
+    val incTiny = inc1Small.orderBy("doc_id").limit(8)
     val cases = Seq(
       ("small_base", baseSmall, inc1Small, 0),
       ("big_base_same_inc", baseBig, inc1Small, 0),
       ("big_base_same_inc_bkt", baseBig, inc1Small, 64),
+      ("big_base_tiny_inc", baseBig, incTiny, 0),
+      ("big_base_tiny_inc_bkt", baseBig, incTiny, 64),
       ("big_base", baseBig, inc1, 0),
       ("big_base_2inc", baseBig, inc2, 0))
     val times = cases.map { case (tag, base, inc, idBuckets) =>
@@ -172,7 +180,7 @@ object ScaleStress {
       println(f"""{"incbench":"$tag","base_docs":${base.count()},"inc_docs":$nInc,"build_sec":$buildSec%.2f,"probe_sec":$probeSec%.2f}""")
       tag -> probeSec
     }.toMap
-    println(f"""{"incbench":"summary","same_inc_base_x$factor":${times("big_base_same_inc") / times("small_base")}%.2f,"same_inc_bkt_vs_flat":${times("big_base_same_inc_bkt") / times("big_base_same_inc")}%.2f,"incx$factor":${times("big_base") / times("small_base")}%.2f,"inc_x2":${times("big_base_2inc") / times("big_base")}%.2f}""")
+    println(f"""{"incbench":"summary","same_inc_base_x$factor":${times("big_base_same_inc") / times("small_base")}%.2f,"same_inc_bkt_vs_flat":${times("big_base_same_inc_bkt") / times("big_base_same_inc")}%.2f,"tiny_inc_bkt_vs_flat":${times("big_base_tiny_inc_bkt") / times("big_base_tiny_inc")}%.2f,"incx$factor":${times("big_base") / times("small_base")}%.2f,"inc_x2":${times("big_base_2inc") / times("big_base")}%.2f}""")
   }
 
   def main(args: Array[String]): Unit = {

@@ -468,10 +468,19 @@ object Dedup {
 
   def contamination(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 5, minShared: Int = 1,
-      maxDf: Int = ContaminationMaxDf): DataFrame = {
+      maxDf: Int = ContaminationMaxDf,
+      trainPrefilter: Option[Column => Column] = None): DataFrame = {
     val shTAll = shingleIndex(train, idCol, textCol, n)
       .withColumnRenamed(idCol, "train_id")
-    val shT = dfCapped(shTAll, shTAll, maxDf)
+    // optional result-preserving pre-filter on the train shingles (e.g. a
+    // [[Bloom]] membership test over the eval side): a dropped shingle
+    // cannot pair — it is absent from eval modulo false positives, which
+    // the exact join below removes — so the output is unchanged while the
+    // big side's join shuffle shrinks to probable hits. Applied AFTER the
+    // df-cap so the hot-shingle exclusion set stays bloom-independent.
+    val shT = trainPrefilter.foldLeft(dfCapped(shTAll, shTAll, maxDf)) {
+      (sh, f) => sh.filter(f(col("shingle")))
+    }
     val shE = dfCapped(
       shingleIndex(eval, idCol, textCol, n).withColumnRenamed(idCol, "eval_id"),
       shTAll, maxDf)

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Td
-import graft.ext.{Dedup, DedupIndex, Multimodal, Sampling, Similarity, TextAnalysis => TA}
+import graft.ext.{Bloom, Dedup, DedupIndex, Multimodal, Sampling, Similarity, TextAnalysis => TA}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline extension queries (BASELINE.json north-star):
@@ -1562,6 +1562,61 @@ object ExtQueries {
     // one broadcast anti-join on top — correctness-gated, not re-timed
     benchmark = false)
 
+  /** C4 — bloom-prefiltered decontamination ([[graft.ext.Bloom]]): the
+    * GPT-3-style benchmark scrub (Brown et al. 2020 appendix C runs 13-gram
+    * bloom membership over the whole corpus). Same cleaned-corpus contract
+    * as c3, computed the way a 100 TB pass actually runs it: the EVAL
+    * shingle set is hashed once into a broadcast bloom (16 bits/item,
+    * fpp ≈ 10⁻³), every TRAIN shingle is tested map-side ON ITS OWN SCAN,
+    * and only probable hits reach the exact inverted-index join — the join
+    * that c3/d12 feed with the full train shingle volume. False positives
+    * are removed by that exact join, so the bloom is invisible in the
+    * result and the DuckDB oracle replays plain exact semantics. Uncapped
+    * (maxDf = ∞): the bloom already bounds the join's hot-key exposure to
+    * n-grams genuinely present in the (small, curated) eval suite, making
+    * this the trusted-eval twin of c3's df-capped general path.
+    */
+  val c4DecontaminateBloom = QueryDef(
+    "c4_decontaminate_bloom",
+    (s, dir) => {
+      val docs = Td(s, dir, "documents")
+      val isEval = Similarity.sampleBucket(col("doc_id")) % 4 === 0
+      val train = docs.filter(!isEval)
+      val evalDf = docs.filter(isEval)
+      val shE = Dedup.shingleIndex(evalDf, "doc_id", "text", n = 5)
+        .select(col("shingle")).distinct()
+      val bloom = Bloom.build(shE, col("shingle"), Bloom.sizeFor(shE.count()))
+      val flagged = Dedup.contamination(train, evalDf, "doc_id", "text",
+          n = 5, minShared = 3, maxDf = Int.MaxValue,
+          trainPrefilter = Some(bloom.mightContain))
+        .filter(col("overlap_frac") >= 0.5)
+        .select(col("train_id").as("doc_id")).distinct()
+      train.join(flagged, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+      sh5 AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(ws) >= 5
+                 THEN list_transform(generate_series(1, len(ws)-4), i -> array_to_string(ws[i:i+4], ' '))
+                 ELSE [array_to_string(ws, ' ')] END)) AS shingle FROM w),
+      tr AS (SELECT doc_id AS train_id, shingle FROM sh5
+             WHERE NOT ${sampleFilterSql("doc_id", 4)}),
+      ev AS (SELECT doc_id AS eval_id, shingle FROM sh5
+             WHERE ${sampleFilterSql("doc_id", 4)}),
+      sz AS (SELECT eval_id, COUNT(*) AS n_ev FROM ev GROUP BY 1),
+      p AS (SELECT train_id, eval_id, COUNT(*) AS n_shared
+            FROM tr JOIN ev USING (shingle) GROUP BY 1, 2),
+      flagged AS (SELECT DISTINCT train_id FROM p JOIN sz USING (eval_id)
+                  WHERE n_shared >= 3
+                    AND CAST(n_shared AS DOUBLE) / CAST(n_ev AS DOUBLE) >= 0.5)
+      SELECT doc_id, lang, source FROM documents
+      WHERE NOT ${sampleFilterSql("doc_id", 4)}
+        AND doc_id NOT IN (SELECT train_id FROM flagged)
+      ORDER BY doc_id
+    """))
+
   /** U1 — URL canonicalization ([[graft.ext.Urls]]): the pass a crawl
     * pipeline runs before url-level dedup. The corpus has no URL column,
     * so one is planted per document from doc_id (the t7 pattern), cycling
@@ -1728,7 +1783,8 @@ object ExtQueries {
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,
     d14DedupChargram, d17DedupIndexBucketed,
     s1KnnBrute, s2AnnIvf, m1MediaMeta, m2FrameSample, m3VideoMeta,
-    c1Curation, c2CurationRecipe, c3Decontaminate, u1UrlNormalize, u2UrlDedup,
+    c1Curation, c2CurationRecipe, c3Decontaminate, c4DecontaminateBloom,
+    u1UrlNormalize, u2UrlDedup,
     x1HllDistinct, x2KmeansIvf,
     x3DedupGroups, x5KmeansSample, x6DedupGroupsConv, x7StratifiedSample, x9CmsHeavyHitters,
     x10SequencePack)

@@ -171,4 +171,37 @@ class PlanSpec extends SparkSpec {
     val exchanges = "hashpartitioning".r.findAllIn(p).length
     assert(exchanges === 1, s"expected exactly 1 hash exchange, found $exchanges:\n$p")
   }
+
+  test("paragraph flag join carries only the df tail on its build side (D15)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val lp = graft.queries.ExtQueries.d15ParagraphDedup.fn(spark, sf)
+      .queryExecution.optimizedPlan
+    // the flag join must be a LEFT join whose right subtree restricts the df
+    // aggregate to the flaggable tail (df >= greatest(2, ceil(n/50))) BEFORE
+    // the join — the optimizer folds the threshold filter into the 1-row
+    // broadcast cross join's condition, so match the expression anywhere in
+    // the right subtree. Joining the FULL df table back would sort-merge the
+    // chunk relation against a same-sized table at scale.
+    val flagJoins = lp.collect {
+      case j: Join if j.joinType.toString == "LeftOuter" &&
+        j.right.toString.contains("greatest(2") => j
+    }
+    assert(flagJoins.nonEmpty,
+      s"expected a left join against the filtered df tail:\n$lp")
+  }
+
+  test("bloom membership rides the train scan, join-free (C4)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val lp = graft.queries.ExtQueries.c4DecontaminateBloom.fn(spark, sf)
+      .queryExecution.optimizedPlan
+    // the bloom predicate (element_at + bitwise AND conjuncts) must sit on
+    // a JOIN-FREE subtree — i.e. the train shingles are pre-filtered on
+    // their own scan, not after reaching the inverted-index join
+    val bloomFilters = lp.collect {
+      case f: Filter if f.condition.toString.contains("element_at") => f
+    }
+    assert(bloomFilters.nonEmpty, s"expected a bloom membership Filter:\n$lp")
+    assert(bloomFilters.exists(_.collect { case j: Join => j }.isEmpty),
+      "bloom filter must apply before any join, on the scan-side subtree")
+  }
 }

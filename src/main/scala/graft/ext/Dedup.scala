@@ -469,9 +469,22 @@ object Dedup {
   def contamination(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 5, minShared: Int = 1,
       maxDf: Int = ContaminationMaxDf,
-      trainPrefilter: Option[Column => Column] = None): DataFrame = {
-    val shTAll = shingleIndex(train, idCol, textCol, n)
-      .withColumnRenamed(idCol, "train_id")
+      trainPrefilter: Option[Column => Column] = None): DataFrame =
+    contaminationFromShingles(
+      shingleIndex(train, idCol, textCol, n).withColumnRenamed(idCol, "train_id"),
+      shingleIndex(eval, idCol, textCol, n).withColumnRenamed(idCol, "eval_id"),
+      minShared, maxDf, trainPrefilter)
+
+  /** [[contamination]] over PRE-BUILT shingle indexes (`shTAll`: (train_id,
+    * shingle); `shEAll`: (eval_id, shingle), both distinct-per-doc as
+    * [[shingleIndex]] emits) — the staged-eval path: a caller that also
+    * needs the eval shingles for a [[Bloom]] build stages them once and
+    * passes the staged frame here instead of re-shingling the eval corpus
+    * per consumer (the [[jaccardPairsWithSizes]] precedent).
+    */
+  def contaminationFromShingles(shTAll: DataFrame, shEAll: DataFrame,
+      minShared: Int, maxDf: Int,
+      trainPrefilter: Option[Column => Column]): DataFrame = {
     // optional result-preserving pre-filter on the train shingles (e.g. a
     // [[Bloom]] membership test over the eval side): a dropped shingle
     // cannot pair — it is absent from eval modulo false positives, which
@@ -481,9 +494,7 @@ object Dedup {
     val shT = trainPrefilter.foldLeft(dfCapped(shTAll, shTAll, maxDf)) {
       (sh, f) => sh.filter(f(col("shingle")))
     }
-    val shE = dfCapped(
-      shingleIndex(eval, idCol, textCol, n).withColumnRenamed(idCol, "eval_id"),
-      shTAll, maxDf)
+    val shE = dfCapped(shEAll, shTAll, maxDf)
     val sizesE = shE.groupBy(col("eval_id")).agg(count(lit(1)).as("n_ev"))
     shT.join(shE, Seq("shingle"))
       .groupBy(col("train_id"), col("eval_id"))

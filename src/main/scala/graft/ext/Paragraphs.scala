@@ -72,6 +72,36 @@ object Paragraphs {
         .as(Seq("pos", "chunk")))
   }
 
+  /** WITHIN-document chunk dedup — the intra-doc twin of [[boilerplateClean]]
+    * (which is cross-doc by design and deliberately KEEPS within-doc
+    * repeats): crawled pages repeat their own nav blocks, share widgets,
+    * and pagination footers several times in one document, and a training
+    * pipeline strips the repeats while keeping the first occurrence in
+    * reading order. Per document: keep min-pos per distinct chunk, rebuild
+    * the cleaned text in order, report total/removed counts.
+    *
+    * Scale shape: one aggregation keyed (id, chunk) — a hash shuffle of
+    * chunk digests at worst, and map-side partial aggregation eats the
+    * repeats early since duplicates of a chunk live in one document and
+    * thus mostly one input partition — then the per-doc regroup on the
+    * already-deduped rows. Never doc×doc, no windows over full documents.
+    */
+  def dedupWithinDoc(ch: DataFrame, idCol: String): DataFrame = {
+    val first = ch.groupBy(col(idCol), col("chunk"))
+      .agg(min(col("pos")).as("pos"), count(lit(1)).as("n_occ"))
+    first.groupBy(col(idCol))
+      .agg(
+        sum(col("n_occ")).cast("long").as("n_chunks"),
+        (sum(col("n_occ")) - count(lit(1))).cast("long").as("n_dupes"),
+        // min-pos values are distinct per doc (each pos held one chunk), so
+        // the (pos, chunk) struct sort is total and the rebuild deterministic
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("chunk")))),
+            s => s.getField("chunk")),
+          " ")).as("clean_md5"))
+  }
+
   /** Per-document boilerplate summary over [[chunks]] output: total chunks,
     * boilerplate chunks (df ≥ ceil(nDocs/50), min 2), and the md5 of the
     * cleaned text (surviving chunks rejoined in order; all-boilerplate docs

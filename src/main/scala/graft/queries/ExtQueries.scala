@@ -1045,6 +1045,48 @@ object ExtQueries {
       FROM j GROUP BY doc_id ORDER BY doc_id
     """))
 
+  /** D18 — WITHIN-document chunk dedup ([[graft.ext.Paragraphs.dedupWithinDoc]]):
+    * the intra-doc pass d15/d16 deliberately do NOT perform (their df counts
+    * documents, so a chunk repeated only inside one document survives).
+    * Real pages repeat their own nav/share/footer blocks; this strips the
+    * repeats keeping the first occurrence in reading order. The single-line
+    * corpus has no intra-doc repeats, so the query plants them on a third
+    * of the documents (doc_id % 3 = 0 gains the same "share" paragraph
+    * twice; everyone else once — both populations present, so kept-vs-
+    * removed behavior is non-vacuous in one artifact row).
+    */
+  val d18DedupWithinDoc = QueryDef(
+    "d18_dedup_withindoc",
+    (s, dir) => {
+      val planted = Td(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit("\n\nShare this page with your friends"),
+          when(col("doc_id") % 3 === 0,
+            lit("\n\nShare this page with your friends")).otherwise(lit("")))
+          .as("text"))
+      val ch = graft.ext.Paragraphs.chunksBySplit(planted, "doc_id", "text")
+      graft.ext.Paragraphs.dedupWithinDoc(ch, "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH aug AS (
+        SELECT doc_id,
+               text || chr(10) || chr(10) || 'Share this page with your friends' ||
+               CASE WHEN doc_id % 3 = 0
+                 THEN chr(10) || chr(10) || 'Share this page with your friends'
+                 ELSE '' END AS t
+        FROM documents),
+      w AS (SELECT doc_id, string_split(t, chr(10) || chr(10)) AS ps FROM aug),
+      c AS (SELECT doc_id, unnest(generate_series(1, len(ps))) AS i, ps FROM w),
+      ch AS (SELECT doc_id, i - 1 AS pos, ps[i] AS chunk FROM c),
+      f AS (SELECT doc_id, chunk, min(pos) AS pos, count(*) AS n_occ
+            FROM ch GROUP BY 1, 2)
+      SELECT doc_id,
+             CAST(sum(n_occ) AS BIGINT) AS n_chunks,
+             CAST(sum(n_occ) - count(*) AS BIGINT) AS n_dupes,
+             md5(string_agg(chunk, ' ' ORDER BY pos)) AS clean_md5
+      FROM f GROUP BY doc_id ORDER BY doc_id
+    """))
+
   /** X7 — stratified deterministic sampling (the data-mixing op): keep 1/2
     * of English docs and 1/4 of everything else, selected by md5 id-bucket
     * — content-independent, partitioning-independent, and replayable as a
@@ -1583,11 +1625,20 @@ object ExtQueries {
       val isEval = Similarity.sampleBucket(col("doc_id")) % 4 === 0
       val train = docs.filter(!isEval)
       val evalDf = docs.filter(isEval)
-      val shE = Dedup.shingleIndex(evalDf, "doc_id", "text", n = 5)
-        .select(col("shingle")).distinct()
+      // the eval shingle set feeds BOTH the bloom build and the exact join:
+      // stage it once (columnar scratch parquet) so the eval corpus is
+      // shingled exactly once, the sizing count is parquet-metadata-cheap,
+      // and both consumers read the staged files. No distinct needed —
+      // bloom positions are idempotent and sizeFor over the per-doc-distinct
+      // row count only oversizes, never undersizes.
+      val shE = graft.tables.Scratch.stage(
+        Dedup.shingleIndex(evalDf, "doc_id", "text", n = 5)
+          .withColumnRenamed("doc_id", "eval_id"), "c4_evsh")
       val bloom = Bloom.build(shE, col("shingle"), Bloom.sizeFor(shE.count()))
-      val flagged = Dedup.contamination(train, evalDf, "doc_id", "text",
-          n = 5, minShared = 3, maxDf = Int.MaxValue,
+      val flagged = Dedup.contaminationFromShingles(
+          Dedup.shingleIndex(train, "doc_id", "text", n = 5)
+            .withColumnRenamed("doc_id", "train_id"),
+          shE, minShared = 3, maxDf = Int.MaxValue,
           trainPrefilter = Some(bloom.mightContain))
         .filter(col("overlap_frac") >= 0.5)
         .select(col("train_id").as("doc_id")).distinct()
@@ -1777,7 +1828,7 @@ object ExtQueries {
 
   val all: Seq[QueryDef] = Seq(
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
-    t7PiiRedact, d15ParagraphDedup, d16ParagraphSplit,
+    t7PiiRedact, d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,

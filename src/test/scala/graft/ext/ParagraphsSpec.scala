@@ -101,6 +101,25 @@ class ParagraphsSpec extends SparkSpec {
     assert(out.map(r => (r._1, r._2, r._3)) === Seq((1L, 3L, 0L), (2L, 2L, 0L)))
   }
 
+  test("dedupWithinDoc: keeps first occurrence in order, counts removals, leaves unique docs alone") {
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    val df = Seq(
+      // "nav" repeats at pos 0, 2, 4 -> kept once at pos 0; reading order
+      // of survivors is nav, body, tail
+      (1L, "nav\n\nbody\n\nnav\n\ntail\n\nnav"),
+      (2L, "all\n\nunique\n\nparagraphs"),
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val ch = Paragraphs.chunksBySplit(df, "doc_id", "text")
+    val out = Paragraphs.dedupWithinDoc(ch, "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 5L, 2L, m("nav body tail")),
+      (2L, 3L, 0L, m("all unique paragraphs")),
+      (3L, 1L, 0L, m("solo"))))
+  }
+
   test("chunkTokens must be positive") {
     val df = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

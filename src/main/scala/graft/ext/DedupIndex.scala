@@ -173,6 +173,17 @@ object DedupIndex {
       Dedup.bandBuckets(Dedup.minhashSignature(sh, idCol, k), idCol, bands, k / bands))
   }
 
+  /** Ids already present in index `name` — a narrow scan of the sizes
+    * table (one row per indexed doc, no text, no shingles). The
+    * re-delivery guard a streaming caller anti-joins each micro-batch
+    * against before incrementing
+    * ([[graft.streaming.Streams.indexedNearDupSink]]): an at-least-once
+    * source may replay a batch, and a replayed doc must neither re-enter
+    * the index nor near-dup-match itself.
+    */
+  def knownIds(store: TableStore, name: String, idCol: String): DataFrame =
+    store.read(sizesT(name)).select(col(idCol))
+
   /** Incremental run: verified near-dup pairs (id_a < id_b, jaccard ≥
     * threshold) touching the increment — same output contract as
     * [[Dedup.minhashDedupIncremental]] on (stored corpus, inc) — and, as a

@@ -969,6 +969,61 @@ object ExtQueries {
       FROM aug ORDER BY doc_id
     """))
 
+  /** T8 — LM-perplexity quality scoring (the CCNet/Gopher filter): score
+    * each document under a bigram language model trained on the corpus
+    * itself — boilerplate and templated text sits in high-probability
+    * regions (low avg negative log-likelihood), gibberish and mis-extracted
+    * content in the tail, and a curation pass keeps the middle. Self-scored,
+    * every document bigram has corpus count ≥ 1 (its own occurrence), so
+    * P(w2|w1) = C(w1 w2)/C(w1 ·) needs no smoothing and stays in (0, 1].
+    *
+    * Scale shape: two bigram-keyed count aggregations (map-side partial
+    * over the explode) and two joins back — the t5 tfidf pattern. At 100 TB
+    * the LM tables are the aggregated model, orders smaller than the
+    * corpus; a production pass would top-K-prune them and broadcast (rare
+    * bigrams → a floor probability), which only re-scores the tail this
+    * filter drops anyway.
+    *
+    * Determinism: per-bigram ln in IEEE double (both engines agree to ~ulp),
+    * then the per-doc sum through DECIMAL(18,12) — exact, order-free — so
+    * shuffle/partitioning can't move the 6-decimal-rounded compare.
+    */
+  val t8LmPerplexity = QueryDef(
+    "t8_lm_perplexity",
+    (s, dir) => {
+      val bg = Td(s, dir, "documents")
+        .select(col("doc_id"), explode(TA.bigramsAll(col("text"))).as("bigram"))
+      val c2 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+      val c1 = bg.groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
+        .agg(count(lit(1)).as("c1"))
+      val lp = log(col("c2") / col("c1"))
+      bg.join(c2, Seq("bigram"))
+        .withColumn("w1", substring_index(col("bigram"), " ", 1))
+        .join(c1, Seq("w1"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          (-sum(lp.cast(org.apache.spark.sql.types.DecimalType(18, 12)))
+            .cast("double") / count(lit(1))).as("avg_nll"))
+        .withColumn("ppl", exp(col("avg_nll")))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1),
+               i -> ws[i] || ' ' || ws[i+1])) AS bigram
+             FROM w WHERE len(ws) >= 2),
+      c2 AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY 1),
+      c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, count(*) AS c1 FROM bg GROUP BY 1),
+      j AS (SELECT doc_id, ln(CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)) AS lp
+            FROM bg JOIN c2 USING (bigram)
+                    JOIN c1 ON split_part(bg.bigram, ' ', 1) = c1.w1),
+      d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(-SUM(CAST(lp AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS avg_nll
+            FROM j GROUP BY doc_id)
+      SELECT doc_id, n_bigrams, avg_nll, exp(avg_nll) AS ppl
+      FROM d ORDER BY doc_id
+    """))
+
   /** D15 — paragraph-level (sub-document) dedup, Dolma/CCNet-style: flag
     * chunks whose document frequency clears a corpus-proportional threshold
     * (df ≥ ceil(|docs|/50), integer math both engines) as boilerplate and
@@ -1828,7 +1883,7 @@ object ExtQueries {
 
   val all: Seq[QueryDef] = Seq(
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
-    t7PiiRedact, d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc,
+    t7PiiRedact, t8LmPerplexity, d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,

@@ -311,6 +311,45 @@ class StreamsSpec extends SparkSpec {
     assert(store.read("nd_history").count() === 4) // re-delivered doc 1 not duplicated
   }
 
+  test("indexedNearDupSink: durable-index streaming dedup, re-deliveries ignored, index grows per batch") {
+    val dir = Files.createTempDirectory("graft_ind_landing").toString
+    val ckpt = Files.createTempDirectory("graft_ind_ckpt").toString
+    val store = new TableStore(spark, Files.createTempDirectory("graft_ind_store").toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    // the sink's contract: index built once up front (here over nothing) —
+    // the stream only ever increments it
+    import spark.implicits._
+    graft.ext.DedupIndex.build(store, "ix",
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+    def docsStream = spark.readStream.format("json").schema(schema).load(dir)
+    def drain(): Unit = Streams.indexedNearDupSink(docsStream, store, "ix",
+      "ix_pairs", ckpt, threshold = 0.8).awaitTermination()
+
+    val d1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b1.json"),
+      s"""{"doc_id":1,"text":"$d1"}
+         |{"doc_id":2,"text":"one two three four five six seven eight nine ten"}
+         |""".stripMargin)
+    drain()
+    assert(store.read("ix_pairs").count() === 0)
+    assert(graft.ext.DedupIndex.knownIds(store, "ix", "doc_id").count() === 2)
+
+    // batch 2: near-copy of doc 1 (jaccard 9/11 ≈ 0.82), one unrelated doc,
+    // and a RE-DELIVERY of doc 1 (must not self-pair or re-enter the index)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b2.json"),
+      s"""{"doc_id":3,"text":"${d1.replace(" mu", " nu")}"}
+         |{"doc_id":4,"text":"red orange yellow green blue indigo violet pink brown black"}
+         |{"doc_id":1,"text":"$d1"}
+         |""".stripMargin)
+    drain()
+    val pairs = store.read("ix_pairs").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.toSeq === Seq((1L, 3L)))
+    assert(graft.ext.DedupIndex.knownIds(store, "ix", "doc_id").count() === 4)
+  }
+
   test("landingStream cleanSource=archive moves processed files out of landing (S10 streaming path)") {
     val dir = Files.createTempDirectory("graft_landing_arch").toString
     val archive = Files.createTempDirectory("graft_archive").toString

@@ -124,6 +124,34 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
   }
 
+  /** Containment near-dup pairs: |A∩B| / min(|A|, |B|) ≥ threshold (the
+    * containment coefficient / overlap coefficient) — catches SUBSET
+    * duplication Jaccard misses: a short doc fully embedded in a longer one
+    * (article + prepended boilerplate, excerpt + source, truncated
+    * re-crawl) has containment 1.0 but Jaccard |A|/|B|, arbitrarily low as
+    * the host grows. Same df-capped inverted-index join as [[jaccardPairs]]
+    * — only the final normalization differs (min instead of union), and the
+    * raw n_inter/n_a/n_b ride along so callers can re-threshold without
+    * re-joining. Scale note: MinHash-LSH under-recalls containment (its
+    * signature estimates Jaccard, and a small-in-big pair's Jaccard is
+    * low), so the df-capped index join IS the scale path for this
+    * predicate, exactly as for [[contamination]].
+    */
+  def containmentPairs(shingles: DataFrame, idCol: String,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    val sh = dfCapped(shingles, shingles, maxDf)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"), col("n_b"),
+        (col("n_inter").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double")).as("containment"))
+  }
+
   /** MinHash signature: sig_i = min over shingles of md5(i + ":" + shingle),
     * i ∈ [0, k). One hash-agg over the shingle index; k column-parallel mins
     * ride a single shuffle.

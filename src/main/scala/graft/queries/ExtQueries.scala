@@ -422,6 +422,54 @@ object ExtQueries {
     // benched durable-index row; timing both would double-count the build
     benchmark = false)
 
+  /** D19 — containment dedup ([[graft.ext.Dedup.containmentPairs]]): the
+    * subset-duplication predicate Jaccard misses. The corpus has no
+    * natural truncations, so the query plants them (the t7/d16 pattern):
+    * every fifth document gains a twin holding its FIRST HALF of tokens —
+    * containment 1.0 against its source (prefix 3-grams are a subset)
+    * while Jaccard sits near 0.5, invisible at any usual threshold. The
+    * ≥ 0.9 filter then returns exactly the planted truncations plus any
+    * organic high-overlap family pairs, with raw n_inter/n_a/n_b alongside
+    * for re-thresholding.
+    */
+  val d19DedupContainment = QueryDef(
+    "d19_dedup_containment",
+    (s, dir) => {
+      val t = TA.wsTokens(col("text"))
+      val docs = Td(s, dir, "documents").select(col("doc_id"), col("text"))
+      val halves = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          array_join(slice(t, lit(1), (size(t) / lit(2)).cast("int")), " ").as("text"))
+      val sh = Dedup.shingleIndex(docs.unionByName(halves), "doc_id", "text", 3)
+      Dedup.containmentPairs(sh, "doc_id")
+        .filter(col("containment") >= 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH h0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                  FROM documents WHERE doc_id % 5 = 0),
+      halves AS (SELECT doc_id + 100000 AS doc_id,
+                        array_to_string(ws[1:len(ws)//2], ' ') AS text FROM h0),
+      alld AS (SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id, text FROM halves),
+      w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM alld),
+      sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(ws) >= 3
+                 THEN list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' '))
+                 ELSE [array_to_string(ws, ' ')] END)) AS shingle FROM w),
+      sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      SELECT id_a, id_b, CAST(p.n_inter AS BIGINT) AS n_inter,
+             CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b,
+             CAST(p.n_inter AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE)
+               AS containment
+      FROM p JOIN sz sa ON p.id_a = sa.doc_id JOIN sz sb ON p.id_b = sb.doc_id
+      WHERE CAST(p.n_inter AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.9
+      ORDER BY id_a, id_b
+    """))
+
   /** D4 — SimHash near-dup: 64-bit sketch, Hamming ≤ 3 via 16-bit-chunk
     * pigeonhole, hot chunk-buckets capped at 32 members.
     */
@@ -1512,6 +1560,73 @@ object ExtQueries {
     // fixed rounds); this convergence variant is correctness surface
     benchmark = false)
 
+  /** X11 — quality-aware representative selection over near-dup groups:
+    * the decision a curation pipeline actually makes after group formation.
+    * Min-id keeps (a2, exact dedup) are right when members are identical;
+    * NEAR-dup members differ, and keeping the first-crawled copy of a page
+    * whose later crawl is cleaner throws quality away — so the
+    * representative is the quality-argmax ([[graft.ext.TextAnalysis.qualityScore]],
+    * doc_id tie-break), emitted as a `keep` flag per member. One window
+    * over the (tiny) grouped membership riding x3's group labels; the
+    * quality expression is per-row scan work. Double ORDER BY determinism
+    * holds because both engines compute bit-identical scores (t2's
+    * hash-matched expression) and ties fall to doc_id.
+    */
+  val x11DedupRepresentative = QueryDef(
+    "x11_dedup_representative",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Td(s, dir, "documents")
+      val pairs = Dedup.minhashDedup(docs, "doc_id", "text",
+        n = 3, k = 12, bands = 3, threshold = 0.8)
+      val groups = Dedup.components(pairs, iters = 4)
+        .select(col("id").as("doc_id"), col("label").as("group_id"))
+      val scored = docs.join(groups, Seq("doc_id"))
+        .select(col("doc_id"), col("group_id"),
+          TA.qualityScore(col("text")).as("quality"))
+      val w = Window.partitionBy(col("group_id"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      scored.withColumn("keep", row_number().over(w) === 1)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val rounds = (1 to 4).map { t =>
+        s"""l$t AS MATERIALIZED (SELECT id, min(label) AS label FROM (
+              SELECT id, label FROM l${t - 1}
+              UNION ALL
+              SELECT e.src AS id, l${t - 1}.label FROM e JOIN l${t - 1} ON e.dst = l${t - 1}.id
+            ) u GROUP BY id)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH ${minhashPairsSql("documents", 0.8)},
+      e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM mh_pairs
+            UNION ALL SELECT id_b AS src, id_a AS dst FROM mh_pairs),
+      n0 AS (SELECT DISTINCT src AS id FROM e),
+      l0 AS MATERIALIZED (SELECT id, id AS label FROM n0),
+      $rounds,
+      qb AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS BIGINT) AS n_punct,
+               CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                 x -> list_contains(${sqlList(TA.Stopwords)}, x))) AS BIGINT) AS n_stop,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+               CAST(greatest(length(text), 1) AS DOUBLE) AS n_len
+        FROM documents),
+      q AS (
+        SELECT doc_id,
+               0.5 * least(n_tok / 64.0, 1.0)
+                 + 0.5 * least((CAST(n_stop AS DOUBLE) / n_tok) * 4.0, 1.0)
+                 - (CAST(n_punct AS DOUBLE) / n_len) * 2.0 AS quality
+        FROM qb),
+      j AS (SELECT l4.id AS doc_id, l4.label AS group_id, q.quality
+            FROM l4 JOIN q ON l4.id = q.doc_id)
+      SELECT doc_id, group_id, quality,
+             (row_number() OVER (PARTITION BY group_id
+                ORDER BY quality DESC, doc_id ASC) = 1) AS keep
+      FROM j ORDER BY doc_id
+    """
+    })
+
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
@@ -1887,11 +2002,12 @@ object ExtQueries {
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,
-    d14DedupChargram, d17DedupIndexBucketed,
+    d14DedupChargram, d17DedupIndexBucketed, d19DedupContainment,
     s1KnnBrute, s2AnnIvf, m1MediaMeta, m2FrameSample, m3VideoMeta,
     c1Curation, c2CurationRecipe, c3Decontaminate, c4DecontaminateBloom,
     u1UrlNormalize, u2UrlDedup,
     x1HllDistinct, x2KmeansIvf,
     x3DedupGroups, x5KmeansSample, x6DedupGroupsConv, x7StratifiedSample, x9CmsHeavyHitters,
+    x11DedupRepresentative,
     x10SequencePack)
 }

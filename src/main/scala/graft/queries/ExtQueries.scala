@@ -441,7 +441,10 @@ object ExtQueries {
         .select((col("doc_id") + 100000L).as("doc_id"),
           array_join(slice(t, lit(1), (size(t) / lit(2)).cast("int")), " ").as("text"))
       val sh = Dedup.shingleIndex(docs.unionByName(halves), "doc_id", "text", 3)
-      Dedup.containmentPairs(sh, "doc_id")
+      // df-capped like d2: a boilerplate 3-gram in df docs would otherwise
+      // put df² rows through the self-join; planted-pair recall survives the
+      // cap because truncation twins share their source's RARE shingles too
+      Dedup.containmentPairs(sh, "doc_id", maxDf = 6)
         .filter(col("containment") >= 0.9)
         .orderBy(col("id_a"), col("id_b"))
     },
@@ -453,10 +456,12 @@ object ExtQueries {
       alld AS (SELECT doc_id, text FROM documents
                UNION ALL SELECT doc_id, text FROM halves),
       w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM alld),
-      sh AS (SELECT doc_id, unnest(list_distinct(
+      sh0 AS (SELECT doc_id, unnest(list_distinct(
                CASE WHEN len(ws) >= 3
                  THEN list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' '))
                  ELSE [array_to_string(ws, ' ')] END)) AS shingle FROM w),
+      sh AS (SELECT * FROM sh0
+             WHERE shingle IN (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 6)),
       sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
       p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
             FROM sh a JOIN sh b USING (shingle)

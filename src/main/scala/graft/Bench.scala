@@ -86,12 +86,18 @@ object Bench {
       if (s.endsWith(".0")) s.dropRight(2) else s
     }
     def f2a(v: Double) = if (v < 1) f2(v) else f1(v)
+    // last-resort tier: whole seconds above 1 s (sub-second keeps 100 ms) —
+    // ~30 B under the f1 rendering at today's mix, so a loaded box's digit
+    // inflation can't walk the line past the driver's ~1930 B tail budget
+    def f0(v: Double) =
+      if (v < 1) f1(v) else math.round(v).toString
     val sfName = new java.io.File(sfDir).getName
     // first rendering under budget wins: full 10 ms granularity, then
-    // 100 ms for the multi-second queries only, then 100 ms everywhere
-    val compact = Seq[Double => String](f2, f2a, f1).iterator
+    // 100 ms for the multi-second queries only, then 100 ms everywhere,
+    // then whole seconds
+    val compact = Seq[Double => String](f2, f2a, f1, f0).iterator
       .map(jsonLine(_, sfName)).find(_.length <= 1870)
-      .getOrElse(jsonLine(f1, sfName))
+      .getOrElse(jsonLine(f0, sfName))
     if (compact.length > 1900) // each new bench query adds ~25 bytes; warn
       // BEFORE the silent head-clip regresses `parsed` to null again
       System.err.println(s"bench: compact line ${compact.length} B is near " +

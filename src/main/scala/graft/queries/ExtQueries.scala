@@ -1630,7 +1630,11 @@ object ExtQueries {
                 ORDER BY quality DESC, doc_id ASC) = 1) AS keep
       FROM j ORDER BY doc_id
     """
-    })
+    },
+    // x3 (benched) already times the pair-formation + components chain this
+    // query reruns; the added quality window is per-member scan work —
+    // benching both would double-count the dominant cost
+    benchmark = false)
 
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")

@@ -202,6 +202,30 @@ class DedupPropertySpec extends SparkSpec {
     assert(cands.contains((1L, 4L)))
   }
 
+  test("containmentPairs: containment >= jaccard on every pair; a strict subset doc scores 1.0") {
+    val docs = corpus(11, 40).toDF("doc_id", "text")
+    // strict subset: first 6 tokens of doc 0 as a new doc — its 3-gram set
+    // is a prefix subset of doc 0's, so containment is exactly 1.0 while
+    // jaccard is |A|/|B| < 1
+    val sub = docs.filter(col("doc_id") === 0L)
+      .select(lit(9000L).as("doc_id"),
+        array_join(slice(TextAnalysis.wsTokens(col("text")), lit(1), lit(6)), " ").as("text"))
+    val sh = Dedup.shingleIndex(docs.unionByName(sub), "doc_id", "text", 3)
+    val cont = Dedup.containmentPairs(sh, "doc_id")
+      .select(col("id_a"), col("id_b"), col("containment"))
+    val jac = Dedup.jaccardPairs(sh, "doc_id")
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val joined = cont.join(jac, Seq("id_a", "id_b"))
+      .as[(Long, Long, Double, Double)].collect()
+    assert(joined.nonEmpty)
+    // same pair universe (both ride the same inverted-index join), and
+    // n_inter/min >= n_inter/union pointwise
+    assert(joined.forall { case (_, _, c, j) => c >= j - 1e-12 })
+    val subRow = cont.filter(col("id_a") === 0L && col("id_b") === 9000L)
+      .as[(Long, Long, Double)].collect()
+    assert(subRow.toSeq.map(_._3) === Seq(1.0))
+  }
+
   test("contamination's DEFAULT df-cap bounds a boilerplate flood (no explicit maxDf)") {
     // ContaminationMaxDf+1 train docs that are all the same boilerplate
     // shingle: the default call must drop the hot shingle (0 pairs), while

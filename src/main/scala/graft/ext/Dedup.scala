@@ -112,17 +112,11 @@ object Dedup {
     * sizes frame must cover every doc in `sh` and count the SAME retained
     * shingle set (df-capping must be applied to both or neither).
     */
-  def jaccardPairsWithSizes(sh: DataFrame, sizes: DataFrame, idCol: String): DataFrame = {
-    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
-    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
-    a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
-      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+  def jaccardPairsWithSizes(sh: DataFrame, sizes: DataFrame, idCol: String): DataFrame =
+    overlapCounts(sh, sizes, idCol)
       .select(col("id_a"), col("id_b"),
         (col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
-  }
 
   /** Containment near-dup pairs: |A∩B| / min(|A|, |B|) ≥ threshold (the
     * containment coefficient / overlap coefficient) — catches SUBSET
@@ -141,15 +135,25 @@ object Dedup {
       maxDf: Int = Int.MaxValue): DataFrame = {
     val sh = dfCapped(shingles, shingles, maxDf)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    overlapCounts(sh, sizes, idCol)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"), col("n_b"),
+        (col("n_inter").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double")).as("containment"))
+  }
+
+  /** The shared inverted-index overlap core both normalizations select
+    * from: (id_a < id_b, n_inter, n_a, n_b) — shingle equi-join, pair agg,
+    * two size joins. [[jaccardPairsWithSizes]] divides by the union,
+    * [[containmentPairs]] by the min; a skew hint or join-shape fix lands
+    * here once for both.
+    */
+  private def overlapCounts(sh: DataFrame, sizes: DataFrame, idCol: String): DataFrame = {
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))
     a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
       .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
       .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"), col("n_b"),
-        (col("n_inter").cast("double") /
-          least(col("n_a"), col("n_b")).cast("double")).as("containment"))
   }
 
   /** MinHash signature: sig_i = min over shingles of md5(i + ":" + shingle),

@@ -206,6 +206,39 @@ object DedupIndex {
       idCol: String, textCol: String, n: Int = 3, k: Int = 12, bands: Int = 3,
       threshold: Double = 0.8, bucketCap: Int = Int.MaxValue,
       digest: Boolean = false, broadcastCandBytes: Long = 64L << 20): DataFrame = {
+    val (pairs, stage) = probeIncrement(store, name, inc, idCol, textCol, n, k,
+      bands, threshold, bucketCap, digest, broadcastCandBytes)
+    commitIncrement(store, name, stage)
+    pairs
+  }
+
+  /** A staged-but-uncommitted increment: the scratch-parquet deltas
+    * [[probeIncrement]] produced, in storage form, ready for
+    * [[commitIncrement]]'s appends. */
+  final case class IncrementStage private[ext] (
+      shStored: DataFrame, sizes: DataFrame, bands: DataFrame, idBuckets: Int,
+      idCol: String)
+
+  /** [[dedupIncrement]]'s probe HALF, with NO index mutation: stages the
+    * increment's shingle/band/size deltas in scratch and probes the stored
+    * index UNIONED with the staged deltas — the identical candidate space
+    * the post-append probe would see (inc-inc pairs included) — returning
+    * the lazy verified-pairs frame plus the stage handle.
+    *
+    * The split is the streaming sink's crash-safety contract
+    * ([[graft.streaming.Streams.indexedNearDupSink]]): pairs can be
+    * MATERIALIZED and written before [[commitIncrement]] mutates anything,
+    * so a crash between the two leaves the index unchanged and the replayed
+    * batch recomputes — at-least-once pairs (possible duplicates on replay,
+    * never loss). Appending the index first and the pairs second would
+    * invert that into at-most-once: the re-delivery guard sees the docs as
+    * indexed and their pairs are never computed again.
+    */
+  def probeIncrement(store: TableStore, name: String, inc: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, k: Int = 12, bands: Int = 3,
+      threshold: Double = 0.8, bucketCap: Int = Int.MaxValue,
+      digest: Boolean = false,
+      broadcastCandBytes: Long = 64L << 20): (DataFrame, IncrementStage) = {
     require(k % bands == 0, s"k ($k) must be divisible by bands ($bands)")
     // the stored schema records which mode AND layout the index was BUILT
     // with — a mismatched `digest` here would only surface later as a
@@ -218,7 +251,7 @@ object DedupIndex {
       s"index '$name' was built with digest=$storedDigest; call dedupIncrement " +
         s"with digest=$storedDigest (band buckets are only comparable under " +
         "the hashing mode the index was built with)")
-    // the ONLY pass over increment text: staged IN STORAGE FORM so the three
+    // the ONLY pass over increment text: staged IN STORAGE FORM so the
     // appends and the signature agg scan cheap scratch parquet, not
     // re-shingle (and, in digest mode, carry 16-byte digests, not text)
     val shIncStored = Scratch.stage(
@@ -228,25 +261,19 @@ object DedupIndex {
     val ebInc = Scratch.stage(
       Dedup.bandBuckets(Dedup.minhashSignature(shInc, idCol, k), idCol, bands, k / bands),
       s"${name}_inc_eb")
-    // bucketed layout: the increment's rows land in their hive partitions
-    // (same id→bucket formula as build — see idBucket's warning)
+    val sizesInc = Scratch.stage(
+      shInc.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh")),
+      s"${name}_inc_sz")
     val idBuckets = idBucketsOf(shSchema)
-    if (idBuckets > 0)
-      store.append(shinglesT(name),
-        shIncStored.withColumn(bktCol(idBuckets), idBucket(idCol, idBuckets)),
-        partitionBy = Seq(bktCol(idBuckets)))
-    else store.append(shinglesT(name), shIncStored)
-    store.append(sizesT(name),
-      shInc.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh")))
-    store.append(bandsT(name), ebInc)
-    // probe: increment band rows vs the full stored index (which now
-    // includes the increment, so inc-inc pairs surface too — identical
-    // candidate space to minhashDedupIncremental's ebInc ⋈ eb(base ∪ inc)).
+    // probe: increment band rows vs stored ∪ staged bands (the stored index
+    // does NOT yet contain the increment; the union reproduces the
+    // post-append candidate space, so inc-inc pairs surface too —
+    // identical to minhashDedupIncremental's ebInc ⋈ eb(base ∪ inc)).
     // `bucketCap` bounds the per-probe fan-out on hot stored buckets via
     // rep-star pairing (Dedup.probeCappedPairs) — without it a boilerplate
     // flood in the history makes every probing crawl doc emit one candidate
     // per flood member.
-    val eb = store.read(bandsT(name))
+    val eb = store.read(bandsT(name)).unionByName(ebInc)
     val cands = Scratch.stage(
       Dedup.probeCappedPairs(ebInc, eb, idCol, bucketCap),
       s"${name}_inc_cands")
@@ -272,15 +299,52 @@ object DedupIndex {
       if (candDocs.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastCandBytes)
         broadcast(candDocs)
       else candDocs
+    // verification shingles: stored candidates ∪ the staged increment's
+    // rows (an inc doc's shingles exist ONLY in scratch until commit). The
+    // distinct() is crash-residue hygiene, not normal-path dedup: a commit
+    // that died between its shingle and size appends leaves orphan shingle
+    // rows that a replayed batch re-appends, and without the distinct a
+    // later probe would double-count n_inter for that doc (jaccard > 1).
+    // Cost is bounded — shCand is the capped candidate set, not the corpus.
     val shCand = Scratch.stage(
       candidateShingles(store, name, candDocs, idCol, digest, idBuckets)
-        .join(candKeys, Seq(idCol), "left_semi"),
+        .unionByName(shInc) // LOGICAL form both sides — candidateShingles
+        // emits hex in digest mode, and a stored/binary branch would union-
+        // coerce to garbage strings that never match (empty pairs)
+        .join(candKeys, Seq(idCol), "left_semi")
+        .distinct(),
       s"${name}_inc_shcand")
-    val sizesCand = store.read(sizesT(name))
-      .join(candKeys, Seq(idCol), "left_semi")
-    Dedup.jaccardPairsWithSizes(shCand, sizesCand, idCol)
+    // same hygiene as shCand: a doc's size row must count once even if the
+    // stored listing ever includes a committed copy beside the staged one
+    val sizesCand = store.read(sizesT(name)).unionByName(sizesInc)
+      .join(candKeys, Seq(idCol), "left_semi").distinct()
+    val pairs = Dedup.jaccardPairsWithSizes(shCand, sizesCand, idCol)
       .join(cands, Seq("id_a", "id_b"), "left_semi")
       .filter(col("jaccard") >= threshold)
+    (pairs, IncrementStage(shIncStored, sizesInc, ebInc, idBuckets, idCol))
+  }
+
+  /** [[dedupIncrement]]'s commit HALF: append the staged deltas to the
+    * three index tables. Append ORDER is the crash-safety contract —
+    * bands, then shingles, then sizes LAST: sizes is the membership table
+    * [[knownIds]] and every re-delivery guard key on, so a doc is "in the
+    * index" only once ALL its rows are. A commit that dies part-way leaves
+    * residue rows in bands/shingles for docs absent from sizes; the
+    * replayed batch passes the guard, re-probes (probe-side distinct
+    * neutralizes the residue), and re-appends — at-least-once, never a
+    * silently unmatchable doc.
+    */
+  def commitIncrement(store: TableStore, name: String, stage: IncrementStage): Unit = {
+    store.append(bandsT(name), stage.bands)
+    // bucketed layout: the increment's rows land in their hive partitions
+    // (same id→bucket formula as build — see idBucket's warning)
+    if (stage.idBuckets > 0)
+      store.append(shinglesT(name),
+        stage.shStored.withColumn(
+          bktCol(stage.idBuckets), idBucket(stage.idCol, stage.idBuckets)),
+        partitionBy = Seq(bktCol(stage.idBuckets)))
+    else store.append(shinglesT(name), stage.shStored)
+    store.append(sizesT(name), stage.sizes)
   }
 
   /** Periodic index maintenance: compact the three append-only tables.

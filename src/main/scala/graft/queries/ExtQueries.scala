@@ -437,8 +437,12 @@ object ExtQueries {
     (s, dir) => {
       val t = TA.wsTokens(col("text"))
       val docs = Td(s, dir, "documents").select(col("doc_id"), col("text"))
+      // twin ids sit far above any real doc_id at any plausible SF (the
+      // ScaleStress.Off convention) — a collision would silently merge the
+      // twin's shingles with an unrelated doc's in BOTH engines, so the
+      // oracle could never catch it
       val halves = docs.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 100000L).as("doc_id"),
+        .select((col("doc_id") + 100000000L).as("doc_id"),
           array_join(slice(t, lit(1), (size(t) / lit(2)).cast("int")), " ").as("text"))
       val sh = Dedup.shingleIndex(docs.unionByName(halves), "doc_id", "text", 3)
       // df-capped like d2: a boilerplate 3-gram in df docs would otherwise
@@ -451,7 +455,7 @@ object ExtQueries {
     Some("""
       WITH h0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
                   FROM documents WHERE doc_id % 5 = 0),
-      halves AS (SELECT doc_id + 100000 AS doc_id,
+      halves AS (SELECT doc_id + 100000000 AS doc_id,
                         array_to_string(ws[1:len(ws)//2], ' ') AS text FROM h0),
       alld AS (SELECT doc_id, text FROM documents
                UNION ALL SELECT doc_id, text FROM halves),

@@ -268,13 +268,24 @@ object Streams {
     * (BENCH_LOCAL_r8/r11: flat probe time against 30× history).
     *
     * Contract: the index exists — build it once before starting, possibly
-    * over an empty frame; the first batch then self-dedups via
-    * dedupIncrement's probe-includes-increment property. Re-delivered ids
+    * over an empty frame; the first batch then self-dedups via the probe's
+    * probe-includes-increment property. Re-delivered ids
     * ([[graft.ext.DedupIndex.knownIds]] anti-join) are dropped before the
     * increment. Verified pairs append to `pairsTable`;
     * [[graft.ext.DedupIndex.maintainIfNeeded]] runs after each batch so a
     * long-lived stream cannot fragment its own index past `maxIndexFiles`.
-    * AvailableNow trigger + checkpoint: drain-what-landed, at-least-once.
+    *
+    * Crash semantics (at-least-once, never loss): the batch's PAIRS are
+    * computed by the non-mutating [[graft.ext.DedupIndex.probeIncrement]]
+    * and written BEFORE [[graft.ext.DedupIndex.commitIncrement]] touches
+    * the index. A crash before the pairs append leaves nothing mutated —
+    * the replayed batch recomputes from scratch. A crash between the pairs
+    * append and commit replays the batch with its docs still absent from
+    * [[graft.ext.DedupIndex.knownIds]] (sizes is committed LAST), so pairs
+    * may be appended twice — duplicates, never silent loss. Mutating the
+    * index first and appending pairs second would invert this into
+    * at-most-once: the guard would drop the re-delivered docs and their
+    * pairs would never be computed.
     */
   def indexedNearDupSink(
       docs: DataFrame, store: TableStore, indexName: String, pairsTable: String,
@@ -290,11 +301,12 @@ object Streams {
         val fresh = b.join(
           graft.ext.DedupIndex.knownIds(store, indexName, "doc_id"),
           Seq("doc_id"), "left_anti")
-        val pairs = graft.ext.DedupIndex.dedupIncrement(
-            store, indexName, fresh, "doc_id", "text", threshold = threshold)
-          .select(col("id_a"), col("id_b"), col("jaccard"))
-        if (store.exists(pairsTable)) store.append(pairsTable, pairs)
-        else store.overwrite(pairsTable, pairs)
+        val (pairs, stage) = graft.ext.DedupIndex.probeIncrement(
+          store, indexName, fresh, "doc_id", "text", threshold = threshold)
+        val out = pairs.select(col("id_a"), col("id_b"), col("jaccard"))
+        if (store.exists(pairsTable)) store.append(pairsTable, out)
+        else store.overwrite(pairsTable, out)
+        graft.ext.DedupIndex.commitIncrement(store, indexName, stage)
         graft.ext.DedupIndex.maintainIfNeeded(store, indexName,
           maxFiles = maxIndexFiles)
         ()

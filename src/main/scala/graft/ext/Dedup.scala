@@ -377,16 +377,24 @@ object Dedup {
     * narrow index (at scale, maintain them incrementally next to the
     * index itself). Output: distinct (id_a < id_b).
     */
+  /** `distinctStats = true` counts each doc ONCE per bucket in the cap
+    * stats — required when `index` can carry duplicate band rows (the
+    * durable index after a crashed-and-replayed commit: residue rows would
+    * otherwise inflate `_sz` past the cap at the edge, flipping a bucket to
+    * rep-star pairing and silently dropping true pairs). Self-join paths
+    * whose index is freshly computed can keep the cheaper plain count.
+    */
   private[ext] def probeCappedPairs(probe: DataFrame, index: DataFrame,
-      idCol: String, cap: Int): DataFrame = {
+      idCol: String, cap: Int, distinctStats: Boolean = false): DataFrame = {
     val keys = Seq("band", "bucket")
     val p = probe.select(col(idCol).as("_x"), col("band"), col("bucket"))
     val ix = index.select(col(idCol).as("_y"), col("band"), col("bucket"))
     val pairs =
       if (cap == Int.MaxValue) p.join(ix, keys)
       else {
+        val sz = if (distinctStats) countDistinct(col(idCol)) else count(lit(1))
         val stats = index.groupBy(keys.map(col): _*)
-          .agg(count(lit(1)).as("_sz"), min(col(idCol)).as("_rep"))
+          .agg(sz.as("_sz"), min(col(idCol)).as("_rep"))
         val pj = p.join(stats, keys) // one row per probe band row
         pj.filter(col("_sz") <= cap).select(col("_x"), col("band"), col("bucket"))
           .join(ix, keys)

@@ -26,10 +26,13 @@ import org.apache.spark.sql.functions._
   *
   * With `digest = true` the shingle table stores the 128-bit md5 of each
   * shingle as 16 raw bytes instead of the raw string: Jaccard over per-doc
-  * digests equals Jaccard over shingles up to md5 collisions — and the
-  * cross-engine oracle stays EXACT even then, because the DuckDB twin
-  * replays md5 over the same shingles and neither engine dedupes digests,
-  * so both see identical multisets. Signatures and bucket probes hash the
+  * digests equals Jaccard over shingles up to md5 collisions, and the
+  * DuckDB twin replays md5 over the same shingles so the oracle compare is
+  * exact on any real corpus. Bound on the collision edge: the probe-side
+  * verification distincts its candidate rows (crash-residue hygiene), so
+  * two same-doc shingles whose digests collided would count once in
+  * n_inter but twice in the stored n_sh — Jaccard slightly UNDERestimated
+  * for that doc, never fabricated. Signatures and bucket probes hash the
   * digest's lowercase hex (`md5("i:" || md5(sh))`), reproducible verbatim
   * in any engine with md5.
   *
@@ -233,6 +236,13 @@ object DedupIndex {
     * never loss). Appending the index first and the pairs second would
     * invert that into at-most-once: the re-delivery guard sees the docs as
     * indexed and their pairs are never computed again.
+    *
+    * Stage lifetime: the returned handle reads scratch generations that
+    * [[graft.tables.Scratch]] GCs `graft.scratch.keepLast` (default 16)
+    * same-family generations later — commit each stage before starting
+    * more than keepLast further probes of the SAME index name, or the
+    * commit fails loudly with FileNotFoundException. Probe-then-commit
+    * per batch (the streaming sink's shape) never approaches the bound.
     */
   def probeIncrement(store: TableStore, name: String, inc: DataFrame,
       idCol: String, textCol: String, n: Int = 3, k: Int = 12, bands: Int = 3,
@@ -274,8 +284,10 @@ object DedupIndex {
     // flood in the history makes every probing crawl doc emit one candidate
     // per flood member.
     val eb = store.read(bandsT(name)).unionByName(ebInc)
+    // distinctStats: crash-residue duplicate band rows must not inflate a
+    // bucket past the cap (which would star-pair it and drop true pairs)
     val cands = Scratch.stage(
-      Dedup.probeCappedPairs(ebInc, eb, idCol, bucketCap),
+      Dedup.probeCappedPairs(ebInc, eb, idCol, bucketCap, distinctStats = true),
       s"${name}_inc_cands")
     // staged once: the union+distinct is a real exchange, and its result
     // feeds the gate count, the shCand staging, and the returned plan's two

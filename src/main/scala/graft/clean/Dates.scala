@@ -64,11 +64,24 @@ object Dates {
     */
   def epochMillis(c: Column, dt: DataType): Column = dt match {
     case TimestampType => unix_millis(c)
-    case TimestampNTZType | DateType => unix_millis(c.cast(TimestampType))
+    case TimestampNTZType | DateType => unix_millis(wallClockAsUtc(c))
     case other =>
       throw new IllegalArgumentException(
         s"epochMillis: expected a timestamp/date column, got $other")
   }
+
+  /** A naive (NTZ/DATE) wall clock as a TIMESTAMP carrying that wall time
+    * AS IF UTC, independent of the session timezone: the session-zone cast
+    * is inverted by adding the zone offset back (`from_utc_timestamp`), so
+    * epoch arithmetic over naive timestamps cannot skew gaps or fold/split
+    * sessions across DST transitions when a library caller runs in a
+    * non-UTC session. Within a transition hour itself the offset is
+    * evaluated at the shifted instant — the irreducible ambiguity of naive
+    * local times; in UTC sessions (Verify/Bench pin one) the wrapper is an
+    * exact identity, so every oracle replay is unchanged.
+    */
+  private def wallClockAsUtc(c: Column): Column =
+    from_utc_timestamp(c.cast(TimestampType), expr("current_timezone()"))
 
   /** Epoch seconds (fractional, DOUBLE) of either timestamp flavor; plain
     * numeric columns pass through a double cast unchanged — the contract
@@ -77,8 +90,8 @@ object Dates {
     * (2^53 µs ≈ year 2255).
     */
   def epochSeconds(c: Column, dt: DataType): Column = dt match {
-    case TimestampType | TimestampNTZType | DateType =>
-      unix_micros(c.cast(TimestampType)) / 1e6
+    case TimestampType => unix_micros(c) / 1e6
+    case TimestampNTZType | DateType => unix_micros(wallClockAsUtc(c)) / 1e6
     case _ => c.cast("double")
   }
 

@@ -208,7 +208,7 @@ object DedupIndex {
   def dedupIncrement(store: TableStore, name: String, inc: DataFrame,
       idCol: String, textCol: String, n: Int = 3, k: Int = 12, bands: Int = 3,
       threshold: Double = 0.8, bucketCap: Int = Int.MaxValue,
-      digest: Boolean = false, broadcastCandBytes: Long = 64L << 20): DataFrame = {
+      digest: Boolean = false, broadcastCandBytes: Long = 8L << 20): DataFrame = {
     val (pairs, stage) = probeIncrement(store, name, inc, idCol, textCol, n, k,
       bands, threshold, bucketCap, digest, broadcastCandBytes)
     commitIncrement(store, name, stage)
@@ -248,7 +248,7 @@ object DedupIndex {
       idCol: String, textCol: String, n: Int = 3, k: Int = 12, bands: Int = 3,
       threshold: Double = 0.8, bucketCap: Int = Int.MaxValue,
       digest: Boolean = false,
-      broadcastCandBytes: Long = 64L << 20): (DataFrame, IncrementStage) = {
+      broadcastCandBytes: Long = 8L << 20): (DataFrame, IncrementStage) = {
     require(k % bands == 0, s"k ($k) must be divisible by bands ($bands)")
     // the stored schema records which mode AND layout the index was BUILT
     // with — a mismatched `digest` here would only surface later as a
@@ -305,8 +305,11 @@ object DedupIndex {
     // (AQE still promotes it back if runtime stats allow). The gate reads
     // the stage's FILE-SIZE metadata (candDocs was just written by
     // Scratch.stage, so its leaf-relation stats are the listed file
-    // lengths): bytes are what the driver/broadcast limit is actually
-    // denominated in, and no extra count() job runs.
+    // lengths) — no extra count() job runs. The default is deliberately
+    // conservative: COMPRESSED parquet of a long-id column under-states the
+    // in-memory HashedRelation by roughly an order of magnitude (encoded
+    // ~8 B/row vs ~60-80 B/row hashed), so 8 MB on disk bounds the
+    // broadcast near spark.sql.autoBroadcastJoinThreshold-scale heap.
     val candKeys =
       if (candDocs.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastCandBytes)
         broadcast(candDocs)
@@ -395,16 +398,15 @@ object DedupIndex {
   def maintainIfNeeded(store: TableStore, name: String, maxFiles: Int = 64,
       targetBytes: Long = 128L << 20): Option[Map[String, graft.tables.Compact.Stats]] = {
     require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
-    val conf = store.read(bandsT(name)).sparkSession.sparkContext.hadoopConfiguration
+    // conf from the active session, NOT via store.read: reading a table to
+    // reach hadoopConfiguration would pay a full read construction per
+    // health check and throw on a missing/never-built index, where this
+    // trigger must cheaply report "nothing to do" (dataFiles → empty)
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
     def nFiles(t: String): Int = {
       val p = new org.apache.hadoop.fs.Path(store.path(t))
-      val fs = p.getFileSystem(conf)
-      def walk(q: org.apache.hadoop.fs.Path): Int =
-        fs.listStatus(q).iterator.filterNot { s =>
-          val n = s.getPath.getName
-          n.startsWith("_") || n.startsWith(".")
-        }.map(s => if (s.isDirectory) walk(s.getPath) else 1).sum
-      if (fs.exists(p)) walk(p) else 0
+      graft.tables.Compact.dataFiles(p.getFileSystem(conf), p).size
     }
     val fragmented = Seq(bandsT(name), shinglesT(name), sizesT(name))
       .exists(t => nFiles(t) > maxFiles)

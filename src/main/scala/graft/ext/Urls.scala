@@ -141,6 +141,14 @@ object Urls {
     * `&` first), so `ref` matches but `referrer=x` does not — a substring
     * regex over the raw query could not make that distinction without
     * lookarounds, which RE2 (the oracle's engine) lacks.
+    *
+    * POLICY KNOB, not a universal truth — `ref` especially: on social
+    * referrals it is pure tracking, but some sites select CONTENT with it
+    * (a VCS web UI's `?ref=branch` names a different page per value), and
+    * there canonicalize-then-dedup would merge distinct documents. A
+    * deployment crawling such hosts should drop `ref` from this list (or
+    * scope the list per registrable domain); the default follows the
+    * common-crawl convention of treating bare `ref` as referral tracking.
     */
   val TrackingParamRe = "^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$"
 

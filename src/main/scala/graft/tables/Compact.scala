@@ -37,7 +37,13 @@ object Compact {
   /** What a compaction run did: file/byte counts before and after. */
   final case class Stats(filesBefore: Int, bytesBefore: Long, filesAfter: Int)
 
-  private def dataFiles(fs: FileSystem, dir: Path): Seq[(Path, Long)] = {
+  /** Recursive data-file listing under `dir` (skips `_`/`.` sidecars;
+    * missing dir → empty). The ONE definition of "what counts as a data
+    * file" — [[graft.ext.DedupIndex.maintainIfNeeded]]'s fragmentation
+    * trigger counts this same listing, so a future sidecar-convention
+    * change cannot desynchronize the two.
+    */
+  private[graft] def dataFiles(fs: FileSystem, dir: Path): Seq[(Path, Long)] = {
     if (!fs.exists(dir)) return Nil
     fs.listStatus(dir).toSeq.flatMap { st =>
       val n = st.getPath.getName

@@ -95,4 +95,31 @@ class TimestampNtzSpec extends SparkSpec {
     }
     assert(out.map(_.getDouble(4)).toSet === Set(1.0, 2.0, 3.0, 4.0))
   }
+
+  test("epochMillis of NTZ is session-timezone independent (DST zone = UTC answer)") {
+    // naive wall times on a US spring-forward day: under the old
+    // session-zone cast, a New York session would compute these two
+    // (01:30, 03:30 — really 60 wall-clock minutes apart across the
+    // skipped hour) as 60 REAL minutes apart too, while a UTC session
+    // said 120 — operators then sessionized/binned differently per
+    // deployment timezone. NTZ-as-UTC semantics pin one answer everywhere.
+    val df = ntzRoundTrip(Seq(
+      (1L, ts("2024-03-10 01:30:00")),
+      (2L, ts("2024-03-10 03:30:00"))).toDF("id", "ts"), "ts")
+    def epochs(): Seq[Long] = {
+      val dt = df.schema("ts").dataType
+      df.select(col("id"), graft.clean.Dates.epochMillis(col("ts"), dt).as("e"))
+        .orderBy("id").collect().map(_.getLong(1)).toSeq
+    }
+    val tzConf = "spark.sql.session.timeZone"
+    val utc = epochs()
+    val prev = spark.conf.get(tzConf)
+    try {
+      spark.conf.set(tzConf, "America/New_York")
+      assert(epochs() === utc, "NTZ epoch must not depend on session timezone")
+    } finally spark.conf.set(tzConf, prev)
+    // and the values ARE the wall clock as UTC: 2h apart, exact instants
+    assert(utc(1) - utc(0) === 2L * 3600 * 1000)
+    assert(utc(0) === 1710034200000L) // 2024-03-10T01:30:00Z
+  }
 }

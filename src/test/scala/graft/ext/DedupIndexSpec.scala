@@ -177,6 +177,9 @@ class DedupIndexSpec extends SparkSpec {
 
     // below threshold: a no-op that leaves every file untouched
     assert(DedupIndex.maintainIfNeeded(store, "idx", maxFiles = 1000).isEmpty)
+    // a missing / never-built index is "nothing to do", not an exception —
+    // the trigger must be safe to call unconditionally after any increment
+    assert(DedupIndex.maintainIfNeeded(store, "never_built").isEmpty)
     assert(nFiles("idx_bands") === before)
 
     // above threshold: fires, and the NEXT health check is clean again

@@ -49,4 +49,39 @@ object Sampling {
       rates: Seq[(String, Int)], defaultRate: Int): DataFrame =
     df.filter(
       Similarity.sampleBucket(col(idCol)) % strataRate(col(strataCol), rates, defaultRate) === 0)
+
+  /** Temperature-weighted mixture sampling — [[stratified]]'s recipe derived
+    * from the DATA instead of hand-written: rebalance strata (languages,
+    * domains, crawl sources) toward counts ∝ c^alpha, the standard
+    * temperature flattening of multilingual/multi-source corpora. Pure
+    * downsampling realization: stratum g keeps fraction
+    *
+    *   f_g = (c_g / c_min)^(alpha-1)   (alpha in (0,1]; alpha=1 ≡ keep all)
+    *
+    * so the rarest stratum keeps everything, over-represented strata shed
+    * rows, and kept counts are ∝ c_g^alpha exactly. Membership is the same
+    * deterministic md5 bucket as every sampler here; keep fractions are
+    * quantized to the bucket resolution k_g/256 (floored, min 1/256 so no
+    * stratum ever vanishes) — which also makes the accept test an INT
+    * comparison, immune to cross-engine `pow` last-ulp drift.
+    *
+    * Scale shape: pass 1 is a map-side-combined count (shuffles |strata|
+    * rows); pass 2 broadcast-joins the tiny rate table and filters inside
+    * the scan's codegen. No global sort, no skew sensitivity: the recipe
+    * table is a handful of rows regardless of data size.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, strataCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_n"))
+    val nmin = counts.agg(min(col("_n")).as("_nmin"))
+    val rates = counts.crossJoin(broadcast(nmin))
+      .select(col(strataCol),
+        greatest(lit(1), least(lit(256),
+          floor(pow(col("_n").cast("double") / col("_nmin"), alpha - 1.0) * 256)
+            .cast("int"))).as("_k"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(Similarity.sampleBucket(col(idCol)) < col("_k"))
+      .drop("_k")
+  }
 }

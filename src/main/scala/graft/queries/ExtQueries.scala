@@ -1218,6 +1218,31 @@ object ExtQueries {
       ORDER BY doc_id
     """))
 
+  /** X12 — temperature-weighted mixture sampling
+    * ([[graft.ext.Sampling.temperatureMix]]): the recipe is DERIVED from
+    * per-stratum counts (kept docs ∝ c^0.5), not hand-written — the
+    * standard flattening pass over a multilingual corpus. The oracle
+    * replays the exact arithmetic: same count, same floored k/256 bucket
+    * quantization, same md5-nibble membership, so any drift in the rate
+    * computation or the join flips rows.
+    */
+  val x12TemperatureMix = QueryDef(
+    "x12_temperature_mix",
+    (s, dir) =>
+      Sampling.temperatureMix(Td(s, dir, "documents"), "doc_id", "lang", alpha = 0.5)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      r AS (SELECT lang, GREATEST(1, LEAST(256,
+              CAST(floor(pow(CAST(n AS DOUBLE) / (SELECT MIN(n) FROM c), -0.5) * 256) AS INTEGER)
+            )) AS k FROM c)
+      SELECT d.doc_id, d.lang, d.source
+      FROM documents d JOIN r ON d.lang = r.lang
+      WHERE ${sampleBucketSql("d.doc_id")} < r.k
+      ORDER BY d.doc_id
+    """))
+
   /** The MinHash-LSH verified-pairs CTE chain (mirrors Dedup.minhashDedup)
     * over any source CTE exposing (doc_id, text). Yields CTE `mh_pairs`
     * with (id_a, id_b, jaccard ≥ threshold).
@@ -2009,9 +2034,47 @@ object ExtQueries {
       FROM p ORDER BY doc_id
     """))
 
+  /** T9 — Unicode text normalization
+    * ([[org.apache.spark.sql.graft.NormalizeText]]): NFC + invisible-strip
+    * + whitespace-collapse as ONE codegen'd map over the scan. Plants force
+    * every normalization class (combining marks that must compose, C0/DEL
+    * controls, zero-widths, exotic Unicode spaces, untrimmed edges); the
+    * pass-through case rides real corpus text through the zero-allocation
+    * ASCII fast path. The oracle replays the identical pipeline in DuckDB
+    * (`nfc_normalize` + the same RE2 classes, [[NormalizeText.duckSql]]).
+    */
+  val t9TextNormalize = QueryDef(
+    "t9_text_normalize",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.NormalizeText
+      val id = col("doc_id")
+      val head = col("text").substr(1, 20)
+      val planted = when(id % 5 === 0,
+          concat(lit("  He\u0301llo\t\tW"), head, lit("orld  ")))
+        .when(id % 5 === 1, concat(lit("a\u0001b\u007Fc  c:"), head))
+        .when(id % 5 === 2, concat(lit("x\u200By \u202Fz:"), head))
+        .when(id % 5 === 3, concat(lit("p\u00A0q\u3000r:"), head, lit("   ")))
+        .otherwise(col("text"))
+      Td(s, dir, "documents")
+        .select(col("doc_id"), NormalizeText.normalizeText(planted).as("norm_text"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH aug AS (SELECT doc_id, CASE doc_id % 5
+        WHEN 0 THEN '  H' || 'e' || chr(769) || 'llo' || chr(9) || chr(9) ||
+                    'W' || substr(text, 1, 20) || 'orld  '
+        WHEN 1 THEN 'a' || chr(1) || 'b' || chr(127) || 'c  c:' || substr(text, 1, 20)
+        WHEN 2 THEN 'x' || chr(8203) || 'y ' || chr(8239) || 'z:' || substr(text, 1, 20)
+        WHEN 3 THEN 'p' || chr(160) || 'q' || chr(12288) || 'r:' || substr(text, 1, 20) || '   '
+        ELSE text END AS s
+        FROM documents)
+      SELECT doc_id, ${org.apache.spark.sql.graft.NormalizeText.duckSql("s")} AS norm_text
+      FROM aug ORDER BY doc_id
+    """))
+
   val all: Seq[QueryDef] = Seq(
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
-    t7PiiRedact, t8LmPerplexity, d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc,
+    t7PiiRedact, t8LmPerplexity, t9TextNormalize, d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,
@@ -2021,6 +2084,7 @@ object ExtQueries {
     u1UrlNormalize, u2UrlDedup,
     x1HllDistinct, x2KmeansIvf,
     x3DedupGroups, x5KmeansSample, x6DedupGroupsConv, x7StratifiedSample, x9CmsHeavyHitters,
+    x12TemperatureMix,
     x11DedupRepresentative,
     x10SequencePack)
 }

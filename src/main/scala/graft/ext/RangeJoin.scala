@@ -75,4 +75,55 @@ object RangeJoin {
       .filter(col(tCol) >= col(loCol) && col(tCol) <= col(hiCol))
       .drop("_bin")
   }
+
+  /** Interval×interval OVERLAP join: pair every `left` interval
+    * `[aLo, aHi]` with every `right` interval `[bLo, bHi]` that overlaps it
+    * (`aLo <= bHi && bLo <= aHi`, inclusive ends), equi-restricted by
+    * `keys` — concurrent-session detection, campaign/window attribution,
+    * outage-vs-job blame.
+    *
+    * Same binning discipline as [[pointInInterval]], except BOTH sides
+    * explode to their covered bins — so a pair sharing k bins would meet k
+    * times. Rather than a `dropDuplicates` (a second shuffle over the full
+    * output), each pair is emitted exactly once by the OWNER-BIN rule: keep
+    * the meeting whose bin is the first bin of the overlap region,
+    * `floor(max(aLo, bLo) / w)` — a codegen'd filter, no extra exchange.
+    * Every overlapping pair has exactly one such bin, and both sides cover
+    * it (it's within each interval's own [lo, hi] bin span).
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame, keys: Seq[String],
+      loL: String, hiL: String, loR: String, hiR: String, binWidth: Long = 3600L,
+      maxBinsPerInterval: Long = 100000L): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1 second, got $binWidth")
+    require(maxBinsPerInterval >= 1, s"maxBinsPerInterval must be >= 1")
+    val overlapCols = (left.columns.toSet intersect right.columns.toSet) -- keys
+    require(overlapCols.isEmpty, s"non-key columns collide across sides: $overlapCols")
+    require(!left.columns.contains("_bin") && !right.columns.contains("_bin"),
+      "_bin is reserved")
+    def epochOf(df: DataFrame, c: String): Column =
+      graft.clean.Dates.epochSeconds(col(c), df.schema(c).dataType)
+    def binned(df: DataFrame, lo: String, hi: String): DataFrame = {
+      def bin(c: String): Column = floor(epochOf(df, c) / binWidth).cast("long")
+      df.filter(col(hi) >= col(lo))
+        .filter(assert_true(
+          bin(hi) - bin(lo) < lit(maxBinsPerInterval),
+          concat(lit(s"RangeJoin: interval spans >= $maxBinsPerInterval bins of $binWidth s — " +
+            "raise binWidth or close the interval: lo="),
+            col(lo).cast("string"), lit(" hi="), col(hi).cast("string"))).isNull)
+        .withColumn("_bin", explode(sequence(bin(lo), bin(hi))))
+    }
+    val a = binned(left, loL, hiL)
+    val b = binned(right, loR, hiR)
+    // exact predicate and owner bin both compare EPOCHS, not raw columns —
+    // the sides may carry different axis flavors (TIMESTAMP vs NTZ vs
+    // numeric) that Spark won't compare directly; micros/1e6 doubles keep
+    // microsecond ordering exactly (double resolution at epoch scale is
+    // ~0.5 µs, finer than the data)
+    val (loLE, hiLE) = (epochOf(left, loL), epochOf(left, hiL))
+    val (loRE, hiRE) = (epochOf(right, loR), epochOf(right, hiR))
+    a.join(b, keys :+ "_bin")
+      .filter(loLE <= hiRE && loRE <= hiLE)
+      .filter(col("_bin") === floor(greatest(loLE, loRE) / binWidth).cast("long"))
+      .drop("_bin")
+  }
 }

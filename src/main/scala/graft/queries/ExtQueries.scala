@@ -1241,7 +1241,95 @@ object ExtQueries {
       FROM documents d JOIN r ON d.lang = r.lang
       WHERE ${sampleBucketSql("d.doc_id")} < r.k
       ORDER BY d.doc_id
-    """))
+    """),
+    // map-side count + broadcast-joined filter — x7 already times the
+    // pattern; keeping it out preserves the compact bench line's headroom
+    benchmark = false)
+
+  /** X13 — curriculum tiling ([[graft.ext.Ranking.globalRankTiles]]):
+    * exact global quality rank + equal-count tier buckets over the corpus,
+    * WITHOUT the single-task global window (range repartition → local
+    * row_number → tiny offset broadcast; see Ranking's scaladoc). The
+    * score is t2's already-oracle-proven quality expression, so cross-
+    * engine double equality is established; the oracle's plain
+    * `row_number() OVER (ORDER BY quality, doc_id)` must then agree with
+    * the distributed recomposition rank-for-rank.
+    */
+  val x13CurriculumTiles = QueryDef(
+    "x13_curriculum_tiles",
+    (s, dir) => {
+      val scored = Td(s, dir, "documents")
+        .select(col("doc_id"), TA.qualityScore(col("text")).as("quality"))
+      graft.ext.Ranking.globalRankTiles(scored, "quality", "doc_id", tiles = 4)
+        .select(col("doc_id"), col("quality"), col("rank"), col("tier"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS DOUBLE)
+                 / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+               CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                 x -> list_contains(${sqlList(TA.Stopwords)}, x))) AS DOUBLE)
+                 / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS stop_ratio,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tok
+        FROM documents),
+      q AS (SELECT doc_id,
+              0.5 * least(n_tok / 64.0, 1.0) + 0.5 * least(stop_ratio * 4.0, 1.0)
+                - punct_ratio * 2.0 AS quality
+            FROM b),
+      r AS (SELECT doc_id, quality,
+              row_number() OVER (ORDER BY quality, doc_id) AS rank,
+              count(*) OVER () AS total
+            FROM q)
+      SELECT doc_id, quality, CAST(rank AS BIGINT) AS rank,
+             CAST((rank - 1) * 4 // total AS INTEGER) AS tier
+      FROM r ORDER BY doc_id
+    """),
+    // range shuffle + per-partition window — o1/w1 time both halves;
+    // keeping it out preserves the compact bench line's headroom
+    benchmark = false)
+
+  /** X14 — per-source quality quota ([[graft.ext.Ranking.topKPerGroup]]):
+    * keep the 3 best-quality docs per crawl source, via the salted
+    * two-phase top-k that caps any one group's work at
+    * k·saltBuckets rows per task regardless of group size (w1 times the
+    * direct single-window form; this is its hot-domain-proof twin). The
+    * oracle is the definitional single window — the salted recomposition
+    * must match it row-for-row.
+    */
+  val x14DomainQuota = QueryDef(
+    "x14_domain_quota",
+    (s, dir) => {
+      val scored = Td(s, dir, "documents")
+        .select(col("doc_id"), col("source"), TA.qualityScore(col("text")).as("quality"))
+      graft.ext.Ranking.topKPerGroup(scored, "source", "quality", "doc_id", k = 3)
+        .select(col("doc_id"), col("source"), col("quality"), col("grp_rank"))
+        .orderBy(col("source"), col("grp_rank"))
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS DOUBLE)
+                 / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+               CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                 x -> list_contains(${sqlList(TA.Stopwords)}, x))) AS DOUBLE)
+                 / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS stop_ratio,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tok
+        FROM documents),
+      q AS (SELECT doc_id, source,
+              0.5 * least(n_tok / 64.0, 1.0) + 0.5 * least(stop_ratio * 4.0, 1.0)
+                - punct_ratio * 2.0 AS quality
+            FROM b),
+      r AS (SELECT doc_id, source, quality,
+              row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS grp_rank
+            FROM q)
+      SELECT doc_id, source, quality, CAST(grp_rank AS BIGINT) AS grp_rank
+      FROM r WHERE grp_rank <= 3 ORDER BY source, grp_rank
+    """),
+    // two chained ranking windows — w1 times the pattern's hot half;
+    // keeping it out preserves the compact bench line's headroom
+    benchmark = false)
 
   /** The MinHash-LSH verified-pairs CTE chain (mirrors Dedup.minhashDedup)
     * over any source CTE exposing (doc_id, text). Yields CTE `mh_pairs`
@@ -2084,7 +2172,7 @@ object ExtQueries {
     u1UrlNormalize, u2UrlDedup,
     x1HllDistinct, x2KmeansIvf,
     x3DedupGroups, x5KmeansSample, x6DedupGroupsConv, x7StratifiedSample, x9CmsHeavyHitters,
-    x12TemperatureMix,
+    x12TemperatureMix, x13CurriculumTiles, x14DomainQuota,
     x11DedupRepresentative,
     x10SequencePack)
 }

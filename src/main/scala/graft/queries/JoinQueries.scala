@@ -273,6 +273,38 @@ object JoinQueries {
       ORDER BY click_id, purchase_id
     """))
 
+  /** J10 — interval-OVERLAP join ([[graft.ext.RangeJoin.intervalOverlap]]):
+    * concurrent-activity detection — every (click-hour, view-half-hour)
+    * window pair of the same user that overlaps in time. Both sides explode
+    * to time bins, equi-join on (user, bin), and the owner-bin rule emits
+    * each pair exactly once with NO dedup shuffle; the oracle is the
+    * definitional pairwise inequality join.
+    */
+  val j10IntervalOverlap = QueryDef(
+    "j10_interval_overlap",
+    (s, dir) => {
+      val events = Td(s, dir, "events")
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("c_lo"), (col("ts") + expr("INTERVAL 1 HOUR")).as("c_hi"))
+      val views = events.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("v_lo"), (col("ts") + expr("INTERVAL 30 MINUTES")).as("v_hi"))
+      graft.ext.RangeJoin.intervalOverlap(clicks, views, Seq("user_id"),
+          loL = "c_lo", hiL = "c_hi", loR = "v_lo", hiR = "v_hi", binWidth = 3600L)
+        .select(col("click_id"), col("view_id"), col("user_id"))
+        .orderBy(col("click_id"), col("view_id"))
+    },
+    Some("""
+      SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id
+      FROM events c JOIN events v
+        ON v.user_id = c.user_id
+       AND c.event_type = 'click' AND v.event_type = 'view'
+       AND c.ts <= v.ts + INTERVAL 30 MINUTES
+       AND v.ts <= c.ts + INTERVAL 1 HOUR
+      ORDER BY click_id, view_id
+    """))
+
   /** S12/S13 — SQL-text surface: temp-view registration + `spark.sql`
     * (reference: CREATE OR REPLACE VIEW denormalise_table_query_fmcg.txt:1,
     * temp-view handoff 2_incremental_load_fact.py:254). Same engine path the
@@ -301,5 +333,6 @@ object JoinQueries {
 
   val all: Seq[QueryDef] = Seq(
     j1LeftBroadcast, j2InnerDimAgg, j4JoinOnExpr, j5StarEnriched,
-    j6SemiAnti, j7AsofJoin, j8RangeJoin, j9AsofBucketed, setOps, v1SqlView)
+    j6SemiAnti, j7AsofJoin, j8RangeJoin, j9AsofBucketed, j10IntervalOverlap,
+    setOps, v1SqlView)
 }

@@ -96,4 +96,49 @@ class RangeJoinSpec extends SparkSpec {
       .select("cid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(fast === naive && fast.nonEmpty)
   }
+
+  test("interval overlap equals the definitional join; multi-bin pairs emit once") {
+    val a = Seq(
+      ("A", 1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 14:00:00")), // 5 hour-bins
+      ("A", 2L, ts("2024-01-01 16:00:00"), ts("2024-01-01 16:30:00")),
+      ("B", 3L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"))
+    ).toDF("k", "aid", "a_lo", "a_hi")
+    val b = Seq(
+      ("A", 10L, ts("2024-01-01 11:00:00"), ts("2024-01-01 13:00:00")), // nested in 1 (3 shared bins)
+      ("A", 11L, ts("2024-01-01 13:59:00"), ts("2024-01-01 18:00:00")), // tail-overlaps 1, covers 2
+      ("A", 12L, ts("2024-01-01 14:00:00"), ts("2024-01-01 15:00:00")), // touches 1's hi exactly
+      ("A", 13L, ts("2024-01-01 15:00:00"), ts("2024-01-01 15:30:00")), // gap: no overlap with 1 or 2
+      ("B", 14L, ts("2024-01-01 10:30:00"), ts("2024-01-01 10:45:00"))
+    ).toDF("k", "bid", "b_lo", "b_hi")
+    val out = RangeJoin.intervalOverlap(a, b, Seq("k"),
+      "a_lo", "a_hi", "b_lo", "b_hi", binWidth = 3600L)
+    val got = out.select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exactly once each, even for pairs sharing several bins
+    assert(got.length === got.toSet.size, s"duplicate pairs in ${got.toSeq}")
+    val naive = a.join(b, Seq("k"))
+      .filter(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.toSet === naive)
+    assert(got.toSet === Set((1L, 10L), (1L, 11L), (1L, 12L), (2L, 11L), (3L, 14L)))
+  }
+
+  test("interval overlap on a numeric axis") {
+    val a = Seq((1L, 0.0, 10.0), (2L, 20.0, 30.0)).toDF("aid", "a_lo", "a_hi")
+    val b = Seq((10L, 5.0, 25.0), (11L, 31.0, 40.0)).toDF("bid", "b_lo", "b_hi")
+    val got = RangeJoin.intervalOverlap(a, b, Nil, "a_lo", "a_hi", "b_lo", "b_hi",
+        binWidth = 7L)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L), (2L, 10L)))
+  }
+
+  test("interval overlap accepts TIMESTAMP_NTZ sides") {
+    val a = Seq((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")))
+      .toDF("aid", "a_lo", "a_hi")
+      .select(col("aid"), col("a_lo").cast("timestamp_ntz"), col("a_hi").cast("timestamp_ntz"))
+    val b = Seq((10L, ts("2024-01-01 11:00:00"), ts("2024-01-01 13:00:00")))
+      .toDF("bid", "b_lo", "b_hi") // mixed flavors: plain TIMESTAMP side
+    val got = RangeJoin.intervalOverlap(a, b, Nil, "a_lo", "a_hi", "b_lo", "b_hi")
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L)))
+  }
 }

@@ -80,6 +80,19 @@ object ScaleStress {
       col("label"))
     emb.unionByName(mutEmb)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // events: replicas offset BOTH ids and user ids, timestamps unchanged —
+    // per-user temporal structure (and so the per-key join/session workload)
+    // replicates exactly, and nothing joins across replicas: the interval
+    // workload grows factor×, not factor²×
+    val ev = Td(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val mutEv = ev.crossJoin(broadcast(reps)).select(
+      (col("event_id") + col("r").cast("long") * Off).as("event_id"), col("ts"),
+      (col("user_id") + col("r").cast("long") * Off).as("user_id"),
+      col("event_type"), col("value"), col("props"))
+    ev.unionByName(mutEv)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
   /** The stressed pipelines. d3/d8/x3/c1 run the exact registered
@@ -103,6 +116,14 @@ object ScaleStress {
       // same scale shape as d12, and the proportional threshold keeps the
       // flagged-set semantics stable as corpus and chunk df grow together
       "d15_paragraph" -> reg("d15_paragraph_dedup"),
+      // range shuffle + local windows: time should track rows, and the
+      // offset-recomposition rank must stay exact at every factor
+      "x13_curriculum" -> reg("x13_curriculum_tiles"),
+      // salted two-phase quota: survivors-only second shuffle keeps the
+      // second exchange flat while the first tracks the corpus
+      "x14_quota" -> reg("x14_domain_quota"),
+      // per-user bin equi-join: replicated users, pairs ∝ factor
+      "j10_overlap" -> reg("j10_interval_overlap"),
       "d6_ivf_scaled_k" -> ((s: SparkSession, dir: String) => ivf(kFor(dirFactor(dir)))(s, dir)),
       // k ∝ √N: the classic IVF balance point — assignment O(N·k) and
       // within-cluster pairing O(N²/k) both grow as N^1.5

@@ -623,4 +623,41 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Corpus-overlap audit: estimated shingle-set Jaccard between every pair
+    * of GROUPS (crawl sources, snapshots, languages) — "how much of source
+    * A is also in source B", the corpus-composition question asked before
+    * mixing or deduping across sources.
+    *
+    * The exact answer needs the pairwise intersection of per-group shingle
+    * SETS — a shuffle of every shingle |groups| times. The sketch answer
+    * shrinks each group to a `numHashes`-cell MinHash signature first:
+    * distinct (group, shingle) → one map-side-combined `min` aggregation →
+    * a |groups|×numHashes table, then the pairwise estimate
+    * (matching cells / numHashes) over a broadcast self-join of that tiny
+    * table. Corpus-size work is ONE distinct + ONE aggregate, independent
+    * of the number of group pairs; the quadratic step runs on rows the size
+    * of the group count. Same md5 minhash family as [[minhashSignature]],
+    * so the oracle replays it exactly (estimate included — integer count /
+    * numHashes is engine-exact).
+    */
+  def sourceOverlap(df: DataFrame, groupCol: String, textCol: String,
+      numHashes: Int = 16, n: Int = 3): DataFrame = {
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    // per-doc distinct shingles still repeat across a group's docs: the
+    // set union needs one more distinct at (group, shingle) grain
+    val sh = shingleIndex(df, groupCol, textCol, n).distinct()
+    val sigCols = (0 until numHashes).map(i =>
+      min(md5(concat_ws(":", lit(i), col("shingle")))).as(s"h$i"))
+    val sigs = sh.groupBy(col(groupCol)).agg(sigCols.head, sigCols.tail: _*)
+    val aCols = sigs.columns.map(c => if (c == groupCol) "src_a" else s"${c}_a")
+    val bCols = sigs.columns.map(c => if (c == groupCol) "src_b" else s"${c}_b")
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"h${i}_a") === col(s"h${i}_b"), 1).otherwise(0))
+      .reduce(_ + _)
+    sigs.toDF(aCols: _*).crossJoin(broadcast(sigs.toDF(bCols: _*)))
+      .filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        (matches.cast("double") / numHashes).as("est_jaccard"))
+  }
 }

@@ -1331,6 +1331,40 @@ object ExtQueries {
     // keeping it out preserves the compact bench line's headroom
     benchmark = false)
 
+  /** X15 — corpus-overlap matrix ([[graft.ext.Dedup.sourceOverlap]]):
+    * estimated shingle-set Jaccard between every crawl-source pair from
+    * per-source MinHash signatures — corpus-size work is one distinct +
+    * one aggregation; the quadratic pair step runs on a |sources|-row
+    * broadcast table. The oracle replays signature and estimate exactly
+    * (same md5 family, integer match-count / numHashes).
+    */
+  val x15SourceOverlap = QueryDef(
+    "x15_source_overlap",
+    (s, dir) =>
+      Dedup.sourceOverlap(Td(s, dir, "documents"), "source", "text", numHashes = 16)
+        .orderBy(col("src_a"), col("src_b")),
+    Some {
+      val sigs = (0 until 16).map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(", ")
+      val m = (0 until 16).map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""
+      WITH w AS (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+      sh0 AS (SELECT source, unnest(list_distinct(
+               CASE WHEN len(ws) >= 3
+                 THEN list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' '))
+                 ELSE [array_to_string(ws, ' ')] END)) AS shingle FROM w),
+      sh AS (SELECT DISTINCT source, shingle FROM sh0),
+      sig AS (SELECT source, $sigs FROM sh GROUP BY source)
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST($m AS DOUBLE) / 16 AS est_jaccard
+      FROM sig a JOIN sig b ON a.source < b.source
+      ORDER BY src_a, src_b
+    """
+    },
+    // one distinct + one agg + tiny broadcast self-join — d1/d3 time the
+    // corpus-scale halves; keeping it out preserves the bench line's headroom
+    benchmark = false)
+
   /** The MinHash-LSH verified-pairs CTE chain (mirrors Dedup.minhashDedup)
     * over any source CTE exposing (doc_id, text). Yields CTE `mh_pairs`
     * with (id_a, id_b, jaccard ≥ threshold).
@@ -2172,7 +2206,7 @@ object ExtQueries {
     u1UrlNormalize, u2UrlDedup,
     x1HllDistinct, x2KmeansIvf,
     x3DedupGroups, x5KmeansSample, x6DedupGroupsConv, x7StratifiedSample, x9CmsHeavyHitters,
-    x12TemperatureMix, x13CurriculumTiles, x14DomainQuota,
+    x12TemperatureMix, x13CurriculumTiles, x14DomainQuota, x15SourceOverlap,
     x11DedupRepresentative,
     x10SequencePack)
 }

@@ -158,6 +158,18 @@ class PlanSpec extends SparkSpec {
     assert(equiJoins === 1, s"expected one equi-join, found $equiJoins:\n$p")
   }
 
+  test("interval overlap is one equi-join, no dedup exchange (J10)") {
+    val p = JoinQueries.j10IntervalOverlap.fn(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"overlap join must bin to an equi-join:\n$p")
+    val equiJoins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r.findAllIn(p).length
+    assert(equiJoins === 1, s"expected one equi-join, found $equiJoins:\n$p")
+    // the owner-bin rule replaces dedup: no aggregate may sit above the join
+    assert(!p.contains("HashAggregate(keys=[click_id"),
+      s"owner-bin rule must make the output dedup-free:\n$p")
+  }
+
   test("as-of join is one key shuffle + one window — never a pairwise join (J7)") {
     val p = plan(JoinQueries.j7AsofJoin.fn(spark, sf))
     // the definitional form is a quadratic join + argmax; the shipped plan

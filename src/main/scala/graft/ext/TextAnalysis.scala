@@ -87,6 +87,36 @@ object TextAnalysis {
     }
   }
 
+  /** Unicode scripts profiled by [[scriptCount]]/[[dominantScript]] —
+    * name → Java regex script class. The RE2 oracle twin uses `\p{Name}`
+    * (same Unicode script property, both engines count identical chars).
+    * Order is the dominance tie-break, most common scripts first.
+    */
+  val Scripts: Seq[(String, String)] = Seq(
+    "latin" -> "\\p{IsLatin}",
+    "cyrillic" -> "\\p{IsCyrillic}",
+    "han" -> "\\p{IsHan}",
+    "arabic" -> "\\p{IsArabic}",
+    "devanagari" -> "\\p{IsDevanagari}")
+
+  /** Chars of one script in `c` — a codegen'd regexp count, rides the scan. */
+  def scriptCount(c: Column, javaClass: String): Column =
+    regexp_count(c, lit(s"[$javaClass]")).cast("long")
+
+  /** Char-level script detection — the pass run BEFORE word-level language
+    * ID ([[langId]]) in a crawl pipeline: script decides the tokenizer and
+    * whether whitespace tokens exist at all; digits/punctuation/whitespace
+    * belong to no script and never vote. Argmax char count, ties broken by
+    * [[Scripts]] order; no script chars at all → "none".
+    */
+  def dominantScript(c: Column): Column = {
+    val counts = Scripts.map { case (n, cls) => n -> scriptCount(c, cls) }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    counts.foldRight(lit("none"): Column) { case ((n, s), acc) =>
+      when(s === best && best > 0, lit(n)).otherwise(acc)
+    }
+  }
+
   /** Non-distinct word bigrams — repetition analysis needs multiplicity,
     * which the (deliberately deduplicating) shingle expression discards.
     * Empty array for texts under two tokens. Native one-pass expression:

@@ -1218,6 +1218,67 @@ object ExtQueries {
       ORDER BY doc_id
     """))
 
+  /** T10 — Unicode script detection ([[graft.ext.TextAnalysis
+    * .dominantScript]]): char-level script profile + argmax, the pass a
+    * crawl pipeline runs BEFORE word-level language ID (script picks the
+    * tokenizer). Plants splice Cyrillic/Han/Arabic runs into the Latin
+    * corpus; the oracle counts the same Unicode script properties via RE2
+    * `\p{Script}` classes and replays the same first-max CASE chain —
+    * whichever side of a near-tie wins, it wins identically in both
+    * engines.
+    */
+  val t10ScriptDetect = QueryDef(
+    "t10_script_detect",
+    (s, dir) => {
+      val id = col("doc_id")
+      val head = col("text").substr(1, 20)
+      val planted = when(id % 4 === 0, concat(head, lit(" \u0416\u0438\u0437\u043D\u044C")))
+        .when(id % 4 === 1,
+          concat(lit("\u4E2D\u6587\u6D4B\u8BD5\u4E2D\u6587\u6D4B\u8BD5 "), head))
+        .when(id % 4 === 2,
+          concat(lit("\u0627\u0644\u0639\u0631\u0628\u064A\u0629 "), head))
+        .otherwise(col("text"))
+      Td(s, dir, "documents")
+        .select(col("doc_id"),
+          TA.scriptCount(planted, "\\p{IsLatin}").as("n_latin"),
+          TA.scriptCount(planted, "\\p{IsCyrillic}").as("n_cyrillic"),
+          TA.scriptCount(planted, "\\p{IsHan}").as("n_han"),
+          TA.scriptCount(planted, "\\p{IsArabic}").as("n_arabic"),
+          TA.dominantScript(planted).as("script"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH aug AS (SELECT doc_id, CASE doc_id % 4
+        WHEN 0 THEN substr(text, 1, 20) || ' ' ||
+                    chr(1046) || chr(1080) || chr(1079) || chr(1085) || chr(1100)
+        WHEN 1 THEN chr(20013) || chr(25991) || chr(27979) || chr(35797) ||
+                    chr(20013) || chr(25991) || chr(27979) || chr(35797) || ' ' ||
+                    substr(text, 1, 20)
+        WHEN 2 THEN chr(1575) || chr(1604) || chr(1593) || chr(1585) ||
+                    chr(1576) || chr(1610) || chr(1577) || ' ' || substr(text, 1, 20)
+        ELSE text END AS s
+        FROM documents),
+      c AS (SELECT doc_id,
+        CAST(len(regexp_extract_all(s, '[\p{Latin}]')) AS BIGINT) AS n_latin,
+        CAST(len(regexp_extract_all(s, '[\p{Cyrillic}]')) AS BIGINT) AS n_cyrillic,
+        CAST(len(regexp_extract_all(s, '[\p{Han}]')) AS BIGINT) AS n_han,
+        CAST(len(regexp_extract_all(s, '[\p{Arabic}]')) AS BIGINT) AS n_arabic,
+        CAST(len(regexp_extract_all(s, '[\p{Devanagari}]')) AS BIGINT) AS n_dev
+        FROM aug),
+      m AS (SELECT *, greatest(n_latin, n_cyrillic, n_han, n_arabic, n_dev) AS best FROM c)
+      SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic,
+             CASE WHEN best = 0 THEN 'none'
+                  WHEN n_latin = best THEN 'latin'
+                  WHEN n_cyrillic = best THEN 'cyrillic'
+                  WHEN n_han = best THEN 'han'
+                  WHEN n_arabic = best THEN 'arabic'
+                  ELSE 'devanagari' END AS script
+      FROM m ORDER BY doc_id
+    """),
+    // per-row regex count map — t3 already times the char-class scan
+    // pattern; keeping it out preserves the compact bench line's headroom
+    benchmark = false)
+
   /** X12 — temperature-weighted mixture sampling
     * ([[graft.ext.Sampling.temperatureMix]]): the recipe is DERIVED from
     * per-stratum counts (kept docs ∝ c^0.5), not hand-written — the
@@ -2196,7 +2257,8 @@ object ExtQueries {
 
   val all: Seq[QueryDef] = Seq(
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
-    t7PiiRedact, t8LmPerplexity, t9TextNormalize, d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc,
+    t7PiiRedact, t8LmPerplexity, t9TextNormalize, t10ScriptDetect,
+    d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,

@@ -46,6 +46,15 @@ class TextNormalizeSpec extends SparkSpec {
     assert(viaSpark(s) === s)
   }
 
+  test("normalize_text stays inside whole-stage codegen") {
+    // a real file scan — a local relation gets constant-folded away
+    val df = graft.Td(spark, "/root/testdata/sf0.001", "documents")
+      .select(NormalizeText.normalizeText(col("text")).as("n"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(p).isDefined, p)
+  }
+
   test("null in, null out") {
     val r = Seq[(Integer, String)]((1, null)).toDF("id", "t")
       .select(NormalizeText.normalizeText(col("t")).as("n")).head()

@@ -641,6 +641,26 @@ object Dedup {
     * so the oracle replays it exactly (estimate included — integer count /
     * numHashes is engine-exact).
     */
+  /** Crawl snapshot diff: classify every doc id across two snapshots as
+    * `added` / `removed` / `changed` / `unchanged` — the audit run before
+    * an incremental pipeline decides what to reprocess.
+    *
+    * Scale shape: each side projects to (id, md5(text)) FIRST, so the
+    * full-outer join shuffles 16-byte digests, never document bodies —
+    * the same discipline as [[exactGroups]]. One hash shuffle on id.
+    */
+  def snapshotDiff(base: DataFrame, next: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val b = base.select(col(idCol), md5(col(textCol)).as("_h_base"))
+    val n = next.select(col(idCol), md5(col(textCol)).as("_h_next"))
+    b.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_h_base").isNull, "added")
+          .when(col("_h_next").isNull, "removed")
+          .when(col("_h_base") === col("_h_next"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   def sourceOverlap(df: DataFrame, groupCol: String, textCol: String,
       numHashes: Int = 16, n: Int = 3): DataFrame = {
     require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")

@@ -1155,7 +1155,10 @@ object ExtQueries {
              md5(coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE NOT boiler), ''))
                AS clean_md5
       FROM j GROUP BY doc_id ORDER BY doc_id
-    """))
+    """),
+    // d15 times the chunk-df shape; the only delta is the splitter expr —
+    // keeping it out preserves the compact bench line's headroom
+    benchmark = false)
 
   /** D18 — WITHIN-document chunk dedup ([[graft.ext.Paragraphs.dedupWithinDoc]]):
     * the intra-doc pass d15/d16 deliberately do NOT perform (their df counts
@@ -1424,6 +1427,47 @@ object ExtQueries {
     },
     // one distinct + one agg + tiny broadcast self-join — d1/d3 time the
     // corpus-scale halves; keeping it out preserves the bench line's headroom
+    benchmark = false)
+
+  /** X16 — crawl snapshot diff ([[graft.ext.Dedup.snapshotDiff]]): the
+    * "next crawl" is derived from the base deterministically (every 7th id
+    * vanishes, every remaining 5th mutates, every 3rd spawns a new id), so
+    * the expected status of every id is ground truth the oracle rebuilds
+    * with the same arithmetic — added/removed/changed/unchanged must land
+    * exactly.
+    */
+  val x16SnapshotDiff = QueryDef(
+    "x16_snapshot_diff",
+    (s, dir) => {
+      val id = col("doc_id")
+      val base = Td(s, dir, "documents").select(id, col("text"))
+      val next = base.filter(id % 7 =!= 0)
+        .select(id, when(id % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+        .unionByName(base.filter(id % 3 === 0)
+          .select((id + 9000000L).as("doc_id"), concat(lit("new "), col("text")).as("text")))
+      Dedup.snapshotDiff(base, next, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH base AS (SELECT doc_id, text FROM documents),
+      nxt AS (
+        SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        FROM base WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 9000000, 'new ' || text FROM base WHERE doc_id % 3 = 0),
+      b AS (SELECT doc_id, md5(text) AS hb FROM base),
+      n AS (SELECT doc_id, md5(text) AS hn FROM nxt)
+      SELECT COALESCE(b.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN b.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN hb = hn THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM b FULL OUTER JOIN n ON b.doc_id = n.doc_id
+      ORDER BY doc_id
+    """),
+    // digest-projected full-outer join — j6/d1 time the join/digest halves;
+    // keeping it out preserves the compact bench line's headroom
     benchmark = false)
 
   /** The MinHash-LSH verified-pairs CTE chain (mirrors Dedup.minhashDedup)
@@ -1706,7 +1750,10 @@ object ExtQueries {
                 SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rnk
                 FROM asg0) WHERE rnk = 1)
       SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM asg ORDER BY vec_id
-    """))
+    """),
+    // x2 times the kmeans+assign shape (x5 is its cheaper sampled twin) —
+    // keeping it out preserves the compact bench line's headroom
+    benchmark = false)
 
   /** X3 — dedup-group formation: connected components over the verified
     * MinHash near-dup pairs (4 rounds of min-label propagation — a
@@ -2269,6 +2316,7 @@ object ExtQueries {
     x1HllDistinct, x2KmeansIvf,
     x3DedupGroups, x5KmeansSample, x6DedupGroupsConv, x7StratifiedSample, x9CmsHeavyHitters,
     x12TemperatureMix, x13CurriculumTiles, x14DomainQuota, x15SourceOverlap,
+    x16SnapshotDiff,
     x11DedupRepresentative,
     x10SequencePack)
 }

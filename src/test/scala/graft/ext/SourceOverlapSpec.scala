@@ -33,4 +33,23 @@ class SourceOverlapSpec extends SparkSpec {
       .as[(String, String, Double)].head()._3
     assert(j > 0.0 && j < 1.0, s"expected partial overlap estimate, got $j")
   }
+
+  test("snapshot diff classifies added/removed/changed/unchanged exactly") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val next = Seq((2L, "b"), (3L, "c CHANGED"), (4L, "d")).toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(base, next, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("snapshot diff joins digests, not document bodies") {
+    val base = Seq((1L, "a")).toDF("doc_id", "text")
+    val next = Seq((1L, "a")).toDF("doc_id", "text")
+    val plan = Dedup.snapshotDiff(base, next, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    // the join's inputs carry (id, md5) only — raw text must be pruned
+    // below the join, so 'text' appears nowhere above the leaf projections
+    val joinLine = plan.linesIterator.find(_.contains("Join")).getOrElse("")
+    assert(joinLine.nonEmpty && !joinLine.contains("text"), plan)
+  }
 }

@@ -1520,6 +1520,72 @@ object ExtQueries {
     * Every stage is the already-verified operator; the oracle replays the
     * same composition.
     */
+  /** C5 — the crawl FRONT-END composed end-to-end: Unicode normalization
+    * → script gate (keep Latin-dominant) → quality gate → exact dedup on
+    * the NORMALIZED text (so `e`+U+0301 and `é` spellings of the same page
+    * collapse — the reason normalization precedes dedup). Plants force
+    * each gate to act: every 6th doc becomes Han-dominant (script gate
+    * drops it), every 6th+2 arrives dirty (NFC/controls/double spaces —
+    * normalization must repair it before the digest). The oracle replays
+    * all four stages with the already-verified t9/t10/t2/d1 fragments.
+    */
+  val c5NormalizedCuration = QueryDef(
+    "c5_normalized_curation",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.NormalizeText
+      val id = col("doc_id")
+      val head = col("text").substr(1, 10)
+      val planted = when(id % 6 === 1,
+          concat(lit("\u4E2D\u6587\u6D4B\u8BD5\u4E2D\u6587\u6D4B\u8BD5\u4E2D\u6587\u6D4B\u8BD5\u4E2D\u6587\u6D4B\u8BD5\u4E2D\u6587\u6D4B\u8BD5\u4E2D\u6587\u6D4B\u8BD5 "), head))
+        .when(id % 6 === 2, concat(lit("  He\u0301llo\t"), col("text")))
+        .otherwise(col("text"))
+      val normed = Td(s, dir, "documents")
+        .select(id, NormalizeText.normalizeText(planted).as("text"))
+      val gated = normed
+        .filter(TA.dominantScript(col("text")) === "latin")
+        .filter(TA.qualityScore(col("text")) >= 0.3)
+      gated.groupBy(md5(col("text")).as("content_md5"))
+        .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keep_id"))
+    },
+    Some {
+      val han = (1 to 6).map(_ => "chr(20013) || chr(25991) || chr(27979) || chr(35797)")
+        .mkString(" || ")
+      s"""
+      WITH aug AS (SELECT doc_id, CASE doc_id % 6
+        WHEN 1 THEN $han || ' ' || substr(text, 1, 10)
+        WHEN 2 THEN '  H' || 'e' || chr(769) || 'llo' || chr(9) || text
+        ELSE text END AS s
+        FROM documents),
+      norm AS (SELECT doc_id, ${org.apache.spark.sql.graft.NormalizeText.duckSql("s")} AS text
+               FROM aug),
+      sc AS (SELECT doc_id, text,
+        CAST(len(regexp_extract_all(text, '[\\p{Latin}]')) AS BIGINT) AS n_lat,
+        CAST(len(regexp_extract_all(text, '[\\p{Cyrillic}]')) AS BIGINT) AS n_cyr,
+        CAST(len(regexp_extract_all(text, '[\\p{Han}]')) AS BIGINT) AS n_han,
+        CAST(len(regexp_extract_all(text, '[\\p{Arabic}]')) AS BIGINT) AS n_ara,
+        CAST(len(regexp_extract_all(text, '[\\p{Devanagari}]')) AS BIGINT) AS n_dev
+        FROM norm),
+      lat AS (SELECT doc_id, text FROM sc
+        WHERE greatest(n_lat, n_cyr, n_han, n_ara, n_dev) > 0
+          AND n_lat = greatest(n_lat, n_cyr, n_han, n_ara, n_dev)),
+      q AS (SELECT doc_id, text,
+               0.5 * least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) / 64.0, 1.0)
+                 + 0.5 * least((CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> list_contains(${sqlList(TA.Stopwords)}, x))) AS DOUBLE)
+                   / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)) * 4.0, 1.0)
+                 - (CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS DOUBLE)
+                   / CAST(greatest(length(text), 1) AS DOUBLE)) * 2.0 AS quality
+        FROM lat)
+      SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM q WHERE quality >= 0.3
+      GROUP BY md5(text) ORDER BY keep_id
+    """
+    },
+    // composes already-benched stages (t9/t10/t2/d1 shapes) —
+    // keeping it out preserves the compact bench line's headroom
+    benchmark = false)
+
   val c1Curation = QueryDef(
     "c1_curation",
     (s, dir) => {
@@ -2312,6 +2378,7 @@ object ExtQueries {
     d14DedupChargram, d17DedupIndexBucketed, d19DedupContainment,
     s1KnnBrute, s2AnnIvf, m1MediaMeta, m2FrameSample, m3VideoMeta,
     c1Curation, c2CurationRecipe, c3Decontaminate, c4DecontaminateBloom,
+    c5NormalizedCuration,
     u1UrlNormalize, u2UrlDedup,
     x1HllDistinct, x2KmeansIvf,
     x3DedupGroups, x5KmeansSample, x6DedupGroupsConv, x7StratifiedSample, x9CmsHeavyHitters,

@@ -1470,6 +1470,58 @@ object ExtQueries {
     // keeping it out preserves the compact bench line's headroom
     benchmark = false)
 
+  /** X17 — int8 embedding quantization
+    * ([[org.apache.spark.sql.graft.QuantizeI8]]): the 4× storage cut of a
+    * 100 TB vector store, as native codegen'd expressions. Per vector:
+    * the scale (max|x|/127), the EXACT integer L1 mass of the quantized
+    * codes, their min/max (must reach ±127 on the max element), and the
+    * reconstruction MSE via the strict left-fold both engines share. The
+    * oracle replays quantization arithmetic exactly — floor-based
+    * round-half-up, because the engines' `round()` built-ins disagree on
+    * ties while floor and IEEE division are bit-identical.
+    */
+  val x17EmbedQuantize = QueryDef(
+    "x17_embed_quantize",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.QuantizeI8
+      val v = col("embedding").cast("array<double>")
+      val sc = QuantizeI8.scale(v)
+      val q = QuantizeI8.quantize(v)
+      Td(s, dir, "embeddings")
+        .select(col("vec_id"), sc.as("scale"), q.as("q"), v.as("v"))
+        .select(col("vec_id"), col("scale"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + abs(x)).as("q_l1"),
+          array_min(col("q")).as("q_min"), array_max(col("q")).as("q_max"),
+          (aggregate(
+            zip_with(col("v"), col("q"), (a, b) =>
+              (a - b * col("scale")) * (a - b * col("scale"))),
+            lit(0.0), (acc, x) => acc + x) / size(col("v"))).as("mse"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        FROM embeddings),
+      qq AS (
+        SELECT vec_id, v, scale,
+               CASE WHEN scale = 0
+                 THEN list_transform(v, x -> 0)
+                 ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER)) END AS q
+        FROM b)
+      SELECT vec_id, scale,
+             CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+             list_min(q) AS q_min, list_max(q) AS q_max,
+             list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(v)),
+                 i -> (v[i] - q[i] * scale) * (v[i] - q[i] * scale))),
+               (a, x) -> a + x) / len(v) AS mse
+      FROM qq ORDER BY vec_id
+    """),
+    // two codegen'd per-row maps + fold — t1/d5 time the shapes;
+    // keeping it out preserves the compact bench line's headroom
+    benchmark = false)
+
   /** The MinHash-LSH verified-pairs CTE chain (mirrors Dedup.minhashDedup)
     * over any source CTE exposing (doc_id, text). Yields CTE `mh_pairs`
     * with (id_a, id_b, jaccard ≥ threshold).
@@ -2383,7 +2435,7 @@ object ExtQueries {
     x1HllDistinct, x2KmeansIvf,
     x3DedupGroups, x5KmeansSample, x6DedupGroupsConv, x7StratifiedSample, x9CmsHeavyHitters,
     x12TemperatureMix, x13CurriculumTiles, x14DomainQuota, x15SourceOverlap,
-    x16SnapshotDiff,
+    x16SnapshotDiff, x17EmbedQuantize,
     x11DedupRepresentative,
     x10SequencePack)
 }

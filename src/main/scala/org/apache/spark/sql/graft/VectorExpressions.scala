@@ -83,6 +83,77 @@ object VectorExpressions {
       DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
 
+/** Symmetric per-vector int8 quantization — the 4× storage cut an
+  * embedding store takes at 100 TB (float32 → int8 + one double scale per
+  * vector). `quantize_scale(v)` = max|v_i| / 127; `quantize_i8(v)` maps
+  * each element to `floor(v_i/scale + 0.5)` — round-half-toward-+inf
+  * spelled as floor arithmetic, because BOTH engines' floor/division are
+  * IEEE-exact while their `round()` built-ins disagree on tie handling.
+  * All-zero vectors quantize to zeros with scale 0 (no division occurs).
+  * The max element maps to exactly ±127 up to one final-division ulp,
+  * which floor absorbs — no clamp needed.
+  *
+  * Same codegen discipline as [[DotProduct]]: tight loops over `ArrayData`
+  * inside whole-stage codegen, no per-element boxing.
+  */
+case class QuantizeScale(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "quantize_scale"
+  override def nullSafeEval(input: Any): Any =
+    QuantizeI8.scaleOf(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.QuantizeI8.scaleOf($c)")
+  override protected def withNewChildInternal(newChild: Expression): QuantizeScale =
+    copy(child = newChild)
+}
+
+case class QuantizeI8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.IntegerType
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "quantize_i8"
+  override def nullSafeEval(input: Any): Any =
+    QuantizeI8.compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.QuantizeI8.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): QuantizeI8 =
+    copy(child = newChild)
+}
+
+object QuantizeI8 {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  def scaleOf(v: ArrayData): Double = {
+    val n = v.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) { val a = math.abs(v.getDouble(i)); if (a > m) m = a; i += 1 }
+    m / 127.0
+  }
+
+  def compute(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val s = scaleOf(v)
+    val out = new Array[Int](n)
+    if (s != 0.0) {
+      var i = 0
+      while (i < n) {
+        out(i) = math.floor(v.getDouble(i) / s + 0.5).toInt
+        i += 1
+      }
+    }
+    new GenericArrayData(out.map(Int.box).asInstanceOf[Array[Any]])
+  }
+
+  def scale(v: Column): Column =
+    ExpressionUtils.column(QuantizeScale(ExpressionUtils.expression(v)))
+  def quantize(v: Column): Column =
+    ExpressionUtils.column(QuantizeI8(ExpressionUtils.expression(v)))
+}
+
 /** Native word-n-gram shingling: `word_shingles(tokens, n)` ≡
   * `array_distinct(transform(sequence(1, size-n+1), i -> array_join(
   * slice(tokens, i, n), " ")))` with a whole-tokens fallback when

@@ -717,6 +717,44 @@ object ExtQueries {
       SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 10 ORDER BY query_id, rnk
     """))
 
+  /** S3 — quantized kNN ([[graft.ext.Similarity.knnQuantized]]): the
+    * search path over the int8-compressed store — integer dots rescaled
+    * by the two per-vector scales, exact in doubles, so the approximate
+    * RANKING is still deterministic and the oracle replays it with no
+    * tolerance. Demonstrates x17's codes are queryable, not just smaller.
+    */
+  val s3KnnQuantized = QueryDef(
+    "s3_knn_quantized",
+    (s, dir) => {
+      val emb = Td(s, dir, "embeddings")
+      Similarity.knnQuantized(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("ip"),
+          col("rnk").cast("long").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc
+        FROM embeddings),
+      q8 AS (
+        SELECT vec_id, sc,
+               CASE WHEN sc = 0 THEN list_transform(v, x -> 0.0)
+                 ELSE list_transform(v, x -> CAST(CAST(floor(x / sc + 0.5) AS INTEGER) AS DOUBLE))
+               END AS qv
+        FROM b),
+      scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ${dotSql.format("q.qv", "c.qv")} * q.sc * c.sc AS ip
+                 FROM q8 q JOIN q8 c ON c.vec_id <> q.vec_id WHERE q.vec_id < 5),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ip DESC, neighbor_id) AS rnk
+            FROM scored)
+      SELECT query_id, neighbor_id, ip, rnk FROM r WHERE rnk <= 10 ORDER BY query_id, rnk
+    """),
+    // same cross-join+window shape s1 already times —
+    // keeping it out preserves the compact bench line's headroom
+    benchmark = false)
+
   /** S2 — IVF approximate search: k-means-trained centroids (k=8, 2 Lloyd
     * iterations), nprobe=2, top-5 within probed clusters.
     */
@@ -2428,7 +2466,7 @@ object ExtQueries {
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,
     d14DedupChargram, d17DedupIndexBucketed, d19DedupContainment,
-    s1KnnBrute, s2AnnIvf, m1MediaMeta, m2FrameSample, m3VideoMeta,
+    s1KnnBrute, s2AnnIvf, s3KnnQuantized, m1MediaMeta, m2FrameSample, m3VideoMeta,
     c1Curation, c2CurationRecipe, c3Decontaminate, c4DecontaminateBloom,
     c5NormalizedCuration,
     u1UrlNormalize, u2UrlDedup,

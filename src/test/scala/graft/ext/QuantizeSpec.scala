@@ -34,6 +34,28 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
+  test("quantized kNN matches a driver-side recomputation of the ranking") {
+    val emb = graft.Td(spark, "/root/testdata/sf0.001", "embeddings")
+    val got = Similarity.knnQuantized(emb.filter(col("vec_id") === 0), emb,
+        "vec_id", "embedding", k = 10)
+      .select("neighbor_id", "rnk").as[(Long, Int)].collect()
+      .sortBy(_._2).map(_._1)
+    // recompute the same quantized inner products on the driver
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    def q(v: Seq[Double]): (Double, Seq[Int]) = {
+      val s = v.map(math.abs).max / 127.0
+      (s, if (s == 0) v.map(_ => 0) else v.map(x => math.floor(x / s + 0.5).toInt))
+    }
+    val (s0, q0) = q(vecs(0L))
+    val expect = vecs.toSeq.filter(_._1 != 0L).map { case (id, v) =>
+      val (sc, qc) = q(v)
+      val ip = q0.zip(qc).map { case (a, b) => (a * b).toDouble }.sum * s0 * sc
+      (id, ip)
+    }.sortBy { case (id, ip) => (-ip, id) }.take(10).map(_._1)
+    assert(got.toSeq === expect)
+  }
+
   test("quantization rides whole-stage codegen over a file scan") {
     val df = graft.Td(spark, "/root/testdata/sf0.001", "embeddings")
       .select(QuantizeI8.quantize(col("embedding").cast("array<double>")).as("q"))

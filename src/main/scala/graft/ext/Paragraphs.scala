@@ -72,6 +72,38 @@ object Paragraphs {
         .as(Seq("pos", "chunk")))
   }
 
+  /** Sliding token windows with overlap: (id, chunk_idx, chunk_start,
+    * n_chunk_tokens, chunk_text) — the context-window chunking a retrieval
+    * or embedding pipeline runs before encoding (stride < window keeps
+    * `window - stride` tokens of overlap so no span straddles a boundary
+    * unseen). Unlike [[chunks]] (disjoint, fixed count per token) this
+    * emits `ceil(n / stride)` overlapping windows; the last window is
+    * short rather than padded, and an empty document yields one empty
+    * window (same both engines: DuckDB `generate_series(0, 0, s)` = [0]).
+    *
+    * Scale shape: one narrow `posexplode` map pass inside the scan — the
+    * token array is built once per row and every window slices it in
+    * place, no shuffle, no per-window re-tokenization. Output grows by
+    * window/stride (~1.33x at 32/24), which is the caller's storage
+    * decision, not a join blow-up.
+    */
+  def tokenWindows(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 32, stride: Int = 24): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window], got $stride")
+    val toks = TextAnalysis.wsTokens(col(textCol))
+    val starts = sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride))
+    df.select(col(idCol),
+        posexplode(transform(starts, st =>
+          struct(st.as("start"), slice(toks, st + 1, lit(window)).as("toks")))))
+      .select(col(idCol),
+        col("pos").as("chunk_idx"),
+        col("col.start").as("chunk_start"),
+        size(col("col.toks")).cast("long").as("n_chunk_tokens"),
+        array_join(col("col.toks"), " ").as("chunk_text"))
+  }
+
   /** WITHIN-document chunk dedup — the intra-doc twin of [[boilerplateClean]]
     * (which is cross-doc by design and deliberately KEEPS within-doc
     * repeats): crawled pages repeat their own nav blocks, share widgets,

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling operators for training-data curation.
@@ -83,5 +84,34 @@ object Sampling {
     df.join(broadcast(rates), Seq(strataCol))
       .filter(Similarity.sampleBucket(col(idCol)) < col("_k"))
       .drop("_k")
+  }
+
+  /** Deterministic global shuffle into training shards: every row gets a
+    * `shard` (md5-keyed, seed-parameterized) and a dense 1-based `pos`
+    * within its shard, ordered by the same md5 key. This is the "shuffle
+    * the corpus once, then stream shards sequentially" step every training
+    * run needs — and doing it with an RNG (`orderBy(rand())`) is both
+    * non-replayable and a single global sort. Here the order is a pure
+    * function of (seed, id): re-running, re-partitioning, or re-sharding
+    * with the same seed reproduces the exact byte order, and changing the
+    * seed is a fresh epoch-level permutation.
+    *
+    * Scale shape: one hash-partitioned exchange into `nShards` groups plus
+    * a per-shard sort — no global ordering anywhere. At 100 TB pick
+    * nShards = corpusBytes / targetShardBytes (thousands), so each shard is
+    * one task's sort and shards write out as independent files. The md5
+    * key is uniform, so shards are balanced regardless of id clustering or
+    * data skew; the 4-hex-digit prefix (16 bits) that picks the shard caps
+    * nShards at 65536, plenty ahead of per-shard sizing.
+    */
+  def shardShuffle(df: DataFrame, idCol: String, nShards: Int, seed: String): DataFrame = {
+    require(nShards >= 1 && nShards <= 65536,
+      s"nShards must be in [1, 65536], got $nShards")
+    val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val byShard = Window.partitionBy(col("shard")).orderBy(col("_key"), col(idCol))
+    df.withColumn("_key", key)
+      .withColumn("shard", (conv(substring(col("_key"), 1, 4), 16, 10).cast("int") % nShards))
+      .withColumn("pos", row_number().over(byShard).cast("long"))
+      .drop("_key")
   }
 }

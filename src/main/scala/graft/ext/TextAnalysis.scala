@@ -148,6 +148,65 @@ object TextAnalysis {
   def piiSsnCount(c: Column): Column = regexp_count(c, lit(PiiSsnPattern))
   def piiCardCount(c: Column): Column = regexp_count(c, lit(PiiCardPattern))
 
+  // --- Gopher-style repetition/format document filter -----------------------
+  //
+  // The composite rule set from Rae et al. 2021 ("Scaling Language Models:
+  // Methods, Analysis & Insights from Training Gopher", Table A1), the
+  // standard pre-filter every web-scale corpus build runs before dedup:
+  // word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+  // bullet/ellipsis line fractions, alphabetic-word fraction, and a
+  // required-stopword floor. All pure Column expressions — per-row map work
+  // inside the scan's codegen, no shuffle, which is exactly why this filter
+  // is cheap enough to run over 100 TB before anything else.
+
+  /** Gopher's "required words": a document must contain >= 2 of these. */
+  val RequiredStopwords: Seq[String] = Seq(
+    "the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Lines of the raw text (literal newline split, same both engines). */
+  def textLines(c: Column): Column = split(c, "\n")
+
+  /** Fraction of words containing at least one alphabetic character. */
+  def alphaWordFrac(c: Column): Column =
+    size(filter(wsTokens(c), w => w.rlike("[A-Za-z]"))).cast("double") /
+      greatest(tokenCount(c), lit(1)).cast("double")
+
+  /** Hash-or-ellipsis symbols per word (Gopher caps this at 0.1). */
+  def symbolWordRatio(c: Column): Column =
+    size(regexp_extract_all(c, lit("#|\\.\\.\\.|…"), lit(0))).cast("double") /
+      greatest(tokenCount(c), lit(1)).cast("double")
+
+  /** Fraction of lines starting with a bullet marker. */
+  def bulletLineFrac(c: Column): Column =
+    size(filter(textLines(c), l => l.rlike("^\\s*[-*•]"))).cast("double") /
+      greatest(size(textLines(c)), lit(1)).cast("double")
+
+  /** Fraction of lines ending in an ellipsis. */
+  def ellipsisLineFrac(c: Column): Column =
+    size(filter(textLines(c), l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("double") /
+      greatest(size(textLines(c)), lit(1)).cast("double")
+
+  /** How many distinct required stopwords appear as (lowercased) tokens. */
+  def requiredStopCount(c: Column): Column =
+    RequiredStopwords
+      .map(w => array_contains(wsTokens(lower(c)), w).cast("int"))
+      .reduce(_ + _)
+
+  /** The conjunction of all Gopher rules at the published thresholds.
+    * Threshold comparisons are on exact count/count doubles — identical
+    * bits in any IEEE engine, so the boolean replays in the oracle.
+    */
+  def gopherKeep(c: Column, minWords: Int = 50, maxWords: Int = 100000): Column = {
+    val n = tokenCount(c)
+    (n >= minWords) && (n <= maxWords) &&
+      (meanTokenLen(c) >= 3.0) && (meanTokenLen(c) <= 10.0) &&
+      (symbolWordRatio(c) < 0.1) &&
+      (bulletLineFrac(c) < 0.9) &&
+      (ellipsisLineFrac(c) < 0.3) &&
+      (alphaWordFrac(c) > 0.8) &&
+      (requiredStopCount(c) >= 2)
+  }
+
   /** Redact PII in place with typed placeholders. Email first: its body can
     * contain digit runs and dotted quads, so redacting it up front keeps the
     * later passes from matching inside an address. SSN before phone: both

@@ -2458,9 +2458,136 @@ object ExtQueries {
       FROM aug ORDER BY doc_id
     """))
 
+  /** T11 — Gopher-style composite document filter ([[TA.gopherKeep]]):
+    * word-count bounds, mean word length, symbol ratio, bullet/ellipsis
+    * line fractions, alphabetic-word fraction, required-stopword floor.
+    * The corpus is newline-free word salad, so each format rule gets a
+    * planted arm that FAILS it and (for the line rules) one that passes
+    * with dirt present; word-count and stopword rules split the natural
+    * corpus on their own (docs run 10-99 words around the 50-word floor).
+    */
+  val t11GopherRules = QueryDef(
+    "t11_gopher_rules",
+    (s, dir) => {
+      val id = col("doc_id")
+      val t0 = col("text")
+      val planted = when(id % 8 === 0, concat(t0, lit("\n- b" * 10)))
+        .when(id % 8 === 1, concat(t0, lit("\n- b\n- b\n* b")))
+        .when(id % 8 === 2, concat(t0, lit("\nmore soon...\nto be continued…")))
+        .when(id % 8 === 3,
+          concat(t0, lit("\nends with dots...\nplain one\nplain two\nplain three")))
+        .when(id % 8 === 4, concat(t0, lit(" # ## ### #### ...")))
+        .when(id % 8 === 5, concat(t0, lit(" 12345" * 30)))
+        .when(id % 8 === 6, concat(t0, lit(" q" * 60)))
+        .otherwise(t0)
+      val t = col("t")
+      Td(s, dir, "documents")
+        .select(id, planted.as("t"))
+        .select(col("doc_id"),
+          TA.tokenCount(t).cast("long").as("n_words"),
+          TA.meanTokenLen(t).as("mean_word_len"),
+          TA.symbolWordRatio(t).as("symbol_ratio"),
+          TA.bulletLineFrac(t).as("bullet_frac"),
+          TA.ellipsisLineFrac(t).as("ellipsis_frac"),
+          TA.alphaWordFrac(t).as("alpha_frac"),
+          TA.requiredStopCount(t).as("n_req_stop"),
+          TA.gopherKeep(t).cast("int").as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val req = TA.RequiredStopwords
+        .map(w => s"list_contains(lws, '$w')::INT").mkString(" + ")
+      s"""
+      WITH aug AS (SELECT doc_id, CASE doc_id % 8
+        WHEN 0 THEN text || repeat(chr(10) || '- b', 10)
+        WHEN 1 THEN text || chr(10) || '- b' || chr(10) || '- b' || chr(10) || '* b'
+        WHEN 2 THEN text || chr(10) || 'more soon...' || chr(10) || 'to be continued…'
+        WHEN 3 THEN text || chr(10) || 'ends with dots...' || chr(10) || 'plain one' ||
+                    chr(10) || 'plain two' || chr(10) || 'plain three'
+        WHEN 4 THEN text || ' # ## ### #### ...'
+        WHEN 5 THEN text || repeat(' 12345', 30)
+        WHEN 6 THEN text || repeat(' q', 60)
+        ELSE text END AS t
+        FROM documents),
+      m AS (SELECT doc_id, t,
+              regexp_split_to_array(trim(t), '\\s+') AS ws,
+              regexp_split_to_array(trim(lower(t)), '\\s+') AS lws,
+              string_split(t, chr(10)) AS ls
+            FROM aug),
+      r AS (SELECT doc_id,
+              CAST(len(ws) AS BIGINT) AS n_words,
+              CAST(length(regexp_replace(t, '\\s', '', 'g')) AS DOUBLE) / len(ws) AS mean_word_len,
+              CAST(len(regexp_extract_all(t, '#|\\.\\.\\.|…')) AS DOUBLE)
+                / greatest(len(ws), 1) AS symbol_ratio,
+              CAST(len(list_filter(ls, l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
+                / greatest(len(ls), 1) AS bullet_frac,
+              CAST(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS DOUBLE)
+                / greatest(len(ls), 1) AS ellipsis_frac,
+              CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                / greatest(len(ws), 1) AS alpha_frac,
+              CAST($req AS INT) AS n_req_stop
+            FROM m)
+      SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+             ellipsis_frac, alpha_frac, n_req_stop,
+             CAST(n_words BETWEEN 50 AND 100000
+               AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+               AND symbol_ratio < 0.1 AND bullet_frac < 0.9
+               AND ellipsis_frac < 0.3 AND alpha_frac > 0.8
+               AND n_req_stop >= 2 AS INT) AS keep
+      FROM r ORDER BY doc_id
+    """
+    })
+
+  /** X18 — deterministic shard shuffle ([[Sampling.shardShuffle]]): the
+    * "shuffle once, stream shards" epoch permutation, as a pure function
+    * of (seed, doc_id) — replayable in any md5-capable engine, no RNG, no
+    * global sort (one hash exchange + per-shard sorts).
+    */
+  val x18ShardShuffle = QueryDef(
+    "x18_shard_shuffle",
+    (s, dir) =>
+      Sampling.shardShuffle(Td(s, dir, "documents"), "doc_id", nShards = 8, seed = "r11")
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos")),
+    Some {
+      def nib(i: Int) = s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+      val shard =
+        s"CAST(((((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)}) % 8) AS INT)"
+      s"""
+      WITH k AS (SELECT doc_id, md5('r11:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+      b AS (SELECT doc_id, h, $shard AS shard FROM k)
+      SELECT doc_id, shard,
+             CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+      FROM b ORDER BY shard, pos
+    """
+    })
+
+  /** X19 — sliding token windows ([[graft.ext.Paragraphs.tokenWindows]]):
+    * overlapping 32-token chunks at stride 24 — retrieval/embedding
+    * chunking as one narrow posexplode pass, no shuffle.
+    */
+  val x19ChunkWindows = QueryDef(
+    "x19_chunk_windows",
+    (s, dir) =>
+      graft.ext.Paragraphs.tokenWindows(
+          Td(s, dir, "documents"), "doc_id", "text", window = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      st AS (SELECT doc_id, ws,
+               unnest(generate_series(0, greatest(len(ws) - 1, 0), 24)) AS s
+             FROM w)
+      SELECT doc_id,
+             CAST(s // 24 AS INT) AS chunk_idx,
+             CAST(s AS INT) AS chunk_start,
+             CAST(len(ws[s+1:s+32]) AS BIGINT) AS n_chunk_tokens,
+             array_to_string(ws[s+1:s+32], ' ') AS chunk_text
+      FROM st ORDER BY doc_id, chunk_idx
+    """))
+
   val all: Seq[QueryDef] = Seq(
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
-    t7PiiRedact, t8LmPerplexity, t9TextNormalize, t10ScriptDetect,
+    t7PiiRedact, t8LmPerplexity, t9TextNormalize, t10ScriptDetect, t11GopherRules,
     d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
@@ -2473,7 +2600,7 @@ object ExtQueries {
     x1HllDistinct, x2KmeansIvf,
     x3DedupGroups, x5KmeansSample, x6DedupGroupsConv, x7StratifiedSample, x9CmsHeavyHitters,
     x12TemperatureMix, x13CurriculumTiles, x14DomainQuota, x15SourceOverlap,
-    x16SnapshotDiff, x17EmbedQuantize,
+    x16SnapshotDiff, x17EmbedQuantize, x18ShardShuffle, x19ChunkWindows,
     x11DedupRepresentative,
     x10SequencePack)
 }

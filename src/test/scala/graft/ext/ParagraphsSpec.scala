@@ -126,4 +126,37 @@ class ParagraphsSpec extends SparkSpec {
       Paragraphs.chunks(df, "doc_id", "text", chunkTokens = 0)
     }
   }
+
+  test("tokenWindows: overlap of window-stride tokens, short tail, empty doc") {
+    val df = Seq(
+      (1L, "a b c d e f g h"), // 8 tokens, window 5 stride 3
+      (2L, "x y"),             // shorter than one window
+      (3L, "")                 // [""] -> one empty window
+    ).toDF("doc_id", "text")
+    val out = Paragraphs.tokenWindows(df, "doc_id", "text", window = 5, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, Int, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 0, 0, 5L, "a b c d e"),
+      (1L, 1, 3, 5L, "d e f g h"), // overlaps "d e" with the previous window
+      (1L, 2, 6, 2L, "g h"),       // short tail, not padded
+      (2L, 0, 0, 2L, "x y"),
+      (3L, 0, 0, 1L, "")))
+    // every adjacent pair overlaps by exactly window - stride tokens
+    val doc1 = out.filter(_._1 == 1L).map(_._5.split(" ").toSeq)
+    doc1.sliding(2).foreach {
+      case Seq(a, b) => assert(a.takeRight(2).forall(b.contains), s"$a / $b")
+      case _         =>
+    }
+  }
+
+  test("tokenWindows rejects stride outside [1, window]") {
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Paragraphs.tokenWindows(df, "doc_id", "text", window = 4, stride = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Paragraphs.tokenWindows(df, "doc_id", "text", window = 4, stride = 0)
+    }
+  }
 }

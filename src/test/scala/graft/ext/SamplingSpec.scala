@@ -50,4 +50,41 @@ class SamplingSpec extends SparkSpec {
       Sampling.temperatureMix(corpus, "id", "lang", alpha = 1.5)
     }
   }
+
+  test("shardShuffle: positions dense per shard, order a pure function of (seed, id)") {
+    val df = (1L to 500L).toDF("id")
+    val out = Sampling.shardShuffle(df, "id", nShards = 4, seed = "s1")
+      .select("id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(out.length === 500)
+    assert(out.map(_._2).toSet.subsetOf((0 until 4).toSet))
+    // dense 1..n positions within each shard
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    // same seed replays the identical permutation regardless of partitioning
+    val re = Sampling.shardShuffle(df.repartition(13), "id", nShards = 4, seed = "s1")
+      .select("id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(re.toSet === out.toSet)
+    // a different seed is a genuinely different permutation
+    val other = Sampling.shardShuffle(df, "id", nShards = 4, seed = "s2")
+      .select("id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(other.toSet !== out.toSet)
+  }
+
+  test("shardShuffle: md5 key balances shards even on clustered ids") {
+    // sequential ids (worst case for naive range-sharding) still spread
+    val sizes = Sampling.shardShuffle((1L to 4000L).toDF("id"), "id", 8, "s")
+      .groupBy("shard").count().as[(Int, Long)].collect().toMap
+    assert(sizes.size === 8)
+    assert(sizes.values.min > 300 && sizes.values.max < 700, s"skewed: $sizes")
+  }
+
+  test("shardShuffle rejects out-of-range shard counts") {
+    intercept[IllegalArgumentException] {
+      Sampling.shardShuffle(corpus, "id", nShards = 0, seed = "s")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.shardShuffle(corpus, "id", nShards = 70000, seed = "s")
+    }
+  }
 }

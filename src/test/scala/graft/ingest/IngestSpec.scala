@@ -20,6 +20,54 @@ class IngestSpec extends SparkSpec {
     assert(rows.forall(_._2 == "a.csv") && rows.length === 2)
   }
 
+  test("JsonlIngest: explicit schema, corrupt lines captured not crashed, lineage attached") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_jsonl")
+    writeCsv(dir, "a.jsonl",
+      """{"doc_id": 1, "text": "hello world"}""",
+      """{"doc_id": 2, "text": "second line"}""",
+      """{"doc_id": 3, "text": "truncated""", // corrupt: unterminated string
+      """not json at all""")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val df = JsonlIngest.read(spark, dir.toString, Some(schema))
+    assert(df.columns.toSet === Set("doc_id", "text", "_corrupt_record",
+      "file_name", "file_size", "read_timestamp"))
+    val (good, bad) = JsonlIngest.quarantine(df)
+    assert(good.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    assert(!good.columns.contains("_corrupt_record"))
+    val badRows = bad.select("_corrupt_record", "file_name").as[(String, String)].collect()
+    assert(badRows.length === 2 && badRows.forall(_._2 == "a.jsonl"))
+    assert(badRows.exists(_._1.contains("not json at all")))
+  }
+
+  test("JsonlIngest: valid lines with unknown fields are rows, not quarantine; blank lines skipped") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_jsonl_shape")
+    writeCsv(dir, "c.jsonl",
+      """{"doc_id": 1}""",
+      """{"other_field": 99}""", // valid JSON, none of our fields -> all-null row
+      "",                       // blank line -> skipped like the native reader
+      "null")                   // bare JSON null -> quarantined
+    val schema = StructType(Seq(StructField("doc_id", LongType)))
+    val (good, bad) = JsonlIngest.quarantine(
+      JsonlIngest.read(spark, dir.toString, Some(schema)))
+    assert(good.count() === 2) // doc 1 + the all-null row
+    assert(bad.as[(String, String, Long)].collect().map(_._1).toSeq === Seq("null"))
+  }
+
+  test("JsonlIngest failFast raises on the first corrupt line") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_jsonl_ff")
+    writeCsv(dir, "b.jsonl", """{"doc_id": 1}""", """{"doc_id":""")
+    val schema = StructType(Seq(StructField("doc_id", LongType)))
+    val thrown = intercept[Exception] {
+      JsonlIngest.read(spark, dir.toString, Some(schema), failFast = true)
+        .select("doc_id").collect()
+    }
+    assert(thrown.getMessage != null)
+  }
+
   test("Landing.archive moves files landing→processed (S10)") {
     val root = Files.createTempDirectory("graft_landing")
     val landing = root.resolve("landing"); Files.createDirectories(landing)

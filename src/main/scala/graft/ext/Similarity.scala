@@ -500,4 +500,152 @@ object Similarity {
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  // --- Product quantization (PQ) ADC search --------------------------------
+  //
+  // The compression tier below int8 (knnQuantized): each L2-NORMALIZED
+  // vector becomes m codebook indices — 16 bytes for a 64-dim float vector
+  // at m=16, a 16× cut vs float32 — and search never reconstructs: a
+  // query's dot against a coded vector is a sum of m table lookups
+  // (asymmetric distance computation, Jégou et al. 2011, "Product
+  // Quantization for Nearest Neighbor Search"). At 100 TB the coded corpus
+  // is what fits a cluster's memory; the float vectors stay cold.
+  //
+  // Determinism contract (same as kmeansTrain): 2^-20-quantized inputs,
+  // strict left-fold dots, k-smallest-id seeding, fixed Lloyd iterations,
+  // first-minimum tie-breaks — the DuckDB oracle replays training, encode,
+  // and ADC ranking exactly.
+
+  /** Per-subspace codebooks: `books(j)` = k codewords for subspace j, each
+    * (cid 1..k, codeword, ‖codeword‖² as a strict fold).
+    */
+  type PqBooks = Seq[Seq[(Int, Seq[Double], Double)]]
+
+  private def sqNormOf(v: Seq[Double]): Double =
+    v.foldLeft(0.0)((a, x) => a + x * x)
+
+  /** 2^-20-quantized, L2-normalized double vector (zero vectors pass
+    * through) — PQ operates on the unit sphere so ADC dots approximate
+    * cosine directly.
+    */
+  private def unitVec(c: Column): Column = {
+    val q = quantize(c)
+    val n = norm(q)
+    when(n === 0.0, q).otherwise(transform(q, x => x / n))
+  }
+
+  /** (id, sub, sv): the m dsub-dim slices of each normalized vector. */
+  private def subVectors(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, dsub: Int): DataFrame =
+    df.select(col(idCol), posexplode(transform(sequence(lit(0), lit(m - 1)),
+        j => slice(unitVec(col(vecCol)), j * dsub + 1, lit(dsub)))).as(Seq("sub", "sv")))
+
+  /** Per-row squared-L2 argmin against this row's subspace codebook, as a
+    * map-only projection: a chained-`when` on `sub` selects an array of
+    * k distances (‖c‖² − 2·v·c — the ‖v‖² term is rank-invariant), and
+    * `array_position(…, array_min(…))` takes the FIRST minimum — ties to
+    * the lower cid, the same rule as every argmin here.
+    */
+  private def nearestCode(books: PqBooks, sv: Column, sub: Column): Column = {
+    val dists = books.zipWithIndex.map { case (cws, j) =>
+      j -> array(cws.map { case (_, cw, cc) =>
+        lit(cc) - lit(2.0) * dot(sv, lit(cw.toArray))
+      }: _*)
+    }
+    val dArr = dists.tail.foldLeft(when(sub === dists.head._1, dists.head._2)) {
+      case (acc, (j, d)) => acc.when(sub === j, d)
+    }
+    array_position(dArr, array_min(dArr)).cast("int")
+  }
+
+  /** Train PQ codebooks: m subspaces × k codewords, all subspaces in ONE
+    * Lloyd pass per iteration (a single scan + one (sub, cluster, pos)
+    * aggregation — not m separate trainings). Seeded per subspace with the
+    * k smallest-id subvectors; empty clusters keep their previous codeword.
+    */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int = 8, k: Int = 16, iters: Int = 2): PqBooks = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    require(k >= 1 && iters >= 0, s"need k >= 1 codewords, iters >= 0")
+    val dsub = dim / m
+    val sv = subVectors(df, idCol, vecCol, m, dsub)
+
+    // seed: subvectors of the k smallest-id vectors (TakeOrderedAndProject
+    // on the driver side of a k-row collect — never a global sort)
+    val seeds = df.select(col(idCol), unitVec(col(vecCol)).as("_u"))
+      .orderBy(col(idCol)).limit(k).collect()
+      .map(_.getSeq[Double](1).toSeq)
+    var books: PqBooks = (0 until m).map { j =>
+      seeds.zipWithIndex.map { case (u, i) =>
+        val cw = u.slice(j * dsub, j * dsub + dsub)
+        (i + 1, cw, sqNormOf(cw))
+      }.toSeq
+    }
+
+    for (_ <- 0 until iters) {
+      val assigned = sv.select(col("sub"),
+        nearestCode(books, col("sv"), col("sub")).as("cluster"), col("sv"))
+      val sums = assigned
+        .select(col("sub"), col("cluster"), posexplode(col("sv")))
+        .groupBy(col("sub"), col("cluster"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2), r.getDouble(3), r.getLong(4))))
+        .groupBy(_._1)
+        .map { case (key, rows) =>
+          key -> rows.map(_._2).sortBy(_._1).map(t => t._2 / t._3).toSeq
+        }
+      books = books.zipWithIndex.map { case (cws, j) =>
+        cws.map { case (cid, old, oldcc) =>
+          sums.get((j, cid)) match {
+            case Some(cw) => (cid, cw, sqNormOf(cw))
+            case None => (cid, old, oldcc)
+          }
+        }
+      }
+    }
+    books
+  }
+
+  /** PQ-encode: (id, codes) where `codes(j)` ∈ 1..k names the nearest
+    * codeword of subspace j. Map-only — the 100 TB index build is a
+    * projection over the scan, written once; 16 bytes/vector at m=16.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String, books: PqBooks): DataFrame = {
+    val m = books.length
+    val dsub = books.head.head._2.length
+    subVectors(df, idCol, vecCol, m, dsub)
+      .select(col(idCol), col("sub"),
+        nearestCode(books, col("sv"), col("sub")).as("code"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("_sc"))
+      .select(col(idCol), transform(col("_sc"), s => s.getField("code")).as("codes"))
+  }
+
+  /** ADC top-k: rank the COMPRESSED corpus against each query by
+    * Σ_j dot(q_j, codeword(codes_j)) — m dsub-dim lookups+dots per
+    * (query, vector), never a reconstruction, never the float corpus.
+    * Queries broadcast (small by contract); per-query top-k is the same
+    * window as [[knnBrute]]. Scores approximate cosine (both sides unit).
+    */
+  def pqSearch(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, books: PqBooks, k: Int = 10): DataFrame = {
+    val m = books.length
+    val dsub = books.head.head._2.length
+    val coded = pqEncode(corpus, idCol, vecCol, books)
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+    val q = queries.select(col(idCol).as("query_id"), unitVec(col(vecCol)).as("qu"))
+    // codeword lookup table as one nested literal: m × k × dsub doubles
+    val bookLit = typedLit(books.map(_.map(_._2)))
+    val adc = (0 until m).map { j =>
+      dot(slice(col("qu"), lit(j * dsub + 1), lit(dsub)),
+        element_at(element_at(bookLit, j + 1), element_at(col("codes"), j + 1)))
+    }.reduce(_ + _)
+    val scored = coded.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
 }

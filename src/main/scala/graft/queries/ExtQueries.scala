@@ -2458,6 +2458,83 @@ object ExtQueries {
       FROM aug ORDER BY doc_id
     """))
 
+  /** DuckDB twin of the PQ pipeline ([[Similarity.pqTrain]]/pqEncode/
+    * pqSearch): normalized 2^-20-quantized vectors, per-subspace Lloyd
+    * with k-smallest-id seeding, squared-L2 argmin (‖c‖² − 2·v·c) with
+    * lower-cid ties, and the ADC sum as an ordered left fold. Mirrors
+    * [[kmeansCte]]'s structure with `sub` as an extra key everywhere.
+    */
+  private def pqCte(m: Int, k: Int, iters: Int, dsub: Int): String = {
+    val dist = s"list_reduce(list_transform(c.cv, x -> x * x), (a, b) -> a + b) - " +
+      s"2 * ${dotSql.format("s.sv", "c.cv")}"
+    val base =
+      s"""pq_u AS (SELECT vec_id, CASE WHEN nrm0 = 0 THEN qv
+             ELSE list_transform(qv, x -> x / nrm0) END AS uv FROM (
+           SELECT vec_id, qv,
+                  sqrt(list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b)) AS nrm0
+           FROM (SELECT vec_id, list_transform(embedding,
+                   x -> round(CAST(x AS DOUBLE) * 1048576.0) / 1048576.0) AS qv
+                 FROM embeddings))),
+      pq_sv AS (SELECT vec_id, sub, uv[sub*$dsub+1 : sub*$dsub+$dsub] AS sv
+                FROM pq_u CROSS JOIN (SELECT unnest(range($m)) AS sub) subs),
+      pc0 AS (SELECT sub, row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS cid, sv AS cv
+              FROM pq_sv QUALIFY cid <= $k)"""
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      s"""pd$i AS (SELECT s.vec_id, s.sub, s.sv, c.cid, $dist AS dist
+               FROM pq_sv s JOIN pc$p c ON c.sub = s.sub),
+      pa$i AS (SELECT vec_id, sub, sv, cid AS cluster FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rnk
+               FROM pd$i) WHERE rnk = 1),
+      pm$i AS (SELECT sub, cluster, unnest(range(len(sv))) AS pos, unnest(sv) AS val FROM pa$i),
+      pg$i AS (SELECT sub, cluster AS cid, pos, sum(val) / count(*) AS mval FROM pm$i GROUP BY 1, 2, 3),
+      pu$i AS (SELECT sub, cid, list(mval ORDER BY pos) AS cv FROM pg$i GROUP BY 1, 2),
+      pc$i AS (SELECT sub, cid, cv FROM pu$i UNION ALL
+               SELECT c.sub, c.cid, c.cv FROM pc$p c WHERE NOT EXISTS (
+                 SELECT 1 FROM pu$i u WHERE u.sub = c.sub AND u.cid = c.cid))"""
+    }
+    (base +: steps).mkString(",\n      ")
+  }
+
+  /** S5 — product-quantization ADC search ([[Similarity.pqTrain]] →
+    * pqEncode → pqSearch): the compression tier below s3's int8 — 64-dim
+    * floats become m=8 codebook indices (8 bytes/vector, 32×), and search
+    * sums 8 codeword dots per candidate instead of touching floats. The
+    * oracle replays training, encode, and the ADC ranking end-to-end.
+    */
+  val s5KnnPq = QueryDef(
+    "s5_knn_pq",
+    (s, dir) => {
+      val emb = Td(s, dir, "embeddings")
+      val books = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 8, k = 16, iters = 2)
+      Similarity.pqSearch(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", books, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("adc"),
+          col("rnk").cast("long").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some(s"""
+      WITH ${pqCte(m = 8, k = 16, iters = 2, dsub = 8)},
+      pe AS (SELECT s.vec_id, s.sub, c.cid,
+               list_reduce(list_transform(c.cv, x -> x * x), (a, b) -> a + b) -
+                 2 * ${dotSql.format("s.sv", "c.cv")} AS dist
+             FROM pq_sv s JOIN pc2 c ON c.sub = s.sub),
+      penc AS (SELECT vec_id, sub, cid FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rnk
+               FROM pe) WHERE rnk = 1),
+      plut AS (SELECT s.vec_id AS query_id, s.sub, c.cid,
+                 ${dotSql.format("s.sv", "c.cv")} AS ip
+               FROM pq_sv s JOIN pc2 c ON c.sub = s.sub WHERE s.vec_id < 5),
+      psc0 AS (SELECT l.query_id, e.vec_id AS neighbor_id, e.sub, l.ip
+               FROM penc e JOIN plut l ON l.sub = e.sub AND l.cid = e.cid
+               WHERE e.vec_id <> l.query_id),
+      psc AS (SELECT query_id, neighbor_id,
+                list_reduce(list(ip ORDER BY sub), (a, b) -> a + b) AS adc
+              FROM psc0 GROUP BY 1, 2),
+      pr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rnk
+             FROM psc)
+      SELECT query_id, neighbor_id, adc, rnk FROM pr WHERE rnk <= 10 ORDER BY query_id, rnk
+    """))
+
   /** T11 — Gopher-style composite document filter ([[TA.gopherKeep]]):
     * word-count bounds, mean word length, symbol ratio, bullet/ellipsis
     * line fractions, alphabetic-word fraction, required-stopword floor.
@@ -2583,7 +2660,10 @@ object ExtQueries {
              CAST(len(ws[s+1:s+32]) AS BIGINT) AS n_chunk_tokens,
              array_to_string(ws[s+1:s+32], ' ') AS chunk_text
       FROM st ORDER BY doc_id, chunk_idx
-    """))
+    """),
+    // m2 already times the explode+slice map shape (and d16 sat out for
+    // the same reason) — keeping x19 out preserves compact-line headroom
+    benchmark = false)
 
   val all: Seq[QueryDef] = Seq(
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
@@ -2593,7 +2673,7 @@ object ExtQueries {
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,
     d14DedupChargram, d17DedupIndexBucketed, d19DedupContainment,
-    s1KnnBrute, s2AnnIvf, s3KnnQuantized, m1MediaMeta, m2FrameSample, m3VideoMeta,
+    s1KnnBrute, s2AnnIvf, s3KnnQuantized, s5KnnPq, m1MediaMeta, m2FrameSample, m3VideoMeta,
     c1Curation, c2CurationRecipe, c3Decontaminate, c4DecontaminateBloom,
     c5NormalizedCuration,
     u1UrlNormalize, u2UrlDedup,

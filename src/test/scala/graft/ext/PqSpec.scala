@@ -1,0 +1,76 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Product-quantization ADC search (S5): codes well-formed, duplicates
+  * share codes, ADC ranking respects coarse cluster structure.
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two orthogonal families in 16 dims: ids 1-20 point along dims 0-3,
+  // ids 101-120 along dims 8-11, with deterministic per-id jitter
+  private lazy val corpus = {
+    def vec(base: Int, i: Int): Seq[Float] =
+      (0 until 16).map { d =>
+        val on = d >= base && d < base + 4
+        (if (on) 1.0f + 0.01f * ((i * 7 + d) % 5) else 0.001f * ((i * 3 + d) % 7))
+      }
+    val rows =
+      (1 to 20).map(i => (i.toLong, vec(0, i))) ++
+      (101 to 120).map(i => (i.toLong, vec(8, i)))
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private lazy val books =
+    Similarity.pqTrain(corpus, "vec_id", "embedding", dim = 16, m = 4, k = 4, iters = 2)
+
+  test("codebooks: m subspaces x k codewords of dsub dims") {
+    assert(books.length === 4)
+    assert(books.forall(_.length === 4))
+    assert(books.forall(_.forall(_._2.length === 4)))
+    assert(books.forall(_.map(_._1) === Seq(1, 2, 3, 4)))
+  }
+
+  test("encode: codes in 1..k, one per subspace; same vector -> same codes") {
+    val codes = Similarity.pqEncode(corpus, "vec_id", "embedding", books)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes.size === 40)
+    assert(codes.values.forall(c => c.length === 4 && c.forall(x => x >= 1 && x <= 4)))
+    // append an exact duplicate of vector 1 -> identical code word
+    val dup = corpus.filter(col("vec_id") === 1).withColumn("vec_id", lit(999L))
+    val codes2 = Similarity.pqEncode(corpus.union(dup), "vec_id", "embedding", books)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes2(999L) === codes2(1L))
+  }
+
+  test("ADC search ranks the query's family above the orthogonal one") {
+    val out = Similarity.pqSearch(
+        corpus.filter(col("vec_id") === 1), corpus, "vec_id", "embedding", books, k = 15)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(out.length === 15)
+    val top10 = out.filter(_._4 <= 10).map(_._2)
+    // every top-10 neighbor of an id-1 query is from the id<=20 family
+    assert(top10.forall(_ <= 20), s"cross-family neighbors in top-10: ${top10.toSeq}")
+    // ADC approximates cosine: same-family scores near 1, cross-family near 0
+    val sameFam = out.filter(_._2 <= 20).map(_._3)
+    val crossFam = out.filter(_._2 > 100).map(_._3)
+    assert(sameFam.forall(_ > 0.9))
+    assert(crossFam.forall(_ < 0.2))
+  }
+
+  test("search output shape matches knnBrute's contract") {
+    val pq = Similarity.pqSearch(
+      corpus.filter(col("vec_id") < 3), corpus, "vec_id", "embedding", books, k = 5)
+    assert(pq.columns.toSeq === Seq("query_id", "neighbor_id", "adc", "rnk"))
+    val perQ = pq.groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(perQ === Map(1L -> 5L, 2L -> 5L))
+  }
+
+  test("invalid geometry rejected") {
+    intercept[IllegalArgumentException] {
+      Similarity.pqTrain(corpus, "vec_id", "embedding", dim = 16, m = 5)
+    }
+  }
+}

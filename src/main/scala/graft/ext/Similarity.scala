@@ -622,6 +622,21 @@ object Similarity {
       .select(col(idCol), transform(col("_sc"), s => s.getField("code")).as("codes"))
   }
 
+  /** ADC score of a coded vector against a unit query: Σ_j dot(q's
+    * subspace j, the codeword `codes(j)` names). The codebooks ride as ONE
+    * nested literal (m × k × dsub doubles — bounded by geometry, never
+    * data), so the score is a pure codegen projection.
+    */
+  private def adcExpr(books: PqBooks, qu: Column, codes: Column): Column = {
+    val m = books.length
+    val dsub = books.head.head._2.length
+    val bookLit = typedLit(books.map(_.map(_._2)))
+    (0 until m).map { j =>
+      dot(slice(qu, lit(j * dsub + 1), lit(dsub)),
+        element_at(element_at(bookLit, j + 1), element_at(codes, j + 1)))
+    }.reduce(_ + _)
+  }
+
   /** ADC top-k: rank the COMPRESSED corpus against each query by
     * Σ_j dot(q_j, codeword(codes_j)) — m dsub-dim lookups+dots per
     * (query, vector), never a reconstruction, never the float corpus.
@@ -630,20 +645,47 @@ object Similarity {
     */
   def pqSearch(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, books: PqBooks, k: Int = 10): DataFrame = {
-    val m = books.length
-    val dsub = books.head.head._2.length
     val coded = pqEncode(corpus, idCol, vecCol, books)
       .select(col(idCol).as("neighbor_id"), col("codes"))
     val q = queries.select(col(idCol).as("query_id"), unitVec(col(vecCol)).as("qu"))
-    // codeword lookup table as one nested literal: m × k × dsub doubles
-    val bookLit = typedLit(books.map(_.map(_._2)))
-    val adc = (0 until m).map { j =>
-      dot(slice(col("qu"), lit(j * dsub + 1), lit(dsub)),
-        element_at(element_at(bookLit, j + 1), element_at(col("codes"), j + 1)))
-    }.reduce(_ + _)
     val scored = coded.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
+      .select(col("query_id"), col("neighbor_id"),
+        adcExpr(books, col("qu"), col("codes")).as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** IVF+PQ — the full 100 TB ANN stack in one search: the coarse
+    * quantizer prunes candidates to nprobe/nlist of the corpus (static
+    * partition prune on the cluster-partitioned index, the
+    * [[ivfSearchPruned]] mechanism), and PQ compresses what remains so
+    * ranking reads codes, not floats. `index` is the materialized
+    * (id, cluster, codes) table — floats appear nowhere in the search.
+    * Simplification vs Jégou et al.'s residual coding: codebooks quantize
+    * the unit vectors directly (no per-cluster residuals), trading a
+    * little in-cluster resolution for a residual-free, oracle-replayable
+    * encode; recall is recovered by raising nprobe or k (codebook size).
+    */
+  def ivfPqSearch(
+      queries: DataFrame, index: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, books: PqBooks,
+      k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    val probes = probesOf(queries, centroids, idCol, vecCol, nprobe)
+      .select(col("query_id"), unitVec(col("qv")).as("qu"), col("cluster"))
+    val probeRows = probes.collect() // |Q|×nprobe rows — driver-bounded by contract
+    val probedClusters =
+      probeRows.map(_.getAs[Number]("cluster").longValue()).distinct.sorted.toSeq
+    val probesLocal = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probes.schema)
+    val scored = index
+      .filter(col("cluster").isInCollection(probedClusters)) // static partition prune
+      .join(broadcast(probesLocal), Seq("cluster"))
+      .filter(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        adcExpr(books, col("qu"), col("codes")).as("adc"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)

@@ -2535,6 +2535,73 @@ object ExtQueries {
       SELECT query_id, neighbor_id, adc, rnk FROM pr WHERE rnk <= 10 ORDER BY query_id, rnk
     """))
 
+  /** S6 — IVF+PQ, the composed 100 TB ANN stack ([[Similarity
+    * .ivfPqSearch]]): coarse k-means clusters prune the candidate set
+    * (static partition prune on the staged cluster-partitioned index, the
+    * s2 mechanism), PQ codes replace floats for the ranking (the s5
+    * mechanism). The staged index carries (vec_id, cluster, codes) — the
+    * search never reads an embedding. Oracle replays coarse training,
+    * probe selection, PQ training/encode, and the ADC ranking end-to-end.
+    */
+  val s6AnnIvfPq = QueryDef(
+    "s6_ann_ivfpq",
+    (s, dir) => {
+      val emb = Td(s, dir, "embeddings")
+      val centroids = Similarity.kmeansTrain(emb, "vec_id", "embedding", k = 8, iters = 2)
+        .select(col("centroid_id").cast("long").as("vec_id"), col("embedding"))
+      val books = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 8, k = 16, iters = 2)
+      val index = graft.tables.Scratch.stage(
+        Similarity.ivfAssign(emb, centroids, "vec_id", "embedding")
+          .select(col("vec_id"), col("cluster"))
+          .join(Similarity.pqEncode(emb, "vec_id", "embedding", books), Seq("vec_id")),
+        "s6_ivfpq_index", Seq("cluster"))
+      Similarity.ivfPqSearch(emb.filter(col("vec_id") < 5), index, centroids,
+          "vec_id", "embedding", books, k = 5, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("adc"),
+          col("rnk").cast("long").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some(s"""
+      WITH $vecCte,
+      ${kmeansCte(8, 2)},
+      ${trainedCentSql(2)},
+      asg0 AS (SELECT n.vec_id, cent.centroid_id,
+                 ${dotSql.format("n.v", "centv")} / (n.nrm * centn) AS ccos
+               FROM n CROSS JOIN cent),
+      asg AS (SELECT vec_id, centroid_id AS cluster FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rnk
+                FROM asg0) WHERE rnk = 1),
+      probes0 AS (SELECT n.vec_id AS query_id, cent.centroid_id,
+                    ${dotSql.format("n.v", "centv")} / (n.nrm * centn) AS ccos
+                  FROM n CROSS JOIN cent WHERE n.vec_id < 5),
+      probes AS (SELECT query_id, centroid_id AS cluster FROM (
+                   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ccos DESC, centroid_id) AS rnk
+                   FROM probes0) WHERE rnk <= 2),
+      ${pqCte(m = 8, k = 16, iters = 2, dsub = 8)},
+      pe AS (SELECT s.vec_id, s.sub, c.cid,
+               list_reduce(list_transform(c.cv, x -> x * x), (a, b) -> a + b) -
+                 2 * ${dotSql.format("s.sv", "c.cv")} AS dist
+             FROM pq_sv s JOIN pc2 c ON c.sub = s.sub),
+      penc AS (SELECT vec_id, sub, cid FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rnk
+               FROM pe) WHERE rnk = 1),
+      plut AS (SELECT s.vec_id AS query_id, s.sub, c.cid,
+                 ${dotSql.format("s.sv", "c.cv")} AS ip
+               FROM pq_sv s JOIN pc2 c ON c.sub = s.sub WHERE s.vec_id < 5),
+      cand AS (SELECT p.query_id, a.vec_id FROM asg a JOIN probes p ON a.cluster = p.cluster
+               WHERE a.vec_id <> p.query_id),
+      psc0 AS (SELECT cd.query_id, cd.vec_id AS neighbor_id, e.sub, l.ip
+               FROM cand cd
+               JOIN penc e ON e.vec_id = cd.vec_id
+               JOIN plut l ON l.query_id = cd.query_id AND l.sub = e.sub AND l.cid = e.cid),
+      psc AS (SELECT query_id, neighbor_id,
+                list_reduce(list(ip ORDER BY sub), (a, b) -> a + b) AS adc
+              FROM psc0 GROUP BY 1, 2),
+      pr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rnk
+             FROM psc)
+      SELECT query_id, neighbor_id, adc, rnk FROM pr WHERE rnk <= 5 ORDER BY query_id, rnk
+    """))
+
   /** T11 — Gopher-style composite document filter ([[TA.gopherKeep]]):
     * word-count bounds, mean word length, symbol ratio, bullet/ellipsis
     * line fractions, alphabetic-word fraction, required-stopword floor.
@@ -2673,7 +2740,8 @@ object ExtQueries {
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,
     d14DedupChargram, d17DedupIndexBucketed, d19DedupContainment,
-    s1KnnBrute, s2AnnIvf, s3KnnQuantized, s5KnnPq, m1MediaMeta, m2FrameSample, m3VideoMeta,
+    s1KnnBrute, s2AnnIvf, s3KnnQuantized, s5KnnPq, s6AnnIvfPq,
+    m1MediaMeta, m2FrameSample, m3VideoMeta,
     c1Curation, c2CurationRecipe, c3Decontaminate, c4DecontaminateBloom,
     c5NormalizedCuration,
     u1UrlNormalize, u2UrlDedup,

@@ -68,6 +68,27 @@ class PqSpec extends SparkSpec {
     assert(perQ === Map(1L -> 5L, 2L -> 5L))
   }
 
+  test("ivfPqSearch: ranks only within probed coarse clusters, never reads floats") {
+    val cents = Similarity.kmeansTrain(corpus, "vec_id", "embedding", k = 2, iters = 2)
+      .select(col("centroid_id").cast("long").as("vec_id"), col("embedding"))
+    val index = Similarity.ivfAssign(corpus, cents, "vec_id", "embedding")
+      .select(col("vec_id"), col("cluster"))
+      .join(Similarity.pqEncode(corpus, "vec_id", "embedding", books), Seq("vec_id"))
+    assert(index.columns.toSet === Set("vec_id", "cluster", "codes")) // no embedding
+    val clusterOf = index.select("vec_id", "cluster")
+      .as[(Long, Long)].collect().toMap
+    val out = Similarity.ivfPqSearch(
+        corpus.filter(col("vec_id") === 1), index, cents,
+        "vec_id", "embedding", books, k = 10, nprobe = 1)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(out.length === 10)
+    // nprobe=1: every neighbor shares the query's coarse cluster
+    val qCluster = clusterOf(1L)
+    assert(out.forall(r => clusterOf(r._2) === qCluster), s"out-of-probe neighbor in $out")
+    // with two well-separated families, that cluster IS the query's family
+    assert(out.forall(_._2 <= 20))
+  }
+
   test("invalid geometry rejected") {
     intercept[IllegalArgumentException] {
       Similarity.pqTrain(corpus, "vec_id", "embedding", dim = 16, m = 5)

@@ -124,6 +124,12 @@ object ScaleStress {
       "x14_quota" -> reg("x14_domain_quota"),
       // per-user bin equi-join: replicated users, pairs ∝ factor
       "j10_overlap" -> reg("j10_interval_overlap"),
+      // PQ ADC: training is fixed Lloyd passes over the scan, encode a map
+      // pass, search a broadcast ranking — every stage ∝ N
+      "s5_pq" -> reg("s5_knn_pq"),
+      // composed stack: probe-pruned candidate set (nprobe/nlist of N),
+      // ranking over codes — the prune keeps search below the corpus growth
+      "s6_ivfpq" -> reg("s6_ann_ivfpq"),
       "d6_ivf_scaled_k" -> ((s: SparkSession, dir: String) => ivf(kFor(dirFactor(dir)))(s, dir)),
       // k ∝ √N: the classic IVF balance point — assignment O(N·k) and
       // within-cluster pairing O(N²/k) both grow as N^1.5

@@ -534,28 +534,49 @@ object Similarity {
     when(n === 0.0, q).otherwise(transform(q, x => x / n))
   }
 
-  /** (id, sub, sv): the m dsub-dim slices of each normalized vector. */
+  /** (id, _u): the unit vector projected in stages — quantized array, then
+    * its norm, then the division — so each piece evaluates once per row
+    * instead of once per lambda element on the interpreted HOF path.
+    * Arithmetic identical to [[unitVec]] (`norm(q)` IS `sqrt(dot(q, q))`).
+    */
+  private def withUnit(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), quantize(col(vecCol)).as("_q"))
+      .select(col(idCol), col("_q"), sqrt(dot(col("_q"), col("_q"))).as("_n"))
+      .select(col(idCol), when(col("_n") === 0.0, col("_q"))
+        .otherwise(transform(col("_q"), x => x / col("_n"))).as("_u"))
+
+  /** (id, sub, sv): the m dsub-dim slices of each normalized vector. The
+    * unit vector is projected ONCE per row before the explode — inlined in
+    * the slice lambda it would re-run the quantize+norm+divide chain per
+    * subspace through the interpreted higher-order path (~8× the work;
+    * measured 33 s → 4 s at sf0.1 for the downstream encode).
+    */
   private def subVectors(df: DataFrame, idCol: String, vecCol: String,
       m: Int, dsub: Int): DataFrame =
-    df.select(col(idCol), posexplode(transform(sequence(lit(0), lit(m - 1)),
-        j => slice(unitVec(col(vecCol)), j * dsub + 1, lit(dsub)))).as(Seq("sub", "sv")))
+    withUnit(df, idCol, vecCol)
+      .select(col(idCol), posexplode(transform(sequence(lit(0), lit(m - 1)),
+        j => slice(col("_u"), j * dsub + 1, lit(dsub)))).as(Seq("sub", "sv")))
 
   /** Per-row squared-L2 argmin against this row's subspace codebook, as a
-    * map-only projection: a chained-`when` on `sub` selects an array of
-    * k distances (‖c‖² − 2·v·c — the ‖v‖² term is rank-invariant), and
-    * `array_position(…, array_min(…))` takes the FIRST minimum — ties to
-    * the lower cid, the same rule as every argmin here.
+    * map-only projection. The codebooks ride as nested literals indexed by
+    * `sub` at runtime (no per-centroid expression unrolling: the unrolled
+    * m×k form compiled to a codegen unit so large that JIT time dwarfed
+    * the data — ~100 s at sf0.1 — while this tree is a dozen nodes). The
+    * distance is ‖c‖² − 2·v·c (the ‖v‖² term is rank-invariant), the
+    * argmin is `array_min` over (dist, cid) structs — lexicographic struct
+    * ordering IS the tie rule: ties to the lower cid.
     */
   private def nearestCode(books: PqBooks, sv: Column, sub: Column): Column = {
-    val dists = books.zipWithIndex.map { case (cws, j) =>
-      j -> array(cws.map { case (_, cw, cc) =>
-        lit(cc) - lit(2.0) * dot(sv, lit(cw.toArray))
-      }: _*)
-    }
-    val dArr = dists.tail.foldLeft(when(sub === dists.head._1, dists.head._2)) {
-      case (acc, (j, d)) => acc.when(sub === j, d)
-    }
-    array_position(dArr, array_min(dArr)).cast("int")
+    val k = books.head.length
+    val bookLit = typedLit(books.map(_.map(_._2)))
+    val ccLit = typedLit(books.map(_.map(_._3)))
+    val kbook = element_at(bookLit, sub + 1) // this subspace's k codewords
+    val ccs = element_at(ccLit, sub + 1)     // and their ‖c‖² values
+    val cands = transform(sequence(lit(1), lit(k)), c =>
+      struct(
+        (element_at(ccs, c) - lit(2.0) * dot(sv, element_at(kbook, c))).as("d"),
+        c.as("c")))
+    array_min(cands).getField("c").cast("int")
   }
 
   /** Train PQ codebooks: m subspaces × k codewords, all subspaces in ONE
@@ -564,15 +585,22 @@ object Similarity {
     * k smallest-id subvectors; empty clusters keep their previous codeword.
     */
   def pqTrain(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, m: Int = 8, k: Int = 16, iters: Int = 2): PqBooks = {
+      dim: Int, m: Int = 8, k: Int = 16, iters: Int = 2,
+      sampleMod: Option[Int] = None): PqBooks = {
     require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     require(k >= 1 && iters >= 0, s"need k >= 1 codewords, iters >= 0")
     val dsub = dim / m
-    val sv = subVectors(df, idCol, vecCol, m, dsub)
+    // the 100 TB path trains on the deterministic md5-bucket sample (same
+    // knob as kmeansTrain) — codebook quality needs corpus statistics, not
+    // the corpus; encode still covers every vector
+    val src = sampleMod.fold(df)(s => df.filter(sampleBucket(col(idCol)) % s === 0))
+    // each Lloyd pass re-reads the subvector frame — cache it instead of
+    // re-running scan + normalize + explode per iteration
+    val sv = subVectors(src, idCol, vecCol, m, dsub).persist()
 
     // seed: subvectors of the k smallest-id vectors (TakeOrderedAndProject
     // on the driver side of a k-row collect — never a global sort)
-    val seeds = df.select(col(idCol), unitVec(col(vecCol)).as("_u"))
+    val seeds = src.select(col(idCol), unitVec(col(vecCol)).as("_u"))
       .orderBy(col(idCol)).limit(k).collect()
       .map(_.getSeq[Double](1).toSeq)
     var books: PqBooks = (0 until m).map { j =>
@@ -604,6 +632,7 @@ object Similarity {
         }
       }
     }
+    sv.unpersist(false)
     books
   }
 

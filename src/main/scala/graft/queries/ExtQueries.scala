@@ -2464,7 +2464,8 @@ object ExtQueries {
     * lower-cid ties, and the ADC sum as an ordered left fold. Mirrors
     * [[kmeansCte]]'s structure with `sub` as an extra key everywhere.
     */
-  private def pqCte(m: Int, k: Int, iters: Int, dsub: Int): String = {
+  private def pqCte(m: Int, k: Int, iters: Int, dsub: Int,
+      trainWhere: String = ""): String = {
     val dist = s"list_reduce(list_transform(c.cv, x -> x * x), (a, b) -> a + b) - " +
       s"2 * ${dotSql.format("s.sv", "c.cv")}"
     val base =
@@ -2477,12 +2478,13 @@ object ExtQueries {
                  FROM embeddings))),
       pq_sv AS (SELECT vec_id, sub, uv[sub*$dsub+1 : sub*$dsub+$dsub] AS sv
                 FROM pq_u CROSS JOIN (SELECT unnest(range($m)) AS sub) subs),
+      pq_svt AS (SELECT * FROM pq_sv$trainWhere),
       pc0 AS (SELECT sub, row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS cid, sv AS cv
-              FROM pq_sv QUALIFY cid <= $k)"""
+              FROM pq_svt QUALIFY cid <= $k)"""
     val steps = (1 to iters).map { i =>
       val p = i - 1
       s"""pd$i AS (SELECT s.vec_id, s.sub, s.sv, c.cid, $dist AS dist
-               FROM pq_sv s JOIN pc$p c ON c.sub = s.sub),
+               FROM pq_svt s JOIN pc$p c ON c.sub = s.sub),
       pa$i AS (SELECT vec_id, sub, sv, cid AS cluster FROM (
                SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rnk
                FROM pd$i) WHERE rnk = 1),
@@ -2506,14 +2508,15 @@ object ExtQueries {
     "s5_knn_pq",
     (s, dir) => {
       val emb = Td(s, dir, "embeddings")
-      val books = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 8, k = 16, iters = 2)
+      val books = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 8, k = 16,
+        iters = 2, sampleMod = Some(4))
       Similarity.pqSearch(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", books, k = 10)
         .select(col("query_id"), col("neighbor_id"), col("adc"),
           col("rnk").cast("long").as("rnk"))
         .orderBy(col("query_id"), col("rnk"))
     },
     Some(s"""
-      WITH ${pqCte(m = 8, k = 16, iters = 2, dsub = 8)},
+      WITH ${pqCte(m = 8, k = 16, iters = 2, dsub = 8, trainWhere = s" WHERE ${sampleFilterSql("vec_id", 4)}")},
       pe AS (SELECT s.vec_id, s.sub, c.cid,
                list_reduce(list_transform(c.cv, x -> x * x), (a, b) -> a + b) -
                  2 * ${dotSql.format("s.sv", "c.cv")} AS dist
@@ -2549,7 +2552,8 @@ object ExtQueries {
       val emb = Td(s, dir, "embeddings")
       val centroids = Similarity.kmeansTrain(emb, "vec_id", "embedding", k = 8, iters = 2)
         .select(col("centroid_id").cast("long").as("vec_id"), col("embedding"))
-      val books = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 8, k = 16, iters = 2)
+      val books = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 8, k = 16,
+        iters = 2, sampleMod = Some(4))
       val index = graft.tables.Scratch.stage(
         Similarity.ivfAssign(emb, centroids, "vec_id", "embedding")
           .select(col("vec_id"), col("cluster"))
@@ -2577,7 +2581,7 @@ object ExtQueries {
       probes AS (SELECT query_id, centroid_id AS cluster FROM (
                    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ccos DESC, centroid_id) AS rnk
                    FROM probes0) WHERE rnk <= 2),
-      ${pqCte(m = 8, k = 16, iters = 2, dsub = 8)},
+      ${pqCte(m = 8, k = 16, iters = 2, dsub = 8, trainWhere = s" WHERE ${sampleFilterSql("vec_id", 4)}")},
       pe AS (SELECT s.vec_id, s.sub, c.cid,
                list_reduce(list_transform(c.cv, x -> x * x), (a, b) -> a + b) -
                  2 * ${dotSql.format("s.sv", "c.cv")} AS dist
@@ -2682,6 +2686,95 @@ object ExtQueries {
     """
     })
 
+  /** T12 — Gopher repetition battery (Rae et al. 2021 Table A1, the
+    * within-document half t6's top-bigram ratio doesn't cover): duplicate
+    * LINE fraction, duplicate line CHARACTER fraction, and duplicate
+    * 5-gram character fraction, each with its published threshold folded
+    * into a keep flag. The corpus is single-line low-repeat word salad, so
+    * the plants supply both failure modes (dup lines, repeated phrases)
+    * and a near-miss (a phrase occurring once). All ratios are exact
+    * integer-count divisions — bit-identical cross-engine.
+    */
+  val t12GopherRepetition = QueryDef(
+    "t12_gopher_repetition",
+    (s, dir) => {
+      val id = col("doc_id")
+      val t0 = col("text")
+      val planted = when(id % 4 === 0,
+          concat(t0, lit("\nrepeat line\nrepeat line\nrepeat line")))
+        .when(id % 4 === 1,
+          concat(t0, lit(" alpha beta gamma delta epsilon alpha beta gamma delta epsilon")))
+        .when(id % 4 === 2, concat(t0, lit(" zeta eta theta iota kappa")))
+        .otherwise(t0)
+      val aug = Td(s, dir, "documents").select(id, planted.as("t"))
+      val lines = aug.select(id, explode(split(col("t"), "\n")).as("line"))
+        .groupBy(id, col("line")).agg(count(lit(1)).as("cnt"))
+        .groupBy(id).agg(
+          sum(col("cnt")).cast("long").as("n_lines"),
+          sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).cast("long").as("n_dup_lines"),
+          sum(length(col("line")) * col("cnt")).cast("long").as("line_chars"),
+          sum(when(col("cnt") > 1, length(col("line")) * col("cnt")).otherwise(0L))
+            .cast("long").as("dup_line_chars"))
+      val ws = TA.wsTokens(col("t"))
+      val grams = aug
+        .filter(size(ws) >= 5)
+        .select(id, explode(transform(sequence(lit(1), size(ws) - 4),
+          i => array_join(slice(ws, i, lit(5)), " "))).as("gram"))
+        .groupBy(id, col("gram")).agg(count(lit(1)).as("cnt"))
+        .groupBy(id).agg(
+          sum(when(col("cnt") > 1, length(col("gram")) * col("cnt")).otherwise(0L))
+            .cast("long").as("dup_gram_chars"))
+      aug.select(id, length(col("t")).cast("long").as("n_chars_doc"))
+        .join(lines, Seq("doc_id"))
+        .join(grams, Seq("doc_id"), "left")
+        .select(id, col("n_lines"),
+          (col("n_dup_lines").cast("double") / col("n_lines")).as("dup_line_frac"),
+          (col("dup_line_chars").cast("double") / col("line_chars")).as("dup_line_char_frac"),
+          (coalesce(col("dup_gram_chars"), lit(0L)).cast("double") / col("n_chars_doc"))
+            .as("dup_5gram_char_frac"))
+        .withColumn("keep",
+          ((col("dup_line_frac") <= 0.30) && (col("dup_line_char_frac") <= 0.20) &&
+            (col("dup_5gram_char_frac") <= 0.15)).cast("int"))
+        .orderBy(id)
+    },
+    Some("""
+      WITH aug AS (SELECT doc_id, CASE doc_id % 4
+        WHEN 0 THEN text || chr(10) || 'repeat line' || chr(10) || 'repeat line' || chr(10) || 'repeat line'
+        WHEN 1 THEN text || ' alpha beta gamma delta epsilon alpha beta gamma delta epsilon'
+        WHEN 2 THEN text || ' zeta eta theta iota kappa'
+        ELSE text END AS t
+        FROM documents),
+      lc AS (SELECT doc_id, line, count(*) AS cnt FROM (
+               SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM aug) GROUP BY 1, 2),
+      la AS (SELECT doc_id,
+               CAST(sum(cnt) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_lines,
+               CAST(sum(length(line) * cnt) AS BIGINT) AS line_chars,
+               CAST(sum(CASE WHEN cnt > 1 THEN length(line) * cnt ELSE 0 END) AS BIGINT) AS dup_line_chars
+             FROM lc GROUP BY 1),
+      gc AS (SELECT doc_id, gram, count(*) AS cnt FROM (
+               SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 4),
+                 i -> array_to_string(ws[i:i+4], ' '))) AS gram
+               FROM (SELECT doc_id, regexp_split_to_array(trim(t), '\s+') AS ws FROM aug)
+               WHERE len(ws) >= 5) GROUP BY 1, 2),
+      ga AS (SELECT doc_id,
+               CAST(sum(CASE WHEN cnt > 1 THEN length(gram) * cnt ELSE 0 END) AS BIGINT) AS dup_gram_chars
+             FROM gc GROUP BY 1),
+      base AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars_doc FROM aug)
+      SELECT b.doc_id, la.n_lines,
+             CAST(la.n_dup_lines AS DOUBLE) / la.n_lines AS dup_line_frac,
+             CAST(la.dup_line_chars AS DOUBLE) / la.line_chars AS dup_line_char_frac,
+             CAST(COALESCE(ga.dup_gram_chars, 0) AS DOUBLE) / b.n_chars_doc AS dup_5gram_char_frac,
+             CAST(CAST(la.n_dup_lines AS DOUBLE) / la.n_lines <= 0.30
+               AND CAST(la.dup_line_chars AS DOUBLE) / la.line_chars <= 0.20
+               AND CAST(COALESCE(ga.dup_gram_chars, 0) AS DOUBLE) / b.n_chars_doc <= 0.15 AS INT) AS keep
+      FROM base b JOIN la USING (doc_id) LEFT JOIN ga USING (doc_id)
+      ORDER BY doc_id
+    """),
+    // t6 already times the word-gram explode + two-level agg shape —
+    // keeping t12 out preserves compact-line headroom for s5/s6
+    benchmark = false)
+
   /** X18 — deterministic shard shuffle ([[Sampling.shardShuffle]]): the
     * "shuffle once, stream shards" epoch permutation, as a pure function
     * of (seed, doc_id) — replayable in any md5-capable engine, no RNG, no
@@ -2704,7 +2797,10 @@ object ExtQueries {
              CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
       FROM b ORDER BY shard, pos
     """
-    })
+    },
+    // w1 already times the hash-exchange + per-partition-window shape —
+    // keeping x18 out preserves compact-line headroom for s5/s6
+    benchmark = false)
 
   /** X19 — sliding token windows ([[graft.ext.Paragraphs.tokenWindows]]):
     * overlapping 32-token chunks at stride 24 — retrieval/embedding
@@ -2735,6 +2831,7 @@ object ExtQueries {
   val all: Seq[QueryDef] = Seq(
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
     t7PiiRedact, t8LmPerplexity, t9TextNormalize, t10ScriptDetect, t11GopherRules,
+    t12GopherRepetition,
     d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,

@@ -285,7 +285,9 @@ object ScaleStress {
       val big = rs.find(_._2 == factor).get
       println(f"""{"query":"$name","data_ratio":$factor,"time_ratio":${big._3 / base._3}%.2f,"shuffle_ratio":${big._4.toDouble / math.max(base._4, 1)}%.2f}""")
     }
-    incTracking(spark, sfDir, expDir, factor, workDir)
+    // `noinc` skips the durable-index tracking battery — targeted `only=`
+    // datapoint runs shouldn't pay its ~10 min unless they're about it
+    if (!args.contains("noinc")) incTracking(spark, sfDir, expDir, factor, workDir)
     graft.tables.Scratch.cleanup(spark)
     spark.stop()
   }

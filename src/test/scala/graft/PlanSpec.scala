@@ -135,6 +135,45 @@ class PlanSpec extends SparkSpec {
       s"scan read ${idxScan.metrics("numPartitions").value} of $nClusters cluster partitions")
   }
 
+  test("IVF+PQ search prunes to probed cluster partitions of the coded index (S6@scale)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions._
+    import graft.ext.Similarity
+    val emb = Td(spark, sf, "embeddings")
+    val cents = Similarity.kmeansTrain(emb, "vec_id", "embedding", k = 4, iters = 1)
+      .select(col("centroid_id").cast("long").as("vec_id"), col("embedding"))
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 4, k = 8, iters = 1)
+    val index = graft.tables.Scratch.stage(
+      Similarity.ivfAssign(emb, cents, "vec_id", "embedding")
+        .select(col("vec_id"), col("cluster"))
+        .join(Similarity.pqEncode(emb, "vec_id", "embedding", books), Seq("vec_id")),
+      "plan_ivfpq_index", Seq("cluster"))
+    val nClusters = index.select("cluster").distinct().count()
+    assert(nClusters > 1, "index must span multiple cluster partitions")
+
+    val df = Similarity.ivfPqSearch(emb.filter(col("vec_id") === 0), index, cents,
+      "vec_id", "embedding", books, k = 3, nprobe = 1)
+    df.collect()
+    def findScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case f: FileSourceScanExec => Seq(f)
+        case a: AdaptiveSparkPlanExec => findScans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => findScans(q.plan)
+        case other => other.children.flatMap(findScans)
+      }
+    val idxScan = findScans(df.queryExecution.executedPlan)
+      .find(_.metadata.get("Location").exists(_.contains("plan_ivfpq_index")))
+      .getOrElse(fail(s"no index scan in:\n${df.queryExecution.executedPlan}"))
+    assert(idxScan.partitionFilters.exists(_.toString.contains("cluster")),
+      s"no cluster partition filter on the index scan: ${idxScan.partitionFilters}")
+    assert(idxScan.metrics("numPartitions").value === 1,
+      s"scan read ${idxScan.metrics("numPartitions").value} of $nClusters cluster partitions")
+    // the ranked scan reads codes, never embeddings (float-free search)
+    assert(!idxScan.schema.fieldNames.contains("embedding"),
+      s"index scan carries floats: ${idxScan.schema.fieldNames.toSeq}")
+  }
+
   test("upsert merge compiles to one join, not repeated target passes (S8)") {
     val t = Td(spark, sf, "customer").select("c_custkey", "c_acctbal")
     val s = Td(spark, sf, "customer").select("c_custkey", "c_acctbal")

@@ -186,7 +186,97 @@ object MergeQueries {
       FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id
     """))
 
+  /** E2 — per-user rolling 24 h window (event-TIME range frame, not row
+    * count): for every event, how many events and how much value this user
+    * produced in the trailing day. The canonical feature-engineering /
+    * anomaly-baseline shape a row-frame window can't express (gaps and
+    * bursts change how many rows 24 h holds). Epoch millis via the
+    * NTZ-safe [[graft.clean.Dates.epochMillis]]; the windowed sum runs in
+    * DECIMAL so both engines' frame arithmetic is exact, order-free.
+    *
+    * Scale shape: ONE hash exchange on user_id + a per-user time sort —
+    * the range frame then slides linearly per partition. No self-join, no
+    * per-event subquery.
+    */
+  val e2RollingWindow = QueryDef(
+    "e2_rolling_window",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val ev = Td(s, dir, "events")
+      val ems = graft.clean.Dates.epochMillis(col("ts"), ev.schema("ts").dataType)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ems"))
+        .rangeBetween(-86400000L, 0L)
+      ev.select(col("event_id"), col("user_id"), ems.as("ems"), col("value"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).cast("long").as("n_24h"),
+          sum(col("value").cast(DecimalType(28, 10))).over(w).cast("double").as("sum_24h"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_24h,
+             CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER w AS DOUBLE) AS sum_24h
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                   RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id
+    """))
+
+  /** E3 — funnel analysis (view → click → purchase, each step within 72 h
+    * of the previous): per user, the first view, the first click after it,
+    * the first purchase after that, and the stage reached. Three
+    * conditional min-aggregations chained by joins — all keyed on user_id,
+    * so after the first exchange every later agg/join is co-partitioned
+    * (AQE reuses the partitioning); never a per-user subquery or a
+    * sequence self-join, which is what makes this shape survive 100 TB of
+    * events.
+    */
+  val e3Funnel = QueryDef(
+    "e3_funnel",
+    (s, dir) => {
+      val win = 72L * 3600000L
+      val ev = Td(s, dir, "events")
+      val ems = graft.clean.Dates.epochMillis(col("ts"), ev.schema("ts").dataType)
+      val e = ev.select(col("user_id"), col("event_type"), ems.as("ems"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ems")).as("t_view"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ems") >= col("t_view") && col("ems") <= col("t_view") + win)
+        .groupBy(col("user_id")).agg(min(col("ems")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ems") >= col("t_click") && col("ems") <= col("t_click") + win)
+        .groupBy(col("user_id")).agg(min(col("ems")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+          (lit(1) + col("t_click").isNotNull.cast("int") +
+            col("t_purchase").isNotNull.cast("int")).as("stage"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ems FROM events),
+      v AS (SELECT user_id, min(ems) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(e.ems) AS t_click
+            FROM e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ems >= v.t_view AND e.ems <= v.t_view + 259200000
+            GROUP BY 1),
+      p AS (SELECT e.user_id, min(e.ems) AS t_purchase
+            FROM e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ems >= c.t_click AND e.ems <= c.t_click + 259200000
+            GROUP BY 1)
+      SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+             CAST(1 + (c.t_click IS NOT NULL)::INT + (p.t_purchase IS NOT NULL)::INT AS INT) AS stage
+      FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id
+      ORDER BY v.user_id
+    """),
+    // j2/j6 already time the keyed agg+join chain — keeping e3 out
+    // preserves compact-line headroom (e2's range frame IS a new shape)
+    benchmark = false)
+
   val all: Seq[QueryDef] = Seq(
     s8MergeUpsert, s8MergeInsertOnly, s8AffectedMonths, e1EventHourly,
+    e2RollingWindow, e3Funnel,
     s4PartitionPrune, x4Sessionize)
 }

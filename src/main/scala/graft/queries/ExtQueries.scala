@@ -2775,6 +2775,58 @@ object ExtQueries {
     // keeping t12 out preserves compact-line headroom for s5/s6
     benchmark = false)
 
+  /** T13 — HTML → text extraction ([[graft.ext.Html]]): the first
+    * transform a crawled page sees. Each document is wrapped into a full
+    * page (title, style/script blocks, comments, anchors, entities —
+    * including the `&amp;lt;` double-decode trap) so every strip stage is
+    * exercised; the oracle replays the identical regex chain.
+    */
+  val t13HtmlExtract = QueryDef(
+    "t13_html_extract",
+    (s, dir) => {
+      val H = graft.ext.Html
+      val id = col("doc_id")
+      def st(c: org.apache.spark.sql.Column) = c.cast("string")
+      val page = concat(
+        lit("<html><head><title> Doc "), st(id), lit(" \n news</title>"),
+        lit("<style type=\"text/css\">p { color: red; }</style>"),
+        lit("<script>var x = 1 < 2 && true;</script></head>"),
+        lit("<!-- comment\nspanning lines --><body><h1>Doc "), st(id), lit("</h1><p>"),
+        col("text"),
+        lit("</p><a href=\"/a/"), st(id), lit("\">first</a> &amp;lt; literal"),
+        lit(" &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end"),
+        when(id % 3 === 0, lit("<A HREF=\"/b\">second</A>")).otherwise(lit("")),
+        lit("</body></html>"))
+      Td(s, dir, "documents")
+        .select(id, page.as("html"))
+        .select(id,
+          H.title(col("html")).as("page_title"),
+          H.linkCount(col("html")).as("n_links"),
+          H.stripHtml(col("html")).as("clean_text"))
+        .orderBy(id)
+    },
+    Some {
+      val H = graft.ext.Html
+      s"""
+      WITH aug AS (SELECT doc_id,
+        '<html><head><title> Doc ' || CAST(doc_id AS VARCHAR) || ' ' || chr(10) ||
+        ' news</title><style type="text/css">p { color: red; }</style>' ||
+        '<script>var x = 1 < 2 && true;</script></head>' ||
+        '<!-- comment' || chr(10) || 'spanning lines --><body><h1>Doc ' ||
+        CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+        '</p><a href="/a/' || CAST(doc_id AS VARCHAR) || '">first</a> &amp;lt; literal' ||
+        ' &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end' ||
+        CASE WHEN doc_id % 3 = 0 THEN '<A HREF="/b">second</A>' ELSE '' END ||
+        '</body></html>' AS html
+        FROM documents)
+      SELECT doc_id,
+             ${H.titleSql("html")} AS page_title,
+             ${H.linkCountSql("html")} AS n_links,
+             ${H.stripHtmlSql("html")} AS clean_text
+      FROM aug ORDER BY doc_id
+    """
+    })
+
   /** X18 — deterministic shard shuffle ([[Sampling.shardShuffle]]): the
     * "shuffle once, stream shards" epoch permutation, as a pure function
     * of (seed, doc_id) — replayable in any md5-capable engine, no RNG, no
@@ -2831,7 +2883,7 @@ object ExtQueries {
   val all: Seq[QueryDef] = Seq(
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
     t7PiiRedact, t8LmPerplexity, t9TextNormalize, t10ScriptDetect, t11GopherRules,
-    t12GopherRepetition,
+    t12GopherRepetition, t13HtmlExtract,
     d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,

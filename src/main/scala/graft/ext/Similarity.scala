@@ -686,6 +686,29 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: per query, the top-k
+    * most similar corpus vectors with a DIFFERENT label — the negatives
+    * that actually move a contrastive loss (random negatives are trivially
+    * far). Same broadcast-query/partitioned-corpus shape as [[knnBrute]];
+    * the label inequality rides the join filter, so at scale this is one
+    * corpus scan per query batch. Route through IVF probes first when the
+    * corpus outgrows a scan-per-batch.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int = 5): DataFrame = {
+    val q = withNorm(queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("q_label"), col(vecCol).as("qv")), "qv", "qn")
+    val c = withNorm(corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("n_label"), col(vecCol).as("cv")), "cv", "cn")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_label") =!= col("n_label"))
+      .select(col("query_id"), col("neighbor_id"), col("n_label"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** IVF+PQ — the full 100 TB ANN stack in one search: the coarse
     * quantizer prunes candidates to nprobe/nlist of the corpus (static
     * partition prune on the cluster-partitioned index, the

@@ -2606,6 +2606,100 @@ object ExtQueries {
       SELECT query_id, neighbor_id, adc, rnk FROM pr WHERE rnk <= 5 ORDER BY query_id, rnk
     """))
 
+  /** S7 — hard-negative mining ([[Similarity.hardNegatives]]): top-5
+    * nearest OTHER-label vectors per query — the contrastive-training
+    * negatives that actually carry gradient. Label inequality rides the
+    * join filter on the s1 scan shape.
+    */
+  val s7HardNegatives = QueryDef(
+    "s7_hard_negatives",
+    (s, dir) => {
+      val emb = Td(s, dir, "embeddings")
+      Similarity.hardNegatives(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "embedding", "label", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("n_label").cast("long").as("n_label"), col("cos"),
+          col("rnk").cast("long").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      n2 AS (SELECT vec_id, label, v,
+               sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM e),
+      scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(c.label AS BIGINT) AS n_label,
+                   ${dotSql.format("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+                 FROM n2 q JOIN n2 c ON c.label <> q.label WHERE q.vec_id < 5),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+            FROM scored)
+      SELECT query_id, neighbor_id, n_label, cos, rnk FROM r WHERE rnk <= 5
+      ORDER BY query_id, rnk
+    """),
+    // the s1 cross-join+window scan shape, plus one filter — stays out of
+    // the bench set like s3
+    benchmark = false)
+
+  /** X20 — per-source corpus report: the curation dashboard a corpus owner
+    * reads before choosing mixing weights — documents, token mass, quality
+    * band, and the Gopher keep rate per source, one aggregation pass.
+    */
+  val x20CorpusReport = QueryDef(
+    "x20_corpus_report",
+    (s, dir) => {
+      val t = col("text")
+      Td(s, dir, "documents")
+        .select(col("source"), TA.tokenCount(t).cast("long").as("n_tok"),
+          TA.qualityScore(t).as("q"), TA.gopherKeep(t).cast("int").as("keep"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_tok")).cast("long").as("n_tokens"),
+          min(col("q")).as("min_quality"),
+          max(col("q")).as("max_quality"),
+          (sum(col("keep")).cast("double") / count(lit(1))).as("keep_rate"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val req = TA.RequiredStopwords
+        .map(w => s"list_contains(lws, '$w')::INT").mkString(" + ")
+      s"""
+      WITH m AS (SELECT source, text AS t,
+              regexp_split_to_array(trim(text), '\\s+') AS ws,
+              regexp_split_to_array(trim(lower(text)), '\\s+') AS lws,
+              string_split(text, chr(10)) AS ls
+            FROM documents),
+      d AS (SELECT source,
+              CAST(len(ws) AS BIGINT) AS n_tok,
+              0.5 * least(CAST(len(ws) AS DOUBLE) / 64.0, 1.0)
+                + 0.5 * least((CAST(len(list_filter(ws,
+                    x -> list_contains(${sqlList(TA.Stopwords)}, x))) AS DOUBLE)
+                    / len(ws)) * 4.0, 1.0)
+                - (CAST(len(regexp_extract_all(lower(t), '[^a-z0-9\\s]')) AS DOUBLE)
+                    / greatest(length(t), 1)) * 2.0 AS q,
+              CAST(len(ws) BETWEEN 50 AND 100000
+                AND CAST(length(regexp_replace(t, '\\s', '', 'g')) AS DOUBLE) / len(ws) >= 3.0
+                AND CAST(length(regexp_replace(t, '\\s', '', 'g')) AS DOUBLE) / len(ws) <= 10.0
+                AND CAST(len(regexp_extract_all(t, '#|\\.\\.\\.|…')) AS DOUBLE)
+                    / greatest(len(ws), 1) < 0.1
+                AND CAST(len(list_filter(ls, l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
+                    / greatest(len(ls), 1) < 0.9
+                AND CAST(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS DOUBLE)
+                    / greatest(len(ls), 1) < 0.3
+                AND CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                    / greatest(len(ws), 1) > 0.8
+                AND ($req) >= 2 AS INT) AS keep
+            FROM m)
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             min(q) AS min_quality,
+             max(q) AS max_quality,
+             CAST(sum(keep) AS DOUBLE) / count(*) AS keep_rate
+      FROM d GROUP BY source ORDER BY source
+    """
+    })
+
   /** T11 — Gopher-style composite document filter ([[TA.gopherKeep]]):
     * word-count bounds, mean word length, symbol ratio, bullet/ellipsis
     * line fractions, alphabetic-word fraction, required-stopword floor.
@@ -2889,7 +2983,7 @@ object ExtQueries {
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,
     d14DedupChargram, d17DedupIndexBucketed, d19DedupContainment,
-    s1KnnBrute, s2AnnIvf, s3KnnQuantized, s5KnnPq, s6AnnIvfPq,
+    s1KnnBrute, s2AnnIvf, s3KnnQuantized, s5KnnPq, s6AnnIvfPq, s7HardNegatives, x20CorpusReport,
     m1MediaMeta, m2FrameSample, m3VideoMeta,
     c1Curation, c2CurationRecipe, c3Decontaminate, c4DecontaminateBloom,
     c5NormalizedCuration,

@@ -106,6 +106,22 @@ class ExtSpec extends SparkSpec {
     assert(knn.toSeq === Seq(2L, 1L, 3L)) // by descending cosine to (1,0)
   }
 
+  test("hardNegatives: only OTHER-label neighbors, ranked by cosine (S7)") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 1), // query, label 1
+      (1L, Array(0.99f, 0.1f), 1), // same label, MORE similar — must be excluded
+      (2L, Array(0.9f, 0.3f), 2),
+      (3L, Array(0.0f, 1.0f), 2),
+      (4L, Array(-1.0f, 0.0f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(vecs.filter($"vec_id" === 0), vecs,
+        "vec_id", "embedding", "label", k = 3)
+      .orderBy($"rnk")
+      .select("neighbor_id", "n_label").as[(Long, Int)].collect()
+    assert(out.map(_._1).toSeq === Seq(2L, 3L, 4L)) // nearest different-label first
+    assert(out.forall(_._2 != 1), s"same-label neighbor leaked: ${out.toSeq}")
+  }
+
   test("ivfAssign + ivfSearch: probed clusters cover the true neighbor (S2)") {
     val vecs = (0 until 20).map(i =>
       (i.toLong, Array(math.cos(i * 0.3).toFloat, math.sin(i * 0.3).toFloat))

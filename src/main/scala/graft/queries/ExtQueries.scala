@@ -2700,6 +2700,93 @@ object ExtQueries {
     """
     })
 
+  /** C6 — the crawl pipeline end-to-end: HTML page → [[graft.ext.Html]]
+    * text extraction → Gopher keep gate → exact dedup on the CLEANED text
+    * (two pages differing only in markup share a digest only after the
+    * strip). Every doc wears constant page chrome with an id-varying href
+    * (markup varies, visible text doesn't); docs with id%10==7 carry one
+    * shared body that passes the Gopher gate, so the pipeline must
+    * collapse them into a single surviving group.
+    */
+  val c6CrawlPipeline = QueryDef(
+    "c6_crawl_pipeline",
+    (s, dir) => {
+      val H = graft.ext.Html
+      val id = col("doc_id")
+      val SharedBody =
+        "the crawler kept this page and that body will appear again and " +
+          "again with the same words so the dedup stage must fold every copy " +
+          "of it into one group for the corpus to stay clean and the count " +
+          "of tokens here is kept past the gopher floor by a tail of plain " +
+          "words like table row value part key line sort merge batch scan"
+      // the corpus vocabulary carries only "the" from the required-stopword
+      // list, so raw docs can never reach the >=2 floor — give a third of
+      // them a natural-language tail so the gate passes AND fails real rows
+      val body = when(id % 10 === 7, lit(SharedBody))
+        .when(id % 3 === 0, concat(col("text"), lit(" and that is how it has to be")))
+        .otherwise(col("text"))
+      val page = concat(
+        lit("<html><head><title>Crawl Page</title><style>p{margin:0}</style>" +
+          "<script>track(1 < 2);</script></head><body><p>"),
+        body,
+        lit("</p><a href=\"/p/"), id.cast("string"), lit("\">next</a></body></html>"))
+      Td(s, dir, "documents")
+        .select(id, H.stripHtml(page).as("clean"))
+        // crawl-tuned floor: the corpus's short word-salad docs sit around
+        // the published 50-word floor, which together with the stopword
+        // rule would annihilate the natural rows and leave the gate
+        // one-sided; 20 keeps both outcomes populated
+        .filter(TA.gopherKeep(col("clean"), minWords = 20))
+        .groupBy(md5(col("clean")).as("content_md5"))
+        .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keep_id"))
+    },
+    Some {
+      val H = graft.ext.Html
+      val req = TA.RequiredStopwords
+        .map(w => s"list_contains(lws, '$w')::INT").mkString(" + ")
+      val shared =
+        "the crawler kept this page and that body will appear again and " +
+          "again with the same words so the dedup stage must fold every copy " +
+          "of it into one group for the corpus to stay clean and the count " +
+          "of tokens here is kept past the gopher floor by a tail of plain " +
+          "words like table row value part key line sort merge batch scan"
+      s"""
+      WITH aug AS (SELECT doc_id,
+        '<html><head><title>Crawl Page</title><style>p{margin:0}</style>' ||
+        '<script>track(1 < 2);</script></head><body><p>' ||
+        CASE WHEN doc_id % 10 = 7 THEN '$shared'
+             WHEN doc_id % 3 = 0 THEN text || ' and that is how it has to be'
+             ELSE text END ||
+        '</p><a href="/p/' || CAST(doc_id AS VARCHAR) || '">next</a></body></html>' AS html
+        FROM documents),
+      cl AS (SELECT doc_id, ${H.stripHtmlSql("html")} AS clean FROM aug),
+      m AS (SELECT doc_id, clean,
+              regexp_split_to_array(trim(clean), '\\s+') AS ws,
+              regexp_split_to_array(trim(lower(clean)), '\\s+') AS lws,
+              string_split(clean, chr(10)) AS ls
+            FROM cl),
+      kept AS (SELECT doc_id, clean FROM m
+        WHERE len(ws) BETWEEN 20 AND 100000
+          AND CAST(length(regexp_replace(clean, '\\s', '', 'g')) AS DOUBLE) / len(ws) >= 3.0
+          AND CAST(length(regexp_replace(clean, '\\s', '', 'g')) AS DOUBLE) / len(ws) <= 10.0
+          AND CAST(len(regexp_extract_all(clean, '#|\\.\\.\\.|…')) AS DOUBLE)
+              / greatest(len(ws), 1) < 0.1
+          AND CAST(len(list_filter(ls, l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
+              / greatest(len(ls), 1) < 0.9
+          AND CAST(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS DOUBLE)
+              / greatest(len(ls), 1) < 0.3
+          AND CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+              / greatest(len(ws), 1) > 0.8
+          AND ($req) >= 2)
+      SELECT md5(clean) AS content_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM kept GROUP BY md5(clean) ORDER BY keep_id
+    """
+    },
+    // composes already-benched stages (t13 regex chain, t11 gate, d1
+    // digest dedup) — stays out of the bench set like c5
+    benchmark = false)
+
   /** T11 — Gopher-style composite document filter ([[TA.gopherKeep]]):
     * word-count bounds, mean word length, symbol ratio, bullet/ellipsis
     * line fractions, alphabetic-word fraction, required-stopword floor.
@@ -2986,7 +3073,7 @@ object ExtQueries {
     s1KnnBrute, s2AnnIvf, s3KnnQuantized, s5KnnPq, s6AnnIvfPq, s7HardNegatives, x20CorpusReport,
     m1MediaMeta, m2FrameSample, m3VideoMeta,
     c1Curation, c2CurationRecipe, c3Decontaminate, c4DecontaminateBloom,
-    c5NormalizedCuration,
+    c5NormalizedCuration, c6CrawlPipeline,
     u1UrlNormalize, u2UrlDedup,
     x1HllDistinct, x2KmeansIvf,
     x3DedupGroups, x5KmeansSample, x6DedupGroupsConv, x7StratifiedSample, x9CmsHeavyHitters,

@@ -124,6 +124,13 @@ object ScaleStress {
       "x14_quota" -> reg("x14_domain_quota"),
       // per-user bin equi-join: replicated users, pairs ∝ factor
       "j10_overlap" -> reg("j10_interval_overlap"),
+      // per-user RANGE-frame window: one user exchange + per-user time
+      // sort; replicated users replicate the frame workload, pairs ∝ N
+      "e2_rolling" -> reg("e2_rolling_window"),
+      // regex-chain map pass riding the scan — must track the scan, ∝ N
+      "t13_html" -> reg("t13_html_extract"),
+      // composed strip → gate → digest dedup: map passes + one md5 agg
+      "c6_crawl" -> reg("c6_crawl_pipeline"),
       // PQ ADC: training is fixed Lloyd passes over the scan, encode a map
       // pass, search a broadcast ranking — every stage ∝ N
       "s5_pq" -> reg("s5_knn_pq"),

@@ -2787,6 +2787,72 @@ object ExtQueries {
     // digest dedup) — stays out of the bench set like c5
     benchmark = false)
 
+  /** X21 — training-prep composition: quality gate → per-source sequence
+    * packing (x10's prefix-sum) → deterministic shard assignment of the
+    * PACKS (x18's md5 permutation keyed on (source, pack_id)) — the
+    * gate→pack→shuffle chain that turns a curated corpus into training
+    * shards. Every stage is an already-oracle-checked operator; this pins
+    * the composition itself (offsets must survive the gate's row drops,
+    * shards must key on packs, not docs).
+    */
+  val x21TrainingPrep = QueryDef(
+    "x21_training_prep",
+    (s, dir) => {
+      val docs = Td(s, dir, "documents")
+        .filter(TA.qualityScore(col("text")) >= 0.3)
+        .select(col("doc_id"), col("source"),
+          TA.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+      val packed = graft.ext.Packing.assign(docs, "doc_id", "n_bpe", Seq("source"), budget = 2048L)
+      val packKey = md5(concat_ws(":", lit("prep"), col("source"), col("pack_id").cast("string")))
+      val packs = packed.select(col("source"), col("pack_id")).distinct()
+        .withColumn("_k", packKey)
+        .withColumn("shard",
+          (conv(substring(col("_k"), 1, 4), 16, 10).cast("int") % 4))
+        .drop("_k")
+      packed.join(broadcast(packs), Seq("source", "pack_id"))
+        .select(col("doc_id"), col("source"), col("n_bpe"),
+          col("pack_id"), col("pack_offset"), col("shard"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      def nib(i: Int) = s"(strpos('0123456789abcdef', substr(k, $i, 1)) - 1)"
+      val shard =
+        s"CAST(((((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)}) % 4) AS INT)"
+      s"""
+      WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe
+        FROM documents
+        WHERE 0.5 * least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) / 64.0, 1.0)
+            + 0.5 * least((CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                x -> list_contains(${sqlList(TA.Stopwords)}, x))) AS DOUBLE)
+              / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)) * 4.0, 1.0)
+            - (CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS DOUBLE)
+              / CAST(greatest(length(text), 1) AS DOUBLE)) * 2.0 >= 0.3),
+      p AS (
+        SELECT doc_id, source, n_bpe,
+               COALESCE(SUM(n_bpe) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        FROM d),
+      pk AS (
+        SELECT doc_id, source, n_bpe,
+               CAST(pre // 2048 AS BIGINT) AS pack_id,
+               CAST(pre % 2048 AS BIGINT) AS pack_offset
+        FROM p),
+      sh AS (
+        SELECT source, pack_id,
+               md5('prep:' || source || ':' || CAST(pack_id AS VARCHAR)) AS k
+        FROM (SELECT DISTINCT source, pack_id FROM pk)),
+      shd AS (SELECT source, pack_id, $shard AS shard FROM sh)
+      SELECT pk.doc_id, pk.source, pk.n_bpe, pk.pack_id, pk.pack_offset, shd.shard
+      FROM pk JOIN shd ON pk.source = shd.source AND pk.pack_id = shd.pack_id
+      ORDER BY pk.doc_id
+    """
+    },
+    // composes three already-benched/timed stages (t2 gate, x10 pack, x18
+    // shard) — stays out of the bench set like c5/c6
+    benchmark = false)
+
   /** T11 — Gopher-style composite document filter ([[TA.gopherKeep]]):
     * word-count bounds, mean word length, symbol ratio, bullet/ellipsis
     * line fractions, alphabetic-word fraction, required-stopword floor.
@@ -3080,5 +3146,5 @@ object ExtQueries {
     x12TemperatureMix, x13CurriculumTiles, x14DomainQuota, x15SourceOverlap,
     x16SnapshotDiff, x17EmbedQuantize, x18ShardShuffle, x19ChunkWindows,
     x11DedupRepresentative,
-    x10SequencePack)
+    x10SequencePack, x21TrainingPrep)
 }

@@ -75,4 +75,53 @@ class PropertySpec extends SparkSpec {
       .toDF("d").select(Dates.parseOrderDate(col("d")).cast("string")).collect()
     assert(good.forall(_.getString(0) === "2025-11-12"))
   }
+
+  test("tokenWindows at stride == window partitions the tokens exactly (lossless)") {
+    val textGen = Gen.listOf(Gen.oneOf("alpha", "b", "gamma7", "x", "delta"))
+      .map(_.mkString(" "))
+    val texts = samples(textGen, 25).filter(_.nonEmpty).distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val rebuilt = graft.ext.Paragraphs
+      .tokenWindows(df, "doc_id", "text", window = 3, stride = 3)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", sort_array(collect_list(struct(col("chunk_idx"), col("chunk_text"))))
+        .getField("chunk_text")).as("re"))
+      .as[(Long, String)].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(rebuilt(i.toLong) === t.trim.split("\\s+").mkString(" "),
+        s"lossy window partition for '$t'")
+    }
+  }
+
+  test("shardShuffle: a row's shard and relative order are stable under corpus growth") {
+    val small = (1L to 200L).toDF("id")
+    val grown = (1L to 400L).toDF("id")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Sampling.shardShuffle(df, "id", nShards = 4, seed = "g")
+        .select("id", "shard", "pos").as[(Long, Int, Long)].collect()
+    val a = run(small).map(r => r._1 -> r).toMap
+    val b = run(grown).map(r => r._1 -> r).toMap
+    // shard of an existing row never changes when new rows arrive
+    assert((1L to 200L).forall(id => a(id)._2 === b(id)._2))
+    // and the RELATIVE order of existing rows within a shard is preserved
+    (0 until 4).foreach { sh =>
+      val before = (1L to 200L).filter(id => a(id)._2 == sh).sortBy(id => a(id)._3)
+      val after = (1L to 200L).filter(id => b(id)._2 == sh).sortBy(id => b(id)._3)
+      assert(before === after, s"shard $sh reordered existing rows")
+    }
+  }
+
+  test("gopherKeep flips on exactly the violated rule") {
+    import graft.ext.{TextAnalysis => TA}
+    val base = ("the quick brown fox jumps over and over to the side of that " +
+      "lazy dog it would have stayed asleep with the sun warm on its back " +
+      "every day ") * 2
+    def keep(t: String): Boolean =
+      Seq(t).toDF("text").select(TA.gopherKeep(col("text"))).as[Boolean].head()
+    assert(keep(base))
+    // strictly adding rule-violating dirt flips keep; removing it restores
+    assert(!keep(base + Seq.fill(20)(" #").mkString))
+    assert(!keep(base + Seq.fill(60)(" 12345").mkString))
+    assert(!keep(base.take(40))) // word floor
+  }
 }

@@ -187,7 +187,48 @@ object ServeQueries {
     // keeping it out preserves the compact bench line's headroom
     benchmark = false)
 
+  /** X22 — generic per-column profile ([[graft.serve.Profile]]): rows /
+    * non-null / null / exact distinct per column in long format. The
+    * testdata is null-free, so two columns get deterministic planted nulls
+    * (error types, every-7th user) — the null accounting is then exercised
+    * beside genuinely null-free columns.
+    */
+  private val profileCols = Seq("event_id", "event_type", "user_id", "value")
+
+  val x22Profile = QueryDef(
+    "x22_profile",
+    (s, dir) => {
+      val planted = Td(s, dir, "events").select(
+        col("event_id"),
+        nullif(col("event_type"), lit("error")).as("event_type"),
+        when(col("user_id") % 7 === 0, lit(null)).otherwise(col("user_id")).as("user_id"),
+        col("value"))
+      graft.serve.Profile.profile(planted, profileCols)
+    },
+    Some {
+      val per = profileCols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows, count($c) AS n_nonnull,
+               count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct
+            FROM aug"""
+      }.mkString("\n      UNION ALL\n      ")
+      s"""
+      WITH aug AS (SELECT event_id,
+               nullif(event_type, 'error') AS event_type,
+               CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END AS user_id,
+               value
+             FROM events)
+      SELECT CAST(n_rows AS BIGINT) AS n_rows, col_name,
+             CAST(n_nonnull AS BIGINT) AS n_nonnull,
+             CAST(n_null AS BIGINT) AS n_null,
+             CAST(n_distinct AS BIGINT) AS n_distinct
+      FROM ($per)
+      ORDER BY col_name
+    """
+    },
+    // one Expand-aggregation — the q3 null-rates agg shape, already timed
+    benchmark = false)
+
   val all: Seq[QueryDef] = Seq(
     k1Kpis, k2TopProducts, k3TopCustomers, k4RevenueByMarket, k5MonthlyTrend,
-    q2JoinCoverage, q3NullRates)
+    q2JoinCoverage, q3NullRates, x22Profile)
 }

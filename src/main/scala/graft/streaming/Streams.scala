@@ -323,6 +323,28 @@ object Streams {
     df.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming crawl ingest — the streaming twin of the c6 batch pipeline:
+    * pages arrive on any stream (file-source JSONL landing, Kafka), get
+    * HTML-stripped and Gopher-gated as per-row map work riding the
+    * micro-batch, then exact-dedup on the CLEANED text's digest within the
+    * watermark horizon (re-crawls of a page differ in markup and timing,
+    * not visible text — keying the state on `content_md5` of the cleaned
+    * text is what folds them). State is bounded by the watermark: a
+    * digest's dedup entry retires `lateness` after its event time, the
+    * crawl-scale requirement (an unbounded digest set would OOM a year-long
+    * stream; history-scale dedup belongs to the durable index sink).
+    */
+  def crawlStream(pages: DataFrame, tsCol: String, htmlCol: String,
+      lateness: String, minWords: Int = 50): DataFrame = {
+    val clean = graft.ext.Html.stripHtml(col(htmlCol))
+    val gated = pages
+      .withColumn("clean_text", clean)
+      .drop(htmlCol)
+      .filter(graft.ext.TextAnalysis.gopherKeep(col("clean_text"), minWords))
+      .withColumn("content_md5", md5(col("clean_text")))
+    dedupStream(gated, Seq("content_md5"), tsCol, lateness)
+  }
+
   /** Stream-stream interval join: each click pairs with purchases of the
     * same user within `[click.ts, click.ts + horizon]`. Watermarks on both
     * sides bound the buffered state (Spark purges rows that can no longer

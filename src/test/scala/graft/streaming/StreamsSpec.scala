@@ -228,6 +228,31 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("crawlStream: strip + gate + digest dedup folds markup-only re-crawls") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val passing = ("the quick brown fox jumps over and over to the side of that " +
+      "lazy dog it would have stayed asleep with the sun warm on its back " +
+      "every day ") * 2
+    def page(body: String, chrome: String) =
+      s"<html><head><title>t</title><style>.x{}</style></head><body $chrome><p>$body</p></body></html>"
+    val out = Streams.crawlStream(
+      in.toDF().toDF("doc_id", "ts", "html"), "ts", "html", lateness = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("crawl_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        (1L, ts("2026-01-01 10:00:00"), page(passing, "class=\"a\"")),
+        (2L, ts("2026-01-01 10:00:10"), page("too short to pass", "")))
+      q.processAllAvailable()
+      // re-crawl of doc 1's page: different markup, same visible text
+      in.addData((3L, ts("2026-01-01 10:05:00"), page(passing, "id=\"b\" data-x=\"1\"")))
+      q.processAllAvailable()
+      val rows = spark.table("crawl_out").select("doc_id").collect().map(_.getLong(0))
+      assert(rows.toSeq === Seq(1L)) // gate killed 2, dedup folded 3 into 1
+    } finally q.stop()
+  }
+
   test("attributionJoin: stream-stream interval join pairs clicks with in-horizon purchases") {
     implicit val sc = spark.sqlContext
     val clicks = MemoryStream[Streams.Event]

@@ -235,7 +235,71 @@ object CoreQueries {
       FROM orders GROUP BY o_orderstatus ORDER BY status
     """))
 
+  /** A9 — CUBE: all four grouping combinations of (status, priority) in
+    * one pass — rollup's lattice completion, the last OLAP grouping shape
+    * the suite lacked. Same map-side-partial-then-exchange plan as a7;
+    * Spark expands the grouping sets before the partial agg.
+    */
+  val a9Cube = QueryDef(
+    "a9_cube",
+    (s, dir) => {
+      Td(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sales"),
+          grouping_id().cast("long").as("gid"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+          coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+          col("gid"), col("n"), col("sales"))
+        .orderBy(col("gid"), col("status"), col("priority"))
+    },
+    Some("""
+      SELECT COALESCE(o_orderstatus, '<all>') AS status,
+             COALESCE(o_orderpriority, '<all>') AS priority,
+             CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY gid, status, priority
+    """),
+    // a7 already times the grouping-set expansion + exchange shape
+    benchmark = false)
+
+  /** W2 — lag/lead inter-event gaps: per user, event count and the
+    * mean/max gap between consecutive events (lag over the user's
+    * time-ordered stream, event_id tiebreak for total order). Gaps are
+    * integer millis, so mean = sum/count is exact in both engines. One
+    * user exchange + per-user sort, same plan family as e2's frame.
+    */
+  val w2UserGaps = QueryDef(
+    "w2_user_gaps",
+    (s, dir) => {
+      val ev = Td(s, dir, "events")
+      val ems = graft.clean.Dates.epochMillis(col("ts"), ev.schema("ts").dataType)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ems"), col("event_id"))
+      ev.select(col("user_id"), col("event_id"), ems.as("ems"))
+        .withColumn("gap", col("ems") - lag(col("ems"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          max(col("gap")).as("max_gap_ms"),
+          (sum(col("gap")).cast("double") / count(col("gap"))).as("mean_gap_ms"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH g AS (SELECT user_id, event_id,
+               epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER (
+                 PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap
+             FROM events)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(max(gap) AS BIGINT) AS max_gap_ms,
+             CAST(sum(gap) AS DOUBLE) / count(gap) AS mean_gap_ms
+      FROM g GROUP BY user_id ORDER BY user_id
+    """),
+    // w1/e2 already time the per-user window exchange shape
+    benchmark = false)
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, a1DupDetect, a2DedupKeyed, a3MonthlyRollup,
-    a4MinMax, a5Distinct, a6Counts, a7Rollup, a8Pivot, w1LatestPerGroup, o1TopK)
+    a4MinMax, a5Distinct, a6Counts, a7Rollup, a8Pivot, a9Cube,
+    w1LatestPerGroup, w2UserGaps, o1TopK)
 }

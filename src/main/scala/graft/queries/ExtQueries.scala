@@ -2787,6 +2787,51 @@ object ExtQueries {
     // digest dedup) — stays out of the bench set like c5
     benchmark = false)
 
+  /** S9 — BM25 lexical retrieval ([[graft.ext.Bm25]]): rational-idf BM25
+    * top-20 for a fixed query over the corpus — postings filtered to the
+    * query vocabulary at the explode, doc length from a no-explode
+    * `size()`, N/avgdl as a broadcast 1-row aggregate, per-term scores
+    * summed in FIXED query-term order (no float aggregation-order drift).
+    */
+  val s9Bm25 = QueryDef(
+    "s9_bm25",
+    (s, dir) =>
+      graft.ext.Bm25.score(Td(s, dir, "documents"), "doc_id", "text",
+          queryTerms = Seq("table", "merge", "spark"), topK = 20)
+        .select(col("doc_id"), col("score"), col("rnk").cast("long").as("rnk"))
+        .orderBy(col("rnk")),
+    Some("""
+      WITH lens AS (SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS dlen
+             FROM documents),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dlen) / count(*) AS avgdl FROM lens),
+      p AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tcnt FROM (
+              SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+              FROM documents)
+            WHERE term IN ('table', 'merge', 'spark') GROUP BY 1, 2),
+      dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM p GROUP BY 1),
+      ts AS (SELECT p.doc_id, p.term,
+               ((stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 ((p.tcnt * (1.2 + 1.0)) /
+                  (p.tcnt + 1.2 * (1.0 - 0.75 + 0.75 * lens.dlen / stats.avgdl))) AS tscore
+             FROM p JOIN dfq ON p.term = dfq.term
+                    JOIN lens ON p.doc_id = lens.doc_id
+                    CROSS JOIN stats),
+      wide AS (SELECT doc_id,
+                 max(CASE WHEN term = 'table' THEN tscore END) AS t_table,
+                 max(CASE WHEN term = 'merge' THEN tscore END) AS t_merge,
+                 max(CASE WHEN term = 'spark' THEN tscore END) AS t_spark
+               FROM ts GROUP BY 1),
+      sc AS (SELECT doc_id,
+               COALESCE(t_table, 0.0) + COALESCE(t_merge, 0.0) + COALESCE(t_spark, 0.0) AS score
+             FROM wide),
+      r AS (SELECT doc_id, score,
+              row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sc)
+      SELECT doc_id, score, rnk FROM r WHERE rnk <= 20 ORDER BY rnk
+    """),
+    // s1/t5 already time the explode+agg+join scan shapes
+    benchmark = false)
+
   /** X21 — training-prep composition: quality gate → per-source sequence
     * packing (x10's prefix-sum) → deterministic shard assignment of the
     * PACKS (x18's md5 permutation keyed on (source, pack_id)) — the
@@ -3146,5 +3191,5 @@ object ExtQueries {
     x12TemperatureMix, x13CurriculumTiles, x14DomainQuota, x15SourceOverlap,
     x16SnapshotDiff, x17EmbedQuantize, x18ShardShuffle, x19ChunkWindows,
     x11DedupRepresentative,
-    x10SequencePack, x21TrainingPrep)
+    x10SequencePack, x21TrainingPrep, s9Bm25)
 }

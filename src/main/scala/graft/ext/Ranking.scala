@@ -101,4 +101,32 @@ object Ranking {
         Window.partitionBy(col(groupCol)).orderBy(order: _*)).cast("long"))
       .filter(col("grp_rank") <= k)
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009): combine rankings from
+    * heterogeneous retrievers — lexical BM25, dense kNN — without score
+    * calibration, by summing `1/(k + rank)` per list (absent → 0). Pure
+    * rational arithmetic in FIXED list order, so the fused scores are
+    * bit-replayable; candidate lists are already top-k-bounded, so the
+    * full-outer join chain runs over |lists|·topN rows regardless of
+    * corpus size — fusion is driver-scale work by construction.
+    *
+    * Each input must carry (`idCol`, `rnk`); ties in the fused score break
+    * to the lower id.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String,
+      k: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: need at least one ranking")
+    val renamed = rankings.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol), col("rnk").as(s"_r$i"))
+    }
+    val joined = renamed.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val score = rankings.indices.map { i =>
+      when(col(s"_r$i").isNotNull,
+        lit(1.0) / (lit(k.toDouble) + col(s"_r$i").cast("double"))).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val w = Window.orderBy(col("rrf").desc, col(idCol))
+    joined.select(col(idCol), score.as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol)).limit(topK)
+      .withColumn("rnk", row_number().over(w))
+  }
 }

@@ -2832,6 +2832,74 @@ object ExtQueries {
     // s1/t5 already time the explode+agg+join scan shapes
     benchmark = false)
 
+  /** S10 — hybrid retrieval via reciprocal-rank fusion
+    * ([[graft.ext.Ranking.rrfFuse]]): the s9 lexical top-20 fused with a
+    * dense cosine top-20 (vec 0 as the dense query, vec_id ≡ doc_id) by
+    * `1/(60+rank)` summed in fixed list order — the modern
+    * retrieval-stack combiner, calibration-free and fully rational.
+    */
+  val s10HybridRrf = QueryDef(
+    "s10_hybrid_rrf",
+    (s, dir) => {
+      val lex = graft.ext.Bm25.score(Td(s, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("table", "merge", "spark"), topK = 20)
+      val emb = Td(s, dir, "embeddings")
+      val dense = Similarity.knnBrute(emb.filter(col("vec_id") === 0), emb,
+          "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rnk"))
+      graft.ext.Ranking.rrfFuse(Seq(lex.select(col("doc_id"), col("rnk")), dense),
+          "doc_id", k = 60, topK = 10)
+        .select(col("doc_id"), col("rrf"), col("rnk").cast("long").as("rnk"))
+        .orderBy(col("rnk"))
+    },
+    Some("""
+      WITH lens AS (SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS dlen
+             FROM documents),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dlen) / count(*) AS avgdl FROM lens),
+      p AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tcnt FROM (
+              SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+              FROM documents)
+            WHERE term IN ('table', 'merge', 'spark') GROUP BY 1, 2),
+      dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM p GROUP BY 1),
+      tsb AS (SELECT p.doc_id, p.term,
+               ((stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 ((p.tcnt * (1.2 + 1.0)) /
+                  (p.tcnt + 1.2 * (1.0 - 0.75 + 0.75 * lens.dlen / stats.avgdl))) AS tscore
+             FROM p JOIN dfq ON p.term = dfq.term
+                    JOIN lens ON p.doc_id = lens.doc_id
+                    CROSS JOIN stats),
+      wideb AS (SELECT doc_id,
+                 max(CASE WHEN term = 'table' THEN tscore END) AS t_table,
+                 max(CASE WHEN term = 'merge' THEN tscore END) AS t_merge,
+                 max(CASE WHEN term = 'spark' THEN tscore END) AS t_spark
+               FROM tsb GROUP BY 1),
+      lex AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM (
+               SELECT doc_id,
+                 COALESCE(t_table, 0.0) + COALESCE(t_merge, 0.0) + COALESCE(t_spark, 0.0) AS score
+               FROM wideb)
+              QUALIFY rnk <= 20),
+      ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      nv AS (SELECT vec_id, v,
+               sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM ev),
+      dense AS (SELECT doc_id, rnk FROM (
+               SELECT c.vec_id AS doc_id,
+                 row_number() OVER (ORDER BY
+                   list_reduce(list_transform(list_zip(q.v, c.v), p2 -> p2[1] * p2[2]), (a, b) -> a + b)
+                     / (q.nrm * c.nrm) DESC, c.vec_id) AS rnk
+               FROM nv c CROSS JOIN (SELECT v, nrm FROM nv WHERE vec_id = 0) q
+               WHERE c.vec_id <> 0)
+              WHERE rnk <= 20),
+      fused AS (SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+                 (CASE WHEN l.rnk IS NOT NULL THEN 1.0 / (60.0 + l.rnk) ELSE 0.0 END) +
+                 (CASE WHEN d.rnk IS NOT NULL THEN 1.0 / (60.0 + d.rnk) ELSE 0.0 END) AS rrf
+               FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id)
+      SELECT doc_id, rrf, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+      FROM fused QUALIFY rnk <= 10 ORDER BY rnk
+    """),
+    // fuses two already-timed retrieval shapes over top-k-bounded lists
+    benchmark = false)
+
   /** X21 — training-prep composition: quality gate → per-source sequence
     * packing (x10's prefix-sum) → deterministic shard assignment of the
     * PACKS (x18's md5 permutation keyed on (source, pack_id)) — the
@@ -3191,5 +3259,5 @@ object ExtQueries {
     x12TemperatureMix, x13CurriculumTiles, x14DomainQuota, x15SourceOverlap,
     x16SnapshotDiff, x17EmbedQuantize, x18ShardShuffle, x19ChunkWindows,
     x11DedupRepresentative,
-    x10SequencePack, x21TrainingPrep, s9Bm25)
+    x10SequencePack, x21TrainingPrep, s9Bm25, s10HybridRrf)
 }

@@ -67,4 +67,20 @@ class RankingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(got === Set(50L, 49L, 48L))
   }
+
+  test("rrfFuse: 1/(k+rank) per list, absent lists contribute zero, ties to lower id") {
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rnk")
+    val dense = Seq((20L, 1), (40L, 2)).toDF("id", "rnk")
+    val out = Ranking.rrfFuse(Seq(lex, dense), "id", k = 60, topK = 10)
+      .select("id", "rrf", "rnk").as[(Long, Double, Int)].collect().sortBy(_._3)
+    // doc 20 appears in both lists -> highest fused score
+    assert(out.head._1 === 20L)
+    assert(math.abs(out.head._2 - (1.0 / 62 + 1.0 / 61)) < 1e-15)
+    // doc in only one list gets exactly its single reciprocal
+    val d10 = out.find(_._1 == 10L).get
+    assert(math.abs(d10._2 - 1.0 / 61) < 1e-15)
+    // equal fused scores (rank 2 lex vs rank 2 dense would tie) break by id:
+    // docs 30 (lex rank 3) and 40 (dense rank 2) -> 40 scores higher; then 30
+    assert(out.map(_._1).toSeq === Seq(20L, 10L, 40L, 30L))
+  }
 }

@@ -2698,7 +2698,9 @@ object ExtQueries {
              CAST(sum(keep) AS DOUBLE) / count(*) AS keep_rate
       FROM d GROUP BY source ORDER BY source
     """
-    })
+    },
+    // e1/q1 time the scan+agg shape; compact-line headroom (see e2)
+    benchmark = false)
 
   /** C6 — the crawl pipeline end-to-end: HTML page → [[graft.ext.Html]]
     * text extraction → Gopher keep gate → exact dedup on the CLEANED text
@@ -2898,6 +2900,74 @@ object ExtQueries {
       FROM fused QUALIFY rnk <= 10 ORDER BY rnk
     """),
     // fuses two already-timed retrieval shapes over top-k-bounded lists
+    benchmark = false)
+
+  /** S11 — ANN quality gate as DATA: recall@10 of the PQ ADC ranking
+    * against the exact brute-force ranking (s1), per query. Approximation
+    * quality is measured inside the engine, not assumed — the number a
+    * production deployment alerts on when codebooks drift. Both rankings
+    * replay in the oracle, so the recall itself is hash-checked. Measured
+    * at m=16 (4-dim subspaces): 0.3-0.6 on this corpus, vs a flat 0.3 at
+    * s5's m=8 — the synthetic embeddings have diffuse cosines (near-random
+    * directions), the hard case for any 8-16-byte code; m is the recall
+    * knob, and this query is the gate that watches it.
+    */
+  val s11PqRecall = QueryDef(
+    "s11_pq_recall",
+    (s, dir) => {
+      val emb = Td(s, dir, "embeddings")
+      val exact = Similarity.knnBrute(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val books = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 16, k = 16,
+        iters = 2, sampleMod = Some(4))
+      val approx = Similarity.pqSearch(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "embedding", books, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).cast("long").as("n_hit"))
+        .select(col("query_id"), col("n_hit"),
+          (col("n_hit").cast("double") / lit(10.0)).as("recall_at_10"))
+        .orderBy(col("query_id"))
+    },
+    Some(s"""
+      WITH $vecCte,
+      exact AS (SELECT query_id, neighbor_id FROM (
+               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   ${dotSql.format("q.v", "c.v")} / (q.nrm * c.nrm) DESC, c.vec_id) AS rnk
+               FROM n q JOIN n c ON c.vec_id <> q.vec_id WHERE q.vec_id < 5)
+              WHERE rnk <= 10),
+      ${pqCte(m = 16, k = 16, iters = 2, dsub = 4, trainWhere = s" WHERE ${sampleFilterSql("vec_id", 4)}")},
+      pe AS (SELECT s.vec_id, s.sub, c.cid,
+               list_reduce(list_transform(c.cv, x -> x * x), (a, b) -> a + b) -
+                 2 * ${dotSql.format("s.sv", "c.cv")} AS dist
+             FROM pq_sv s JOIN pc2 c ON c.sub = s.sub),
+      penc AS (SELECT vec_id, sub, cid FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rnk
+               FROM pe) WHERE rnk = 1),
+      plut AS (SELECT s.vec_id AS query_id, s.sub, c.cid,
+                 ${dotSql.format("s.sv", "c.cv")} AS ip
+               FROM pq_sv s JOIN pc2 c ON c.sub = s.sub WHERE s.vec_id < 5),
+      psc0 AS (SELECT l.query_id, e.vec_id AS neighbor_id, e.sub, l.ip
+               FROM penc e JOIN plut l ON l.sub = e.sub AND l.cid = e.cid
+               WHERE e.vec_id <> l.query_id),
+      approx AS (SELECT query_id, neighbor_id FROM (
+               SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rnk
+               FROM (SELECT query_id, neighbor_id,
+                       list_reduce(list(ip ORDER BY sub), (a, b) -> a + b) AS adc
+                     FROM psc0 GROUP BY 1, 2) g0
+               ) WHERE rnk <= 10),
+      hits AS (SELECT e.query_id, count(*) AS n_hit
+               FROM exact e JOIN approx a
+                 ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+               GROUP BY 1)
+      SELECT query_id, CAST(n_hit AS BIGINT) AS n_hit,
+             CAST(n_hit AS DOUBLE) / 10.0 AS recall_at_10
+      FROM hits ORDER BY query_id
+    """),
     benchmark = false)
 
   /** X21 — training-prep composition: quality gate → per-source sequence
@@ -3185,7 +3255,9 @@ object ExtQueries {
              ${H.stripHtmlSql("html")} AS clean_text
       FROM aug ORDER BY doc_id
     """
-    })
+    },
+    // t9 times the regex-chain map shape; compact-line headroom (see e2)
+    benchmark = false)
 
   /** X18 — deterministic shard shuffle ([[Sampling.shardShuffle]]): the
     * "shuffle once, stream shards" epoch permutation, as a pure function
@@ -3259,5 +3331,5 @@ object ExtQueries {
     x12TemperatureMix, x13CurriculumTiles, x14DomainQuota, x15SourceOverlap,
     x16SnapshotDiff, x17EmbedQuantize, x18ShardShuffle, x19ChunkWindows,
     x11DedupRepresentative,
-    x10SequencePack, x21TrainingPrep, s9Bm25, s10HybridRrf)
+    x10SequencePack, x21TrainingPrep, s9Bm25, s10HybridRrf, s11PqRecall)
 }

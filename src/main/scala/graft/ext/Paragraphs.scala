@@ -104,6 +104,43 @@ object Paragraphs {
         array_join(col("col.toks"), " ").as("chunk_text"))
   }
 
+  /** Cross-document duplicated-SPAN detection — the stride approximation
+    * of suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): hash every full
+    * `window`-token sliding window at `stride`, count DISTINCT documents
+    * per window digest, and flag windows shared across documents. Any
+    * duplicated span of `window + stride - 1` tokens or more is guaranteed
+    * to contain at least one shared full window when the duplicates are
+    * stride-aligned; misaligned copies are caught once the span exceeds
+    * `window + stride` (a window fits strictly inside it at some offset).
+    * Unlike paragraph dedup this needs no separator structure — it finds
+    * verbatim reuse mid-sentence, the license-block/quotation case.
+    *
+    * Scale shape: the window explode multiplies rows by ~1/stride of the
+    * token count, but only 16-byte md5 digests ever shuffle; the
+    * document-frequency aggregation map-side-combines, and the flag join
+    * back carries only the shared tail (digests in ≥2 docs — the d15
+    * pattern), which AQE broadcasts. Never doc×doc, never a suffix sort.
+    * Documents shorter than `window` tokens have no full window and are
+    * absent from the output — they cannot contain a flaggable span.
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 30, stride: Int = 10): DataFrame = {
+    val wins = tokenWindows(df, idCol, textCol, window, stride)
+      .filter(col("n_chunk_tokens") === window) // short tails can't be spans
+      .select(col(idCol), md5(col("chunk_text")).as("span_md5"))
+    val shared = wins.select(col(idCol), col("span_md5")).distinct()
+      .groupBy(col("span_md5")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2) // flaggable tail only reaches the join
+    wins.join(shared, Seq("span_md5"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_windows"),
+        sum(when(col("n_docs").isNotNull, 1L).otherwise(0L)).cast("long").as("n_dup_windows"))
+      .withColumn("dup_span_frac",
+        col("n_dup_windows").cast("double") / greatest(col("n_windows"), lit(1L)).cast("double"))
+  }
+
   /** WITHIN-document chunk dedup — the intra-doc twin of [[boilerplateClean]]
     * (which is cross-doc by design and deliberately KEEPS within-doc
     * repeats): crawled pages repeat their own nav blocks, share widgets,

@@ -2970,6 +2970,64 @@ object ExtQueries {
     """),
     benchmark = false)
 
+  /** D20 — cross-document duplicated spans ([[graft.ext.Paragraphs
+    * .dupSpans]]): every doc's 30-token windows at stride 10, hashed and
+    * document-frequency-counted; windows shared across docs flag verbatim
+    * reuse. Docs with id%17==3 keep their own 5-word prefix (alignment
+    * preserved, content varies) and then carry one shared 40-token block —
+    * the aligned window inside it must flag in every such doc while the
+    * prefix windows stay clean.
+    */
+  val d20SpanDedup = QueryDef(
+    "d20_span_dedup",
+    (s, dir) => {
+      val id = col("doc_id")
+      val SharedSpan =
+        "license text follows this work is provided as is without warranty " +
+          "of any kind either express or implied including but not limited " +
+          "to the implied warranties of merchantability and fitness for a " +
+          "particular purpose and noninfringement of rights"
+      val ws = TA.wsTokens(col("text"))
+      val planted = when(id % 17 === 3,
+          concat(array_join(slice(ws, 1, 5), " "), lit(" " + SharedSpan)))
+        .otherwise(col("text"))
+      graft.ext.Paragraphs.dupSpans(
+          Td(s, dir, "documents").select(id, planted.as("text")),
+          "doc_id", "text", window = 30, stride = 10)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val span =
+        "license text follows this work is provided as is without warranty " +
+          "of any kind either express or implied including but not limited " +
+          "to the implied warranties of merchantability and fitness for a " +
+          "particular purpose and noninfringement of rights"
+      s"""
+      WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 17 = 3
+          THEN array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:5], ' ') || ' $span'
+          ELSE text END AS t
+        FROM documents),
+      w AS (SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS ws FROM aug),
+      st AS (SELECT doc_id, ws,
+               unnest(generate_series(0, greatest(len(ws) - 1, 0), 10)) AS s
+             FROM w),
+      wins AS (SELECT doc_id, md5(array_to_string(ws[s+1:s+30], ' ')) AS span_md5
+               FROM st WHERE len(ws[s+1:s+30]) = 30),
+      shared AS (SELECT span_md5, count(*) AS n_docs FROM (
+                   SELECT DISTINCT doc_id, span_md5 FROM wins)
+                 GROUP BY 1 HAVING count(*) >= 2)
+      SELECT w2.doc_id,
+             CAST(count(*) AS BIGINT) AS n_windows,
+             CAST(sum(CASE WHEN sh.span_md5 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+             CAST(sum(CASE WHEN sh.span_md5 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / greatest(count(*), 1) AS dup_span_frac
+      FROM wins w2 LEFT JOIN shared sh ON w2.span_md5 = sh.span_md5
+      GROUP BY 1 ORDER BY 1
+    """
+    },
+    // d15 times the digest df-agg + tail-join shape; x19's explode is m2's
+    benchmark = false)
+
   /** X21 — training-prep composition: quality gate → per-source sequence
     * packing (x10's prefix-sum) → deterministic shard assignment of the
     * PACKS (x18's md5 permutation keyed on (source, pack_id)) — the
@@ -3320,7 +3378,7 @@ object ExtQueries {
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,
-    d14DedupChargram, d17DedupIndexBucketed, d19DedupContainment,
+    d14DedupChargram, d17DedupIndexBucketed, d19DedupContainment, d20SpanDedup,
     s1KnnBrute, s2AnnIvf, s3KnnQuantized, s5KnnPq, s6AnnIvfPq, s7HardNegatives, x20CorpusReport,
     m1MediaMeta, m2FrameSample, m3VideoMeta,
     c1Curation, c2CurationRecipe, c3Decontaminate, c4DecontaminateBloom,

@@ -150,6 +150,26 @@ class ParagraphsSpec extends SparkSpec {
     }
   }
 
+  test("dupSpans: aligned shared block flags across docs, unique prefixes stay clean") {
+    val block = (1 to 12).map(i => s"w$i").mkString(" ") // 12 shared tokens
+    val df = Seq(
+      (1L, s"aaa bbb ccc $block"),      // 15 tokens: windows at 0 (mixed) and...
+      (2L, s"ddd eee fff $block"),      // same alignment, different prefix
+      (3L, "unrelated words only here five six seven eight nine ten"),
+      (4L, "shorty")                    // < window -> absent from output
+    ).toDF("doc_id", "text")
+    val out = Paragraphs.dupSpans(df, "doc_id", "text", window = 10, stride = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L)) // doc 4 has no full window
+    val byId = out.map(r => r._1 -> r).toMap
+    // docs 1 and 2 share the aligned all-block window(s); doc 3 flags nothing
+    assert(byId(1L)._3 > 0 && byId(2L)._3 > 0)
+    assert(byId(1L)._3 === byId(2L)._3) // symmetric
+    assert(byId(3L)._3 === 0L && byId(3L)._4 === 0.0)
+    // windows containing the doc-specific prefix never flag
+    assert(byId(1L)._3 < byId(1L)._2)
+  }
+
   test("tokenWindows rejects stride outside [1, window]") {
     val df = Seq((1L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

@@ -124,6 +124,9 @@ object ScaleStress {
       "x14_quota" -> reg("x14_domain_quota"),
       // per-user bin equi-join: replicated users, pairs ∝ factor
       "j10_overlap" -> reg("j10_interval_overlap"),
+      // window-digest df agg + shared-tail join (the d15 shape on sliding
+      // spans); replica-token splice keeps cross-replica windows distinct
+      "d20_spans" -> reg("d20_span_dedup"),
       // per-user RANGE-frame window: one user exchange + per-user time
       // sort; replicated users replicate the frame workload, pairs ∝ N
       "e2_rolling" -> reg("e2_rolling_window"),

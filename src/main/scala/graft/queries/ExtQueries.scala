@@ -3028,6 +3028,37 @@ object ExtQueries {
     // d15 times the digest df-agg + tail-join shape; x19's explode is m2's
     benchmark = false)
 
+  /** X23 — per-source corpus fingerprint: an ORDER-FREE content digest
+    * (sum of the two 32-bit halves of each doc's md5, exact in BIGINT)
+    * plus the doc count — the manifest line a pipeline writes per snapshot
+    * so "did anything change in source S" is one row compare, no doc-level
+    * diff (x16 is the doc-level drill-down when it did). Summation is
+    * commutative, so the fingerprint is independent of partitioning,
+    * ordering, and engine — unlike any first/collect_list digest.
+    */
+  val x23CorpusFingerprint = QueryDef(
+    "x23_corpus_fingerprint",
+    (s, dir) => {
+      val h = md5(col("text"))
+      Td(s, dir, "documents")
+        .select(col("source"),
+          conv(substring(h, 1, 8), 16, 10).cast("long").as("lo"),
+          conv(substring(h, 9, 8), 16, 10).cast("long").as("hi"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("lo")).cast("long").as("fp_lo"),
+          sum(col("hi")).cast("long").as("fp_hi"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS fp_lo,
+             CAST(sum(('0x' || substr(md5(text), 9, 8))::BIGINT) AS BIGINT) AS fp_hi
+      FROM documents GROUP BY source ORDER BY source
+    """),
+    // e1/q1 time the scan+agg shape
+    benchmark = false)
+
   /** X21 — training-prep composition: quality gate → per-source sequence
     * packing (x10's prefix-sum) → deterministic shard assignment of the
     * PACKS (x18's md5 permutation keyed on (source, pack_id)) — the
@@ -3387,7 +3418,7 @@ object ExtQueries {
     x1HllDistinct, x2KmeansIvf,
     x3DedupGroups, x5KmeansSample, x6DedupGroupsConv, x7StratifiedSample, x9CmsHeavyHitters,
     x12TemperatureMix, x13CurriculumTiles, x14DomainQuota, x15SourceOverlap,
-    x16SnapshotDiff, x17EmbedQuantize, x18ShardShuffle, x19ChunkWindows,
+    x16SnapshotDiff, x17EmbedQuantize, x18ShardShuffle, x19ChunkWindows, x23CorpusFingerprint,
     x11DedupRepresentative,
     x10SequencePack, x21TrainingPrep, s9Bm25, s10HybridRrf, s11PqRecall)
 }

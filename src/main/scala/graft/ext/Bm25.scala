@@ -44,10 +44,18 @@ object Bm25 {
       .withColumn("tscore",
         col("idf") * ((col("tcnt") * lit(k1 + 1.0)) /
           (col("tcnt") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dlen") / col("_avgdl")))))
+    // positional conditional aggregation, NOT pivot: pivot turns raw query
+    // terms into column names, and a term containing '.'/backticks — or one
+    // equal to idCol — breaks resolution downstream. `_t$i` aliases are
+    // collision-free by construction; the fixed index order doubles as the
+    // deterministic summation order.
     val wide = scored.groupBy(col(idCol))
-      .pivot("term", queryTerms)
-      .agg(first(col("tscore")))
-    val total = queryTerms.map(t => coalesce(col(t), lit(0.0))).reduce(_ + _)
+      .agg(
+        max(when(col("term") === queryTerms.head, col("tscore"))).as("_t0"),
+        queryTerms.zipWithIndex.tail.map { case (t, i) =>
+          max(when(col("term") === t, col("tscore"))).as(s"_t$i")
+        }: _*)
+    val total = queryTerms.indices.map(i => coalesce(col(s"_t$i"), lit(0.0))).reduce(_ + _)
     // parallel top-k (TakeOrderedAndProject), never a global one-task
     // window over every matched doc; the rank window then sees k rows
     import org.apache.spark.sql.expressions.Window

@@ -26,7 +26,8 @@ object Html {
   // unanchored: both engines' regexp_extract substring-search, so the
   // FIRST title wins (an anchored greedy .* prefix would take the last)
   private val TitlePat = "(?is)<title[^>]*>(.*?)</title>"
-  private val LinkPat = "(?i)<a\\s"
+  // `[\s>]` not `\s`: a bare `<a>` (legal, common) is still an anchor
+  private val LinkPat = "(?i)<a[\\s>]"
 
   /** Entity decode order: named/numeric entities first, `&amp;` LAST —
     * decoding `&` early would turn the literal text `&amp;lt;` into `<`

@@ -524,26 +524,32 @@ object Similarity {
   private def sqNormOf(v: Seq[Double]): Double =
     v.foldLeft(0.0)((a, x) => a + x * x)
 
-  /** 2^-20-quantized, L2-normalized double vector (zero vectors pass
-    * through) — PQ operates on the unit sphere so ADC dots approximate
-    * cosine directly.
+  /** 2^-20-quantized, L2-normalized, RE-quantized double vector (zero
+    * vectors pass through) — PQ operates on the unit sphere so ADC dots
+    * approximate cosine directly. The post-division round back onto the
+    * 2^-20 grid is load-bearing: Lloyd's codeword means sum these values
+    * with plain partial-aggregated SUMs, and only grid values sum exactly
+    * regardless of order (the kmeansTrain argument) — off-grid unit
+    * components would make the codebooks summation-order-dependent and the
+    * oracle replay intermittently divergent.
     */
   private def unitVec(c: Column): Column = {
     val q = quantize(c)
     val n = norm(q)
-    when(n === 0.0, q).otherwise(transform(q, x => x / n))
+    when(n === 0.0, q).otherwise(quantize(transform(q, x => x / n)))
   }
 
   /** (id, _u): the unit vector projected in stages — quantized array, then
-    * its norm, then the division — so each piece evaluates once per row
-    * instead of once per lambda element on the interpreted HOF path.
-    * Arithmetic identical to [[unitVec]] (`norm(q)` IS `sqrt(dot(q, q))`).
+    * its norm, then the division + grid re-round — so each piece evaluates
+    * once per row instead of once per lambda element on the interpreted
+    * HOF path. Arithmetic identical to [[unitVec]] (`norm(q)` IS
+    * `sqrt(dot(q, q))`).
     */
   private def withUnit(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol), quantize(col(vecCol)).as("_q"))
       .select(col(idCol), col("_q"), sqrt(dot(col("_q"), col("_q"))).as("_n"))
       .select(col(idCol), when(col("_n") === 0.0, col("_q"))
-        .otherwise(transform(col("_q"), x => x / col("_n"))).as("_u"))
+        .otherwise(quantize(transform(col("_q"), x => x / col("_n")))).as("_u"))
 
   /** (id, sub, sv): the m dsub-dim slices of each normalized vector. The
     * unit vector is projected ONCE per row before the explode — inlined in

@@ -53,10 +53,17 @@ object JsonlIngest {
           .withColumn("_j", from_json(col("value"), parseSchema,
             Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol)))
           // from_json returns a NULL struct (not a corrupt-col row) for
-          // inputs like a bare JSON `null` — still quarantine the line
+          // inputs like a bare JSON `null` — still quarantine the line.
+          // The fallback mirrors parseSchema's fields IN ORDER, swapping in
+          // the raw line at the corrupt slot — a caller schema may already
+          // carry the corrupt column (at any position), and a rebuilt
+          // struct with a duplicated or reordered field would fail the
+          // CaseWhen's struct-type analysis
           .withColumn("_j", when(col("_j").isNull,
-            struct((s.fieldNames.map(f => lit(null).cast(s(f).dataType).as(f)) :+
-              col("value").as(corruptCol)): _*)).otherwise(col("_j")))
+            struct(parseSchema.fields.toSeq.map { f =>
+              if (f.name == corruptCol) col("value").as(corruptCol)
+              else lit(null).cast(f.dataType).as(f.name)
+            }: _*)).otherwise(col("_j")))
           .select((parseSchema.fieldNames.map(f => col(s"_j.$f").as(f)) ++
             Seq("file_name", "file_size", "read_timestamp").filter(_ => lineage).map(col)): _*)
       case other =>

@@ -2470,7 +2470,7 @@ object ExtQueries {
       s"2 * ${dotSql.format("s.sv", "c.cv")}"
     val base =
       s"""pq_u AS (SELECT vec_id, CASE WHEN nrm0 = 0 THEN qv
-             ELSE list_transform(qv, x -> x / nrm0) END AS uv FROM (
+             ELSE list_transform(qv, x -> round(x / nrm0 * 1048576.0) / 1048576.0) END AS uv FROM (
            SELECT vec_id, qv,
                   sqrt(list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b)) AS nrm0
            FROM (SELECT vec_id, list_transform(embedding,
@@ -2661,8 +2661,6 @@ object ExtQueries {
         .orderBy(col("source"))
     },
     Some {
-      val req = TA.RequiredStopwords
-        .map(w => s"list_contains(lws, '$w')::INT").mkString(" + ")
       s"""
       WITH m AS (SELECT source, text AS t,
               regexp_split_to_array(trim(text), '\\s+') AS ws,
@@ -2677,18 +2675,7 @@ object ExtQueries {
                     / len(ws)) * 4.0, 1.0)
                 - (CAST(len(regexp_extract_all(lower(t), '[^a-z0-9\\s]')) AS DOUBLE)
                     / greatest(length(t), 1)) * 2.0 AS q,
-              CAST(len(ws) BETWEEN 50 AND 100000
-                AND CAST(length(regexp_replace(t, '\\s', '', 'g')) AS DOUBLE) / len(ws) >= 3.0
-                AND CAST(length(regexp_replace(t, '\\s', '', 'g')) AS DOUBLE) / len(ws) <= 10.0
-                AND CAST(len(regexp_extract_all(t, '#|\\.\\.\\.|…')) AS DOUBLE)
-                    / greatest(len(ws), 1) < 0.1
-                AND CAST(len(list_filter(ls, l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
-                    / greatest(len(ls), 1) < 0.9
-                AND CAST(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS DOUBLE)
-                    / greatest(len(ls), 1) < 0.3
-                AND CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
-                    / greatest(len(ws), 1) > 0.8
-                AND ($req) >= 2 AS INT) AS keep
+              CAST(${gopherCondSql("t", minWords = 50)} AS INT) AS keep
             FROM m)
       SELECT source,
              CAST(count(*) AS BIGINT) AS n_docs,
@@ -2701,6 +2688,29 @@ object ExtQueries {
     },
     // e1/q1 time the scan+agg shape; compact-line headroom (see e2)
     benchmark = false)
+
+  /** Shared oracle fragment: the Gopher keep condition over a CTE exposing
+    * `ws`/`lws`/`ls` (token / lowercased-token / line arrays) plus the raw
+    * text expression `t` — ONE definition of the 8 rules and their
+    * thresholds for every replay (t11 additionally reports the per-rule
+    * columns, so it keeps its expanded form over the same arithmetic).
+    */
+  private def gopherCondSql(t: String, minWords: Int): String = {
+    val req = TA.RequiredStopwords
+      .map(w => s"list_contains(lws, '$w')::INT").mkString(" + ")
+    s"""len(ws) BETWEEN $minWords AND 100000
+          AND CAST(length(regexp_replace($t, '\\s', '', 'g')) AS DOUBLE) / len(ws) >= 3.0
+          AND CAST(length(regexp_replace($t, '\\s', '', 'g')) AS DOUBLE) / len(ws) <= 10.0
+          AND CAST(len(regexp_extract_all($t, '#|\\.\\.\\.|…')) AS DOUBLE)
+              / greatest(len(ws), 1) < 0.1
+          AND CAST(len(list_filter(ls, l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
+              / greatest(len(ls), 1) < 0.9
+          AND CAST(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS DOUBLE)
+              / greatest(len(ls), 1) < 0.3
+          AND CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+              / greatest(len(ws), 1) > 0.8
+          AND ($req) >= 2"""
+  }
 
   /** C6 — the crawl pipeline end-to-end: HTML page → [[graft.ext.Html]]
     * text extraction → Gopher keep gate → exact dedup on the CLEANED text
@@ -2769,18 +2779,7 @@ object ExtQueries {
               string_split(clean, chr(10)) AS ls
             FROM cl),
       kept AS (SELECT doc_id, clean FROM m
-        WHERE len(ws) BETWEEN 20 AND 100000
-          AND CAST(length(regexp_replace(clean, '\\s', '', 'g')) AS DOUBLE) / len(ws) >= 3.0
-          AND CAST(length(regexp_replace(clean, '\\s', '', 'g')) AS DOUBLE) / len(ws) <= 10.0
-          AND CAST(len(regexp_extract_all(clean, '#|\\.\\.\\.|…')) AS DOUBLE)
-              / greatest(len(ws), 1) < 0.1
-          AND CAST(len(list_filter(ls, l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
-              / greatest(len(ls), 1) < 0.9
-          AND CAST(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS DOUBLE)
-              / greatest(len(ls), 1) < 0.3
-          AND CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
-              / greatest(len(ws), 1) > 0.8
-          AND ($req) >= 2)
+        WHERE ${gopherCondSql("clean", minWords = 20)})
       SELECT md5(clean) AS content_md5, min(doc_id) AS keep_id, count(*) AS n_copies
       FROM kept GROUP BY md5(clean) ORDER BY keep_id
     """
@@ -2788,6 +2787,39 @@ object ExtQueries {
     // composes already-benched stages (t13 regex chain, t11 gate, d1
     // digest dedup) — stays out of the bench set like c5
     benchmark = false)
+
+  /** Shared oracle fragment: the BM25 scoring chain over `documents` for
+    * a fixed term list — lens/stats/postings/df/per-term scores/fixed-order
+    * fused score, ending in `bscore(doc_id, score)`. ONE definition for the
+    * s9 and s10 replays (a threshold or formula change must not be
+    * hand-synced across copies).
+    */
+  private def bm25Cte(terms: Seq[String]): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val arms = terms.map(t =>
+      s"max(CASE WHEN term = '$t' THEN tscore END) AS \"_t_$t\"").mkString(",\n                 ")
+    val total = terms.map(t => s"COALESCE(\"_t_$t\", 0.0)").mkString(" + ")
+    s"""lens AS (SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS dlen
+             FROM documents),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dlen) / count(*) AS avgdl FROM lens),
+      bp AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tcnt FROM (
+              SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+              FROM documents)
+            WHERE term IN ($inList) GROUP BY 1, 2),
+      bdf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM bp GROUP BY 1),
+      bts AS (SELECT bp.doc_id, bp.term,
+               ((stats.n - bdf.df + 0.5) / (bdf.df + 0.5)) *
+                 ((bp.tcnt * (1.2 + 1.0)) /
+                  (bp.tcnt + 1.2 * (1.0 - 0.75 + 0.75 * lens.dlen / stats.avgdl))) AS tscore
+             FROM bp JOIN bdf ON bp.term = bdf.term
+                    JOIN lens ON bp.doc_id = lens.doc_id
+                    CROSS JOIN stats),
+      bwide AS (SELECT doc_id,
+                 $arms
+               FROM bts GROUP BY 1),
+      bscore AS (SELECT doc_id, $total AS score FROM bwide)"""
+  }
 
   /** S9 — BM25 lexical retrieval ([[graft.ext.Bm25]]): rational-idf BM25
     * top-20 for a fixed query over the corpus — postings filtered to the
@@ -2802,33 +2834,10 @@ object ExtQueries {
           queryTerms = Seq("table", "merge", "spark"), topK = 20)
         .select(col("doc_id"), col("score"), col("rnk").cast("long").as("rnk"))
         .orderBy(col("rnk")),
-    Some("""
-      WITH lens AS (SELECT doc_id,
-               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS dlen
-             FROM documents),
-      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dlen) / count(*) AS avgdl FROM lens),
-      p AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tcnt FROM (
-              SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
-              FROM documents)
-            WHERE term IN ('table', 'merge', 'spark') GROUP BY 1, 2),
-      dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM p GROUP BY 1),
-      ts AS (SELECT p.doc_id, p.term,
-               ((stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
-                 ((p.tcnt * (1.2 + 1.0)) /
-                  (p.tcnt + 1.2 * (1.0 - 0.75 + 0.75 * lens.dlen / stats.avgdl))) AS tscore
-             FROM p JOIN dfq ON p.term = dfq.term
-                    JOIN lens ON p.doc_id = lens.doc_id
-                    CROSS JOIN stats),
-      wide AS (SELECT doc_id,
-                 max(CASE WHEN term = 'table' THEN tscore END) AS t_table,
-                 max(CASE WHEN term = 'merge' THEN tscore END) AS t_merge,
-                 max(CASE WHEN term = 'spark' THEN tscore END) AS t_spark
-               FROM ts GROUP BY 1),
-      sc AS (SELECT doc_id,
-               COALESCE(t_table, 0.0) + COALESCE(t_merge, 0.0) + COALESCE(t_spark, 0.0) AS score
-             FROM wide),
+    Some(s"""
+      WITH ${bm25Cte(Seq("table", "merge", "spark"))},
       r AS (SELECT doc_id, score,
-              row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sc)
+              row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM bscore)
       SELECT doc_id, score, rnk FROM r WHERE rnk <= 20 ORDER BY rnk
     """),
     // s1/t5 already time the explode+agg+join scan shapes
@@ -2854,33 +2863,10 @@ object ExtQueries {
         .select(col("doc_id"), col("rrf"), col("rnk").cast("long").as("rnk"))
         .orderBy(col("rnk"))
     },
-    Some("""
-      WITH lens AS (SELECT doc_id,
-               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS dlen
-             FROM documents),
-      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dlen) / count(*) AS avgdl FROM lens),
-      p AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tcnt FROM (
-              SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
-              FROM documents)
-            WHERE term IN ('table', 'merge', 'spark') GROUP BY 1, 2),
-      dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM p GROUP BY 1),
-      tsb AS (SELECT p.doc_id, p.term,
-               ((stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
-                 ((p.tcnt * (1.2 + 1.0)) /
-                  (p.tcnt + 1.2 * (1.0 - 0.75 + 0.75 * lens.dlen / stats.avgdl))) AS tscore
-             FROM p JOIN dfq ON p.term = dfq.term
-                    JOIN lens ON p.doc_id = lens.doc_id
-                    CROSS JOIN stats),
-      wideb AS (SELECT doc_id,
-                 max(CASE WHEN term = 'table' THEN tscore END) AS t_table,
-                 max(CASE WHEN term = 'merge' THEN tscore END) AS t_merge,
-                 max(CASE WHEN term = 'spark' THEN tscore END) AS t_spark
-               FROM tsb GROUP BY 1),
-      lex AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM (
-               SELECT doc_id,
-                 COALESCE(t_table, 0.0) + COALESCE(t_merge, 0.0) + COALESCE(t_spark, 0.0) AS score
-               FROM wideb)
-              QUALIFY rnk <= 20),
+    Some(s"""
+      WITH ${bm25Cte(Seq("table", "merge", "spark"))},
+      lex AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+              FROM bscore QUALIFY rnk <= 20),
       ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       nv AS (SELECT vec_id, v,
                sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM ev),
@@ -2924,11 +2910,15 @@ object ExtQueries {
       val approx = Similarity.pqSearch(emb.filter(col("vec_id") < 5), emb,
           "vec_id", "embedding", books, k = 10)
         .select(col("query_id"), col("neighbor_id"))
-      exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy(col("query_id"))
         .agg(count(lit(1)).cast("long").as("n_hit"))
-        .select(col("query_id"), col("n_hit"),
-          (col("n_hit").cast("double") / lit(10.0)).as("recall_at_10"))
+      // a query whose approx top-10 misses the exact set entirely must
+      // report recall 0.0, not vanish — vanishing IS the alarm condition
+      exact.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(10.0)).as("recall_at_10"))
         .orderBy(col("query_id"))
     },
     Some(s"""
@@ -2963,10 +2953,12 @@ object ExtQueries {
       hits AS (SELECT e.query_id, count(*) AS n_hit
                FROM exact e JOIN approx a
                  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-               GROUP BY 1)
-      SELECT query_id, CAST(n_hit AS BIGINT) AS n_hit,
-             CAST(n_hit AS DOUBLE) / 10.0 AS recall_at_10
-      FROM hits ORDER BY query_id
+               GROUP BY 1),
+      qs AS (SELECT DISTINCT query_id FROM exact)
+      SELECT qs.query_id, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+             CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 10.0 AS recall_at_10
+      FROM qs LEFT JOIN hits h ON qs.query_id = h.query_id
+      ORDER BY qs.query_id
     """),
     benchmark = false)
 

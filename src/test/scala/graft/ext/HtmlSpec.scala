@@ -33,10 +33,10 @@ class HtmlSpec extends SparkSpec {
     assert(t.toSeq === Seq("A B", ""))
   }
 
-  test("linkCount is case-insensitive and needs a real anchor") {
-    val n = Seq("<a href=x>1</a> <A HREF=y>2</A> <abbr>not an anchor</abbr>")
+  test("linkCount is case-insensitive, counts bare <a>, rejects <abbr>") {
+    val n = Seq("<a href=x>1</a> <A HREF=y>2</A> <a>bare</a> <abbr>not an anchor</abbr>")
       .toDF("h").select(Html.linkCount(col("h"))).as[Long].head()
-    assert(n === 2L)
+    assert(n === 3L)
   }
 
   test("malformed markup degrades to whitespace, never errors") {

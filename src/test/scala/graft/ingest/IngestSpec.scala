@@ -56,6 +56,19 @@ class IngestSpec extends SparkSpec {
     assert(bad.as[(String, String, Long)].collect().map(_._1).toSeq === Seq("null"))
   }
 
+  test("JsonlIngest: caller schema that already contains the corrupt column works") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_jsonl_cc")
+    writeCsv(dir, "d.jsonl", """{"doc_id": 1}""", """broken {""")
+    // corrupt column deliberately NOT last — field order must survive
+    val schema = StructType(Seq(
+      StructField("_corrupt_record", StringType), StructField("doc_id", LongType)))
+    val (good, bad) = JsonlIngest.quarantine(
+      JsonlIngest.read(spark, dir.toString, Some(schema)))
+    assert(good.select("doc_id").as[Long].collect().toSeq === Seq(1L))
+    assert(bad.count() === 1)
+  }
+
   test("JsonlIngest failFast raises on the first corrupt line") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft_jsonl_ff")

@@ -140,6 +140,9 @@ object ScaleStress {
       // composed stack: probe-pruned candidate set (nprobe/nlist of N),
       // ranking over codes — the prune keeps search below the corpus growth
       "s6_ivfpq" -> reg("s6_ann_ivfpq"),
+      // SemDeDup verdict pass: d6's cluster+pair exchange plus a distinct
+      // over loser ids and the verdict left-join — must track d6's curve
+      "d21_semdedup" -> reg("d21_semdedup"),
       "d6_ivf_scaled_k" -> ((s: SparkSession, dir: String) => ivf(kFor(dirFactor(dir)))(s, dir)),
       // k ∝ √N: the classic IVF balance point — assignment O(N·k) and
       // within-cluster pairing O(N²/k) both grow as N^1.5

@@ -105,7 +105,7 @@ object Similarity {
     */
   def ivfAssign(
       corpus: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String): DataFrame = {
+      idCol: String, vecCol: String, keepScore: Boolean = false): DataFrame = {
     val cents: Seq[(Long, Seq[Double], Double)] = centroids
       .select(col(idCol).cast("long"), asDouble(col(vecCol)))
       .collect()
@@ -114,7 +114,7 @@ object Similarity {
         (r.getLong(0), v, normOf(v))
       }.sortBy(_._1).toSeq
     assignToCentroids(withNorm(corpus.select(col(idCol), col(vecCol)), vecCol, "nrm"),
-      cents, idCol, vecCol)
+      cents, idCol, vecCol, keepScore)
   }
 
   /** Strict left fold ‖v‖ — same operation order as the DotProduct
@@ -133,7 +133,7 @@ object Similarity {
     */
   private def assignToCentroids(
       corpus: DataFrame, cents: Seq[(Long, Seq[Double], Double)],
-      idCol: String, vecCol: String): DataFrame = {
+      idCol: String, vecCol: String, keepScore: Boolean = false): DataFrame = {
     require(cents.nonEmpty, "assignment needs at least one centroid")
     val ccosCols = cents.map { case (cid, v, cn) =>
       (dot(col(vecCol), lit(v.toArray)) / (col("nrm") * lit(cn))).as(s"_ccos$cid")
@@ -156,8 +156,9 @@ object Similarity {
     // DuckDB oracle resolve to the lowest centroid id — keep that here
     // instead of a null cluster falling out of downstream joins
     }.otherwise(lit(cents.head._1))
-    withBest
-      .select(col(idCol), col(vecCol), col("nrm"), cluster.as("cluster"))
+    val base = Seq(col(idCol), col(vecCol), col("nrm"), cluster.as("cluster"))
+    val outCols = if (keepScore) base :+ col("_bestc").as("ccos") else base
+    withBest.select(outCols: _*)
   }
 
   /** Probe set shared by [[ivfSearch]] and [[ivfSearchPruned]]: per query,
@@ -341,6 +342,49 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** Semantic dedup (the SemDeDup pass, Abbas et al. 2023): cluster the
+    * corpus with trained centroids, pair only WITHIN clusters, and emit a
+    * per-vector keep/remove verdict instead of raw pairs. The removal rule
+    * is the paper's diversity-preserving one, made deterministic: of a
+    * qualifying pair (cosine ≥ `threshold`), the vector CLOSER to its
+    * centroid is removed (higher centroid-cosine loses; ties to the higher
+    * id) — the kept representatives are the cluster's outskirts, which is
+    * what keeps semantic coverage. One-pass set semantics: a vector is a
+    * dup iff ANY same-cluster neighbor at ≥ threshold beats it on
+    * (centroid-cosine asc, id asc) priority — order-free, so the oracle
+    * can state it as a join, and a 1000-executor run gives the same answer
+    * as a sequential greedy sweep gives on each pair.
+    *
+    * Scale shape: identical to [[cosinePairsClustered]] (assignment is a
+    * staged map-only pass; pairing is an equi-join on `cluster`, so work
+    * is Σ|cluster|² — bounded by training k ∝ N/target-cluster-size, never
+    * all-pairs), plus one distinct over loser ids and a left join back.
+    */
+  def semDedup(
+      df: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val assigned = graft.tables.Scratch.stage(
+      ivfAssign(df, centroids, idCol, vecCol, keepScore = true),
+      "semdedup_index", Seq("cluster"))
+    val a = assigned.select(col("cluster"), col(idCol).as("id_a"),
+      col(vecCol).as("va"), col("nrm").as("na"), col("ccos").as("ca"))
+    val b = assigned.select(col("cluster"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"), col("nrm").as("nb"), col("ccos").as("cb"))
+    // per qualifying pair the LOSER is the vector nearer its centroid
+    // (ties to the higher id); collecting distinct losers = "has some
+    // higher-priority neighbor", the order-free one-pass rule
+    val losers = a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select(when(col("ca") < col("cb") ||
+          (col("ca") === col("cb") && col("id_a") < col("id_b")), col("id_b"))
+        .otherwise(col("id_a")).as(idCol))
+      .distinct()
+    assigned.select(col(idCol), col("cluster"))
+      .join(losers.withColumn("_dup", lit(1)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(col("_dup"), lit(0)).cast("int").as("is_dup"))
   }
 
   /** Top-`nprobe` centroid assignment: like [[ivfAssign]], but each vector

@@ -2962,6 +2962,71 @@ object ExtQueries {
     """),
     benchmark = false)
 
+  /** S12 — MRR of the TRUE nearest neighbor under the PQ ranking: per
+    * query, where the exact top-1 neighbor (the one answer that matters
+    * for retrieval) lands in the approximate top-10 — reciprocal rank,
+    * 0.0 on a miss. Recall@10 (s11) says "how much of the exact set
+    * survives"; this says "does the headline answer surface, and how
+    * high" — the second number an ANN deployment alerts on. Same
+    * codebooks, same query set, both rankings replayed in the oracle, so
+    * the metric itself is hash-checked.
+    */
+  val s12PqMrr = QueryDef(
+    "s12_pq_mrr",
+    (s, dir) => {
+      val emb = Td(s, dir, "embeddings")
+      val exact1 = Similarity.knnBrute(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "embedding", k = 1)
+        .select(col("query_id"), col("neighbor_id"))
+      val books = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 16, k = 16,
+        iters = 2, sampleMod = Some(4))
+      val approx = Similarity.pqSearch(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "embedding", books, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      exact1.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .select(col("query_id"), col("neighbor_id").as("true_nn"),
+          coalesce(col("rnk").cast("long"), lit(0L)).as("nn_rank"),
+          when(col("rnk").isNotNull, lit(1.0) / col("rnk")).otherwise(lit(0.0)).as("rr"))
+        .orderBy(col("query_id"))
+    },
+    Some(s"""
+      WITH $vecCte,
+      exact1 AS (SELECT query_id, neighbor_id FROM (
+               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   ${dotSql.format("q.v", "c.v")} / (q.nrm * c.nrm) DESC, c.vec_id) AS rnk
+               FROM n q JOIN n c ON c.vec_id <> q.vec_id WHERE q.vec_id < 5)
+              WHERE rnk = 1),
+      ${pqCte(m = 16, k = 16, iters = 2, dsub = 4, trainWhere = s" WHERE ${sampleFilterSql("vec_id", 4)}")},
+      pe AS (SELECT s.vec_id, s.sub, c.cid,
+               list_reduce(list_transform(c.cv, x -> x * x), (a, b) -> a + b) -
+                 2 * ${dotSql.format("s.sv", "c.cv")} AS dist
+             FROM pq_sv s JOIN pc2 c ON c.sub = s.sub),
+      penc AS (SELECT vec_id, sub, cid FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rnk
+               FROM pe) WHERE rnk = 1),
+      plut AS (SELECT s.vec_id AS query_id, s.sub, c.cid,
+                 ${dotSql.format("s.sv", "c.cv")} AS ip
+               FROM pq_sv s JOIN pc2 c ON c.sub = s.sub WHERE s.vec_id < 5),
+      psc0 AS (SELECT l.query_id, e.vec_id AS neighbor_id, e.sub, l.ip
+               FROM penc e JOIN plut l ON l.sub = e.sub AND l.cid = e.cid
+               WHERE e.vec_id <> l.query_id),
+      approxr AS (SELECT query_id, neighbor_id, rnk FROM (
+               SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rnk
+               FROM (SELECT query_id, neighbor_id,
+                       list_reduce(list(ip ORDER BY sub), (a, b) -> a + b) AS adc
+                     FROM psc0 GROUP BY 1, 2) g0
+               ) WHERE rnk <= 10)
+      SELECT e.query_id, e.neighbor_id AS true_nn,
+             CAST(COALESCE(a.rnk, 0) AS BIGINT) AS nn_rank,
+             CASE WHEN a.rnk IS NOT NULL THEN 1.0 / a.rnk ELSE 0.0 END AS rr
+      FROM exact1 e LEFT JOIN approxr a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      ORDER BY e.query_id
+    """),
+    benchmark = false)
+
   /** D20 — cross-document duplicated spans ([[graft.ext.Paragraphs
     * .dupSpans]]): every doc's 30-token windows at stride 10, hashed and
     * document-frequency-counted; windows shared across docs flag verbatim
@@ -3393,11 +3458,138 @@ object ExtQueries {
     // the same reason) — keeping x19 out preserves compact-line headroom
     benchmark = false)
 
+  /** D21 — semantic dedup ([[Similarity.semDedup]], the SemDeDup pass):
+    * trained k-means clusters, within-cluster cosine pairs, and a
+    * per-vector keep/remove verdict — remove the member of a qualifying
+    * pair that sits CLOSER to its centroid (diversity-preserving; ties to
+    * the higher id). The oracle replays training (x2's proven CTE chain),
+    * assignment (with the winning centroid-cosine carried), the loser rule
+    * per pair, and the distinct+left-join recomposition — any drift in
+    * priority arithmetic or tie-breaks flips verdicts.
+    */
+  val d21SemDedup = QueryDef(
+    "d21_semdedup",
+    (s, dir) => {
+      val emb = Td(s, dir, "embeddings")
+      val cents = Similarity.kmeansTrain(emb, "vec_id", "embedding", k = 8, iters = 2)
+        .select(col("centroid_id").cast("long").as("vec_id"), col("embedding"))
+      Similarity.semDedup(emb, cents, "vec_id", "embedding", 0.45)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"), col("is_dup"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH $vecCte,
+      ${kmeansCte(8, 2)},
+      ${trainedCentSql(2)},
+      asg0 AS (SELECT n.vec_id, n.v, n.nrm, cent.centroid_id,
+                 ${dotSql.format("n.v", "centv")} / (n.nrm * centn) AS ccos
+               FROM n CROSS JOIN cent),
+      asg AS (SELECT vec_id, v, nrm, ccos, centroid_id AS cluster FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rnk
+                FROM asg0) WHERE rnk = 1),
+      lose AS (SELECT DISTINCT
+                 CASE WHEN a.ccos < b.ccos OR (a.ccos = b.ccos AND a.vec_id < b.vec_id)
+                      THEN b.vec_id ELSE a.vec_id END AS vec_id
+               FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+               WHERE ${dotSql.format("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.45)
+      SELECT g.vec_id, CAST(g.cluster AS BIGINT) AS cluster,
+             CAST(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup
+      FROM asg g LEFT JOIN lose l ON g.vec_id = l.vec_id ORDER BY g.vec_id
+    """),
+    // d6 times the identical cluster+pair exchange shape (this adds one
+    // distinct + a broadcast-size left join) — compact-line headroom
+    benchmark = false)
+
+  /** T14 — hashed-feature linear quality classifier (the fastText-style
+    * gate production filters run, with a deterministic weight table):
+    * every token hashes to one of 64 buckets (md5 nibbles — the engine's
+    * one hash family), the bucket indexes a weight derived arithmetically
+    * from it (so the "model" is replayable in any md5-capable engine with
+    * no side table), and the doc score is the mean token weight via a
+    * strict left fold. All multiples of 1/64 — double-exact at any corpus
+    * size; the label threshold can't sit on a rounding boundary.
+    *
+    * Scale shape: map-only (no shuffle, no UDF) — the fold runs inside
+    * the scan projection, same as t2/t9.
+    */
+  val t14ClassifierScore = QueryDef(
+    "t14_classifier_score",
+    (s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      // w(t) = ((bucket(t) * 37 + 11) % 64) / 64 - 0.5, bucket = md5 % 64
+      val weight = (t: org.apache.spark.sql.Column) =>
+        ((conv(substring(md5(t), 1, 4), 16, 10).cast("int") % 64 * 37 + 11) % 64)
+          .cast("double") / 64.0 - 0.5
+      Td(s, dir, "documents")
+        .select(col("doc_id"),
+          (aggregate(transform(toks, weight), lit(0.0), (acc, x) => acc + x)
+            / size(toks)).as("score"))
+        .select(col("doc_id"), col("score"),
+          (col("score") > 0.0).cast("int").as("label"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      def nib(i: Int) = s"(strpos('0123456789abcdef', substr(md5(t), $i, 1)) - 1)"
+      val bucket = s"((((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)}) % 64)"
+      val wT = s"(CAST((($bucket * 37 + 11) % 64) AS DOUBLE) / 64.0 - 0.5)"
+      s"""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+      sc AS (SELECT doc_id,
+               list_reduce(list_transform(ws, t -> $wT), (a, b) -> a + b) / len(ws) AS score
+             FROM w)
+      SELECT doc_id, score, CAST(score > 0 AS INT) AS label FROM sc ORDER BY doc_id
+    """
+    },
+    // t9/t2 time the map-only scan-projection shape — compact-line headroom
+    benchmark = false)
+
+  /** X24 — per-source token-budget cap: the exact-budget companion to
+    * x12's rate-based temperature mix. Docs take a deterministic
+    * per-source order (md5 of the id — x18's epoch-shuffle convention), a
+    * running token total accumulates, and the source's intake closes at
+    * `budget` tokens. Integer cumsum — no fp anywhere.
+    *
+    * Scale shape: one hash exchange on `source` + a per-source sort; the
+    * running sum slides linearly per partition (w1's window shape). A
+    * pathological mega-source serializes its own partition only — and the
+    * two-phase recomposition [[graft.ext.Ranking.globalRankTiles]] uses is
+    * the drop-in fix if one source ever dominates a crawl.
+    */
+  val x24TokenBudget = QueryDef(
+    "x24_token_budget",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Td(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), "\\s+")).as("n_tok"),
+          md5(col("doc_id").cast("string")).as("_k"))
+      val w = Window.partitionBy(col("source")).orderBy(col("_k"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.select(col("doc_id"), col("source"), col("n_tok"),
+          sum(col("n_tok")).over(w).cast("long").as("cum_tok"))
+        .filter(col("cum_tok") <= 600)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tok,
+               md5(CAST(doc_id AS VARCHAR)) AS k
+             FROM documents),
+      c AS (SELECT doc_id, source, n_tok,
+              CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY k, doc_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+            FROM d)
+      SELECT doc_id, source, n_tok, cum_tok FROM c WHERE cum_tok <= 600 ORDER BY doc_id
+    """),
+    // w1 times the hash-exchange + per-partition running window —
+    // compact-line headroom
+    benchmark = false)
+
   val all: Seq[QueryDef] = Seq(
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
     t7PiiRedact, t8LmPerplexity, t9TextNormalize, t10ScriptDetect, t11GopherRules,
-    t12GopherRepetition, t13HtmlExtract,
-    d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc,
+    t12GopherRepetition, t13HtmlExtract, t14ClassifierScore,
+    d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc, d21SemDedup, x24TokenBudget,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,
@@ -3412,5 +3604,5 @@ object ExtQueries {
     x12TemperatureMix, x13CurriculumTiles, x14DomainQuota, x15SourceOverlap,
     x16SnapshotDiff, x17EmbedQuantize, x18ShardShuffle, x19ChunkWindows, x23CorpusFingerprint,
     x11DedupRepresentative,
-    x10SequencePack, x21TrainingPrep, s9Bm25, s10HybridRrf, s11PqRecall)
+    x10SequencePack, x21TrainingPrep, s9Bm25, s10HybridRrf, s11PqRecall, s12PqMrr)
 }

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Td
 import graft.tables.Upsert
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** MERGE INTO (S8) and events-rollup queries exercising the engine's upsert
   * primitive through the driver surface — SURVEY.md §2.6.
@@ -279,8 +280,60 @@ object MergeQueries {
     // preserves compact-line headroom (e2's range frame IS a new shape)
     benchmark = false)
 
+  /** E4 — per-user z-score anomaly flags: events whose value sits more
+    * than 2σ from the user's own mean — the per-entity outlier gate every
+    * event pipeline runs before training on behavioral data. The moments
+    * come from EXACT decimal sums (n, Σv, Σv² in DECIMAL — value carries 2
+    * fractional digits, so the (18,2) cast is lossless and Σv² stays
+    * inside DECIMAL(38,4)); μ and σ are then derived in doubles with the
+    * IDENTICAL expression tree on both engines, so z is bit-identical and
+    * the |z| > 2 cut can't straddle engines. stddev_samp() itself is
+    * banned here: its double accumulation is partition-order-dependent.
+    *
+    * Scale shape: one partial-agg exchange on user_id for the moments,
+    * then the fact stream joins the tiny per-user stats (broadcast under
+    * AQE) — no window, no second pass over events.
+    */
+  val e4ZscoreAnomaly = QueryDef(
+    "e4_zscore_anomaly",
+    (s, dir) => {
+      val ev = Td(s, dir, "events")
+      val dv = col("value").cast(DecimalType(18, 2))
+      val stats = ev.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n"), sum(dv).as("s1"), sum(dv * dv).as("s2"))
+      val mu = col("s1").cast("double") / col("n")
+      val sig = sqrt((col("s2").cast("double") / col("n") - mu * mu) *
+        (col("n").cast("double") / (col("n") - 1)))
+      val ms = stats.filter(col("n") >= 2)
+        .select(col("user_id"), mu.as("mu"), sig.as("sig"))
+        .filter(col("sig") > 0.0)
+      ev.join(ms, Seq("user_id"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          ((col("value") - col("mu")) / col("sig")).as("z"))
+        .filter(abs(col("z")) > 2.0)
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH st AS (SELECT user_id, count(*) AS n,
+               SUM(CAST(value AS DECIMAL(18,2))) AS s1,
+               SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS s2
+             FROM events GROUP BY 1),
+      ms AS (SELECT user_id,
+               CAST(s1 AS DOUBLE) / n AS mu,
+               sqrt((CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                    * (CAST(n AS DOUBLE) / (n - 1))) AS sig
+             FROM st WHERE n >= 2),
+      z AS (SELECT e.event_id, e.user_id, e.value, (e.value - ms.mu) / ms.sig AS z
+            FROM events e JOIN ms ON e.user_id = ms.user_id WHERE ms.sig > 0)
+      SELECT event_id, user_id, value, z FROM z WHERE abs(z) > 2 ORDER BY event_id
+    """),
+    // j2/e1 time the keyed agg + broadcast-join-back shape —
+    // compact-line headroom
+    benchmark = false)
+
   val all: Seq[QueryDef] = Seq(
     s8MergeUpsert, s8MergeInsertOnly, s8AffectedMonths, e1EventHourly,
-    e2RollingWindow, e3Funnel,
+    e2RollingWindow, e3Funnel, e4ZscoreAnomaly,
     s4PartitionPrune, x4Sessionize)
 }

@@ -218,6 +218,56 @@ object Streams {
         date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"))
   }
 
+  /** One emitted anomaly from [[anomalyStream]]. */
+  final case class AnomalyFlag(event_id: Long, user_id: Long, value: Double, z: Double)
+
+  /** [[anomalyStream]] state: exact per-user moments (n, Σv, Σv² as
+    * decimals — the e4 convention, so a batch recomputation over the same
+    * prefix reproduces μ/σ bit-for-bit). Three numbers per user, bounded
+    * forever — no timeout needed.
+    */
+  final case class MomentState(n: Long, s1: BigDecimal, s2: BigDecimal)
+
+  /** Streaming twin of the e4 z-score gate — the ONLINE formulation: each
+    * arriving event is scored against the user's PRIOR history only (a
+    * batch pass knows the full per-user moments; a stream by definition
+    * cannot), then folds into the moments. Scoring starts once history
+    * holds `minHistory` events (|z| is bounded by (n−1)/√n, so tiny
+    * histories can never flag) and σ > 0. Values quantize to scale 2 on
+    * arrival (e4's DECIMAL(18,2) cast); μ/σ derive from the exact sums
+    * with e4's expression shape. Events inside a micro-batch apply in
+    * (ts, event_id) order, so draining a fixed input replays
+    * deterministically regardless of batch boundaries.
+    */
+  def anomalyStream(
+      events: Dataset[Event], zCut: Double = 2.0, minHistory: Int = 10): Dataset[AnomalyFlag] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[MomentState, AnomalyFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[MomentState]) =>
+          var st = state.getOption.getOrElse(MomentState(0L, BigDecimal(0), BigDecimal(0)))
+          val out = Vector.newBuilder[AnomalyFlag]
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (st.n >= minHistory) {
+              val n = st.n.toDouble
+              // decimal→double FIRST, then IEEE ops — e4's exact shape
+              val mu = st.s1.toDouble / n
+              val sig = math.sqrt((st.s2.toDouble / n - mu * mu) * (n / (n - 1.0)))
+              if (sig > 0.0) {
+                val z = (e.value - mu) / sig
+                if (math.abs(z) > zCut) out += AnomalyFlag(e.event_id, userId, e.value, z)
+              }
+            }
+            val dv = BigDecimal(e.value).setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP)
+            st = MomentState(st.n + 1, st.s1 + dv, st.s2 + dv * dv)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming near-dup detection — the streaming twin of
     * [[graft.ext.Dedup.minhashDedupIncremental]]: each micro-batch of
     * documents is deduped against the accumulated history via the

@@ -1,0 +1,117 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants of the round's newest operators: SemDeDup's verdict rule
+  * (d21), the hashed linear classifier (t14), the per-source token budget
+  * (x24), and the exact-moment z-score gate (e4's arithmetic).
+  */
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two tight clusters on orthogonal axes; within each, one vector sits
+  // exactly on the axis (closest to the cluster mean) and one slightly off
+  private def emb = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f)),
+    (2L, Seq(0.96f, 0.28f, 0.0f)), // ~16° off axis 1
+    (3L, Seq(0.0f, 0.0f, 1.0f)),
+    (4L, Seq(0.0f, 0.28f, 0.96f)), // ~16° off axis 3
+    (5L, Seq(0.0f, 1.0f, 0.0f))    // alone on axis 2
+  ).toDF("vec_id", "embedding")
+
+  // centroids = the two axis vectors plus axis 2 (so clusters are clean)
+  private def cents = Seq(
+    (1L, Seq(1.0f, 0.1f, 0.0f)),
+    (2L, Seq(0.0f, 1.0f, 0.0f)),
+    (3L, Seq(0.0f, 0.1f, 1.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("semDedup removes the member CLOSER to its centroid (D21)") {
+    val out = Similarity.semDedup(emb, cents, "vec_id", "embedding", 0.9)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // cos(v1,v2) = .96 ≥ .9: a qualifying pair. Centroid 1 is (1,.1,0);
+    // v1=(1,0,0) has ccos ≈ .995, v2 ≈ .983 → v1 is CLOSER → v1 removed.
+    assert(out(1L) === 1)
+    assert(out(2L) === 0)
+    // same geometry in cluster 3: v3 closer to centroid 3 than v4
+    assert(out(3L) === 1)
+    assert(out(4L) === 0)
+    // v5 alone in its cluster → kept
+    assert(out(5L) === 0)
+    assert(out.size === 5) // verdict covers every vector
+  }
+
+  test("semDedup with no qualifying pairs keeps everything (D21)") {
+    val out = Similarity.semDedup(emb, cents, "vec_id", "embedding", 0.999)
+      .agg(sum($"is_dup")).head().getLong(0)
+    assert(out === 0L)
+  }
+
+  test("classifier weights are multiples of 1/64 in [-0.5, 0.5) (T14)") {
+    // replay the query's weight expression over distinct corpus tokens
+    val toks = Seq("alpha", "beta", "gamma", "the", "x").toDF("t")
+    val w = ((conv(substring(md5($"t"), 1, 4), 16, 10).cast("int") % 64 * 37 + 11) % 64)
+      .cast("double") / 64.0 - 0.5
+    val vals = toks.select(w.as("w")).collect().map(_.getDouble(0))
+    vals.foreach { v =>
+      assert(v >= -0.5 && v < 0.5)
+      assert((v * 64).isWhole, s"$v not a 1/64 multiple")
+    }
+    // deterministic: same token, same weight, every run
+    val again = toks.select(w.as("w")).collect().map(_.getDouble(0))
+    assert(vals.toSeq === again.toSeq)
+  }
+
+  test("token budget closes each source at the cap, in md5 order (X24)") {
+    val docs = Seq(
+      (1L, "s1", "a b c d"), (2L, "s1", "e f g"), (3L, "s1", "h i"),
+      (4L, "s2", "one two three four five six")
+    ).toDF("doc_id", "source", "text")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      .rowsBetween(Long.MinValue, 0)
+    val cum = docs
+      .select($"doc_id", $"source",
+        size(split(trim($"text"), "\\s+")).as("n_tok"))
+      .select($"doc_id", $"source", $"n_tok",
+        sum($"n_tok").over(w).cast("long").as("cum_tok"))
+    val kept = cum.filter($"cum_tok" <= 5).collect()
+      .map(r => r.getLong(0)).toSet
+    // md5 order within s1 is a fixed permutation; whatever it is, the
+    // kept prefix must be a PREFIX: total tokens kept ≤ 5 and adding the
+    // first dropped doc would exceed 5
+    val all = cum.orderBy($"source", $"cum_tok").collect()
+    val s1 = all.filter(_.getString(1) == "s1")
+    val keptTok = s1.filter(r => kept(r.getLong(0))).map(_.getInt(2)).sum
+    assert(keptTok <= 5)
+    val firstDropped = s1.find(r => !kept(r.getLong(0)))
+    firstDropped.foreach(r => assert(keptTok + r.getInt(2) > 5))
+    // s2's single 6-token doc blows the cap immediately → nothing kept
+    assert(!kept(4L))
+  }
+
+  test("z-score moments from exact decimal sums flag the planted outlier (E4)") {
+    import org.apache.spark.sql.types.DecimalType
+    // |z| is bounded by (n-1)/√n, so a small-n fixture can't flag anything:
+    // 10 tight inliers + 1 far outlier gives the outlier z ≈ 3
+    val inliers = (1L to 10L).map(i => (i, 10L, 5.0 + 0.1 * (i % 3)))
+    val ev = (inliers ++ Seq(
+      (11L, 10L, 50.0), // the outlier
+      (12L, 11L, 1.0) // n=1 user: no σ, silently excluded
+    )).toDF("event_id", "user_id", "value")
+    val dv = $"value".cast(DecimalType(18, 2))
+    val stats = ev.groupBy($"user_id").agg(
+      count(lit(1)).as("n"), sum(dv).as("s1"), sum(dv * dv).as("s2"))
+    val mu = $"s1".cast("double") / $"n"
+    val sig = sqrt(($"s2".cast("double") / $"n" - mu * mu) *
+      ($"n".cast("double") / ($"n" - 1)))
+    val ms = stats.filter($"n" >= 2)
+      .select($"user_id", mu.as("mu"), sig.as("sig")).filter($"sig" > 0.0)
+    val flagged = ev.join(ms, Seq("user_id"))
+      .select($"event_id", (($"value" - $"mu") / $"sig").as("z"))
+      .filter(abs($"z") > 2.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged === Set(11L))
+  }
+}

@@ -253,6 +253,37 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomalyStream flags against prior history only, across batch boundaries") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Streams.Event]
+    val out = Streams.anomalyStream(in.toDS(), zCut = 2.0, minHistory = 10)
+    val q = out.writeStream.format("memory").queryName("anom_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: ten tight inliers as warm-up (two micro-batches)
+      val warm = (1 to 10).map(i =>
+        Streams.Event(i.toLong, ts(f"2026-01-01 10:${i}%02d:00"), 1, "v", 5.0 + 0.1 * (i % 3)))
+      in.addData(warm.take(6): _*)
+      q.processAllAvailable()
+      in.addData(warm.drop(6): _*)
+      q.processAllAvailable()
+      // user 2: a wild value with NO history — must stay silent (minHistory)
+      in.addData(Streams.Event(100, ts("2026-01-01 10:00:00"), 2, "v", 999.0))
+      q.processAllAvailable()
+      assert(spark.table("anom_out").isEmpty)
+      // the outlier lands after user 1's history is deep enough → flagged;
+      // the trailing inlier scores against moments that now INCLUDE the
+      // outlier (online semantics) → quiet
+      in.addData(
+        Streams.Event(11, ts("2026-01-01 10:20:00"), 1, "v", 50.0),
+        Streams.Event(12, ts("2026-01-01 10:21:00"), 1, "v", 5.1))
+      q.processAllAvailable()
+      val flagged = spark.table("anom_out").collect()
+      assert(flagged.map(_.getLong(0)).toSeq === Seq(11L))
+      assert(math.abs(flagged.head.getDouble(3)) > 2.0)
+    } finally q.stop()
+  }
+
   test("attributionJoin: stream-stream interval join pairs clicks with in-horizon purchases") {
     implicit val sc = spark.sqlContext
     val clicks = MemoryStream[Streams.Event]

@@ -209,6 +209,17 @@ class PlanSpec extends SparkSpec {
       s"owner-bin rule must make the output dedup-free:\n$p")
   }
 
+  test("semDedup pairs only within clusters — never a corpus cross join (D21)") {
+    // d21's semantics: pairing must stay an equi-join on `cluster`. A plan
+    // with a nested-loop/cartesian over the corpus is the O(N²) failure
+    // the clustering exists to prevent.
+    val p = graft.queries.ExtQueries.d21SemDedup.fn(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"semDedup pairing must be an equi-join on cluster:\n$p")
+    assert(p.contains("cluster"), s"pair join should key on cluster:\n$p")
+  }
+
   test("as-of join is one key shuffle + one window — never a pairwise join (J7)") {
     val p = plan(JoinQueries.j7AsofJoin.fn(spark, sf))
     // the definitional form is a quadratic join + argmax; the shipped plan

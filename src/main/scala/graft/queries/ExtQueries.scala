@@ -3585,11 +3585,59 @@ object ExtQueries {
     // compact-line headroom
     benchmark = false)
 
+  /** X25 — link-graph centrality ([[graft.ext.Graphs.pageRank]]): 3-round
+    * damped PageRank over a deterministic synthetic link graph (each doc
+    * endorses (7·id + 13j + 1) mod N for j ∈ 0..2, self-loops dropped) —
+    * the crawl-quality signal that weights pages by who endorses them.
+    * Every contribution and rank snaps to the 2^-20 grid, so the sums are
+    * order-free exact and the oracle's unrolled rounds replay the exact
+    * doubles; any drift in the update formula, teleport arithmetic, or
+    * round count flips ranks.
+    */
+  val x25LinkRank = QueryDef(
+    "x25_link_rank",
+    (s, dir) => {
+      val base = Td(s, dir, "documents").select(col("doc_id"))
+      val n1 = base.agg(count(lit(1)).as("_ni"))
+      val edges = base.crossJoin(broadcast(n1))
+        .select(col("doc_id").as("src"),
+          explode(array(lit(0), lit(1), lit(2))).as("j"), col("_ni"))
+        .select(col("src"), ((col("src") * 7 + col("j") * 13 + 1) % col("_ni")).as("dst"))
+        .filter(col("dst") =!= col("src"))
+      graft.ext.Graphs.pageRank(base, edges, "doc_id", iters = 3)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val rounds = (1 to 3).map { i =>
+        val p = i - 1
+        s"""c$i AS (SELECT e.dst, sum(round((r$p.rank / deg.deg) * 1048576.0) / 1048576.0) AS m
+             FROM e JOIN r$p ON e.src = r$p.id JOIN deg ON e.src = deg.src GROUP BY 1),
+      r$i AS (SELECT d.doc_id AS id,
+               round(((1.0 - 0.85) / nn.n + 0.85 * COALESCE(c$i.m, 0.0)) * 1048576.0) / 1048576.0 AS rank
+             FROM documents d CROSS JOIN nn LEFT JOIN c$i ON d.doc_id = c$i.dst)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n, count(*) AS ni FROM documents),
+      e AS (SELECT d.doc_id AS src, (d.doc_id * 7 + j.j * 13 + 1) % nn.ni AS dst
+            FROM documents d CROSS JOIN nn CROSS JOIN (VALUES (0), (1), (2)) j(j)
+            WHERE (d.doc_id * 7 + j.j * 13 + 1) % nn.ni <> d.doc_id),
+      deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY 1),
+      r0 AS (SELECT doc_id AS id, round((1.0 / nn.n) * 1048576.0) / 1048576.0 AS rank
+             FROM documents CROSS JOIN nn),
+      $rounds
+      SELECT id AS doc_id, rank FROM r3 ORDER BY doc_id
+    """
+    },
+    // per round: edge-keyed join + partial agg + node left join — j2/x3
+    // time the shapes; compact-line headroom
+    benchmark = false)
+
   val all: Seq[QueryDef] = Seq(
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
     t7PiiRedact, t8LmPerplexity, t9TextNormalize, t10ScriptDetect, t11GopherRules,
     t12GopherRepetition, t13HtmlExtract, t14ClassifierScore,
     d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc, d21SemDedup, x24TokenBudget,
+    x25LinkRank,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,

@@ -332,8 +332,48 @@ object MergeQueries {
     // compact-line headroom
     benchmark = false)
 
+  /** E5 — cohort retention: users bucketed by the epoch-week of their
+    * FIRST event; per (cohort, week-offset), how many of them were active
+    * — the retention triangle every product/events warehouse computes.
+    * The week index is ONE integer floor-division of epoch millis
+    * (`div 604800000`), never a chained double division whose rounding
+    * could straddle a week boundary differently per engine; everything
+    * downstream is exact integer arithmetic.
+    *
+    * Scale shape: two keyed exchanges — user_id for the first-week agg
+    * (the join back rides the same partitioning under AQE), then the
+    * (cohort, offset) count over the distinct activity set. No windows,
+    * no self-join on the event stream.
+    */
+  val e5CohortRetention = QueryDef(
+    "e5_cohort_retention",
+    (s, dir) => {
+      val ev = Td(s, dir, "events")
+      val ems = graft.clean.Dates.epochMillis(col("ts"), ev.schema("ts").dataType)
+      val w = ev.select(col("user_id"), ems.as("_ems"))
+        .select(col("user_id"), expr("_ems div 604800000").as("wk"))
+      val c = w.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+      val act = w.join(c, Seq("user_id"))
+        .select(col("user_id"), col("cohort_week"),
+          (col("wk") - col("cohort_week")).as("week_offset"))
+        .distinct()
+      act.groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    Some("""
+      WITH w AS (SELECT user_id, epoch_ms(ts) // 604800000 AS wk FROM events),
+      c AS (SELECT user_id, min(wk) AS cohort_week FROM w GROUP BY 1),
+      a AS (SELECT DISTINCT w.user_id, c.cohort_week, w.wk - c.cohort_week AS week_offset
+            FROM w JOIN c ON w.user_id = c.user_id)
+      SELECT cohort_week, week_offset, count(*) AS n_users
+      FROM a GROUP BY 1, 2 ORDER BY 1, 2
+    """),
+    // two keyed agg exchanges — e1/j2 time the shapes; compact-line headroom
+    benchmark = false)
+
   val all: Seq[QueryDef] = Seq(
     s8MergeUpsert, s8MergeInsertOnly, s8AffectedMonths, e1EventHourly,
-    e2RollingWindow, e3Funnel, e4ZscoreAnomaly,
+    e2RollingWindow, e3Funnel, e4ZscoreAnomaly, e5CohortRetention,
     s4PartitionPrune, x4Sessionize)
 }

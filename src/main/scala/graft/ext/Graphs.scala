@@ -54,6 +54,10 @@ object Graphs {
       ranks = ids.crossJoin(broadcast(n))
         .join(contrib, col("id") === col("dst"), "left")
         .select(col("id"),
+          // the teleport constant is the IEEE-folded 1.0 − damping
+          // (0.15000000000000002 at d = 0.85) — a replay must subtract in
+          // DOUBLE too, not in decimal (where 1.0 − 0.85 is exactly 0.15,
+          // one ulp away: enough to flip a grid cell at a round midpoint)
           snap(lit(1.0 - damping) / col("_n") +
             lit(damping) * coalesce(col("_m"), lit(0.0))).as("rank"))
     }

@@ -3613,7 +3613,7 @@ object ExtQueries {
         s"""c$i AS (SELECT e.dst, sum(round((r$p.rank / deg.deg) * 1048576.0) / 1048576.0) AS m
              FROM e JOIN r$p ON e.src = r$p.id JOIN deg ON e.src = deg.src GROUP BY 1),
       r$i AS (SELECT d.doc_id AS id,
-               round(((1.0 - 0.85) / nn.n + 0.85 * COALESCE(c$i.m, 0.0)) * 1048576.0) / 1048576.0 AS rank
+               round(((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n + 0.85 * COALESCE(c$i.m, 0.0)) * 1048576.0) / 1048576.0 AS rank
              FROM documents d CROSS JOIN nn LEFT JOIN c$i ON d.doc_id = c$i.dst)"""
       }.mkString(",\n      ")
       s"""

@@ -302,8 +302,14 @@ object MergeQueries {
       val stats = ev.groupBy(col("user_id")).agg(
         count(lit(1)).as("n"), sum(dv).as("s1"), sum(dv * dv).as("s2"))
       val mu = col("s1").cast("double") / col("n")
-      val sig = sqrt((col("s2").cast("double") / col("n") - mu * mu) *
-        (col("n").cast("double") / (col("n") - 1)))
+      // clamp before sqrt: a constant-value user's exact moments can land
+      // an ulp BELOW zero once cast to double (witness: three 0.01 events
+      // → s2/n − μ² = −2e−20), where Spark sqrt gives NaN — which PASSES
+      // sig > 0 under NaN-greatest semantics — and DuckDB sqrt ERRORS.
+      // greatest(0, ·) pins both engines to σ = 0 → user excluded.
+      val sig = sqrt(greatest(lit(0.0),
+        (col("s2").cast("double") / col("n") - mu * mu) *
+          (col("n").cast("double") / (col("n") - 1))))
       val ms = stats.filter(col("n") >= 2)
         .select(col("user_id"), mu.as("mu"), sig.as("sig"))
         .filter(col("sig") > 0.0)
@@ -320,9 +326,9 @@ object MergeQueries {
              FROM events GROUP BY 1),
       ms AS (SELECT user_id,
                CAST(s1 AS DOUBLE) / n AS mu,
-               sqrt((CAST(s2 AS DOUBLE) / n
+               sqrt(greatest(0.0, (CAST(s2 AS DOUBLE) / n
                      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
-                    * (CAST(n AS DOUBLE) / (n - 1))) AS sig
+                    * (CAST(n AS DOUBLE) / (n - 1)))) AS sig
              FROM st WHERE n >= 2),
       z AS (SELECT e.event_id, e.user_id, e.value, (e.value - ms.mu) / ms.sig AS z
             FROM events e JOIN ms ON e.user_id = ms.user_id WHERE ms.sig > 0)
@@ -335,10 +341,13 @@ object MergeQueries {
   /** E5 — cohort retention: users bucketed by the epoch-week of their
     * FIRST event; per (cohort, week-offset), how many of them were active
     * — the retention triangle every product/events warehouse computes.
-    * The week index is ONE integer floor-division of epoch millis
+    * The week index is ONE integer division of epoch millis
     * (`div 604800000`), never a chained double division whose rounding
     * could straddle a week boundary differently per engine; everything
-    * downstream is exact integer arithmetic.
+    * downstream is exact integer arithmetic. Both `div` and DuckDB `//`
+    * truncate TOWARD ZERO, so the two engines always agree — but the two
+    * part-weeks straddling 1970-01-01 would share index 0; event streams
+    * are assumed post-epoch (a crawl/product stream always is).
     *
     * Scale shape: two keyed exchanges — user_id for the first-week agg
     * (the join back rides the same partitioning under AQE), then the

@@ -221,12 +221,17 @@ object Streams {
   /** One emitted anomaly from [[anomalyStream]]. */
   final case class AnomalyFlag(event_id: Long, user_id: Long, value: Double, z: Double)
 
-  /** [[anomalyStream]] state: exact per-user moments (n, Σv, Σv² as
-    * decimals — the e4 convention, so a batch recomputation over the same
-    * prefix reproduces μ/σ bit-for-bit). Three numbers per user, bounded
-    * forever — no timeout needed.
+  /** [[anomalyStream]] state: exact per-user moments — n, Σv in CENTS
+    * (a long: the e4 DECIMAL(18,2) domain summed fits with 16 digits to
+    * spare), Σv² in ten-thousandths as a BigInt (encodes as
+    * DECIMAL(38,0) — the same 34 integer digits batch e4's DECIMAL(38,4)
+    * gives Σv², where a raw scala BigDecimal field would encode as the
+    * SYSTEM_DEFAULT DECIMAL(38,18) and silently null-overflow 14 orders
+    * of magnitude earlier). A batch recomputation over the same prefix
+    * reproduces μ/σ bit-for-bit. Three numbers per user, bounded forever
+    * — no timeout needed.
     */
-  final case class MomentState(n: Long, s1: BigDecimal, s2: BigDecimal)
+  final case class MomentState(n: Long, s1Cents: Long, s2TenThousandths: BigInt)
 
   /** Streaming twin of the e4 z-score gate — the ONLINE formulation: each
     * arriving event is scored against the user's PRIOR history only (a
@@ -236,8 +241,13 @@ object Streams {
     * histories can never flag) and σ > 0. Values quantize to scale 2 on
     * arrival (e4's DECIMAL(18,2) cast); μ/σ derive from the exact sums
     * with e4's expression shape. Events inside a micro-batch apply in
-    * (ts, event_id) order, so draining a fixed input replays
-    * deterministically regardless of batch boundaries.
+    * (ts, event_id) order, so a ts-ordered source replays
+    * deterministically under any batch split; if the SOURCE delivers
+    * events out of event-time order ACROSS batch boundaries, the online
+    * verdict legitimately depends on arrival order — scoring against
+    * "what had arrived" is the semantics, not a defect. Pair with an
+    * upstream watermark+sort stage when replay determinism must extend
+    * to disordered sources.
     */
   def anomalyStream(
       events: Dataset[Event], zCut: Double = 2.0, minHistory: Int = 10): Dataset[AnomalyFlag] = {
@@ -247,21 +257,28 @@ object Streams {
       .flatMapGroupsWithState[MomentState, AnomalyFlag](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[MomentState]) =>
-          var st = state.getOption.getOrElse(MomentState(0L, BigDecimal(0), BigDecimal(0)))
+          var st = state.getOption.getOrElse(MomentState(0L, 0L, BigInt(0)))
           val out = Vector.newBuilder[AnomalyFlag]
           batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
             if (st.n >= minHistory) {
               val n = st.n.toDouble
-              // decimal→double FIRST, then IEEE ops — e4's exact shape
-              val mu = st.s1.toDouble / n
-              val sig = math.sqrt((st.s2.toDouble / n - mu * mu) * (n / (n - 1.0)))
+              // exact-integer moments → double FIRST, then IEEE ops —
+              // e4's exact expression shape (incl. its negative-variance
+              // clamp: constant histories must yield σ = 0, never NaN)
+              val mu = (BigDecimal(st.s1Cents, 2)).doubleValue / n
+              val ex2 = (BigDecimal(st.s2TenThousandths, 4)).doubleValue / n
+              val sig = math.sqrt(math.max(0.0, (ex2 - mu * mu) * (n / (n - 1.0))))
               if (sig > 0.0) {
                 val z = (e.value - mu) / sig
                 if (math.abs(z) > zCut) out += AnomalyFlag(e.event_id, userId, e.value, z)
               }
             }
-            val dv = BigDecimal(e.value).setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP)
-            st = MomentState(st.n + 1, st.s1 + dv, st.s2 + dv * dv)
+            // value in cents, HALF_UP — the e4 DECIMAL(18,2) cast; cents²
+            // IS ten-thousandths, so Σv² accumulates exactly in integers
+            val dvC = BigDecimal(e.value).setScale(2,
+              scala.math.BigDecimal.RoundingMode.HALF_UP).bigDecimal.unscaledValue.longValueExact
+            st = MomentState(st.n + 1, st.s1Cents + dvC,
+              st.s2TenThousandths + BigInt(dvC) * BigInt(dvC))
           }
           state.update(st)
           out.result().iterator

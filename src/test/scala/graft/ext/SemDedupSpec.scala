@@ -98,14 +98,18 @@ class SemDedupSpec extends SparkSpec {
     val inliers = (1L to 10L).map(i => (i, 10L, 5.0 + 0.1 * (i % 3)))
     val ev = (inliers ++ Seq(
       (11L, 10L, 50.0), // the outlier
-      (12L, 11L, 1.0) // n=1 user: no σ, silently excluded
+      (12L, 11L, 1.0), // n=1 user: no σ, silently excluded
+      // constant-value user: the exact moments land an ulp below zero in
+      // double (s2/n − μ² = −2e−20 for three 0.01s) — the clamp must pin
+      // σ to 0 (excluded), never sqrt(−ε) = NaN (which would flag ALL)
+      (13L, 12L, 0.01), (14L, 12L, 0.01), (15L, 12L, 0.01)
     )).toDF("event_id", "user_id", "value")
     val dv = $"value".cast(DecimalType(18, 2))
     val stats = ev.groupBy($"user_id").agg(
       count(lit(1)).as("n"), sum(dv).as("s1"), sum(dv * dv).as("s2"))
     val mu = $"s1".cast("double") / $"n"
-    val sig = sqrt(($"s2".cast("double") / $"n" - mu * mu) *
-      ($"n".cast("double") / ($"n" - 1)))
+    val sig = sqrt(greatest(lit(0.0), ($"s2".cast("double") / $"n" - mu * mu) *
+      ($"n".cast("double") / ($"n" - 1))))
     val ms = stats.filter($"n" >= 2)
       .select($"user_id", mu.as("mu"), sig.as("sig")).filter($"sig" > 0.0)
     val flagged = ev.join(ms, Seq("user_id"))

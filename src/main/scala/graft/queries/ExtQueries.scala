@@ -3585,6 +3585,33 @@ object ExtQueries {
     // compact-line headroom
     benchmark = false)
 
+  /** X26 — deterministic train/val/test split: every doc lands in exactly
+    * one of three fixed-rate partitions (train 240/256 ≈ 93.75%, val and
+    * test 8/256 ≈ 3.125% each) as a pure function of its id's md5 bucket
+    * — the [[Similarity.sampleBucket]] convention every sampling oracle
+    * shares, so the split is content-independent, stable across runs and
+    * engines, and a re-crawled doc keeps its assignment (eval can never
+    * leak into train on a refresh). Map-only, rides the scan.
+    */
+  val x26TrainSplit = QueryDef(
+    "x26_train_split",
+    (s, dir) => {
+      val b = Similarity.sampleBucket(col("doc_id"))
+      Td(s, dir, "documents")
+        .select(col("doc_id"),
+          when(b < 240, "train").when(b < 248, "val").otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      SELECT doc_id,
+             CASE WHEN ${sampleBucketSql("doc_id")} < 240 THEN 'train'
+                  WHEN ${sampleBucketSql("doc_id")} < 248 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id
+    """),
+    // x7 times the md5-bucket map filter shape — compact-line headroom
+    benchmark = false)
+
   /** X25 — link-graph centrality ([[graft.ext.Graphs.pageRank]]): 3-round
     * damped PageRank over a deterministic synthetic link graph (each doc
     * endorses (7·id + 13j + 1) mod N for j ∈ 0..2, self-loops dropped) —
@@ -3637,7 +3664,7 @@ object ExtQueries {
     t7PiiRedact, t8LmPerplexity, t9TextNormalize, t10ScriptDetect, t11GopherRules,
     t12GopherRepetition, t13HtmlExtract, t14ClassifierScore,
     d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc, d21SemDedup, x24TokenBudget,
-    x25LinkRank,
+    x25LinkRank, x26TrainSplit,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,

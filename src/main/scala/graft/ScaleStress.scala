@@ -143,6 +143,9 @@ object ScaleStress {
       // SemDeDup verdict pass: d6's cluster+pair exchange plus a distinct
       // over loser ids and the verdict left-join — must track d6's curve
       "d21_semdedup" -> reg("d21_semdedup"),
+      // fixed-round PageRank: |E| = 3|V| modular edges, per round one
+      // edge-keyed join + agg + node left join — time must track |V|
+      "x25_linkrank" -> reg("x25_link_rank"),
       "d6_ivf_scaled_k" -> ((s: SparkSession, dir: String) => ivf(kFor(dirFactor(dir)))(s, dir)),
       // k ∝ √N: the classic IVF balance point — assignment O(N·k) and
       // within-cluster pairing O(N²/k) both grow as N^1.5

@@ -3585,6 +3585,56 @@ object ExtQueries {
     // compact-line headroom
     benchmark = false)
 
+  /** X27 — cross-source quantile normalization: each doc's quality score
+    * becomes its PERCENTILE within its own source ((rank − 0.5)/n — the
+    * midrank convention), so "good for src3" and "good for src17" mean the
+    * same number even when the sources' raw score distributions differ —
+    * the calibration pass a mixing recipe needs before comparing quality
+    * across crawls. Rank ties break on doc_id (total order), n is exact,
+    * and the percentile arithmetic is the identical IEEE expression both
+    * engines.
+    *
+    * Scale shape: ONE hash exchange on source + a per-source sort; rank
+    * and count ride the same window partitioning (w1's shape — and
+    * [[graft.ext.Ranking.topKPerGroup]]'s salted recomposition is the
+    * drop-in if one source ever dominates).
+    */
+  val x27QuantileNorm = QueryDef(
+    "x27_quantile_norm",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = Td(s, dir, "documents")
+        .select(col("doc_id"), col("source"), TA.qualityScore(col("text")).as("quality"))
+      val w = Window.partitionBy(col("source")).orderBy(col("quality"), col("doc_id"))
+      val wn = Window.partitionBy(col("source"))
+      scored
+        .select(col("doc_id"), col("source"), col("quality"),
+          ((row_number().over(w).cast("double") - 0.5) /
+            count(lit(1)).over(wn)).as("pct"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS DOUBLE)
+                 / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+               CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                 x -> list_contains(${sqlList(TA.Stopwords)}, x))) AS DOUBLE)
+                 / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS stop_ratio,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tok
+        FROM documents),
+      q AS (SELECT doc_id, source,
+              0.5 * least(n_tok / 64.0, 1.0) + 0.5 * least(stop_ratio * 4.0, 1.0)
+                - punct_ratio * 2.0 AS quality
+            FROM b)
+      SELECT doc_id, source, quality,
+             (CAST(row_number() OVER (PARTITION BY source ORDER BY quality, doc_id) AS DOUBLE) - 0.5)
+               / count(*) OVER (PARTITION BY source) AS pct
+      FROM q ORDER BY doc_id
+    """),
+    // w1/x14 time the per-source window exchange — compact-line headroom
+    benchmark = false)
+
   /** X26 — deterministic train/val/test split: every doc lands in exactly
     * one of three fixed-rate partitions (train 240/256 ≈ 93.75%, val and
     * test 8/256 ≈ 3.125% each) as a pure function of its id's md5 bucket
@@ -3664,7 +3714,7 @@ object ExtQueries {
     t7PiiRedact, t8LmPerplexity, t9TextNormalize, t10ScriptDetect, t11GopherRules,
     t12GopherRepetition, t13HtmlExtract, t14ClassifierScore,
     d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc, d21SemDedup, x24TokenBudget,
-    x25LinkRank, x26TrainSplit,
+    x25LinkRank, x26TrainSplit, x27QuantileNorm,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,

@@ -1,7 +1,8 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators for large-scale training-data pipelines: token
   * counting, quality scoring, language ID, document fingerprinting.
@@ -223,6 +224,55 @@ object TextAnalysis {
     val p = regexp_replace(s, PiiPhonePattern, "[PHONE]")
     val k = regexp_replace(p, PiiCardPattern, "[CARD]")
     regexp_replace(k, PiiIpv4Pattern, "[IP]")
+  }
+
+  // --- trained-weight linear classifier -------------------------------------
+
+  /** Score documents with a TRAINED weight table — the production surface
+    * behind the t14 demo (whose weights are synthesized arithmetic): a
+    * curation pipeline exports its fastText/DCLM-style linear model as
+    * (term, weight) rows and gates on the score. Mean-pooled linear model:
+    *
+    *   score = bias + (Σ_t w(t)) / n_tokens
+    *
+    * over whitespace tokens, with w(t) = 0 for out-of-vocabulary tokens — a
+    * document whose tokens are all OOV (including the empty document, whose
+    * single token is `""`) scores exactly `bias`. Tokens carry multiplicity
+    * (a term appearing k times contributes k·w).
+    *
+    * Determinism: weights are cast to DECIMAL(18,6) and summed exactly
+    * (order-free), then ONE cast to double before the division — so the
+    * score is bit-identical across engines and partitionings, unlike a
+    * double-summed pool whose value depends on aggregation order.
+    *
+    * Contract: `weights` has one row per term (duplicate terms would
+    * multiply matched tokens through the join). Weight magnitudes must fit
+    * DECIMAL(18,6); exported model weights are O(1) floats, so the cast is
+    * lossless at 6 decimals of precision or rounds deterministically
+    * (half-up) beyond.
+    *
+    * Scale shape: a narrow token explode riding the scan, a BROADCAST hash
+    * join against the weight table (exported vocabularies are bounded — a
+    * few million rows of (term, double) — by model construction, not by
+    * hope), then one map-side-combining groupBy on the id. No windows, no
+    * doc×doc, no driver collect; 100 TB of documents is just more
+    * partitions probing the same broadcast.
+    */
+  def linearScore(df: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, termCol: String = "term", weightCol: String = "weight",
+      bias: Double = 0.0): DataFrame = {
+    val w = weights.select(
+      col(termCol).as("_t"),
+      col(weightCol).cast(DecimalType(18, 6)).as("_w"))
+    df.select(col(idCol), explode(wsTokens(col(textCol))).as("_t"))
+      .join(broadcast(w), Seq("_t"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_tokens"),
+        count(col("_w")).cast("long").as("n_hits"),
+        (lit(bias) +
+          coalesce(sum(col("_w")).cast("double"), lit(0.0)) /
+            count(lit(1)).cast("double")).as("score"))
   }
 
   /** Canonical form for fingerprinting: lowercase, whitespace collapsed. */

@@ -3543,6 +3543,70 @@ object ExtQueries {
     // t9/t2 time the map-only scan-projection shape — compact-line headroom
     benchmark = false)
 
+  /** Shared (term, weight·64) table for T15 — weights are k/64, rendered as
+    * exact 6-decimal strings on BOTH sides (1/64 = 0.015625: finite at scale
+    * 6, so DECIMAL(18,6) carries them exactly and the decimal sums match
+    * bit-for-bit). `zebra`/`quux` never occur in the corpus: weight rows for
+    * absent terms must be inert.
+    */
+  private val T15Weights: Seq[(String, Int)] = Seq(
+    "table" -> 12, "fast" -> 9, "slow" -> -7, "scan" -> 5, "value" -> -4,
+    "key" -> 8, "agg" -> -6, "row" -> 3, "the" -> 2, "a" -> -1,
+    "window" -> -9, "merge" -> 11, "zebra" -> 31, "quux" -> -17)
+  private def t15w64(k: Int): String = f"${k / 64.0}%.6f"
+  private val T15Bias = -0.03125 // -2/64, exact in double and DECIMAL(18,6)
+
+  /** T15 — TRAINED-weight linear classifier
+    * ([[graft.ext.TextAnalysis.linearScore]]): t14 proves the hashed-linear
+    * scoring shape with synthesized weights; this is the production surface
+    * — score with a REAL (term, weight) table, the broadcast join a
+    * fastText/DCLM export rides. The planted table mixes corpus vocabulary,
+    * both signs, and terms absent from the corpus; docs with id%13==7 are
+    * replanted all-OOV and must score exactly `bias` with n_hits = 0. The
+    * oracle replays the identical decimal-sum mean pool from the same
+    * constants — any drift in OOV handling, multiplicity, or pooling
+    * arithmetic flips scores or labels.
+    */
+  val t15ClassifierWeighted = QueryDef(
+    "t15_classifier_weighted",
+    (s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      def st(c: org.apache.spark.sql.Column) = c.cast("string")
+      val wdf = T15Weights.map { case (t, k) => (t, t15w64(k)) }.toDF("term", "weight")
+      val planted = when(id % 13 === 7,
+          concat(lit("qqq"), st(id), lit(" zzz"), st(id)))
+        .otherwise(col("text"))
+      TA.linearScore(
+          Td(s, dir, "documents").select(id, planted.as("text")),
+          "doc_id", "text", wdf, bias = T15Bias)
+        .select(col("doc_id"), col("n_tokens"), col("n_hits"), col("score"),
+          (col("score") > 0.0).cast("int").as("label"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val vals = T15Weights
+        .map { case (t, k) => s"('$t', CAST('${t15w64(k)}' AS DECIMAL(18,6)))" }
+        .mkString(", ")
+      val score = "(-0.03125 + coalesce(CAST(sum(wt) AS DOUBLE), 0.0) / count(*))"
+      s"""
+      WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 13 = 7
+          THEN 'qqq' || CAST(doc_id AS VARCHAR) || ' zzz' || CAST(doc_id AS VARCHAR)
+          ELSE text END AS t FROM documents),
+      w(term, weight) AS (VALUES $vals),
+      tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(t), '\\s+')) AS tk FROM aug),
+      j AS (SELECT doc_id, w.weight AS wt FROM tok LEFT JOIN w ON tok.tk = w.term)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(wt) AS BIGINT) AS n_hits,
+             $score AS score,
+             CAST($score > 0 AS INT) AS label
+      FROM j GROUP BY doc_id ORDER BY doc_id
+    """
+    },
+    // t5's explode + broadcast-join + keyed agg times the shape —
+    // compact-line headroom
+    benchmark = false)
+
   /** X24 — per-source token-budget cap: the exact-budget companion to
     * x12's rate-based temperature mix. Docs take a deterministic
     * per-source order (md5 of the id — x18's epoch-shuffle convention), a
@@ -3712,7 +3776,7 @@ object ExtQueries {
   val all: Seq[QueryDef] = Seq(
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
     t7PiiRedact, t8LmPerplexity, t9TextNormalize, t10ScriptDetect, t11GopherRules,
-    t12GopherRepetition, t13HtmlExtract, t14ClassifierScore,
+    t12GopherRepetition, t13HtmlExtract, t14ClassifierScore, t15ClassifierWeighted,
     d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc, d21SemDedup, x24TokenBudget,
     x25LinkRank, x26TrainSplit, x27QuantileNorm,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,

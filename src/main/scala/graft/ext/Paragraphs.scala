@@ -115,6 +115,9 @@ object Paragraphs {
     * `window + stride` (a window fits strictly inside it at some offset).
     * Unlike paragraph dedup this needs no separator structure — it finds
     * verbatim reuse mid-sentence, the license-block/quotation case.
+    * Misaligned copies whose offsets differ mod `stride` escape at any
+    * span length — [[dupSpansExact]] closes that blind spot with a
+    * content-defined anchor stage plus an exact stride-1 confirm.
     *
     * Scale shape: the window explode multiplies rows by ~1/stride of the
     * token count, but only 16-byte md5 digests ever shuffle; the
@@ -132,6 +135,75 @@ object Paragraphs {
     val shared = wins.select(col(idCol), col("span_md5")).distinct()
       .groupBy(col("span_md5")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2) // flaggable tail only reaches the join
+    wins.join(shared, Seq("span_md5"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_windows"),
+        sum(when(col("n_docs").isNotNull, 1L).otherwise(0L)).cast("long").as("n_dup_windows"))
+      .withColumn("dup_span_frac",
+        col("n_dup_windows").cast("double") / greatest(col("n_windows"), lit(1L)).cast("double"))
+  }
+
+  /** ALIGNMENT-FREE duplicated-span detection — closes [[dupSpans]]'s
+    * documented blind spot. The stride pass samples each document's windows
+    * on its OWN positional grid, so two copies of a span only match when
+    * their start offsets agree mod `stride` — off-stride copies escape at
+    * ANY span length. This pass replaces the positional grid with a
+    * CONTENT-defined one (the winnowing/MOSS idea, Schleimer et al. 2003):
+    *
+    *  1. Anchor stage: hash every `anchor`-token shingle at EVERY offset and
+    *     keep those whose digest ≡ 0 (mod `anchorMod`) — selection depends
+    *     only on the shingle's content, so two copies of a span select the
+    *     identical anchors no matter where the span sits in each document.
+    *     Documents sharing an anchor with another document are candidates.
+    *  2. Exact stage: within candidate documents ONLY, hash the full
+    *     `window`-token window at every offset (stride 1) and
+    *     document-frequency-flag exactly as [[dupSpans]] does. Within the
+    *     candidate set, every shared span of `window` tokens or more is
+    *     found regardless of alignment — no stride approximation remains.
+    *
+    * Residual contract (documented, not hidden): a shared span enters the
+    * candidate set iff at least one of its `L − anchor + 1` internal
+    * anchor-shingles selects — probability 1 − (1 − 1/anchorMod)^(L−anchor+1)
+    * ≈ 99.9% for a minimal 30-token span at the defaults (anchor=8, mod=4),
+    * → 1 rapidly for longer spans; misses are content-random, never
+    * alignment-systematic. Spans shorter than `window` stay out of scope
+    * (the same floor as [[dupSpans]]); candidate documents shorter than
+    * `window` tokens have no full window and are absent from the output.
+    *
+    * Scale shape: the anchor stage shuffles ~1/anchorMod of the token count
+    * in 16-byte digests with map-side distinct; the exact stage's
+    * window-per-token explode — the expensive part — runs ONLY over the
+    * candidate documents, which on natural text are the documents actually
+    * sharing content (a random corpus pair shares no 8-gram). Both stages
+    * are digest-keyed df-aggregations + tail joins (the d15 pattern), never
+    * doc×doc, never a suffix sort; the window/anchor shingling is the
+    * codegen'd [[org.apache.spark.sql.graft.WordShingles]] one-pass
+    * expression, not an interpreted lambda chain.
+    */
+  def dupSpansExact(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 30, anchor: Int = 8, anchorMod: Int = 4): DataFrame = {
+    require(anchor >= 1 && anchor <= window,
+      s"anchor must be in [1, window], got $anchor")
+    require(anchorMod >= 1, s"anchorMod must be >= 1, got $anchorMod")
+    val toks = TextAnalysis.wsTokens(col(textCol))
+    def grams(n: Int) = when(size(toks) >= n,
+      org.apache.spark.sql.graft.WordShingles.shinglesAll(toks, n))
+      .otherwise(array().cast("array<string>"))
+    val anchors = df.select(col(idCol), explode(grams(anchor)).as("_g"))
+      .select(col(idCol), md5(col("_g")).as("_ah"))
+      .filter(conv(substring(col("_ah"), 1, 4), 16, 10).cast("int") % anchorMod === 0)
+      .distinct()
+    val sharedA = anchors.groupBy(col("_ah"))
+      .agg(count(lit(1)).as("_na")).filter(col("_na") >= 2)
+      .select(col("_ah"))
+    val cand = anchors.join(sharedA, Seq("_ah")).select(col(idCol)).distinct()
+    val wins = df.join(cand, Seq(idCol), "left_semi")
+      .select(col(idCol), explode(grams(window)).as("_w"))
+      .select(col(idCol), md5(col("_w")).as("span_md5"))
+    val shared = wins.select(col(idCol), col("span_md5")).distinct()
+      .groupBy(col("span_md5")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
     wins.join(shared, Seq("span_md5"), "left")
       .groupBy(col(idCol))
       .agg(

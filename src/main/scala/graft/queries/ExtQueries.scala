@@ -3085,6 +3085,74 @@ object ExtQueries {
     // d15 times the digest df-agg + tail-join shape; x19's explode is m2's
     benchmark = false)
 
+  /** D22 — ALIGNMENT-FREE duplicated spans ([[graft.ext.Paragraphs
+    * .dupSpansExact]]), the exact-confirm successor to d20's stride
+    * approximation: content-defined 8-gram anchors (digest ≡ 0 mod 4)
+    * nominate candidate documents, then every 30-token window at EVERY
+    * offset is df-flagged within the candidates only. Docs with id%19==4
+    * keep a (1 + id%10)-token prefix of their own text and then carry one
+    * shared 38-token block — the prefix lengths differ, so most planted
+    * pairs are OFF-stride (offsets differing mod 10) and the d20 stride
+    * pass would never match them; here every planted doc must flag its 9
+    * in-span windows against every other planted doc regardless of
+    * alignment. The oracle replays both stages from the same constants.
+    */
+  val d22SpanExact = QueryDef(
+    "d22_span_exact",
+    (s, dir) => {
+      val id = col("doc_id")
+      val SharedSpan =
+        "license text follows this work is provided as is without warranty " +
+          "of any kind either express or implied including but not limited " +
+          "to the implied warranties of merchantability and fitness for a " +
+          "particular purpose and noninfringement of rights"
+      val ws = TA.wsTokens(col("text"))
+      val planted = when(id % 19 === 4,
+          concat(array_join(slice(ws, lit(1), (id % 10 + 1).cast("int")), " "),
+            lit(" " + SharedSpan)))
+        .otherwise(col("text"))
+      graft.ext.Paragraphs.dupSpansExact(
+          Td(s, dir, "documents").select(id, planted.as("text")),
+          "doc_id", "text", window = 30, anchor = 8, anchorMod = 4)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val span =
+        "license text follows this work is provided as is without warranty " +
+          "of any kind either express or implied including but not limited " +
+          "to the implied warranties of merchantability and fitness for a " +
+          "particular purpose and noninfringement of rights"
+      s"""
+      WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 19 = 4
+          THEN array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:(CAST(doc_id % 10 AS INT) + 1)], ' ') || ' $span'
+          ELSE text END AS t
+        FROM documents),
+      w AS (SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS ws FROM aug),
+      ag AS (SELECT doc_id, md5(array_to_string(ws[s+1:s+8], ' ')) AS ah
+             FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 8)) AS s FROM w)),
+      asel AS (SELECT DISTINCT doc_id, ah FROM ag
+               WHERE ('0x' || substr(ah, 1, 4))::BIGINT % 4 = 0),
+      ash AS (SELECT ah FROM asel GROUP BY ah HAVING count(*) >= 2),
+      cand AS (SELECT DISTINCT doc_id FROM asel JOIN ash USING (ah)),
+      wst AS (SELECT w.doc_id, ws, unnest(generate_series(0, len(ws) - 30)) AS s
+              FROM w JOIN cand USING (doc_id)),
+      wins AS (SELECT doc_id, md5(array_to_string(ws[s+1:s+30], ' ')) AS h FROM wst),
+      shared AS (SELECT h, count(*) AS n_docs FROM (
+                   SELECT DISTINCT doc_id, h FROM wins)
+                 GROUP BY 1 HAVING count(*) >= 2)
+      SELECT wins.doc_id,
+             CAST(count(*) AS BIGINT) AS n_windows,
+             CAST(sum(CASE WHEN sh.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+             CAST(sum(CASE WHEN sh.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / greatest(count(*), 1) AS dup_span_frac
+      FROM wins LEFT JOIN shared sh ON wins.h = sh.h
+      GROUP BY 1 ORDER BY 1
+    """
+    },
+    // d20/d15 time the digest df-agg + tail-join shapes — compact-line
+    // headroom
+    benchmark = false)
+
   /** X23 — per-source corpus fingerprint: an ORDER-FREE content digest
     * (sum of the two 32-bit halves of each doc's md5, exact in BIGINT)
     * plus the doc count — the manifest line a pipeline writes per snapshot
@@ -3783,6 +3851,7 @@ object ExtQueries {
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,
     d14DedupChargram, d17DedupIndexBucketed, d19DedupContainment, d20SpanDedup,
+    d22SpanExact,
     s1KnnBrute, s2AnnIvf, s3KnnQuantized, s5KnnPq, s6AnnIvfPq, s7HardNegatives, x20CorpusReport,
     m1MediaMeta, m2FrameSample, m3VideoMeta,
     c1Curation, c2CurationRecipe, c3Decontaminate, c4DecontaminateBloom,

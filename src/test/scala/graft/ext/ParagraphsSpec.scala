@@ -170,6 +170,34 @@ class ParagraphsSpec extends SparkSpec {
     assert(byId(1L)._3 < byId(1L)._2)
   }
 
+  test("dupSpansExact: off-stride shared block that dupSpans misses is caught") {
+    val block = (1 to 12).map(i => s"w$i").mkString(" ") // 12 shared tokens
+    val df = Seq(
+      (1L, s"aaa bbb $block"),         // block at offset 2
+      (2L, s"ccc ddd eee fff $block"), // block at offset 4 — 2 ≠ 4 (mod 3)
+      (3L, "unrelated words only here five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    // the stride pass samples each doc's OWN positional grid: offsets 2 and
+    // 4 never agree mod stride=3, so no shared window is ever emitted —
+    // the documented blind spot
+    val approx = Paragraphs.dupSpans(df, "doc_id", "text", window = 10, stride = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(approx.forall(_._3 === 0L),
+      s"stride pass must miss the off-stride block: ${approx.toSeq}")
+    // content-defined anchors don't care about offsets: both docs become
+    // candidates and the stride-1 confirm flags the 3 in-block windows
+    val exact = Paragraphs
+      .dupSpansExact(df, "doc_id", "text", window = 10, anchor = 4, anchorMod = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(exact.map(_._1).toSeq === Seq(1L, 2L),
+      s"only the two span-sharing docs are candidates: ${exact.toSeq}")
+    val byId = exact.map(r => r._1 -> r).toMap
+    // block 12 tokens, window 10 → shared contents [w1..w10] [w2..w11] [w3..w12]
+    assert(byId(1L)._3 === 3L && byId(2L)._3 === 3L)
+    // windows straddling the doc-specific prefix never flag
+    assert(byId(1L)._3 < byId(1L)._2 && byId(2L)._3 < byId(2L)._2)
+  }
+
   test("tokenWindows rejects stride outside [1, window]") {
     val df = Seq((1L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

@@ -13,12 +13,19 @@ import org.apache.spark.sql.functions._
   * the same convention that makes the quantized k-means (x2) replayable —
   * and a DuckDB replay of the same rounds is bit-identical.
   *
-  * Scale shape (per round): one join of the rank vector to the edge list
-  * on `src` (both hash-partitioned on the same key after the first
-  * exchange — AQE reuses it), a partial-then-final SUM by `dst`, and a
+  * Scale shape (per round): one join of the rank vector to the staged
+  * edge+degree table on `src`, a partial-then-final SUM by `dst`, and a
   * left join back to the node list. Work per round is O(|E| + |V|); the
   * round count is a fixed parameter, not data-dependent. No collect, no
   * windows, no per-node loops — 100 TB of edges is just more partitions.
+  *
+  * Both the edge+degree table (once) and each round's rank vector are
+  * MATERIALIZED via [[graft.tables.Scratch.stage]]: round r+1 joins a
+  * columnar parquet table, not a depth-r nested plan — at iters=10 on a
+  * 100 TB edge list an unrolled plan would pay analyzer/optimizer time
+  * quadratic in rounds and re-execute the edge-producing subplan every
+  * round. The staging is semantically invisible (identical doubles), so
+  * an oracle still replays the unrolled rounds.
   */
 object Graphs {
 
@@ -34,24 +41,37 @@ object Graphs {
     * rounds; convergence-to-tolerance would make the result depend on fp
     * stopping tests). Nodes without in-links keep the teleport mass;
     * self-loops should be filtered by the caller (they would self-endorse).
+    *
+    * DANGLING nodes (in-links but no out-links) ABSORB rank: their rank is
+    * never redistributed, so total rank mass decays by damping × (dangling
+    * rank) each round — the simplified static variant this operator
+    * deliberately implements (and the oracle mirrors). The classic remedy
+    * — redistribute the dangling mass uniformly each round — needs one
+    * extra 1-row aggregate per round; add it only with a matching oracle,
+    * since it changes every rank.
     */
   def pageRank(
       nodes: DataFrame, edges: DataFrame, idCol: String,
       iters: Int = 3, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"need at least one round, got $iters")
-    // 1-row aggregates ride every round as a broadcast (the t5/x1 idiom)
+    // 1-row aggregate rides every round as a broadcast (the t5/x1 idiom)
     val n = nodes.agg(count(lit(1)).cast("double").as("_n"))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).cast("double").as("_deg"))
     val ids = nodes.select(col(idCol).as("id"))
+    // Stage the edge list ONCE with each source's out-degree attached:
+    // every round then scans columnar parquet instead of re-executing the
+    // (possibly expensive) edge-producing plan and its degree shuffle.
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).cast("double").as("_deg"))
+    val edgesDeg = graft.tables.Scratch.stage(
+      edges.join(deg, Seq("src")).select(col("src"), col("dst"), col("_deg")),
+      "pagerank_edges")
     var ranks = ids.crossJoin(broadcast(n))
       .select(col("id"), snap(lit(1.0) / col("_n")).as("rank"))
     for (_ <- 1 to iters) {
-      val contrib = edges
-        .join(ranks, edges("src") === ranks("id"))
-        .join(deg, Seq("src"))
+      val contrib = edgesDeg
+        .join(ranks, edgesDeg("src") === ranks("id"))
         .select(col("dst"), snap(col("rank") / col("_deg")).as("_c"))
         .groupBy(col("dst")).agg(sum(col("_c")).as("_m"))
-      ranks = ids.crossJoin(broadcast(n))
+      val next = ids.crossJoin(broadcast(n))
         .join(contrib, col("id") === col("dst"), "left")
         .select(col("id"),
           // the teleport constant is the IEEE-folded 1.0 − damping
@@ -60,6 +80,9 @@ object Graphs {
           // one ulp away: enough to flip a grid cell at a round midpoint)
           snap(lit(1.0 - damping) / col("_n") +
             lit(damping) * coalesce(col("_m"), lit(0.0))).as("rank"))
+      // Stage each round's |V|-row rank vector: the next round (and the
+      // caller) joins a materialized table, not a depth-r nested plan.
+      ranks = graft.tables.Scratch.stage(next, "pagerank_rank")
     }
     ranks.select(col("id").as(idCol), col("rank"))
   }

@@ -32,6 +32,42 @@ class GraphsSpec extends SparkSpec {
     a.foreach(v => assert((v * 1048576.0).isWhole, s"$v not on the 2^-20 grid"))
   }
 
+  test("rounds are staged: deep iteration yields a materialized scan, not a nested plan") {
+    val r = Graphs.pageRank(nodes, edges, "id", iters = 10)
+    // each round staged its rank vector, so the RETURNED frame is a project
+    // over a parquet scan of the last stage — zero joins survive in the
+    // plan (an unrolled implementation would carry ~2 joins per round)
+    val joins = r.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.isEmpty, s"expected a materialized rank scan, got joins:\n$joins")
+    val scans = r.queryExecution.optimizedPlan.collect {
+      case rel: org.apache.spark.sql.execution.datasources.LogicalRelation => rel
+    }
+    assert(scans.nonEmpty, "expected a staged-table relation in the plan")
+    // and the deep run still produces grid-snapped, deterministic ranks
+    val a = r.orderBy($"id").collect().map(_.getDouble(1)).toSeq
+    a.foreach(v => assert((v * 1048576.0).isWhole, s"$v not on the 2^-20 grid"))
+  }
+
+  test("dangling nodes absorb rank: total mass decays by the absorbed share") {
+    // 1 → 2 → 3; node 3 has in-links but NO out-links (dangling)
+    val ns = Seq(1L, 2L, 3L).toDF("id")
+    val es = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    def snap(x: Double) = math.round(x * 1048576.0) / 1048576.0
+    val r = Graphs.pageRank(ns, es, "id", iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val r0 = snap(1.0 / 3.0)
+    val floor = snap((1.0 - 0.85) / 3.0)
+    assert(r(1L) === floor) // no in-links: teleport only
+    assert(r(2L) === snap((1.0 - 0.85) / 3.0 + 0.85 * snap(r0)))
+    assert(r(3L) === snap((1.0 - 0.85) / 3.0 + 0.85 * snap(r0)))
+    // node 3's r0 was never redistributed: the documented simplified-static
+    // semantics — total rank after the round is below 1 by ~0.85·r0
+    val total = r.values.sum
+    assert(total < 1.0 - 0.8 * r0, s"dangling mass must decay the total: $total")
+  }
+
   test("one round from uniform matches the hand-computed update") {
     val r = Graphs.pageRank(nodes, edges, "id", iters = 1)
       .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap

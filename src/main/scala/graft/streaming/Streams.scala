@@ -237,10 +237,17 @@ object Streams {
     * arriving event is scored against the user's PRIOR history only (a
     * batch pass knows the full per-user moments; a stream by definition
     * cannot), then folds into the moments. Scoring starts once history
-    * holds `minHistory` events (|z| is bounded by (n−1)/√n, so tiny
-    * histories can never flag) and σ > 0. Values quantize to scale 2 on
-    * arrival (e4's DECIMAL(18,2) cast); μ/σ derive from the exact sums
-    * with e4's expression shape. Events inside a micro-batch apply in
+    * holds `minHistory` events and σ > 0 — a HEURISTIC floor that
+    * suppresses the noisy early flags of a near-empty history, not a
+    * mathematical bound: the (n−1)/√n cap on |z| holds only for the batch
+    * (inclusive) formulation where the scored point is inside the moments;
+    * against prior-only history z is unbounded at any n. Values quantize
+    * to scale 2 on arrival (e4's DECIMAL(18,2) cast); events outside the
+    * DECIMAL(18,2) domain (|v| ≥ 10^16, NaN, ±Inf) are SKIPPED — neither
+    * scored nor folded — mirroring the batch twin's quiet null-on-overflow
+    * degradation instead of killing the query with an unscaled-long
+    * overflow. μ/σ derive from the exact sums with e4's expression shape.
+    * Events inside a micro-batch apply in
     * (ts, event_id) order, so a ts-ordered source replays
     * deterministically under any batch split; if the SOURCE delivers
     * events out of event-time order ACROSS batch boundaries, the online
@@ -259,7 +266,11 @@ object Streams {
         (userId: Long, batch: Iterator[Event], state: GroupState[MomentState]) =>
           var st = state.getOption.getOrElse(MomentState(0L, 0L, BigInt(0)))
           val out = Vector.newBuilder[AnomalyFlag]
-          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          // NaN/±Inf fail the < comparison and are skipped with the
+          // out-of-domain values — one total guard, no separate isNaN test
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .filter(e => math.abs(e.value) < 1e16)
+            .foreach { e =>
             if (st.n >= minHistory) {
               val n = st.n.toDouble
               // exact-integer moments → double FIRST, then IEEE ops —
@@ -289,8 +300,13 @@ object Streams {
     * [[graft.ext.Dedup.minhashDedupIncremental]]: each micro-batch of
     * documents is deduped against the accumulated history via the
     * incremental MinHash path (the batch probes the band index; history is
-    * never re-paired against itself), verified pairs append to
-    * `pairsTable`, and the batch then joins the history so later batches
+    * never re-paired against itself), verified pairs UPSERT into
+    * `pairsTable` keyed (id_a, id_b) — a crashed-and-replayed micro-batch
+    * recomputes identical pairs and the merge rewrites them in place, so
+    * the pair table is byte-identical under replay (effectively-once,
+    * where an append sink would duplicate rows; the merge rewrite cost
+    * follows the pair table, the small near-dup-only side, not the
+    * corpus) — and the batch then joins the history so later batches
     * dedup against it. The first batch self-dedups (empty base degrades
     * incremental to the plain path). Near-dup state is the HISTORY TABLE,
     * not executor state-store memory — at 100 TB the corpus can't live in
@@ -317,8 +333,9 @@ object Streams {
         val pairs = graft.ext.Dedup.minhashDedupIncremental(
             base, fresh, "doc_id", "text", threshold = threshold)
           .select(col("id_a"), col("id_b"), col("jaccard"))
-        if (store.exists(pairsTable)) store.append(pairsTable, pairs)
-        else store.overwrite(pairsTable, pairs)
+        store.overwriteIfAbsentElse(pairsTable, pairs)(target =>
+          Upsert.merge(target, pairs, Seq("id_a", "id_b"),
+            onDuplicate = Upsert.DuplicatePolicy.DedupDeterministic))
         if (store.exists(historyTable)) store.append(historyTable, fresh)
         else store.overwrite(historyTable, fresh)
       }
@@ -342,17 +359,19 @@ object Streams {
     * [[graft.ext.DedupIndex.maintainIfNeeded]] runs after each batch so a
     * long-lived stream cannot fragment its own index past `maxIndexFiles`.
     *
-    * Crash semantics (at-least-once, never loss): the batch's PAIRS are
-    * computed by the non-mutating [[graft.ext.DedupIndex.probeIncrement]]
-    * and written BEFORE [[graft.ext.DedupIndex.commitIncrement]] touches
-    * the index. A crash before the pairs append leaves nothing mutated —
-    * the replayed batch recomputes from scratch. A crash between the pairs
-    * append and commit replays the batch with its docs still absent from
-    * [[graft.ext.DedupIndex.knownIds]] (sizes is committed LAST), so pairs
-    * may be appended twice — duplicates, never silent loss. Mutating the
-    * index first and appending pairs second would invert this into
-    * at-most-once: the guard would drop the re-delivered docs and their
-    * pairs would never be computed.
+    * Crash semantics (effectively-once): the batch's PAIRS are computed
+    * by the non-mutating [[graft.ext.DedupIndex.probeIncrement]] and
+    * written BEFORE [[graft.ext.DedupIndex.commitIncrement]] touches the
+    * index. A crash before the pairs write leaves nothing mutated — the
+    * replayed batch recomputes from scratch. A crash between the pairs
+    * write and commit replays the batch with its docs still absent from
+    * [[graft.ext.DedupIndex.knownIds]] (sizes is committed LAST), so the
+    * identical pairs are recomputed — and because pairs UPSERT by
+    * (id_a, id_b) rather than append, the replay rewrites them in place:
+    * the pair table is byte-identical, never duplicated, never silently
+    * short. Mutating the index first and writing pairs second would turn
+    * this into at-most-once: the guard would drop the re-delivered docs
+    * and their pairs would never be computed.
     */
   def indexedNearDupSink(
       docs: DataFrame, store: TableStore, indexName: String, pairsTable: String,
@@ -371,8 +390,9 @@ object Streams {
         val (pairs, stage) = graft.ext.DedupIndex.probeIncrement(
           store, indexName, fresh, "doc_id", "text", threshold = threshold)
         val out = pairs.select(col("id_a"), col("id_b"), col("jaccard"))
-        if (store.exists(pairsTable)) store.append(pairsTable, out)
-        else store.overwrite(pairsTable, out)
+        store.overwriteIfAbsentElse(pairsTable, out)(target =>
+          Upsert.merge(target, out, Seq("id_a", "id_b"),
+            onDuplicate = Upsert.DuplicatePolicy.DedupDeterministic))
         graft.ext.DedupIndex.commitIncrement(store, indexName, stage)
         graft.ext.DedupIndex.maintainIfNeeded(store, indexName,
           maxFiles = maxIndexFiles)

@@ -406,6 +406,74 @@ class StreamsSpec extends SparkSpec {
     assert(graft.ext.DedupIndex.knownIds(store, "ix", "doc_id").count() === 4)
   }
 
+  test("indexedNearDupSink: crash-window replay leaves the pair table identical (effectively-once)") {
+    val dir = Files.createTempDirectory("graft_rp_landing").toString
+    val ckpt = Files.createTempDirectory("graft_rp_ckpt").toString
+    val store = new TableStore(spark, Files.createTempDirectory("graft_rp_store").toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    import spark.implicits._
+    graft.ext.DedupIndex.build(store, "ix2",
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+
+    val d1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val d3 = d1.replace(" mu", " nu") // jaccard 9/11 ≈ 0.82 vs d1
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b1.json"),
+      s"""{"doc_id":1,"text":"$d1"}
+         |{"doc_id":3,"text":"$d3"}
+         |""".stripMargin)
+
+    // CRASH-WINDOW EMULATION: compute and WRITE the batch's pairs exactly as
+    // the sink does, but never commit the index increment — the state a
+    // crash between the pairs upsert and commitIncrement leaves behind.
+    val b = Seq((1L, d1), (3L, d3)).toDF("doc_id", "text")
+    val fresh = b.join(
+      graft.ext.DedupIndex.knownIds(store, "ix2", "doc_id"), Seq("doc_id"), "left_anti")
+    val (pairs, _) = graft.ext.DedupIndex.probeIncrement(
+      store, "ix2", fresh, "doc_id", "text", threshold = 0.8)
+    val out = pairs.select(col("id_a"), col("id_b"), col("jaccard"))
+    store.overwriteIfAbsentElse("ix2_pairs", out)(t =>
+      graft.tables.Upsert.merge(t, out, Seq("id_a", "id_b"),
+        onDuplicate = graft.tables.Upsert.DuplicatePolicy.DedupDeterministic))
+    assert(store.read("ix2_pairs").count() === 1)
+
+    // the stream now replays the SAME batch (its checkpoint never saw it):
+    // the pairs recompute and upsert in place — one row, not two
+    Streams.indexedNearDupSink(
+      spark.readStream.format("json").schema(schema).load(dir),
+      store, "ix2", "ix2_pairs", ckpt, threshold = 0.8).awaitTermination()
+    val rows = store.read("ix2_pairs").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(rows.toSeq === Seq((1L, 3L)), s"replay must not duplicate pairs: ${rows.toSeq}")
+    assert(graft.ext.DedupIndex.knownIds(store, "ix2", "doc_id").count() === 2)
+  }
+
+  test("anomalyStream skips values outside the DECIMAL(18,2) domain instead of dying") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Streams.Event]
+    val flags = Streams.anomalyStream(in.toDS(), zCut = 2.0, minHistory = 2)
+    val q = flags.writeStream.format("memory").queryName("anom_guard")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // 1e17 overflows the DECIMAL(18,2) cents long; NaN fails quantization
+      // — with an unguarded fold either would kill the whole query
+      in.addData(
+        Streams.Event(1, ts("2026-01-01 00:00:01"), 7, "a", 1.0e17),
+        Streams.Event(2, ts("2026-01-01 00:00:02"), 7, "a", Double.NaN),
+        Streams.Event(3, ts("2026-01-01 00:00:03"), 7, "a", 5.0),
+        Streams.Event(4, ts("2026-01-01 00:00:04"), 7, "a", 6.0),
+        Streams.Event(5, ts("2026-01-01 00:00:05"), 7, "a", 100.0))
+      q.processAllAvailable()
+      val flagged = spark.table("anom_guard").collect()
+        .map(_.getAs[Long]("event_id")).toSet
+      // the out-of-domain rows were skipped (neither folded nor scored):
+      // history at event 5 is exactly {5.0, 6.0} → z(100) flags. Had 1e17
+      // entered the moments, σ would dwarf the spike and NOTHING would flag.
+      assert(flagged === Set(5L), s"got $flagged")
+    } finally q.stop()
+  }
+
   test("landingStream cleanSource=archive moves processed files out of landing (S10 streaming path)") {
     val dir = Files.createTempDirectory("graft_landing_arch").toString
     val archive = Files.createTempDirectory("graft_archive").toString

@@ -341,13 +341,15 @@ object MergeQueries {
   /** E5 — cohort retention: users bucketed by the epoch-week of their
     * FIRST event; per (cohort, week-offset), how many of them were active
     * — the retention triangle every product/events warehouse computes.
-    * The week index is ONE integer division of epoch millis
-    * (`div 604800000`), never a chained double division whose rounding
-    * could straddle a week boundary differently per engine; everything
-    * downstream is exact integer arithmetic. Both `div` and DuckDB `//`
-    * truncate TOWARD ZERO, so the two engines always agree — but the two
-    * part-weeks straddling 1970-01-01 would share index 0; event streams
-    * are assumed post-epoch (a crawl/product stream always is).
+    * The week index is ONE integer FLOOR-division of epoch millis by
+    * 604800000, never a chained double division whose rounding could
+    * straddle a week boundary differently per engine; everything
+    * downstream is exact integer arithmetic. Floor semantics are built
+    * from truncating division on both engines by subtracting the
+    * non-negative `pmod` first (the numerator is then an exact multiple,
+    * so truncation direction is moot) — pre-epoch timestamps therefore
+    * index correctly into negative weeks instead of sharing week 0 with
+    * the first post-epoch part-week.
     *
     * Scale shape: two keyed exchanges — user_id for the first-week agg
     * (the join back rides the same partitioning under AQE), then the
@@ -360,7 +362,8 @@ object MergeQueries {
       val ev = Td(s, dir, "events")
       val ems = graft.clean.Dates.epochMillis(col("ts"), ev.schema("ts").dataType)
       val w = ev.select(col("user_id"), ems.as("_ems"))
-        .select(col("user_id"), expr("_ems div 604800000").as("wk"))
+        .select(col("user_id"),
+          expr("(_ems - pmod(_ems, 604800000)) div 604800000").as("wk"))
       val c = w.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
       val act = w.join(c, Seq("user_id"))
         .select(col("user_id"), col("cohort_week"),
@@ -371,7 +374,9 @@ object MergeQueries {
         .orderBy(col("cohort_week"), col("week_offset"))
     },
     Some("""
-      WITH w AS (SELECT user_id, epoch_ms(ts) // 604800000 AS wk FROM events),
+      WITH w AS (SELECT user_id,
+             (epoch_ms(ts) - ((epoch_ms(ts) % 604800000 + 604800000) % 604800000))
+               // 604800000 AS wk FROM events),
       c AS (SELECT user_id, min(wk) AS cohort_week FROM w GROUP BY 1),
       a AS (SELECT DISTINCT w.user_id, c.cohort_week, w.wk - c.cohort_week AS week_offset
             FROM w JOIN c ON w.user_id = c.user_id)

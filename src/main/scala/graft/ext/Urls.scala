@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * exact dedup on the raw string misses the duplicate. Canonical form here
   * (RFC 3986 §6 syntax-based normalization, adapted to crawl practice):
   *
-  *   - lowercased host, `www.` / userinfo / explicit port stripped
+  *   - lowercased host, `www.` / userinfo / explicit port stripped, IDN
+  *     (`xn--` punycode) labels decoded to Unicode
   *   - percent-encoding normalization: unreserved escapes (`%7E` → `~`,
   *     `%41` → `A`) DECODED, every remaining escape's hex UPPERCASED
   *     (`%2f` → `%2F` — decoding reserved chars would change semantics)
@@ -26,12 +27,16 @@ import org.apache.spark.sql.functions._
   * Beyond the reference's surface (its tables carry no URLs; SURVEY.md §2
   * is purely relational) — LLM-pipeline operator layer like TextAnalysis.
   * Everything is pure `Column` work over builtins (regex in the Java∩RE2
-  * common subset, split/transform/filter higher-order functions), so the
-  * u1/u2 oracles replay exactly and at 100 TB the whole pass rides the
+  * common subset, split/transform/filter higher-order functions) except
+  * the IDN decode — a native codegen'd expression over the JDK's embedded
+  * punycode tables, since RFC 3492 is not expressible as Column/SQL — so
+  * the u1/u2 oracles replay exactly and at 100 TB the whole pass rides the
   * scan as per-row map work with no shuffle; url-level dedup is then
   * [[Dedup.exact]]-style hash-groupBy on `canonicalize`'s output. Each
   * helper has a `…Sql` twin generating the equivalent DuckDB expression
-  * FROM THE SAME constants, so the two engines cannot drift silently.
+  * FROM THE SAME constants (the IDN step's twin is a hand-verified decode
+  * table over the planted hosts — DuckDB has no punycode surface), so the
+  * two engines cannot drift silently.
   */
 object Urls {
 
@@ -50,6 +55,19 @@ object Urls {
   /** [[host]] with one leading `www.` stripped. */
   def hostNoWww(c: Column): Column =
     regexp_replace(host(c), "^www\\.", "")
+
+  /** [[hostNoWww]] with IDN (`xn--` punycode) labels decoded to Unicode
+    * ([[org.apache.spark.sql.graft.IdnHostUnicode]] — embedded JDK decode,
+    * no network): an international crawl sees `münchen.de` both as a raw
+    * IRI and as `xn--mnchen-3ya.de` on the wire, and [[canonicalize]] /
+    * [[domain]] must land both in ONE group. Hosts without `xn--` pass
+    * through untouched on a zero-allocation fast path; malformed punycode
+    * passes through verbatim (conservative, like the canonicalizer's
+    * garbage pass-through). Non-ASCII PATH bytes are out of scope here —
+    * they stay percent-encoded with case-normalized hex ([[pctNormalize]]).
+    */
+  def hostUnicode(c: Column): Column =
+    org.apache.spark.sql.graft.IdnHostUnicode.idnHostUnicode(hostNoWww(c))
 
   /** Path component, original case (case-sensitive on real servers). */
   def path(c: Column): Column =
@@ -218,10 +236,12 @@ object Urls {
   /** Registrable domain: label + public suffix when the host ends in a
     * listed multi-label suffix, else last two labels. A host that IS a
     * listed suffix (rare, e.g. a crawl of `co.uk` itself) falls back to
-    * last-two — there is no registrant label to keep.
+    * last-two — there is no registrant label to keep. Works over the
+    * IDN-DECODED host ([[hostUnicode]]) so punycode and Unicode spellings
+    * of one registrant group together.
     */
   def domain(c: Column): Column = {
-    val h = hostNoWww(c)
+    val h = hostUnicode(c)
     val ps = regexp_extract(h, psPat, 1)
     when(length(ps) > 0, ps).otherwise(regexp_extract(h, twoLabelPat, 1))
   }
@@ -242,10 +262,12 @@ object Urls {
     * garbage value to `"https://"` would make downstream exact url-dedup
     * merge unrelated documents into one group — pass-through keeps them
     * deduping only on raw equality, the conservative behavior.
+    * The host is IDN-decoded ([[hostUnicode]]) so punycode and Unicode
+    * spellings collapse to one canonical form.
     * Deterministic, per-row, no shuffle.
     */
   def canonicalize(c: Column): Column = {
-    val h = hostNoWww(c)
+    val h = hostUnicode(c)
     val p = removeDotSegments(pctNormalize(path(c)))
     val q = cleanQuery(c)
     when(length(h) > 0,

@@ -2298,6 +2298,11 @@ object ExtQueries {
         .when(id % 6 === 4, concat(
           lit("https://site"), st(id % 11), lit(".org/AB%63/"), st(id),
           lit("?ref=feed")))
+        // IDN plant: punycode host with www/port/tracking noise — canon
+        // and domain must carry the DECODED Unicode host
+        .when(id % 12 === 5, concat(
+          lit("HTTPS://WWW.XN--MNCHEN-3YA.DE:443/pfad/"), st(id),
+          lit("?ref=x&id="), st(id)))
         .otherwise(concat(lit("not a url "), st(id)))
       Td(s, dir, "documents")
         .select(col("doc_id"), planted.as("url"))
@@ -2329,17 +2334,26 @@ object ExtQueries {
           '.github.io:8080/p%2fq/' || CAST(doc_id AS VARCHAR)
         WHEN 4 THEN 'https://site' || CAST(doc_id % 11 AS VARCHAR) ||
           '.org/AB%63/' || CAST(doc_id AS VARCHAR) || '?ref=feed'
-        ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url
+        ELSE (CASE WHEN doc_id % 12 = 5
+          THEN 'HTTPS://WWW.XN--MNCHEN-3YA.DE:443/pfad/' || CAST(doc_id AS VARCHAR) ||
+            '?ref=x&id=' || CAST(doc_id AS VARCHAR)
+          ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END) END AS url
         FROM documents),
       n1 AS (SELECT doc_id, url, ${U.hostNoWwwSql("url")} AS h,
         ${U.pathSql("url")} AS p0, ${U.rawQuerySql("url")} AS q0 FROM aug),
-      n2 AS (SELECT doc_id, url, h, ${U.pctNormalizeSql("p0")} AS p1,
-        ${U.pctNormalizeSql("q0")} AS q1 FROM n1),
-      n3 AS (SELECT doc_id, url, h, ${U.removeDotSegmentsSql("p1")} AS p2,
+      -- DuckDB has no punycode surface: the IDN step's twin is a
+      -- hand-verified decode TABLE over the planted hosts (ground truth
+      -- for the engine's RFC 3492 decode, not a replay of it)
+      n1b AS (SELECT doc_id, url, h, p0, q0,
+        CASE WHEN h = 'xn--mnchen-3ya.de' THEN 'münchen.de' ELSE h END AS hu
+        FROM n1),
+      n2 AS (SELECT doc_id, url, h, hu, ${U.pctNormalizeSql("p0")} AS p1,
+        ${U.pctNormalizeSql("q0")} AS q1 FROM n1b),
+      n3 AS (SELECT doc_id, url, h, hu, ${U.removeDotSegmentsSql("p1")} AS p2,
         ${U.trackingFilterSql("q1")} AS q2 FROM n2)
       SELECT doc_id, h AS host,
-             ${U.assembleSql("url", "h", "p2", "q2")} AS canon_url,
-             ${U.domainSql("h")} AS domain
+             ${U.assembleSql("url", "hu", "p2", "q2")} AS canon_url,
+             ${U.domainSql("hu")} AS domain
       FROM n3 ORDER BY doc_id
     """
     }))

@@ -123,3 +123,63 @@ object NormalizeText {
       "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x{200B}-\\x{200D}\\x{FEFF}]', '', 'g'), " +
       "'[\\t\\n\\r \\x{A0}\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]+', ' ', 'g'), ' ')"
 }
+
+/** `idn_host_unicode(host)` — decode IDN (`xn--` punycode, RFC 3490/3492)
+  * labels of a hostname to Unicode so `münchen.de` and `xn--mnchen-3ya.de`
+  * canonicalize into ONE dedup/quota group (an international crawl sees
+  * both spellings: raw IRIs in hrefs, punycode on the wire).
+  *
+  * Decoding punycode in pure Column/SQL expressions is infeasible (the
+  * RFC 3492 generalized-variable-length integer state machine), so this is
+  * a native codegen'd expression over the JDK's embedded, network-free
+  * `java.net.IDN` — the same packaging rationale as [[NormalizeText]], and
+  * NOT a Scala UDF (which would break whole-stage codegen on the
+  * canonicalize hot path). Contract: a host with no `xn--` byte sequence
+  * returns the INPUT buffer untouched (zero-allocation — the
+  * overwhelmingly common row); malformed punycode passes through verbatim
+  * (`IDN.toUnicode` returns its input on any label that fails to decode —
+  * conservative, like the canonicalizer's garbage pass-through); null →
+  * null. Callers pass already-lowercased hosts ([[graft.ext.Urls.host]]);
+  * mixed case would decode but is not part of the contract.
+  */
+case class IdnHostUnicode(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "idn_host_unicode"
+
+  override def nullSafeEval(input: Any): Any =
+    IdnHostUnicode.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.IdnHostUnicode.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): IdnHostUnicode =
+    copy(child = newChild)
+}
+
+object IdnHostUnicode {
+
+  def compute(s: UTF8String): UTF8String = {
+    // fast path: no "xn--" anywhere → return the input buffer untouched
+    val bytes = s.getBytes
+    var i = 0
+    var found = false
+    while (!found && i + 3 < bytes.length) {
+      if (bytes(i) == 'x' && bytes(i + 1) == 'n' &&
+        bytes(i + 2) == '-' && bytes(i + 3) == '-') found = true
+      i += 1
+    }
+    if (!found) return s
+    val str = s.toString
+    val out =
+      try java.net.IDN.toUnicode(str)
+      catch { case _: Exception => str } // total: garbage passes through
+    if (out == str) s else UTF8String.fromString(out)
+  }
+
+  /** Column API. */
+  def idnHostUnicode(c: Column): Column =
+    ExpressionUtils.column(IdnHostUnicode(ExpressionUtils.expression(c)))
+}

@@ -90,4 +90,23 @@ class UrlsSpec extends SparkSpec {
     assert(canon("https://site.com/page#sec?x=1")._2 === "https://site.com/page")
     assert(canon("https://site.com/page")._2 === "https://site.com/page")
   }
+
+  test("IDN hosts decode: punycode and Unicode spellings land in one group") {
+    // hostNoWww stays the wire form; canon + domain carry the decoded host
+    assert(canon("HTTPS://WWW.XN--MNCHEN-3YA.DE:443/pfad/7?ref=x&id=7") ===
+      (("xn--mnchen-3ya.de", "https://münchen.de/pfad/7?id=7", "münchen.de")))
+    // the raw-IRI spelling canonicalizes to the SAME form
+    assert(canon("https://münchen.de/pfad/7?id=7")._2 === "https://münchen.de/pfad/7?id=7")
+    // decoded labels still respect the multi-label public-suffix snapshot
+    assert(canon("http://sub.xn--mnchen-3ya.co.uk/x")._3 === "münchen.co.uk")
+  }
+
+  test("malformed punycode and xn-- in paths pass through verbatim") {
+    // an undecodable label must not corrupt the host or kill the row
+    val (h, c, _) = canon("https://xn--999999999.com/x")
+    assert(h === "xn--999999999.com" && c === "https://xn--999999999.com/x")
+    // "xn--" in the PATH is content, not an IDN label — untouched
+    assert(canon("https://site.com/xn--mnchen-3ya")._2 ===
+      "https://site.com/xn--mnchen-3ya")
+  }
 }

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+
+/** ANN quality/latency harness (BENCH_LOCAL datapoints, not the driver
+  * bench): PQ recall@10 and true-NN MRR at m ∈ {8, 16} on the original
+  * embeddings AND on the ±1-diagonal replicated corpus
+  * ([[ScaleStress.expand]]). The replication preserves every within-replica
+  * cosine EXACTLY while decorrelating replicas, so the big corpus carries
+  * the same neighbor geometry per replica — recall measured there separates
+  * "the corpus is diffuse" (every PQ cell is full of near-ties, any
+  * codebook ranks noise) from "the implementation loses neighbors": the
+  * planted near-dup pairs replicate per replica and their cosines dominate
+  * the bulk, so a correct ADC ranking must surface them.
+  *
+  * Metrics are computed driver-side over the collected top-10 lists of 50
+  * queries (500 rows — bounded by construction); wall time covers
+  * train+encode+search end-to-end, min of `reps` passes.
+  *
+  * Usage: `runMain graft.RecallBench [sfDir] [workDir] [factor] [reps]`
+  */
+object RecallBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val workDir = args.lift(1).getOrElse("/tmp/graft_recall")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val reps = args.lift(3).map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val expDir = s"$workDir/x$factor"
+    ScaleStress.expand(spark, sfDir, expDir, factor)
+
+    for ((tag, dir) <- Seq("x1" -> sfDir, s"x$factor" -> expDir)) {
+      val emb = Td(spark, dir, "embeddings")
+      emb.count() // warm footers
+      val queries = emb.filter(col("vec_id") < 200)
+      // ground truth once per corpus: exact cosine top-10 (with the cosine,
+      // so the STRUCTURED subset — neighbors above the 0.45 near-dup bar —
+      // can be scored separately from the diffuse tail)
+      val exact = Similarity.knnBrute(queries, emb, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      val exactTop10 = exact.groupBy(_._1).map { case (q, rs) =>
+        q -> rs.map(_._2).toSet
+      }
+      val exactTop1 = exact.filter(_._3 == 1).map(r => r._1 -> r._2).toMap
+      // (query, neighbor) pairs with real geometry: cosine ≥ 0.45 — the
+      // planted near-dup structure a retrieval deployment must not lose.
+      // On the expanded corpus the decorrelated replicas still produce
+      // chance ≥0.45 cosines in the 3.6σ tail (dim 64 → σ ≈ 1/8, and the
+      // top-10 of 200 queries samples 10M pairs), so the WITHIN-replica
+      // subset (neighbor in the query's own replica, id < the replica
+      // offset) is the real planted structure; the full set includes the
+      // chance tail.
+      val structured = exact.filter(_._4 >= 0.45).map(r => (r._1, r._2))
+      val structuredWithin = structured.filter(_._2 < 100000000L)
+
+      for (m <- Seq(8, 16)) {
+        var best = Double.MaxValue
+        var approx: Array[(Long, Long, Int)] = Array.empty
+        for (_ <- 1 to reps) {
+          val t0 = System.nanoTime()
+          val books = Similarity.pqTrain(emb, "vec_id", "embedding",
+            dim = 64, m = m, k = 16, iters = 2, sampleMod = Some(4))
+          approx = Similarity.pqSearch(queries, emb, "vec_id", "embedding", books, k = 10)
+            .select(col("query_id"), col("neighbor_id"), col("rnk"))
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        }
+        val approxTop10 = approx.groupBy(_._1).map { case (q, rs) =>
+          q -> rs.map(_._2).toSet
+        }
+        val approxRank = approx.map(r => (r._1, r._2) -> r._3).toMap
+        val qs = exactTop10.keys.toSeq.sorted
+        val recall = qs.map { q =>
+          (exactTop10(q) & approxTop10.getOrElse(q, Set.empty)).size / 10.0
+        }.sum / qs.size
+        val mrr = qs.map { q =>
+          approxRank.get((q, exactTop1(q))).map(1.0 / _).getOrElse(0.0)
+        }.sum / qs.size
+        def hitRate(ps: Array[(Long, Long)]): Double =
+          if (ps.isEmpty) -1.0
+          else ps.count(p => approxRank.contains(p)).toDouble / ps.length
+        println(f"""{"recallbench":"$tag","m":$m,"queries":${qs.size},"recall_at_10":$recall%.3f,"true_nn_mrr":$mrr%.3f,"n_struct":${structured.length},"struct_recall":${hitRate(structured)}%.3f,"n_struct_within":${structuredWithin.length},"struct_within_recall":${hitRate(structuredWithin)}%.3f,"sec":$best%.2f}""")
+      }
+    }
+    graft.tables.Scratch.cleanup(spark)
+    spark.stop()
+  }
+}

@@ -143,6 +143,16 @@ object ScaleStress {
       // SemDeDup verdict pass: d6's cluster+pair exchange plus a distinct
       // over loser ids and the verdict left-join — must track d6's curve
       "d21_semdedup" -> reg("d21_semdedup"),
+      // BM25: postings ∝ N but filtered to query vocab AT the explode —
+      // the scored relation must grow with matching postings, not corpus
+      "s9_bm25" -> reg("s9_bm25"),
+      // RRF fuses two bounded top-k lists per query — the fusion itself is
+      // flat; total time must track its two retrieval legs
+      "s10_rrf" -> reg("s10_hybrid_rrf"),
+      // anchor df-agg + candidate-bounded stride-1 confirm: candidates are
+      // the docs actually sharing content (the query's planted span), so
+      // the exact stage grows with THEM, the anchor stage with the corpus
+      "d22_span_exact" -> reg("d22_span_exact"),
       // fixed-round PageRank: |E| = 3|V| modular edges, per round one
       // edge-keyed join + agg + node left join — time must track |V|
       "x25_linkrank" -> reg("x25_link_rank"),

@@ -67,13 +67,17 @@ object RecallBench {
       val structured = exact.filter(_._4 >= 0.45).map(r => (r._1, r._2))
       val structuredWithin = structured.filter(_._2 < 100000000L)
 
-      for (m <- Seq(8, 16)) {
+      // (m, k) grid: m spans subspace count, k codebook resolution — the
+      // registered s11/s12 point is (16, 16); (16, 64) asks whether lost
+      // structure at scale is a RESOLUTION knob (log2(k) bits/subspace) or
+      // an implementation defect
+      for ((m, k) <- Seq((8, 16), (16, 16), (16, 64))) {
         var best = Double.MaxValue
         var approx: Array[(Long, Long, Int)] = Array.empty
         for (_ <- 1 to reps) {
           val t0 = System.nanoTime()
           val books = Similarity.pqTrain(emb, "vec_id", "embedding",
-            dim = 64, m = m, k = 16, iters = 2, sampleMod = Some(4))
+            dim = 64, m = m, k = k, iters = 2, sampleMod = Some(4))
           approx = Similarity.pqSearch(queries, emb, "vec_id", "embedding", books, k = 10)
             .select(col("query_id"), col("neighbor_id"), col("rnk"))
             .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
@@ -93,7 +97,7 @@ object RecallBench {
         def hitRate(ps: Array[(Long, Long)]): Double =
           if (ps.isEmpty) -1.0
           else ps.count(p => approxRank.contains(p)).toDouble / ps.length
-        println(f"""{"recallbench":"$tag","m":$m,"queries":${qs.size},"recall_at_10":$recall%.3f,"true_nn_mrr":$mrr%.3f,"n_struct":${structured.length},"struct_recall":${hitRate(structured)}%.3f,"n_struct_within":${structuredWithin.length},"struct_within_recall":${hitRate(structuredWithin)}%.3f,"sec":$best%.2f}""")
+        println(f"""{"recallbench":"$tag","m":$m,"k":$k,"queries":${qs.size},"recall_at_10":$recall%.3f,"true_nn_mrr":$mrr%.3f,"n_struct":${structured.length},"struct_recall":${hitRate(structured)}%.3f,"n_struct_within":${structuredWithin.length},"struct_within_recall":${hitRate(structuredWithin)}%.3f,"sec":$best%.2f}""")
       }
     }
     graft.tables.Scratch.cleanup(spark)

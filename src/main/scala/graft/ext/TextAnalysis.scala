@@ -226,6 +226,17 @@ object TextAnalysis {
     regexp_replace(k, PiiIpv4Pattern, "[IP]")
   }
 
+  /** Greedy BPE pieces of every whitespace token against a caller-supplied
+    * merge table, flattened in token order — the REAL-tokenizer surface
+    * behind [[bpeTokenCount]]'s regex estimate
+    * ([[org.apache.spark.sql.graft.BpeEncodeTokens]]): token budgets,
+    * packing, and context-window math count with the production vocab's
+    * exported merge list, not an approximation. One codegen'd native pass
+    * per row; the merge table rides the expression as a constant.
+    */
+  def bpeEncode(c: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graft.BpeEncodeTokens.bpeEncode(wsTokens(c), merges)
+
   // --- trained-weight linear classifier -------------------------------------
 
   /** Score documents with a TRAINED weight table — the production surface

@@ -3689,6 +3689,93 @@ object ExtQueries {
     // compact-line headroom
     benchmark = false)
 
+  /** Shared merge table for T16 — rank = list position. Chains exercise
+    * multi-round merges (t+a → ta+b → tab+le), the overlapping-pair case
+    * (a,a), and competing ranks inside one word.
+    */
+  private val T16Merges: Seq[(String, String)] = Seq(
+    "t" -> "a", "l" -> "e", "ta" -> "b", "tab" -> "le", "a" -> "a",
+    "s" -> "c", "a" -> "n", "sc" -> "an", "o" -> "r", "e" -> "y")
+
+  /** T16 — greedy BPE encode against a caller-supplied merge table
+    * ([[graft.ext.TextAnalysis.bpeEncode]], native expression): per word,
+    * repeatedly merge ALL left-to-right non-overlapping occurrences of the
+    * lowest-ranked adjacent pair until no table pair remains. Docs with
+    * id%11==6 append " aaa baab tata" — the overlap (`aaa` → [aa, a]) and
+    * multi-occurrence (`tata` → [ta, ta]) edges must replay. The oracle
+    * unrolls one round per table entry (a pair can be a word's best at
+    * most once: merges only create LONGER pieces, so consumed adjacencies
+    * never re-form — 10 rounds is exact, later rounds are identity) with
+    * the alternating-run rule for overlaps; any drift in rank choice,
+    * merge order, or flattening flips the per-doc piece digest.
+    */
+  val t16BpeEncode = QueryDef(
+    "t16_bpe_encode",
+    (s, dir) => {
+      val id = col("doc_id")
+      val planted = when(id % 11 === 6, concat(col("text"), lit(" aaa baab tata")))
+        .otherwise(col("text"))
+      val pieces = TA.bpeEncode(col("_t16"), T16Merges)
+      Td(s, dir, "documents").select(id, planted.as("_t16"))
+        .select(id,
+          size(pieces).cast("long").as("n_pieces"),
+          md5(array_join(pieces, " ")).as("pieces_md5"))
+        .orderBy(id)
+    },
+    Some {
+      val mtVals = T16Merges.zipWithIndex
+        .map { case ((a, b), i) => s"('$a','$b',$i)" }.mkString(", ")
+      val rounds = (1 to T16Merges.length).map { n =>
+        val prev = s"r${n - 1}"
+        s"""u$n AS MATERIALIZED (SELECT doc_id, wi, unnest(p) AS piece,
+                 unnest(generate_series(1, len(p))) AS i FROM $prev),
+      p$n AS MATERIALIZED (SELECT x.doc_id, x.wi, x.i, mt.rk
+             FROM u$n x JOIN u$n y ON y.doc_id = x.doc_id AND y.wi = x.wi AND y.i = x.i + 1
+             JOIN mt ON mt.a = x.piece AND mt.b = y.piece),
+      b$n AS (SELECT doc_id, wi, min(rk) AS best FROM p$n GROUP BY 1, 2),
+      s$n AS MATERIALIZED (SELECT p.doc_id, p.wi, p.i,
+               row_number() OVER (PARTITION BY p.doc_id, p.wi ORDER BY p.i) AS rn
+             FROM p$n p JOIN b$n b ON b.doc_id = p.doc_id AND b.wi = p.wi AND p.rk = b.best),
+      a$n AS MATERIALIZED (SELECT doc_id, wi, i FROM (
+               SELECT doc_id, wi, i,
+                 row_number() OVER (PARTITION BY doc_id, wi, i - rn ORDER BY i) AS pr
+               FROM s$n) WHERE pr % 2 = 1),
+      r$n AS MATERIALIZED (SELECT u.doc_id, u.wi,
+               list(CASE WHEN a1.i IS NOT NULL THEN u.piece || nx.piece ELSE u.piece END
+                    ORDER BY u.i) AS p
+             FROM u$n u
+             LEFT JOIN a$n a1 ON a1.doc_id = u.doc_id AND a1.wi = u.wi AND a1.i = u.i
+             LEFT JOIN a$n a2 ON a2.doc_id = u.doc_id AND a2.wi = u.wi AND a2.i = u.i - 1
+             LEFT JOIN u$n nx ON nx.doc_id = u.doc_id AND nx.wi = u.wi AND nx.i = u.i + 1
+             WHERE a2.i IS NULL
+             GROUP BY u.doc_id, u.wi)"""
+      }.mkString(",\n      ")
+      val last = s"r${T16Merges.length}"
+      s"""
+      WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 11 = 6
+          THEN text || ' aaa baab tata' ELSE text END AS t FROM documents),
+      mt(a, b, rk) AS (VALUES $mtVals),
+      w AS (SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS ws FROM aug),
+      wd AS MATERIALIZED (SELECT doc_id, unnest(generate_series(1, len(ws))) AS wi,
+               unnest(ws) AS word FROM w),
+      r0 AS MATERIALIZED (SELECT doc_id, wi,
+               list_transform(generate_series(1, length(word)), i -> word[i:i]) AS p
+             FROM wd),
+      $rounds,
+      fin AS MATERIALIZED (SELECT doc_id, wi, unnest(p) AS piece,
+                unnest(generate_series(1, len(p))) AS i FROM $last),
+      agg AS (SELECT doc_id, count(*) AS n_pieces,
+                md5(string_agg(piece, ' ' ORDER BY wi, i)) AS pieces_md5
+              FROM fin GROUP BY 1)
+      SELECT d.doc_id, CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+             coalesce(a.pieces_md5, md5('')) AS pieces_md5
+      FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+    """
+    },
+    // native one-pass encode rides the scan (t9's shape) — the oracle's
+    // round unrolling is DuckDB-side only; compact-line headroom
+    benchmark = false)
+
   /** X24 — per-source token-budget cap: the exact-budget companion to
     * x12's rate-based temperature mix. Docs take a deterministic
     * per-source order (md5 of the id — x18's epoch-shuffle convention), a
@@ -3859,6 +3946,7 @@ object ExtQueries {
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
     t7PiiRedact, t8LmPerplexity, t9TextNormalize, t10ScriptDetect, t11GopherRules,
     t12GopherRepetition, t13HtmlExtract, t14ClassifierScore, t15ClassifierWeighted,
+    t16BpeEncode,
     d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc, d21SemDedup, x24TokenBudget,
     x25LinkRank, x26TrainSplit, x27QuantileNorm,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,

@@ -1,0 +1,66 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.BpeEncodeTokens
+
+/** Greedy BPE encode against a caller-supplied merge table (T16). */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val merges = Seq(
+    ("t", "a"), ("l", "e"), ("ta", "b"), ("tab", "le"), ("a", "a"))
+
+  private def enc(text: String): Seq[String] =
+    Seq(text).toDF("t")
+      .select(BpeEncodeTokens.bpeEncode(
+        TextAnalysis.wsTokens(col("t")), merges).as("p"))
+      .head().getSeq[String](0)
+
+  test("merges chain in rank order to the full word") {
+    // t a b l e → [ta,b,l,e] → [ta,b,le] → [tab,le] → [table]
+    assert(enc("table") === Seq("table"))
+    // partial chains stop where the table stops
+    assert(enc("tale") === Seq("ta", "le"))
+    assert(enc("bat") === Seq("b", "a", "t")) // no (b,a)/(a,t) in table
+  }
+
+  test("rank order decides, not text order") {
+    // "leta": (l,e) rank 1 beats (t,a) rank 0? No — (t,a) is rank 0, so it
+    // merges FIRST even though (l,e) appears earlier in the word
+    assert(enc("leta") === Seq("le", "ta"))
+    // after (t,a) all-merged, (l,e) is next best — both end merged; the
+    // pair (le,ta)/(ta,le) is absent so the chain stops
+    assert(enc("tale leta") === Seq("ta", "le", "le", "ta"))
+  }
+
+  test("overlapping occurrences merge alternately from the left") {
+    assert(enc("aaa") === Seq("aa", "a"))
+    assert(enc("aaaa") === Seq("aa", "aa"))
+    assert(enc("aaaaa") === Seq("aa", "aa", "a"))
+  }
+
+  test("multiple words flatten in order; empty words contribute nothing") {
+    assert(enc("table aaa") === Seq("table", "aa", "a"))
+    assert(enc("") === Seq.empty) // [""] token → no pieces
+    assert(enc("   ") === Seq.empty)
+  }
+
+  test("all occurrences of the best pair merge in one round") {
+    // t a t a: (t,a) merges BOTH occurrences before any other rank runs
+    assert(enc("tata") === Seq("ta", "ta"))
+  }
+
+  test("words with no table pairs pass through as code points") {
+    assert(enc("xyz") === Seq("x", "y", "z"))
+  }
+
+  test("duplicate merge pairs are rejected") {
+    intercept[IllegalArgumentException] {
+      Seq("x").toDF("t")
+        .select(BpeEncodeTokens.bpeEncode(
+          TextAnalysis.wsTokens(col("t")), Seq(("a", "b"), ("a", "b"))))
+        .head()
+    }
+  }
+}

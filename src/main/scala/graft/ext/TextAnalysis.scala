@@ -286,6 +286,59 @@ object TextAnalysis {
             count(lit(1)).cast("double")).as("score"))
   }
 
+  /** Score documents against an EXPORTED n-gram language model — the
+    * trained-artifact twin of [[linearScore]] for t8's self-trained
+    * mechanism: a curation pipeline ships its KenLM-style model as
+    * (bigram, logp) + (word, logp) tables and gates on the mean log-prob.
+    * Per word-bigram of the document, the log-prob is the first hit of
+    *
+    *   bigram table  →  unigram table (second word) + `backoffLogp`  →
+    *   `oovLogp`
+    *
+    * — stupid-backoff shape with caller-supplied penalties. The score is
+    * (Σ logp) / n_bigrams; documents with fewer than two tokens have no
+    * bigrams and are ABSENT from the output (callers outer-join and decide
+    * their fate — a gate usually drops them anyway).
+    *
+    * Determinism: the caller's logp values cast to DECIMAL(18,6), the
+    * backoff addition and the sum stay decimal-exact (order-free), ONE
+    * cast to double before the division — no transcendentals anywhere in
+    * the engine (the caller took the logs at export time), so the score is
+    * bit-identical across engines. Actual perplexity is `exp(-avg_logp)`
+    * — a display transform, deliberately left to the caller.
+    *
+    * Scale shape: narrow bigram explode riding the scan
+    * ([[bigramsAll]] — native shingles, not an interpreted lambda), two
+    * BROADCAST joins (exported LM tables are bounded by model size), one
+    * map-side-combining groupBy on the id. 100 TB = more partitions
+    * probing the same broadcasts.
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+      bigrams: DataFrame, unigrams: DataFrame,
+      oovLogp: Double, backoffLogp: Double = 0.0,
+      bigramCol: String = "bigram", wordCol: String = "word",
+      logpCol: String = "logp"): DataFrame = {
+    val bt = broadcast(bigrams.select(
+      col(bigramCol).as("_bg"), col(logpCol).cast(DecimalType(18, 6)).as("_blp")))
+    val ut = broadcast(unigrams.select(
+      col(wordCol).as("_w2"), col(logpCol).cast(DecimalType(18, 6)).as("_ulp")))
+    df.select(col(idCol), explode(bigramsAll(col(textCol))).as("_bg"))
+      .join(bt, Seq("_bg"), "left")
+      .withColumn("_w2", substring_index(col("_bg"), " ", -1))
+      .join(ut, Seq("_w2"), "left")
+      .withColumn("_lp", coalesce(
+        col("_blp"),
+        col("_ulp") + lit(BigDecimal(backoffLogp).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          .cast(DecimalType(18, 6)),
+        lit(BigDecimal(oovLogp).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          .cast(DecimalType(18, 6))))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_bigrams"),
+        count(col("_blp")).cast("long").as("n_hits"),
+        (sum(col("_lp")).cast("double") / count(lit(1)).cast("double")).as("avg_logp"))
+  }
+
   /** Canonical form for fingerprinting: lowercase, whitespace collapsed. */
   def normalized(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")

@@ -3776,6 +3776,91 @@ object ExtQueries {
     // round unrolling is DuckDB-side only; compact-line headroom
     benchmark = false)
 
+  /** Shared LM tables for T17 — log-probs are k/64 decimals (exact at
+    * scale 6 on both engines), negative as log-probs are. The bigram rows
+    * hit only when the exact word pair occurs; unigrams back off on the
+    * SECOND word; everything else takes the OOV floor.
+    */
+  private val T17Bigrams: Seq[(String, Int)] = Seq(
+    "table scan" -> -8, "fast key" -> -6, "value table" -> -4,
+    "the line" -> -10, "a row" -> -3, "key agg" -> -7)
+  private val T17Unigrams: Seq[(String, Int)] = Seq(
+    "table" -> -20, "scan" -> -24, "key" -> -16, "value" -> -18,
+    "the" -> -12, "a" -> -10, "row" -> -22, "fast" -> -26, "agg" -> -14)
+  private val T17Oov = -0.75    // -48/64
+  private val T17Backoff = -0.09375 // -6/64
+
+  /** T17 — exported-LM scoring ([[graft.ext.TextAnalysis.lmScore]]): the
+    * trained-artifact surface for t8's self-trained mechanism — score with
+    * a SHIPPED bigram/unigram log-prob table under stupid backoff
+    * (bigram → unigram(w2) + backoff → OOV floor). Docs with id%17==9 are
+    * replanted all-OOV (avg_logp = the exact OOV constant, n_hits = 0);
+    * docs with id%23==21 become single-token (no bigrams → NULL score,
+    * zero counts — the row must survive, not vanish). The oracle replays
+    * the identical decimal backoff chain from the same constants.
+    */
+  val t17LmScored = QueryDef(
+    "t17_lm_scored",
+    (s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      def st(c: org.apache.spark.sql.Column) = c.cast("string")
+      val bt = T17Bigrams.map { case (g, k) => (g, t15w64(k)) }.toDF("bigram", "logp")
+      val ut = T17Unigrams.map { case (w, k) => (w, t15w64(k)) }.toDF("word", "logp")
+      val planted = when(id % 17 === 9,
+          concat(lit("qq"), st(id), lit(" zz"), st(id), lit(" qq"), st(id)))
+        .when(id % 23 === 21, lit("solo"))
+        .otherwise(col("text"))
+      val docs = Td(s, dir, "documents").select(id, planted.as("text"))
+      val scored = TA.lmScore(docs, "doc_id", "text", bt, ut,
+        oovLogp = T17Oov, backoffLogp = T17Backoff)
+      docs.select(id)
+        .join(scored, Seq("doc_id"), "left")
+        .select(id,
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          col("avg_logp"))
+        .orderBy(id)
+    },
+    Some {
+      val btVals = T17Bigrams
+        .map { case (g, k) => s"('$g', CAST('${t15w64(k)}' AS DECIMAL(18,6)))" }
+        .mkString(", ")
+      val utVals = T17Unigrams
+        .map { case (w, k) => s"('$w', CAST('${t15w64(k)}' AS DECIMAL(18,6)))" }
+        .mkString(", ")
+      s"""
+      WITH aug AS (SELECT doc_id, CASE
+          WHEN doc_id % 17 = 9 THEN 'qq' || CAST(doc_id AS VARCHAR) ||
+            ' zz' || CAST(doc_id AS VARCHAR) || ' qq' || CAST(doc_id AS VARCHAR)
+          WHEN doc_id % 23 = 21 THEN 'solo'
+          ELSE text END AS t FROM documents),
+      bt(bigram, blp) AS (VALUES $btVals),
+      ut(word, ulp) AS (VALUES $utVals),
+      w AS (SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS ws FROM aug),
+      bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1),
+               i -> ws[i] || ' ' || ws[i+1])) AS g
+             FROM w WHERE len(ws) >= 2),
+      j AS (SELECT bg.doc_id, bt.blp,
+              coalesce(bt.blp,
+                ut.ulp + CAST('${t15w64(-6)}' AS DECIMAL(18,6)),
+                CAST('${t15w64(-48)}' AS DECIMAL(18,6))) AS lp
+            FROM bg LEFT JOIN bt ON bt.bigram = bg.g
+                    LEFT JOIN ut ON ut.word = split_part(bg.g, ' ', 2)),
+      agg AS (SELECT doc_id, count(*) AS n_bigrams, count(blp) AS n_hits,
+                CAST(sum(lp) AS DOUBLE) / count(*) AS avg_logp
+              FROM j GROUP BY 1)
+      SELECT d.doc_id,
+             CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             CAST(coalesce(a.n_hits, 0) AS BIGINT) AS n_hits,
+             a.avg_logp
+      FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+    """
+    },
+    // t5's explode + broadcast joins + keyed agg time the shape —
+    // compact-line headroom
+    benchmark = false)
+
   /** X24 — per-source token-budget cap: the exact-budget companion to
     * x12's rate-based temperature mix. Docs take a deterministic
     * per-source order (md5 of the id — x18's epoch-shuffle convention), a
@@ -3946,7 +4031,7 @@ object ExtQueries {
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
     t7PiiRedact, t8LmPerplexity, t9TextNormalize, t10ScriptDetect, t11GopherRules,
     t12GopherRepetition, t13HtmlExtract, t14ClassifierScore, t15ClassifierWeighted,
-    t16BpeEncode,
+    t16BpeEncode, t17LmScored,
     d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc, d21SemDedup, x24TokenBudget,
     x25LinkRank, x26TrainSplit, x27QuantileNorm,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,

@@ -252,6 +252,35 @@ class PlanSpec extends SparkSpec {
       s"expected a left join against the filtered df tail:\n$lp")
   }
 
+  test("trained-artifact tables broadcast — corpus never shuffles for scoring (T15/T17)") {
+    // the weight / LM tables are bounded model exports: they must arrive as
+    // broadcasts; the only exchange is the doc-id aggregation
+    val p15 = plan(graft.queries.ExtQueries.t15ClassifierWeighted.fn(spark, sf))
+    assert(p15.contains("BroadcastHashJoin"), p15.linesIterator.take(40).mkString("\n"))
+    assert(!p15.contains("SortMergeJoin"), "weight join must not sort-merge")
+    val p17 = plan(graft.queries.ExtQueries.t17LmScored.fn(spark, sf))
+    assert(p17.split("BroadcastHashJoin").length >= 3,
+      "both LM tables (bigram + unigram) must broadcast")
+    // t17's ONE SortMergeJoin is the doc-keyed outer join BACK to the doc
+    // list — corpus-sized on both sides, correctly hash/sort-merge; the LM
+    // joins themselves must never add a second
+    assert("\\(\\d+\\) SortMergeJoin".r.findAllIn(p17).size <= 1,
+      "only the doc-id outer join may sort-merge")
+  }
+
+  test("exact span confirm runs only behind the candidate semi-join (D22)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val lp = graft.queries.ExtQueries.d22SpanExact.fn(spark, sf)
+      .queryExecution.optimizedPlan
+    // no doc×doc anywhere
+    assert(lp.collect { case j: Join if j.joinType.sql == "CROSS" => j }.isEmpty,
+      s"span confirm must never cross-join:\n$lp")
+    // the candidate gate exists: at least one LeftSemi join feeding the
+    // window explode (the exact stage's input is the semi-joined doc set)
+    val semis = lp.collect { case j: Join if j.joinType.sql == "LEFT SEMI" => j }
+    assert(semis.nonEmpty, s"expected the candidate LeftSemi gate:\n$lp")
+  }
+
   test("bloom membership rides the train scan, join-free (C4)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
     val lp = graft.queries.ExtQueries.c4DecontaminateBloom.fn(spark, sf)

@@ -86,4 +86,58 @@ object Graphs {
     }
     ranks.select(col("id").as(idCol), col("rank"))
   }
+
+  /** [[pageRank]] with DANGLING-MASS REDISTRIBUTION — the classic complete
+    * formulation: each round, the summed rank of nodes with no out-links
+    * (which [[pageRank]] lets decay) is redistributed uniformly,
+    *
+    *   r' = (1−d)/N + d·(Σ_in snap(r/outdeg) + snap(DM/N)),
+    *
+    * so total rank mass is conserved (up to grid rounding, ≤ N·2⁻²⁰).
+    * DM is a sum of grid multiples — exact and order-free — and DM/N snaps
+    * before entering the update, so the whole pass stays bit-replayable.
+    * On a graph with no dangling nodes this reduces exactly to
+    * [[pageRank]] (DM = 0 every round).
+    *
+    * Scale shape: [[pageRank]]'s per-round work plus one left join of the
+    * |V|-row rank vector against the degree table (same `src` hash key —
+    * no new exchange shape) and a 1-row aggregate that rides the next
+    * round as a broadcast.
+    */
+  def pageRankFull(
+      nodes: DataFrame, edges: DataFrame, idCol: String,
+      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"need at least one round, got $iters")
+    val n = nodes.agg(count(lit(1)).cast("double").as("_n"))
+    val ids = nodes.select(col(idCol).as("id"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).cast("double").as("_deg"))
+    val edgesDeg = graft.tables.Scratch.stage(
+      edges.join(deg, Seq("src")).select(col("src"), col("dst"), col("_deg")),
+      "pagerank_edges")
+    // degree table for the dangling test — staged once, |V|-bounded
+    val degIds = graft.tables.Scratch.stage(deg.select(col("src")), "pagerank_deg")
+    var ranks = ids.crossJoin(broadcast(n))
+      .select(col("id"), snap(lit(1.0) / col("_n")).as("rank"))
+    for (_ <- 1 to iters) {
+      // dangling mass this round: exact sum of grid multiples, then ONE
+      // snap of the per-node share
+      val dmn = ranks.join(degIds, ranks("id") === degIds("src"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("_dm"))
+        .crossJoin(broadcast(n))
+        .select(snap(col("_dm") / col("_n")).as("_dmn"))
+      val contrib = edgesDeg
+        .join(ranks, edgesDeg("src") === ranks("id"))
+        .select(col("dst"), snap(col("rank") / col("_deg")).as("_c"))
+        .groupBy(col("dst")).agg(sum(col("_c")).as("_m"))
+      val next = ids.crossJoin(broadcast(n)).crossJoin(broadcast(dmn))
+        .join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"),
+          // same IEEE shape as pageRank, with the dangling share inside
+          // the damped term (a replay must add in this exact order)
+          snap(lit(1.0 - damping) / col("_n") +
+            lit(damping) * (coalesce(col("_m"), lit(0.0)) + col("_dmn"))).as("rank"))
+      ranks = graft.tables.Scratch.stage(next, "pagerank_rank")
+    }
+    ranks.select(col("id").as(idCol), col("rank"))
+  }
 }

@@ -4027,13 +4027,68 @@ object ExtQueries {
     // time the shapes; compact-line headroom
     benchmark = false)
 
+  /** X28 — COMPLETE damped PageRank ([[graft.ext.Graphs.pageRankFull]]):
+    * x25's graph minus every out-edge of nodes ≡ 0 (mod 5), which makes
+    * those nodes DANGLING (in-links, no out-links). Their per-round rank
+    * mass redistributes uniformly instead of decaying — the classic
+    * formulation; total mass is conserved to grid rounding. The oracle
+    * unrolls the same rounds with the dangling-mass CTE in the exact IEEE
+    * order (dm summed exactly, ONE snap of dm/N, added inside the damped
+    * term) — any drift in the redistribution arithmetic flips ranks.
+    */
+  val x28LinkRankFull = QueryDef(
+    "x28_link_rank_full",
+    (s, dir) => {
+      val base = Td(s, dir, "documents").select(col("doc_id"))
+      val n1 = base.agg(count(lit(1)).as("_ni"))
+      val edges = base.crossJoin(broadcast(n1))
+        .select(col("doc_id").as("src"),
+          explode(array(lit(0), lit(1), lit(2))).as("j"), col("_ni"))
+        .select(col("src"), ((col("src") * 7 + col("j") * 13 + 1) % col("_ni")).as("dst"))
+        .filter(col("dst") =!= col("src"))
+        .filter(col("src") % 5 =!= 0) // ≡0 (mod 5) → dangling
+      graft.ext.Graphs.pageRankFull(base, edges, "doc_id", iters = 3)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val rounds = (1 to 3).map { i =>
+        val p = i - 1
+        s"""dm$i AS (SELECT round(((SELECT coalesce(sum(r.rank), 0.0)
+                 FROM r$p r LEFT JOIN deg d ON r.id = d.src
+                 WHERE d.src IS NULL) / nn.n) * 1048576.0) / 1048576.0 AS dmn
+             FROM nn),
+      c$i AS (SELECT e.dst, sum(round((r$p.rank / deg.deg) * 1048576.0) / 1048576.0) AS m
+             FROM e JOIN r$p ON e.src = r$p.id JOIN deg ON e.src = deg.src GROUP BY 1),
+      r$i AS (SELECT d.doc_id AS id,
+               round(((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                 + 0.85 * (COALESCE(c$i.m, 0.0) + dm$i.dmn)) * 1048576.0) / 1048576.0 AS rank
+             FROM documents d CROSS JOIN nn CROSS JOIN dm$i
+             LEFT JOIN c$i ON d.doc_id = c$i.dst)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n, count(*) AS ni FROM documents),
+      e AS (SELECT d.doc_id AS src, (d.doc_id * 7 + j.j * 13 + 1) % nn.ni AS dst
+            FROM documents d CROSS JOIN nn CROSS JOIN (VALUES (0), (1), (2)) j(j)
+            WHERE (d.doc_id * 7 + j.j * 13 + 1) % nn.ni <> d.doc_id
+              AND d.doc_id % 5 <> 0),
+      deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY 1),
+      r0 AS (SELECT doc_id AS id, round((1.0 / nn.n) * 1048576.0) / 1048576.0 AS rank
+             FROM documents CROSS JOIN nn),
+      $rounds
+      SELECT id AS doc_id, rank FROM r3 ORDER BY doc_id
+    """
+    },
+    // same exchange shapes as x25 plus a 1-row dangling aggregate —
+    // compact-line headroom
+    benchmark = false)
+
   val all: Seq[QueryDef] = Seq(
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
     t7PiiRedact, t8LmPerplexity, t9TextNormalize, t10ScriptDetect, t11GopherRules,
     t12GopherRepetition, t13HtmlExtract, t14ClassifierScore, t15ClassifierWeighted,
     t16BpeEncode, t17LmScored,
     d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc, d21SemDedup, x24TokenBudget,
-    x25LinkRank, x26TrainSplit, x27QuantileNorm,
+    x25LinkRank, x26TrainSplit, x27QuantileNorm, x28LinkRankFull,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,

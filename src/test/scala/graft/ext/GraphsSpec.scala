@@ -68,6 +68,28 @@ class GraphsSpec extends SparkSpec {
     assert(total < 1.0 - 0.8 * r0, s"dangling mass must decay the total: $total")
   }
 
+  test("pageRankFull conserves mass on dangling graphs and reduces to pageRank without them") {
+    // 1 → 2 → 3, node 3 dangling
+    val ns = Seq(1L, 2L, 3L).toDF("id")
+    val es = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val full = Graphs.pageRankFull(ns, es, "id", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // total mass conserved up to grid rounding (N snaps per round)
+    assert(math.abs(full.values.sum - 1.0) < 3 * 3 * (1.0 / 1048576.0),
+      s"mass must be conserved: ${full.values.sum}")
+    // the simplified variant decays — the two must genuinely differ here
+    val simple = Graphs.pageRank(ns, es, "id", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(simple.values.sum < full.values.sum - 0.1)
+    // and on a dangling-free graph they are IDENTICAL (DM = 0 each round)
+    val es2 = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val a = Graphs.pageRank(ns, es2, "id", iters = 3)
+      .orderBy($"id").collect().map(_.getDouble(1)).toSeq
+    val b = Graphs.pageRankFull(ns, es2, "id", iters = 3)
+      .orderBy($"id").collect().map(_.getDouble(1)).toSeq
+    assert(a === b)
+  }
+
   test("one round from uniform matches the hand-computed update") {
     val r = Graphs.pageRank(nodes, edges, "id", iters = 1)
       .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap

@@ -54,4 +54,53 @@ object Packing {
       .withColumn("pack_offset", col("_pre") % budget)
       .drop("_pre")
   }
+
+  /** Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle") — the code-model
+    * data-prep pass that rewrites a `rate`-fraction of documents into
+    * PSM order so the trained model learns infilling:
+    *
+    *   `<PRE> prefix <SUF> suffix <MID> middle`
+    *
+    * Selection and cut points are md5-DERIVED, not random: a doc is
+    * transformed iff its id's sample bucket ≡ 0 (mod `rateMod`) (the
+    * engine-wide [[Similarity.sampleBucket]] convention — refresh-stable,
+    * the same docs transform on every run), and the two token cut points
+    * are independent md5 draws in [0, n] (salted `fim1`/`fim2`), ordered.
+    * Token-level splits on the whitespace tokens — the published
+    * character-level variant needs only a different split column.
+    *
+    * Output: input columns plus `fim` (1 = transformed), `n_prefix` /
+    * `n_middle` / `n_suffix` token counts (untransformed rows report
+    * (0, n, 0) — the whole doc is "middle"), and `out_text` (PSM form, or
+    * the original text untouched).
+    * Pure per-row map work — no shuffle, rides the scan at any corpus
+    * size; every draw replays exactly in a SQL oracle.
+    */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String,
+      rateMod: Int = 4): DataFrame = {
+    require(rateMod >= 1, s"rateMod must be >= 1, got $rateMod")
+    val toks = TextAnalysis.wsTokens(col(textCol))
+    val n = size(toks)
+    def draw(salt: String) =
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 6), 16, 10)
+        .cast("int") % (n + 1)
+    val h1 = draw("fim1")
+    val h2 = draw("fim2")
+    val c1 = least(h1, h2)
+    val c2 = greatest(h1, h2)
+    val prefix = array_join(slice(toks, lit(1), c1), " ")
+    val middle = array_join(slice(toks, c1 + 1, c2 - c1), " ")
+    val suffix = array_join(slice(toks, c2 + 1, n - c2), " ")
+    val isFim = Similarity.sampleBucket(col(idCol)) % rateMod === 0
+    docs
+      .withColumn("fim", isFim.cast("int"))
+      .withColumn("n_prefix", when(isFim, c1).otherwise(lit(0)).cast("long"))
+      .withColumn("n_middle", when(isFim, c2 - c1).otherwise(n).cast("long"))
+      .withColumn("n_suffix", when(isFim, n - c2).otherwise(lit(0)).cast("long"))
+      .withColumn("out_text",
+        when(isFim, concat(lit("<PRE> "), prefix, lit(" <SUF> "), suffix,
+          lit(" <MID> "), middle))
+          .otherwise(col(textCol)))
+  }
 }

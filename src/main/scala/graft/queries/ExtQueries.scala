@@ -4082,13 +4082,58 @@ object ExtQueries {
     // compact-line headroom
     benchmark = false)
 
+  /** X29 — fill-in-the-middle transform ([[graft.ext.Packing
+    * .fimTransform]]): a deterministic quarter of the corpus (sample
+    * bucket ≡ 0 mod 4) rewrites to `<PRE> prefix <SUF> suffix <MID>
+    * middle` with md5-drawn token cut points — the code-model infilling
+    * prep. The oracle replays the selection, both draws, the ordered
+    * cuts, and the PSM assembly; any drift in slicing boundaries or
+    * segment order flips the per-doc digest.
+    */
+  val x29Fim = QueryDef(
+    "x29_fim",
+    (s, dir) => {
+      graft.ext.Packing.fimTransform(
+          Td(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", rateMod = 4)
+        .select(col("doc_id"), col("fim"),
+          col("n_prefix"), col("n_middle"), col("n_suffix"),
+          md5(col("out_text")).as("out_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, text,
+               regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      d AS (SELECT doc_id, text, ws, len(ws) AS n,
+              ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'fim1'), 1, 6))::BIGINT
+                % (len(ws) + 1) AS h1,
+              ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'fim2'), 1, 6))::BIGINT
+                % (len(ws) + 1) AS h2,
+              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 4 AS b4
+            FROM w),
+      c AS (SELECT doc_id, text, ws, n, least(h1, h2) AS c1, greatest(h1, h2) AS c2,
+              (b4 = 0) AS isfim FROM d)
+      SELECT doc_id, CAST(isfim AS INT) AS fim,
+             CAST(CASE WHEN isfim THEN c1 ELSE 0 END AS BIGINT) AS n_prefix,
+             CAST(CASE WHEN isfim THEN c2 - c1 ELSE n END AS BIGINT) AS n_middle,
+             CAST(CASE WHEN isfim THEN n - c2 ELSE 0 END AS BIGINT) AS n_suffix,
+             md5(CASE WHEN isfim THEN
+               '<PRE> ' || coalesce(array_to_string(ws[1:c1], ' '), '') ||
+               ' <SUF> ' || coalesce(array_to_string(ws[c2+1:n], ' '), '') ||
+               ' <MID> ' || coalesce(array_to_string(ws[c1+1:c2], ' '), '')
+               ELSE text END) AS out_md5
+      FROM c ORDER BY doc_id
+    """),
+    // pure per-row map work riding the scan — t9 times the shape
+    benchmark = false)
+
   val all: Seq[QueryDef] = Seq(
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
     t7PiiRedact, t8LmPerplexity, t9TextNormalize, t10ScriptDetect, t11GopherRules,
     t12GopherRepetition, t13HtmlExtract, t14ClassifierScore, t15ClassifierWeighted,
     t16BpeEncode, t17LmScored,
     d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc, d21SemDedup, x24TokenBudget,
-    x25LinkRank, x26TrainSplit, x27QuantileNorm, x28LinkRankFull,
+    x25LinkRank, x26TrainSplit, x27QuantileNorm, x28LinkRankFull, x29Fim,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,

@@ -67,4 +67,34 @@ class PackingSpec extends SparkSpec {
       Packing.assign(docs, "doc_id", "n", Nil, 2048L)
     }
   }
+
+  test("fimTransform: segments partition the tokens; untransformed rows byte-identical") {
+    val docs = (0L until 64L).map(i => (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e"))
+      .toDF("doc_id", "text")
+    val out = Packing.fimTransform(docs, "doc_id", "text", rateMod = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("fim"), r.getAs[Long]("n_prefix"), r.getAs[Long]("n_middle"),
+          r.getAs[Long]("n_suffix"), r.getAs[String]("out_text"))))
+      .toMap
+    assert(out.values.exists(_._1 == 1) && out.values.exists(_._1 == 0),
+      "rateMod=2 must transform some docs and leave others")
+    out.foreach { case (id, (fim, p, m, sfx, text)) =>
+      // counts always partition the 5 tokens
+      assert(p + m + sfx === 5L, s"doc $id: $p+$m+$sfx")
+      if (fim == 1) {
+        assert(text.startsWith("<PRE> ") && text.contains(" <SUF> ")
+          && text.contains(" <MID> "), s"doc $id: $text")
+        // every original token survives somewhere in the PSM text
+        (0 until 5).foreach(j => assert(text.contains(s"w$id" + ('a' + j).toChar)))
+      } else {
+        assert(p === 0L && sfx === 0L && m === 5L)
+        assert(text === s"w${id}a w${id}b w${id}c w${id}d w${id}e")
+      }
+    }
+    // deterministic: the same frame transforms identically on a second run
+    val again = Packing.fimTransform(docs, "doc_id", "text", rateMod = 2).collect()
+      .map(r => r.getAs[String]("out_text")).toSeq
+    assert(again === out.toSeq.sortBy(_._1).map(_._2._5) ||
+      again.sorted === out.values.map(_._5).toSeq.sorted)
+  }
 }

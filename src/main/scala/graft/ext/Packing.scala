@@ -77,6 +77,32 @@ object Packing {
     * Pure per-row map work — no shuffle, rides the scan at any corpus
     * size; every draw replays exactly in a SQL oracle.
     */
+  /** Length-bucketed inference batching: within each shard, documents are
+    * ordered by (token count, id) and cut into fixed-size batches — the
+    * standard padding-waste reducer for batched inference/scoring over a
+    * corpus (a batch pads every member to its longest member; sorting by
+    * length makes batch members near-equal, so padding efficiency
+    * Σlen/(max·n) approaches 1 instead of the ~0.5 of arrival order).
+    * Deterministic: the (length, id) sort is total.
+    *
+    * Scale shape: one hash exchange on the shard keys + a per-shard sort
+    * window — the w1/x24 pattern; a pathological mega-shard serializes its
+    * own partition only, and [[graft.ext.Ranking.globalRankTiles]]'s
+    * range-repartition recomposition is the drop-in fix if one shard ever
+    * dominates.
+    */
+  def lengthBatches(docs: DataFrame, idCol: String, nTokCol: String,
+      keys: Seq[String], batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    require(keys.nonEmpty,
+      "batch within explicit shard keys — a global sort is a single sequential scan")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(nTokCol), col(idCol))
+    docs.withColumn("_rn", row_number().over(w))
+      .withColumn("batch_id", expr(s"(_rn - 1) div $batchSize"))
+      .drop("_rn")
+  }
+
   def fimTransform(docs: DataFrame, idCol: String, textCol: String,
       rateMod: Int = 4): DataFrame = {
     require(rateMod >= 1, s"rateMod must be >= 1, got $rateMod")

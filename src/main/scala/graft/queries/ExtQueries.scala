@@ -4127,6 +4127,48 @@ object ExtQueries {
     // pure per-row map work riding the scan — t9 times the shape
     benchmark = false)
 
+  /** X30 — length-bucketed inference batching
+    * ([[graft.ext.Packing.lengthBatches]]): per source, docs sorted by
+    * (token count, id) and cut into 32-doc batches; per batch the padding
+    * efficiency Σlen/(max·n) is reported — the number an inference fleet
+    * watches (sorted batching pushes it toward 1). Exact integer stats +
+    * one engine-identical double division; the oracle replays the total
+    * (length, id) sort, so an off-by-one in the batch cut or a tie-order
+    * drift flips rows.
+    */
+  val x30LengthBatches = QueryDef(
+    "x30_length_batches",
+    (s, dir) => {
+      val docs = Td(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TA.tokenCount(col("text")).cast("long").as("n_tok"))
+      graft.ext.Packing.lengthBatches(docs, "doc_id", "n_tok", Seq("source"), 32)
+        .groupBy(col("source"), col("batch_id"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          max(col("n_tok")).as("max_len"),
+          sum(col("n_tok")).as("sum_len"),
+          (sum(col("n_tok")).cast("double") /
+            (max(col("n_tok")) * count(lit(1))).cast("double")).as("pad_eff"))
+        .orderBy(col("source"), col("batch_id"))
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+             FROM documents),
+      r AS (SELECT doc_id, source, n_tok,
+              (row_number() OVER (PARTITION BY source ORDER BY n_tok, doc_id) - 1) // 32
+                AS batch_id
+            FROM d)
+      SELECT source, batch_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(max(n_tok) AS BIGINT) AS max_len,
+             CAST(sum(n_tok) AS BIGINT) AS sum_len,
+             CAST(sum(n_tok) AS DOUBLE) / CAST(max(n_tok) * count(*) AS DOUBLE) AS pad_eff
+      FROM r GROUP BY 1, 2 ORDER BY 1, 2
+    """),
+    // shard exchange + per-shard sort window — w1/x24 time the shape
+    benchmark = false)
+
   val all: Seq[QueryDef] = Seq(
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
     t7PiiRedact, t8LmPerplexity, t9TextNormalize, t10ScriptDetect, t11GopherRules,
@@ -4134,6 +4176,7 @@ object ExtQueries {
     t16BpeEncode, t17LmScored,
     d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc, d21SemDedup, x24TokenBudget,
     x25LinkRank, x26TrainSplit, x27QuantileNorm, x28LinkRankFull, x29Fim,
+    x30LengthBatches,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,

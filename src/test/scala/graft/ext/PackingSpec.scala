@@ -68,6 +68,33 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("lengthBatches: per-shard (length, id) sort, fixed cuts, pads less than arrival order") {
+    // two shards; lengths deliberately interleaved in id order
+    val docs = Seq(
+      ("A", 1L, 100L), ("A", 2L, 1L), ("A", 3L, 99L), ("A", 4L, 2L),
+      ("B", 5L, 50L), ("B", 6L, 49L))
+      .toDF("source", "doc_id", "n")
+    val out = Packing.lengthBatches(docs, "doc_id", "n", Seq("source"), 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("batch_id")).toMap
+    // shard A sorted by length: 2(1),4(2) | 3(99),1(100) — similar lengths
+    // batch together, which is the whole point
+    assert(out(2L) === 0L && out(4L) === 0L)
+    assert(out(3L) === 1L && out(1L) === 1L)
+    assert(out(5L) === 0L && out(6L) === 0L)
+    // padding efficiency of sorted batches beats arrival-order batches
+    def eff(batches: Seq[Seq[Long]]): Double =
+      batches.map(b => b.sum.toDouble / (b.max * b.size)).sum / batches.size
+    val sortedEff = eff(Seq(Seq(1L, 2L), Seq(99L, 100L)))
+    val arrivalEff = eff(Seq(Seq(100L, 1L), Seq(99L, 2L)))
+    assert(sortedEff > arrivalEff)
+    assertThrows[IllegalArgumentException] {
+      Packing.lengthBatches(docs, "doc_id", "n", Nil, 2)
+    }
+    assertThrows[IllegalArgumentException] {
+      Packing.lengthBatches(docs, "doc_id", "n", Seq("source"), 0)
+    }
+  }
+
   test("fimTransform: segments partition the tokens; untransformed rows byte-identical") {
     val docs = (0L until 64L).map(i => (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e"))
       .toDF("doc_id", "text")

@@ -156,6 +156,9 @@ object ScaleStress {
       // fixed-round PageRank: |E| = 3|V| modular edges, per round one
       // edge-keyed join + agg + node left join — time must track |V|
       "x25_linkrank" -> reg("x25_link_rank"),
+      // complete PageRank: x25's rounds + a |V|-row dangling anti-join and
+      // a 1-row broadcast aggregate per round — same curve expected
+      "x28_linkrank_full" -> reg("x28_link_rank_full"),
       "d6_ivf_scaled_k" -> ((s: SparkSession, dir: String) => ivf(kFor(dirFactor(dir)))(s, dir)),
       // k ∝ √N: the classic IVF balance point — assignment O(N·k) and
       // within-cluster pairing O(N²/k) both grow as N^1.5

@@ -400,6 +400,37 @@ object Streams {
       }
       .start()
 
+  /** Streaming quality gate with TRAINED weights — the streaming twin of
+    * the t15 batch surface: each micro-batch scores against the exported
+    * (term, weight) table via [[graft.ext.TextAnalysis.linearScore]]
+    * (broadcast join + decimal mean pool — batch semantics inside
+    * foreachBatch, so the exact same arithmetic as the batch gate), keeps
+    * documents with score > `cut`, and UPSERTS them by `idCol` — replay-
+    * idempotent like the other sinks. The weight table is a plain
+    * DataFrame: re-deploying a retrained model is swapping the table, not
+    * the stream.
+    */
+  def scoredUpsertSink(
+      docs: DataFrame, store: TableStore, table: String, idCol: String,
+      textCol: String, weights: DataFrame, bias: Double, cut: Double,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = graft.clean.Normalize.dedupKeep(
+          batch, Seq(idCol), batch.columns.filterNot(_ == idCol).map(col).toSeq)
+        val kept = graft.ext.TextAnalysis
+          .linearScore(b, idCol, textCol, weights, bias = bias)
+          .filter(col("score") > cut)
+          .join(b, Seq(idCol))
+        store.overwriteIfAbsentElse(table, kept)(target =>
+          Upsert.merge(target, kept, Seq(idCol),
+            onDuplicate = Upsert.DuplicatePolicy.DedupDeterministic))
+      }
+      .start()
+
   /** Streaming exact dedup with bounded state: duplicates arriving within
     * the watermark horizon are dropped; state for keys older than the
     * watermark is evicted (`dropDuplicatesWithinWatermark` — the streaming

@@ -449,6 +449,34 @@ class StreamsSpec extends SparkSpec {
     assert(graft.ext.DedupIndex.knownIds(store, "ix2", "doc_id").count() === 2)
   }
 
+  test("scoredUpsertSink: trained-weight gate keeps only above-cut docs, replay-idempotent") {
+    val dir = Files.createTempDirectory("graft_sc_landing").toString
+    val ckpt = Files.createTempDirectory("graft_sc_ckpt").toString
+    val store = new TableStore(spark, Files.createTempDirectory("graft_sc_store").toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    import spark.implicits._
+    val weights = Seq(("good", "0.500000"), ("bad", "-0.500000")).toDF("term", "weight")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b1.json"),
+      s"""{"doc_id":1,"text":"good good stuff"}
+         |{"doc_id":2,"text":"bad bad stuff"}
+         |{"doc_id":3,"text":"neutral words only"}
+         |""".stripMargin)
+    def drain(ck: String): Unit = Streams.scoredUpsertSink(
+      spark.readStream.format("json").schema(schema).load(dir),
+      store, "gated", "doc_id", "text", weights, bias = 0.0, cut = 0.1,
+      ck).awaitTermination()
+    drain(ckpt)
+    // doc 1: (0.5+0.5)/3 ≈ 0.33 > 0.1 kept; doc 2: -0.33 dropped;
+    // doc 3: all-OOV → bias 0.0 ≤ 0.1 dropped
+    val kept = store.read("gated").collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(kept === Seq(1L))
+    // full replay under a fresh checkpoint: table unchanged (upsert by id)
+    drain(Files.createTempDirectory("graft_sc_ckpt2").toString)
+    assert(store.read("gated").collect().map(_.getAs[Long]("doc_id")).toSeq === Seq(1L))
+  }
+
   test("anomalyStream skips values outside the DECIMAL(18,2) domain instead of dying") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Streams.Event]

@@ -186,20 +186,69 @@ object Paragraphs {
     require(anchor >= 1 && anchor <= window,
       s"anchor must be in [1, window], got $anchor")
     require(anchorMod >= 1, s"anchorMod must be >= 1, got $anchorMod")
-    val toks = TextAnalysis.wsTokens(col(textCol))
-    def grams(n: Int) = when(size(toks) >= n,
-      org.apache.spark.sql.graft.WordShingles.shinglesAll(toks, n))
-      .otherwise(array().cast("array<string>"))
-    val anchors = df.select(col(idCol), explode(grams(anchor)).as("_g"))
+    val anchors = df
+      .select(col(idCol), explode(sizedGrams(col(textCol), anchor)).as("_g"))
       .select(col(idCol), md5(col("_g")).as("_ah"))
       .filter(conv(substring(col("_ah"), 1, 4), 16, 10).cast("int") % anchorMod === 0)
       .distinct()
+    exactConfirm(df, idCol, textCol, window, anchors)
+  }
+
+  /** [[dupSpansExact]] with the probabilistic anchor stage replaced by
+    * WINNOWING (Schleimer et al. 2003, the MOSS fingerprinting scheme):
+    * per document, hash the `anchor`-token shingle at every offset and
+    * select, for every window of `window − anchor + 1` CONSECUTIVE shingle
+    * hashes, that window's MINIMUM. Selection is content-defined (a shared
+    * span selects the same minima in every document holding it) and the
+    * winnowing theorem applies: any shared span of
+    * `anchor + (window − anchor + 1) − 1 = window` tokens or more shares
+    * at least one selected fingerprint — so with the stride-1 confirm
+    * stage this operator finds EVERY cross-document duplicated span of
+    * `window`+ tokens, deterministically, at any alignment. No stride
+    * approximation, no selection-probability caveat, no suffix array.
+    *
+    * Cost vs [[dupSpansExact]]: the anchor stage computes every shingle
+    * hash (same explode) plus one per-document sliding-min window (docs
+    * are the partition — the w1 per-group window shape, never global);
+    * expected selected density is ~2/(winSel+1) (the paper's bound), so
+    * the df aggregation shuffles FEWER digests than mod-4 sampling at the
+    * defaults. Documents shorter than `anchor` tokens have no shingle and
+    * cannot be candidates (they cannot hold a `window`-token span either).
+    */
+  def dupSpansGuaranteed(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 30, anchor: Int = 8): DataFrame = {
+    require(anchor >= 1 && anchor <= window,
+      s"anchor must be in [1, window], got $anchor")
+    val winSel = window - anchor + 1
+    val hashed = df
+      .select(col(idCol), posexplode(sizedGrams(col(textCol), anchor)).as(Seq("_i", "_g")))
+      .select(col(idCol), col("_i"), md5(col("_g")).as("_h"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_i"))
+      .rowsBetween(0, winSel - 1)
+    val nGrams = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    val anchors = hashed
+      .withColumn("_wm", min(col("_h")).over(byDoc))
+      .withColumn("_m", count(lit(1)).over(nGrams))
+      // full windows only — except a doc with fewer than winSel shingles,
+      // which winnows as one short window (its overall min)
+      .filter(col("_i") <= greatest(col("_m") - winSel, lit(0L)))
+      .select(col(idCol), col("_wm").as("_ah"))
+      .distinct()
+    exactConfirm(df, idCol, textCol, window, anchors)
+  }
+
+  /** Shared candidate-gated exact stage: docs sharing an `_ah` anchor with
+    * another doc get every offset's `window`-token window df-flagged.
+    */
+  private def exactConfirm(df: DataFrame, idCol: String, textCol: String,
+      window: Int, anchors: DataFrame): DataFrame = {
     val sharedA = anchors.groupBy(col("_ah"))
       .agg(count(lit(1)).as("_na")).filter(col("_na") >= 2)
       .select(col("_ah"))
     val cand = anchors.join(sharedA, Seq("_ah")).select(col(idCol)).distinct()
     val wins = df.join(cand, Seq(idCol), "left_semi")
-      .select(col(idCol), explode(grams(window)).as("_w"))
+      .select(col(idCol), explode(sizedGrams(col(textCol), window)).as("_w"))
       .select(col(idCol), md5(col("_w")).as("span_md5"))
     val shared = wins.select(col(idCol), col("span_md5")).distinct()
       .groupBy(col("span_md5")).agg(count(lit(1)).as("n_docs"))
@@ -211,6 +260,17 @@ object Paragraphs {
         sum(when(col("n_docs").isNotNull, 1L).otherwise(0L)).cast("long").as("n_dup_windows"))
       .withColumn("dup_span_frac",
         col("n_dup_windows").cast("double") / greatest(col("n_windows"), lit(1L)).cast("double"))
+  }
+
+  /** All `n`-token shingles, or an empty array when the text is shorter
+    * than `n` tokens (the [[org.apache.spark.sql.graft.WordShingles]]
+    * whole-text fallback would fabricate an undersized "window").
+    */
+  private def sizedGrams(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.wsTokens(text)
+    when(size(toks) >= n,
+      org.apache.spark.sql.graft.WordShingles.shinglesAll(toks, n))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** WITHIN-document chunk dedup — the intra-doc twin of [[boilerplateClean]]

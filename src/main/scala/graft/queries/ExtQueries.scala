@@ -3167,6 +3167,77 @@ object ExtQueries {
     // headroom
     benchmark = false)
 
+  /** D23 — GUARANTEED duplicated spans ([[graft.ext.Paragraphs
+    * .dupSpansGuaranteed]]): winnowed anchors (per-doc sliding MIN over
+    * 23 consecutive 8-gram hashes) + the stride-1 confirm — by the
+    * winnowing theorem every shared span of ≥ 30 tokens is found at ANY
+    * alignment, deterministically. The plant is adversarially minimal:
+    * docs with id%29==11 carry a (1 + id%13)-token prefix of their own
+    * text and then a shared block of EXACTLY 30 tokens — the smallest
+    * span the contract covers, at 13 different alignments — and every
+    * planted doc must flag its single in-span window. The oracle replays
+    * the winnow selection (same window min, same full-window bound) and
+    * both stages.
+    */
+  val d23SpanGuaranteed = QueryDef(
+    "d23_span_guaranteed",
+    (s, dir) => {
+      val id = col("doc_id")
+      val Span30 =
+        "license text follows this work is provided as is without warranty " +
+          "of any kind either express or implied including but not limited " +
+          "to the implied warranties of merchantability and fitness"
+      val ws = TA.wsTokens(col("text"))
+      val planted = when(id % 29 === 11,
+          concat(array_join(slice(ws, lit(1), (id % 13 + 1).cast("int")), " "),
+            lit(" " + Span30)))
+        .otherwise(col("text"))
+      graft.ext.Paragraphs.dupSpansGuaranteed(
+          Td(s, dir, "documents").select(id, planted.as("text")),
+          "doc_id", "text", window = 30, anchor = 8)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val span =
+        "license text follows this work is provided as is without warranty " +
+          "of any kind either express or implied including but not limited " +
+          "to the implied warranties of merchantability and fitness"
+      s"""
+      WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 29 = 11
+          THEN array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:(CAST(doc_id % 13 AS INT) + 1)], ' ') || ' $span'
+          ELSE text END AS t
+        FROM documents),
+      w AS (SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS ws FROM aug),
+      ag AS (SELECT doc_id, s + 1 AS i, md5(array_to_string(ws[s+1:s+8], ' ')) AS h
+             FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 8)) AS s FROM w)),
+      wm AS (SELECT doc_id, i,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND 22 FOLLOWING) AS wmh,
+               count(*) OVER (PARTITION BY doc_id) AS m
+             FROM ag),
+      asel AS (SELECT DISTINCT doc_id, wmh AS ah FROM wm
+               WHERE i <= greatest(m - 22, 1)),
+      ash AS (SELECT ah FROM asel GROUP BY ah HAVING count(*) >= 2),
+      cand AS (SELECT DISTINCT doc_id FROM asel JOIN ash USING (ah)),
+      wst AS (SELECT w.doc_id, ws, unnest(generate_series(0, len(ws) - 30)) AS s
+              FROM w JOIN cand USING (doc_id)),
+      wins AS (SELECT doc_id, md5(array_to_string(ws[s+1:s+30], ' ')) AS h FROM wst),
+      shared AS (SELECT h, count(*) AS n_docs FROM (
+                   SELECT DISTINCT doc_id, h FROM wins)
+                 GROUP BY 1 HAVING count(*) >= 2)
+      SELECT wins.doc_id,
+             CAST(count(*) AS BIGINT) AS n_windows,
+             CAST(sum(CASE WHEN sh.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+             CAST(sum(CASE WHEN sh.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / greatest(count(*), 1) AS dup_span_frac
+      FROM wins LEFT JOIN shared sh ON wins.h = sh.h
+      GROUP BY 1 ORDER BY 1
+    """
+    },
+    // winnow adds one per-doc sliding-min window to d22's shapes (w1's
+    // per-group window) — compact-line headroom
+    benchmark = false)
+
   /** X23 — per-source corpus fingerprint: an ORDER-FREE content digest
     * (sum of the two 32-bit halves of each doc's md5, exact in BIGINT)
     * plus the doc count — the manifest line a pipeline writes per snapshot
@@ -4181,7 +4252,7 @@ object ExtQueries {
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,
     d14DedupChargram, d17DedupIndexBucketed, d19DedupContainment, d20SpanDedup,
-    d22SpanExact,
+    d22SpanExact, d23SpanGuaranteed,
     s1KnnBrute, s2AnnIvf, s3KnnQuantized, s5KnnPq, s6AnnIvfPq, s7HardNegatives, x20CorpusReport,
     m1MediaMeta, m2FrameSample, m3VideoMeta,
     c1Curation, c2CurationRecipe, c3Decontaminate, c4DecontaminateBloom,

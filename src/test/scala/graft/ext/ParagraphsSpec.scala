@@ -198,6 +198,34 @@ class ParagraphsSpec extends SparkSpec {
     assert(byId(1L)._3 < byId(1L)._2 && byId(2L)._3 < byId(2L)._2)
   }
 
+  test("dupSpansGuaranteed: a MINIMAL window-length span is caught at any alignment") {
+    // shared block of EXACTLY window=10 tokens — the smallest span the
+    // contract covers — at three different offsets, none stride-aligned
+    val block = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, s"aaa $block"),
+      (2L, s"bbb ccc ddd $block"),
+      (3L, s"eee fff $block tail1 tail2"),
+      (4L, "unrelated words only here five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val out = Paragraphs
+      .dupSpansGuaranteed(df, "doc_id", "text", window = 10, anchor = 4)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L),
+      s"all three span holders must be candidates: ${out.toSeq}")
+    // each doc holds exactly one full copy of the block → exactly one
+    // shared window flags; prefix/suffix windows stay clean
+    out.foreach { case (id, _, nd, _) => assert(nd === 1L, s"doc $id: $nd") }
+    // winnowing theorem: NO dependence on selection luck — shrinking the
+    // block by one token ends the guarantee (span < window is out of scope)
+    val short = (1 to 9).map(i => s"w$i").mkString(" ")
+    val df2 = Seq((1L, s"aaa $short"), (2L, s"bbb ccc $short")).toDF("doc_id", "text")
+    val out2 = Paragraphs
+      .dupSpansGuaranteed(df2, "doc_id", "text", window = 10, anchor = 4)
+      .collect()
+    assert(out2.forall(_.getAs[Long]("n_dup_windows") === 0L))
+  }
+
   test("tokenWindows rejects stride outside [1, window]") {
     val df = Seq((1L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

@@ -792,4 +792,56 @@ object Similarity {
       .orderBy(col("adc").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
+
+  // --- per-dimension standardization (whitening-lite) -----------------------
+
+  /** Per-DIMENSION corpus moments of an embedding column — the statistics
+    * pass behind [[standardize]]: per dim, the mean and sample-σ of the
+    * values QUANTIZED TO MICROS (`round(x·10⁶)` — integer-valued doubles,
+    * so the e4 exact-moment pattern applies on the dimension axis: Σ and
+    * Σ² accumulate in DECIMAL(18,0)/DECIMAL(38,0) with zero rounding, and
+    * μ/σ derive in doubles with the identical expression tree in any
+    * engine). One explode + one 64-group aggregation with map-side
+    * combine; output is |dim| rows — broadcast-sized by construction.
+    */
+  def dimStats(df: DataFrame, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val xm = col("_xm").cast(DecimalType(18, 0))
+    val st = df.select(posexplode(col(vecCol)).as(Seq("dim", "_x")))
+      .select(col("dim"), round(col("_x").cast("double") * 1e6).as("_xm"))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).cast("long").as("n_vals"),
+        sum(xm).as("_s1"),
+        sum((xm * xm).cast(DecimalType(38, 0))).as("_s2"))
+    val mu = col("_s1").cast("double") / col("n_vals")
+    val sg = sqrt(greatest(
+      (col("_s2").cast("double") / col("n_vals") - mu * mu) *
+        (col("n_vals").cast("double") / (col("n_vals") - 1).cast("double")),
+      lit(0.0)))
+    st.select(col("dim"), col("n_vals"), mu.as("mu_micros"), sg.as("sigma_micros"))
+  }
+
+  /** Standardize (z-score per dimension) an embedding column — the
+    * whitening-lite post-processing a retrieval stack runs when raw
+    * dimensions have wildly different scales (a dominant dimension
+    * swamps every PQ subspace and cosine alike). Adds `<vecCol>_std`:
+    * element i becomes (micros − μᵢ)/σᵢ, 0.0 where σᵢ = 0 (a constant
+    * dimension carries no information). The |dim|-row stats table rides
+    * the expression as array literals (the centroid collect idiom —
+    * driver-bounded by construction); the transform itself is per-row map
+    * work riding the scan.
+    */
+  def standardize(df: DataFrame, vecCol: String): DataFrame = {
+    val stats = dimStats(df, vecCol).orderBy(col("dim")).collect()
+    val mus = array(stats.map(r => lit(r.getAs[Double]("mu_micros"))).toSeq: _*)
+    val sgs = array(stats.map(r => lit(r.getAs[Double]("sigma_micros"))).toSeq: _*)
+    df.withColumn(vecCol + "_std",
+      transform(col(vecCol), (x, i) => {
+        val sg = element_at(sgs, i + 1)
+        when(sg > 0,
+          (round(x.cast("double") * 1e6) - element_at(mus, i + 1)) / sg)
+          .otherwise(lit(0.0))
+      }))
+  }
 }

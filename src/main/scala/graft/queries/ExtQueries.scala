@@ -4240,6 +4240,58 @@ object ExtQueries {
     // shard exchange + per-shard sort window — w1/x24 time the shape
     benchmark = false)
 
+  /** X31 — embedding standardization statistics
+    * ([[graft.ext.Similarity.dimStats]]): per dimension, exact
+    * micro-quantized moments (the e4 pattern on the dimension axis) plus
+    * the |z| > 2 outlier count — the calibration pass behind
+    * [[graft.ext.Similarity.standardize]]'s whitening-lite transform.
+    * μ/σ/z replay in the oracle with the identical expression tree; any
+    * drift in quantization, the σ clamp, or the z threshold flips counts.
+    */
+  val x31EmbedStandardize = QueryDef(
+    "x31_embed_standardize",
+    (s, dir) => {
+      val emb = Td(s, dir, "embeddings")
+      val ex = emb.select(posexplode(col("embedding")).as(Seq("dim", "_x")))
+        .select(col("dim"), round(col("_x").cast("double") * 1e6).as("_xm"))
+      val ms = graft.ext.Similarity.dimStats(emb, "embedding")
+      ex.join(broadcast(ms), Seq("dim"))
+        .groupBy(col("dim"))
+        .agg(
+          min(col("n_vals")).as("n_vals"),
+          min(col("mu_micros")).as("mu_micros"),
+          min(col("sigma_micros")).as("sigma_micros"),
+          sum(when(col("sigma_micros") > 0 &&
+            abs((col("_xm") - col("mu_micros")) / col("sigma_micros")) > 2,
+            1L).otherwise(0L)).cast("long").as("n_outliers"))
+        .orderBy(col("dim"))
+    },
+    Some("""
+      WITH ex AS (SELECT CAST(dim - 1 AS INT) AS dim, round(CAST(x AS DOUBLE) * 1e6) AS xm
+             FROM (SELECT unnest(embedding) AS x,
+                     unnest(generate_series(1, len(embedding))) AS dim
+                   FROM embeddings)),
+      st AS (SELECT dim, count(*) AS n,
+               sum(CAST(xm AS DECIMAL(18,0))) AS s1,
+               sum(CAST(CAST(xm AS DECIMAL(18,0)) * CAST(xm AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS s2
+             FROM ex GROUP BY 1),
+      ms AS (SELECT dim, n, CAST(s1 AS DOUBLE) / n AS mu,
+               sqrt(greatest(
+                 (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                   * (CAST(n AS DOUBLE) / (n - 1)), 0.0)) AS sg
+             FROM st)
+      SELECT ex.dim,
+             CAST(min(ms.n) AS BIGINT) AS n_vals,
+             min(ms.mu) AS mu_micros,
+             min(ms.sg) AS sigma_micros,
+             CAST(sum(CASE WHEN ms.sg > 0 AND abs((ex.xm - ms.mu) / ms.sg) > 2
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM ex JOIN ms USING (dim)
+      GROUP BY 1 ORDER BY 1
+    """),
+    // explode + 64-group agg + broadcast join back — e4/t5 time the shapes
+    benchmark = false)
+
   val all: Seq[QueryDef] = Seq(
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
     t7PiiRedact, t8LmPerplexity, t9TextNormalize, t10ScriptDetect, t11GopherRules,
@@ -4247,7 +4299,7 @@ object ExtQueries {
     t16BpeEncode, t17LmScored,
     d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc, d21SemDedup, x24TokenBudget,
     x25LinkRank, x26TrainSplit, x27QuantileNorm, x28LinkRankFull, x29Fim,
-    x30LengthBatches,
+    x30LengthBatches, x31EmbedStandardize,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,

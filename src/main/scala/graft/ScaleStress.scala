@@ -153,6 +153,9 @@ object ScaleStress {
       // the docs actually sharing content (the query's planted span), so
       // the exact stage grows with THEM, the anchor stage with the corpus
       "d22_span_exact" -> reg("d22_span_exact"),
+      // winnowed variant: adds a per-doc sliding-min window to the anchor
+      // stage — per-group window work ∝ corpus, confirm stage ∝ candidates
+      "d23_span_guaranteed" -> reg("d23_span_guaranteed"),
       // fixed-round PageRank: |E| = 3|V| modular edges, per round one
       // edge-keyed join + agg + node left join — time must track |V|
       "x25_linkrank" -> reg("x25_link_rank"),

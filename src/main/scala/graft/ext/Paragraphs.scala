@@ -207,34 +207,27 @@ object Paragraphs {
     * `window`+ tokens, deterministically, at any alignment. No stride
     * approximation, no selection-probability caveat, no suffix array.
     *
-    * Cost vs [[dupSpansExact]]: the anchor stage computes every shingle
-    * hash (same explode) plus one per-document sliding-min window (docs
-    * are the partition — the w1 per-group window shape, never global);
-    * expected selected density is ~2/(winSel+1) (the paper's bound), so
-    * the df aggregation shuffles FEWER digests than mod-4 sampling at the
-    * defaults. Documents shorter than `anchor` tokens have no shingle and
-    * cannot be candidates (they cannot hold a `window`-token span either).
+    * Cost vs [[dupSpansExact]]: the anchor stage is ONE native pass per
+    * row ([[org.apache.spark.sql.graft.WinnowMins]] — hash every shingle,
+    * monotonic-deque sliding min, distinct emission), so nothing shuffles
+    * until the selected fingerprints (expected density ~2/(winSel+1), the
+    * paper's bound — FEWER digests than mod-4 sampling at the defaults)
+    * reach the df aggregation. A window-function formulation would
+    * exchange every gram digest just to re-group rows that were
+    * co-located all along — measured 12× the shuffle bytes at 10×.
+    * Documents shorter than `anchor` tokens have no shingle and cannot be
+    * candidates (they cannot hold a `window`-token span either).
     */
   def dupSpansGuaranteed(df: DataFrame, idCol: String, textCol: String,
       window: Int = 30, anchor: Int = 8): DataFrame = {
     require(anchor >= 1 && anchor <= window,
       s"anchor must be in [1, window], got $anchor")
     val winSel = window - anchor + 1
-    val hashed = df
-      .select(col(idCol), posexplode(sizedGrams(col(textCol), anchor)).as(Seq("_i", "_g")))
-      .select(col(idCol), col("_i"), md5(col("_g")).as("_h"))
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("_i"))
-      .rowsBetween(0, winSel - 1)
-    val nGrams = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
-    val anchors = hashed
-      .withColumn("_wm", min(col("_h")).over(byDoc))
-      .withColumn("_m", count(lit(1)).over(nGrams))
-      // full windows only — except a doc with fewer than winSel shingles,
-      // which winnows as one short window (its overall min)
-      .filter(col("_i") <= greatest(col("_m") - winSel, lit(0L)))
-      .select(col(idCol), col("_wm").as("_ah"))
-      .distinct()
+    // per-doc-distinct by construction (the expression emits a set), so no
+    // distinct exchange is needed before the shared-anchor aggregation
+    val anchors = df.select(col(idCol),
+      explode(org.apache.spark.sql.graft.WinnowMins.winnowMins(
+        sizedGrams(col(textCol), anchor), winSel)).as("_ah"))
     exactConfirm(df, idCol, textCol, window, anchors)
   }
 

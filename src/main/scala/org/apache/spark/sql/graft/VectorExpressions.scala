@@ -268,6 +268,94 @@ object CharShingles {
     ExpressionUtils.column(CharShingles(ExpressionUtils.expression(text), q))
 }
 
+/** Winnowing fingerprint selection (Schleimer et al. 2003): md5 each gram
+  * and emit the DISTINCT minima of every `winSel`-wide sliding window of
+  * consecutive gram hashes (one degenerate window when the doc has fewer
+  * grams). The df-level alternative — explode all hashes and run a
+  * per-doc sliding-min WINDOW — forces a hash exchange of every gram
+  * digest to re-group rows that were co-located all along (they came from
+  * ONE input row); this expression computes the same selection in one
+  * native pass inside the scan's codegen: O(n) via a monotonic deque,
+  * zero shuffle, zero interpreted lambdas. Hash order is lowercase-hex
+  * lexicographic — identical to SQL `min()` over `md5()` VARCHARs, so an
+  * oracle can replay the selection with a window function.
+  */
+case class WinnowMins(child: Expression, winSel: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.StringType
+
+  require(winSel >= 1, "winnow window must be >= 1")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "winnow_mins"
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowMins.compute(input.asInstanceOf[ArrayData], winSel)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.WinnowMins.compute($c, $winSel)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowMins =
+    copy(child = newChild)
+}
+
+object WinnowMins {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val Hex = "0123456789abcdef".toCharArray
+  private val Md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  private def md5Hex(s: UTF8String): String = {
+    val d = Md.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes)
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = Hex((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = Hex(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  def compute(grams: ArrayData, winSel: Int): ArrayData = {
+    val m = grams.numElements()
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    val h = new Array[String](m)
+    var i = 0
+    while (i < m) { h(i) = md5Hex(grams.getUTF8String(i)); i += 1 }
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (m <= winSel) {
+      var best = h(0)
+      var j = 1
+      while (j < m) { if (h(j).compareTo(best) < 0) best = h(j); j += 1 }
+      out.add(UTF8String.fromString(best))
+    } else {
+      // monotonic deque of candidate indices, increasing hash order
+      val deque = new Array[Int](m)
+      var head = 0
+      var tail = 0 // [head, tail)
+      var j = 0
+      while (j < m) {
+        while (tail > head && h(deque(tail - 1)).compareTo(h(j)) >= 0) tail -= 1
+        deque(tail) = j; tail += 1
+        if (deque(head) <= j - winSel) head += 1
+        if (j >= winSel - 1) out.add(UTF8String.fromString(h(deque(head))))
+        j += 1
+      }
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  /** Column API. */
+  def winnowMins(grams: Column, winSel: Int): Column =
+    ExpressionUtils.column(WinnowMins(ExpressionUtils.expression(grams), winSel))
+}
+
 object WordShingles {
   import org.apache.spark.sql.catalyst.util.GenericArrayData
   import org.apache.spark.unsafe.types.UTF8String

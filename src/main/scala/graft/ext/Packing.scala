@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -101,6 +101,62 @@ object Packing {
     docs.withColumn("_rn", row_number().over(w))
       .withColumn("batch_id", expr(s"(_rn - 1) div $batchSize"))
       .drop("_rn")
+  }
+
+  /** T5/UL2-style SPAN CORRUPTION (Raffel et al. 2020): the denoising
+    * objective's data prep — replace spans of tokens with numbered
+    * sentinels and emit the removed spans as the target sequence:
+    *
+    *   input:  `tok tok <X0> tok … <X1> tok`
+    *   target: `<X0> dropped toks <X1> dropped toks`
+    *
+    * Deterministic md5-derived variant of the paper's random corruption:
+    * tokens split into fixed `block`-token blocks ([[graft.ext.Paragraphs
+    * .chunks]]), each block drops ONE span — length 1 + md5(id,blk) mod
+    * `maxSpan` (capped at the block), start md5-drawn over the valid
+    * range — giving ≈ (maxSpan+1)/2 corrupted tokens per `block` (the
+    * paper's ~15% at the 20/5 defaults), refresh-stable. Sentinel number
+    * = block index, so inputs and targets align by construction.
+    *
+    * Scale shape: one narrow chunk explode riding the scan, per-block
+    * Column arithmetic (no higher-order lambdas — the chunk EXPLODE is
+    * what keeps the md5 draws and slices top-level codegen'd expressions),
+    * then one per-doc regroup using the ordered-struct reconstruction
+    * idiom. Empty segments vanish via concat_ws-over-nullif, so no double
+    * spaces anywhere.
+    */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+      block: Int = 20, maxSpan: Int = 5): DataFrame = {
+    require(block >= 1, s"block must be >= 1, got $block")
+    require(maxSpan >= 1, s"maxSpan must be >= 1, got $maxSpan")
+    val ch = Paragraphs.chunks(docs, idCol, textCol, chunkTokens = block)
+    val toks = TextAnalysis.wsTokens(col("chunk"))
+    val bs = size(toks)
+    def draw(salt: String) =
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(salt),
+        col("pos").cast("string"))), 1, 6), 16, 10).cast("int")
+    val l = least(draw("scl") % maxSpan + 1, bs)
+    val s = draw("scs") % (bs - l + 1)
+    val sentinel = concat(lit("<X"), col("pos").cast("string"), lit(">"))
+    def nz(c: Column) = nullif(c, lit(""))
+    val inputPiece = concat_ws(" ",
+      nz(array_join(slice(toks, lit(1), s), " ")),
+      sentinel,
+      nz(array_join(slice(toks, s + l + 1, bs - s - l), " ")))
+    val targetPiece = concat_ws(" ",
+      sentinel,
+      nz(array_join(slice(toks, s + 1, l), " ")))
+    def rebuild(c: String) = array_join(
+      transform(array_sort(collect_list(struct(col("pos"), col(c)))),
+        st => st.getField(c)), " ")
+    ch.select(col(idCol), col("pos"),
+        inputPiece.as("_in"), targetPiece.as("_tg"), l.as("_l"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_blocks"),
+        sum(col("_l")).cast("long").as("n_corrupt"),
+        rebuild("_in").as("input_text"),
+        rebuild("_tg").as("target_text"))
   }
 
   def fimTransform(docs: DataFrame, idCol: String, textCol: String,

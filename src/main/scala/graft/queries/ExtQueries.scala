@@ -4292,6 +4292,52 @@ object ExtQueries {
     // explode + 64-group agg + broadcast join back — e4/t5 time the shapes
     benchmark = false)
 
+  /** X32 — T5-style span corruption ([[graft.ext.Packing.spanCorrupt]]):
+    * every 20-token block drops one md5-drawn span behind a numbered
+    * sentinel; inputs and the sentinel-keyed target sequence rebuild per
+    * doc. The oracle replays the chunking, both draws, the cap, the
+    * empty-segment concat_ws/nullif collapse, and both ordered
+    * reconstructions — any drift flips the per-doc digests.
+    */
+  val x32SpanCorrupt = QueryDef(
+    "x32_span_corrupt",
+    (s, dir) => {
+      graft.ext.Packing.spanCorrupt(
+          Td(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", block = 20, maxSpan = 5)
+        .select(col("doc_id"), col("n_blocks"), col("n_corrupt"),
+          md5(col("input_text")).as("input_md5"),
+          md5(col("target_text")).as("target_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      b AS (SELECT doc_id, unnest(generate_series(0, (len(ws) - 1) // 20)) AS pos, ws FROM w),
+      c AS (SELECT doc_id, pos, ws[pos*20+1 : pos*20+20] AS tb FROM b),
+      d AS (SELECT doc_id, pos, tb, len(tb) AS bs,
+              ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'scl' || CAST(pos AS VARCHAR)), 1, 6))::BIGINT AS h1,
+              ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'scs' || CAST(pos AS VARCHAR)), 1, 6))::BIGINT AS h2
+            FROM c),
+      e AS (SELECT doc_id, pos, tb, bs, h2, least(h1 % 5 + 1, bs) AS l FROM d),
+      f AS (SELECT doc_id, pos, tb, bs, l, h2 % (bs - l + 1) AS s FROM e),
+      g AS (SELECT doc_id, pos, l,
+              concat_ws(' ',
+                nullif(coalesce(array_to_string(tb[1:s], ' '), ''), ''),
+                '<X' || CAST(pos AS VARCHAR) || '>',
+                nullif(coalesce(array_to_string(tb[s+l+1:bs], ' '), ''), '')) AS inp,
+              concat_ws(' ',
+                '<X' || CAST(pos AS VARCHAR) || '>',
+                nullif(coalesce(array_to_string(tb[s+1:s+l], ' '), ''), '')) AS tgt
+            FROM f)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum(l) AS BIGINT) AS n_corrupt,
+             md5(string_agg(inp, ' ' ORDER BY pos)) AS input_md5,
+             md5(string_agg(tgt, ' ' ORDER BY pos)) AS target_md5
+      FROM g GROUP BY 1 ORDER BY 1
+    """),
+    // chunk explode + per-doc regroup — d15/x19 time the shapes
+    benchmark = false)
+
   val all: Seq[QueryDef] = Seq(
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
     t7PiiRedact, t8LmPerplexity, t9TextNormalize, t10ScriptDetect, t11GopherRules,
@@ -4299,7 +4345,7 @@ object ExtQueries {
     t16BpeEncode, t17LmScored,
     d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc, d21SemDedup, x24TokenBudget,
     x25LinkRank, x26TrainSplit, x27QuantileNorm, x28LinkRankFull, x29Fim,
-    x30LengthBatches, x31EmbedStandardize,
+    x30LengthBatches, x31EmbedStandardize, x32SpanCorrupt,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,

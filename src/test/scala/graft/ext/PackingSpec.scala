@@ -95,6 +95,36 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("spanCorrupt: substituting targets back into the input reproduces the original") {
+    val docs = Seq(
+      (1L, (1 to 47).map(i => s"t$i").mkString(" ")), // 3 blocks, short tail
+      (2L, "short doc here"),                          // single short block
+      (3L, "")                                         // empty → one "" chunk
+    ).toDF("doc_id", "text")
+    val out = Packing.spanCorrupt(docs, "doc_id", "text", block = 20, maxSpan = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_blocks"), r.getAs[Long]("n_corrupt"),
+          r.getAs[String]("input_text"), r.getAs[String]("target_text"))))
+      .toMap
+    assert(out(1L)._1 === 3L && out(2L)._1 === 1L && out(3L)._1 === 1L)
+    // the denoising invariant: replace each <Xk> in the input by target
+    // span k → the original text, token for token
+    val original = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, (_, nCorrupt, inp, tgt)) =>
+      val spanMap = "<X(\\d+)>([^<]*)".r.findAllMatchIn(tgt)
+        .map(m => m.group(1).toInt -> m.group(2).trim).toMap
+      val rebuilt = "<X(\\d+)>".r.replaceAllIn(inp,
+        m => java.util.regex.Matcher.quoteReplacement(
+          spanMap.getOrElse(m.group(1).toInt, "")))
+        .trim.replaceAll(" +", " ")
+      assert(rebuilt === original(id).trim.replaceAll("\\s+", " "),
+        s"doc $id: '$rebuilt' != '${original(id)}'")
+      assert(nCorrupt >= 1L) // every block drops at least one token
+      // sentinels appear exactly once in input AND target, numbered by block
+      assert("<X\\d+>".r.findAllIn(inp).toSeq === "<X\\d+>".r.findAllIn(tgt).toSeq)
+    }
+  }
+
   test("fimTransform: segments partition the tokens; untransformed rows byte-identical") {
     val docs = (0L until 64L).map(i => (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e"))
       .toDF("doc_id", "text")

@@ -4338,6 +4338,90 @@ object ExtQueries {
     // chunk explode + per-doc regroup — d15/x19 time the shapes
     benchmark = false)
 
+  /** X33 — curation gate ATTRITION funnel: the pipeline-observability
+    * report behind every c1-style curation run — per gate (Gopher format
+    * rules → language → PII-free → exact-dedup representative), how many
+    * documents entered, survived, and what fraction dropped, with the
+    * gates applied CUMULATIVELY in pipeline order (each stage's n_in is
+    * the previous stage's n_out — the funnel shape, e3's idea applied to
+    * the curation pipeline itself). Stage 1 is a token-length floor
+    * rather than the full Gopher battery (t11): the synthetic vocabulary
+    * carries one required stopword, so Gopher's ≥2-stopword floor drops
+    * the whole corpus and every later stage would read 0 — a length gate
+    * keeps each stage's attrition observable while the machinery (flag
+    * conjunction, funnel recursion) stays identical. One corpus scan computes every flag,
+    * one digest groupBy resolves dedup winners, a single aggregation
+    * yields all four rows — no per-stage re-scan.
+    */
+  val x33GateAttrition = QueryDef(
+    "x33_gate_attrition",
+    (s, dir) => {
+      val docs = Td(s, dir, "documents")
+      val winners = docs.groupBy(md5(col("text")).as("_h"))
+        .agg(min(col("doc_id")).as("_rep"))
+      val flags = docs
+        .join(winners, md5(col("text")) === col("_h"))
+        .select(
+          (TA.tokenCount(col("text")) >= 30).cast("long").as("f1"),
+          (TA.langId(col("text")) === "en").cast("long").as("f2"),
+          (TA.piiEmailCount(col("text")) === 0).cast("long").as("f3"),
+          (col("doc_id") === col("_rep")).cast("long").as("f4"))
+      val agg = flags.agg(
+        count(lit(1)).cast("long").as("n0"),
+        sum(col("f1")).cast("long").as("n1"),
+        sum(col("f1") * col("f2")).cast("long").as("n2"),
+        sum(col("f1") * col("f2") * col("f3")).cast("long").as("n3"),
+        sum(col("f1") * col("f2") * col("f3") * col("f4")).cast("long").as("n4"))
+      agg.selectExpr(
+          """stack(4,
+             0, 'min_len', n0, n1,
+             1, 'lang_en', n1, n2,
+             2, 'pii_free', n2, n3,
+             3, 'dedup_rep', n3, n4) AS (stage_idx, stage, n_in, n_out)""")
+        .select(col("stage_idx").cast("int").as("stage_idx"), col("stage"),
+          col("n_in"), col("n_out"),
+          ((col("n_in") - col("n_out")).cast("double") /
+            greatest(col("n_in"), lit(1L)).cast("double")).as("drop_frac"))
+        .orderBy(col("stage_idx"))
+    },
+    Some {
+      val langEn = {
+        // mirror TextAnalysis.langId == 'en': en markers strictly beat
+        // every other language's marker count (ties at the max go to the
+        // EARLIER language in LangMarkers order — en is first, so en wins
+        // ties it participates in; en also needs count > 0)
+        def cnt(ms: Seq[String]) = {
+          val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+          s"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> list_contains($lst, t)))"
+        }
+        val en = cnt(graft.ext.TextAnalysis.LangMarkers.head._2)
+        val others = graft.ext.TextAnalysis.LangMarkers.tail
+          .map { case (_, ms) => cnt(ms) }
+        s"($en > 0 AND ${others.map(o => s"$en >= $o").mkString(" AND ")})"
+      }
+      s"""
+      WITH reps AS (SELECT md5(text) AS h, min(doc_id) AS rep FROM documents GROUP BY 1),
+      f AS (SELECT
+              CAST(len(regexp_split_to_array(trim(text), '\\s+')) >= 30 AS INT) AS f1,
+              CAST($langEn AS INT) AS f2,
+              CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) = 0 AS INT) AS f3,
+              CAST(d.doc_id = r.rep AS INT) AS f4
+            FROM documents d JOIN reps r ON md5(d.text) = r.h),
+      a AS (SELECT count(*) AS n0, sum(f1) AS n1, sum(f1*f2) AS n2,
+              sum(f1*f2*f3) AS n3, sum(f1*f2*f3*f4) AS n4 FROM f),
+      st(stage_idx, stage) AS (VALUES (0, 'min_len'), (1, 'lang_en'), (2, 'pii_free'), (3, 'dedup_rep'))
+      SELECT st.stage_idx, st.stage,
+             CAST(CASE st.stage_idx WHEN 0 THEN a.n0 WHEN 1 THEN a.n1 WHEN 2 THEN a.n2 ELSE a.n3 END AS BIGINT) AS n_in,
+             CAST(CASE st.stage_idx WHEN 0 THEN a.n1 WHEN 1 THEN a.n2 WHEN 2 THEN a.n3 ELSE a.n4 END AS BIGINT) AS n_out,
+             CAST((CASE st.stage_idx WHEN 0 THEN a.n0 WHEN 1 THEN a.n1 WHEN 2 THEN a.n2 ELSE a.n3 END)
+               - (CASE st.stage_idx WHEN 0 THEN a.n1 WHEN 1 THEN a.n2 WHEN 2 THEN a.n3 ELSE a.n4 END) AS DOUBLE)
+               / CAST(greatest(CASE st.stage_idx WHEN 0 THEN a.n0 WHEN 1 THEN a.n1 WHEN 2 THEN a.n2 ELSE a.n3 END, 1) AS DOUBLE) AS drop_frac
+      FROM st CROSS JOIN a ORDER BY st.stage_idx
+    """
+    },
+    // one scan + digest agg + 1-row funnel — q2/x20 time the shapes
+    benchmark = false)
+
   val all: Seq[QueryDef] = Seq(
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
     t7PiiRedact, t8LmPerplexity, t9TextNormalize, t10ScriptDetect, t11GopherRules,
@@ -4345,7 +4429,7 @@ object ExtQueries {
     t16BpeEncode, t17LmScored,
     d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc, d21SemDedup, x24TokenBudget,
     x25LinkRank, x26TrainSplit, x27QuantileNorm, x28LinkRankFull, x29Fim,
-    x30LengthBatches, x31EmbedStandardize, x32SpanCorrupt,
+    x30LengthBatches, x31EmbedStandardize, x32SpanCorrupt, x33GateAttrition,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,

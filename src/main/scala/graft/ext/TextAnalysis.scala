@@ -237,6 +237,54 @@ object TextAnalysis {
   def bpeEncode(c: Column, merges: Seq[(String, String)]): Column =
     org.apache.spark.sql.graft.BpeEncodeTokens.bpeEncode(wsTokens(c), merges)
 
+  /** Train a BPE merge table ON the corpus — the learning side of
+    * [[bpeEncode]] (Sennrich et al. 2016): each round re-encodes every
+    * word with the merges learned so far (round 0 = code points), counts
+    * ADJACENT piece pairs within words (multiplicity, never across word
+    * boundaries), and adopts the most frequent pair — ties broken by the
+    * lexicographically smallest `"a b"` pair string, so the table is
+    * deterministic. Stops early when no pair reaches `minCount`.
+    *
+    * Each round is one distributed scan + one pair-count aggregation; the
+    * argmax row collects to the driver (1 row/round — the PageRank-loop
+    * idiom, K driver-bounded jobs for K merges). At 100 TB, train on the
+    * md5-bucket sample (`sampleFilter` — the k-means/PQ convention:
+    * codebook quality needs corpus STATISTICS, not the corpus) and encode
+    * everything with the result.
+    *
+    * Returns (a, b, count) per adopted merge, in rank order — feed
+    * `.map(m => (m._1, m._2))` to [[bpeEncode]].
+    */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int,
+      minCount: Long = 2L): Seq[(String, String, Long)] = {
+    require(nMerges >= 1, s"need at least one merge, got $nMerges")
+    import org.apache.spark.sql.graft.{BpeEncodeTokens, WordShingles}
+    val words = df.select(explode(wsTokens(col(textCol))).as("_w"))
+      .filter(length(col("_w")) > 0)
+    val out = Vector.newBuilder[(String, String, Long)]
+    var merges = Vector.empty[(String, String)]
+    var done = false
+    while (merges.length < nMerges && !done) {
+      val pieces = BpeEncodeTokens.bpeEncode(array(col("_w")), merges)
+      val pairs = when(size(pieces) >= 2, WordShingles.shinglesAll(pieces, 2))
+        .otherwise(array().cast("array<string>"))
+      val top = words.select(explode(pairs).as("_p"))
+        .groupBy(col("_p")).agg(count(lit(1)).as("_c"))
+        .filter(col("_c") >= minCount)
+        .orderBy(col("_c").desc, col("_p"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        // pieces are whitespace-free (they come from whitespace tokens),
+        // so the shingle's single space splits the pair exactly
+        val Array(a, b) = top.head.getString(0).split(" ", 2)
+        merges :+= ((a, b))
+        out += ((a, b, top.head.getLong(1)))
+      }
+    }
+    out.result()
+  }
+
   // --- trained-weight linear classifier -------------------------------------
 
   /** Score documents with a TRAINED weight table — the production surface

@@ -3847,6 +3847,96 @@ object ExtQueries {
     // round unrolling is DuckDB-side only; compact-line headroom
     benchmark = false)
 
+  /** T18 — BPE merge-table TRAINING ([[graft.ext.TextAnalysis.bpeTrain]],
+    * the learning side of t16): three rounds of encode-with-learned-merges
+    * → within-word adjacent-pair counts → deterministic argmax (count
+    * desc, pair asc). The oracle replays all three training rounds — each
+    * round's encode is a t16-style unrolled chain over the merge table the
+    * PREVIOUS rounds' argmaxes produced (computed in CTEs, not planted),
+    * so the learned table, the counts, and the rank order are all
+    * hash-gated. Encode chains unroll merges+2 rounds (two identity
+    * rounds of slack over the ≤-one-round-per-pair bound).
+    */
+  val t18BpeTrain = QueryDef(
+    "t18_bpe_train",
+    (s, dir) => {
+      import s.implicits._
+      val learned = TA.bpeTrain(
+        Td(s, dir, "documents").select(col("text")), "text", nMerges = 3)
+      learned.zipWithIndex
+        .map { case ((a, b, c), i) => (i, a, b, c) }
+        .toDF("rank", "a", "b", "n_occ")
+        .select(col("rank").cast("int").as("rank"), col("a"), col("b"),
+          col("n_occ").cast("long").as("n_occ"))
+        .orderBy(col("rank"))
+    },
+    Some {
+      // one t16-style encode round: pieces table `prev` → `r<t>_<n>`,
+      // merging against computed merge-table CTE `mt`
+      def round(t: Int, n: Int, mt: String): String = {
+        val prev = if (n == 1) "p0" else s"r${t}_${n - 1}"
+        s"""u${t}_$n AS MATERIALIZED (SELECT doc_id, wi, unnest(p) AS piece,
+                 unnest(generate_series(1, len(p))) AS i FROM $prev),
+      p${t}_$n AS MATERIALIZED (SELECT x.doc_id, x.wi, x.i, mt.rk
+             FROM u${t}_$n x JOIN u${t}_$n y ON y.doc_id = x.doc_id AND y.wi = x.wi AND y.i = x.i + 1
+             JOIN $mt mt ON mt.a = x.piece AND mt.b = y.piece),
+      b${t}_$n AS MATERIALIZED (SELECT doc_id, wi, min(rk) AS best FROM p${t}_$n GROUP BY 1, 2),
+      s${t}_$n AS MATERIALIZED (SELECT p.doc_id, p.wi, p.i,
+               row_number() OVER (PARTITION BY p.doc_id, p.wi ORDER BY p.i) AS rn
+             FROM p${t}_$n p JOIN b${t}_$n b ON b.doc_id = p.doc_id AND b.wi = p.wi AND p.rk = b.best),
+      a${t}_$n AS MATERIALIZED (SELECT doc_id, wi, i FROM (
+               SELECT doc_id, wi, i,
+                 row_number() OVER (PARTITION BY doc_id, wi, i - rn ORDER BY i) AS pr
+               FROM s${t}_$n) WHERE pr % 2 = 1),
+      r${t}_$n AS MATERIALIZED (SELECT u.doc_id, u.wi,
+               list(CASE WHEN a1.i IS NOT NULL THEN u.piece || nx.piece ELSE u.piece END
+                    ORDER BY u.i) AS p
+             FROM u${t}_$n u
+             LEFT JOIN a${t}_$n a1 ON a1.doc_id = u.doc_id AND a1.wi = u.wi AND a1.i = u.i
+             LEFT JOIN a${t}_$n a2 ON a2.doc_id = u.doc_id AND a2.wi = u.wi AND a2.i = u.i - 1
+             LEFT JOIN u${t}_$n nx ON nx.doc_id = u.doc_id AND nx.wi = u.wi AND nx.i = u.i + 1
+             WHERE a2.i IS NULL
+             GROUP BY u.doc_id, u.wi)"""
+      }
+      // training round t: pair counts over pieces table `from`, argmax
+      def pick(t: Int, from: String): String =
+        s"""pr$t AS MATERIALIZED (SELECT unnest(list_transform(generate_series(1, len(p) - 1),
+                 i -> p[i] || ' ' || p[i+1])) AS pr FROM $from),
+      cb$t AS MATERIALIZED (SELECT pr, count(*) AS c FROM pr$t GROUP BY 1
+             HAVING count(*) >= 2 ORDER BY c DESC, pr LIMIT 1)"""
+      val enc2 = (1 to 3).map(n => round(2, n, "mt1")).mkString(",\n      ")
+      val enc3 = (1 to 4).map(n => round(3, n, "mt2")).mkString(",\n      ")
+      s"""
+      WITH wd AS MATERIALIZED (SELECT doc_id, wi, word FROM (
+             SELECT doc_id, unnest(ws) AS word, unnest(generate_series(1, len(ws))) AS wi
+             FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents))
+           WHERE length(word) > 0),
+      p0 AS MATERIALIZED (SELECT doc_id, wi,
+             list_transform(generate_series(1, length(word)), i -> word[i:i]) AS p FROM wd),
+      ${pick(1, "p0")},
+      mt1 AS (SELECT split_part(pr, ' ', 1) AS a, split_part(pr, ' ', 2) AS b, 0 AS rk FROM cb1),
+      $enc2,
+      ${pick(2, "r2_3")},
+      mt2 AS (SELECT a, b, rk FROM mt1 UNION ALL
+              SELECT split_part(pr, ' ', 1), split_part(pr, ' ', 2), 1 FROM cb2),
+      $enc3,
+      ${pick(3, "r3_4")}
+      SELECT * FROM (
+        SELECT CAST(0 AS INT) AS rank, split_part(pr, ' ', 1) AS a,
+               split_part(pr, ' ', 2) AS b, CAST(c AS BIGINT) AS n_occ FROM cb1
+        UNION ALL
+        SELECT CAST(1 AS INT), split_part(pr, ' ', 1), split_part(pr, ' ', 2),
+               CAST(c AS BIGINT) FROM cb2
+        UNION ALL
+        SELECT CAST(2 AS INT), split_part(pr, ' ', 1), split_part(pr, ' ', 2),
+               CAST(c AS BIGINT) FROM cb3)
+      ORDER BY rank
+    """
+    },
+    // K driver-bounded scan+agg rounds — d3/x3 time comparable shapes;
+    // the unrolled training replay is DuckDB-side only
+    benchmark = false)
+
   /** Shared LM tables for T17 — log-probs are k/64 decimals (exact at
     * scale 6 on both engines), negative as log-probs are. The bigram rows
     * hit only when the exact word pair occurs; unigrams back off on the
@@ -4426,7 +4516,7 @@ object ExtQueries {
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
     t7PiiRedact, t8LmPerplexity, t9TextNormalize, t10ScriptDetect, t11GopherRules,
     t12GopherRepetition, t13HtmlExtract, t14ClassifierScore, t15ClassifierWeighted,
-    t16BpeEncode, t17LmScored,
+    t16BpeEncode, t17LmScored, t18BpeTrain,
     d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc, d21SemDedup, x24TokenBudget,
     x25LinkRank, x26TrainSplit, x27QuantileNorm, x28LinkRankFull, x29Fim,
     x30LengthBatches, x31EmbedStandardize, x32SpanCorrupt, x33GateAttrition,

@@ -55,6 +55,35 @@ class BpeSpec extends SparkSpec {
     assert(enc("xyz") === Seq("x", "y", "z"))
   }
 
+  test("bpeTrain: argmax merges with deterministic ties, early stop, encode round-trip") {
+    val docs = Seq("abab abab abc").toDF("text")
+    val learned = TextAnalysis.bpeTrain(docs, "text", nMerges = 5)
+    // round 1: (a,b)×5 beats (b,a)×2, (b,c)×1; round 2: (ab,ab)×2;
+    // round 3: only (ab,c)×1 < minCount → early stop at 2 merges
+    assert(learned === Seq(("a", "b", 5L), ("ab", "ab", 2L)))
+    // the learned table drives the encoder to the trained segmentation
+    val enc = Seq("abab abc").toDF("t")
+      .select(org.apache.spark.sql.graft.BpeEncodeTokens.bpeEncode(
+        TextAnalysis.wsTokens(col("t")), learned.map(m => (m._1, m._2))).as("p"))
+      .head().getSeq[String](0)
+    assert(enc === Seq("abab", "ab", "c"))
+  }
+
+  test("bpeTrain tie-break is the lexicographically smallest pair") {
+    // (a,b) and (c,d) both occur twice; "a b" < "c d"
+    val docs = Seq("ab cd ab cd").toDF("text")
+    val learned = TextAnalysis.bpeTrain(docs, "text", nMerges = 1)
+    assert(learned === Seq(("a", "b", 2L)))
+  }
+
+  test("empty merge table encodes to code points") {
+    val enc = Seq("ab c").toDF("t")
+      .select(org.apache.spark.sql.graft.BpeEncodeTokens.bpeEncode(
+        TextAnalysis.wsTokens(col("t")), Nil).as("p"))
+      .head().getSeq[String](0)
+    assert(enc === Seq("a", "b", "c"))
+  }
+
   test("duplicate merge pairs are rejected") {
     intercept[IllegalArgumentException] {
       Seq("x").toDF("t")

@@ -156,6 +156,9 @@ object ScaleStress {
       // winnowed variant: adds a per-doc sliding-min window to the anchor
       // stage — per-group window work ∝ corpus, confirm stage ∝ candidates
       "d23_span_guaranteed" -> reg("d23_span_guaranteed"),
+      // BPE training: K fixed scan+pair-agg rounds — each round ∝ corpus,
+      // round count data-independent, so total must track the scan
+      "t18_bpe_train" -> reg("t18_bpe_train"),
       // fixed-round PageRank: |E| = 3|V| modular edges, per round one
       // edge-keyed join + agg + node left join — time must track |V|
       "x25_linkrank" -> reg("x25_link_rank"),

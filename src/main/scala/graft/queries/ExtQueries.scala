@@ -3871,11 +3871,57 @@ object ExtQueries {
         .orderBy(col("rank"))
     },
     Some {
-      // one t16-style encode round: pieces table `prev` → `r<t>_<n>`,
-      // merging against computed merge-table CTE `mt`
-      def round(t: Int, n: Int, mt: String): String = {
-        val prev = if (n == 1) "p0" else s"r${t}_${n - 1}"
-        s"""u${t}_$n AS MATERIALIZED (SELECT doc_id, wi, unnest(p) AS piece,
+      import BpeOracle.{round, pick}
+      val enc2 = (1 to 3).map(n => round(2, n, "mt1")).mkString(",\n      ")
+      val enc3 = (1 to 4).map(n => round(3, n, "mt2")).mkString(",\n      ")
+      s"""
+      WITH ${BpeOracle.base},
+      ${pick(1, "p0")},
+      mt1 AS (SELECT split_part(pr, ' ', 1) AS a, split_part(pr, ' ', 2) AS b, 0 AS rk FROM cb1),
+      $enc2,
+      ${pick(2, "r2_3")},
+      mt2 AS (SELECT a, b, rk FROM mt1 UNION ALL
+              SELECT split_part(pr, ' ', 1), split_part(pr, ' ', 2), 1 FROM cb2),
+      $enc3,
+      ${pick(3, "r3_4")}
+      SELECT * FROM (
+        SELECT CAST(0 AS INT) AS rank, split_part(pr, ' ', 1) AS a,
+               split_part(pr, ' ', 2) AS b, CAST(c AS BIGINT) AS n_occ FROM cb1
+        UNION ALL
+        SELECT CAST(1 AS INT), split_part(pr, ' ', 1), split_part(pr, ' ', 2),
+               CAST(c AS BIGINT) FROM cb2
+        UNION ALL
+        SELECT CAST(2 AS INT), split_part(pr, ' ', 1), split_part(pr, ' ', 2),
+               CAST(c AS BIGINT) FROM cb3)
+      ORDER BY rank
+    """
+    },
+    // K driver-bounded scan+agg rounds — d3/x3 time comparable shapes;
+    // the unrolled training replay is DuckDB-side only
+    benchmark = false)
+
+  /** Shared DuckDB generators for the BPE training/encode replays (t18,
+    * t19): per-word piece tables, one encode round against a computed
+    * merge-table CTE, and the pair-count argmax of a training round. Every
+    * multi-referenced CTE is MATERIALIZED — DuckDB inlines CTEs and the
+    * chained rounds would otherwise re-evaluate exponentially.
+    */
+  private object BpeOracle {
+    /** Tokenize + char-piece base CTEs (`wd`, `p0`). */
+    val base: String =
+      """wd AS MATERIALIZED (SELECT doc_id, wi, word FROM (
+             SELECT doc_id, unnest(ws) AS word, unnest(generate_series(1, len(ws))) AS wi
+             FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents))
+           WHERE length(word) > 0),
+      p0 AS MATERIALIZED (SELECT doc_id, wi,
+             list_transform(generate_series(1, length(word)), i -> word[i:i]) AS p FROM wd)"""
+
+    /** One t16-style encode round: pieces `prev` → `r<t>_<n>`, merging
+      * against computed merge-table CTE `mt`.
+      */
+    def round(t: Int, n: Int, mt: String): String = {
+      val prev = if (n == 1) "p0" else s"r${t}_${n - 1}"
+      s"""u${t}_$n AS MATERIALIZED (SELECT doc_id, wi, unnest(p) AS piece,
                  unnest(generate_series(1, len(p))) AS i FROM $prev),
       p${t}_$n AS MATERIALIZED (SELECT x.doc_id, x.wi, x.i, mt.rk
              FROM u${t}_$n x JOIN u${t}_$n y ON y.doc_id = x.doc_id AND y.wi = x.wi AND y.i = x.i + 1
@@ -3904,15 +3950,38 @@ object ExtQueries {
                  i -> p[i] || ' ' || p[i+1])) AS pr FROM $from),
       cb$t AS MATERIALIZED (SELECT pr, count(*) AS c FROM pr$t GROUP BY 1
              HAVING count(*) >= 2 ORDER BY c DESC, pr LIMIT 1)"""
+  }
+
+  /** T19 — the full tokenizer LIFECYCLE as one pipeline: train 3 merges
+    * on the corpus ([[graft.ext.TextAnalysis.bpeTrain]]), encode EVERY
+    * document with the LEARNED table ([[graft.ext.TextAnalysis
+    * .bpeEncode]]), and report per-source document and piece counts — the
+    * budget numbers a mixing plan consumes. Pins the composition t18 and
+    * t16 prove separately: the trained artifact must round-trip into the
+    * encoder and the counts must survive per-source aggregation. The
+    * oracle re-trains from scratch in CTEs (t18's replay), then unrolls a
+    * 5-round encode of the whole corpus against the learned table; empty
+    * documents have no words but must still count as documents.
+    */
+  val t19BpePipeline = QueryDef(
+    "t19_bpe_pipeline",
+    (s, dir) => {
+      val docs = Td(s, dir, "documents")
+      val learned = TA.bpeTrain(docs.select(col("text")), "text", nMerges = 3)
+        .map(m => (m._1, m._2))
+      docs.select(col("source"), TA.bpeEncode(col("text"), learned).as("_p"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(size(col("_p"))).cast("long").as("n_pieces"))
+        .orderBy(col("source"))
+    },
+    Some {
+      import BpeOracle.{round, pick}
       val enc2 = (1 to 3).map(n => round(2, n, "mt1")).mkString(",\n      ")
       val enc3 = (1 to 4).map(n => round(3, n, "mt2")).mkString(",\n      ")
+      val enc4 = (1 to 5).map(n => round(4, n, "mt3")).mkString(",\n      ")
       s"""
-      WITH wd AS MATERIALIZED (SELECT doc_id, wi, word FROM (
-             SELECT doc_id, unnest(ws) AS word, unnest(generate_series(1, len(ws))) AS wi
-             FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents))
-           WHERE length(word) > 0),
-      p0 AS MATERIALIZED (SELECT doc_id, wi,
-             list_transform(generate_series(1, length(word)), i -> word[i:i]) AS p FROM wd),
+      WITH ${BpeOracle.base},
       ${pick(1, "p0")},
       mt1 AS (SELECT split_part(pr, ' ', 1) AS a, split_part(pr, ' ', 2) AS b, 0 AS rk FROM cb1),
       $enc2,
@@ -3920,21 +3989,18 @@ object ExtQueries {
       mt2 AS (SELECT a, b, rk FROM mt1 UNION ALL
               SELECT split_part(pr, ' ', 1), split_part(pr, ' ', 2), 1 FROM cb2),
       $enc3,
-      ${pick(3, "r3_4")}
-      SELECT * FROM (
-        SELECT CAST(0 AS INT) AS rank, split_part(pr, ' ', 1) AS a,
-               split_part(pr, ' ', 2) AS b, CAST(c AS BIGINT) AS n_occ FROM cb1
-        UNION ALL
-        SELECT CAST(1 AS INT), split_part(pr, ' ', 1), split_part(pr, ' ', 2),
-               CAST(c AS BIGINT) FROM cb2
-        UNION ALL
-        SELECT CAST(2 AS INT), split_part(pr, ' ', 1), split_part(pr, ' ', 2),
-               CAST(c AS BIGINT) FROM cb3)
-      ORDER BY rank
+      ${pick(3, "r3_4")},
+      mt3 AS (SELECT a, b, rk FROM mt2 UNION ALL
+              SELECT split_part(pr, ' ', 1), split_part(pr, ' ', 2), 2 FROM cb3),
+      $enc4,
+      agg AS (SELECT doc_id, sum(len(p)) AS np FROM r4_5 GROUP BY 1)
+      SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(coalesce(sum(a.np), 0) AS BIGINT) AS n_pieces
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      GROUP BY 1 ORDER BY 1
     """
     },
-    // K driver-bounded scan+agg rounds — d3/x3 time comparable shapes;
-    // the unrolled training replay is DuckDB-side only
+    // t18's rounds + one corpus-wide encode pass — compact-line headroom
     benchmark = false)
 
   /** Shared LM tables for T17 — log-probs are k/64 decimals (exact at
@@ -4516,7 +4582,7 @@ object ExtQueries {
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
     t7PiiRedact, t8LmPerplexity, t9TextNormalize, t10ScriptDetect, t11GopherRules,
     t12GopherRepetition, t13HtmlExtract, t14ClassifierScore, t15ClassifierWeighted,
-    t16BpeEncode, t17LmScored, t18BpeTrain,
+    t16BpeEncode, t17LmScored, t18BpeTrain, t19BpePipeline,
     d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc, d21SemDedup, x24TokenBudget,
     x25LinkRank, x26TrainSplit, x27QuantileNorm, x28LinkRankFull, x29Fim,
     x30LengthBatches, x31EmbedStandardize, x32SpanCorrupt, x33GateAttrition,

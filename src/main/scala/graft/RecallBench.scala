@@ -42,8 +42,18 @@ object RecallBench {
     val expDir = s"$workDir/x$factor"
     ScaleStress.expand(spark, sfDir, expDir, factor)
 
-    for ((tag, dir) <- Seq("x1" -> sfDir, s"x$factor" -> expDir)) {
-      val emb = Td(spark, dir, "embeddings")
+    // third leg: the x1 corpus per-dimension STANDARDIZED (x31's transform)
+    // — measures whether whitening-lite moves retrieval quality on this
+    // corpus (ground truth recomputed in the standardized geometry, so the
+    // leg is self-consistent)
+    def standardized(dir: String) =
+      graft.ext.Similarity.standardize(Td(spark, dir, "embeddings"), "embedding")
+        .select(col("vec_id"), col("embedding_std").as("embedding"))
+    for ((tag, embIn) <- Seq(
+        "x1" -> Td(spark, sfDir, "embeddings"),
+        s"x$factor" -> Td(spark, expDir, "embeddings"),
+        "x1std" -> standardized(sfDir))) {
+      val emb = embIn
       emb.count() // warm footers
       val queries = emb.filter(col("vec_id") < 200)
       // ground truth once per corpus: exact cosine top-10 (with the cosine,

@@ -4003,6 +4003,46 @@ object ExtQueries {
     // t18's rounds + one corpus-wide encode pass — compact-line headroom
     benchmark = false)
 
+  /** Q4 — declarative data-quality expectations
+    * ([[graft.tables.Expectations.metrics]]): four named rules over
+    * lineitem — one that always passes (the zero-violation row must
+    * report 0, not vanish), two that split the data, one domain check —
+    * with the DLT-style strict null semantics (NULL predicate =
+    * violation). One scan, one aggregation; the oracle replays each
+    * rule's violation count and the declaration-order funnel rows.
+    */
+  val q4Expectations = QueryDef(
+    "q4_expectations",
+    (s, dir) => {
+      import graft.tables.Expectations.{Rule, metrics}
+      metrics(Td(s, dir, "lineitem"), Seq(
+        Rule("qty_positive", col("l_quantity") > 0),
+        Rule("qty_le_25", col("l_quantity") <= 25),
+        Rule("discount_le_5pct", col("l_discount") <= 0.05),
+        Rule("flag_known", col("l_returnflag").isin("A", "N"))))
+    },
+    Some {
+      val preds = Seq(
+        "l_quantity > 0", "l_quantity <= 25", "l_discount <= 0.05",
+        "l_returnflag IN ('A', 'N')")
+      val sums = preds.zipWithIndex.map { case (p, i) =>
+        s"sum(CASE WHEN NOT coalesce($p, FALSE) THEN 1 ELSE 0 END) AS v$i"
+      }.mkString(", ")
+      val pickV = "CASE st.rule_idx WHEN 0 THEN v0 WHEN 1 THEN v1 WHEN 2 THEN v2 ELSE v3 END"
+      s"""
+      WITH a AS (SELECT count(*) AS n, $sums FROM lineitem),
+      st(rule_idx, rule) AS (VALUES (0, 'qty_positive'), (1, 'qty_le_25'),
+        (2, 'discount_le_5pct'), (3, 'flag_known'))
+      SELECT CAST(st.rule_idx AS INT) AS rule_idx, st.rule,
+             CAST(a.n AS BIGINT) AS n_rows,
+             CAST($pickV AS BIGINT) AS n_viol,
+             CAST($pickV AS DOUBLE) / CAST(greatest(a.n, 1) AS DOUBLE) AS viol_frac
+      FROM st CROSS JOIN a ORDER BY st.rule_idx
+    """
+    },
+    // one scan + 1-row agg — q2/q3 time the shape
+    benchmark = false)
+
   /** Shared LM tables for T17 — log-probs are k/64 decimals (exact at
     * scale 6 on both engines), negative as log-probs are. The bigram rows
     * hit only when the exact word pair occurs; unigrams back off on the
@@ -4595,7 +4635,7 @@ object ExtQueries {
     m1MediaMeta, m2FrameSample, m3VideoMeta,
     c1Curation, c2CurationRecipe, c3Decontaminate, c4DecontaminateBloom,
     c5NormalizedCuration, c6CrawlPipeline,
-    u1UrlNormalize, u2UrlDedup,
+    u1UrlNormalize, u2UrlDedup, q4Expectations,
     x1HllDistinct, x2KmeansIvf,
     x3DedupGroups, x5KmeansSample, x6DedupGroupsConv, x7StratifiedSample, x9CmsHeavyHitters,
     x12TemperatureMix, x13CurriculumTiles, x14DomainQuota, x15SourceOverlap,

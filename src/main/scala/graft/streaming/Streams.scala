@@ -431,6 +431,39 @@ object Streams {
       }
       .start()
 
+  /** Streaming data-quality gate — the DLT expect-or-drop + quarantine
+    * pattern on a stream: each micro-batch splits against the declared
+    * [[graft.tables.Expectations]] rules (strict NULL-is-violation
+    * semantics, one pass); clean rows UPSERT into `table` and violating
+    * rows — carrying their `_violations` reasons — UPSERT into
+    * `quarantineTable`, both keyed by `keys`, so micro-batch replay is
+    * idempotent. The quarantine is an AUDIT of violations seen per key: a
+    * later redelivery of a FIXED row upserts into the clean table but
+    * does not retract its quarantine row (triage owns that), which is the
+    * DLT quarantine convention — quality history must not silently
+    * self-erase.
+    */
+  def expectationsSink(
+      docs: DataFrame, store: TableStore, table: String, quarantineTable: String,
+      keys: Seq[String], rules: Seq[graft.tables.Expectations.Rule],
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = graft.clean.Normalize.dedupKeep(
+          batch, keys, batch.columns.filterNot(keys.contains).map(col).toSeq)
+        val (clean, bad) = graft.tables.Expectations.split(b, rules)
+        store.overwriteIfAbsentElse(table, clean)(t =>
+          Upsert.merge(t, clean, keys,
+            onDuplicate = Upsert.DuplicatePolicy.DedupDeterministic))
+        store.overwriteIfAbsentElse(quarantineTable, bad)(t =>
+          Upsert.merge(t, bad, keys,
+            onDuplicate = Upsert.DuplicatePolicy.DedupDeterministic))
+      }
+      .start()
+
   /** Streaming exact dedup with bounded state: duplicates arriving within
     * the watermark horizon are dropped; state for keys older than the
     * watermark is evicted (`dropDuplicatesWithinWatermark` — the streaming

@@ -477,6 +477,40 @@ class StreamsSpec extends SparkSpec {
     assert(store.read("gated").collect().map(_.getAs[Long]("doc_id")).toSeq === Seq(1L))
   }
 
+  test("expectationsSink: per-batch quarantine with reasons; fixed redelivery upserts clean") {
+    val dir = Files.createTempDirectory("graft_exp_landing").toString
+    val ckpt = Files.createTempDirectory("graft_exp_ckpt").toString
+    val store = new TableStore(spark, Files.createTempDirectory("graft_exp_store").toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType)))
+    val rules = Seq(graft.tables.Expectations.Rule("n_positive", col("n") > 0))
+    def drain(): Unit = Streams.expectationsSink(
+      spark.readStream.format("json").schema(schema).load(dir),
+      store, "exp_clean", "exp_quar", Seq("doc_id"), rules, ckpt).awaitTermination()
+
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b1.json"),
+      s"""{"doc_id":1,"n":5}
+         |{"doc_id":2,"n":-1}
+         |{"doc_id":3}
+         |""".stripMargin) // doc 3: n NULL → violation, never a silent pass
+    drain()
+    assert(store.read("exp_clean").collect().map(_.getAs[Long]("doc_id")).toSeq === Seq(1L))
+    val quar = store.read("exp_quar").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](2).toSet).toMap
+    assert(quar === Map(2L -> Set("n_positive"), 3L -> Set("n_positive")))
+
+    // redelivery of doc 2 FIXED: clean gains it; the quarantine row stays
+    // as audit history (triage owns retraction)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b2.json"),
+      s"""{"doc_id":2,"n":9}
+         |""".stripMargin)
+    drain()
+    assert(store.read("exp_clean").collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+      === Seq(1L, 2L))
+    assert(store.read("exp_quar").count() === 2)
+  }
+
   test("anomalyStream skips values outside the DECIMAL(18,2) domain instead of dying") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Streams.Event]

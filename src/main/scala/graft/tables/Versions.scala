@@ -78,4 +78,29 @@ object Versions {
     versions(store, name).foreach(v => store.drop(vtable(name, v)))
     store.drop(manifest(name))
   }
+
+  /** Row-level diff between two retained versions keyed by `idCol`:
+    * added / removed / changed / unchanged per id — the drill-down behind
+    * "what changed between the snapshot run 46 trained on and run 47's".
+    * Each side projects to (id, md5 of the sorted-column row JSON) BEFORE
+    * the full-outer join, so 16-byte digests shuffle, never row bodies
+    * (the [[graft.ext.Dedup.snapshotDiff]] shape generalized from one
+    * text column to whole rows; sorting column names makes the digest
+    * stable under projection order, and both sides hash in the SAME
+    * engine, so serialization quirks cancel).
+    */
+  def diff(store: TableStore, name: String, vOld: Long, vNew: Long,
+      idCol: String): DataFrame = {
+    def dig(df: DataFrame, out: String) = {
+      val cols = df.columns.filterNot(_ == idCol).sorted.map(col)
+      df.select(col(idCol), md5(to_json(struct(cols: _*))).as(out))
+    }
+    dig(read(store, name, Some(vOld)), "_h_base")
+      .join(dig(read(store, name, Some(vNew)), "_h_next"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_h_base").isNull, "added")
+          .when(col("_h_next").isNull, "removed")
+          .when(col("_h_base") === col("_h_next"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

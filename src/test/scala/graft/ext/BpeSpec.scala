@@ -84,6 +84,51 @@ class BpeSpec extends SparkSpec {
     assert(enc === Seq("a", "b", "c"))
   }
 
+  test("property: native encode matches an independent reference on random inputs") {
+    // structurally different Scala reference of the same greedy contract —
+    // catches expression/codegen/boundary bugs the hand-picked cases miss
+    def refEncode(word: String, merges: Seq[(String, String)]): Seq[String] = {
+      val ranks = merges.zipWithIndex.toMap
+      var p = word.map(_.toString).toVector
+      var go = p.size > 1
+      while (go) {
+        val cands = p.indices.dropRight(1)
+          .flatMap(i => ranks.get((p(i), p(i + 1))))
+        if (cands.isEmpty) go = false
+        else {
+          val (a, b) = merges(cands.min)
+          val nb = Vector.newBuilder[String]
+          var i = 0
+          while (i < p.size) {
+            if (i + 1 < p.size && p(i) == a && p(i + 1) == b) { nb += a + b; i += 2 }
+            else { nb += p(i); i += 1 }
+          }
+          p = nb.result()
+          go = p.size > 1
+        }
+      }
+      p
+    }
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 25).foreach { trial =>
+      val vocab = scala.collection.mutable.ArrayBuffer("a", "b", "c", "d")
+      val ms = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
+      while (ms.size < 6) {
+        val pair = (vocab(rnd.nextInt(vocab.size)), vocab(rnd.nextInt(vocab.size)))
+        if (ms.add(pair)) vocab += pair._1 + pair._2
+      }
+      val merges2 = ms.toSeq
+      val words = (1 to 8).map(_ =>
+        Seq.fill(1 + rnd.nextInt(10))("abcd" (rnd.nextInt(4))).mkString)
+      val got = Seq(words.mkString(" ")).toDF("t")
+        .select(org.apache.spark.sql.graft.BpeEncodeTokens.bpeEncode(
+          TextAnalysis.wsTokens(col("t")), merges2).as("p"))
+        .head().getSeq[String](0)
+      val want = words.flatMap(w => refEncode(w, merges2))
+      assert(got === want, s"trial $trial: words=$words merges=$merges2")
+    }
+  }
+
   test("duplicate merge pairs are rejected") {
     intercept[IllegalArgumentException] {
       Seq("x").toDF("t")

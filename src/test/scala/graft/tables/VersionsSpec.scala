@@ -40,6 +40,17 @@ class VersionsSpec extends SparkSpec {
     assert(Versions.read(store, "t").columns.toSeq === Seq("x", "s", "extra"))
   }
 
+  test("diff between versions: added/removed/changed/unchanged per id") {
+    val store = newStore()
+    Versions.overwrite(store, "t",
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    Versions.overwrite(store, "t",
+      Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("id", "v"))
+    val d = Versions.diff(store, "t", 1L, 2L, "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
   test("missing table and bad keep fail fast; drop removes everything") {
     val store = newStore()
     intercept[IllegalArgumentException] { Versions.read(store, "nope") }

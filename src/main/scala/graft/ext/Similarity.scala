@@ -815,10 +815,14 @@ object Similarity {
         sum(xm).as("_s1"),
         sum((xm * xm).cast(DecimalType(38, 0))).as("_s2"))
     val mu = col("_s1").cast("double") / col("n_vals")
-    val sg = sqrt(greatest(
+    // Bessel factor guarded by n_vals > 1: with one row the n/(n-1)
+    // correction is 0·∞ = NaN, and NaN > 0 in Spark's ordering would leak
+    // through standardize()'s σ>0 guard — a one-row corpus must
+    // standardize to the documented 0.0, so σ is pinned to 0 there.
+    val sg = when(col("n_vals") > 1, sqrt(greatest(
       (col("_s2").cast("double") / col("n_vals") - mu * mu) *
         (col("n_vals").cast("double") / (col("n_vals") - 1).cast("double")),
-      lit(0.0)))
+      lit(0.0)))).otherwise(lit(0.0))
     st.select(col("dim"), col("n_vals"), mu.as("mu_micros"), sg.as("sigma_micros"))
   }
 

@@ -4472,9 +4472,9 @@ object ExtQueries {
                sum(CAST(CAST(xm AS DECIMAL(18,0)) * CAST(xm AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS s2
              FROM ex GROUP BY 1),
       ms AS (SELECT dim, n, CAST(s1 AS DOUBLE) / n AS mu,
-               sqrt(greatest(
+               CASE WHEN n > 1 THEN sqrt(greatest(
                  (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
-                   * (CAST(n AS DOUBLE) / (n - 1)), 0.0)) AS sg
+                   * (CAST(n AS DOUBLE) / (n - 1)), 0.0)) ELSE 0.0 END AS sg
              FROM st)
       SELECT ex.dim,
              CAST(min(ms.n) AS BIGINT) AS n_vals,

@@ -30,6 +30,15 @@ class StandardizeSpec extends SparkSpec {
     assert(out.forall(_(2) === 0.0))
   }
 
+  test("single-row corpus standardizes to 0.0, never NaN (Bessel 0*Inf guard)") {
+    val one = Seq((1L, Seq(3.5f, -2.0f))).toDF("vec_id", "embedding")
+    val st = Similarity.dimStats(one, "embedding").orderBy("dim").collect()
+    assert(st.forall(r => r.getAs[Double]("sigma_micros") === 0.0))
+    val out = Similarity.standardize(one, "embedding")
+      .select(col("embedding_std")).head.getSeq[Double](0)
+    assert(out.forall(_ === 0.0))
+  }
+
   test("dimStats moments are exact: hand-computed micros") {
     val st = Similarity.dimStats(emb, "embedding").orderBy("dim").collect()
     val d1 = st(1) // values 1..4 → micros 1e6..4e6

@@ -187,6 +187,73 @@ object DedupIndex {
   def knownIds(store: TableStore, name: String, idCol: String): DataFrame =
     store.read(sizesT(name)).select(col(idCol))
 
+  // ---- audit accessors: the index's physical content in logical form ----
+
+  /** Stored band rows (id, band, bucket). */
+  def bandsOf(store: TableStore, name: String): DataFrame =
+    store.read(bandsT(name))
+
+  /** Stored per-doc sizes (id, n_sh). */
+  def sizesOf(store: TableStore, name: String): DataFrame =
+    store.read(sizesT(name))
+
+  /** Stored shingle rows in LOGICAL form (digest mode reads back as the
+    * lowercase md5 hex the probe pipeline hashes; the bucket layout column
+    * is stripped) — what exports and audits compare against.
+    */
+  def shinglesOf(store: TableStore, name: String, idCol: String): DataFrame = {
+    val stored = store.read(shinglesT(name))
+    val digest = stored.schema("shingle").dataType ==
+      org.apache.spark.sql.types.BinaryType
+    toLogical(dropBkt(stored), idCol, digest)
+  }
+
+  /** Takedown propagation ([[graft.tables.Deletes.cascade]]'s index leg):
+    * remove `ids`' rows from the three index tables WITHOUT touching any
+    * corpus text. Survivors' rows are rewritten from the stored parquet,
+    * never re-shingled — by construction (this method takes no text
+    * input), and the result is EXACTLY the index a from-scratch build over
+    * the survivors would produce, because every stored row derives from
+    * its own doc alone: shingles and sizes are per-doc, and a MinHash
+    * band bucket is the md5 of the doc's own signature rows. The x34
+    * oracle pins that equivalence hash-exactly against a DuckDB rebuild.
+    *
+    * I/O shape: the bands and sizes tables are narrow (no text in digest
+    * mode; one row per doc×band / per doc) and rewrite whole; the shingle
+    * table — the one that is corpus-scale — rewrites ONLY the id buckets
+    * the deleted docs hash to under the bucketed layout (`build(idBuckets
+    * = N)`), including dropping a bucket directory outright when the
+    * delete empties it (DeletesSpec pins untouched buckets byte-identical
+    * by file listing).
+    *
+    * Order is the crash contract, the inverse of [[commitIncrement]]'s:
+    * sizes FIRST — sizes is the membership table ([[knownIds]]), so a doc
+    * stops being "in the index" the moment its size row is gone. Residue
+    * band/shingle rows from a mid-delete crash can still nominate the doc
+    * as a candidate, but verification inner-joins sizes and the pair
+    * drops; re-running the delete completes the cleanup (idempotent).
+    */
+  def deleteIds(store: TableStore, name: String, ids: DataFrame, idCol: String): Unit = {
+    val keys = broadcast(ids.select(col(idCol)).distinct())
+    def anti(df: DataFrame) = df.join(keys, Seq(idCol), "left_anti")
+    store.overwrite(sizesT(name), anti(store.read(sizesT(name))))
+    store.overwrite(bandsT(name), anti(store.read(bandsT(name))))
+    val nBkt = idBucketsOf(store.read(shinglesT(name)).schema)
+    if (nBkt > 0) {
+      // affected buckets come from the ids themselves (same id→bucket
+      // formula as build/probe) — driver-bounded at ≤ nBkt values
+      val affected = keys.select(idBucket(idCol, nBkt).as("_b"))
+        .distinct().collect().map(_.getLong(0)).toIndexedSeq
+      val survivors = anti(store.read(shinglesT(name))
+        .filter(col(bktCol(nBkt)).isInCollection(affected)))
+      val alive = survivors.select(col(bktCol(nBkt))).distinct()
+        .collect().map(_.getLong(0)).toSet
+      if (alive.nonEmpty)
+        store.overwritePartitions(shinglesT(name), survivors, Seq(bktCol(nBkt)))
+      store.dropPartitions(shinglesT(name), bktCol(nBkt), affected.filterNot(alive))
+    } else store.overwrite(shinglesT(name), anti(store.read(shinglesT(name))))
+  }
+
   /** Incremental run: verified near-dup pairs (id_a < id_b, jaccard ≥
     * threshold) touching the increment — same output contract as
     * [[Dedup.minhashDedupIncremental]] on (stored corpus, inc) — and, as a

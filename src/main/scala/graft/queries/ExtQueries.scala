@@ -4618,6 +4618,117 @@ object ExtQueries {
     // one scan + digest agg + 1-row funnel — q2/x20 time the shapes
     benchmark = false)
 
+  /** X34 — takedown cascade against the durable dedup index
+    * ([[graft.tables.Deletes.cascade]] → [[DedupIndex.deleteIds]]): build
+    * the index over the full corpus, delete a deterministic ~1/5 md5-bucket
+    * slice of doc ids through the cascade, then dump the surviving index
+    * content per doc — size row, shingle rows (count + order-free digest),
+    * and all three band buckets. The oracle REBUILDS the index from
+    * scratch over the survivors: hash-equality proves the delete leaves
+    * exactly the index a survivors-only build produces (per-doc rows are
+    * doc-local, so anti-join deletion must be lossless AND residue-free in
+    * all three tables), while the engine-side path never re-shingles a
+    * survivor — deleteIds takes no text input, by construction.
+    */
+  val x34DeleteCascade = QueryDef(
+    "x34_delete_cascade",
+    (s, dir) => {
+      val docs = Td(s, dir, "documents").select(col("doc_id"), col("text"))
+      val store = graft.tables.Scratch.store(s)
+      DedupIndex.build(store, "x34_idx", docs, "doc_id", "text",
+        n = 3, k = 12, bands = 3)
+      val deleted = docs
+        .filter(Similarity.sampleBucket(col("doc_id")) % 5 === 0)
+        .select(col("doc_id"))
+      graft.tables.Deletes.cascade(store, deleted, "doc_id",
+        indexes = Seq("x34_idx"))
+      val shAgg = DedupIndex.shinglesOf(store, "x34_idx", "doc_id")
+        .groupBy(col("doc_id")).agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          md5(concat_ws("|", array_sort(collect_list(col("shingle"))))).as("sh_md5"))
+      val bands = DedupIndex.bandsOf(store, "x34_idx")
+        .groupBy(col("doc_id")).agg(
+          min(when(col("band") === 0, col("bucket"))).as("b0"),
+          min(when(col("band") === 1, col("bucket"))).as("b1"),
+          min(when(col("band") === 2, col("bucket"))).as("b2"))
+      DedupIndex.sizesOf(store, "x34_idx")
+        .join(shAgg, Seq("doc_id")).join(bands, Seq("doc_id"))
+        .select(col("doc_id"), col("n_sh").cast("long").as("n_sh"),
+          col("n_rows"), col("sh_md5"), col("b0"), col("b1"), col("b2"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val sigs = (0 until 12).map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(", ")
+      def bkt(b: Int) = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
+      s"""
+      WITH corpus AS (SELECT doc_id, text FROM documents
+                      WHERE NOT (${sampleFilterSql("doc_id", 5)})),
+      w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM corpus),
+      sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(ws) >= 3
+                 THEN list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' '))
+                 ELSE [array_to_string(ws, ' ')] END)) AS shingle FROM w),
+      sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      agg AS (SELECT doc_id, count(*) AS n_rows,
+                md5(array_to_string(list(shingle ORDER BY shingle), '|')) AS sh_md5
+              FROM sh GROUP BY 1),
+      sig AS (SELECT doc_id, $sigs FROM sh GROUP BY doc_id),
+      eb AS (SELECT doc_id, md5(${bkt(0)}) AS b0, md5(${bkt(1)}) AS b1,
+                    md5(${bkt(2)}) AS b2 FROM sig)
+      SELECT s.doc_id, CAST(s.n_sh AS BIGINT) AS n_sh,
+             CAST(a.n_rows AS BIGINT) AS n_rows, a.sh_md5, e.b0, e.b1, e.b2
+      FROM sz s JOIN agg a USING (doc_id) JOIN eb e USING (doc_id)
+      ORDER BY s.doc_id
+    """
+    },
+    // the timing is dominated by the index BUILD, which d10 already
+    // benches; the delete leg itself is index-table anti-joins measured in
+    // the ScaleStress sweep
+    benchmark = false)
+
+  /** X35 — versioned time-travel diff ([[graft.tables.Versions.diff]]):
+    * two planted versions of a snapshot table (v2 removes the %7 ids,
+    * bumps the %5 survivors' token count, and appends fresh %11-derived
+    * ids), then the row-level drill-down between them. The oracle derives
+    * each id's expected status independently from the plant rules —
+    * added / removed / changed / unchanged must each surface exactly, so
+    * a digest drift, a join-side swap, or a pruned-version misread all
+    * flip rows.
+    */
+  val x35VersionDiff = QueryDef(
+    "x35_version_diff",
+    (s, dir) => {
+      import graft.tables.Versions
+      val docs = Td(s, dir, "documents").select(col("doc_id"),
+        TA.tokenCount(col("text")).cast("long").as("n_tok"), col("source"))
+      val store = graft.tables.Scratch.store(s)
+      // version numbering restarts at 1 so a re-run stays self-contained
+      Versions.drop(store, "x35_t")
+      Versions.overwrite(store, "x35_t", docs)
+      val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("n_tok", when(col("doc_id") % 5 === 0,
+          col("n_tok") + 1000L).otherwise(col("n_tok")))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 100000000L).as("doc_id"),
+            col("n_tok"), col("source")))
+      Versions.overwrite(store, "x35_t", v2)
+      Versions.diff(store, "x35_t", 1L, 2L, "doc_id").orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN 'removed'
+                  WHEN doc_id % 5 = 0 THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 100000000 AS doc_id, 'added' AS status
+      FROM documents WHERE doc_id % 11 = 0
+      ORDER BY doc_id
+    """),
+    // two snapshot writes dominate; x16_snapshot_diff times the
+    // digest-diff shape on the live path
+    benchmark = false)
+
   val all: Seq[QueryDef] = Seq(
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
     t7PiiRedact, t8LmPerplexity, t9TextNormalize, t10ScriptDetect, t11GopherRules,
@@ -4626,6 +4737,7 @@ object ExtQueries {
     d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc, d21SemDedup, x24TokenBudget,
     x25LinkRank, x26TrainSplit, x27QuantileNorm, x28LinkRankFull, x29Fim,
     x30LengthBatches, x31EmbedStandardize, x32SpanCorrupt, x33GateAttrition,
+    x34DeleteCascade, x35VersionDiff,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,

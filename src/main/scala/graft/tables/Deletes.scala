@@ -1,0 +1,126 @@
+package graft.tables
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Row-level DELETE with derived-artifact propagation — the takedown /
+  * opt-out cascade a production corpus pipeline cannot ship without.
+  * Delta-parity DELETE is the storage half (the reference platform gets
+  * `DELETE FROM` from Delta; [[TableStore]] tables get it here as an
+  * anti-join rewrite, partition-scoped where the layout allows); the
+  * compliance half is that a removed document must also disappear from
+  * every artifact DERIVED from it: the durable dedup index
+  * ([[graft.ext.DedupIndex.deleteIds]] — survivors never re-shingled),
+  * packed training shards ([[repackShards]] — only affected shards
+  * recompute), and versioned serving snapshots ([[deleteVersioned]] — the
+  * new version's [[Versions.diff]] IS the audit record of what was
+  * removed).
+  *
+  * Scale shape, per leg:
+  *  - corpus delete: one column-pruned scan to find affected partitions
+  *    (id + partition column only), then partition-scoped rewrite — the
+  *    [[Upsert.mergePartitioned]] idiom; a takedown batch touching 3
+  *    months moves 3 directories, not the 10-year table. Unpartitioned
+  *    tables pay one full anti-join rewrite (their size class by
+  *    definition).
+  *  - ids ride a broadcast: takedown batches are small by nature (a legal
+  *    request lists documents, not terabytes); every leg anti/semi-joins
+  *    against the same broadcast key set, so no leg shuffles its table on
+  *    the id.
+  *  - idempotent: every leg is a pure function of (current table, ids), so
+  *    a crash mid-cascade is repaired by re-running the cascade with the
+  *    same ids.
+  */
+object Deletes {
+
+  /** One pack table to re-pack after a delete: a table produced by
+    * [[graft.ext.Packing.assign]] with these parameters, stored
+    * hive-partitioned on `shardCol`.
+    */
+  final case class PackSpec(table: String, orderCol: String, nTokCol: String,
+      shardCol: String, budget: Long)
+
+  /** DELETE FROM `table` WHERE `idCol` IN (ids). With `partitionCol` the
+    * rewrite is partition-scoped: affected partitions are found by a
+    * column-pruned (partition, id) scan semi-joined with the ids —
+    * driver-bounded by construction — and only those directories move,
+    * including dropping a directory outright when the delete empties it
+    * (which [[TableStore.overwritePartitions]] alone cannot express).
+    */
+  def deleteRows(store: TableStore, table: String, idCol: String, ids: DataFrame,
+      partitionCol: Option[String] = None): Unit = {
+    val keys = broadcast(ids.select(col(idCol)).distinct())
+    partitionCol match {
+      case None =>
+        store.overwrite(table, store.read(table).join(keys, Seq(idCol), "left_anti"))
+      case Some(pc) =>
+        val affected = store.read(table).select(col(pc), col(idCol))
+          .join(keys, Seq(idCol), "left_semi")
+          .select(col(pc)).distinct().collect().map(_.get(0)).toIndexedSeq
+        if (affected.isEmpty) return
+        val survivors = store.read(table).filter(col(pc).isin(affected: _*))
+          .join(keys, Seq(idCol), "left_anti")
+        val alive = survivors.select(col(pc)).distinct().collect().map(_.get(0)).toSet
+        if (alive.nonEmpty) store.overwritePartitions(table, survivors, Seq(pc))
+        store.dropPartitions(table, pc, affected.filterNot(alive))
+    }
+  }
+
+  /** Takedown against a [[Versions]]-managed snapshot table: writes a new
+    * version holding the survivors, so `Versions.diff(vPrev, vNew)` reads
+    * exactly `removed` for the deleted ids and `unchanged` elsewhere — the
+    * compliance audit artifact itself, produced by the mechanism the table
+    * already has. Returns the new version number.
+    */
+  def deleteVersioned(store: TableStore, name: String, idCol: String,
+      ids: DataFrame, keep: Int = 3): Long = {
+    val keys = broadcast(ids.select(col(idCol)).distinct())
+    Versions.overwrite(store, name,
+      Versions.read(store, name).join(keys, Seq(idCol), "left_anti"), keep)
+  }
+
+  /** Re-pack ONLY the shards the deleted ids lived in. Pack granularity is
+    * impossible by construction: `pack_id`/`pack_offset` are prefix sums
+    * over the shard's ordered doc stream, so removing one doc shifts every
+    * LATER doc in the same shard — the shard is the finest unit that can
+    * recompute independently. Untouched shards' directories never move
+    * (DeletesSpec pins their file listings byte-identical), the
+    * s8_affected_months idiom at shard grain. Result equals
+    * [[graft.ext.Packing.assign]] re-run from scratch on the survivors.
+    */
+  def repackShards(store: TableStore, spec: PackSpec, idCol: String,
+      ids: DataFrame): Unit = {
+    val keys = broadcast(ids.select(col(idCol)).distinct())
+    val affected = store.read(spec.table).select(col(spec.shardCol), col(idCol))
+      .join(keys, Seq(idCol), "left_semi")
+      .select(col(spec.shardCol)).distinct().collect().map(_.get(0)).toIndexedSeq
+    if (affected.isEmpty) return
+    val survivors = store.read(spec.table)
+      .filter(col(spec.shardCol).isin(affected: _*))
+      .join(keys, Seq(idCol), "left_anti")
+      .drop("pack_id", "pack_offset")
+    val repacked = graft.ext.Packing.assign(survivors, spec.orderCol,
+      spec.nTokCol, Seq(spec.shardCol), spec.budget)
+    val alive = repacked.select(col(spec.shardCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    if (alive.nonEmpty)
+      store.overwritePartitions(spec.table, repacked, Seq(spec.shardCol))
+    store.dropPartitions(spec.table, spec.shardCol, affected.filterNot(alive))
+  }
+
+  /** The full takedown cascade: delete `ids` from the corpus tables, every
+    * listed dedup index, every listed pack table, and every listed
+    * versioned snapshot (in that order — the content itself first, then
+    * derived artifacts; each leg is independent and idempotent, so a crash
+    * anywhere is repaired by re-running with the same ids).
+    */
+  def cascade(store: TableStore, ids: DataFrame, idCol: String,
+      corpus: Seq[String] = Nil, corpusPartitionCol: Option[String] = None,
+      indexes: Seq[String] = Nil, packs: Seq[PackSpec] = Nil,
+      versioned: Seq[String] = Nil, keep: Int = 3): Unit = {
+    corpus.foreach(t => deleteRows(store, t, idCol, ids, corpusPartitionCol))
+    indexes.foreach(n => graft.ext.DedupIndex.deleteIds(store, n, ids, idCol))
+    packs.foreach(p => repackShards(store, p, idCol, ids))
+    versioned.foreach(n => deleteVersioned(store, n, idCol, ids, keep))
+  }
+}

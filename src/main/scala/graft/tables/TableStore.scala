@@ -236,6 +236,42 @@ final class TableStore(spark: SparkSession, root: String) {
     spark.catalog.refreshByPath(live.toString)
   }
 
+  /** Remove the listed partition directories outright — DELETE of whole
+    * partitions. The complement [[overwritePartitions]] cannot express: it
+    * replaces only partitions PRESENT in the incoming frame, so a delete
+    * that empties a partition would leave the old directory — and every
+    * "deleted" row in it — live. Driver-side metadata operation: one
+    * listing plus one rename-to-nothing per dropped directory, independent
+    * of table size. Values match against the hive dir name after undoing
+    * Spark's %-hex path escaping via `valueOf` equality (longs, dates and
+    * plain strings — the partition-key types this store uses); NULL
+    * partitions (`__HIVE_DEFAULT_PARTITION__`) are not addressable here.
+    */
+  def dropPartitions(name: String, partitionCol: String, values: Seq[Any]): Unit = {
+    val base = new Path(path(name))
+    if (values.isEmpty || !fs.exists(base)) return
+    val want = values.map(String.valueOf).toSet
+    def unescape(s: String): String = {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length) {
+          try { sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3 }
+          catch { case _: NumberFormatException => sb.append(c); i += 1 }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+    fs.listStatus(base).filter(_.isDirectory).foreach { st =>
+      val n = st.getPath.getName
+      val eq = n.indexOf('=')
+      if (eq > 0 && n.substring(0, eq) == partitionCol && want(unescape(n.substring(eq + 1))))
+        fs.delete(st.getPath, true)
+    }
+    spark.catalog.refreshByPath(base.toString)
+  }
+
   /** DROP TABLE (reference S15: staging teardown, 2_incremental:300-306). */
   def drop(name: String): Unit = fs.delete(new Path(path(name)), true)
 

@@ -1,0 +1,148 @@
+package graft.tables
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The takedown cascade: row deletes are partition-scoped (untouched
+  * partitions never move on disk), emptied partitions disappear entirely,
+  * the dedup-index leg equals a from-scratch rebuild on survivors without
+  * re-shingling anything, re-packing recomputes only affected shards, and
+  * the versioned leg's diff is exactly the removed-id audit record.
+  */
+class DeletesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newStore() = new TableStore(spark,
+    java.nio.file.Files.createTempDirectory("graft_deletes").toString)
+
+  /** (relative path, length, mtime) of every file under a table dir —
+    * byte-identity proxy for "this directory never moved". */
+  private def listing(store: TableStore, table: String): Set[(String, Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val base = new java.io.File(store.path(table))
+    walk(base).map(f => (f.getPath.stripPrefix(base.getPath),
+      f.length(), f.lastModified())).toSet
+  }
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("partition-scoped delete: untouched partitions never move, emptied ones vanish") {
+    val store = newStore()
+    val df = Seq(
+      (1L, "m1", "a"), (2L, "m1", "b"),
+      (3L, "m2", "c"), (4L, "m2", "d"),
+      (5L, "m3", "e")).toDF("id", "month", "v")
+    store.overwrite("t", df, partitionBy = Seq("month"))
+    val m1Before = listing(store, "t").filter(_._1.contains("month=m1"))
+
+    // delete id 3 (partial partition m2) and id 5 (empties m3)
+    Deletes.deleteRows(store, "t", "id", Seq(3L, 5L).toDF("id"), Some("month"))
+
+    assert(rows(store.read("t").select("id", "month", "v")) ===
+      Set(Seq(1L, "m1", "a"), Seq(2L, "m1", "b"), Seq(4L, "m2", "d")))
+    // m1 held no deleted id: its files are byte-identical in place
+    assert(listing(store, "t").filter(_._1.contains("month=m1")) === m1Before)
+    // m3 was emptied: the directory itself is gone, not a live husk
+    assert(!new java.io.File(store.path("t"), "month=m3").exists())
+  }
+
+  test("dropPartitions undoes hive %-escaping in dir names") {
+    val store = newStore()
+    // ':' is in Spark's escape set → dir is month=a%3Ab on disk
+    store.overwrite("t", Seq((1L, "a:b"), (2L, "ok")).toDF("id", "month"),
+      partitionBy = Seq("month"))
+    store.dropPartitions("t", "month", Seq("a:b"))
+    assert(rows(store.read("t").select("id", "month")) === Set(Seq(2L, "ok")))
+  }
+
+  test("index delete equals a from-scratch rebuild on survivors; no text read, untouched buckets in place") {
+    val store = newStore()
+    val docs = (0L until 60L).map(i =>
+      (i, s"alpha beta gamma delta w$i x${i % 7} y${i % 5} z${i % 3} end")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_delcorpus").toString
+    docs.write.parquet(s"$tmp/docs")
+    val stored = spark.read.parquet(s"$tmp/docs")
+    graft.ext.DedupIndex.build(store, "idx", stored, "doc_id", "text", idBuckets = 8)
+
+    val deleted = Seq(5L, 17L, 23L).toDF("doc_id")
+    val affectedBkts = Seq(5L, 17L, 23L).toDF("doc_id")
+      .select(pmod(xxhash64(col("doc_id")), lit(8L)).as("b"))
+      .collect().map(_.getLong(0)).toSet
+    // partition-dir files only: the root-level schema sidecar is
+    // legitimately rewritten by the partition overwrite
+    val untouchedBefore = listing(store, "idx_shingles")
+      .filter(_._1.contains("_bkt8="))
+      .filterNot(e => affectedBkts.exists(b => e._1.contains(s"_bkt8=$b")))
+
+    // the corpus parquet is GONE before the delete: any plan that tried to
+    // re-shingle a survivor would fail at action time
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$tmp/docs"))
+    Deletes.cascade(store, deleted, "doc_id", indexes = Seq("idx"))
+
+    // ground truth: a fresh build over the survivors only
+    val store2 = newStore()
+    graft.ext.DedupIndex.build(store2, "idx", docs.filter(!col("doc_id").isin(5L, 17L, 23L)),
+      "doc_id", "text", idBuckets = 8)
+    for ((get: ((TableStore, String) => DataFrame)) <- Seq[(TableStore, String) => DataFrame](
+        (st, n) => graft.ext.DedupIndex.bandsOf(st, n),
+        (st, n) => graft.ext.DedupIndex.sizesOf(st, n),
+        (st, n) => graft.ext.DedupIndex.shinglesOf(st, n, "doc_id"))) {
+      assert(rows(get(store, "idx")) === rows(get(store2, "idx")))
+    }
+    // buckets no deleted id hashed to were never rewritten
+    assert(listing(store, "idx_shingles")
+      .filter(_._1.contains("_bkt8="))
+      .filterNot(e => affectedBkts.exists(b => e._1.contains(s"_bkt8=$b"))) ===
+      untouchedBefore)
+  }
+
+  test("repack recomputes only affected shards and matches a full re-assign on survivors") {
+    val store = newStore()
+    val docs = Seq(
+      (1L, "s1", 40L), (2L, "s1", 50L), (3L, "s1", 30L),
+      (4L, "s2", 60L), (5L, "s2", 45L),
+      (6L, "s3", 70L)).toDF("doc_id", "shard", "n_tok")
+    val packed = graft.ext.Packing.assign(docs, "doc_id", "n_tok", Seq("shard"), 100L)
+    store.overwrite("packs", packed, partitionBy = Seq("shard"))
+    val s2s3Before = listing(store, "packs")
+      .filter(e => e._1.contains("shard=s2") || e._1.contains("shard=s3"))
+
+    val spec = Deletes.PackSpec("packs", "doc_id", "n_tok", "shard", 100L)
+    Deletes.cascade(store, Seq(1L).toDF("doc_id"), "doc_id", packs = Seq(spec))
+
+    val expected = graft.ext.Packing.assign(
+      docs.filter(col("doc_id") =!= 1L), "doc_id", "n_tok", Seq("shard"), 100L)
+    assert(rows(store.read("packs").select("doc_id", "shard", "n_tok", "pack_id", "pack_offset")) ===
+      rows(expected.select("doc_id", "shard", "n_tok", "pack_id", "pack_offset")))
+    // deleting doc 1 shifted docs 2 and 3 (same shard, later in stream) but
+    // s2/s3 never moved on disk
+    assert(listing(store, "packs")
+      .filter(e => e._1.contains("shard=s2") || e._1.contains("shard=s3")) === s2s3Before)
+  }
+
+  test("versioned delete: the new version's diff is exactly the removed-id audit record") {
+    val store = newStore()
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+    Versions.overwrite(store, "snap", v1)
+    val newV = Deletes.deleteVersioned(store, "snap", "id", Seq(2L, 4L).toDF("id"))
+    assert(newV === 2L)
+    assert(rows(Versions.read(store, "snap").select("id")) === Set(Seq(1L), Seq(3L)))
+    val d = Versions.diff(store, "snap", 1L, 2L, "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d === Map(1L -> "unchanged", 2L -> "removed", 3L -> "unchanged", 4L -> "removed"))
+  }
+
+  test("cascade is idempotent: re-running with the same ids is a no-op on content") {
+    val store = newStore()
+    store.overwrite("t", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    val ids = Seq(2L).toDF("id")
+    Deletes.cascade(store, ids, "id", corpus = Seq("t"))
+    val once = rows(store.read("t"))
+    Deletes.cascade(store, ids, "id", corpus = Seq("t"))
+    assert(rows(store.read("t")) === once)
+    assert(once === Set(Seq(1L, "a"), Seq(3L, "c")))
+  }
+}

@@ -30,19 +30,35 @@ import org.apache.spark.sql.functions.col
   * Caveats, documented not hidden: `saveAsTable(Overwrite)` cannot
   * overwrite a table that feeds its own input plan (same Spark limitation
   * [[TableStore]] works around for path tables — stage to a new table when
-  * self-reading); and exchange-free planning requires BOTH sides bucketed
+  * self-reading); exchange-free planning requires BOTH sides bucketed
   * on the join keys with the SAME bucket count (a mismatched count
-  * re-shuffles the smaller side only — still half the win).
+  * re-shuffles the smaller side only — still half the win); and one file
+  * per bucket means `nBuckets` is ALSO the file-size dial — a bucket file
+  * is table_size / nBuckets, so size the count for BOTH join parallelism
+  * and a sane file size (hundreds of MB): a 10 TB table at 64 buckets
+  * would write 160 GB files. When the right join count would still leave
+  * files too large, pass `maxRecordsPerFile` to split bucket files at a
+  * row bound — the bucket hash layout (exchange elimination) survives,
+  * but the planner only trusts the per-bucket SORT when each bucket is
+  * one file, so joins re-add their sort stages: trade sort CPU for
+  * manageable files, never the shuffle.
   */
 object Buckets {
 
-  /** Write `df` as a bucketed+sorted managed parquet table (overwrite). */
+  /** Write `df` as a bucketed+sorted managed parquet table (overwrite).
+    * `maxRecordsPerFile` > 0 splits each bucket's output at that row count
+    * (see the file-size caveat above); 0 keeps the one-file-per-bucket
+    * layout that lets the planner drop join sorts too.
+    */
   def overwriteBucketed(table: String, df: DataFrame,
-      bucketCols: Seq[String], nBuckets: Int): Unit = {
+      bucketCols: Seq[String], nBuckets: Int,
+      maxRecordsPerFile: Long = 0L): Unit = {
     require(bucketCols.nonEmpty, "bucketCols must be non-empty")
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    df.repartition(nBuckets, bucketCols.map(col): _*)
+    require(maxRecordsPerFile >= 0, s"maxRecordsPerFile must be >= 0")
+    val w = df.repartition(nBuckets, bucketCols.map(col): _*)
       .write.mode("overwrite").format("parquet")
+    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w)
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)

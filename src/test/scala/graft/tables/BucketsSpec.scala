@@ -66,6 +66,28 @@ class BucketsSpec extends SparkSpec {
     }
   }
 
+  test("maxRecordsPerFile splits bucket files but keeps the join exchange-free") {
+    val left = (0L until 2000L).map(i => (i % 17, i)).toDF("k", "v")
+    val right = (0L until 1000L).map(i => (i % 17, i * 3)).toDF("k", "w")
+    Buckets.overwriteBucketed("b_mrf_l", left, Seq("k"), 4, maxRecordsPerFile = 100L)
+    Buckets.overwriteBucketed("b_mrf_r", right, Seq("k"), 4, maxRecordsPerFile = 100L)
+    try withNoBroadcast {
+      // the escape actually fired: more data files than buckets
+      val loc = spark.sql("DESCRIBE EXTENDED b_mrf_l").filter($"col_name" === "Location")
+        .head.getString(1).stripPrefix("file:")
+      val nFiles = new java.io.File(loc).listFiles()
+        .count(f => f.getName.startsWith("part-"))
+      assert(nFiles > 4, s"expected >4 bucket files, got $nFiles")
+      val j = Buckets.read(spark, "b_mrf_l").join(Buckets.read(spark, "b_mrf_r"), Seq("k"))
+      // hash layout survives the split: still no shuffle (sorts may return)
+      assert(exchanges(j).isEmpty,
+        s"split-bucket join must not shuffle:\n${j.queryExecution.executedPlan}")
+      assert(j.count() === left.join(right, Seq("k")).count())
+    } finally {
+      Buckets.drop(spark, "b_mrf_l"); Buckets.drop(spark, "b_mrf_r")
+    }
+  }
+
   test("overwrite replaces contents; one file per bucket") {
     val a = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val b = Seq((3L, "c")).toDF("k", "v")

@@ -496,26 +496,59 @@ object Streams {
     dedupStream(gated, Seq("content_md5"), tsCol, lateness)
   }
 
-  /** Stream-stream interval join: each click pairs with purchases of the
-    * same user within `[click.ts, click.ts + horizon]`. Watermarks on both
-    * sides bound the buffered state (Spark purges rows that can no longer
-    * join). The reference has no streaming joins; this is core engine
-    * surface for event attribution at scale.
+  /** General watermark-bounded stream-stream INTERVAL join — the
+    * impressions⋈clicks shape: a left row at `tsLeft` pairs with right
+    * rows of the same `key` whose `tsRight` falls in
+    * `[tsLeft + lower, tsLeft + upper]` (both interval literals; `lower`
+    * may be negative, e.g. `"-5 minutes"`). Watermarks on BOTH sides plus
+    * the two-sided time constraint are what make the state finite: Spark
+    * derives each side's state horizon from the other side's watermark and
+    * the interval bounds, purges buffered rows that can no longer join,
+    * and drops late input beyond the watermark deterministically
+    * (StreamsSpec pins in-window match, out-of-window silence, cross-batch
+    * pairing, and the late-drop).
+    *
+    * The inputs must share ONLY the key column (rename before calling —
+    * enforced loudly, because Spark would otherwise resolve an ambiguous
+    * duplicate name to an arbitrary side). `withWatermark` is a no-op on
+    * batch frames, so the SAME function is its own batch twin: run it on
+    * the drained static inputs and the streaming output must match row for
+    * row (the sessionize convention, pinned in the spec; j10 is the
+    * interval-join oracle on the batch side).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      tsLeft: String, tsRight: String, lower: String, upper: String,
+      lateness: String = "30 minutes"): DataFrame = {
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared == Set(key),
+      s"intervalJoin inputs must share only the key column '$key'; shared: " +
+        shared.mkString(", "))
+    val rk = s"__r_$key"
+    val l = left.withWatermark(tsLeft, lateness)
+    val r = right.withColumnRenamed(key, rk).withWatermark(tsRight, lateness)
+    l.join(r,
+        col(key) === col(rk) &&
+          col(tsRight) >= col(tsLeft) + expr(s"INTERVAL $lower") &&
+          col(tsRight) <= col(tsLeft) + expr(s"INTERVAL $upper"))
+      .drop(rk)
+  }
+
+  /** Stream-stream attribution join over [[Event]] streams: each click
+    * pairs with purchases of the same user within
+    * `[click.ts, click.ts + horizon]` — [[intervalJoin]] specialized to
+    * the event schema. The reference has no streaming joins; this is core
+    * engine surface for event attribution at scale.
     */
   def attributionJoin(
       clicks: DataFrame, purchases: DataFrame, horizon: String,
       lateness: String = "30 minutes"): DataFrame = {
-    val c = clicks.withWatermark("ts", lateness)
-      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
-        col("event_id").as("click_id"))
-    val p = purchases.withWatermark("ts", lateness)
-      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
-        col("value").as("purchase_value"))
-    c.join(p,
-      col("c_user") === col("p_user") &&
-        col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
-      .select(col("c_user").as("user_id"), col("click_id"),
+    val c = clicks.select(col("user_id"), col("ts").as("click_ts"),
+      col("event_id").as("click_id"))
+    val p = purchases.select(col("user_id"), col("ts").as("purchase_ts"),
+      col("value").as("purchase_value"))
+    intervalJoin(c, p, "user_id", "click_ts", "purchase_ts",
+        "0 seconds", horizon, lateness)
+      .select(col("user_id"), col("click_id"),
         col("click_ts"), col("purchase_ts"), col("purchase_value"))
   }
 }

@@ -306,6 +306,70 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin: cross-batch state, two-sided window, late rows dropped, batch-twin agreement") {
+    implicit val sc = spark.sqlContext
+    val impressions = MemoryStream[Streams.Event]
+    val clicks = MemoryStream[Streams.Event]
+    def shape(df: org.apache.spark.sql.DataFrame, side: String) =
+      df.select(col("user_id"), col("ts").as(s"${side}_ts"),
+        col("event_id").as(s"${side}_id"))
+    // click attributes to an impression within [imp_ts - 5 min, imp_ts + 1 h]
+    val joined = Streams.intervalJoin(
+      shape(impressions.toDF(), "imp"), shape(clicks.toDF(), "clk"),
+      "user_id", "imp_ts", "clk_ts", "-5 minutes", "1 hour", "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: impressions only — nothing can join yet
+      impressions.addData(
+        Streams.Event(1, ts("2026-01-01 10:00:00"), 7, "imp", 0.0),
+        Streams.Event(2, ts("2026-01-01 12:00:00"), 8, "imp", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("ssj").count() === 0)
+      // batch 2: clicks — must pair against batch 1's BUFFERED impressions
+      clicks.addData(
+        Streams.Event(90, ts("2026-01-01 10:30:00"), 7, "clk", 0.0), // in window
+        Streams.Event(91, ts("2026-01-01 09:58:00"), 7, "clk", 0.0), // lower bound: -2 min, in
+        Streams.Event(92, ts("2026-01-01 11:30:00"), 7, "clk", 0.0), // past +1 h, out
+        Streams.Event(93, ts("2026-01-01 12:10:00"), 9, "clk", 0.0)) // no such user
+      q.processAllAvailable()
+      val got = spark.table("ssj").collect()
+        .map(r => (r.getAs[Long]("imp_id"), r.getAs[Long]("clk_id"))).toSet
+      assert(got === Set((1L, 90L), (1L, 91L)))
+      // advance both watermarks far past the old window, then deliver a
+      // left-behind click that WOULD have matched: dropped, deterministically
+      impressions.addData(Streams.Event(3, ts("2026-01-01 18:00:00"), 7, "imp", 0.0))
+      clicks.addData(Streams.Event(94, ts("2026-01-01 18:00:00"), 55, "clk", 0.0))
+      q.processAllAvailable()
+      clicks.addData(Streams.Event(95, ts("2026-01-01 10:10:00"), 7, "clk", 0.0))
+      q.processAllAvailable()
+      val after = spark.table("ssj").collect()
+        .map(r => (r.getAs[Long]("imp_id"), r.getAs[Long]("clk_id"))).toSet
+      assert(after === got, "late click beyond the watermark must not join")
+      // batch twin: the same function over the drained static inputs
+      // (withWatermark is a no-op in batch) — minus the late-dropped row,
+      // which batch DOES see; feed it the stream-accepted rows
+      val impB = Seq((7L, ts("2026-01-01 10:00:00"), 1L), (8L, ts("2026-01-01 12:00:00"), 2L),
+        (7L, ts("2026-01-01 18:00:00"), 3L)).toDF("user_id", "imp_ts", "imp_id")
+      val clkB = Seq((7L, ts("2026-01-01 10:30:00"), 90L), (7L, ts("2026-01-01 09:58:00"), 91L),
+        (7L, ts("2026-01-01 11:30:00"), 92L), (9L, ts("2026-01-01 12:10:00"), 93L),
+        (55L, ts("2026-01-01 18:00:00"), 94L)).toDF("user_id", "clk_ts", "clk_id")
+      val batch = Streams.intervalJoin(impB, clkB, "user_id", "imp_ts", "clk_ts",
+        "-5 minutes", "1 hour").collect()
+        .map(r => (r.getAs[Long]("imp_id"), r.getAs[Long]("clk_id"))).toSet
+      assert(batch === got, "drained batch twin must agree with the streamed output")
+    } finally q.stop()
+  }
+
+  test("intervalJoin rejects inputs sharing non-key columns") {
+    val a = Seq((1L, ts("2026-01-01 00:00:00"))).toDF("k", "ts")
+    val b = Seq((1L, ts("2026-01-01 00:00:00"))).toDF("k", "ts")
+    val e = intercept[IllegalArgumentException] {
+      Streams.intervalJoin(a, b, "k", "ts", "ts", "0 seconds", "1 hour")
+    }
+    assert(e.getMessage.contains("share only the key"))
+  }
+
   test("landingStream + upsertSink: file micro-batches upsert by key, late re-delivery updates in place") {
     val dir = Files.createTempDirectory("graft_landing").toString
     val ckpt = Files.createTempDirectory("graft_ckpt").toString

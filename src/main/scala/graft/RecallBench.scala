@@ -77,6 +77,25 @@ object RecallBench {
       val structured = exact.filter(_._4 >= 0.45).map(r => (r._1, r._2))
       val structuredWithin = structured.filter(_._2 < 100000000L)
 
+      def report(variant: String, m: Int, k: Int,
+          approx: Array[(Long, Long, Int)], best: Double): Unit = {
+        val approxTop10 = approx.groupBy(_._1).map { case (q, rs) =>
+          q -> rs.map(_._2).toSet
+        }
+        val approxRank = approx.map(r => (r._1, r._2) -> r._3).toMap
+        val qs = exactTop10.keys.toSeq.sorted
+        val recall = qs.map { q =>
+          (exactTop10(q) & approxTop10.getOrElse(q, Set.empty)).size / 10.0
+        }.sum / qs.size
+        val mrr = qs.map { q =>
+          approxRank.get((q, exactTop1(q))).map(1.0 / _).getOrElse(0.0)
+        }.sum / qs.size
+        def hitRate(ps: Array[(Long, Long)]): Double =
+          if (ps.isEmpty) -1.0
+          else ps.count(p => approxRank.contains(p)).toDouble / ps.length
+        println(f"""{"recallbench":"$tag","variant":"$variant","m":$m,"k":$k,"queries":${qs.size},"recall_at_10":$recall%.3f,"true_nn_mrr":$mrr%.3f,"n_struct":${structured.length},"struct_recall":${hitRate(structured)}%.3f,"n_struct_within":${structuredWithin.length},"struct_within_recall":${hitRate(structuredWithin)}%.3f,"sec":$best%.2f}""")
+      }
+
       // (m, k) grid: m spans subspace count, k codebook resolution — the
       // registered s11/s12 point is (16, 16); (16, 64) asks whether lost
       // structure at scale is a RESOLUTION knob (log2(k) bits/subspace) or
@@ -93,21 +112,35 @@ object RecallBench {
             .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
           best = math.min(best, (System.nanoTime() - t0) / 1e9)
         }
-        val approxTop10 = approx.groupBy(_._1).map { case (q, rs) =>
-          q -> rs.map(_._2).toSet
+        report("unit", m, k, approx, best)
+      }
+
+      // residual variant at the registered (16,16) point — same
+      // bits/vector, codebooks trained on coarse-centroid residuals; all
+      // 8 clusters probed so the comparison isolates codebook resolution
+      // (no IVF recall loss in either column)
+      {
+        val (m, k) = (16, 16)
+        var best = Double.MaxValue
+        var approx: Array[(Long, Long, Int)] = Array.empty
+        for (_ <- 1 to reps) {
+          val t0 = System.nanoTime()
+          val centroids = Similarity.kmeansTrain(emb, "vec_id", "embedding",
+              k = 8, iters = 2)
+            .select(col("centroid_id").cast("long").as("vec_id"), col("embedding"))
+          val centers = Similarity.residualCenters(emb, centroids,
+            "vec_id", "embedding")
+          val books = Similarity.pqTrainResidual(emb, "vec_id", "embedding",
+            centroids, centers, dim = 64, m = m, k = k, iters = 2, sampleMod = Some(4))
+          val index = Similarity.pqEncodeResidual(emb, centroids, centers,
+            "vec_id", "embedding", books)
+          approx = Similarity.ivfPqResidualSearch(queries, index, centroids,
+              centers, "vec_id", "embedding", books, k = 10, nprobe = 8)
+            .select(col("query_id"), col("neighbor_id"), col("rnk"))
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
         }
-        val approxRank = approx.map(r => (r._1, r._2) -> r._3).toMap
-        val qs = exactTop10.keys.toSeq.sorted
-        val recall = qs.map { q =>
-          (exactTop10(q) & approxTop10.getOrElse(q, Set.empty)).size / 10.0
-        }.sum / qs.size
-        val mrr = qs.map { q =>
-          approxRank.get((q, exactTop1(q))).map(1.0 / _).getOrElse(0.0)
-        }.sum / qs.size
-        def hitRate(ps: Array[(Long, Long)]): Double =
-          if (ps.isEmpty) -1.0
-          else ps.count(p => approxRank.contains(p)).toDouble / ps.length
-        println(f"""{"recallbench":"$tag","m":$m,"k":$k,"queries":${qs.size},"recall_at_10":$recall%.3f,"true_nn_mrr":$mrr%.3f,"n_struct":${structured.length},"struct_recall":${hitRate(structured)}%.3f,"n_struct_within":${structuredWithin.length},"struct_within_recall":${hitRate(structuredWithin)}%.3f,"sec":$best%.2f}""")
+        report("residual", m, k, approx, best)
       }
     }
     graft.tables.Scratch.cleanup(spark)

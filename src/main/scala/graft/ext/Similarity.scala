@@ -603,9 +603,15 @@ object Similarity {
     */
   private def subVectors(df: DataFrame, idCol: String, vecCol: String,
       m: Int, dsub: Int): DataFrame =
-    withUnit(df, idCol, vecCol)
-      .select(col(idCol), posexplode(transform(sequence(lit(0), lit(m - 1)),
-        j => slice(col("_u"), j * dsub + 1, lit(dsub)))).as(Seq("sub", "sv")))
+    slicedSubs(withUnit(df, idCol, vecCol), idCol, m, dsub)
+
+  /** (id, sub, sv) slices of a prepared `(id, _u)` frame — the slicing
+    * half of [[subVectors]], shared with the residual path (whose `_u` is
+    * a residual, not a unit vector).
+    */
+  private def slicedSubs(pre: DataFrame, idCol: String, m: Int, dsub: Int): DataFrame =
+    pre.select(col(idCol), posexplode(transform(sequence(lit(0), lit(m - 1)),
+      j => slice(col("_u"), j * dsub + 1, lit(dsub)))).as(Seq("sub", "sv")))
 
   /** Per-row squared-L2 argmin against this row's subspace codebook, as a
     * map-only projection. The codebooks ride as nested literals indexed by
@@ -639,19 +645,27 @@ object Similarity {
       sampleMod: Option[Int] = None): PqBooks = {
     require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     require(k >= 1 && iters >= 0, s"need k >= 1 codewords, iters >= 0")
-    val dsub = dim / m
     // the 100 TB path trains on the deterministic md5-bucket sample (same
     // knob as kmeansTrain) — codebook quality needs corpus statistics, not
     // the corpus; encode still covers every vector
     val src = sampleMod.fold(df)(s => df.filter(sampleBucket(col(idCol)) % s === 0))
+    pqLloyd(withUnit(src, idCol, vecCol), idCol, m, dim / m, k, iters)
+  }
+
+  /** The per-subspace Lloyd loop over a prepared `(id, _u)` frame —
+    * shared by [[pqTrain]] (unit vectors) and [[pqTrainResidual]]
+    * (coarse-centroid residuals); `_u` components must sit on the 2^-20
+    * grid (the summation-order-independence contract).
+    */
+  private def pqLloyd(pre: DataFrame, idCol: String,
+      m: Int, dsub: Int, k: Int, iters: Int): PqBooks = {
     // each Lloyd pass re-reads the subvector frame — cache it instead of
-    // re-running scan + normalize + explode per iteration
-    val sv = subVectors(src, idCol, vecCol, m, dsub).persist()
+    // re-running scan + prepare + explode per iteration
+    val sv = slicedSubs(pre, idCol, m, dsub).persist()
 
     // seed: subvectors of the k smallest-id vectors (TakeOrderedAndProject
     // on the driver side of a k-row collect — never a global sort)
-    val seeds = src.select(col(idCol), unitVec(col(vecCol)).as("_u"))
-      .orderBy(col(idCol)).limit(k).collect()
+    val seeds = pre.orderBy(col(idCol)).limit(k).collect()
       .map(_.getSeq[Double](1).toSeq)
     var books: PqBooks = (0 until m).map { j =>
       seeds.zipWithIndex.map { case (u, i) =>
@@ -788,6 +802,153 @@ object Similarity {
       .filter(col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         adcExpr(books, col("qu"), col("codes")).as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  // --- residual IVF+PQ (IVFADC, Jégou et al. 2011 §IV) ----------------------
+
+  /** Residual centers as a trained artifact (the [[PqBooks]] of the
+    * coarse stage): `centers(c − 1)` is cluster c's center in residual
+    * space, indexed by [[kmeansTrain]]'s 1..k cluster ids; empty clusters
+    * hold the zero vector (never read — an empty cluster contributes no
+    * candidates, so its center reaches no score in either engine).
+    */
+  type ResidualCenters = Seq[Seq[Double]]
+
+  /** Train the residual centers: per cluster, the component MEAN of its
+    * members' UNIT vectors — the variance-minimizing center in the space
+    * PQ actually quantizes, which is neither the raw [[kmeansTrain]]
+    * centroid (its norm tracks the corpus scale — subtracting it leaves
+    * residuals as large as the unit vectors) nor that centroid normalized
+    * (|u − ĉ|² = 2 − 2cosθ EXCEEDS 1 at the wide assignment angles a
+    * diffuse corpus produces; both dead ends measured in r13's recall
+    * smoke runs, and PqSpec pins the jitter-ball bound that caught the
+    * first). Against the mean c̄ the average residual power is
+    * 1 − ‖c̄‖² ≤ 1 by construction — residual coding can only break even
+    * or win. One assignment pass + one (cluster, pos) aggregation over
+    * grid values (exact partial-agg sums, the kmeansTrain argument);
+    * k×dim doubles collect — bounded by geometry, never data.
+    */
+  def residualCenters(df: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): ResidualCenters = {
+    val nClusters = centroids.count().toInt
+    val assigned = ivfAssign(df, centroids, idCol, vecCol)
+      .select(col(idCol), col("cluster"))
+    val means = withUnit(df, idCol, vecCol)
+      .join(assigned, Seq(idCol))
+      .select(col("cluster"), posexplode(col("_u")).as(Seq("pos", "x")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[Number]("cluster").longValue(),
+        r.getInt(1), r.getDouble(2) / r.getLong(3)))
+      .groupBy(_._1)
+      .map { case (c, rows) => c -> rows.sortBy(_._2).map(_._3).toSeq }
+    val dim = means.values.headOption.map(_.length).getOrElse(0)
+    (1 to nClusters).map(c => means.getOrElse(c.toLong, Seq.fill(dim)(0.0)))
+  }
+
+  /** (id, cluster, _r): each vector's 2^-20-grid RESIDUAL against its
+    * cluster's [[residualCenters]] center — `_r = quantize(unit(v) − c̄)`.
+    * The re-quantization onto the grid is load-bearing for the same
+    * reason as [[unitVec]]'s: Lloyd's codeword means sum these components
+    * with plain partial-aggregated SUMs, and only grid values sum exactly
+    * regardless of order. Assignment is [[ivfAssign]] verbatim; the
+    * center lookup is hoisted to its own projected column so the
+    * `zip_with` lambda reads a row-local array instead of re-evaluating
+    * `element_at` per element (the interpreted-HOF pitfall).
+    */
+  def residuals(df: DataFrame, centroids: DataFrame, centers: ResidualCenters,
+      idCol: String, vecCol: String): DataFrame = {
+    val centLit = typedLit(centers)
+    val assigned = ivfAssign(df, centroids, idCol, vecCol)
+      .select(col(idCol), col("cluster"))
+    withUnit(df, idCol, vecCol)
+      .join(assigned, Seq(idCol))
+      .select(col(idCol), col("cluster"), col("_u"),
+        element_at(centLit, col("cluster").cast("int")).as("_cv"))
+      .select(col(idCol), col("cluster"),
+        quantize(zip_with(col("_u"), col("_cv"), (a, b) => a - b)).as("_r"))
+  }
+
+  /** PQ codebooks trained on RESIDUALS (unit vector − cluster center)
+    * instead of the unit vectors themselves — Jégou et al.'s IVFADC form.
+    * Why it wins at the same bits/vector: after coarse assignment every
+    * vector's residual lives in a ball around the origin whose radius is
+    * the in-cluster spread, so the m×k codewords spend their resolution
+    * on WITHIN-cluster structure instead of re-describing the cluster
+    * layout the coarse stage already encodes — the r12 recall grid showed
+    * codebook resolution is the limiter, and this raises it without
+    * raising storage. `centers` must come from ONE [[residualCenters]]
+    * call over the full corpus and be shared with encode and search — a
+    * sample-local center set would put train and encode in different
+    * residual spaces. Same determinism contract as [[pqTrain]]; the s13
+    * oracle replays centers+train+encode+search end-to-end.
+    */
+  def pqTrainResidual(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centers: ResidualCenters,
+      dim: Int, m: Int = 8, k: Int = 16, iters: Int = 2,
+      sampleMod: Option[Int] = None): PqBooks = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    require(k >= 1 && iters >= 0, s"need k >= 1 codewords, iters >= 0")
+    val src = sampleMod.fold(df)(s => df.filter(sampleBucket(col(idCol)) % s === 0))
+    pqLloyd(residuals(src, centroids, centers, idCol, vecCol)
+      .select(col(idCol), col("_r").as("_u")), idCol, m, dim / m, k, iters)
+  }
+
+  /** Residual PQ encode: the complete (id, cluster, codes) index frame —
+    * cluster rides along because the residual is only decodable WITH its
+    * cluster center, so the pair is the index row by construction (and
+    * the single [[ivfAssign]] pass serves both). Map-only like
+    * [[pqEncode]]; stage partitioned by `cluster` for the probe-prune.
+    */
+  def pqEncodeResidual(df: DataFrame, centroids: DataFrame,
+      centers: ResidualCenters, idCol: String, vecCol: String,
+      books: PqBooks): DataFrame = {
+    val m = books.length
+    val dsub = books.head.head._2.length
+    val res = residuals(df, centroids, centers, idCol, vecCol)
+    slicedSubs(res.select(col(idCol), col("_r").as("_u")), idCol, m, dsub)
+      .select(col(idCol), col("sub"),
+        nearestCode(books, col("sv"), col("sub")).as("code"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("_sc"))
+      .select(col(idCol), transform(col("_sc"), s => s.getField("code")).as("codes"))
+      .join(res.select(col(idCol), col("cluster")), Seq(idCol))
+  }
+
+  /** Residual IVF+PQ search ([[ivfPqSearch]]'s scoring upgraded to the
+    * IVFADC decomposition): a candidate in cluster c scores
+    * `dot(q, center_c) + Σ_j dot(q_j, residual-codeword_j)` — the coarse
+    * term re-adds what the residual encode subtracted (the decomposition
+    * dot(q,c̄) + dot(q, u−c̄) = dot(q,u) is exact for any center), so the
+    * sum approximates `dot(q, unit(v))` with the codebooks only paying
+    * for the in-cluster part. Same probe machinery, partition prune, and
+    * 8 B/vector float-free scan as the non-residual path; the coarse term
+    * is one extra codegen'd dot against a k-bounded literal.
+    */
+  def ivfPqResidualSearch(
+      queries: DataFrame, index: DataFrame, centroids: DataFrame,
+      centers: ResidualCenters, idCol: String, vecCol: String, books: PqBooks,
+      k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    val centLit = typedLit(centers)
+    val probes = probesOf(queries, centroids, idCol, vecCol, nprobe)
+      .select(col("query_id"), unitVec(col("qv")).as("qu"), col("cluster"))
+    val probeRows = probes.collect() // |Q|×nprobe rows — driver-bounded by contract
+    val probedClusters =
+      probeRows.map(_.getAs[Number]("cluster").longValue()).distinct.sorted.toSeq
+    val probesLocal = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probes.schema)
+    val scored = index
+      .filter(col("cluster").isInCollection(probedClusters)) // static partition prune
+      .join(broadcast(probesLocal), Seq("cluster"))
+      .filter(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        (dot(col("qu"), element_at(centLit, col("cluster").cast("int"))) +
+          adcExpr(books, col("qu"), col("codes"))).as("adc"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)

@@ -2478,24 +2478,23 @@ object ExtQueries {
     * lower-cid ties, and the ADC sum as an ordered left fold. Mirrors
     * [[kmeansCte]]'s structure with `sub` as an extra key everywhere.
     */
-  private def pqCte(m: Int, k: Int, iters: Int, dsub: Int,
-      trainWhere: String = ""): String = {
-    val dist = s"list_reduce(list_transform(c.cv, x -> x * x), (a, b) -> a + b) - " +
-      s"2 * ${dotSql.format("s.sv", "c.cv")}"
-    val base =
-      s"""pq_u AS (SELECT vec_id, CASE WHEN nrm0 = 0 THEN qv
+  /** The unit-vector CTE shared by both PQ variants: 2^-20-quantized,
+    * normalized, re-quantized (mirrors Similarity.withUnit). */
+  private val pqUnitCte =
+    """pq_u AS (SELECT vec_id, CASE WHEN nrm0 = 0 THEN qv
              ELSE list_transform(qv, x -> round(x / nrm0 * 1048576.0) / 1048576.0) END AS uv FROM (
            SELECT vec_id, qv,
                   sqrt(list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b)) AS nrm0
            FROM (SELECT vec_id, list_transform(embedding,
                    x -> round(CAST(x AS DOUBLE) * 1048576.0) / 1048576.0) AS qv
-                 FROM embeddings))),
-      pq_sv AS (SELECT vec_id, sub, uv[sub*$dsub+1 : sub*$dsub+$dsub] AS sv
-                FROM pq_u CROSS JOIN (SELECT unnest(range($m)) AS sub) subs),
-      pq_svt AS (SELECT * FROM pq_sv$trainWhere),
-      pc0 AS (SELECT sub, row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS cid, sv AS cv
-              FROM pq_svt QUALIFY cid <= $k)"""
-    val steps = (1 to iters).map { i =>
+                 FROM embeddings)))"""
+
+  /** The per-subspace Lloyd iteration CTEs (pd/pa/pm/pg/pu/pc chains over
+    * `pq_svt`/`pc0`) — identical for unit-vector and residual training. */
+  private def pqIterSteps(iters: Int): Seq[String] = {
+    val dist = s"list_reduce(list_transform(c.cv, x -> x * x), (a, b) -> a + b) - " +
+      s"2 * ${dotSql.format("s.sv", "c.cv")}"
+    (1 to iters).map { i =>
       val p = i - 1
       s"""pd$i AS (SELECT s.vec_id, s.sub, s.sv, c.cid, $dist AS dist
                FROM pq_svt s JOIN pc$p c ON c.sub = s.sub),
@@ -2509,7 +2508,50 @@ object ExtQueries {
                SELECT c.sub, c.cid, c.cv FROM pc$p c WHERE NOT EXISTS (
                  SELECT 1 FROM pu$i u WHERE u.sub = c.sub AND u.cid = c.cid))"""
     }
-    (base +: steps).mkString(",\n      ")
+  }
+
+  private def pqCte(m: Int, k: Int, iters: Int, dsub: Int,
+      trainWhere: String = ""): String = {
+    val base =
+      s"""$pqUnitCte,
+      pq_sv AS (SELECT vec_id, sub, uv[sub*$dsub+1 : sub*$dsub+$dsub] AS sv
+                FROM pq_u CROSS JOIN (SELECT unnest(range($m)) AS sub) subs),
+      pq_svt AS (SELECT * FROM pq_sv$trainWhere),
+      pc0 AS (SELECT sub, row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS cid, sv AS cv
+              FROM pq_svt QUALIFY cid <= $k)"""
+    (base +: pqIterSteps(iters)).mkString(",\n      ")
+  }
+
+  /** Residual variant ([[Similarity.pqTrainResidual]]'s twin): subvectors
+    * come from `pq_r` — the 2^-20-re-quantized residual of each unit
+    * vector against its assigned coarse centroid — so it must appear AFTER
+    * `asg`/`cent` CTEs in the WITH chain; `pq_qsv` keeps the UNIT
+    * subvectors for the query-side ADC lookup table.
+    */
+  private def pqResCte(m: Int, k: Int, iters: Int, dsub: Int,
+      trainWhere: String = ""): String = {
+    val base =
+      s"""$pqUnitCte,
+      cm AS (SELECT a.cluster, unnest(generate_series(1, len(u.uv))) AS pos,
+                    unnest(u.uv) AS x
+             FROM pq_u u JOIN asg a ON a.vec_id = u.vec_id),
+      centu AS (SELECT cluster AS centroid_id, list(mval ORDER BY pos) AS centuv
+                FROM (SELECT cluster, pos, sum(x) / count(*) AS mval
+                      FROM cm GROUP BY 1, 2)
+                GROUP BY 1),
+      pq_r AS (SELECT u.vec_id, a.cluster,
+                 list_transform(generate_series(1, len(u.uv)),
+                   i -> round((u.uv[i] - c.centuv[i]) * 1048576.0) / 1048576.0) AS rv
+               FROM pq_u u JOIN asg a ON a.vec_id = u.vec_id
+               JOIN centu c ON c.centroid_id = a.cluster),
+      pq_sv AS (SELECT vec_id, sub, rv[sub*$dsub+1 : sub*$dsub+$dsub] AS sv
+                FROM pq_r CROSS JOIN (SELECT unnest(range($m)) AS sub) subs),
+      pq_qsv AS (SELECT vec_id, sub, uv[sub*$dsub+1 : sub*$dsub+$dsub] AS sv
+                FROM pq_u CROSS JOIN (SELECT unnest(range($m)) AS sub) subs),
+      pq_svt AS (SELECT * FROM pq_sv$trainWhere),
+      pc0 AS (SELECT sub, row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS cid, sv AS cv
+              FROM pq_svt QUALIFY cid <= $k)"""
+    (base +: pqIterSteps(iters)).mkString(",\n      ")
   }
 
   /** S5 — product-quantization ADC search ([[Similarity.pqTrain]] →
@@ -2617,6 +2659,83 @@ object ExtQueries {
               FROM psc0 GROUP BY 1, 2),
       pr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rnk
              FROM psc)
+      SELECT query_id, neighbor_id, adc, rnk FROM pr WHERE rnk <= 5 ORDER BY query_id, rnk
+    """))
+
+  /** S13 — RESIDUAL IVF+PQ ([[Similarity.pqTrainResidual]] →
+    * pqEncodeResidual → ivfPqResidualSearch): s6's stack with codebooks
+    * trained on (unit vector − assigned coarse centroid) residuals and the
+    * ADC score decomposed as coarse-dot + residual-codeword sum — Jégou et
+    * al.'s IVFADC at the same 8 bytes/vector. The oracle replays coarse
+    * training, assignment, residual subtraction (grid re-quantized),
+    * residual codebook training, encode, and the two-term ranking
+    * end-to-end — any drift in the subtraction, the grid round, or the
+    * coarse-term pairing flips rows.
+    */
+  val s13AnnIvfPqResidual = QueryDef(
+    "s13_ann_ivfpq_residual",
+    (s, dir) => {
+      val emb = Td(s, dir, "embeddings")
+      val centroids = Similarity.kmeansTrain(emb, "vec_id", "embedding", k = 8, iters = 2)
+        .select(col("centroid_id").cast("long").as("vec_id"), col("embedding"))
+      // centers come from ONE pass over the FULL corpus and are shared by
+      // train, encode, and search — the residual-space consistency contract
+      val centers = Similarity.residualCenters(emb, centroids, "vec_id", "embedding")
+      val books = Similarity.pqTrainResidual(emb, "vec_id", "embedding", centroids,
+        centers, dim = 64, m = 8, k = 16, iters = 2, sampleMod = Some(4))
+      val index = graft.tables.Scratch.stage(
+        Similarity.pqEncodeResidual(emb, centroids, centers, "vec_id", "embedding", books),
+        "s13_ivfpqr_index", Seq("cluster"))
+      Similarity.ivfPqResidualSearch(emb.filter(col("vec_id") < 5), index, centroids,
+          centers, "vec_id", "embedding", books, k = 5, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("adc"),
+          col("rnk").cast("long").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some(s"""
+      WITH $vecCte,
+      ${kmeansCte(8, 2)},
+      ${trainedCentSql(2)},
+      asg0 AS (SELECT n.vec_id, cent.centroid_id,
+                 ${dotSql.format("n.v", "centv")} / (n.nrm * centn) AS ccos
+               FROM n CROSS JOIN cent),
+      asg AS (SELECT vec_id, centroid_id AS cluster FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rnk
+                FROM asg0) WHERE rnk = 1),
+      probes0 AS (SELECT n.vec_id AS query_id, cent.centroid_id,
+                    ${dotSql.format("n.v", "centv")} / (n.nrm * centn) AS ccos
+                  FROM n CROSS JOIN cent WHERE n.vec_id < 5),
+      probes AS (SELECT query_id, centroid_id AS cluster FROM (
+                   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ccos DESC, centroid_id) AS rnk
+                   FROM probes0) WHERE rnk <= 2),
+      ${pqResCte(m = 8, k = 16, iters = 2, dsub = 8, trainWhere = s" WHERE ${sampleFilterSql("vec_id", 4)}")},
+      pe AS (SELECT s.vec_id, s.sub, c.cid,
+               list_reduce(list_transform(c.cv, x -> x * x), (a, b) -> a + b) -
+                 2 * ${dotSql.format("s.sv", "c.cv")} AS dist
+             FROM pq_sv s JOIN pc2 c ON c.sub = s.sub),
+      penc AS (SELECT vec_id, sub, cid FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rnk
+               FROM pe) WHERE rnk = 1),
+      plut AS (SELECT s.vec_id AS query_id, s.sub, c.cid,
+                 ${dotSql.format("s.sv", "c.cv")} AS ip
+               FROM pq_qsv s JOIN pc2 c ON c.sub = s.sub WHERE s.vec_id < 5),
+      coarse AS (SELECT u.vec_id AS query_id, cu.centroid_id AS cluster,
+                   ${dotSql.format("u.uv", "cu.centuv")} AS cip
+                 FROM pq_u u CROSS JOIN centu cu WHERE u.vec_id < 5),
+      cand AS (SELECT p.query_id, a.vec_id, a.cluster
+               FROM asg a JOIN probes p ON a.cluster = p.cluster
+               WHERE a.vec_id <> p.query_id),
+      psc0 AS (SELECT cd.query_id, cd.vec_id AS neighbor_id, cd.cluster, e.sub, l.ip
+               FROM cand cd
+               JOIN penc e ON e.vec_id = cd.vec_id
+               JOIN plut l ON l.query_id = cd.query_id AND l.sub = e.sub AND l.cid = e.cid),
+      psc AS (SELECT query_id, neighbor_id, cluster,
+                list_reduce(list(ip ORDER BY sub), (a, b) -> a + b) AS radc
+              FROM psc0 GROUP BY 1, 2, 3),
+      pscf AS (SELECT p.query_id, p.neighbor_id, co.cip + p.radc AS adc
+               FROM psc p JOIN coarse co ON co.query_id = p.query_id AND co.cluster = p.cluster),
+      pr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rnk
+             FROM pscf)
       SELECT query_id, neighbor_id, adc, rnk FROM pr WHERE rnk <= 5 ORDER BY query_id, rnk
     """))
 
@@ -4743,7 +4862,8 @@ object ExtQueries {
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,
     d14DedupChargram, d17DedupIndexBucketed, d19DedupContainment, d20SpanDedup,
     d22SpanExact, d23SpanGuaranteed,
-    s1KnnBrute, s2AnnIvf, s3KnnQuantized, s5KnnPq, s6AnnIvfPq, s7HardNegatives, x20CorpusReport,
+    s1KnnBrute, s2AnnIvf, s3KnnQuantized, s5KnnPq, s6AnnIvfPq, s13AnnIvfPqResidual,
+    s7HardNegatives, x20CorpusReport,
     m1MediaMeta, m2FrameSample, m3VideoMeta,
     c1Curation, c2CurationRecipe, c3Decontaminate, c4DecontaminateBloom,
     c5NormalizedCuration, c6CrawlPipeline,

@@ -94,4 +94,63 @@ class PqSpec extends SparkSpec {
       Similarity.pqTrain(corpus, "vec_id", "embedding", dim = 16, m = 5)
     }
   }
+
+  test("residual IVF+PQ: index carries (cluster, codes), ranking respects family structure") {
+    val cents = Similarity.kmeansTrain(corpus, "vec_id", "embedding", k = 2, iters = 2)
+      .select(col("centroid_id").cast("long").as("vec_id"), col("embedding"))
+    val centers = Similarity.residualCenters(corpus, cents, "vec_id", "embedding")
+    val rbooks = Similarity.pqTrainResidual(corpus, "vec_id", "embedding", cents,
+      centers, dim = 16, m = 4, k = 4, iters = 2)
+    assert(rbooks.length === 4 && rbooks.forall(_.length === 4))
+    val index = Similarity.pqEncodeResidual(corpus, cents, centers,
+      "vec_id", "embedding", rbooks)
+    assert(index.columns.toSet === Set("vec_id", "cluster", "codes")) // no embedding
+    assert(index.count() === 40)
+    // exact duplicates land in the same cluster with identical codes
+    val dup = corpus.filter(col("vec_id") === 1).withColumn("vec_id", lit(999L))
+    val withDup = Similarity
+      .pqEncodeResidual(corpus.union(dup), cents, centers, "vec_id", "embedding", rbooks)
+      .as[(Long, Seq[Int], Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(withDup(999L) === withDup(1L))
+    // two-term ADC: the query's own family fills the top-10, and the
+    // score approximates cosine (same-family near 1, cross-family small)
+    val out = Similarity.ivfPqResidualSearch(
+        corpus.filter(col("vec_id") === 1), index, cents, centers,
+        "vec_id", "embedding", rbooks, k = 15, nprobe = 2)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(out.length === 15)
+    assert(out.filter(_._4 <= 10).forall(_._2 <= 20),
+      s"cross-family neighbor in top-10: ${out.toSeq}")
+    assert(out.filter(_._2 <= 20).forall(_._3 > 0.9))
+    assert(out.filter(_._2 > 100).forall(_._3 < 0.2))
+  }
+
+  test("residual codebooks describe IN-cluster spread: tighter than unit codebooks on clustered data") {
+    // interleaved ids (odd → family A, even → family B) so the two
+    // k-means seeds — the smallest ids — land one per family and the
+    // coarse centroids are family-aligned by construction
+    def vec(base: Int, i: Int): Seq[Float] =
+      (0 until 16).map { d =>
+        val on = d >= base && d < base + 4
+        (if (on) 1.0f + 0.01f * ((i * 7 + d) % 5) else 0.001f * ((i * 3 + d) % 7))
+      }
+    val inter = (1 to 40).map(i =>
+      (i.toLong, vec(if (i % 2 == 1) 0 else 8, i))).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansTrain(inter, "vec_id", "embedding", k = 2, iters = 2)
+      .select(col("centroid_id").cast("long").as("vec_id"), col("embedding"))
+    val centers = Similarity.residualCenters(inter, cents, "vec_id", "embedding")
+    val ubooks = Similarity.pqTrain(inter, "vec_id", "embedding",
+      dim = 16, m = 4, k = 4, iters = 2)
+    val rbooks = Similarity.pqTrainResidual(inter, "vec_id", "embedding", cents,
+      centers, dim = 16, m = 4, k = 4, iters = 2)
+    // unit codewords must span the families (the active subspace holds
+    // ~all of a unit vector's mass); residual codewords live in the small
+    // in-cluster jitter ball around each family's unit-mean center —
+    // exactly the bound that caught the raw-centroid and unit-centroid
+    // subtraction bugs (residual norms ~1 instead of jitter-scale)
+    def maxSqNorm(b: Similarity.PqBooks) = b.flatMap(_.map(_._3)).max
+    assert(maxSqNorm(ubooks) > 0.5, s"unit codewords span families: ${maxSqNorm(ubooks)}")
+    assert(maxSqNorm(rbooks) < 0.01,
+      s"residual codewords should sit in the jitter ball: ${maxSqNorm(rbooks)}")
+  }
 }

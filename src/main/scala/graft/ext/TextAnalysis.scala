@@ -237,6 +237,44 @@ object TextAnalysis {
   def bpeEncode(c: Column, merges: Seq[(String, String)]): Column =
     org.apache.spark.sql.graft.BpeEncodeTokens.bpeEncode(wsTokens(c), merges)
 
+  /** GPT-2-ish pre-tokens: whitespace tokens where every NON-FIRST token
+    * carries its separating space — the piece of GPT-2's pre-tokenizer
+    * that matters for an exported merge table (its `Ġx` entries only ever
+    * fire on tokens that kept their leading space; byte-mapping turns
+    * that space into Ġ). The full regex pre-tokenizer also splits
+    * letter/digit/punct runs — out of scope here; tokens stay
+    * whitespace-delimited.
+    */
+  def gpt2Pretokens(c: Column): Column =
+    transform(wsTokens(c), (w, i) => when(i === 0, w).otherwise(concat(lit(" "), w)))
+
+  /** Byte-level BPE encode with never-merged special tokens
+    * ([[org.apache.spark.sql.graft.ByteBpeEncodeTokens]]) over
+    * [[gpt2Pretokens]] — the surface that loads an exported
+    * tiktoken/HF merge file verbatim.
+    */
+  def byteBpeEncode(c: Column, merges: Seq[(String, String)],
+      specials: Seq[String]): Column =
+    org.apache.spark.sql.graft.ByteBpeEncodeTokens.byteBpeEncode(
+      gpt2Pretokens(c), merges, specials)
+
+  /** Parse an exported HF/GPT-2 `merges.txt` into the merge table
+    * [[byteBpeEncode]] consumes verbatim: one `a b` pair per line in rank
+    * order, optional `#version` header and blank lines skipped. Fails
+    * loudly on a malformed line — a silently dropped merge would shift
+    * every later rank.
+    */
+  def parseMerges(content: String): Seq[(String, String)] =
+    content.linesIterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val sp = l.split(" ")
+        require(sp.length == 2, s"malformed merges.txt line: '$l'")
+        (sp(0), sp(1))
+      }
+      .toSeq
+
   /** Train a BPE merge table ON the corpus — the learning side of
     * [[bpeEncode]] (Sennrich et al. 2016): each round re-encodes every
     * word with the merges learned so far (round 0 = code points), counts

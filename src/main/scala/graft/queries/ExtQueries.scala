@@ -3966,6 +3966,132 @@ object ExtQueries {
     // round unrolling is DuckDB-side only; compact-line headroom
     benchmark = false)
 
+  // byte-level merge table over GPT-2-mapped chars (Ġ = mapped 0x20,
+  // Ã/© = the mapped UTF-8 bytes of é) — the entry shapes an exported
+  // merges.txt carries; ranks deliberately interleave so greedy order
+  // (lowest rank first) is load-bearing
+  private val T20Merges: Seq[(String, String)] = Seq(
+    ("Ġ", "t"), ("h", "e"), ("Ġt", "he"), ("Ã", "©"),
+    ("a", "f"), ("c", "af"), ("caf", "Ã©"), ("t", "h"), ("Ġ", "a"))
+  private val T20Specials = Seq("<|endoftext|>")
+
+  /** T20 — BYTE-LEVEL BPE with special tokens
+    * ([[org.apache.spark.sql.graft.ByteBpeEncodeTokens]] over
+    * [[TA.gpt2Pretokens]]): corpus text sanitized to printable ASCII plus
+    * plants that force every byte-level surface — a multi-byte UTF-8 char
+    * whose two mapped bytes must fuse (café/thé), the Ġ-carrying
+    * space-attached tokens an exported merge file keys on (" the" →
+    * "Ġthe"), a special token that must stay atomic mid-text with its
+    * pre-tokenizer space contributing its own Ġ piece, and greedy
+    * rank-order interleaving. The oracle derives the byte→unicode table
+    * INDEPENDENTLY from the public algorithm (self-mapped ranges, 256+n
+    * for the rest), expands each word's chars to UTF-8 bytes in SQL, and
+    * replays the t16 merge-round chain over the mapped alphabet — so a
+    * drift in the byte mapping, the special bypass, or the space
+    * attachment flips per-doc digests.
+    */
+  val t20ByteBpe = QueryDef(
+    "t20_byte_bpe",
+    (s, dir) => {
+      val sanitized = regexp_replace(col("text"), "[^ -~]", "")
+      val planted = concat(sanitized,
+        lit(" café the <|endoftext|> thé attic"))
+      val pieces = TA.byteBpeEncode(col("_t20"), T20Merges, T20Specials)
+      Td(s, dir, "documents").select(col("doc_id"), planted.as("_t20"))
+        .select(col("doc_id"),
+          size(pieces).cast("long").as("n_pieces"),
+          md5(array_join(pieces, " ")).as("pieces_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val mtVals = T20Merges.zipWithIndex
+        .map { case ((a, b), i) => s"('$a','$b',$i)" }.mkString(", ")
+      val nRounds = T20Merges.length + 1 // one identity round of slack
+      val rounds = (1 to nRounds).map { n =>
+        val prev = s"r${n - 1}"
+        s"""u$n AS MATERIALIZED (SELECT doc_id, wi, unnest(p) AS piece,
+                 unnest(generate_series(1, len(p))) AS i FROM $prev),
+      p$n AS MATERIALIZED (SELECT x.doc_id, x.wi, x.i, mt.rk
+             FROM u$n x JOIN u$n y ON y.doc_id = x.doc_id AND y.wi = x.wi AND y.i = x.i + 1
+             JOIN mt ON mt.a = x.piece AND mt.b = y.piece),
+      b$n AS (SELECT doc_id, wi, min(rk) AS best FROM p$n GROUP BY 1, 2),
+      s$n AS MATERIALIZED (SELECT p.doc_id, p.wi, p.i,
+               row_number() OVER (PARTITION BY p.doc_id, p.wi ORDER BY p.i) AS rn
+             FROM p$n p JOIN b$n b ON b.doc_id = p.doc_id AND b.wi = p.wi AND p.rk = b.best),
+      a$n AS MATERIALIZED (SELECT doc_id, wi, i FROM (
+               SELECT doc_id, wi, i,
+                 row_number() OVER (PARTITION BY doc_id, wi, i - rn ORDER BY i) AS pr
+               FROM s$n) WHERE pr % 2 = 1),
+      r$n AS MATERIALIZED (SELECT u.doc_id, u.wi,
+               list(CASE WHEN a1.i IS NOT NULL THEN u.piece || nx.piece ELSE u.piece END
+                    ORDER BY u.i) AS p
+             FROM u$n u
+             LEFT JOIN a$n a1 ON a1.doc_id = u.doc_id AND a1.wi = u.wi AND a1.i = u.i
+             LEFT JOIN a$n a2 ON a2.doc_id = u.doc_id AND a2.wi = u.wi AND a2.i = u.i - 1
+             LEFT JOIN u$n nx ON nx.doc_id = u.doc_id AND nx.wi = u.wi AND nx.i = u.i + 1
+             WHERE a2.i IS NULL
+             GROUP BY u.doc_id, u.wi)"""
+      }.mkString(",\n      ")
+      val selfRange = "((x BETWEEN 33 AND 126) OR (x BETWEEN 161 AND 172) " +
+        "OR (x BETWEEN 174 AND 255))"
+      s"""
+      WITH aug AS (SELECT doc_id,
+          regexp_replace(text, '[^ -~]', '', 'g') ||
+            ' café the <|endoftext|> thé attic' AS t
+        FROM documents),
+      mt(a, b, rk) AS (VALUES $mtVals),
+      -- the byte->unicode table DERIVED from the public algorithm: self
+      -- ranges keep their code point, the rest get 256 + (count of
+      -- non-self bytes below), in byte order
+      bt AS (SELECT list_transform(generate_series(0, 255), x ->
+               CASE WHEN $selfRange THEN chr(CAST(x AS INTEGER))
+                 ELSE chr(CAST(256 + len(list_filter(generate_series(0, x - 1),
+                   y -> NOT ${selfRange.replace("x", "y")})) AS INTEGER))
+               END) AS b2u),
+      w AS (SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS ws FROM aug),
+      wd0 AS MATERIALIZED (SELECT doc_id, unnest(generate_series(1, len(ws))) AS wi,
+               unnest(ws) AS word0 FROM w),
+      wd AS (SELECT doc_id, wi,
+               CASE WHEN wi = 1 THEN word0 ELSE ' ' || word0 END AS word
+             FROM wd0),
+      sp AS (SELECT doc_id, wi, word,
+               (word = '<|endoftext|>') AS sp_bare,
+               (word = ' <|endoftext|>') AS sp_sp
+             FROM wd),
+      ch AS MATERIALIZED (SELECT doc_id, wi,
+               unnest(generate_series(1, length(word))) AS ci,
+               unnest(str_split(word, '')) AS c
+             FROM sp WHERE NOT sp_bare AND NOT sp_sp),
+      -- UTF-8 byte expansion per char (plants stay under U+0800, so the
+      -- 1- and 2-byte branches cover the domain)
+      by0 AS (SELECT doc_id, wi, ci,
+               unnest(CASE WHEN unicode(c) < 128 THEN [unicode(c)]
+                 ELSE [192 + unicode(c) // 64, 128 + unicode(c) % 64] END) AS b,
+               unnest(CASE WHEN unicode(c) < 128 THEN [1] ELSE [1, 2] END) AS bi
+             FROM ch),
+      r0 AS MATERIALIZED (SELECT doc_id, wi,
+               list(bt.b2u[b + 1] ORDER BY ci, bi) AS p
+             FROM by0 CROSS JOIN bt GROUP BY 1, 2),
+      $rounds,
+      finenc AS MATERIALIZED (SELECT doc_id, wi, unnest(p) AS piece,
+                unnest(generate_series(1, len(p))) AS i FROM r$nRounds),
+      finsp AS (SELECT doc_id, wi, chr(288) AS piece, 1 AS i FROM sp WHERE sp_sp
+                UNION ALL
+                SELECT doc_id, wi, '<|endoftext|>' AS piece, 2 AS i FROM sp WHERE sp_sp
+                UNION ALL
+                SELECT doc_id, wi, '<|endoftext|>' AS piece, 1 AS i FROM sp WHERE sp_bare),
+      fin AS (SELECT * FROM finenc UNION ALL SELECT * FROM finsp),
+      agg AS (SELECT doc_id, count(*) AS n_pieces,
+                md5(string_agg(piece, ' ' ORDER BY wi, i)) AS pieces_md5
+              FROM fin GROUP BY 1)
+      SELECT d.doc_id, CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+             coalesce(a.pieces_md5, md5('')) AS pieces_md5
+      FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+    """
+    },
+    // same native-scan shape as t16; oracle round unrolling is DuckDB-only
+    benchmark = false)
+
   /** T18 — BPE merge-table TRAINING ([[graft.ext.TextAnalysis.bpeTrain]],
     * the learning side of t16): three rounds of encode-with-learned-merges
     * → within-word adjacent-pair counts → deterministic argmax (count
@@ -4852,7 +4978,7 @@ object ExtQueries {
     t1TextTokens, t2TextQuality, t3LangId, t4Fingerprint, t5Tfidf, t6Repetition,
     t7PiiRedact, t8LmPerplexity, t9TextNormalize, t10ScriptDetect, t11GopherRules,
     t12GopherRepetition, t13HtmlExtract, t14ClassifierScore, t15ClassifierWeighted,
-    t16BpeEncode, t17LmScored, t18BpeTrain, t19BpePipeline,
+    t16BpeEncode, t17LmScored, t18BpeTrain, t19BpePipeline, t20ByteBpe,
     d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc, d21SemDedup, x24TokenBudget,
     x25LinkRank, x26TrainSplit, x27QuantileNorm, x28LinkRankFull, x29Fim,
     x30LengthBatches, x31EmbedStandardize, x32SpanCorrupt, x33GateAttrition,

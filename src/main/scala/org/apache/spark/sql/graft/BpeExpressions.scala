@@ -90,7 +90,7 @@ object BpeEncodeTokens {
       ranks: java.util.HashMap[String, Integer],
       out: java.util.ArrayList[UTF8String]): Unit = {
     // single code-point pieces (surrogate-pair safe)
-    var pieces = new java.util.ArrayList[String]()
+    val pieces = new java.util.ArrayList[String]()
     var ci = 0
     while (ci < word.length) {
       val cp = word.codePointAt(ci)
@@ -98,6 +98,18 @@ object BpeEncodeTokens {
       pieces.add(word.substring(ci, ci + cc))
       ci += cc
     }
+    mergePieces(pieces, ranks, out)
+  }
+
+  /** The greedy merge loop shared by the code-point and byte-level
+    * encodes: repeatedly fuse the best-ranked adjacent pair (all
+    * non-overlapping occurrences, left to right) until none remains, then
+    * flush the pieces.
+    */
+  private[graft] def mergePieces(pieces0: java.util.ArrayList[String],
+      ranks: java.util.HashMap[String, Integer],
+      out: java.util.ArrayList[UTF8String]): Unit = {
+    var pieces = pieces0
     var done = false
     while (!done && pieces.size() > 1) {
       // the word's best-ranked adjacent pair
@@ -137,4 +149,129 @@ object BpeEncodeTokens {
   def bpeEncode(tokens: Column, merges: Seq[(String, String)]): Column =
     ExpressionUtils.column(
       BpeEncodeTokens(ExpressionUtils.expression(tokens), merges))
+}
+
+/** `byte_bpe_encode(tokens, merges, specials)` — BYTE-LEVEL greedy BPE
+  * with never-merged special tokens: the [[BpeEncodeTokens]] merge
+  * dynamics over GPT-2's byte alphabet, so an EXPORTED merge file
+  * (tiktoken/HF `merges.txt`, whose entries are byte-to-unicode mapped
+  * strings like `Ġ t`) loads verbatim instead of needing a code-point
+  * re-derivation.
+  *
+  * Per token: if it IS a special token (or a pre-tokenizer-attached
+  * leading space plus one — see
+  * [[graft.ext.TextAnalysis.gpt2Pretokens]]), it bypasses encoding
+  * entirely — specials are atomic by contract, the space contributing its
+  * own mapped piece; otherwise the token's UTF-8 BYTES map through the
+  * GPT-2 byte-to-unicode table ([[ByteBpeEncodeTokens.ByteToUnicode]] —
+  * printable/latin bytes to themselves, the rest to 256+n in order; the
+  * public `bytes_to_unicode` algorithm of GPT-2's encoder) into the
+  * initial pieces, and the shared greedy merge loop runs unchanged. Every
+  * rank/tie rule is [[BpeEncodeTokens]]'s, so the t16/t18 semantics carry
+  * over byte-exactly.
+  */
+case class ByteBpeEncodeTokens(child: Expression, merges: Seq[(String, String)],
+    specials: Seq[String]) extends UnaryExpression with ExpectsInputTypes {
+
+  require(merges.distinct.length == merges.length, "merge table has duplicate pairs")
+  require(specials.distinct.length == specials.length, "duplicate special tokens")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "byte_bpe_encode"
+
+  // same space separator as BpeEncodeTokens: mapped pieces never contain
+  // a raw space (byte 0x20 maps to Ġ), and specials never enter the map
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.put(a + " " + b, Integer.valueOf(i))
+    }
+    m
+  }
+
+  @transient private lazy val specialSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    specials.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ByteBpeEncodeTokens.compute(input.asInstanceOf[ArrayData], ranks, specialSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rref = ctx.addReferenceObj("byteBpeRanks", ranks,
+      classOf[java.util.HashMap[String, Integer]].getName)
+    val sref = ctx.addReferenceObj("byteBpeSpecials", specialSet,
+      classOf[java.util.HashSet[String]].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.ByteBpeEncodeTokens.compute($c, $rref, $sref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ByteBpeEncodeTokens =
+    copy(child = newChild)
+}
+
+object ByteBpeEncodeTokens {
+
+  /** GPT-2's byte→unicode table: bytes that are printable ASCII or the
+    * latin ¡..¬ / ®..ÿ ranges map to their own code point; the remaining
+    * 68 bytes map to 256+n in ascending byte order (so every byte gets a
+    * PRINTABLE single-char spelling — 0x20 becomes Ġ, 0x0A becomes Ċ).
+    */
+  val ByteToUnicode: Array[String] = {
+    val self = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var n = 0
+    (0 until 256).map { b =>
+      if (self(b)) String.valueOf(b.toChar)
+      else { val s = String.valueOf((256 + n).toChar); n += 1; s }
+    }.toArray
+  }
+
+  def compute(toks: ArrayData,
+      ranks: java.util.HashMap[String, Integer],
+      specials: java.util.HashSet[String]): ArrayData = {
+    val out = new java.util.ArrayList[UTF8String]()
+    var w = 0
+    val n = toks.numElements()
+    while (w < n) {
+      val tok = toks.getUTF8String(w)
+      if (tok != null && tok.numBytes() > 0) {
+        val word = tok.toString
+        if (specials.contains(word)) {
+          out.add(UTF8String.fromString(word)) // atomic, never merged
+        } else if (word.length > 1 && word.charAt(0) == ' ' &&
+            specials.contains(word.substring(1))) {
+          // the pre-tokenizer attached the separating space to this token:
+          // the space still encodes (its mapped char — alone, no merges
+          // can apply), the special stays atomic
+          out.add(UTF8String.fromString(ByteToUnicode(32)))
+          out.add(UTF8String.fromString(word.substring(1)))
+        } else {
+          encodeWordBytes(word, ranks, out)
+        }
+      }
+      w += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  private def encodeWordBytes(word: String,
+      ranks: java.util.HashMap[String, Integer],
+      out: java.util.ArrayList[UTF8String]): Unit = {
+    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val pieces = new java.util.ArrayList[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      pieces.add(ByteToUnicode(bytes(i) & 0xff))
+      i += 1
+    }
+    BpeEncodeTokens.mergePieces(pieces, ranks, out)
+  }
+
+  /** Column API over a token array. */
+  def byteBpeEncode(tokens: Column, merges: Seq[(String, String)],
+      specials: Seq[String]): Column =
+    ExpressionUtils.column(
+      ByteBpeEncodeTokens(ExpressionUtils.expression(tokens), merges, specials))
 }

@@ -137,4 +137,69 @@ class BpeSpec extends SparkSpec {
         .head()
     }
   }
+
+  // ---- byte-level mode (T20) ----
+
+  private def bEnc(text: String, merges: Seq[(String, String)],
+      specials: Seq[String] = Seq("<|endoftext|>")): Seq[String] =
+    Seq(text).toDF("t")
+      .select(TextAnalysis.byteBpeEncode(col("t"), merges, specials).as("p"))
+      .head().getSeq[String](0)
+
+  test("byte-to-unicode table matches the GPT-2 algorithm's fixed points") {
+    import org.apache.spark.sql.graft.ByteBpeEncodeTokens.ByteToUnicode
+    assert(ByteToUnicode.length === 256)
+    assert(ByteToUnicode.distinct.length === 256) // a bijection
+    assert(ByteToUnicode('A'.toInt) === "A") // printable ASCII: identity
+    assert(ByteToUnicode(0xa9) === "©") // latin range: identity
+    // hand-computed non-self points: 0x20 is the 33rd non-self byte
+    // (0..31 and then itself) → 256+32 = Ġ; 0x0A similarly → 256+10 = Ċ
+    assert(ByteToUnicode(0x20) === "Ġ") // Ġ
+    assert(ByteToUnicode(0x0a) === "Ċ") // Ċ
+    assert(ByteToUnicode(0x7f) === "ġ") // DEL: 33 non-self below it → 256+33
+  }
+
+  test("byte-level round-trip against a hand-computed encode (multi-byte chars, Ġ tokens)") {
+    // merges over the mapped alphabet, GPT-2 merges.txt shapes
+    val m = Seq(("Ġ", "t"), ("h", "e"), ("Ġt", "he"),
+      ("Ã", "©"), ("c", "a"), ("ca", "f"), ("caf", "Ã©"))
+    // "the café" pretokenizes to ["the", " café"]:
+    //  the  → t,h,e → (h,e) → [t, he]
+    //  " café" → UTF-8 20 63 61 66 C3 A9 → Ġ,c,a,f,Ã,© → (Ã,©) fuses é's
+    //  bytes, then (c,a),(ca,f),(caf,Ã©) chain → [Ġ, cafÃ©]... rank order:
+    //  (Ã,©)=3 < (c,a)=4 — greedy takes 3 first, same end state
+    assert(bEnc("the café", m) ===
+      Seq("t", "he", "Ġ", "cafÃ©"))
+    // " the" keeps its space → Ġ,t,h,e → (Ġ,t) rank 0 first → Ġt,h,e →
+    // (h,e) → Ġt,he → (Ġt,he) → Ġthe: the exported-vocab "Ġthe" entry
+    assert(bEnc("x the", m).last === "Ġthe")
+  }
+
+  test("special tokens stay atomic; the attached pre-tokenizer space still encodes") {
+    val m = Seq(("h", "i"))
+    // mid-text special: its token arrives as " <|endoftext|>" — the space
+    // emits its own Ġ piece, the special passes through verbatim; the
+    // following " hi" is Ġ,h,i → (h,i) merges, (Ġ,hi) absent
+    assert(bEnc("hi <|endoftext|> hi", m) ===
+      Seq("hi", "Ġ", "<|endoftext|>", "Ġ", "hi"))
+    // leading special (first token, no space): atomic, nothing else
+    assert(bEnc("<|endoftext|> hi", m) ===
+      Seq("<|endoftext|>", "Ġ", "hi"))
+  }
+
+  test("an exported merges.txt loads verbatim") {
+    val file =
+      """#version: 0.2
+        |Ġ t
+        |h e
+        |Ġt he
+        |""".stripMargin
+    val m = TextAnalysis.parseMerges(file)
+    assert(m === Seq(("Ġ", "t"), ("h", "e"), ("Ġt", "he")))
+    assert(bEnc("x the", m).last === "Ġthe")
+    // malformed line fails loudly
+    intercept[IllegalArgumentException] {
+      TextAnalysis.parseMerges("a b c")
+    }
+  }
 }

@@ -110,6 +110,93 @@ object Multimodal {
     }
   }
 
+  final case class MediaHash(media_id: Long, dhash: Long)
+
+  /** The 64-bit difference hash (dHash) core: a 9×8 grid point-sampled
+    * from the grayscale raster (nearest-neighbor — `(g·dim)/grid` integer
+    * division, deterministic and SQL-replayable), bit `gy·8+gx` set when
+    * the right neighbor is STRICTLY brighter. Horizontal gradients are
+    * what survive rescaling/re-encoding, which is why dHash is the
+    * standard perceptual near-dup key; pixel edits that miss every
+    * sampled point leave the hash untouched (m4 pins that).
+    */
+  private def dhashOf(sample: (Int, Int) => Int, w: Int, h: Int): Long = {
+    val v = Array.ofDim[Int](9, 8)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 9) {
+        v(gx)(gy) = sample(gx * w / 9, gy * h / 8)
+        gx += 1
+      }
+      gy += 1
+    }
+    var hash = 0L
+    gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (v(gx + 1)(gy) > v(gx)(gy)) hash |= (1L << (gy * 8 + gx))
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** dHash over RAW GRAYSCALE rasters: `media` holds a row-major w×h
+    * single-byte-per-pixel image (the deterministic cross-engine contract
+    * the m4 oracle replays — real codecs go through [[dhashImages]]).
+    * Out-of-range samples read 0, so a truncated payload hashes
+    * deterministically instead of throwing (the dirty-corpus posture).
+    * Map-only mapPartitions like every decode stage here; downstream
+    * pairing is [[Dedup.simhashPairs]] UNCHANGED — a dHash is a 64-bit
+    * sketch with the same Hamming-proximity semantics, so the
+    * chunk-pigeonhole candidate join and hot-bucket caps carry over
+    * verbatim.
+    */
+  def dhashRaster(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    require(w >= 9 && h >= 8, s"raster must be at least 9x8, got ${w}x$h")
+    media.mapPartitions(_.map { r =>
+      MediaHash(r.media_id, dhashOf((x, y) => {
+        val i = y * w + x
+        if (i < r.media.length) r.media(i) & 0xff else 0
+      }, w, h))
+    })
+  }
+
+  /** dHash over REAL images: `javax.imageio` decode, per-pixel luminance
+    * as the band mean, the same 9×8 grid. Undecodable payloads (and
+    * too-small images) fall back to the raw-raster interpretation with
+    * [[FakeCodec]] header dims — deterministic, never throws.
+    */
+  def dhashImages(media: Dataset[MediaRow]): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+        catch { case _: Exception => null }
+      if (img == null || img.getWidth < 9 || img.getHeight < 8) {
+        val m = FakeCodec.decode(r)
+        val (w, h) = (math.max(m.width, 9), math.max(m.height, 8))
+        MediaHash(r.media_id, dhashOf((x, y) => {
+          val i = y * w + x
+          if (i < r.media.length) r.media(i) & 0xff else 0
+        }, w, h))
+      } else {
+        val raster = img.getRaster
+        val ch = raster.getNumBands
+        MediaHash(r.media_id, dhashOf((x, y) => {
+          var s = 0
+          var b = 0
+          while (b < ch) { s += raster.getSample(x, y, b); b += 1 }
+          s / ch
+        }, img.getWidth, img.getHeight))
+      }
+    })
+  }
+
   /** Minimal MP4 (ISO BMFF) header reader — pure byte arithmetic, no codec:
     * walks the box tree (4-byte big-endian size + 4-char type; 64-bit
     * `size==1` large boxes and `size==0` to-end boxes handled), descends

@@ -886,6 +886,113 @@ object ExtQueries {
     * duration 600·k makes duration_sec = k exactly — no float-division
     * noise in the compare.
     */
+  /** m4's deterministic gradient raster: 32×24 single-byte pixels,
+    * `v(x,y) = (a·x + b·y + c) mod 256` with coefficients drawn from the
+    * source id. Variants: 1 = exact copy; 2 = one pixel at (1,1) bumped —
+    * a position the 9×8 dHash grid never samples, so the hash must come
+    * out IDENTICAL (the resampling-invariance dHash exists for); 3 = the
+    * SAMPLED cell (14,12) inverted-ish (+128), flipping at most the two
+    * comparisons that read it.
+    */
+  private def m4Bytes(sid: Long, variant: Int): Array[Byte] = {
+    val (w, h) = (32, 24)
+    val a = 1 + (sid % 3).toInt
+    val b = 2 + (sid % 5).toInt
+    val c = (sid % 251).toInt
+    val bs = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var v = (a * x + b * y + c) % 256
+        if (variant == 2 && x == 1 && y == 1) v = (v + 100) % 256
+        if (variant == 3 && x == 14 && y == 12) v = (v + 128) % 256
+        bs(y * w + x) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    bs
+  }
+
+  /** M4 — image near-dup dedup via dHash
+    * ([[graft.ext.Multimodal.dhashRaster]] → [[Dedup.simhashPairs]]
+    * UNCHANGED): synthetic gradient rasters with planted exact copies
+    * (variant 1, Hamming 0), a non-sampled-pixel edit that must hash
+    * identically (variant 2 — the perceptual-invariance property), and a
+    * sampled-cell perturbation (variant 3, ≤ 2 bits). The oracle
+    * recomputes every dHash from the GENERATION FORMULA (sampled grid
+    * positions, strict-greater bits, the bit-63 min-long emission) and
+    * replays the d4 capped chunk-pigeonhole pairing — a drift in the grid
+    * arithmetic, the bit rule, or the bucket caps flips pairs.
+    */
+  val m4ImageDedup = QueryDef(
+    "m4_image_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val ids = Td(s, dir, "documents").select(col("doc_id"))
+      val variants = ids.select(col("doc_id").as("sid"), lit(0).as("vr"))
+        .unionByName(ids.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id").as("sid"), lit(1).as("vr")))
+        .unionByName(ids.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id").as("sid"), lit(2).as("vr")))
+        .unionByName(ids.filter(col("doc_id") % 11 === 0)
+          .select(col("doc_id").as("sid"), lit(3).as("vr")))
+      val media = variants
+        .select((col("sid") + col("vr").cast("long") * 100000000L).as("media_id"),
+          col("sid"), col("vr"))
+        .as[(Long, Long, Int)]
+        .map { case (mid, sid, vr) => Multimodal.MediaRow(mid, "image", m4Bytes(sid, vr)) }
+      val sh = Multimodal.dhashRaster(media, 32, 24).toDF()
+        .select(col("media_id"), col("dhash").as("simhash"))
+      Dedup.simhashPairs(sh, "media_id", maxHamming = 3, bucketCap = 32)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH imgs AS (
+        SELECT doc_id AS media_id, doc_id AS sid, 0 AS vr FROM documents
+        UNION ALL SELECT doc_id + 100000000, doc_id, 1 FROM documents WHERE doc_id % 7 = 0
+        UNION ALL SELECT doc_id + 200000000, doc_id, 2 FROM documents WHERE doc_id % 7 = 0
+        UNION ALL SELECT doc_id + 300000000, doc_id, 3 FROM documents WHERE doc_id % 11 = 0),
+      grid AS (SELECT gx, gy, (gx * 32) // 9 AS x, (gy * 24) // 8 AS y
+               FROM (SELECT unnest(generate_series(0, 8)) AS gx),
+                    (SELECT unnest(generate_series(0, 7)) AS gy)),
+      cells AS (SELECT i.media_id, g.gx, g.gy,
+                  CASE WHEN i.vr = 3 AND g.x = 14 AND g.y = 12
+                    THEN ((1 + sid % 3) * g.x + (2 + sid % 5) * g.y + sid % 251 + 128) % 256
+                    ELSE ((1 + sid % 3) * g.x + (2 + sid % 5) * g.y + sid % 251) % 256
+                  END AS v
+                FROM imgs i CROSS JOIN grid g),
+      bitrows AS (SELECT a.media_id, a.gy * 8 + a.gx AS bi
+                  FROM cells a JOIN cells b
+                    ON b.media_id = a.media_id AND b.gy = a.gy AND b.gx = a.gx + 1
+                  WHERE a.gx < 8 AND b.v > a.v),
+      sim AS (SELECT i.media_id, CAST(coalesce(sum(
+                CASE WHEN bi = 63 THEN -9223372036854775807 - 1
+                     ELSE CAST(1 AS BIGINT) << CAST(bi AS INTEGER) END), 0) AS BIGINT) AS simhash
+              FROM imgs i LEFT JOIN bitrows br ON br.media_id = i.media_id
+              GROUP BY 1),
+      exc AS (SELECT media_id, simhash, unnest([0, 1, 2, 3]) AS ci FROM sim),
+      ex2 AS (SELECT media_id, simhash, ci, (simhash >> (ci * 16)) & 65535 AS cv FROM exc),
+      ex2w AS (SELECT *, count(*) OVER (PARTITION BY ci, cv) AS sz,
+                      min(media_id) OVER (PARTITION BY ci, cv) AS rep FROM ex2),
+      rawp AS (
+        SELECT a.media_id AS id_a, b.media_id AS id_b, a.simhash AS sh_a, b.simhash AS sh_b
+        FROM ex2w a JOIN ex2w b ON a.ci = b.ci AND a.cv = b.cv AND a.media_id < b.media_id
+        WHERE a.sz <= 32
+        UNION ALL
+        SELECT r.rep, m.media_id, r.simhash, m.simhash
+        FROM ex2w m JOIN (SELECT DISTINCT ci, cv, rep, simhash FROM ex2w WHERE media_id = rep) r
+          ON m.ci = r.ci AND m.cv = r.cv
+        WHERE m.sz > 32 AND m.media_id <> m.rep),
+      pairs AS (SELECT DISTINCT id_a, id_b,
+                  CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming FROM rawp)
+      SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b
+    """),
+    // hash is map-only over the synthetic rasters; the pairing shape is
+    // d4's, which the bench already times on the real corpus
+    benchmark = false)
+
   val m3VideoMeta = QueryDef(
     "m3_video_meta",
     (s, dir) => {
@@ -4990,7 +5097,7 @@ object ExtQueries {
     d22SpanExact, d23SpanGuaranteed,
     s1KnnBrute, s2AnnIvf, s3KnnQuantized, s5KnnPq, s6AnnIvfPq, s13AnnIvfPqResidual,
     s7HardNegatives, x20CorpusReport,
-    m1MediaMeta, m2FrameSample, m3VideoMeta,
+    m1MediaMeta, m2FrameSample, m3VideoMeta, m4ImageDedup,
     c1Curation, c2CurationRecipe, c3Decontaminate, c4DecontaminateBloom,
     c5NormalizedCuration, c6CrawlPipeline,
     u1UrlNormalize, u2UrlDedup, q4Expectations,

@@ -410,4 +410,64 @@ class ExtSpec extends SparkSpec {
       .head().media
     assert(noop.toSeq === png.toSeq)
   }
+
+  test("multimodal: dHash — exact/invisible edits hash equal, sampled edits flip <= 2 bits, pairing reuses simhash buckets (M4)") {
+    import Multimodal.MediaRow
+    val (w, h) = (32, 24)
+    def raster(edit: (Int, Int, Int) => Int): Array[Byte] =
+      (for (y <- 0 until h; x <- 0 until w)
+        yield edit(x, y, (2 * x + 3 * y + 11) % 256).toByte).toArray
+    val base = raster((_, _, v) => v)
+    val copy = raster((_, _, v) => v)
+    // (1,1) is never on the 9x8 sample grid (xs: 0,3,7,10,14,17,21,24,28;
+    // ys: 0,3,6,9,12,15,18,21) — the edit must be invisible to the hash
+    val invisible = raster((x, y, v) => if (x == 1 && y == 1) (v + 100) % 256 else v)
+    // (14,12) IS sampled (gx=4, gy=4): only the two comparisons reading it
+    // can flip
+    val sampled = raster((x, y, v) => if (x == 14 && y == 12) (v + 128) % 256 else v)
+    val rows = Seq(
+      MediaRow(1L, "image", base), MediaRow(2L, "image", copy),
+      MediaRow(3L, "image", invisible), MediaRow(4L, "image", sampled))
+    val hs = Multimodal.dhashRaster(rows.toDS(), w, h)
+      .collect().map(m => m.media_id -> m.dhash).toMap
+    assert(hs(2L) === hs(1L))
+    assert(hs(3L) === hs(1L), "edit at a non-sampled pixel must not change the hash")
+    val d = java.lang.Long.bitCount(hs(4L) ^ hs(1L))
+    assert(d >= 1 && d <= 2, s"sampled-cell edit flips 1-2 bits, got $d")
+    // pairing goes through Dedup.simhashPairs UNCHANGED
+    val pairs = Dedup.simhashPairs(
+        Multimodal.dhashRaster(rows.toDS(), w, h).toDF()
+          .select(col("media_id"), col("dhash").as("simhash")),
+        "media_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+  }
+
+  test("multimodal: dHash over a real PNG — brightness shift preserves the hash, undecodable falls back") {
+    import Multimodal.MediaRow
+    def png(shift: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(20, 16,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 16; x <- 0 until 20) {
+        val g = math.min(x * 10 + shift, 255)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(1L, "image", png(0)),
+      MediaRow(2L, "image", png(20)), // uniformly brighter: gradients unchanged
+      MediaRow(3L, "image", "not an image".getBytes("UTF-8")))
+    val hs = Multimodal.dhashImages(rows.toDS())
+      .collect().map(m => m.media_id -> m.dhash).toMap
+    // a global brightness shift preserves every left<right comparison away
+    // from saturation — the perceptual-hash property dHash is chosen for
+    assert(hs(2L) === hs(1L))
+    // undecodable bytes fall back deterministically (same input → same hash)
+    val again = Multimodal.dhashImages(rows.toDS())
+      .collect().map(m => m.media_id -> m.dhash).toMap
+    assert(again(3L) === hs(3L))
+  }
 }

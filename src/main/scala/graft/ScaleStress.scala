@@ -245,6 +245,42 @@ object ScaleStress {
     println(f"""{"incbench":"summary","same_inc_base_x$factor":${times("big_base_same_inc") / times("small_base")}%.2f,"same_inc_bkt_vs_flat":${times("big_base_same_inc_bkt") / times("big_base_same_inc")}%.2f,"tiny_inc_bkt_vs_flat":${times("big_base_tiny_inc_bkt") / times("big_base_tiny_inc")}%.2f,"incx$factor":${times("big_base") / times("small_base")}%.2f,"inc_x2":${times("big_base_2inc") / times("big_base")}%.2f}""")
   }
 
+  /** Takedown-cascade tracking ([[graft.tables.Deletes]] →
+    * [[graft.ext.DedupIndex.deleteIds]]): the claim is that deleting a
+    * FIXED-SIZE id batch costs an index-table rewrite, never a re-shingle
+    * — the flat layout rewrites the whole (narrow) shingle table, so its
+    * delete tracks the INDEX size; the id-bucketed layout rewrites only
+    * the ≤|ids| affected bucket directories, so the same batch against a
+    * `factor`× history should move far less than `factor`×. Build is
+    * untimed (it scales with the corpus by design; incTracking times it).
+    */
+  private def delTracking(spark: SparkSession, sfDir: String, expDir: String,
+      factor: Int, workDir: String): Unit = {
+    import graft.ext.DedupIndex
+    import graft.tables.TableStore
+    // a fixed 8-doc takedown batch present at BOTH scales (expansion
+    // preserves original ids)
+    val ids = Td(spark, sfDir, "documents").select(col("doc_id"))
+      .orderBy(col("doc_id")).limit(8)
+    val cases = Seq(
+      ("del_flat_x1", sfDir, 0), (s"del_flat_x$factor", expDir, 0),
+      ("del_bkt_x1", sfDir, 64), (s"del_bkt_x$factor", expDir, 64))
+    val times = cases.map { case (tag, dir, idBuckets) =>
+      val store = new TableStore(spark, s"$workDir/delstore_$tag")
+      DedupIndex.build(store, "idx", Td(spark, dir, "documents"),
+        "doc_id", "text", idBuckets = idBuckets)
+      val t0 = System.nanoTime()
+      DedupIndex.deleteIds(store, "idx", ids, "doc_id")
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"delbench":"$tag","n_ids":8,"del_sec":$sec%.2f}""")
+      tag -> sec
+    }.toMap
+    println(f"""{"delbench":"summary","flat_x$factor":${
+      times(s"del_flat_x$factor") / times("del_flat_x1")}%.2f,"bkt_x$factor":${
+      times(s"del_bkt_x$factor") / times("del_bkt_x1")}%.2f,"bkt_vs_flat_x$factor":${
+      times(s"del_bkt_x$factor") / times(s"del_flat_x$factor")}%.2f}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val workDir = args.lift(1).getOrElse("/tmp/graft_scale_stress")
@@ -289,6 +325,12 @@ object ScaleStress {
       spark.stop()
       return
     }
+    if (args.contains("delonly")) { // takedown-cascade tracking alone
+      delTracking(spark, sfDir, expDir, factor, workDir)
+      graft.tables.Scratch.cleanup(spark)
+      spark.stop()
+      return
+    }
 
     val scales = Seq(1 -> sfDir, factor -> expDir)
     // warmup: parquet footers + codegen for both scales
@@ -322,7 +364,10 @@ object ScaleStress {
     }
     // `noinc` skips the durable-index tracking battery — targeted `only=`
     // datapoint runs shouldn't pay its ~10 min unless they're about it
-    if (!args.contains("noinc")) incTracking(spark, sfDir, expDir, factor, workDir)
+    if (!args.contains("noinc")) {
+      incTracking(spark, sfDir, expDir, factor, workDir)
+      delTracking(spark, sfDir, expDir, factor, workDir)
+    }
     graft.tables.Scratch.cleanup(spark)
     spark.stop()
   }

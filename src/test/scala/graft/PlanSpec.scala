@@ -174,6 +174,45 @@ class PlanSpec extends SparkSpec {
       s"index scan carries floats: ${idxScan.schema.fieldNames.toSeq}")
   }
 
+  test("residual IVF+PQ search prunes to probed clusters, float-free (S13@scale)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions._
+    import graft.ext.Similarity
+    val emb = Td(spark, sf, "embeddings")
+    val cents = Similarity.kmeansTrain(emb, "vec_id", "embedding", k = 4, iters = 1)
+      .select(col("centroid_id").cast("long").as("vec_id"), col("embedding"))
+    val centers = Similarity.residualCenters(emb, cents, "vec_id", "embedding")
+    val books = Similarity.pqTrainResidual(emb, "vec_id", "embedding", cents,
+      centers, dim = 64, m = 4, k = 8, iters = 1)
+    val index = graft.tables.Scratch.stage(
+      Similarity.pqEncodeResidual(emb, cents, centers, "vec_id", "embedding", books),
+      "plan_ivfpqr_index", Seq("cluster"))
+    val nClusters = index.select("cluster").distinct().count()
+    assert(nClusters > 1, "index must span multiple cluster partitions")
+
+    val df = Similarity.ivfPqResidualSearch(emb.filter(col("vec_id") === 0), index,
+      cents, centers, "vec_id", "embedding", books, k = 3, nprobe = 1)
+    df.collect()
+    def findScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case f: FileSourceScanExec => Seq(f)
+        case a: AdaptiveSparkPlanExec => findScans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => findScans(q.plan)
+        case other => other.children.flatMap(findScans)
+      }
+    val idxScan = findScans(df.queryExecution.executedPlan)
+      .find(_.metadata.get("Location").exists(_.contains("plan_ivfpqr_index")))
+      .getOrElse(fail(s"no index scan in:\n${df.queryExecution.executedPlan}"))
+    assert(idxScan.partitionFilters.exists(_.toString.contains("cluster")),
+      s"no cluster partition filter on the index scan: ${idxScan.partitionFilters}")
+    assert(idxScan.metrics("numPartitions").value === 1,
+      s"scan read ${idxScan.metrics("numPartitions").value} of $nClusters cluster partitions")
+    // the coarse term rides as a centers literal — the scan stays float-free
+    assert(!idxScan.schema.fieldNames.contains("embedding"),
+      s"index scan carries floats: ${idxScan.schema.fieldNames.toSeq}")
+  }
+
   test("upsert merge compiles to one join, not repeated target passes (S8)") {
     val t = Td(spark, sf, "customer").select("c_custkey", "c_acctbal")
     val s = Td(spark, sf, "customer").select("c_custkey", "c_acctbal")

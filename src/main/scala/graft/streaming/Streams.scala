@@ -518,7 +518,10 @@ object Streams {
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       tsLeft: String, tsRight: String, lower: String, upper: String,
-      lateness: String = "30 minutes"): DataFrame = {
+      lateness: String = "30 minutes", joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer").contains(joinType),
+      s"intervalJoin supports inner and left_outer, got '$joinType' " +
+        "(right_outer is left_outer with the inputs swapped)")
     val shared = left.columns.toSet.intersect(right.columns.toSet)
     require(shared == Set(key),
       s"intervalJoin inputs must share only the key column '$key'; shared: " +
@@ -526,10 +529,15 @@ object Streams {
     val rk = s"__r_$key"
     val l = left.withWatermark(tsLeft, lateness)
     val r = right.withColumnRenamed(key, rk).withWatermark(tsRight, lateness)
+    // left_outer: an unmatched left row emits null-padded ONLY once the
+    // watermark proves no in-window right row can still arrive — the
+    // "impressions that never converted" report, produced by the engine's
+    // state cleanup instead of a second reconciliation job
     l.join(r,
         col(key) === col(rk) &&
           col(tsRight) >= col(tsLeft) + expr(s"INTERVAL $lower") &&
-          col(tsRight) <= col(tsLeft) + expr(s"INTERVAL $upper"))
+          col(tsRight) <= col(tsLeft) + expr(s"INTERVAL $upper"),
+        joinType)
       .drop(rk)
   }
 

@@ -361,6 +361,47 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin left_outer: unmatched impressions emit null-padded once the watermark closes their window") {
+    implicit val sc = spark.sqlContext
+    val impressions = MemoryStream[Streams.Event]
+    val clicks = MemoryStream[Streams.Event]
+    def shape(df: org.apache.spark.sql.DataFrame, side: String) =
+      df.select(col("user_id"), col("ts").as(s"${side}_ts"),
+        col("event_id").as(s"${side}_id"))
+    val joined = Streams.intervalJoin(
+      shape(impressions.toDF(), "imp"), shape(clicks.toDF(), "clk"),
+      "user_id", "imp_ts", "clk_ts", "0 seconds", "30 minutes", "5 minutes",
+      joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssj_lo")
+      .outputMode(OutputMode.Append).start()
+    try {
+      impressions.addData(
+        Streams.Event(1, ts("2026-01-01 10:00:00"), 7, "imp", 0.0), // converts
+        Streams.Event(2, ts("2026-01-01 10:00:00"), 8, "imp", 0.0)) // never does
+      clicks.addData(Streams.Event(90, ts("2026-01-01 10:10:00"), 7, "clk", 0.0))
+      q.processAllAvailable()
+      // the match emits promptly; the non-converter is still in limbo —
+      // its window is open until the watermark passes 10:35
+      val early = spark.table("ssj_lo").collect()
+        .map(r => (r.getAs[Long]("imp_id"), Option(r.get(r.fieldIndex("clk_id")))))
+      assert(early.toSeq === Seq((1L, Some(90L))))
+      // advance both watermarks far past the window, then one more batch
+      // so the state-cleanup pass runs: the unmatched row emits null-padded
+      impressions.addData(Streams.Event(3, ts("2026-01-01 12:00:00"), 9, "imp", 0.0))
+      clicks.addData(Streams.Event(91, ts("2026-01-01 12:00:00"), 9, "clk", 0.0))
+      q.processAllAvailable()
+      impressions.addData(Streams.Event(4, ts("2026-01-01 12:00:01"), 9, "imp", 0.0))
+      clicks.addData(Streams.Event(92, ts("2026-01-01 12:00:01"), 9, "clk", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ssj_lo").collect()
+        .map(r => (r.getAs[Long]("imp_id"), Option(r.get(r.fieldIndex("clk_id")))))
+        .toSet
+      assert(got.contains((2L, None)),
+        s"unmatched impression must emit null-padded after its window closes: $got")
+      assert(!got.contains((1L, None)), "the matched impression must not ALSO null-emit")
+    } finally q.stop()
+  }
+
   test("intervalJoin rejects inputs sharing non-key columns") {
     val a = Seq((1L, ts("2026-01-01 00:00:00"))).toDF("k", "ts")
     val b = Seq((1L, ts("2026-01-01 00:00:00"))).toDF("k", "ts")

@@ -323,6 +323,53 @@ object TextAnalysis {
     out.result()
   }
 
+  /** Byte-level twin of [[bpeTrain]]: each round encodes with
+    * [[org.apache.spark.sql.graft.ByteBpeEncodeTokens]] over
+    * [[gpt2Pretokens]] — so Ġ-carrying merges (the entries an exported
+    * vocab is made of) are LEARNABLE, because non-first tokens train with
+    * their attached space — counts within-word adjacent pairs and adopts
+    * the deterministic argmax (count desc, pair asc), exactly [[bpeTrain]]'s
+    * loop. `specials` never enter the training stream, neither bare nor
+    * behind their attached space, so no merge can capture one (the t21
+    * plant makes this decisive: an every-doc special would otherwise be
+    * the top pair). The learned table drives [[byteBpeEncode]] directly
+    * and round-trips through [[parseMerges]]' merges.txt format — train
+    * here, export, reload verbatim.
+    */
+  def bpeTrainBytes(df: DataFrame, textCol: String, nMerges: Int,
+      minCount: Long = 2L, specials: Seq[String] = Nil): Seq[(String, String, Long)] = {
+    require(nMerges >= 1, s"need at least one merge, got $nMerges")
+    import org.apache.spark.sql.graft.{ByteBpeEncodeTokens, WordShingles}
+    val words0 = df.select(explode(gpt2Pretokens(col(textCol))).as("_w"))
+      .filter(length(col("_w")) > 0)
+    val words =
+      if (specials.isEmpty) words0
+      else words0.filter(!regexp_replace(col("_w"), "^ ", "").isin(specials: _*))
+    val out = Vector.newBuilder[(String, String, Long)]
+    var merges = Vector.empty[(String, String)]
+    var done = false
+    while (merges.length < nMerges && !done) {
+      val pieces = ByteBpeEncodeTokens.byteBpeEncode(
+        array(col("_w")), merges, specials)
+      // byte-mapped pieces never contain a raw space (0x20 maps to Ġ), so
+      // the bigram shingle's separator splits the pair exactly
+      val pairs = when(size(pieces) >= 2, WordShingles.shinglesAll(pieces, 2))
+        .otherwise(array().cast("array<string>"))
+      val top = words.select(explode(pairs).as("_p"))
+        .groupBy(col("_p")).agg(count(lit(1)).as("_c"))
+        .filter(col("_c") >= minCount)
+        .orderBy(col("_c").desc, col("_p"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val Array(a, b) = top.head.getString(0).split(" ", 2)
+        merges :+= ((a, b))
+        out += ((a, b, top.head.getLong(1)))
+      }
+    }
+    out.result()
+  }
+
   // --- trained-weight linear classifier -------------------------------------
 
   /** Score documents with a TRAINED weight table — the production surface

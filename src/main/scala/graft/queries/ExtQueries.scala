@@ -4199,6 +4199,93 @@ object ExtQueries {
     // same native-scan shape as t16; oracle round unrolling is DuckDB-only
     benchmark = false)
 
+  /** T21 — byte-level BPE TRAINING
+    * ([[graft.ext.TextAnalysis.bpeTrainBytes]]): t18's three-round
+    * training loop on the GPT-2 byte alphabet over space-attached
+    * pre-tokens, with a planted every-document special token that the
+    * trainer must EXCLUDE — `' <|endoftext|>'` appears once per doc, so
+    * if special filtering broke, (Ġ, <|endoftext|>) would be the top pair
+    * and rank 0 would flip. The oracle rebuilds the byte→unicode table
+    * from the algorithm, byte-expands the pre-tokens (with the attached
+    * space, minus specials), and replays all three training rounds with
+    * the shared round/argmax machinery — the learned table is what
+    * [[graft.ext.TextAnalysis.byteBpeEncode]] consumes and
+    * `parseMerges`/merges.txt exports verbatim.
+    */
+  val t21ByteBpeTrain = QueryDef(
+    "t21_byte_bpe_train",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Td(s, dir, "documents").select(
+        concat(regexp_replace(col("text"), "[^ -~]", ""),
+          lit(" <|endoftext|>")).as("text"))
+      val learned = TA.bpeTrainBytes(docs, "text", nMerges = 3,
+        specials = Seq("<|endoftext|>"))
+      learned.zipWithIndex
+        .map { case ((a, b, c), i) => (i, a, b, c) }
+        .toDF("rank", "a", "b", "n_occ")
+        .select(col("rank").cast("int").as("rank"), col("a"), col("b"),
+          col("n_occ").cast("long").as("n_occ"))
+        .orderBy(col("rank"))
+    },
+    Some {
+      import BpeOracle.{pick, round}
+      val selfRange = "((x BETWEEN 33 AND 126) OR (x BETWEEN 161 AND 172) " +
+        "OR (x BETWEEN 174 AND 255))"
+      val enc2 = (1 to 3).map(n => round(2, n, "mt1")).mkString(",\n      ")
+      val enc3 = (1 to 4).map(n => round(3, n, "mt2")).mkString(",\n      ")
+      s"""
+      WITH aug AS (SELECT doc_id,
+          regexp_replace(text, '[^ -~]', '', 'g') || ' <|endoftext|>' AS t
+        FROM documents),
+      bt AS (SELECT list_transform(generate_series(0, 255), x ->
+               CASE WHEN $selfRange THEN chr(CAST(x AS INTEGER))
+                 ELSE chr(CAST(256 + len(list_filter(generate_series(0, x - 1),
+                   y -> NOT ${selfRange.replace("x", "y")})) AS INTEGER))
+               END) AS b2u),
+      wd AS MATERIALIZED (SELECT doc_id, wi, word FROM (
+             SELECT doc_id, wi, CASE WHEN wi = 1 THEN word0 ELSE ' ' || word0 END AS word
+             FROM (SELECT doc_id, unnest(generate_series(1, len(ws))) AS wi,
+                     unnest(ws) AS word0
+                   FROM (SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS ws
+                         FROM aug)))
+           WHERE length(word) > 0
+             AND regexp_replace(word, '^ ', '') <> '<|endoftext|>'),
+      ch AS MATERIALIZED (SELECT doc_id, wi,
+             unnest(generate_series(1, length(word))) AS ci,
+             unnest(str_split(word, '')) AS c FROM wd),
+      by0 AS (SELECT doc_id, wi, ci,
+               unnest(CASE WHEN unicode(c) < 128 THEN [unicode(c)]
+                 ELSE [192 + unicode(c) // 64, 128 + unicode(c) % 64] END) AS b,
+               unnest(CASE WHEN unicode(c) < 128 THEN [1] ELSE [1, 2] END) AS bi
+             FROM ch),
+      p0 AS MATERIALIZED (SELECT doc_id, wi,
+             list(bt.b2u[b + 1] ORDER BY ci, bi) AS p
+           FROM by0 CROSS JOIN bt GROUP BY 1, 2),
+      ${pick(1, "p0")},
+      mt1 AS (SELECT split_part(pr, ' ', 1) AS a, split_part(pr, ' ', 2) AS b, 0 AS rk FROM cb1),
+      $enc2,
+      ${pick(2, "r2_3")},
+      mt2 AS (SELECT a, b, rk FROM mt1 UNION ALL
+              SELECT split_part(pr, ' ', 1), split_part(pr, ' ', 2), 1 FROM cb2),
+      $enc3,
+      ${pick(3, "r3_4")}
+      SELECT * FROM (
+        SELECT CAST(0 AS INT) AS rank, split_part(pr, ' ', 1) AS a,
+               split_part(pr, ' ', 2) AS b, CAST(c AS BIGINT) AS n_occ FROM cb1
+        UNION ALL
+        SELECT CAST(1 AS INT), split_part(pr, ' ', 1), split_part(pr, ' ', 2),
+               CAST(c AS BIGINT) FROM cb2
+        UNION ALL
+        SELECT CAST(2 AS INT), split_part(pr, ' ', 1), split_part(pr, ' ', 2),
+               CAST(c AS BIGINT) FROM cb3)
+      ORDER BY rank
+    """
+    },
+    // same K scan+agg rounds as t18 (benched there); byte expansion is
+    // oracle-side only
+    benchmark = false)
+
   /** T18 — BPE merge-table TRAINING ([[graft.ext.TextAnalysis.bpeTrain]],
     * the learning side of t16): three rounds of encode-with-learned-merges
     * → within-word adjacent-pair counts → deterministic argmax (count
@@ -5086,6 +5173,7 @@ object ExtQueries {
     t7PiiRedact, t8LmPerplexity, t9TextNormalize, t10ScriptDetect, t11GopherRules,
     t12GopherRepetition, t13HtmlExtract, t14ClassifierScore, t15ClassifierWeighted,
     t16BpeEncode, t17LmScored, t18BpeTrain, t19BpePipeline, t20ByteBpe,
+    t21ByteBpeTrain,
     d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc, d21SemDedup, x24TokenBudget,
     x25LinkRank, x26TrainSplit, x27QuantileNorm, x28LinkRankFull, x29Fim,
     x30LengthBatches, x31EmbedStandardize, x32SpanCorrupt, x33GateAttrition,

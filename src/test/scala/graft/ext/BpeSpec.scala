@@ -187,6 +187,28 @@ class BpeSpec extends SparkSpec {
       Seq("<|endoftext|>", "Ġ", "hi"))
   }
 
+  test("byte-level training: hand-computed merges, Ġ learnable, learned table round-trips") {
+    val docs = Seq("the the cat <|endoftext|>", "the cat <|endoftext|>").toDF("text")
+    val learned = TextAnalysis.bpeTrainBytes(docs, "text", nMerges = 3,
+      specials = Seq("<|endoftext|>"))
+    // round 0: (h,e)x3 ties (t,h)x3 → lexicographic "h e" wins;
+    // round 1: (t,he)x3; round 2: (a,t)/(c,a)/(Ġ,c) all x2 → "a t" wins
+    assert(learned === Seq(("h", "e", 3L), ("t", "he", 3L), ("a", "t", 2L)))
+    // the trained table drives the byte encoder directly
+    assert(bEnc("the cat", learned.map(m => (m._1, m._2))) ===
+      Seq("the", "Ġ", "c", "at"))
+  }
+
+  test("byte-level training excludes specials even when their pair would win the argmax") {
+    // words: "a" (no pairs) and " b" → (Ġ,b)x1; if the special leaked,
+    // " <|endoftext|>" → (Ġ,<|endoftext|>)x1 ties it and "Ġ <" sorts
+    // BEFORE "Ġ b" — so a filtering bug flips rank 0
+    val docs = Seq("a b <|endoftext|>").toDF("text")
+    val learned = TextAnalysis.bpeTrainBytes(docs, "text", nMerges = 1,
+      minCount = 1L, specials = Seq("<|endoftext|>"))
+    assert(learned === Seq(("Ġ", "b", 1L)))
+  }
+
   test("an exported merges.txt loads verbatim") {
     val file =
       """#version: 0.2

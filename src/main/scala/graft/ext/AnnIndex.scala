@@ -1,0 +1,136 @@
+package graft.ext
+
+import graft.tables.{Deletes, TableStore}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Durable residual-IVF+PQ ANN index — [[DedupIndex]]'s contract for the
+  * embedding side: the trained artifacts and the coded corpus persist as
+  * [[TableStore]] tables, so a daily crawl APPENDS its vectors against the
+  * stored quantizers instead of re-running k-means + codebook training +
+  * full-corpus encode per run (exactly the cost class the durable text
+  * index amortizes away).
+  *
+  * Four tables per index:
+  *   - `{name}_centroids` (centroid_id, vec)    — coarse quantizer
+  *   - `{name}_centers`   (cluster, center)     — residual centers
+  *   - `{name}_books`     (sub, cid, cw, cc)    — PQ codebooks (+‖cw‖²)
+  *   - `{name}_codes`     (id, cluster, codes)  — the coded corpus,
+  *     hive-partitioned on `cluster` for the probe-time partition prune
+  *
+  * Semantics of the trained artifacts: FROZEN at [[build]] time. An
+  * [[append]] assigns and encodes new vectors with the stored quantizers —
+  * identical, by construction, to having encoded them in the build batch
+  * (the s14 oracle pins that hash-exactly), so incremental ingest never
+  * changes existing rows and search results are append-order-independent.
+  * Retraining on a drifted corpus is an explicit new [[build]] (new name or
+  * overwrite), never an implicit side effect. Takedown is [[deleteIds]] —
+  * the [[graft.tables.Deletes]] partition-scoped leg over the codes table:
+  * only the clusters holding deleted ids rewrite, survivors are never
+  * re-encoded (they have no vectors here to re-encode FROM — the index
+  * stores codes, not floats).
+  *
+  * Scale shape: build pays coarse training (sampleable), centers, codebook
+  * training (sampleable) and one encode pass; append pays one map-only
+  * encode of the increment plus partition-local appends; search is
+  * [[Similarity.ivfPqResidualSearch]] verbatim — probed-cluster partition
+  * prune, 8 B/vector codes, float-free.
+  */
+object AnnIndex {
+
+  private def centroidsT(name: String) = s"${name}_centroids"
+  private def centersT(name: String) = s"${name}_centers"
+  private def booksT(name: String) = s"${name}_books"
+  private def codesT(name: String) = s"${name}_codes"
+
+  /** Train the quantizer stack on `df` and write all four tables.
+    * `sampleMod` routes coarse and codebook training onto the
+    * deterministic md5-bucket sample (the 100 TB knob); centers, like
+    * assignment, always run over the full build corpus — they are one
+    * aggregation, not a training loop.
+    */
+  def build(store: TableStore, name: String, df: DataFrame,
+      idCol: String, vecCol: String, dim: Int, nlist: Int = 8,
+      coarseIters: Int = 2, m: Int = 8, k: Int = 16, pqIters: Int = 2,
+      sampleMod: Option[Int] = None): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centroids = Similarity
+      .kmeansTrain(df, idCol, vecCol, nlist, coarseIters, sampleMod)
+      .select(col("centroid_id").cast("long").as(idCol), col(vecCol))
+    val centers = Similarity.residualCenters(df, centroids, idCol, vecCol)
+    val books = Similarity.pqTrainResidual(df, idCol, vecCol, centroids,
+      centers, dim, m, k, pqIters, sampleMod)
+    store.overwrite(centroidsT(name), centroids
+      .select(col(idCol).as("centroid_id"), col(vecCol).cast("array<double>").as("vec")))
+    store.overwrite(centersT(name), centers.zipWithIndex
+      .map { case (c, i) => (i + 1, c) }.toDF("cluster", "center"))
+    store.overwrite(booksT(name), books.zipWithIndex
+      .flatMap { case (cws, sub) => cws.map { case (cid, cw, cc) => (sub, cid, cw, cc) } }
+      .toDF("sub", "cid", "cw", "cc"))
+    store.overwrite(codesT(name),
+      Similarity.pqEncodeResidual(df, centroids, centers, idCol, vecCol, books),
+      partitionBy = Seq("cluster"))
+  }
+
+  /** The stored quantizer stack, in the shapes the Similarity APIs take.
+    * Three tiny scans (k + k + m·k rows — bounded by geometry); the codes
+    * table is NOT touched.
+    */
+  private def artifacts(store: TableStore, name: String, idCol: String,
+      vecCol: String): (DataFrame, Similarity.ResidualCenters, Similarity.PqBooks) = {
+    val centroids = store.read(centroidsT(name))
+      .select(col("centroid_id").as(idCol), col("vec").as(vecCol))
+    val centers = store.read(centersT(name))
+      .collect().map(r => (r.getAs[Number]("cluster").intValue(),
+        r.getSeq[Double](r.fieldIndex("center")).toSeq))
+      .sortBy(_._1).map(_._2).toSeq
+    val books: Similarity.PqBooks = store.read(booksT(name))
+      .collect().map(r => (r.getAs[Number]("sub").intValue(),
+        r.getAs[Number]("cid").intValue(),
+        r.getSeq[Double](r.fieldIndex("cw")).toSeq,
+        r.getAs[Double]("cc")))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(t => (t._2, t._3, t._4)).toSeq }
+    (centroids, centers, books)
+  }
+
+  /** Encode `inc` against the STORED quantizers and append into the
+    * cluster partitions — the daily-crawl path. No training, no read of
+    * previously indexed vectors (AnnIndexSpec pins it by deleting the
+    * build corpus first); byte-identical to having encoded `inc` in the
+    * build batch.
+    */
+  def append(store: TableStore, name: String, inc: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val (centroids, centers, books) = artifacts(store, name, idCol, vecCol)
+    store.append(codesT(name),
+      Similarity.pqEncodeResidual(inc, centroids, centers, idCol, vecCol, books),
+      partitionBy = Seq("cluster"))
+  }
+
+  /** Takedown: remove `ids` from the codes table — the
+    * [[graft.tables.Deletes.deleteRows]] partition-scoped leg, so only
+    * the clusters holding deleted ids rewrite and an emptied cluster
+    * directory disappears outright. Artifacts stay frozen (a takedown
+    * must not silently retrain the quantizers the corpus was coded with).
+    */
+  def deleteIds(store: TableStore, name: String, ids: DataFrame, idCol: String): Unit =
+    Deletes.deleteRows(store, codesT(name), idCol, ids, Some("cluster"))
+
+  /** Ids currently indexed — narrow column-pruned scan of the codes table
+    * (the [[DedupIndex.knownIds]] re-delivery guard, embedding side). */
+  def knownIds(store: TableStore, name: String, idCol: String): DataFrame =
+    store.read(codesT(name)).select(col(idCol))
+
+  /** Top-k search over the stored index:
+    * [[Similarity.ivfPqResidualSearch]] verbatim against the codes table —
+    * probed-cluster partition prune, float-free ranking.
+    */
+  def search(store: TableStore, name: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val (centroids, centers, books) = artifacts(store, name, idCol, vecCol)
+    Similarity.ivfPqResidualSearch(queries, store.read(codesT(name)),
+      centroids, centers, idCol, vecCol, books, k, nprobe)
+  }
+}

@@ -2636,12 +2636,12 @@ object ExtQueries {
     * subvectors for the query-side ADC lookup table.
     */
   private def pqResCte(m: Int, k: Int, iters: Int, dsub: Int,
-      trainWhere: String = ""): String = {
+      trainWhere: String = "", centersWhere: String = ""): String = {
     val base =
       s"""$pqUnitCte,
       cm AS (SELECT a.cluster, unnest(generate_series(1, len(u.uv))) AS pos,
                     unnest(u.uv) AS x
-             FROM pq_u u JOIN asg a ON a.vec_id = u.vec_id),
+             FROM pq_u u JOIN asg a ON a.vec_id = u.vec_id$centersWhere),
       centu AS (SELECT cluster AS centroid_id, list(mval ORDER BY pos) AS centuv
                 FROM (SELECT cluster, pos, sum(x) / count(*) AS mval
                       FROM cm GROUP BY 1, 2)
@@ -2845,6 +2845,91 @@ object ExtQueries {
              FROM pscf)
       SELECT query_id, neighbor_id, adc, rnk FROM pr WHERE rnk <= 5 ORDER BY query_id, rnk
     """))
+
+  /** S14 — DURABLE ANN index, incremental ([[graft.ext.AnnIndex]]):
+    * build the residual-IVF+PQ index on the ~4/5 base slice (quantizers
+    * trained on the base's md5 sample), APPEND the ~1/5 increment against
+    * the STORED artifacts — no retraining, no re-encode of the base —
+    * then search the stored codes table. The oracle replays the whole
+    * stack with the build/append split folded into WHERE clauses: coarse
+    * and codebook training restricted to the base sample, residual
+    * centers to the base, encode and ranking over EVERYTHING — because
+    * append-with-frozen-artifacts must be byte-identical to having
+    * encoded the increment in the build batch. Any leak of increment
+    * vectors into training, or any artifact drift across the
+    * persist/reload round-trip, flips rows.
+    */
+  val s14AnnIndexIncremental = QueryDef(
+    "s14_ann_index_incremental",
+    (s, dir) => {
+      import graft.ext.AnnIndex
+      val emb = Td(s, dir, "embeddings")
+      val isInc = Similarity.sampleBucket(col("vec_id")) % 5 === 0
+      val store = graft.tables.Scratch.store(s)
+      AnnIndex.build(store, "s14_ann", emb.filter(!isInc), "vec_id", "embedding",
+        dim = 64, nlist = 8, coarseIters = 2, m = 8, k = 16, pqIters = 2,
+        sampleMod = Some(4))
+      AnnIndex.append(store, "s14_ann", emb.filter(isInc), "vec_id", "embedding")
+      AnnIndex.search(store, "s14_ann", emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("adc"),
+          col("rnk").cast("long").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some {
+      val baseWhere = s"NOT (${sampleFilterSql("vec_id", 5)})"
+      s"""
+      WITH $vecCte,
+      ${kmeansCte(8, 2, srcWhere = s" WHERE $baseWhere AND ${sampleFilterSql("vec_id", 4)}")},
+      ${trainedCentSql(2)},
+      asg0 AS (SELECT n.vec_id, cent.centroid_id,
+                 ${dotSql.format("n.v", "centv")} / (n.nrm * centn) AS ccos
+               FROM n CROSS JOIN cent),
+      asg AS (SELECT vec_id, centroid_id AS cluster FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rnk
+                FROM asg0) WHERE rnk = 1),
+      probes0 AS (SELECT n.vec_id AS query_id, cent.centroid_id,
+                    ${dotSql.format("n.v", "centv")} / (n.nrm * centn) AS ccos
+                  FROM n CROSS JOIN cent WHERE n.vec_id < 5),
+      probes AS (SELECT query_id, centroid_id AS cluster FROM (
+                   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ccos DESC, centroid_id) AS rnk
+                   FROM probes0) WHERE rnk <= 2),
+      ${pqResCte(m = 8, k = 16, iters = 2, dsub = 8,
+        trainWhere = s" WHERE NOT (${sampleFilterSql("vec_id", 5)}) AND ${sampleFilterSql("vec_id", 4)}",
+        centersWhere = s" WHERE NOT (${sampleFilterSql("u.vec_id", 5)})")},
+      pe AS (SELECT s.vec_id, s.sub, c.cid,
+               list_reduce(list_transform(c.cv, x -> x * x), (a, b) -> a + b) -
+                 2 * ${dotSql.format("s.sv", "c.cv")} AS dist
+             FROM pq_sv s JOIN pc2 c ON c.sub = s.sub),
+      penc AS (SELECT vec_id, sub, cid FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rnk
+               FROM pe) WHERE rnk = 1),
+      plut AS (SELECT s.vec_id AS query_id, s.sub, c.cid,
+                 ${dotSql.format("s.sv", "c.cv")} AS ip
+               FROM pq_qsv s JOIN pc2 c ON c.sub = s.sub WHERE s.vec_id < 5),
+      coarse AS (SELECT u.vec_id AS query_id, cu.centroid_id AS cluster,
+                   ${dotSql.format("u.uv", "cu.centuv")} AS cip
+                 FROM pq_u u CROSS JOIN centu cu WHERE u.vec_id < 5),
+      cand AS (SELECT p.query_id, a.vec_id, a.cluster
+               FROM asg a JOIN probes p ON a.cluster = p.cluster
+               WHERE a.vec_id <> p.query_id),
+      psc0 AS (SELECT cd.query_id, cd.vec_id AS neighbor_id, cd.cluster, e.sub, l.ip
+               FROM cand cd
+               JOIN penc e ON e.vec_id = cd.vec_id
+               JOIN plut l ON l.query_id = cd.query_id AND l.sub = e.sub AND l.cid = e.cid),
+      psc AS (SELECT query_id, neighbor_id, cluster,
+                list_reduce(list(ip ORDER BY sub), (a, b) -> a + b) AS radc
+              FROM psc0 GROUP BY 1, 2, 3),
+      pscf AS (SELECT p.query_id, p.neighbor_id, co.cip + p.radc AS adc
+               FROM psc p JOIN coarse co ON co.query_id = p.query_id AND co.cluster = p.cluster),
+      pr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rnk
+             FROM pscf)
+      SELECT query_id, neighbor_id, adc, rnk FROM pr WHERE rnk <= 5 ORDER BY query_id, rnk
+    """
+    },
+    // build+append+search end-to-end: the search shape is s13's (benched
+    // via s6's identical machinery); build is the once-ever cost
+    benchmark = false)
 
   /** S7 — hard-negative mining ([[Similarity.hardNegatives]]): top-5
     * nearest OTHER-label vectors per query — the contrastive-training
@@ -5184,7 +5269,7 @@ object ExtQueries {
     d14DedupChargram, d17DedupIndexBucketed, d19DedupContainment, d20SpanDedup,
     d22SpanExact, d23SpanGuaranteed,
     s1KnnBrute, s2AnnIvf, s3KnnQuantized, s5KnnPq, s6AnnIvfPq, s13AnnIvfPqResidual,
-    s7HardNegatives, x20CorpusReport,
+    s14AnnIndexIncremental, s7HardNegatives, x20CorpusReport,
     m1MediaMeta, m2FrameSample, m3VideoMeta, m4ImageDedup,
     c1Curation, c2CurationRecipe, c3Decontaminate, c4DecontaminateBloom,
     c5NormalizedCuration, c6CrawlPipeline,

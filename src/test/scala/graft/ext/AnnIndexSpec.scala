@@ -1,0 +1,89 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.tables.TableStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The durable ANN index contract: append encodes against FROZEN stored
+  * artifacts without ever touching previously indexed vectors, the result
+  * equals a single-batch build-encode, takedown is partition-scoped over
+  * the codes table, and search reads codes only.
+  */
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two orthogonal families in 16 dims (the PqSpec fixture, interleaved
+  // ids so coarse seeding spans both families)
+  private def vec(base: Int, i: Int): Seq[Float] =
+    (0 until 16).map { d =>
+      val on = d >= base && d < base + 4
+      (if (on) 1.0f + 0.01f * ((i * 7 + d) % 5) else 0.001f * ((i * 3 + d) % 7))
+    }
+  private def corpus = (1 to 40).map(i =>
+    (i.toLong, vec(if (i % 2 == 1) 0 else 8, i))).toDF("vec_id", "embedding")
+
+  private def newStore() = new TableStore(spark,
+    java.nio.file.Files.createTempDirectory("graft_annidx").toString)
+
+  private def codesOf(store: TableStore, name: String): Map[Long, (Long, Seq[Int])] =
+    store.read(s"${name}_codes")
+      .select(col("vec_id"), col("cluster"), col("codes"))
+      .as[(Long, Long, Seq[Int])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("append against frozen artifacts equals single-batch encode; base vectors never re-read") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_anncorpus").toString
+    val isInc = col("vec_id") % 3 === 0
+    corpus.filter(!isInc).write.parquet(s"$tmp/base")
+    corpus.filter(isInc).write.parquet(s"$tmp/inc")
+
+    // ground truth: one index built over everything, quantizers trained on
+    // the same base slice (sampleMod off — tiny corpus)
+    val storeAll = newStore()
+    AnnIndex.build(storeAll, "idx", corpus.filter(!isInc), "vec_id", "embedding",
+      dim = 16, nlist = 2, m = 4, k = 4)
+    AnnIndex.append(storeAll, "idx", corpus.filter(isInc), "vec_id", "embedding")
+    val want = codesOf(storeAll, "idx")
+
+    // incremental path over parquet, base DELETED before the append: any
+    // plan that re-reads or re-encodes a base vector fails at action time
+    val store = newStore()
+    AnnIndex.build(store, "idx", spark.read.parquet(s"$tmp/base"),
+      "vec_id", "embedding", dim = 16, nlist = 2, m = 4, k = 4)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$tmp/base"))
+    AnnIndex.append(store, "idx", spark.read.parquet(s"$tmp/inc"),
+      "vec_id", "embedding")
+    assert(codesOf(store, "idx") === want)
+    assert(codesOf(store, "idx").keySet === (1L to 40L).toSet)
+
+    // search over the stored index finds the query's family
+    val out = AnnIndex.search(store, "idx", corpus.filter(col("vec_id") === 1),
+        "vec_id", "embedding", k = 10, nprobe = 1)
+      .select("neighbor_id").as[Long].collect()
+    assert(out.length === 10)
+    assert(out.forall(_ % 2 === 1), s"cross-family neighbors: ${out.toSeq}")
+  }
+
+  test("takedown rewrites only the deleted ids' clusters; artifacts stay frozen") {
+    val store = newStore()
+    AnnIndex.build(store, "idx", corpus, "vec_id", "embedding",
+      dim = 16, nlist = 2, m = 4, k = 4)
+    val before = codesOf(store, "idx")
+    val booksBefore = store.read("idx_books").collect().map(_.toSeq).toSet
+
+    AnnIndex.deleteIds(store, "idx", Seq(2L, 4L, 6L).toDF("vec_id"), "vec_id")
+    val after = codesOf(store, "idx")
+    assert(after === before -- Seq(2L, 4L, 6L))
+    assert(AnnIndex.knownIds(store, "idx", "vec_id")
+      .as[Long].collect().toSet === before.keySet -- Seq(2L, 4L, 6L))
+    // quantizers untouched — a takedown must not retrain what the
+    // surviving codes were encoded with
+    assert(store.read("idx_books").collect().map(_.toSeq).toSet === booksBefore)
+    // deleted ids no longer reachable from search
+    val out = AnnIndex.search(store, "idx", corpus.filter(col("vec_id") === 8),
+        "vec_id", "embedding", k = 15, nprobe = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(out.intersect(Set(2L, 4L, 6L)).isEmpty)
+  }
+}

@@ -258,6 +258,17 @@ object TextAnalysis {
     org.apache.spark.sql.graft.ByteBpeEncodeTokens.byteBpeEncode(
       gpt2Pretokens(c), merges, specials)
 
+  /** Token-ID byte-level encode
+    * ([[org.apache.spark.sql.graft.ByteBpeEncodeIds]]) — the artifact a
+    * training pipeline materializes: the same encode as [[byteBpeEncode]]
+    * with each piece mapped to its deterministic vocab id (bytes 0..255,
+    * merge products at 256+rank, specials last) in one native pass.
+    */
+  def byteBpeEncodeIds(c: Column, merges: Seq[(String, String)],
+      specials: Seq[String]): Column =
+    org.apache.spark.sql.graft.ByteBpeEncodeIds.byteBpeEncodeIds(
+      gpt2Pretokens(c), merges, specials)
+
   /** Parse an exported HF/GPT-2 `merges.txt` into the merge table
     * [[byteBpeEncode]] consumes verbatim: one `a b` pair per line in rank
     * order, optional `#version` header and blank lines skipped. Fails

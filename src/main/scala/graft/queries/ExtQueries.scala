@@ -4195,13 +4195,29 @@ object ExtQueries {
           md5(array_join(pieces, " ")).as("pieces_md5"))
         .orderBy(col("doc_id"))
     },
-    Some {
-      val mtVals = T20Merges.zipWithIndex
-        .map { case ((a, b), i) => s"('$a','$b',$i)" }.mkString(", ")
-      val nRounds = T20Merges.length + 1 // one identity round of slack
-      val rounds = (1 to nRounds).map { n =>
-        val prev = s"r${n - 1}"
-        s"""u$n AS MATERIALIZED (SELECT doc_id, wi, unnest(p) AS piece,
+    Some(s"""
+      WITH $byteBpeFinCte,
+      agg AS (SELECT doc_id, count(*) AS n_pieces,
+                md5(string_agg(piece, ' ' ORDER BY wi, i)) AS pieces_md5
+              FROM fin GROUP BY 1)
+      SELECT d.doc_id, CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+             coalesce(a.pieces_md5, md5('')) AS pieces_md5
+      FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+    """),
+    // same native-scan shape as t16; oracle round unrolling is DuckDB-only
+    benchmark = false)
+
+  /** Shared t20/t22 oracle core: the sanitized+planted corpus's byte-level
+    * encode replay, through CTE `fin` (doc_id, wi, i, piece), with `mt`
+    * and `bt` available downstream.
+    */
+  private lazy val byteBpeFinCte: String = {
+    val mtVals = T20Merges.zipWithIndex
+      .map { case ((a, b), i) => s"('$a','$b',$i)" }.mkString(", ")
+    val nRounds = T20Merges.length + 1 // one identity round of slack
+    val rounds = (1 to nRounds).map { n =>
+      val prev = s"r${n - 1}"
+      s"""u$n AS MATERIALIZED (SELECT doc_id, wi, unnest(p) AS piece,
                  unnest(generate_series(1, len(p))) AS i FROM $prev),
       p$n AS MATERIALIZED (SELECT x.doc_id, x.wi, x.i, mt.rk
              FROM u$n x JOIN u$n y ON y.doc_id = x.doc_id AND y.wi = x.wi AND y.i = x.i + 1
@@ -4223,11 +4239,10 @@ object ExtQueries {
              LEFT JOIN u$n nx ON nx.doc_id = u.doc_id AND nx.wi = u.wi AND nx.i = u.i + 1
              WHERE a2.i IS NULL
              GROUP BY u.doc_id, u.wi)"""
-      }.mkString(",\n      ")
-      val selfRange = "((x BETWEEN 33 AND 126) OR (x BETWEEN 161 AND 172) " +
-        "OR (x BETWEEN 174 AND 255))"
-      s"""
-      WITH aug AS (SELECT doc_id,
+    }.mkString(",\n      ")
+    val selfRange = "((x BETWEEN 33 AND 126) OR (x BETWEEN 161 AND 172) " +
+      "OR (x BETWEEN 174 AND 255))"
+    s"""aug AS (SELECT doc_id,
           regexp_replace(text, '[^ -~]', '', 'g') ||
             ' café the <|endoftext|> thé attic' AS t
         FROM documents),
@@ -4272,16 +4287,49 @@ object ExtQueries {
                 SELECT doc_id, wi, '<|endoftext|>' AS piece, 2 AS i FROM sp WHERE sp_sp
                 UNION ALL
                 SELECT doc_id, wi, '<|endoftext|>' AS piece, 1 AS i FROM sp WHERE sp_bare),
-      fin AS (SELECT * FROM finenc UNION ALL SELECT * FROM finsp),
-      agg AS (SELECT doc_id, count(*) AS n_pieces,
-                md5(string_agg(piece, ' ' ORDER BY wi, i)) AS pieces_md5
-              FROM fin GROUP BY 1)
-      SELECT d.doc_id, CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
-             coalesce(a.pieces_md5, md5('')) AS pieces_md5
-      FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
-    """
+      fin AS (SELECT * FROM finenc UNION ALL SELECT * FROM finsp)"""
+  }
+
+  /** T22 — token-ID emission ([[org.apache.spark.sql.graft
+    * .ByteBpeEncodeIds]]): t20's exact encode with every piece mapped to
+    * its deterministic vocab id (bytes 0..255 in byte order, merge
+    * products at 256+rank, specials last) in the same native pass — the
+    * artifact packing and training actually consume. The oracle builds
+    * the vocab INDEPENDENTLY (byte symbols from the SQL-derived table,
+    * products from the merge VALUES, the special appended) and joins the
+    * t20 piece replay against it, so an id-assignment drift or a piece/id
+    * mismatch flips per-doc digests.
+    */
+  val t22ByteBpeIds = QueryDef(
+    "t22_byte_bpe_ids",
+    (s, dir) => {
+      val sanitized = regexp_replace(col("text"), "[^ -~]", "")
+      val planted = concat(sanitized,
+        lit(" café the <|endoftext|> thé attic"))
+      val ids = TA.byteBpeEncodeIds(col("_t22"), T20Merges, T20Specials)
+      Td(s, dir, "documents").select(col("doc_id"), planted.as("_t22"))
+        .select(col("doc_id"),
+          size(ids).cast("long").as("n_ids"),
+          md5(array_join(transform(ids, _.cast("string")), ",")).as("ids_md5"))
+        .orderBy(col("doc_id"))
     },
-    // same native-scan shape as t16; oracle round unrolling is DuckDB-only
+    Some(s"""
+      WITH $byteBpeFinCte,
+      vocab AS (
+        SELECT bt.b2u[b + 1] AS piece, b AS id
+        FROM (SELECT unnest(generate_series(0, 255)) AS b) bs CROSS JOIN bt
+        UNION ALL SELECT a || b AS piece, 256 + rk AS id FROM mt
+        UNION ALL SELECT '<|endoftext|>' AS piece, ${256 + T20Merges.length} AS id),
+      idr AS (SELECT f.doc_id, f.wi, f.i, v.id
+              FROM fin f JOIN vocab v ON v.piece = f.piece),
+      agg AS (SELECT doc_id, count(*) AS n_ids,
+                md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY wi, i)) AS ids_md5
+              FROM idr GROUP BY 1)
+      SELECT d.doc_id, CAST(coalesce(a.n_ids, 0) AS BIGINT) AS n_ids,
+             coalesce(a.ids_md5, md5('')) AS ids_md5
+      FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+    """),
+    // identical native-scan shape as t20 with one extra hash probe/piece
     benchmark = false)
 
   /** T21 — byte-level BPE TRAINING
@@ -5258,7 +5306,7 @@ object ExtQueries {
     t7PiiRedact, t8LmPerplexity, t9TextNormalize, t10ScriptDetect, t11GopherRules,
     t12GopherRepetition, t13HtmlExtract, t14ClassifierScore, t15ClassifierWeighted,
     t16BpeEncode, t17LmScored, t18BpeTrain, t19BpePipeline, t20ByteBpe,
-    t21ByteBpeTrain,
+    t21ByteBpeTrain, t22ByteBpeIds,
     d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc, d21SemDedup, x24TokenBudget,
     x25LinkRank, x26TrainSplit, x27QuantileNorm, x28LinkRankFull, x29Fim,
     x30LengthBatches, x31EmbedStandardize, x32SpanCorrupt, x33GateAttrition,

@@ -274,4 +274,111 @@ object ByteBpeEncodeTokens {
       specials: Seq[String]): Column =
     ExpressionUtils.column(
       ByteBpeEncodeTokens(ExpressionUtils.expression(tokens), merges, specials))
+
+  /** The deterministic vocabulary a byte-level merge table induces — the
+    * GPT-2 layout: ids 0..255 are the mapped byte symbols in byte order,
+    * each merge's product takes 256 + rank, specials follow at the end.
+    * Every piece [[ByteBpeEncodeTokens]] can emit is covered by
+    * construction (initial pieces are byte symbols; the merge loop only
+    * produces products in the table; specials bypass). Colliding symbol
+    * spellings — two merges whose products concatenate to the same string,
+    * or a special equal to a product — are rejected loudly: they would
+    * silently conflate token ids.
+    */
+  def byteBpeVocab(merges: Seq[(String, String)],
+      specials: Seq[String]): Seq[(String, Int)] = {
+    val bytes = ByteToUnicode.zipWithIndex.map { case (s, i) => (s, i) }.toSeq
+    val prods = merges.zipWithIndex.map { case ((a, b), r) => (a + b, 256 + r) }
+    val specs = specials.zipWithIndex.map { case (s, i) => (s, 256 + merges.length + i) }
+    val all = bytes ++ prods ++ specs
+    require(all.map(_._1).distinct.length == all.length,
+      "vocabulary collision: two symbols share a spelling — " +
+        all.groupBy(_._1).filter(_._2.length > 1).keys.mkString(", "))
+    all
+  }
+}
+
+/** `byte_bpe_encode_ids(tokens, merges, specials)` — the TOKEN-ID form of
+  * [[ByteBpeEncodeTokens]]: the same byte-level greedy encode, but each
+  * piece maps to its [[ByteBpeEncodeTokens.byteBpeVocab]] id in the same
+  * native pass — what a training pipeline actually materializes (packing,
+  * context-window math and the model all consume ids, not spellings). An
+  * O(1) hash lookup per piece inside codegen; the HOF alternative
+  * (`transform` over a map literal) would pay an interpreted linear map
+  * scan per token.
+  */
+case class ByteBpeEncodeIds(child: Expression, merges: Seq[(String, String)],
+    specials: Seq[String]) extends UnaryExpression with ExpectsInputTypes {
+
+  require(merges.distinct.length == merges.length, "merge table has duplicate pairs")
+  require(specials.distinct.length == specials.length, "duplicate special tokens")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "byte_bpe_encode_ids"
+
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.put(a + " " + b, Integer.valueOf(i))
+    }
+    m
+  }
+
+  @transient private lazy val specialSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    specials.foreach(s.add)
+    s
+  }
+
+  @transient private lazy val vocab: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    ByteBpeEncodeTokens.byteBpeVocab(merges, specials)
+      .foreach { case (s, i) => m.put(s, Integer.valueOf(i)) }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ByteBpeEncodeIds.compute(input.asInstanceOf[ArrayData], ranks, specialSet, vocab)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rref = ctx.addReferenceObj("byteBpeRanks", ranks,
+      classOf[java.util.HashMap[String, Integer]].getName)
+    val sref = ctx.addReferenceObj("byteBpeSpecials", specialSet,
+      classOf[java.util.HashSet[String]].getName)
+    val vref = ctx.addReferenceObj("byteBpeVocab", vocab,
+      classOf[java.util.HashMap[String, Integer]].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.ByteBpeEncodeIds.compute($c, $rref, $sref, $vref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ByteBpeEncodeIds =
+    copy(child = newChild)
+}
+
+object ByteBpeEncodeIds {
+
+  def compute(toks: ArrayData,
+      ranks: java.util.HashMap[String, Integer],
+      specials: java.util.HashSet[String],
+      vocab: java.util.HashMap[String, Integer]): ArrayData = {
+    val pieces = ByteBpeEncodeTokens.compute(toks, ranks, specials)
+    val n = pieces.numElements()
+    val ids = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      // total by construction — every emitted piece is a byte symbol, a
+      // merge product, or a special
+      ids(i) = vocab.get(pieces.getUTF8String(i).toString).intValue()
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(ids)
+  }
+
+  /** Column API over a token array. */
+  def byteBpeEncodeIds(tokens: Column, merges: Seq[(String, String)],
+      specials: Seq[String]): Column =
+    ExpressionUtils.column(
+      ByteBpeEncodeIds(ExpressionUtils.expression(tokens), merges, specials))
 }

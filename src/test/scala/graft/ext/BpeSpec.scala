@@ -209,6 +209,25 @@ class BpeSpec extends SparkSpec {
     assert(learned === Seq(("Ġ", "b", 1L)))
   }
 
+  test("token ids: GPT-2 vocab layout, hand-computed id stream, collisions rejected") {
+    import org.apache.spark.sql.graft.ByteBpeEncodeTokens.{byteBpeVocab, ByteToUnicode}
+    val m = Seq(("h", "e"), ("t", "he"))
+    val v = byteBpeVocab(m, Seq("<|endoftext|>")).toMap
+    assert(v("A") === 'A'.toInt)          // byte symbols keep their byte id
+    assert(v(ByteToUnicode(0x20)) === 32) // Ġ is byte 0x20's symbol
+    assert(v("he") === 256 && v("the") === 257) // products at 256+rank
+    assert(v("<|endoftext|>") === 258)    // specials last
+    // two merges whose products collide must be rejected
+    intercept[IllegalArgumentException] {
+      byteBpeVocab(Seq(("a", "bc"), ("ab", "c")), Nil)
+    }
+    // hand-computed id stream: "the <|endoftext|>" → [the, Ġ, special]
+    val ids = Seq("the <|endoftext|>").toDF("t")
+      .select(TextAnalysis.byteBpeEncodeIds(col("t"), m, Seq("<|endoftext|>")).as("i"))
+      .head().getSeq[Int](0)
+    assert(ids === Seq(257, 32, 258))
+  }
+
   test("an exported merges.txt loads verbatim") {
     val file =
       """#version: 0.2

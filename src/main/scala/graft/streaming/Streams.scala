@@ -496,6 +496,57 @@ object Streams {
     dedupStream(gated, Seq("content_md5"), tsCol, lateness)
   }
 
+  /** Streaming takedown sink: opt-out/delete requests arrive as a stream
+    * of ids, each micro-batch runs the FULL
+    * [[graft.tables.Deletes.cascade]] (corpus tables, dedup indexes, ANN
+    * indexes, pack tables, versioned snapshots), then logs the processed
+    * ids into `{logTable}` — the compliance pipeline as a standing query
+    * instead of a manual batch job.
+    *
+    * Delivery contract: at-least-once with a log guard. Each batch
+    * anti-joins against the log FIRST, so a re-delivered id (replayed
+    * batch, duplicate request) is a no-op before the cascade even runs;
+    * every cascade leg is idempotent anyway, so the only crash-window
+    * artifact (died between cascade and log append) is a re-run of
+    * already-applied deletes — and, if `versioned` tables are listed, one
+    * extra snapshot version whose diff is empty (benign; `keep` retention
+    * ages it out). The log table doubles as the takedown AUDIT trail:
+    * (id, batch_id, processed_at).
+    */
+  def takedownSink(ids: DataFrame, store: TableStore, idCol: String,
+      logTable: String, checkpoint: String,
+      corpus: Seq[String] = Nil, corpusPartitionCol: Option[String] = None,
+      indexes: Seq[String] = Nil, annIndexes: Seq[String] = Nil,
+      packs: Seq[graft.tables.Deletes.PackSpec] = Nil,
+      versioned: Seq[String] = Nil, keep: Int = 3): StreamingQuery =
+    ids.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val keys = batch.select(col(idCol)).distinct()
+        val fresh =
+          if (store.exists(logTable))
+            keys.join(broadcast(store.read(logTable).select(col(idCol))),
+              Seq(idCol), "left_anti")
+          else keys
+        // the cascade reads its targets lazily per leg; materialize the
+        // fresh set once so the guard join doesn't replay per leg
+        val freshRows = fresh.collect() // takedown batches are small by nature
+        if (freshRows.nonEmpty) {
+          val spark = batch.sparkSession
+          val freshDf = spark.createDataFrame(
+            java.util.Arrays.asList(freshRows: _*), fresh.schema)
+          graft.tables.Deletes.cascade(store, freshDf, idCol,
+            corpus, corpusPartitionCol, indexes, annIndexes, packs,
+            versioned, keep)
+          store.append(logTable, freshDf
+            .withColumn("batch_id", lit(batchId))
+            .withColumn("processed_at", current_timestamp()))
+        }
+      }
+      .start()
+
   /** General watermark-bounded stream-stream INTERVAL join — the
     * impressions⋈clicks shape: a left row at `tsLeft` pairs with right
     * rows of the same `key` whose `tsRight` falls in

@@ -411,6 +411,40 @@ class StreamsSpec extends SparkSpec {
     assert(e.getMessage.contains("share only the key"))
   }
 
+  test("takedownSink: streamed ids cascade once, re-deliveries guarded, audit log appends") {
+    implicit val sc = spark.sqlContext
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_td_store").toString)
+    val ckpt = Files.createTempDirectory("graft_td_ckpt").toString
+    val docs = (1L to 10L).map(i => (i, s"alpha beta gamma delta body $i end"))
+      .toDF("doc_id", "text")
+    store.overwrite("corpus", docs)
+    graft.ext.DedupIndex.build(store, "idx", docs, "doc_id", "text")
+    val in = MemoryStream[Long]
+    def run() = Streams.takedownSink(
+      in.toDF().select(col("value").as("doc_id")), store, "doc_id",
+      "td_log", ckpt, corpus = Seq("corpus"), indexes = Seq("idx"))
+    def corpusIds = store.read("corpus").select("doc_id").as[Long].collect().toSet
+
+    in.addData(2L, 3L)
+    run().awaitTermination()
+    assert(corpusIds === (1L to 10L).toSet -- Set(2L, 3L))
+    // the cascade reached the dedup index too
+    assert(graft.ext.DedupIndex.knownIds(store, "idx", "doc_id")
+      .as[Long].collect().toSet === (1L to 10L).toSet -- Set(2L, 3L))
+    assert(store.read("td_log").select("doc_id").as[Long].collect().toSet ===
+      Set(2L, 3L))
+
+    // batch 2 re-delivers id 2 beside a new id: the guard keeps the
+    // cascade and the audit log single-entry per id
+    in.addData(2L, 5L)
+    run().awaitTermination()
+    assert(corpusIds === (1L to 10L).toSet -- Set(2L, 3L, 5L))
+    val log = store.read("td_log").select("doc_id").as[Long].collect()
+    assert(log.toSet === Set(2L, 3L, 5L) && log.length === 3,
+      s"re-delivered id must not re-log: ${log.toSeq}")
+  }
+
   test("landingStream + upsertSink: file micro-batches upsert by key, late re-delivery updates in place") {
     val dir = Files.createTempDirectory("graft_landing").toString
     val ckpt = Files.createTempDirectory("graft_ckpt").toString

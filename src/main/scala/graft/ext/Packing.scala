@@ -55,6 +55,44 @@ object Packing {
       .drop("_pre")
   }
 
+  /** Materialize fixed-length TRAINING SEQUENCES from per-document
+    * token-id arrays — the final artifact a pretraining loader reads:
+    * within each shard, documents concatenate in `orderCol` order and the
+    * id stream cuts into `budget`-length rows, documents flowing ACROSS
+    * row boundaries (the GPT convention — [[assign]] keeps documents
+    * whole and lets packs overflow; this splits exactly, so every row but
+    * a shard's last holds precisely `budget` ids). Output: shard keys,
+    * `seq_id` (0-based), `n_ids` (= budget except the tail), `ids`.
+    *
+    * Plan shape: one shard-keyed window (the [[assign]] prefix sum over
+    * array sizes), one token explode, one (shard, seq) aggregation with
+    * the ordered-struct rebuild — the explode is the materialization cost
+    * itself (every token is written out), so the pass is ∝ total tokens
+    * by construction; nothing is quadratic and nothing collects.
+    */
+  def packSequences(docs: DataFrame, orderCol: String, idsCol: String,
+      keys: Seq[String], budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1 token, got $budget")
+    require(keys.nonEmpty,
+      "pack within explicit shard keys — a global pack is a single sequential scan")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val kc = keys.map(col)
+    docs
+      .withColumn("_n", size(col(idsCol)).cast("long"))
+      .withColumn("_pre", coalesce(sum(col("_n")).over(w), lit(0L)))
+      .select(kc :+ col("_pre") :+ posexplode(col(idsCol)).as(Seq("_i", "_id")): _*)
+      .withColumn("_g", col("_pre") + col("_i"))
+      // div, not /: the float quotient would round above 2^53 (see assign)
+      .withColumn("seq_id", expr(s"_g div $budget"))
+      .withColumn("_p", col("_g") % budget)
+      .groupBy(kc :+ col("seq_id"): _*)
+      .agg(count(lit(1)).cast("long").as("n_ids"),
+        array_sort(collect_list(struct(col("_p"), col("_id")))).as("_s"))
+      .select(kc ++ Seq(col("seq_id"), col("n_ids"),
+        transform(col("_s"), s => s.getField("_id")).as("ids")): _*)
+  }
+
   /** Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
     * Training of Language Models to Fill in the Middle") — the code-model
     * data-prep pass that rewrites a `rate`-fraction of documents into

@@ -4419,6 +4419,58 @@ object ExtQueries {
     // oracle-side only
     benchmark = false)
 
+  /** X36 — materialized training sequences
+    * ([[graft.ext.Packing.packSequences]] over
+    * [[TA.byteBpeEncodeIds]]): the END of the tokenize→pack chain — per
+    * source shard, every document's token-id stream (t22's ids, separator
+    * special included) concatenates in doc order and cuts into exact
+    * 512-id rows, documents flowing across row boundaries. The oracle
+    * replays t22's per-token id derivation, the shard prefix sum over doc
+    * token counts, the global-position div/mod, and the ordered
+    * reassembly — an off-by-one anywhere in the chain shifts every later
+    * sequence digest in the shard.
+    */
+  val x36PackSequences = QueryDef(
+    "x36_pack_sequences",
+    (s, dir) => {
+      val sanitized = regexp_replace(col("text"), "[^ -~]", "")
+      val planted = concat(sanitized,
+        lit(" café the <|endoftext|> thé attic"))
+      val docs = Td(s, dir, "documents")
+        .select(col("doc_id"), col("source"), planted.as("_t"))
+        .select(col("doc_id"), col("source"),
+          TA.byteBpeEncodeIds(col("_t"), T20Merges, T20Specials).as("ids"))
+      graft.ext.Packing.packSequences(docs, "doc_id", "ids", Seq("source"), 512L)
+        .select(col("source"), col("seq_id"), col("n_ids"),
+          md5(array_join(transform(col("ids"), _.cast("string")), ",")).as("ids_md5"))
+        .orderBy(col("source"), col("seq_id"))
+    },
+    Some(s"""
+      WITH $byteBpeFinCte,
+      vocab AS (
+        SELECT bt.b2u[b + 1] AS piece, b AS id
+        FROM (SELECT unnest(generate_series(0, 255)) AS b) bs CROSS JOIN bt
+        UNION ALL SELECT a || b AS piece, 256 + rk AS id FROM mt
+        UNION ALL SELECT '<|endoftext|>' AS piece, ${256 + T20Merges.length} AS id),
+      tok AS MATERIALIZED (SELECT f.doc_id, v.id,
+               row_number() OVER (PARTITION BY f.doc_id ORDER BY f.wi, f.i) - 1 AS ti
+             FROM fin f JOIN vocab v ON v.piece = f.piece),
+      cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+      pre AS (SELECT d.doc_id, d.source,
+                coalesce(sum(c.n) OVER (PARTITION BY d.source ORDER BY d.doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+              FROM documents d JOIN cnt c ON c.doc_id = d.doc_id),
+      g AS (SELECT p.source, t.id, p.pre + t.ti AS gpos
+            FROM tok t JOIN pre p ON p.doc_id = t.doc_id)
+      SELECT source, CAST(gpos // 512 AS BIGINT) AS seq_id,
+             CAST(count(*) AS BIGINT) AS n_ids,
+             md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY gpos)) AS ids_md5
+      FROM g GROUP BY 1, 2 ORDER BY 1, 2
+    """),
+    // window prefix + token explode + (shard, seq) agg — x10/x19 time the
+    // shapes; the t22 id chain is oracle-side only
+    benchmark = false)
+
   /** T18 — BPE merge-table TRAINING ([[graft.ext.TextAnalysis.bpeTrain]],
     * the learning side of t16): three rounds of encode-with-learned-merges
     * → within-word adjacent-pair counts → deterministic argmax (count
@@ -5306,7 +5358,7 @@ object ExtQueries {
     t7PiiRedact, t8LmPerplexity, t9TextNormalize, t10ScriptDetect, t11GopherRules,
     t12GopherRepetition, t13HtmlExtract, t14ClassifierScore, t15ClassifierWeighted,
     t16BpeEncode, t17LmScored, t18BpeTrain, t19BpePipeline, t20ByteBpe,
-    t21ByteBpeTrain, t22ByteBpeIds,
+    t21ByteBpeTrain, t22ByteBpeIds, x36PackSequences,
     d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc, d21SemDedup, x24TokenBudget,
     x25LinkRank, x26TrainSplit, x27QuantileNorm, x28LinkRankFull, x29Fim,
     x30LengthBatches, x31EmbedStandardize, x32SpanCorrupt, x33GateAttrition,

@@ -154,4 +154,23 @@ class PackingSpec extends SparkSpec {
     assert(again === out.toSeq.sortBy(_._1).map(_._2._5) ||
       again.sorted === out.values.map(_._5).toSeq.sorted)
   }
+
+  test("packSequences: docs flow across row boundaries, exact budget rows, ordered tail") {
+    import spark.implicits._
+    // shard A: docs of 3, 4, 2 ids -> stream 1..9 cut at 4:
+    //   [1,2,3,4] [5,6,7,8] [9]; shard B: one 2-id doc -> [21,22]
+    val docs = Seq(
+      (1L, "A", Seq(1, 2, 3)),
+      (2L, "A", Seq(4, 5, 6, 7)),
+      (3L, "A", Seq(8, 9)),
+      (9L, "B", Seq(21, 22))).toDF("doc_id", "shard", "ids")
+    val out = Packing.packSequences(docs, "doc_id", "ids", Seq("shard"), 4L)
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getSeq[Int](3)))).toMap
+    assert(out === Map(
+      ("A", 0L) -> (4L, Seq(1, 2, 3, 4)),
+      ("A", 1L) -> (4L, Seq(5, 6, 7, 8)),
+      ("A", 2L) -> (1L, Seq(9)),
+      ("B", 0L) -> (2L, Seq(21, 22))))
+  }
 }

@@ -66,6 +66,33 @@ object Deletes {
     }
   }
 
+  /** `DELETE FROM table WHERE cond` — the predicate form (Delta's general
+    * DELETE; [[deleteRows]] is the id-set special case). With
+    * `partitionCol` the rewrite is partition-scoped exactly like
+    * deleteRows: affected partitions are found by a column-pruned scan of
+    * the predicate's matching rows, only those directories move, and
+    * emptied ones are dropped outright. The predicate must be
+    * deterministic — it runs once to find affected partitions and once in
+    * the rewrite, and a nondeterministic condition could disagree between
+    * the two passes.
+    */
+  def deleteWhere(store: TableStore, table: String, cond: org.apache.spark.sql.Column,
+      partitionCol: Option[String] = None): Unit = {
+    partitionCol match {
+      case None =>
+        store.overwrite(table, store.read(table).filter(!coalesce(cond, lit(false))))
+      case Some(pc) =>
+        val affected = store.read(table).filter(cond)
+          .select(col(pc)).distinct().collect().map(_.get(0)).toIndexedSeq
+        if (affected.isEmpty) return
+        val survivors = store.read(table).filter(col(pc).isin(affected: _*))
+          .filter(!coalesce(cond, lit(false)))
+        val alive = survivors.select(col(pc)).distinct().collect().map(_.get(0)).toSet
+        if (alive.nonEmpty) store.overwritePartitions(table, survivors, Seq(pc))
+        store.dropPartitions(table, pc, affected.filterNot(alive))
+    }
+  }
+
   /** Takedown against a [[Versions]]-managed snapshot table: writes a new
     * version holding the survivors, so `Versions.diff(vPrev, vNew)` reads
     * exactly `removed` for the deleted ids and `unchanged` elsewhere — the

@@ -49,6 +49,21 @@ class DeletesSpec extends SparkSpec {
     assert(!new java.io.File(store.path("t"), "month=m3").exists())
   }
 
+  test("predicate delete: SQL NULL semantics, partition-scoped, emptied partitions vanish") {
+    val store = newStore()
+    val df = Seq(
+      (1L, "m1", Some(5)), (2L, "m1", None), // NULL predicate → survives
+      (3L, "m2", Some(50)), (4L, "m2", Some(5)),
+      (5L, "m3", Some(99))).toDF("id", "month", "v")
+    store.overwrite("t", df, partitionBy = Seq("month"))
+    val m1Before = listing(store, "t").filter(_._1.contains("month=m1"))
+    // nothing in m1 matches v > 10 (2's NULL is not TRUE): m1 must not move
+    Deletes.deleteWhere(store, "t", col("v") > 10, Some("month"))
+    assert(rows(store.read("t").select("id")) === Set(Seq(1L), Seq(2L), Seq(4L)))
+    assert(listing(store, "t").filter(_._1.contains("month=m1")) === m1Before)
+    assert(!new java.io.File(store.path("t"), "month=m3").exists())
+  }
+
   test("dropPartitions undoes hive %-escaping in dir names") {
     val store = newStore()
     // ':' is in Spark's escape set → dir is month=a%3Ab on disk

@@ -93,6 +93,38 @@ object Deletes {
     }
   }
 
+  /** `UPDATE table SET col = expr, ... WHERE cond` — the in-place edit
+    * (Delta UPDATE; [[graft.tables.Upsert.merge]] is the keyed-source
+    * form). Same partition-scoped rewrite discipline as [[deleteWhere]]:
+    * only partitions holding matching rows move; assignments apply only
+    * where `cond` is TRUE (SQL semantics — NULL leaves the row untouched).
+    * Assignments may not touch the partition column: an updated row could
+    * silently change directories mid-rewrite.
+    */
+  def updateWhere(store: TableStore, table: String,
+      cond: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      partitionCol: Option[String] = None): Unit = {
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    partitionCol.foreach(pc => require(!assignments.contains(pc),
+      s"assignment may not touch the partition column $pc " +
+        "(a matched row could move across partitions)"))
+    val hit = coalesce(cond, lit(false))
+    def applyTo(df: DataFrame): DataFrame =
+      assignments.foldLeft(df) { case (d, (c, e)) =>
+        d.withColumn(c, when(hit, e).otherwise(col(c)))
+      }
+    partitionCol match {
+      case None => store.overwrite(table, applyTo(store.read(table)))
+      case Some(pc) =>
+        val affected = store.read(table).filter(cond)
+          .select(col(pc)).distinct().collect().map(_.get(0)).toIndexedSeq
+        if (affected.isEmpty) return
+        store.overwritePartitions(table,
+          applyTo(store.read(table).filter(col(pc).isin(affected: _*))), Seq(pc))
+    }
+  }
+
   /** Takedown against a [[Versions]]-managed snapshot table: writes a new
     * version holding the survivors, so `Versions.diff(vPrev, vNew)` reads
     * exactly `removed` for the deleted ids and `unchanged` elsewhere — the

@@ -73,6 +73,16 @@ object Versions {
     store.read(vtable(name, v))
   }
 
+  /** Delta-style RESTORE: re-publish a retained snapshot's content as the
+    * NEW latest version (never a rollback of the manifest — the restore
+    * itself is an audited, diffable event, and the bad version stays
+    * addressable until retention ages it out). Returns the new version
+    * number; `diff(bad, restored)` then reads as the exact undo.
+    */
+  def restore(store: TableStore, name: String, version: Long,
+      keep: Int = 3): Long =
+    overwrite(store, name, read(store, name, Some(version)), keep)
+
   /** Drop every version and the manifest. */
   def drop(store: TableStore, name: String): Unit = {
     versions(store, name).foreach(v => store.drop(vtable(name, v)))

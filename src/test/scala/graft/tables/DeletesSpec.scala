@@ -64,6 +64,40 @@ class DeletesSpec extends SparkSpec {
     assert(!new java.io.File(store.path("t"), "month=m3").exists())
   }
 
+  test("predicate update: assignments only where TRUE, untouched partitions in place, partition col guarded") {
+    val store = newStore()
+    val df = Seq(
+      (1L, "m1", Some(5)), (2L, "m1", None),
+      (3L, "m2", Some(50)), (4L, "m2", Some(5))).toDF("id", "month", "v")
+    store.overwrite("t", df, partitionBy = Seq("month"))
+    val m1Before = listing(store, "t").filter(_._1.contains("month=m1"))
+    Deletes.updateWhere(store, "t", col("v") > 10,
+      Map("v" -> (col("v") * 2)), Some("month"))
+    val got = store.read("t").select("id", "v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got === Map(1L -> Some(5), 2L -> None, 3L -> Some(100), 4L -> Some(5)))
+    // m1 held no matching row: byte-identical in place
+    assert(listing(store, "t").filter(_._1.contains("month=m1")) === m1Before)
+    val e = intercept[IllegalArgumentException] {
+      Deletes.updateWhere(store, "t", col("v") > 10,
+        Map("month" -> lit("m9")), Some("month"))
+    }
+    assert(e.getMessage.contains("partition column"))
+  }
+
+  test("restore re-publishes an old snapshot as the new latest; the bad version stays diffable") {
+    val store = newStore()
+    Versions.overwrite(store, "snap", Seq((1L, "good"), (2L, "good")).toDF("id", "v"))
+    Versions.overwrite(store, "snap", Seq((1L, "BAD")).toDF("id", "v"))
+    val v = Versions.restore(store, "snap", 1L)
+    assert(v === 3L)
+    assert(rows(Versions.read(store, "snap")) === Set(Seq(1L, "good"), Seq(2L, "good")))
+    // the restore is an audited event: diff(bad, restored) is the exact undo
+    val d = Versions.diff(store, "snap", 2L, 3L, "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d === Map(1L -> "changed", 2L -> "added"))
+  }
+
   test("dropPartitions undoes hive %-escaping in dir names") {
     val store = newStore()
     // ':' is in Spark's escape set → dir is month=a%3Ab on disk

@@ -4471,6 +4471,41 @@ object ExtQueries {
     // shapes; the t22 id chain is oracle-side only
     benchmark = false)
 
+  /** X37 — predicate DML over a partitioned managed table
+    * ([[graft.tables.Deletes.deleteWhere]]/`updateWhere`): stage a
+    * source-partitioned token-stats table, DELETE the short docs, UPDATE
+    * the long ones to a cap, read back the final state. The oracle
+    * derives the end state directly from the two predicates (NULL
+    * semantics included by construction of the count column), so a
+    * row leaked by the delete, an assignment applied where the condition
+    * was not TRUE, or a partition dropped wrongly all flip rows.
+    */
+  val x37Dml = QueryDef(
+    "x37_dml",
+    (s, dir) => {
+      import graft.tables.Deletes
+      val store = graft.tables.Scratch.store(s)
+      store.overwrite("x37_t",
+        Td(s, dir, "documents").select(col("doc_id"), col("source"),
+          TA.tokenCount(col("text")).cast("long").as("n_tok")),
+        partitionBy = Seq("source"))
+      Deletes.deleteWhere(store, "x37_t", col("n_tok") < 20, Some("source"))
+      Deletes.updateWhere(store, "x37_t", col("n_tok") > 150,
+        Map("n_tok" -> lit(150L)), Some("source"))
+      store.read("x37_t").select(col("doc_id"), col("source"), col("n_tok"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+             FROM documents)
+      SELECT doc_id, source, least(n_tok, 150) AS n_tok
+      FROM d WHERE NOT (n_tok < 20) ORDER BY doc_id
+    """),
+    // two partition-scoped rewrites of a staged table — s8/s4 time the
+    // shapes on the live star pipeline
+    benchmark = false)
+
   /** T18 — BPE merge-table TRAINING ([[graft.ext.TextAnalysis.bpeTrain]],
     * the learning side of t16): three rounds of encode-with-learned-merges
     * → within-word adjacent-pair counts → deterministic argmax (count
@@ -5358,7 +5393,7 @@ object ExtQueries {
     t7PiiRedact, t8LmPerplexity, t9TextNormalize, t10ScriptDetect, t11GopherRules,
     t12GopherRepetition, t13HtmlExtract, t14ClassifierScore, t15ClassifierWeighted,
     t16BpeEncode, t17LmScored, t18BpeTrain, t19BpePipeline, t20ByteBpe,
-    t21ByteBpeTrain, t22ByteBpeIds, x36PackSequences,
+    t21ByteBpeTrain, t22ByteBpeIds, x36PackSequences, x37Dml,
     d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc, d21SemDedup, x24TokenBudget,
     x25LinkRank, x26TrainSplit, x27QuantileNorm, x28LinkRankFull, x29Fim,
     x30LengthBatches, x31EmbedStandardize, x32SpanCorrupt, x33GateAttrition,

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.graft.{BpeEncodeTokens, CharShingles, DotProduct, IdnHostUnicode, NormalizeText, QuantizeI8, QuantizeScale, WinnowMins, WordShingles}
+import org.apache.spark.sql.graft.{BpeEncodeTokens, ByteBpeEncodeIds, ByteBpeEncodeTokens, CharShingles, DotProduct, IdnHostUnicode, NormalizeText, QuantizeI8, QuantizeScale, WinnowMins, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -84,15 +84,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity(c, 1, 1, "graft_quantize_i8(vec)")
       QuantizeI8(c.head)
     }
-    fn("graft_bpe_encode", classOf[BpeEncodeTokens]) { c =>
-      arity(c, 2, 2, "graft_bpe_encode(tokens, 'a b,c d')")
-      val merges = litStr(c(1), "merges").split(",").filter(_.nonEmpty).toSeq
+    def parseMergeArg(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[(String, String)] =
+      litStr(e, "merges").split(",").filter(_.nonEmpty).toSeq
         .map { pair =>
           val parts = pair.split(" ", 2)
           require(parts.length == 2, s"merge pair must be 'a b': '$pair'")
           (parts(0), parts(1))
         }
-      BpeEncodeTokens(c.head, merges)
+    fn("graft_bpe_encode", classOf[BpeEncodeTokens]) { c =>
+      arity(c, 2, 2, "graft_bpe_encode(tokens, 'a b,c d')")
+      BpeEncodeTokens(c.head, parseMergeArg(c(1)))
+    }
+    // byte-level twins: merges over the mapped byte alphabet, optional
+    // comma-joined never-merge specials (a special containing a comma is
+    // not addressable through the SQL surface — use the Column API)
+    fn("graft_byte_bpe_encode", classOf[ByteBpeEncodeTokens]) { c =>
+      arity(c, 2, 3, "graft_byte_bpe_encode(tokens, 'a b,c d'[, 'sp1,sp2'])")
+      val specials =
+        if (c.length > 2) litStr(c(2), "specials").split(",").filter(_.nonEmpty).toSeq
+        else Nil
+      ByteBpeEncodeTokens(c.head, parseMergeArg(c(1)), specials)
+    }
+    fn("graft_byte_bpe_ids", classOf[ByteBpeEncodeIds]) { c =>
+      arity(c, 2, 3, "graft_byte_bpe_ids(tokens, 'a b,c d'[, 'sp1,sp2'])")
+      val specials =
+        if (c.length > 2) litStr(c(2), "specials").split(",").filter(_.nonEmpty).toSeq
+        else Nil
+      ByteBpeEncodeIds(c.head, parseMergeArg(c(1)), specials)
     }
   }
 }

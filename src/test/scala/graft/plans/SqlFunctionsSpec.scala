@@ -45,6 +45,15 @@ class SqlFunctionsSpec extends SparkSpec {
         .head().getDouble(0) === 0.02)
       assert(s.sql("SELECT graft_bpe_encode(array('table'), 't a,ta b')")
         .head().getSeq[String](0) === Seq("tab", "l", "e"))
+      // byte-level: ' the' maps its space to Ġ and the exported-vocab
+      // entries fire; the special stays atomic
+      assert(s.sql("SELECT graft_byte_bpe_encode(array('x', ' the'), 'Ġ t,h e,Ġt he')")
+        .head().getSeq[String](0) === Seq("x", "Ġthe"))
+      assert(s.sql("SELECT graft_byte_bpe_encode(array('<|eot|>'), 'h e', '<|eot|>')")
+        .head().getSeq[String](0) === Seq("<|eot|>"))
+      // ids: bytes keep their byte id, products at 256+rank, specials last
+      assert(s.sql("SELECT graft_byte_bpe_ids(array('the', '<|eot|>'), 'h e,t he', '<|eot|>')")
+        .head().getSeq[Int](0) === Seq(257, 258))
     }
   }
 

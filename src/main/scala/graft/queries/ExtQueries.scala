@@ -4506,6 +4506,57 @@ object ExtQueries {
     // shapes on the live star pipeline
     benchmark = false)
 
+  /** X38 — tokenizer fertility report: per source, the bytes-per-token
+    * ratio of the byte-level tokenizer over the sanitized corpus — THE
+    * number a tokenizer change is judged by (a merge table that lowers
+    * fertility buys context window for free), published per source
+    * because fertility is domain-dependent (code vs prose vs tables).
+    * Exact integer sums (UTF-8 byte counts and id counts) + one
+    * engine-identical double division; the oracle recomputes byte counts
+    * from the chars and replays the t22 id chain.
+    */
+  val x38TokenizerFertility = QueryDef(
+    "x38_tokenizer_fertility",
+    (s, dir) => {
+      val sanitized = regexp_replace(col("text"), "[^ -~]", "")
+      val planted = concat(sanitized,
+        lit(" café the <|endoftext|> thé attic"))
+      val ids = TA.byteBpeEncodeIds(col("_t"), T20Merges, T20Specials)
+      Td(s, dir, "documents")
+        .select(col("doc_id"), col("source"), planted.as("_t"))
+        .select(col("source"),
+          octet_length(trim(col("_t"))).cast("long").as("_nb"),
+          size(ids).cast("long").as("_ni"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("_nb")).cast("long").as("n_bytes"),
+          sum(col("_ni")).cast("long").as("n_ids"),
+          (sum(col("_nb")).cast("double") / sum(col("_ni")).cast("double"))
+            .as("bytes_per_token"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH $byteBpeFinCte,
+      vocab AS (
+        SELECT bt.b2u[b + 1] AS piece, b AS id
+        FROM (SELECT unnest(generate_series(0, 255)) AS b) bs CROSS JOIN bt
+        UNION ALL SELECT a || b AS piece, 256 + rk AS id FROM mt
+        UNION ALL SELECT '<|endoftext|>' AS piece, ${256 + T20Merges.length} AS id),
+      nid AS (SELECT f.doc_id, count(*) AS ni
+              FROM fin f JOIN vocab v ON v.piece = f.piece GROUP BY 1),
+      nb AS (SELECT doc_id, octet_length(trim(t)) AS nb FROM aug)
+      SELECT d.source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nb.nb) AS BIGINT) AS n_bytes,
+             CAST(sum(nid.ni) AS BIGINT) AS n_ids,
+             CAST(sum(nb.nb) AS DOUBLE) / CAST(sum(nid.ni) AS DOUBLE) AS bytes_per_token
+      FROM documents d JOIN nb ON nb.doc_id = d.doc_id
+      JOIN nid ON nid.doc_id = d.doc_id
+      GROUP BY 1 ORDER BY 1
+    """),
+    // one scan + per-source agg over the t1/x20 shape
+    benchmark = false)
+
   /** T18 — BPE merge-table TRAINING ([[graft.ext.TextAnalysis.bpeTrain]],
     * the learning side of t16): three rounds of encode-with-learned-merges
     * → within-word adjacent-pair counts → deterministic argmax (count
@@ -5393,7 +5444,7 @@ object ExtQueries {
     t7PiiRedact, t8LmPerplexity, t9TextNormalize, t10ScriptDetect, t11GopherRules,
     t12GopherRepetition, t13HtmlExtract, t14ClassifierScore, t15ClassifierWeighted,
     t16BpeEncode, t17LmScored, t18BpeTrain, t19BpePipeline, t20ByteBpe,
-    t21ByteBpeTrain, t22ByteBpeIds, x36PackSequences, x37Dml,
+    t21ByteBpeTrain, t22ByteBpeIds, x36PackSequences, x37Dml, x38TokenizerFertility,
     d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc, d21SemDedup, x24TokenBudget,
     x25LinkRank, x26TrainSplit, x27QuantileNorm, x28LinkRankFull, x29Fim,
     x30LengthBatches, x31EmbedStandardize, x32SpanCorrupt, x33GateAttrition,

@@ -271,20 +271,25 @@ object TextAnalysis {
 
   /** Parse an exported HF/GPT-2 `merges.txt` into the merge table
     * [[byteBpeEncode]] consumes verbatim: one `a b` pair per line in rank
-    * order, optional `#version` header and blank lines skipped. Fails
-    * loudly on a malformed line — a silently dropped merge would shift
-    * every later rank.
+    * order, an optional `#version` FIRST line (the only comment convention
+    * the format has) and blank lines skipped. Every other line — including
+    * ones whose first symbol is literally `#`, e.g. the `# #` merge that
+    * produces the `##` token — is a merge; skipping them would silently
+    * shift every later rank, exactly the failure this parser exists to
+    * prevent. Fails loudly on a malformed line instead.
     */
-  def parseMerges(content: String): Seq[(String, String)] =
-    content.linesIterator
-      .map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map { l =>
-        val sp = l.split(" ")
-        require(sp.length == 2, s"malformed merges.txt line: '$l'")
-        (sp(0), sp(1))
-      }
-      .toSeq
+  def parseMerges(content: String): Seq[(String, String)] = {
+    val lines = content.linesIterator.toIndexedSeq
+    val body = lines match {
+      case head +: rest if head.trim.startsWith("#version") => rest
+      case other => other
+    }
+    body.map(_.trim).filter(_.nonEmpty).map { l =>
+      val sp = l.split(" ")
+      require(sp.length == 2, s"malformed merges.txt line: '$l'")
+      (sp(0), sp(1))
+    }
+  }
 
   /** Train a BPE merge table ON the corpus — the learning side of
     * [[bpeEncode]] (Sennrich et al. 2016): each round re-encodes every

@@ -4544,7 +4544,7 @@ object ExtQueries {
         UNION ALL SELECT '<|endoftext|>' AS piece, ${256 + T20Merges.length} AS id),
       nid AS (SELECT f.doc_id, count(*) AS ni
               FROM fin f JOIN vocab v ON v.piece = f.piece GROUP BY 1),
-      nb AS (SELECT doc_id, octet_length(trim(t)) AS nb FROM aug)
+      nb AS (SELECT doc_id, strlen(trim(t)) AS nb FROM aug)
       SELECT d.source,
              CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(nb.nb) AS BIGINT) AS n_bytes,

@@ -512,40 +512,61 @@ object Streams {
     * extra snapshot version whose diff is empty (benign; `keep` retention
     * ages it out). The log table doubles as the takedown AUDIT trail:
     * (id, batch_id, processed_at).
+    *
+    * Scale contract: the guard anti-join carries NO broadcast hint — the
+    * log table grows for the lifetime of the standing query, and
+    * broadcasting it would eventually blow the driver/executor broadcast
+    * limit; the log side is a one-column pruned scan and AQE picks the
+    * strategy (it will broadcast while the log is genuinely small and
+    * shuffle once it is not). Driver memory is bounded by `maxBatchIds`:
+    * an oversized batch (bulk backfill, replayed epoch) is processed in
+    * chunks of that size rather than collected whole — each chunk runs
+    * the full guard+cascade+log sequence, so a crash mid-batch re-runs
+    * only idempotent legs. The log is append-only audit evidence; if it
+    * must shrink, compact it OUTSIDE the query (e.g. keep one row per id)
+    * — never truncate below ids the corpus could still replay.
     */
   def takedownSink(ids: DataFrame, store: TableStore, idCol: String,
       logTable: String, checkpoint: String,
       corpus: Seq[String] = Nil, corpusPartitionCol: Option[String] = None,
       indexes: Seq[String] = Nil, annIndexes: Seq[String] = Nil,
       packs: Seq[graft.tables.Deletes.PackSpec] = Nil,
-      versioned: Seq[String] = Nil, keep: Int = 3): StreamingQuery =
+      versioned: Seq[String] = Nil, keep: Int = 3,
+      maxBatchIds: Int = 100000): StreamingQuery = {
+    require(maxBatchIds > 0, s"maxBatchIds must be positive, got $maxBatchIds")
     ids.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
         val keys = batch.select(col(idCol)).distinct()
-        val fresh =
-          if (store.exists(logTable))
-            keys.join(broadcast(store.read(logTable).select(col(idCol))),
-              Seq(idCol), "left_anti")
-          else keys
-        // the cascade reads its targets lazily per leg; materialize the
-        // fresh set once so the guard join doesn't replay per leg
-        val freshRows = fresh.collect() // takedown batches are small by nature
-        if (freshRows.nonEmpty) {
-          val spark = batch.sparkSession
-          val freshDf = spark.createDataFrame(
-            java.util.Arrays.asList(freshRows: _*), fresh.schema)
-          graft.tables.Deletes.cascade(store, freshDf, idCol,
-            corpus, corpusPartitionCol, indexes, annIndexes, packs,
-            versioned, keep)
-          store.append(logTable, freshDf
-            .withColumn("batch_id", lit(batchId))
-            .withColumn("processed_at", current_timestamp()))
+        val keySchema = keys.schema
+        keys.collect().grouped(maxBatchIds).foreach { chunkRows =>
+          val chunk = spark.createDataFrame(
+            java.util.Arrays.asList(chunkRows: _*), keySchema)
+          val fresh =
+            if (store.exists(logTable))
+              chunk.join(store.read(logTable).select(col(idCol)),
+                Seq(idCol), "left_anti")
+            else chunk
+          // the cascade reads its targets lazily per leg; materialize the
+          // fresh set once so the guard join doesn't replay per leg
+          val freshRows = fresh.collect() // ≤ maxBatchIds by construction
+          if (freshRows.nonEmpty) {
+            val freshDf = spark.createDataFrame(
+              java.util.Arrays.asList(freshRows: _*), fresh.schema)
+            graft.tables.Deletes.cascade(store, freshDf, idCol,
+              corpus, corpusPartitionCol, indexes, annIndexes, packs,
+              versioned, keep)
+            store.append(logTable, freshDf
+              .withColumn("batch_id", lit(batchId))
+              .withColumn("processed_at", current_timestamp()))
+          }
         }
       }
       .start()
+  }
 
   /** General watermark-bounded stream-stream INTERVAL join — the
     * impressions⋈clicks shape: a left row at `tsLeft` pairs with right

@@ -98,6 +98,10 @@ object Deletes {
     * form). Same partition-scoped rewrite discipline as [[deleteWhere]]:
     * only partitions holding matching rows move; assignments apply only
     * where `cond` is TRUE (SQL semantics — NULL leaves the row untouched).
+    * The predicate and EVERY assignment RHS are evaluated against the OLD
+    * row in one projection — `SET a = b, b = a` swaps, and a condition
+    * referencing an assigned column never sees its new value — matching
+    * SQL/Delta UPDATE, which a sequential withColumn fold would not.
     * Assignments may not touch the partition column: an updated row could
     * silently change directories mid-rewrite.
     */
@@ -110,10 +114,17 @@ object Deletes {
       s"assignment may not touch the partition column $pc " +
         "(a matched row could move across partitions)"))
     val hit = coalesce(cond, lit(false))
-    def applyTo(df: DataFrame): DataFrame =
-      assignments.foldLeft(df) { case (d, (c, e)) =>
-        d.withColumn(c, when(hit, e).otherwise(col(c)))
-      }
+    def applyTo(df: DataFrame): DataFrame = {
+      val cols = df.columns.toIndexedSeq
+      val missing = assignments.keySet -- cols
+      require(missing.isEmpty,
+        s"UPDATE assigns columns not in the table: ${missing.mkString(", ")}")
+      df.select(cols.map { c =>
+        assignments.get(c)
+          .map(e => when(hit, e).otherwise(col(c)).as(c))
+          .getOrElse(col(c))
+      }: _*)
+    }
     partitionCol match {
       case None => store.overwrite(table, applyTo(store.read(table)))
       case Some(pc) =>

@@ -243,4 +243,26 @@ class BpeSpec extends SparkSpec {
       TextAnalysis.parseMerges("a b c")
     }
   }
+
+  test("merges whose first symbol is '#' are merges, not comments") {
+    // real HF merges.txt files contain lines like "# #" (the ## token);
+    // only a FIRST-line "#version" header is skippable — dropping any
+    // other '#'-leading line would shift every later merge's rank/id
+    val file =
+      """#version: 0.2
+        |# #
+        |h e
+        |## #
+        |""".stripMargin
+    val m = TextAnalysis.parseMerges(file)
+    assert(m === Seq(("#", "#"), ("h", "e"), ("##", "#")))
+    // and the ranks feed the vocab ids: ## at 256, he at 257, ### at 258
+    import org.apache.spark.sql.graft.ByteBpeEncodeTokens.byteBpeVocab
+    val v = byteBpeVocab(m, Nil).toMap
+    assert(v("##") === 256 && v("he") === 257 && v("###") === 258)
+    // a "#version" line NOT at the top is NOT a header — it parses as a
+    // (weird but well-formed) merge pair rather than silently vanishing
+    assert(TextAnalysis.parseMerges("h e\n#version: 0.2") ===
+      Seq(("h", "e"), ("#version:", "0.2")))
+  }
 }

@@ -445,6 +445,31 @@ class StreamsSpec extends SparkSpec {
       s"re-delivered id must not re-log: ${log.toSeq}")
   }
 
+  test("takedownSink: over-limit batch chunks — all ids applied, logged once, bound enforced") {
+    implicit val sc = spark.sqlContext
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_td_chunk").toString)
+    val ckpt = Files.createTempDirectory("graft_td_chunk_ckpt").toString
+    store.overwrite("corpus",
+      (1L to 10L).map(i => (i, s"body $i")).toDF("doc_id", "text"))
+    val in = MemoryStream[Long]
+    // 5 ids through maxBatchIds=2 → three chunks, one guarded pass each
+    in.addData(1L, 2L, 3L, 4L, 5L)
+    Streams.takedownSink(
+      in.toDF().select(col("value").as("doc_id")), store, "doc_id",
+      "td_log", ckpt, corpus = Seq("corpus"), maxBatchIds = 2)
+      .awaitTermination()
+    assert(store.read("corpus").select("doc_id").as[Long].collect().toSet ===
+      (6L to 10L).toSet)
+    val log = store.read("td_log").select("doc_id").as[Long].collect()
+    assert(log.toSet === (1L to 5L).toSet && log.length === 5,
+      s"chunked batch must log each id exactly once: ${log.toSeq}")
+    intercept[IllegalArgumentException] {
+      Streams.takedownSink(in.toDF(), store, "doc_id", "td_log", ckpt,
+        maxBatchIds = 0)
+    }
+  }
+
   test("landingStream + upsertSink: file micro-batches upsert by key, late re-delivery updates in place") {
     val dir = Files.createTempDirectory("graft_landing").toString
     val ckpt = Files.createTempDirectory("graft_ckpt").toString

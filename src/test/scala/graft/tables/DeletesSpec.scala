@@ -85,6 +85,25 @@ class DeletesSpec extends SparkSpec {
     assert(e.getMessage.contains("partition column"))
   }
 
+  test("update evaluates predicate and all RHS against the OLD row (SET a=b, b=a swaps)") {
+    val store = newStore()
+    store.overwrite("t",
+      Seq((1L, 10, 20), (2L, 5, 7)).toDF("id", "a", "b"))
+    // SQL UPDATE semantics: both RHS read pre-update values, and the
+    // condition references a column being assigned — a sequential
+    // withColumn fold would see a already rewritten and corrupt b
+    Deletes.updateWhere(store, "t", col("a") === 10,
+      Map("a" -> col("b"), "b" -> col("a")))
+    val got = store.read("t").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(got === Map(1L -> ((20, 10)), 2L -> ((5, 7))))
+    // assigning a column the table doesn't have fails loudly (no silent ADD COLUMN)
+    val e2 = intercept[IllegalArgumentException] {
+      Deletes.updateWhere(store, "t", lit(true), Map("nope" -> lit(1)))
+    }
+    assert(e2.getMessage.contains("not in the table"))
+  }
+
   test("restore re-publishes an old snapshot as the new latest; the bad version stays diffable") {
     val store = newStore()
     Versions.overwrite(store, "snap", Seq((1L, "good"), (2L, "good")).toDF("id", "v"))

@@ -269,6 +269,34 @@ object TextAnalysis {
     org.apache.spark.sql.graft.ByteBpeEncodeIds.byteBpeEncodeIds(
       gpt2Pretokens(c), merges, specials)
 
+  /** The REAL GPT-2 pre-tokenizer over raw text
+    * ([[org.apache.spark.sql.graft.Gpt2SplitText]]): the published
+    * contraction/letter/number/punct/whitespace pattern with
+    * split-on-specials, replacing [[gpt2Pretokens]]'s whitespace
+    * approximation where production tokenizer parity matters.
+    */
+  def gpt2Split(c: Column, specials: Seq[String]): Column =
+    org.apache.spark.sql.graft.Gpt2SplitText.gpt2Split(c, specials)
+
+  /** Byte-level BPE over the REAL GPT-2 split — [[byteBpeEncode]] with
+    * [[gpt2Split]] in place of the whitespace pre-tokenizer: raw text in,
+    * production-faithful pieces out (an exported merges.txt + this =
+    * drop-in tokenizer replica).
+    */
+  def byteBpeEncodeGpt2(c: Column, merges: Seq[(String, String)],
+      specials: Seq[String]): Column =
+    org.apache.spark.sql.graft.ByteBpeEncodeTokens.byteBpeEncode(
+      gpt2Split(c, specials), merges, specials)
+
+  /** Token-ID form of [[byteBpeEncodeGpt2]] — raw text to the id stream
+    * training consumes, split and merged exactly as the exported
+    * tokenizer would.
+    */
+  def byteBpeIdsGpt2(c: Column, merges: Seq[(String, String)],
+      specials: Seq[String]): Column =
+    org.apache.spark.sql.graft.ByteBpeEncodeIds.byteBpeEncodeIds(
+      gpt2Split(c, specials), merges, specials)
+
   /** Parse an exported HF/GPT-2 `merges.txt` into the merge table
     * [[byteBpeEncode]] consumes verbatim: one `a b` pair per line in rank
     * order, an optional `#version` FIRST line (the only comment convention

@@ -4211,11 +4211,15 @@ object ExtQueries {
     * encode replay, through CTE `fin` (doc_id, wi, i, piece), with `mt`
     * and `bt` available downstream.
     */
-  private lazy val byteBpeFinCte: String = {
-    val mtVals = T20Merges.zipWithIndex
-      .map { case ((a, b), i) => s"('$a','$b',$i)" }.mkString(", ")
-    val nRounds = T20Merges.length + 1 // one identity round of slack
-    val rounds = (1 to nRounds).map { n =>
+  /** The shared greedy-merge round unrolling (t16's machinery): rounds
+    * 1..nRounds over `r0(doc_id, wi, p)` against `mt(a, b, rk)`, ending at
+    * CTE `r$$nRounds`. MATERIALIZED per the multi-reference CTE rule (see
+    * graft-build-protocols): DuckDB inlines non-trivial CTEs and each round
+    * references the previous 4-6×, so an unmaterialized chain re-evaluates
+    * exponentially.
+    */
+  private def bpeRoundsSql(nRounds: Int): String =
+    (1 to nRounds).map { n =>
       val prev = s"r${n - 1}"
       s"""u$n AS MATERIALIZED (SELECT doc_id, wi, unnest(p) AS piece,
                  unnest(generate_series(1, len(p))) AS i FROM $prev),
@@ -4240,21 +4244,41 @@ object ExtQueries {
              WHERE a2.i IS NULL
              GROUP BY u.doc_id, u.wi)"""
     }.mkString(",\n      ")
+
+  /** The independently-derived GPT-2 byte→unicode table as CTE `bt(b2u)`
+    * (self ranges keep their code point, the rest get 256+n in byte
+    * order) plus the UTF-8 byte expansion of `ch(doc_id, wi, ci, c)` into
+    * `r0(doc_id, wi, p)` — shared by every byte-level replay. Chars must
+    * stay under U+0800 (the 1- and 2-byte branches cover the domain).
+    */
+  private lazy val byteExpandSql: String = {
     val selfRange = "((x BETWEEN 33 AND 126) OR (x BETWEEN 161 AND 172) " +
       "OR (x BETWEEN 174 AND 255))"
+    s"""bt AS (SELECT list_transform(generate_series(0, 255), x ->
+               CASE WHEN $selfRange THEN chr(CAST(x AS INTEGER))
+                 ELSE chr(CAST(256 + len(list_filter(generate_series(0, x - 1),
+                   y -> NOT ${selfRange.replace("x", "y")})) AS INTEGER))
+               END) AS b2u),
+      by0 AS (SELECT doc_id, wi, ci,
+               unnest(CASE WHEN unicode(c) < 128 THEN [unicode(c)]
+                 ELSE [192 + unicode(c) // 64, 128 + unicode(c) % 64] END) AS b,
+               unnest(CASE WHEN unicode(c) < 128 THEN [1] ELSE [1, 2] END) AS bi
+             FROM ch),
+      r0 AS MATERIALIZED (SELECT doc_id, wi,
+               list(bt.b2u[b + 1] ORDER BY ci, bi) AS p
+             FROM by0 CROSS JOIN bt GROUP BY 1, 2)"""
+  }
+
+  private lazy val byteBpeFinCte: String = {
+    val mtVals = T20Merges.zipWithIndex
+      .map { case ((a, b), i) => s"('$a','$b',$i)" }.mkString(", ")
+    val nRounds = T20Merges.length + 1 // one identity round of slack
+    val rounds = bpeRoundsSql(nRounds)
     s"""aug AS (SELECT doc_id,
           regexp_replace(text, '[^ -~]', '', 'g') ||
             ' café the <|endoftext|> thé attic' AS t
         FROM documents),
       mt(a, b, rk) AS (VALUES $mtVals),
-      -- the byte->unicode table DERIVED from the public algorithm: self
-      -- ranges keep their code point, the rest get 256 + (count of
-      -- non-self bytes below), in byte order
-      bt AS (SELECT list_transform(generate_series(0, 255), x ->
-               CASE WHEN $selfRange THEN chr(CAST(x AS INTEGER))
-                 ELSE chr(CAST(256 + len(list_filter(generate_series(0, x - 1),
-                   y -> NOT ${selfRange.replace("x", "y")})) AS INTEGER))
-               END) AS b2u),
       w AS (SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS ws FROM aug),
       wd0 AS MATERIALIZED (SELECT doc_id, unnest(generate_series(1, len(ws))) AS wi,
                unnest(ws) AS word0 FROM w),
@@ -4269,16 +4293,7 @@ object ExtQueries {
                unnest(generate_series(1, length(word))) AS ci,
                unnest(str_split(word, '')) AS c
              FROM sp WHERE NOT sp_bare AND NOT sp_sp),
-      -- UTF-8 byte expansion per char (plants stay under U+0800, so the
-      -- 1- and 2-byte branches cover the domain)
-      by0 AS (SELECT doc_id, wi, ci,
-               unnest(CASE WHEN unicode(c) < 128 THEN [unicode(c)]
-                 ELSE [192 + unicode(c) // 64, 128 + unicode(c) % 64] END) AS b,
-               unnest(CASE WHEN unicode(c) < 128 THEN [1] ELSE [1, 2] END) AS bi
-             FROM ch),
-      r0 AS MATERIALIZED (SELECT doc_id, wi,
-               list(bt.b2u[b + 1] ORDER BY ci, bi) AS p
-             FROM by0 CROSS JOIN bt GROUP BY 1, 2),
+      $byteExpandSql,
       $rounds,
       finenc AS MATERIALIZED (SELECT doc_id, wi, unnest(p) AS piece,
                 unnest(generate_series(1, len(p))) AS i FROM r$nRounds),
@@ -4555,6 +4570,114 @@ object ExtQueries {
       GROUP BY 1 ORDER BY 1
     """),
     // one scan + per-source agg over the t1/x20 shape
+    benchmark = false)
+
+  /** T23 — the REAL GPT-2 pre-tokenizer end-to-end
+    * ([[org.apache.spark.sql.graft.Gpt2SplitText]] →
+    * [[org.apache.spark.sql.graft.ByteBpeEncodeIds]] via
+    * [[TA.byteBpeIdsGpt2]]): RAW text in, production token ids out — the
+    * seam t20/t22 left open (they consume whitespace pre-tokens; the
+    * published pattern differs on every contraction, punct boundary,
+    * digit/letter seam, multi-space run, and un-spaced special). The
+    * plant forces each divergent alternative: `don't` (contraction),
+    * `stop<|endoftext|>the` (special cut with NO whitespace — the regex
+    * must not match across it), `café` (multi-byte letter), a double
+    * space (run-minus-last-char backtrack), `12,50!!!` (number/punct
+    * seams), `DON'T` (the lowercase-only contraction quirk), ` 'twas`
+    * (apostrophe reached via ` ?punct+`, not the contraction branch),
+    * `x3` (letter→digit boundary), and a trailing space (`\\s+(?!\\S)` at
+    * segment end).
+    *
+    * The oracle re-implements findall INDEPENDENTLY as a DuckDB
+    * RECURSIVE scan — one token consumed per step, the six alternatives
+    * tried in pattern order as anchored RE2 extracts, the `(?!\\S)`
+    * backtrack as the run-minus-last-char CASE, specials segmented
+    * before the regex (leftmost literal scan) — then replays the byte
+    * mapping, merge rounds, and vocab ids with the t20/t22 machinery.
+    * Corpus text truncates to 120 chars so recursion depth stays
+    * ~O(100); the plant rides after the cut.
+    */
+  val t23Gpt2Tokenizer = QueryDef(
+    "t23_gpt2_tokenizer",
+    (s, dir) => {
+      val sanitized = regexp_replace(col("text"), "[^ -~]", "")
+      val planted = concat(substring(sanitized, 1, 120),
+        lit(" don't stop<|endoftext|>the café  costs 12,50!!! DON'T 'twas x3<|endoftext|> "))
+      val ids = TA.byteBpeIdsGpt2(col("_t23"), T20Merges, T20Specials)
+      Td(s, dir, "documents").select(col("doc_id"), planted.as("_t23"))
+        .select(col("doc_id"),
+          size(ids).cast("long").as("n_ids"),
+          md5(array_join(transform(ids, _.cast("string")), ",")).as("ids_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val mtVals = T20Merges.zipWithIndex
+        .map { case ((a, b), i) => s"('$a','$b',$i)" }.mkString(", ")
+      val nRounds = T20Merges.length + 1
+      s"""
+      WITH RECURSIVE
+      aug AS (SELECT doc_id, left(regexp_replace(text, '[^ -~]', '', 'g'), 120) ||
+            ' don''t stop<|endoftext|>the café  costs 12,50!!! DON''T ''twas x3<|endoftext|> ' AS t
+        FROM documents),
+      mt(a, b, rk) AS (VALUES $mtVals),
+      -- findall, one pre-token per recursion step: specials segmented
+      -- first, then the pattern alternatives IN ORDER as anchored
+      -- extracts; the whitespace CASEs encode \\s+(?!\\S) vs \\s+
+      tok(doc_id, rest, wi, word) AS (
+        SELECT doc_id, t, 0, CAST(NULL AS VARCHAR) FROM aug
+        UNION ALL
+        SELECT doc_id, substr(rest, length(nxt) + 1), wi + 1, nxt FROM (
+          SELECT doc_id, rest, wi,
+            CASE WHEN spos = 1 THEN '<|endoftext|>'
+                 WHEN ctr <> '' THEN ctr
+                 WHEN ltr <> '' THEN ltr
+                 WHEN num <> '' THEN num
+                 WHEN pnc <> '' THEN pnc
+                 WHEN ws = seg THEN ws
+                 WHEN length(ws) >= 2 THEN substr(ws, 1, length(ws) - 1)
+                 ELSE ws END AS nxt
+          FROM (
+            SELECT doc_id, rest, wi, spos, seg,
+              regexp_extract(seg, '^(''s|''t|''re|''ve|''m|''ll|''d)') AS ctr,
+              regexp_extract(seg, '^( ?\\p{L}+)') AS ltr,
+              regexp_extract(seg, '^( ?\\p{N}+)') AS num,
+              regexp_extract(seg, '^( ?[^\\s\\p{L}\\p{N}]+)') AS pnc,
+              regexp_extract(seg, '^(\\s+)') AS ws
+            FROM (
+              SELECT doc_id, rest, wi, strpos(rest, '<|endoftext|>') AS spos,
+                CASE WHEN strpos(rest, '<|endoftext|>') > 0
+                     THEN substr(rest, 1, strpos(rest, '<|endoftext|>') - 1)
+                     ELSE rest END AS seg
+              FROM tok WHERE rest <> '')))),
+      wd AS MATERIALIZED (SELECT doc_id, wi, word FROM tok WHERE word IS NOT NULL),
+      sp AS (SELECT doc_id, wi, word, (word = '<|endoftext|>') AS is_sp FROM wd),
+      ch AS MATERIALIZED (SELECT doc_id, wi,
+               unnest(generate_series(1, length(word))) AS ci,
+               unnest(str_split(word, '')) AS c
+             FROM sp WHERE NOT is_sp),
+      $byteExpandSql,
+      ${bpeRoundsSql(nRounds)},
+      finenc AS MATERIALIZED (SELECT doc_id, wi, unnest(p) AS piece,
+                unnest(generate_series(1, len(p))) AS i FROM r$nRounds),
+      finsp AS (SELECT doc_id, wi, '<|endoftext|>' AS piece, 1 AS i FROM sp WHERE is_sp),
+      fin AS (SELECT * FROM finenc UNION ALL SELECT * FROM finsp),
+      vocab AS (
+        SELECT bt.b2u[b + 1] AS piece, b AS id
+        FROM (SELECT unnest(generate_series(0, 255)) AS b) bs CROSS JOIN bt
+        UNION ALL SELECT a || b AS piece, 256 + rk AS id FROM mt
+        UNION ALL SELECT '<|endoftext|>' AS piece, ${256 + T20Merges.length} AS id),
+      idr AS (SELECT f.doc_id, f.wi, f.i, v.id
+              FROM fin f JOIN vocab v ON v.piece = f.piece),
+      agg AS (SELECT doc_id, count(*) AS n_ids,
+                md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY wi, i)) AS ids_md5
+              FROM idr GROUP BY 1)
+      SELECT d.doc_id, CAST(coalesce(a.n_ids, 0) AS BIGINT) AS n_ids,
+             coalesce(a.ids_md5, md5('')) AS ids_md5
+      FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+    """
+    },
+    // same native-scan shape as t22 plus the one-pass splitter; the
+    // recursive findall is DuckDB-side only
     benchmark = false)
 
   /** T18 — BPE merge-table TRAINING ([[graft.ext.TextAnalysis.bpeTrain]],
@@ -5444,7 +5567,8 @@ object ExtQueries {
     t7PiiRedact, t8LmPerplexity, t9TextNormalize, t10ScriptDetect, t11GopherRules,
     t12GopherRepetition, t13HtmlExtract, t14ClassifierScore, t15ClassifierWeighted,
     t16BpeEncode, t17LmScored, t18BpeTrain, t19BpePipeline, t20ByteBpe,
-    t21ByteBpeTrain, t22ByteBpeIds, x36PackSequences, x37Dml, x38TokenizerFertility,
+    t21ByteBpeTrain, t22ByteBpeIds, t23Gpt2Tokenizer, x36PackSequences, x37Dml,
+    x38TokenizerFertility,
     d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc, d21SemDedup, x24TokenBudget,
     x25LinkRank, x26TrainSplit, x27QuantileNorm, x28LinkRankFull, x29Fim,
     x30LengthBatches, x31EmbedStandardize, x32SpanCorrupt, x33GateAttrition,

@@ -298,6 +298,174 @@ object ByteBpeEncodeTokens {
   }
 }
 
+/** `gpt2_split(text, specials)` — the GPT-2 PRE-TOKENIZER: splits RAW
+  * text into the pre-token array [[ByteBpeEncodeTokens]] merges within,
+  * using the published GPT-2/tiktoken pattern
+  * `'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+`
+  * with findall (leftmost, alternatives in order) semantics. This is the
+  * last seam between "replays the merge dynamics" and "drop-in tokenizer
+  * replica": an exported vocab loads verbatim into the merge loop (t20),
+  * but ids only match production wherever the SPLIT matches too — the
+  * whitespace splitter ([[graft.ext.TextAnalysis.gpt2Pretokens]]) differs
+  * on punctuation boundaries ("don't", "a,b"), digit/letter seams
+  * ("abc123"), multi-space runs, and non-space whitespace.
+  *
+  * Special tokens are cut FIRST (tiktoken's split-on-specials): the text
+  * is segmented at every literal special occurrence (leftmost scan;
+  * longest special wins a shared prefix), each segment is regex-split
+  * independently — so the pattern never matches across a special
+  * boundary and `(?!\S)` at a segment end succeeds — and the special
+  * itself is emitted as one atomic pre-token, exactly the form the
+  * encode expressions bypass.
+  *
+  * Implemented as a hand-written one-pass scanner, not java.util.regex:
+  * the alternation order and the `\s+(?!\S)` backtrack are a fixed
+  * 6-case decision per position (contraction → ` ?\p{L}+` → ` ?\p{N}+`
+  * → ` ?[^\s\p{L}\p{N}]+` → whitespace-run minus its last char when a
+  * non-space follows → whole whitespace run), so a scanner is both
+  * faster (no NFA, no per-row Matcher) and exact by construction.
+  * Class contract (Unicode, code-point safe): letters = `\p{L}`
+  * (Character.isLetter), numbers = `\p{N}` (Nd|Nl|No), whitespace =
+  * Python-regex `\s` (Java isWhitespace plus NBSP-family U+0085/U+00A0/
+  * U+2007/U+202F — Java excludes non-breaking spaces, Python does not).
+  * Contractions are the seven lowercase ASCII-apostrophe forms only —
+  * GPT-2's published quirk ("DON'T" does not split at `'T`).
+  */
+case class Gpt2SplitText(child: Expression, specials: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(specials.distinct.length == specials.length, "duplicate special tokens")
+  require(specials.forall(_.nonEmpty), "empty special token")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "gpt2_split"
+
+  // longest-first so a shared-prefix pair ("<|eot|>", "<|eot|>X") resolves
+  // to the longer literal at the same scan position
+  @transient private lazy val specialsByLen: Array[String] =
+    specials.sortBy(-_.length).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    Gpt2SplitText.compute(input.asInstanceOf[UTF8String], specialsByLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sref = ctx.addReferenceObj("gpt2Specials", specialsByLen,
+      classOf[Array[String]].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.Gpt2SplitText.compute($c, $sref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Gpt2SplitText =
+    copy(child = newChild)
+}
+
+object Gpt2SplitText {
+
+  /** Python-regex `\s` (NOT Java's isWhitespace, which excludes the
+    * non-breaking family).
+    */
+  private def isSpace(cp: Int): Boolean =
+    Character.isWhitespace(cp) || cp == 0x85 || cp == 0xA0 ||
+      cp == 0x2007 || cp == 0x202F
+
+  /** `\p{N}` = Nd | Nl | No (Character.isDigit is Nd only). */
+  private def isNumber(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+      t == Character.OTHER_NUMBER
+  }
+
+  /** The seven GPT-2 contraction alternatives; returns the match length at
+    * `i` (0 = none). The set is prefix-free, so first-match = the
+    * pattern's leftmost-alternative semantics.
+    */
+  private def contractionLen(s: String, i: Int): Int = {
+    if (i + 1 >= s.length || s.charAt(i) != '\'') return 0
+    s.charAt(i + 1) match {
+      case 's' | 't' | 'm' | 'd' => 2
+      case 'r' | 'v' => if (i + 2 < s.length && s.charAt(i + 2) == 'e') 3 else 0
+      case 'l' => if (i + 2 < s.length && s.charAt(i + 2) == 'l') 3 else 0
+      case _ => 0
+    }
+  }
+
+  def compute(text: UTF8String, specialsByLen: Array[String]): ArrayData = {
+    val s = text.toString
+    val out = new java.util.ArrayList[UTF8String]()
+    var pos = 0
+    while (pos < s.length) {
+      // earliest special occurrence at or after pos (longest wins a tie
+      // because specialsByLen is longest-first and ties keep the first hit)
+      var segEnd = s.length
+      var hit: String = null
+      var si = 0
+      while (si < specialsByLen.length) {
+        val idx = s.indexOf(specialsByLen(si), pos)
+        if (idx >= 0 && idx < segEnd) { segEnd = idx; hit = specialsByLen(si) }
+        si += 1
+      }
+      if (hit != null && segEnd == pos) {
+        out.add(UTF8String.fromString(hit))
+        pos += hit.length
+      } else {
+        scanSegment(s, pos, segEnd, out)
+        pos = segEnd
+      }
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  /** findall over `s[from, until)` — one pre-token per iteration, each
+    * case mirroring one pattern alternative in order.
+    */
+  private def scanSegment(s: String, from: Int, until: Int,
+      out: java.util.ArrayList[UTF8String]): Unit = {
+    var i = from
+    while (i < until) {
+      val cl = contractionLen(s, i)
+      var end = i
+      if (cl > 0 && i + cl <= until) {
+        end = i + cl
+      } else {
+        // ` ?` — the optional leading char is a literal space only
+        val k = if (s.charAt(i) == ' ' && i + 1 < until) i + 1 else i
+        val cp = s.codePointAt(k)
+        if (k > i || !isSpace(cp)) {
+          if (Character.isLetter(cp)) {
+            end = k; while (end < until && Character.isLetter(s.codePointAt(end))) end += Character.charCount(s.codePointAt(end))
+          } else if (isNumber(cp)) {
+            end = k; while (end < until && isNumber(s.codePointAt(end))) end += Character.charCount(s.codePointAt(end))
+          } else if (!isSpace(cp)) {
+            end = k
+            while (end < until && { val c = s.codePointAt(end)
+              !isSpace(c) && !Character.isLetter(c) && !isNumber(c) }) end += Character.charCount(s.codePointAt(end))
+          }
+        }
+        if (end == i) {
+          // whitespace alternatives: maximal run from i; `(?!\S)` keeps
+          // the whole run at segment end, else backtracks one char so the
+          // last space attaches forward; a single-char run followed by
+          // non-space (only reachable for non-' ' whitespace) stays whole
+          var j = i
+          var lastStart = i
+          while (j < until && isSpace(s.codePointAt(j))) {
+            lastStart = j; j += Character.charCount(s.codePointAt(j))
+          }
+          end = if (j == until) j else if (lastStart > i) lastStart else j
+        }
+      }
+      out.add(UTF8String.fromString(s.substring(i, end)))
+      i = end
+    }
+  }
+
+  /** Column API over raw text. */
+  def gpt2Split(text: Column, specials: Seq[String]): Column =
+    ExpressionUtils.column(
+      Gpt2SplitText(ExpressionUtils.expression(text), specials))
+}
+
 /** `byte_bpe_encode_ids(tokens, merges, specials)` — the TOKEN-ID form of
   * [[ByteBpeEncodeTokens]]: the same byte-level greedy encode, but each
   * piece maps to its [[ByteBpeEncodeTokens.byteBpeVocab]] id in the same

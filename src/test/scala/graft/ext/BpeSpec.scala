@@ -244,6 +244,60 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  private def gsplit(text: String, specials: Seq[String] = Seq("<|endoftext|>")): Seq[String] =
+    Seq(text).toDF("t")
+      .select(org.apache.spark.sql.graft.Gpt2SplitText.gpt2Split(col("t"), specials).as("w"))
+      .head().getSeq[String](0)
+
+  test("gpt2Split: the published pattern's alternatives, hand-checked") {
+    // space attaches forward; contractions split at the apostrophe
+    assert(gsplit("Hello world") === Seq("Hello", " world"))
+    assert(gsplit("don't stop") === Seq("don", "'t", " stop"))
+    assert(gsplit("I'll we're you've he's it'd I'm") ===
+      Seq("I", "'ll", " we", "'re", " you", "'ve", " he", "'s", " it", "'d", " I", "'m"))
+    // letter/digit/punct seams split even with no whitespace
+    assert(gsplit("abc123def") === Seq("abc", "123", "def"))
+    assert(gsplit("Hello, world!!!") === Seq("Hello", ",", " world", "!!!"))
+    assert(gsplit("12,50") === Seq("12", ",", "50"))
+    // multi-space runs: all but the last space are their own token
+    assert(gsplit("a  b") === Seq("a", " ", " b"))
+    assert(gsplit("a   b") === Seq("a", "  ", " b"))
+    // trailing whitespace keeps the whole run ((?!\S) at end)
+    assert(gsplit("a  ") === Seq("a", "  "))
+    // non-space whitespace never attaches (the ` ?` is a literal space)
+    assert(gsplit("\na") === Seq("\n", "a"))
+    // a \n before a word stays alone (`\s+`), unlike a space which attaches
+    assert(gsplit("a\n\nb") === Seq("a", "\n", "\n", "b"))
+    // uppercase contraction quirk: GPT-2's set is lowercase-only
+    assert(gsplit("DON'T") === Seq("DON", "'", "T"))
+    // apostrophe after a space goes through ` ?punct+`, not the contraction
+    assert(gsplit(" 'twas") === Seq(" '", "twas"))
+    // multi-byte letters are letters
+    assert(gsplit("café au") === Seq("café", " au"))
+  }
+
+  test("gpt2Split: specials cut first, regex never matches across them") {
+    assert(gsplit("x<|endoftext|>y") === Seq("x", "<|endoftext|>", "y"))
+    // the space before a special is ITS OWN token: the segment 'a ' ends
+    // at the special, so the trailing run stays whole
+    assert(gsplit("a <|endoftext|>") === Seq("a", " ", "<|endoftext|>"))
+    // with no specials registered the same text splits as plain punct/words
+    assert(gsplit("x<|endoftext|>y", Nil) ===
+      Seq("x", "<|", "endoftext", "|>", "y"))
+    // longest special wins a shared prefix at the same position
+    assert(gsplit("<|eot|>!", Seq("<|eot|>", "<|eot|>!")) === Seq("<|eot|>!"))
+  }
+
+  test("gpt2Split feeds the byte encode: raw text to production ids") {
+    // 'the café' through T20-style merges: Ġt+he fuse via ranks, é's two
+    // mapped bytes fuse via (Ã,©) — checked end-to-end from RAW text
+    val m = Seq(("Ġ", "t"), ("h", "e"), ("Ġt", "he"), ("Ã", "©"))
+    val got = Seq("the café").toDF("t")
+      .select(TextAnalysis.byteBpeEncodeGpt2(col("t"), m, Nil).as("p"))
+      .head().getSeq[String](0)
+    assert(got === Seq("t", "he", "Ġ", "c", "a", "f", "Ã©"))
+  }
+
   test("merges whose first symbol is '#' are merges, not comments") {
     // real HF merges.txt files contain lines like "# #" (the ## token);
     // only a FIRST-line "#version" header is skippable — dropping any

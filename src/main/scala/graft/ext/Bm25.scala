@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.tables.TableStore
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -63,5 +64,107 @@ object Bm25 {
     wide.select(col(idCol), total.as("score"))
       .orderBy(col("score").desc, col(idCol)).limit(topK)
       .withColumn("rnk", row_number().over(w))
+  }
+
+  /** Durable BM25 index — the retrieval artifact a corpus pipeline
+    * persists so queries (and takedowns) never re-read base text. Three
+    * tables: `<name>_postings` (id, term, tcnt) — the full-vocabulary
+    * tokenize+count, the expensive part; `<name>_doclen` (id, dlen); and
+    * a 1-row `<name>_stats` (n_docs, sum_dlen) cache.
+    *
+    * Deliberately NO persisted per-term df table: a term-equality filter
+    * preserves global df exactly (df of term t = row count of t's
+    * postings, filtered or not), so search derives df from the very rows
+    * it already reads — and the takedown leg ([[deleteIds]]) becomes pure
+    * row-drops with nothing to subtract. A persisted df would need a
+    * counter adjustment that is NOT idempotent under cascade re-runs (a
+    * crash between the postings rewrite and the df write double-subtracts
+    * on retry) — the invariant "post-delete scores ≡ from-scratch rebuild
+    * on survivors" holds here by construction instead of by bookkeeping.
+    *
+    * Scale shape: postings is one explode+groupBy over the corpus (the
+    * build IS the shuffle you pay once); search reads postings with the
+    * term filter pushed to the parquet scan, joins doclen only for
+    * matched docs, and takes N/avgdl from the 1-row stats broadcast.
+    * All counts persist as longs — exact in double up to 2^53, so scores
+    * replay bit-identically across build/rebuild/adjust paths.
+    */
+  def buildIndex(store: TableStore, name: String, docs: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val toks = TextAnalysis.wsTokens(col(textCol))
+    val lens = docs.select(col(idCol), size(toks).cast("long").as("dlen"))
+    val postings = docs
+      .select(col(idCol), explode(toks).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tcnt"))
+    store.overwrite(s"${name}_postings", postings)
+    store.overwrite(s"${name}_doclen", lens)
+    writeStats(store, name)
+  }
+
+  /** stats = a pure aggregate of the CURRENT doclen table (recompute, not
+    * adjust — see [[buildIndex]]'s idempotency rationale).
+    */
+  private def writeStats(store: TableStore, name: String): Unit =
+    store.overwrite(s"${name}_stats",
+      store.read(s"${name}_doclen")
+        .agg(count(lit(1)).as("n_docs"), sum(col("dlen")).as("sum_dlen")))
+
+  /** BM25 top-k from the durable index — same formula, tie-break, and
+    * fixed-order summation as [[score]], so `searchIndex(buildIndex(d))`
+    * ≡ `score(d)` double-for-double.
+    */
+  def searchIndex(store: TableStore, name: String, idCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25: need at least one query term")
+    require(queryTerms.distinct == queryTerms, "bm25: duplicate query terms")
+    val postings = store.read(s"${name}_postings")
+      .filter(col("term").isInCollection(queryTerms))
+      .select(col(idCol), col("term"), col("tcnt").cast("double").as("tcnt"))
+    // global df from the filtered rows themselves (term-filter preserves it)
+    val df_ = postings.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val lens = store.read(s"${name}_doclen")
+      .select(col(idCol), col("dlen").cast("double").as("dlen"))
+    val stats = store.read(s"${name}_stats")
+      .select(col("n_docs").cast("double").as("_n"),
+        (col("sum_dlen").cast("double") / col("n_docs").cast("double")).as("_avgdl"))
+    val scored = postings
+      .join(broadcast(df_), Seq("term"))
+      .join(lens, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", (col("_n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .withColumn("tscore",
+        col("idf") * ((col("tcnt") * lit(k1 + 1.0)) /
+          (col("tcnt") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dlen") / col("_avgdl")))))
+    val wide = scored.groupBy(col(idCol))
+      .agg(
+        max(when(col("term") === queryTerms.head, col("tscore"))).as("_t0"),
+        queryTerms.zipWithIndex.tail.map { case (t, i) =>
+          max(when(col("term") === t, col("tscore"))).as(s"_t$i")
+        }: _*)
+    val total = queryTerms.indices.map(i => coalesce(col(s"_t$i"), lit(0.0))).reduce(_ + _)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("score").desc, col(idCol))
+    wide.select(col(idCol), total.as("score"))
+      .orderBy(col("score").desc, col(idCol)).limit(topK)
+      .withColumn("rnk", row_number().over(w))
+  }
+
+  /** Takedown leg: drop the deleted ids' postings and doclen rows (each
+    * doc-local — no survivor re-tokenize), then recompute the stats cache
+    * from the surviving doclen. Every step is a pure function of (current
+    * tables, ids), so cascade re-runs and crash-retries are no-ops past
+    * the point already applied. Post-delete [[searchIndex]] results equal
+    * a [[buildIndex]] from scratch on the survivors — df, N, and avgdl
+    * are all derived from surviving rows, never adjusted counters.
+    */
+  def deleteIds(store: TableStore, name: String, ids: DataFrame,
+      idCol: String): Unit = {
+    val keys = broadcast(ids.select(col(idCol)).distinct())
+    store.overwrite(s"${name}_postings",
+      store.read(s"${name}_postings").join(keys, Seq(idCol), "left_anti"))
+    store.overwrite(s"${name}_doclen",
+      store.read(s"${name}_doclen").join(keys, Seq(idCol), "left_anti"))
+    writeStats(store, name)
   }
 }

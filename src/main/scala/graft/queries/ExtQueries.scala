@@ -3119,18 +3119,18 @@ object ExtQueries {
     * s9 and s10 replays (a threshold or formula change must not be
     * hand-synced across copies).
     */
-  private def bm25Cte(terms: Seq[String]): String = {
+  private def bm25Cte(terms: Seq[String], where: String = ""): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
     val arms = terms.map(t =>
       s"max(CASE WHEN term = '$t' THEN tscore END) AS \"_t_$t\"").mkString(",\n                 ")
     val total = terms.map(t => s"COALESCE(\"_t_$t\", 0.0)").mkString(" + ")
     s"""lens AS (SELECT doc_id,
                CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS dlen
-             FROM documents),
+             FROM documents $where),
       stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dlen) / count(*) AS avgdl FROM lens),
       bp AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tcnt FROM (
               SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
-              FROM documents)
+              FROM documents $where)
             WHERE term IN ($inList) GROUP BY 1, 2),
       bdf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM bp GROUP BY 1),
       bts AS (SELECT bp.doc_id, bp.term,
@@ -4680,6 +4680,46 @@ object ExtQueries {
     // recursive findall is DuckDB-side only
     benchmark = false)
 
+  /** X39 — takedown through the durable BM25 index
+    * ([[graft.ext.Bm25.buildIndex]] → [[graft.tables.Deletes.cascade]]
+    * `bm25Indexes` leg → [[graft.ext.Bm25.searchIndex]]): build the
+    * full-vocabulary postings artifact, cascade-delete the md5-bucket %5
+    * ids, then search the ADJUSTED index. The oracle computes BM25 from
+    * scratch on the surviving documents only — so the x34 criterion
+    * applies to the retrieval shape: post-delete scores (df, N, avgdl all
+    * shifted by the deletions) must hash-match a from-scratch rebuild,
+    * double-for-double. The index derives df from term-filtered postings
+    * and recomputes stats from surviving doclen rows (never adjusts
+    * persisted counters), so this equality holds by construction — the
+    * oracle is the proof.
+    */
+  val x39Bm25Takedown = QueryDef(
+    "x39_bm25_takedown",
+    (s, dir) => {
+      val docs = Td(s, dir, "documents").select(col("doc_id"), col("text"))
+      val store = graft.tables.Scratch.store(s)
+      graft.ext.Bm25.buildIndex(store, "x39_bm", docs, "doc_id", "text")
+      val deleted = docs
+        .filter(Similarity.sampleBucket(col("doc_id")) % 5 === 0)
+        .select(col("doc_id"))
+      graft.tables.Deletes.cascade(store, deleted, "doc_id",
+        bm25Indexes = Seq("x39_bm"))
+      graft.ext.Bm25.searchIndex(store, "x39_bm", "doc_id",
+          queryTerms = Seq("table", "merge", "spark"), topK = 20)
+        .select(col("doc_id"), col("score"), col("rnk").cast("long").as("rnk"))
+        .orderBy(col("rnk"))
+    },
+    Some(s"""
+      WITH ${bm25Cte(Seq("table", "merge", "spark"),
+        where = s"WHERE NOT (${sampleFilterSql("doc_id", 5)})")},
+      r AS (SELECT doc_id, score,
+              row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM bscore)
+      SELECT doc_id, score, rnk FROM r WHERE rnk <= 20 ORDER BY rnk
+    """),
+    // build dominates (one explode+groupBy, the s9/t5 scan shape); the
+    // delete leg is doc-local anti-joins
+    benchmark = false)
+
   /** T18 — BPE merge-table TRAINING ([[graft.ext.TextAnalysis.bpeTrain]],
     * the learning side of t16): three rounds of encode-with-learned-merges
     * → within-word adjacent-pair counts → deterministic argmax (count
@@ -5572,7 +5612,7 @@ object ExtQueries {
     d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc, d21SemDedup, x24TokenBudget,
     x25LinkRank, x26TrainSplit, x27QuantileNorm, x28LinkRankFull, x29Fim,
     x30LengthBatches, x31EmbedStandardize, x32SpanCorrupt, x33GateAttrition,
-    x34DeleteCascade, x35VersionDiff,
+    x34DeleteCascade, x35VersionDiff, x39Bm25Takedown,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,

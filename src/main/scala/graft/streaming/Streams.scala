@@ -532,7 +532,8 @@ object Streams {
       indexes: Seq[String] = Nil, annIndexes: Seq[String] = Nil,
       packs: Seq[graft.tables.Deletes.PackSpec] = Nil,
       versioned: Seq[String] = Nil, keep: Int = 3,
-      maxBatchIds: Int = 100000): StreamingQuery = {
+      maxBatchIds: Int = 100000,
+      bm25Indexes: Seq[String] = Nil): StreamingQuery = {
     require(maxBatchIds > 0, s"maxBatchIds must be positive, got $maxBatchIds")
     ids.writeStream
       .outputMode(OutputMode.Append)
@@ -558,7 +559,7 @@ object Streams {
               java.util.Arrays.asList(freshRows: _*), fresh.schema)
             graft.tables.Deletes.cascade(store, freshDf, idCol,
               corpus, corpusPartitionCol, indexes, annIndexes, packs,
-              versioned, keep)
+              versioned, keep, bm25Indexes)
             store.append(logTable, freshDf
               .withColumn("batch_id", lit(batchId))
               .withColumn("processed_at", current_timestamp()))

@@ -179,20 +179,25 @@ object Deletes {
   }
 
   /** The full takedown cascade: delete `ids` from the corpus tables, every
-    * listed dedup index, every listed ANN index, every listed pack table,
-    * and every listed versioned snapshot (in that order — the content
-    * itself first, then derived artifacts; each leg is independent and
-    * idempotent, so a crash anywhere is repaired by re-running with the
-    * same ids).
+    * listed dedup index, every listed ANN index, every listed BM25 index
+    * ([[graft.ext.Bm25.deleteIds]] — doc-local row drops; df/N/avgdl are
+    * derived from survivors by design, so retrieval scores equal a
+    * from-scratch rebuild with no counter bookkeeping), every listed pack
+    * table, and every listed versioned snapshot (in that order — the
+    * content itself first, then derived artifacts; each leg is independent
+    * and idempotent, so a crash anywhere is repaired by re-running with
+    * the same ids).
     */
   def cascade(store: TableStore, ids: DataFrame, idCol: String,
       corpus: Seq[String] = Nil, corpusPartitionCol: Option[String] = None,
       indexes: Seq[String] = Nil, annIndexes: Seq[String] = Nil,
       packs: Seq[PackSpec] = Nil,
-      versioned: Seq[String] = Nil, keep: Int = 3): Unit = {
+      versioned: Seq[String] = Nil, keep: Int = 3,
+      bm25Indexes: Seq[String] = Nil): Unit = {
     corpus.foreach(t => deleteRows(store, t, idCol, ids, corpusPartitionCol))
     indexes.foreach(n => graft.ext.DedupIndex.deleteIds(store, n, ids, idCol))
     annIndexes.foreach(n => graft.ext.AnnIndex.deleteIds(store, n, ids, idCol))
+    bm25Indexes.foreach(n => graft.ext.Bm25.deleteIds(store, n, ids, idCol))
     packs.foreach(p => repackShards(store, p, idCol, ids))
     versioned.foreach(n => deleteVersioned(store, n, idCol, ids, keep))
   }

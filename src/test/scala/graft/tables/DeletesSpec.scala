@@ -104,6 +104,42 @@ class DeletesSpec extends SparkSpec {
     assert(e2.getMessage.contains("not in the table"))
   }
 
+  test("bm25 cascade leg: post-delete search equals a from-scratch rebuild on survivors") {
+    import graft.ext.Bm25
+    val store = newStore()
+    val docs = Seq(
+      (1L, "spark table merge table"),
+      (2L, "merge spark spark"),
+      (3L, "table table table noise"),
+      (4L, "spark merge table words here"),
+      (5L, "unrelated text entirely")).toDF("doc_id", "text")
+    Bm25.buildIndex(store, "bm", docs, "doc_id", "text")
+    // full-index search matches the query-time scorer double-for-double
+    val live = Bm25.score(docs, "doc_id", "text", Seq("spark", "table"), topK = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val idx = Bm25.searchIndex(store, "bm", "doc_id", Seq("spark", "table"), topK = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(idx === live, "searchIndex(buildIndex(d)) must equal score(d) exactly")
+    // cascade-delete docs 1 and 4 (df of every query term shifts, N and
+    // avgdl shift) and compare against an index rebuilt on survivors
+    Deletes.cascade(store, Seq(1L, 4L).toDF("doc_id"), "doc_id",
+      bm25Indexes = Seq("bm"))
+    val survivors = docs.filter(!col("doc_id").isin(1L, 4L))
+    Bm25.buildIndex(store, "bm_rebuilt", survivors, "doc_id", "text")
+    val adjusted = Bm25.searchIndex(store, "bm", "doc_id", Seq("spark", "table"), topK = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    val rebuilt = Bm25.searchIndex(store, "bm_rebuilt", "doc_id", Seq("spark", "table"), topK = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    assert(adjusted === rebuilt,
+      "post-delete index must score identically to a from-scratch rebuild")
+    assert(!adjusted.exists(r => r._1 == 1L || r._1 == 4L))
+    // idempotent: re-running the leg with the same ids changes nothing
+    Bm25.deleteIds(store, "bm", Seq(1L, 4L).toDF("doc_id"), "doc_id")
+    val again = Bm25.searchIndex(store, "bm", "doc_id", Seq("spark", "table"), topK = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    assert(again === adjusted)
+  }
+
   test("restore re-publishes an old snapshot as the new latest; the bad version stays diffable") {
     val store = newStore()
     Versions.overwrite(store, "snap", Seq((1L, "good"), (2L, "good")).toDF("id", "v"))

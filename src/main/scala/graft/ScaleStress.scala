@@ -281,6 +281,42 @@ object ScaleStress {
       times(s"del_bkt_x$factor") / times(s"del_flat_x$factor")}%.2f}""")
   }
 
+  /** Durable-ANN tracking ([[graft.ext.AnnIndex]]): the bench entry
+    * (s15_ann_search) deliberately times SEARCH against the stored index —
+    * so the BUILD cost (coarse training + codebooks + full-corpus encode,
+    * the once-ever pass that scales with |corpus|) is kept on the record
+    * HERE instead. Search should track the probed clusters' share, not the
+    * corpus: a factor× corpus with the same nlist grows each cluster
+    * factor×, so search may grow toward factor× of the scanned codes — the
+    * honest expectation at fixed geometry (production grows nlist with the
+    * corpus to hold cluster size constant).
+    */
+  private def annTracking(spark: SparkSession, sfDir: String, expDir: String,
+      factor: Int, workDir: String): Unit = {
+    import graft.ext.AnnIndex
+    import graft.tables.TableStore
+    val cases = Seq(("ann_x1", sfDir), (s"ann_x$factor", expDir))
+    val times = cases.map { case (tag, dir) =>
+      val store = new TableStore(spark, s"$workDir/annstore_$tag")
+      val emb = Td(spark, dir, "embeddings")
+      val t0 = System.nanoTime()
+      AnnIndex.build(store, "ann", emb, "vec_id", "embedding",
+        dim = 64, nlist = 8, coarseIters = 2, m = 8, k = 16, pqIters = 2,
+        sampleMod = Some(4))
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      AnnIndex.search(store, "ann", emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, nprobe = 2)
+        .write.format("noop").mode("overwrite").save()
+      val searchSec = (System.nanoTime() - t1) / 1e9
+      println(f"""{"annbench":"$tag","n_vecs":${emb.count()},"build_sec":$buildSec%.2f,"search_sec":$searchSec%.2f}""")
+      tag -> ((buildSec, searchSec))
+    }.toMap
+    println(f"""{"annbench":"summary","build_x$factor":${
+      times(s"ann_x$factor")._1 / times("ann_x1")._1}%.2f,"search_x$factor":${
+      times(s"ann_x$factor")._2 / times("ann_x1")._2}%.2f}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val workDir = args.lift(1).getOrElse("/tmp/graft_scale_stress")
@@ -331,6 +367,12 @@ object ScaleStress {
       spark.stop()
       return
     }
+    if (args.contains("annonly")) { // durable-ANN build/search tracking alone
+      annTracking(spark, sfDir, expDir, factor, workDir)
+      graft.tables.Scratch.cleanup(spark)
+      spark.stop()
+      return
+    }
 
     val scales = Seq(1 -> sfDir, factor -> expDir)
     // warmup: parquet footers + codegen for both scales
@@ -367,6 +409,7 @@ object ScaleStress {
     if (!args.contains("noinc")) {
       incTracking(spark, sfDir, expDir, factor, workDir)
       delTracking(spark, sfDir, expDir, factor, workDir)
+      annTracking(spark, sfDir, expDir, factor, workDir)
     }
     graft.tables.Scratch.cleanup(spark)
     spark.stop()

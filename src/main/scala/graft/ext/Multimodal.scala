@@ -197,6 +197,105 @@ object Multimodal {
     })
   }
 
+  /** The 64-bit energy-gradient audio fingerprint core — [[dhashOf]]'s
+    * design point on the time axis: the PCM stream divides into 65 equal
+    * segments (same `(s·n)/65` integer-division boundaries as the dHash
+    * grid), each segment's energy is the exact integer sum of squared
+    * 16-bit samples, and bit `i` is set when segment `i+1` is STRICTLY
+    * more energetic than segment `i`. Energy DIFFERENCES across time are
+    * the robust part of an audio signal (the Haitsma–Kalker / chromaprint
+    * family's core observation, minus their spectral axis — a real FFT
+    * needs libm transcendentals, which the cross-engine determinism
+    * contract forbids, same trade as t5/s9's rational idf): constant gain
+    * scales every energy by g², so comparisons — and the hash — are
+    * invariant under volume changes, while re-encoded or re-levelled
+    * copies land within a few Hamming bits. Integer-only, so the m5
+    * oracle replays it exactly.
+    */
+  private def energyHashOf(samples: Int => Long, n: Int): Long = {
+    val e = new Array[Long](65)
+    var s = 0
+    while (s < 65) {
+      val lo = s * n / 65
+      val hi = (s + 1) * n / 65
+      var acc = 0L
+      var t = lo
+      while (t < hi) { val v = samples(t); acc += v * v; t += 1 }
+      e(s) = acc
+      s += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (e(i + 1) > e(i)) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** Energy-gradient hash over RAW 16-bit little-endian mono PCM payloads
+    * (the deterministic cross-engine contract the m5 oracle replays —
+    * container formats go through [[audioHashWav]]). A truncated trailing
+    * byte is ignored; an empty payload hashes to 0. Map-only like every
+    * decode stage; downstream pairing is [[graft.ext.Dedup.simhashPairs]]
+    * UNCHANGED — the hash has the same 64-bit Hamming-proximity semantics
+    * as dHash/SimHash, so the chunk-pigeonhole candidate join and
+    * hot-bucket caps carry over verbatim.
+    */
+  def audioHashPcm(media: Dataset[MediaRow]): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val n = r.media.length / 2
+      MediaHash(r.media_id, energyHashOf(t =>
+        ((r.media(2 * t) & 0xff) | (r.media(2 * t + 1) << 8)).toShort.toLong, n))
+    })
+  }
+
+  /** Energy-gradient hash over REAL audio containers (WAV/AIFF/AU via the
+    * JDK sound stack — the [[decodeAudioMeta]] seam extended to the sample
+    * stream): the container parses to its PCM frames, multi-channel audio
+    * mixes to mono by per-frame channel averaging (truncating integer
+    * mean, deterministic), and the shared core runs on the result — so a
+    * WAV-wrapped payload and its raw PCM twin hash IDENTICALLY
+    * (MultimodalSpec pins it). Unparseable payloads and non-PCM encodings
+    * fall back to the raw-PCM interpretation of the bytes — deterministic,
+    * never throws, the dirty-corpus posture of every codec stage here.
+    */
+  def audioHashWav(media: Dataset[MediaRow]): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val pcm = try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.media))
+        val f = ais.getFormat
+        if (f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            f.getSampleSizeInBits == 16) {
+          val bytes = ais.readAllBytes()
+          val ch = f.getChannels
+          val be = f.isBigEndian
+          val frames = bytes.length / (2 * ch)
+          Some((frames, (t: Int) => {
+            var c = 0
+            var sum = 0L
+            while (c < ch) {
+              val o = (t * ch + c) * 2
+              val v =
+                if (be) ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort.toLong
+                else ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toLong
+              sum += v
+              c += 1
+            }
+            sum / ch
+          }))
+        } else None
+      } catch { case _: Exception => None }
+      val (n, sample) = pcm.getOrElse(
+        (r.media.length / 2, (t: Int) =>
+          ((r.media(2 * t) & 0xff) | (r.media(2 * t + 1) << 8)).toShort.toLong))
+      MediaHash(r.media_id, energyHashOf(sample, n))
+    })
+  }
+
   /** Minimal MP4 (ISO BMFF) header reader — pure byte arithmetic, no codec:
     * walks the box tree (4-byte big-endian size + 4-char type; 64-bit
     * `size==1` large boxes and `size==0` to-end boxes handled), descends

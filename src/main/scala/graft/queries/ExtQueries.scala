@@ -993,6 +993,110 @@ object ExtQueries {
     // d4's, which the bench already times on the real corpus
     benchmark = false)
 
+  /** m5's deterministic PCM fixture: 650 signed 16-bit LE mono samples,
+    * `s(t) = ((a·t² + b·t + c) mod 4001) − 2000` with coefficients drawn
+    * from the source id — quadratic so segment energies genuinely vary.
+    * Variants: 1 = gain ×2 (every energy scales by 4, every comparison —
+    * and the hash — unchanged: the invariance the energy-gradient sketch
+    * exists for); 2 = exact copy; 3 = +400 on samples 300..309 — exactly
+    * segment 30, so only the e(29)<e(30) and e(30)<e(31) comparisons can
+    * flip (≤2 Hamming bits).
+    */
+  private def m5Bytes(sid: Long, variant: Int): Array[Byte] = {
+    val n = 650
+    val a = 1 + (sid % 7)
+    val b = 1 + (sid % 13)
+    val c = sid % 101
+    val bs = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      var v = (a * t * t + b * t + c) % 4001 - 2000
+      if (variant == 3 && t >= 300 && t < 310) v += 400
+      if (variant == 1) v *= 2
+      bs(2 * t) = (v & 0xff).toByte
+      bs(2 * t + 1) = ((v >> 8) & 0xff).toByte
+      t += 1
+    }
+    bs
+  }
+
+  /** M5 — audio near-dup dedup ([[Multimodal.audioHashPcm]] →
+    * [[Dedup.simhashPairs]] UNCHANGED — the m4 pattern on the audio
+    * column): the 64-bit energy-gradient fingerprint (65 segment energies,
+    * bit = strictly-increasing step) over deterministic synthetic PCM,
+    * then the same Hamming-bucket pairing machinery as SimHash/dHash. The
+    * oracle re-derives every sample value from the fixture FORMULA (never
+    * parsing bytes — a byte-packing bug in the encode or the decode seam
+    * mismatches every row), integer-sums the segment energies, assembles
+    * the hash with the m4 bit machinery, and replays the pairing. Gain
+    * copies must pair at Hamming 0 (volume invariance), the one-segment
+    * edit within ≤2.
+    */
+  val m5AudioDedup = QueryDef(
+    "m5_audio_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val ids = Td(s, dir, "documents").select(col("doc_id"))
+      val variants = ids.select(col("doc_id").as("sid"), lit(0).as("vr"))
+        .unionByName(ids.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id").as("sid"), lit(1).as("vr")))
+        .unionByName(ids.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id").as("sid"), lit(2).as("vr")))
+        .unionByName(ids.filter(col("doc_id") % 11 === 0)
+          .select(col("doc_id").as("sid"), lit(3).as("vr")))
+      val media = variants
+        .select((col("sid") + col("vr").cast("long") * 100000000L).as("media_id"),
+          col("sid"), col("vr"))
+        .as[(Long, Long, Int)]
+        .map { case (mid, sid, vr) => Multimodal.MediaRow(mid, "audio", m5Bytes(sid, vr)) }
+      val sh = Multimodal.audioHashPcm(media).toDF()
+        .select(col("media_id"), col("dhash").as("simhash"))
+      Dedup.simhashPairs(sh, "media_id", maxHamming = 3, bucketCap = 32)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH auds AS (
+        SELECT doc_id AS media_id, doc_id AS sid, 0 AS vr FROM documents
+        UNION ALL SELECT doc_id + 100000000, doc_id, 1 FROM documents WHERE doc_id % 7 = 0
+        UNION ALL SELECT doc_id + 200000000, doc_id, 2 FROM documents WHERE doc_id % 7 = 0
+        UNION ALL SELECT doc_id + 300000000, doc_id, 3 FROM documents WHERE doc_id % 11 = 0),
+      ts AS (SELECT unnest(generate_series(0, 649)) AS t),
+      sm AS (SELECT a.media_id, ts.t // 10 AS seg,
+               (CASE WHEN a.vr = 3 AND ts.t BETWEEN 300 AND 309
+                  THEN ((1 + sid % 7) * ts.t * ts.t + (1 + sid % 13) * ts.t + sid % 101) % 4001 - 2000 + 400
+                  ELSE ((1 + sid % 7) * ts.t * ts.t + (1 + sid % 13) * ts.t + sid % 101) % 4001 - 2000
+                END) * (CASE WHEN a.vr = 1 THEN 2 ELSE 1 END) AS v
+             FROM auds a CROSS JOIN ts),
+      en AS (SELECT media_id, seg, sum(v * v) AS e FROM sm GROUP BY 1, 2),
+      bitrows AS (SELECT a.media_id, a.seg AS bi
+                  FROM en a JOIN en b ON b.media_id = a.media_id AND b.seg = a.seg + 1
+                  WHERE a.seg < 64 AND b.e > a.e),
+      sim AS (SELECT x.media_id, CAST(coalesce(sum(
+                CASE WHEN bi = 63 THEN -9223372036854775807 - 1
+                     ELSE CAST(1 AS BIGINT) << CAST(bi AS INTEGER) END), 0) AS BIGINT) AS simhash
+              FROM auds x LEFT JOIN bitrows br ON br.media_id = x.media_id
+              GROUP BY 1),
+      exc AS (SELECT media_id, simhash, unnest([0, 1, 2, 3]) AS ci FROM sim),
+      ex2 AS (SELECT media_id, simhash, ci, (simhash >> (ci * 16)) & 65535 AS cv FROM exc),
+      ex2w AS (SELECT *, count(*) OVER (PARTITION BY ci, cv) AS sz,
+                      min(media_id) OVER (PARTITION BY ci, cv) AS rep FROM ex2),
+      rawp AS (
+        SELECT a.media_id AS id_a, b.media_id AS id_b, a.simhash AS sh_a, b.simhash AS sh_b
+        FROM ex2w a JOIN ex2w b ON a.ci = b.ci AND a.cv = b.cv AND a.media_id < b.media_id
+        WHERE a.sz <= 32
+        UNION ALL
+        SELECT r.rep, m.media_id, r.simhash, m.simhash
+        FROM ex2w m JOIN (SELECT DISTINCT ci, cv, rep, simhash FROM ex2w WHERE media_id = rep) r
+          ON m.ci = r.ci AND m.cv = r.cv
+        WHERE m.sz > 32 AND m.media_id <> m.rep),
+      pairs AS (SELECT DISTINCT id_a, id_b,
+                  CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming FROM rawp)
+      SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b
+    """),
+    // hash is map-only over synthetic PCM; the pairing shape is d4's,
+    // which the bench already times on the real corpus
+    benchmark = false)
+
   val m3VideoMeta = QueryDef(
     "m3_video_meta",
     (s, dir) => {
@@ -5707,7 +5811,7 @@ object ExtQueries {
     d22SpanExact, d23SpanGuaranteed,
     s1KnnBrute, s2AnnIvf, s3KnnQuantized, s5KnnPq, s6AnnIvfPq, s13AnnIvfPqResidual,
     s14AnnIndexIncremental, s7HardNegatives, x20CorpusReport,
-    m1MediaMeta, m2FrameSample, m3VideoMeta, m4ImageDedup,
+    m1MediaMeta, m2FrameSample, m3VideoMeta, m4ImageDedup, m5AudioDedup,
     c1Curation, c2CurationRecipe, c3Decontaminate, c4DecontaminateBloom,
     c5NormalizedCuration, c6CrawlPipeline,
     u1UrlNormalize, u2UrlDedup, q4Expectations,

@@ -443,6 +443,69 @@ class ExtSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
   }
 
+  test("multimodal: audio energy hash — gain copies equal, one-segment edit flips <= 2 bits, WAV seam matches raw PCM (M5)") {
+    import Multimodal.MediaRow
+    import javax.sound.sampled._
+    // amplitude grows with the segment index, so segment energies strictly
+    // increase → every gradient bit is 1 and edits have a KNOWN effect
+    def wave(t: Int): Int = (t / 10 + 1) * 10 + (t % 5) - 2
+    def pcm(edit: Int => Int): Array[Byte] = {
+      val bs = new Array[Byte](650 * 2)
+      for (t <- 0 until 650) {
+        val v = edit(t)
+        bs(2 * t) = (v & 0xff).toByte
+        bs(2 * t + 1) = ((v >> 8) & 0xff).toByte
+      }
+      bs
+    }
+    val base = pcm(wave)
+    val gain2 = pcm(t => wave(t) * 2)
+    // silencing exactly segment 30 can only move the e29<e30 and e30<e31
+    // comparisons: the first flips (e30 drops to 0), the second holds
+    val oneSeg = pcm(t => if (t >= 300 && t < 310) 0 else wave(t))
+    val rows = Seq(MediaRow(1L, "audio", base), MediaRow(2L, "audio", gain2),
+      MediaRow(3L, "audio", oneSeg))
+    val hs = Multimodal.audioHashPcm(rows.toDS())
+      .collect().map(m => m.media_id -> m.dhash).toMap
+    assert(hs(2L) === hs(1L), "constant gain must not change the energy-gradient hash")
+    val d = java.lang.Long.bitCount(hs(3L) ^ hs(1L))
+    assert(d >= 1 && d <= 2, s"one-segment edit flips 1-2 bits, got $d")
+    // the real-container seam: base samples wrapped as an actual WAV (mono),
+    // and as stereo with L=R, must hash identically to the raw PCM — the
+    // decode + mono mixdown must be transparent
+    def wav(bytes: Array[Byte], channels: Int): Array[Byte] = {
+      val out = if (channels == 1) bytes
+        else {
+          val st = new Array[Byte](bytes.length * 2)
+          for (t <- 0 until bytes.length / 2; c <- 0 to 1) {
+            st(4 * t + 2 * c) = bytes(2 * t); st(4 * t + 2 * c + 1) = bytes(2 * t + 1)
+          }
+          st
+        }
+      val fmt = new AudioFormat(22050f, 16, channels, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(out), fmt, 650L),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val whs = Multimodal.audioHashWav(Seq(
+        MediaRow(10L, "audio", wav(base, 1)),
+        MediaRow(11L, "audio", wav(base, 2)),
+        MediaRow(12L, "audio", base)).toDS()) // not a WAV → raw-PCM fallback
+      .collect().map(m => m.media_id -> m.dhash).toMap
+    assert(whs(10L) === hs(1L), "WAV-wrapped PCM must hash like the raw samples")
+    assert(whs(11L) === hs(1L), "stereo L=R mixes down to the mono hash")
+    assert(whs(12L) === hs(1L), "undecodable payload falls back to raw-PCM interpretation")
+    // pairing goes through Dedup.simhashPairs UNCHANGED
+    val pairs = Dedup.simhashPairs(
+        Multimodal.audioHashPcm(rows.toDS()).toDF()
+          .select(col("media_id"), col("dhash").as("simhash")),
+        "media_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("multimodal: dHash over a real PNG — brightness shift preserves the hash, undecodable falls back") {
     import Multimodal.MediaRow
     def png(shift: Int): Array[Byte] = {

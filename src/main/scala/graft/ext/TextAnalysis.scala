@@ -379,12 +379,26 @@ object TextAnalysis {
     * the top pair). The learned table drives [[byteBpeEncode]] directly
     * and round-trips through [[parseMerges]]' merges.txt format — train
     * here, export, reload verbatim.
+    *
+    * `splitter` selects the pre-tokenizer the training stream flows
+    * through — [[gpt2Pretokens]] (whitespace + attached space, the t21
+    * oracle contract) by default, or `gpt2Split(_, specials)` for the
+    * published regex ([[org.apache.spark.sql.graft.Gpt2SplitText]]), which
+    * closes the lifecycle loop: merges LEARNED over the real split are
+    * exactly the entries [[byteBpeEncodeGpt2]] consumes, so
+    * train → export → reload → encode uses one consistent pre-tokenizer
+    * end to end (a split mismatch between train and encode silently skews
+    * pair statistics toward boundaries the encoder never produces). The
+    * specials filter already covers both conventions: bare tokens (the
+    * regex splitter's form) and space-attached ones (the whitespace
+    * splitter's).
     */
   def bpeTrainBytes(df: DataFrame, textCol: String, nMerges: Int,
-      minCount: Long = 2L, specials: Seq[String] = Nil): Seq[(String, String, Long)] = {
+      minCount: Long = 2L, specials: Seq[String] = Nil,
+      splitter: Column => Column = gpt2Pretokens): Seq[(String, String, Long)] = {
     require(nMerges >= 1, s"need at least one merge, got $nMerges")
     import org.apache.spark.sql.graft.{ByteBpeEncodeTokens, WordShingles}
-    val words0 = df.select(explode(gpt2Pretokens(col(textCol))).as("_w"))
+    val words0 = df.select(explode(splitter(col(textCol))).as("_w"))
       .filter(length(col("_w")) > 0)
     val words =
       if (specials.isEmpty) words0

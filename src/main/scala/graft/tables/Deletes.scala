@@ -187,6 +187,14 @@ object Deletes {
     * content itself first, then derived artifacts; each leg is independent
     * and idempotent, so a crash anywhere is repaired by re-running with
     * the same ids).
+    *
+    * Doc-keyed DERIVED tables with no cross-row state — classifier-score
+    * tables, per-doc quality/perplexity reports, redacted twins — need no
+    * dedicated leg: their delete IS the corpus-leg semantics (row drops by
+    * id, partition-scoped where laid out so). List them in `corpus`. The
+    * dedicated legs exist only where a naive row drop would be WRONG:
+    * dedup/ANN indexes (bucketed layouts), BM25 (global stats), packs
+    * (prefix-sum shards), versioned snapshots (audit diff).
     */
   def cascade(store: TableStore, ids: DataFrame, idCol: String,
       corpus: Seq[String] = Nil, corpusPartitionCol: Option[String] = None,

@@ -298,6 +298,33 @@ class BpeSpec extends SparkSpec {
     assert(got === Seq("t", "he", "Ġ", "c", "a", "f", "Ã©"))
   }
 
+  test("byte training over the regex split learns split-consistent merges") {
+    // corpus: "don't" appears 3x. The whitespace trainer sees [d,o,n,',t]
+    // words and eventually learns the boundary-crossing merge (don, 't);
+    // the regex-split trainer sees "don" / "'t" as SEPARATE pre-tokens, so
+    // that merge is unlearnable — exactly the train/encode consistency the
+    // splitter parameter exists for (an encoder splitting at 't can never
+    // apply a merge that crosses it).
+    val docs = Seq("don't stop don't go", "don't mind").toDF("text")
+    val ws = TextAnalysis.bpeTrainBytes(docs, "text", nMerges = 4, minCount = 2L)
+      .map(m => (m._1, m._2))
+    assert(ws.contains(("don", "'t")),
+      s"whitespace training should cross the contraction boundary: $ws")
+    val rx = TextAnalysis.bpeTrainBytes(docs, "text", nMerges = 4, minCount = 2L,
+      splitter = c => TextAnalysis.gpt2Split(c, Nil))
+    // hand-computed: ("'","t") x3 wins round 1 (lexicographic tie-break
+    // among the count-3 pairs), then (d,o), then (do,n); round 4 has no
+    // pair reaching minCount — early stop
+    assert(rx === Seq(("'", "t", 3L), ("d", "o", 3L), ("do", "n", 3L)))
+    // the learned table IS what the regex-split encoder consumes: "don't"
+    // encodes through gpt2Split + the learned merges to [don, 't]
+    val enc = Seq("don't").toDF("t")
+      .select(TextAnalysis.byteBpeEncodeGpt2(col("t"),
+        rx.map(m => (m._1, m._2)), Nil).as("p"))
+      .head().getSeq[String](0)
+    assert(enc === Seq("don", "'t"))
+  }
+
   test("merges whose first symbol is '#' are merges, not comments") {
     // real HF merges.txt files contain lines like "# #" (the ## token);
     // only a FIRST-line "#version" header is skippable — dropping any

@@ -320,6 +320,24 @@ class PlanSpec extends SparkSpec {
     assert(semis.nonEmpty, s"expected the candidate LeftSemi gate:\n$lp")
   }
 
+  test("bm25 index search: term filter pushed to the postings scan, no cartesian (X39@scale)") {
+    import org.apache.spark.sql.functions.col
+    val store = graft.tables.Scratch.store(spark)
+    val docs = graft.Td(spark, sf, "documents").select(col("doc_id"), col("text"))
+    graft.ext.Bm25.buildIndex(store, "planspec_bm", docs, "doc_id", "text")
+    val p = plan(graft.ext.Bm25.searchIndex(store, "planspec_bm", "doc_id",
+      Seq("table", "merge")))
+    // the full-vocabulary postings table is the big artifact: the query-term
+    // filter must reach its parquet scan, not apply post-read
+    assert(p.contains("In(term") || p.contains("EqualTo(term"),
+      "query-term filter must push to the postings scan:\n" +
+        p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    // df (k rows) and stats (1 row) ride broadcasts; nothing may cartesian
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(40).mkString("\n"))
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row stats crossJoin must broadcast, never cartesian")
+  }
+
   test("bloom membership rides the train scan, join-free (C4)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
     val lp = graft.queries.ExtQueries.c4DecontaminateBloom.fn(spark, sf)

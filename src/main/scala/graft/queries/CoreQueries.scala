@@ -116,8 +116,11 @@ object CoreQueries {
              CAST(MAX(o_orderdate) AS DATE) AS max_date,
              COUNT(*) AS n
       FROM orders
-    """))
-
+    """),
+    // sub-0.2 s at sf0.1: the Spark task-scheduling floor, zero scale
+    // signal - timed coverage lives in the correctness gate; dropping it
+    // from the bench preserves the compact stdout line's precision budget
+    benchmark = false)
   /** A5 — distinct projection probe (1_customer:97; 2_incremental:248-251). */
   val a5Distinct = QueryDef(
     "a5_distinct_projection",
@@ -179,8 +182,11 @@ object CoreQueries {
     Some("""
       SELECT c_custkey, c_name, c_acctbal FROM customer
       ORDER BY c_acctbal DESC, c_custkey LIMIT 10
-    """))
-
+    """),
+    // sub-0.2 s at sf0.1: the Spark task-scheduling floor, zero scale
+    // signal - timed coverage lives in the correctness gate; dropping it
+    // from the bench preserves the compact stdout line's precision budget
+    benchmark = false)
   /** A7 — ROLLUP hierarchy totals (engine surface beyond the reference's
     * flat groupBys; the dashboard's division→category drill-down shape).
     * grouping_id disambiguates NULL-as-total from NULL data.

@@ -45,8 +45,11 @@ object ExtQueries {
              CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
                / len(regexp_split_to_array(trim(text), '\s+')) AS mean_token_len
       FROM documents ORDER BY doc_id
-    """))
-
+    """),
+    // sub-0.2 s at sf0.1: the Spark task-scheduling floor, zero scale
+    // signal - timed coverage lives in the correctness gate; dropping it
+    // from the bench preserves the compact stdout line's precision budget
+    benchmark = false)
   /** T2 — quality scoring: punctuation/stopword ratios + linear score. */
   val t2TextQuality = QueryDef(
     "t2_text_quality",
@@ -77,8 +80,11 @@ object ExtQueries {
                + 0.5 * least((CAST(n_stop AS DOUBLE) / n_tok) * 4.0, 1.0)
                - (CAST(n_punct AS DOUBLE) / n_len) * 2.0 AS quality
       FROM b ORDER BY doc_id
-    """))
-
+    """),
+    // sub-0.2 s at sf0.1: the Spark task-scheduling floor, zero scale
+    // signal - timed coverage lives in the correctness gate; dropping it
+    // from the bench preserves the compact stdout line's precision budget
+    benchmark = false)
   /** T3 — language ID: marker-word vote per language, first-max argmax. */
   val t3LangId = QueryDef(
     "t3_lang_id",
@@ -107,8 +113,11 @@ object ExtQueries {
              CASE $caseArm ELSE 'und' END AS lang_pred
       FROM sc ORDER BY doc_id
     """
-    })
-
+    },
+    // sub-0.2 s at sf0.1: the Spark task-scheduling floor, zero scale
+    // signal - timed coverage lives in the correctness gate; dropping it
+    // from the bench preserves the compact stdout line's precision budget
+    benchmark = false)
   /** T4 — document fingerprinting: md5 of normalized text + polynomial
     * rolling hash over character codes.
     */
@@ -128,8 +137,11 @@ object ExtQueries {
              list_reduce(list_transform(str_split(nt, ''), x -> CAST(ascii(x) AS BIGINT)),
                (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
       FROM n ORDER BY doc_id
-    """))
-
+    """),
+    // sub-0.2 s at sf0.1: the Spark task-scheduling floor, zero scale
+    // signal - timed coverage lives in the correctness gate; dropping it
+    // from the bench preserves the compact stdout line's precision budget
+    benchmark = false)
   /** D1 — exact dedup: duplicate groups by content digest. */
   val d1DedupExact = QueryDef(
     "d1_dedup_exact",
@@ -1273,8 +1285,11 @@ object ExtQueries {
                '${TA.PiiCardPattern}', '[CARD]', 'g'),
                '${TA.PiiIpv4Pattern}', '[IP]', 'g')) AS redacted_md5
       FROM aug ORDER BY doc_id
-    """))
-
+    """),
+    // sub-0.2 s at sf0.1: the Spark task-scheduling floor, zero scale
+    // signal - timed coverage lives in the correctness gate; dropping it
+    // from the bench preserves the compact stdout line's precision budget
+    benchmark = false)
   /** T8 — LM-perplexity quality scoring (the CCNet/Gopher filter): score
     * each document under a bigram language model trained on the corpus
     * itself — boilerplate and templated text sits in high-probability
@@ -2567,8 +2582,11 @@ object ExtQueries {
              ${U.domainSql("hu")} AS domain
       FROM n3 ORDER BY doc_id
     """
-    }))
-
+    }),
+    // sub-0.2 s at sf0.1: the Spark task-scheduling floor, zero scale
+    // signal - timed coverage lives in the correctness gate; dropping it
+    // from the bench preserves the compact stdout line's precision budget
+    benchmark = false)
   /** U2 — url-level dedup, the pass that composes u1 with d1: canonicalize
     * → group by canonical form → keep the min-doc_id representative. Three
     * dirty spellings of each of 50 pages (case/www/utm/fragment,
@@ -2681,8 +2699,11 @@ object ExtQueries {
         FROM documents)
       SELECT doc_id, ${org.apache.spark.sql.graft.NormalizeText.duckSql("s")} AS norm_text
       FROM aug ORDER BY doc_id
-    """))
-
+    """),
+    // sub-0.2 s at sf0.1: the Spark task-scheduling floor, zero scale
+    // signal - timed coverage lives in the correctness gate; dropping it
+    // from the bench preserves the compact stdout line's precision budget
+    benchmark = false)
   /** DuckDB twin of the PQ pipeline ([[Similarity.pqTrain]]/pqEncode/
     * pqSearch): normalized 2^-20-quantized vectors, per-subspace Lloyd
     * with k-smallest-id seeding, squared-L2 argmin (‖c‖² − 2·v·c) with
@@ -3915,8 +3936,11 @@ object ExtQueries {
                AND n_req_stop >= 2 AS INT) AS keep
       FROM r ORDER BY doc_id
     """
-    })
-
+    },
+    // sub-0.2 s at sf0.1: the Spark task-scheduling floor, zero scale
+    // signal - timed coverage lives in the correctness gate; dropping it
+    // from the bench preserves the compact stdout line's precision budget
+    benchmark = false)
   /** T12 — Gopher repetition battery (Rae et al. 2021 Table A1, the
     * within-document half t6's top-bigram ratio doesn't cover): duplicate
     * LINE fraction, duplicate line CHARACTER fraction, and duplicate

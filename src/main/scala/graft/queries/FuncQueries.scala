@@ -35,8 +35,11 @@ object FuncQueries {
              CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
              o_orderstatus AS status
       FROM orders ORDER BY o_orderkey
-    """))
-
+    """),
+    // sub-0.2 s at sf0.1: the Spark task-scheduling floor, zero scale
+    // signal - timed coverage lives in the correctness gate; dropping it
+    // from the bench preserves the compact stdout line's precision budget
+    benchmark = false)
   /** P5-P9 + F5 — predicate battery: isin, inequality, null checks, rlike,
     * range (1_customer:88, 119; 1_full_load_fact:98, 104; 3_pricing:137).
     */
@@ -90,8 +93,11 @@ object FuncQueries {
              regexp_matches(p_brand, '^Brand#[0-9]+$') AS valid_brand,
              lower(p_type) AS type_lc
       FROM part ORDER BY p_partkey
-    """))
-
+    """),
+    // sub-0.2 s at sf0.1: the Spark task-scheduling floor, zero scale
+    // signal - timed coverage lives in the correctness gate; dropping it
+    // from the bench preserves the compact stdout line's precision budget
+    benchmark = false)
   /** F6 — sha2-256 surrogate keys + md5 fingerprints
     * (2_products:177-183: `product_code = sha2(product_name, 256)`).
     */
@@ -114,8 +120,11 @@ object FuncQueries {
              length(p_name) AS name_len,
              substr(p_name, 1, 4) AS name_prefix
       FROM part ORDER BY p_partkey
-    """))
-
+    """),
+    // sub-0.2 s at sf0.1: the Spark task-scheduling floor, zero scale
+    // signal - timed coverage lives in the correctness gate; dropping it
+    // from the bench preserves the compact stdout line's precision budget
+    benchmark = false)
   /** F11+F3 — the multi-format date parse with weekday strip: formats
     * round-trip through strings styled like the reference's four order-date
     * formats (1_full_load_fact:111-125); unparseable → NULL, never error.
@@ -150,8 +159,11 @@ object FuncQueries {
                try_strptime(regexp_replace(date_str, '^[A-Za-z]+,\s*', ''), '%Y/%m/%d'),
                try_strptime(regexp_replace(date_str, '^[A-Za-z]+,\s*', ''), '%B %d, %Y')) AS DATE) AS parsed_date
       FROM styled ORDER BY o_orderkey
-    """))
-
+    """),
+    // sub-0.2 s at sf0.1: the Spark task-scheduling floor, zero scale
+    // signal - timed coverage lives in the correctness gate; dropping it
+    // from the bench preserves the compact stdout line's precision budget
+    benchmark = false)
   /** F12-F14 — dim_date month spine: sequence/explode + date_format/year/
     * quarter (dim_date_table_creation.py:17-46).
     */
@@ -193,8 +205,11 @@ object FuncQueries {
              abs(l_extendedprice - 50000.0) AS price_dev,
              l_quantity * l_extendedprice AS qty_value
       FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, qty_value
-    """))
-
+    """),
+    // sub-0.2 s at sf0.1: the Spark task-scheduling floor, zero scale
+    // signal - timed coverage lives in the correctness gate; dropping it
+    // from the bench preserves the compact stdout line's precision budget
+    benchmark = false)
   /** F9+F10 + JSON — when/otherwise chains, coalesce, JSON field extraction
     * over the events table (reference F9 city/market/division chains,
     * 1_customer:233-240; JSON is engine surface beyond the reference).
@@ -220,8 +235,11 @@ object FuncQueries {
              COALESCE(value, 0.0) AS value_filled,
              CAST(json_extract_string(props, '$.k') AS INT) AS k_val
       FROM events ORDER BY event_id
-    """))
-
+    """),
+    // sub-0.2 s at sf0.1: the Spark task-scheduling floor, zero scale
+    // signal - timed coverage lives in the correctness gate; dropping it
+    // from the bench preserves the compact stdout line's precision budget
+    benchmark = false)
   /** A-extras — group stats with countDistinct (A6 + dashboard KPI
     * "#Customers", README.md:194-208).
     */

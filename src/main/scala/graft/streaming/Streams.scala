@@ -543,9 +543,13 @@ object Streams {
         val spark = batch.sparkSession
         val keys = batch.select(col(idCol)).distinct()
         val keySchema = keys.schema
-        keys.collect().grouped(maxBatchIds).foreach { chunkRows =>
-          val chunk = spark.createDataFrame(
-            java.util.Arrays.asList(chunkRows: _*), keySchema)
+        // toLocalIterator, not collect: the whole-batch id set never
+        // materializes on the driver — partitions stream in one at a time,
+        // so resident driver memory is O(maxBatchIds + one partition)
+        // regardless of how large a backfilled batch gets
+        import scala.jdk.CollectionConverters._
+        keys.toLocalIterator().asScala.grouped(maxBatchIds).foreach { chunkRows =>
+          val chunk = spark.createDataFrame(chunkRows.asJava, keySchema)
           val fresh =
             if (store.exists(logTable))
               chunk.join(store.read(logTable).select(col(idCol)),

@@ -530,6 +530,100 @@ object TextAnalysis {
         (sum(col("_lp")).cast("double") / count(lit(1)).cast("double")).as("avg_logp"))
   }
 
+  /** Train the stupid-backoff bigram LM [[lmScore]] consumes — the
+    * IN-ENGINE half of the CCNet workflow (train a reference LM on an
+    * in-domain slice, score everything else by how well it fits): returns
+    * `(bigrams(bigram, logp), unigrams(word, logp))` ready to pass to
+    * [[lmScore]] with `backoffLogp = ln(α)` (Brants et al.'s stupid
+    * backoff, α = 0.4 canonically — the score S(w2|w1) = C(w1w2)/C(w1·)
+    * when the bigram was seen, else α·C(w2)/N, unnormalized by design;
+    * at web scale the unnormalized backoff is indistinguishable from
+    * Kneser-Ney for ranking/filtering and needs only counts).
+    *
+    *   bigram logp  = ln(C(w1 w2) / C(w1 ·))   C(w1 ·) = Σ bigrams from w1
+    *   unigram logp = ln(C(w) / N)             N = total reference tokens
+    *
+    * `minCount` prunes bigrams below a count floor (the standard model-size
+    * cap — pruned mass falls through to the backoff leg [[lmScore]] already
+    * charges), keeping the bigram table broadcastable no matter how large
+    * the reference corpus grows: model size is bounded by the KEPT vocab,
+    * not the corpus.
+    *
+    * Determinism: counts are exact integers in any engine; logp is one ln
+    * of a ratio of integers in IEEE double (cross-engine ulp-stable, the
+    * t8 precedent), rounded ONCE to DECIMAL(18,6) inside [[lmScore]].
+    *
+    * Scale shape: one bigram explode riding the scan into a map-side-
+    * combining groupBy; C(w1 ·) aggregates the already-model-sized count
+    * table (not the corpus) and N is a 1-row broadcast cross join — the
+    * corpus is read once, everything downstream is model-sized.
+    */
+  def lmTrain(df: DataFrame, textCol: String, minCount: Int = 1)
+      : (DataFrame, DataFrame) = {
+    val bg = df.select(explode(bigramsAll(col(textCol))).as("bigram"))
+    val c2 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("_c2"))
+      .withColumn("_w1", substring_index(col("bigram"), " ", 1))
+    val c1 = c2.groupBy(col("_w1")).agg(sum(col("_c2")).as("_c1"))
+    val bigrams = c2.join(c1, Seq("_w1"))
+      .where(col("_c2") >= minCount)
+      .select(col("bigram"),
+        log(col("_c2").cast("double") / col("_c1").cast("double")).as("logp"))
+    val uc = df.select(explode(wsTokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("_c"))
+    val unigrams = uc.crossJoin(broadcast(uc.agg(sum(col("_c")).as("_n"))))
+      .select(col("word"),
+        log(col("_c").cast("double") / col("_n").cast("double")).as("logp"))
+    (bigrams, unigrams)
+  }
+
+  /** Train the multinomial Naive Bayes weights [[linearScore]] consumes —
+    * the IN-ENGINE half of the seed-labeled quality-classifier workflow
+    * (label a seed slice with cheap heuristics or metadata, train, score
+    * the whole corpus — the fastText/DCLM recipe t14/t15 only LOAD the
+    * exported artifact of). Returns the `(term, weight)` table plus the
+    * log-prior bias, ready to pass to [[linearScore]]:
+    *
+    *   weight(t) = ln((c⁺(t)+1)/(N⁺+V)) − ln((c⁻(t)+1)/(N⁻+V))   (add-1)
+    *   bias      = ln(n⁺/n⁻)                                  (doc prior)
+    *
+    * [[linearScore]] mean-pools (bias + Σ weight / n_tokens), so the score
+    * is the LENGTH-NORMALIZED NB log-odds — the standard curation variant
+    * (raw NB log-odds grow linearly with length, which would gate on
+    * document size, not quality). OOV terms at scoring time contribute 0
+    * via the left join: unseen evidence moves nothing.
+    *
+    * Determinism: all counts exact integers; each weight is two ln of
+    * integer ratios in IEEE double, rounded ONCE to DECIMAL(18,6) inside
+    * [[linearScore]]. The only driver materialization is the two class
+    * doc-counts behind `bias` — one 2-column row, geometry-bounded.
+    *
+    * Scale shape: one token explode into a map-side-combining groupBy on
+    * term (the model table, vocab-sized); totals are a 1-row broadcast
+    * cross join. Both classes must be non-empty — enforced, because an
+    * empty class makes the prior undefined rather than silently ±∞.
+    */
+  def nbTrain(df: DataFrame, textCol: String, labelCol: String)
+      : (DataFrame, Double) = {
+    val y = col(labelCol)
+    val tc = df.select(y.as("_y"), explode(wsTokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(
+        sum(when(col("_y"), 1L).otherwise(0L)).as("_c1"),
+        sum(when(col("_y"), 0L).otherwise(1L)).as("_c0"))
+    val tot = tc.agg(sum(col("_c1")).as("_n1"), sum(col("_c0")).as("_n0"),
+      count(lit(1)).as("_v"))
+    val weights = tc.crossJoin(broadcast(tot)).select(col("term"),
+      (log((col("_c1") + 1).cast("double") / (col("_n1") + col("_v")).cast("double")) -
+        log((col("_c0") + 1).cast("double") / (col("_n0") + col("_v")).cast("double")))
+        .as("weight"))
+    val prior = df.agg(
+      sum(when(y, 1L).otherwise(0L)).as("np"),
+      sum(when(y, 0L).otherwise(1L)).as("nn")).collect()(0)
+    val (np, nn) = (prior.getLong(0), prior.getLong(1))
+    require(np > 0 && nn > 0,
+      s"nbTrain needs both classes non-empty (got $np positive / $nn negative)")
+    (weights, math.log(np.toDouble / nn.toDouble))
+  }
+
   /** Canonical form for fingerprinting: lowercase, whitespace collapsed. */
   def normalized(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")

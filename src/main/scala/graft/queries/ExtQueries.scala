@@ -4895,6 +4895,144 @@ object ExtQueries {
     // recursive findall is DuckDB-side only
     benchmark = false)
 
+  /** T24 — held-out LM scoring with an IN-ENGINE-trained stupid-backoff
+    * bigram model ([[TA.lmTrain]] → [[TA.lmScore]]): the CCNet in-domain
+    * filter end to end. The model trains on the English half-slice
+    * (md5-bucket even ∧ lang = 'en' — a deterministic stand-in for "the
+    * clean wiki-like reference corpus"), then EVERY document is scored
+    * under it — including the reference's own complement, where unseen
+    * bigrams fall to the α·C(w)/N unigram leg (α = 0.4, Brants et al.)
+    * and OOV words to the −20 floor. In-domain (English) docs land in the
+    * high-avg_logp region, other-language docs in the tail — exactly the
+    * separation the filter gates on; `lang` rides along so the split is
+    * visible in the output. t8 is the no-smoothing SELF-scored variant;
+    * this is the train/score SPLIT that needs the backoff t8 avoids.
+    *
+    * Determinism: integer counts → one ln per model row (ulp-stable
+    * cross-engine) → DECIMAL(18,6) rounding once inside lmScore → exact
+    * decimal sums. ln(0.4) enters pre-rounded to −0.916291 on both sides.
+    */
+  val t24LmBackoff = QueryDef(
+    "t24_lm_backoff",
+    (s, dir) => {
+      val docs = Td(s, dir, "documents")
+      val ref = docs.where(col("lang") === "en" &&
+        Similarity.sampleBucket(col("doc_id")) % 2 === 0)
+      val (bt, ut) = TA.lmTrain(ref, "text")
+      val scored = TA.lmScore(docs, "doc_id", "text", bt, ut,
+        oovLogp = -20.0, backoffLogp = math.log(0.4))
+      docs.select(col("doc_id"), col("lang"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          col("avg_logp"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ref AS (SELECT text FROM documents
+                   WHERE lang = 'en' AND ${sampleBucketSql("doc_id")} % 2 = 0),
+      rw AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS ws FROM ref),
+      rbg AS (SELECT unnest(list_transform(generate_series(1, len(ws)-1),
+                i -> ws[i] || ' ' || ws[i+1])) AS bigram
+              FROM rw WHERE len(ws) >= 2),
+      c2 AS (SELECT bigram, count(*) AS c2 FROM rbg GROUP BY 1),
+      c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+      bt AS (SELECT c2.bigram,
+               CAST(ln(CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)) AS DECIMAL(18,6)) AS blp
+             FROM c2 JOIN c1 ON split_part(c2.bigram, ' ', 1) = c1.w1),
+      rt AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word FROM ref),
+      uc AS (SELECT word, count(*) AS c FROM rt GROUP BY 1),
+      ut AS (SELECT word,
+               CAST(ln(CAST(c AS DOUBLE) / (SELECT CAST(sum(c) AS DOUBLE) FROM uc))
+                 AS DECIMAL(18,6)) AS ulp
+             FROM uc),
+      w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+      bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1),
+               i -> ws[i] || ' ' || ws[i+1])) AS g
+             FROM w WHERE len(ws) >= 2),
+      j AS (SELECT bg.doc_id, bt.blp,
+              coalesce(bt.blp,
+                ut.ulp + CAST('-0.916291' AS DECIMAL(18,6)),
+                CAST('-20.0' AS DECIMAL(18,6))) AS lp
+            FROM bg LEFT JOIN bt ON bt.bigram = bg.g
+                    LEFT JOIN ut ON ut.word = split_part(bg.g, ' ', 2)),
+      agg AS (SELECT doc_id, count(*) AS n_bigrams, count(blp) AS n_hits,
+                CAST(sum(lp) AS DOUBLE) / count(*) AS avg_logp
+              FROM j GROUP BY 1)
+      SELECT d.doc_id, d.lang,
+             CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             CAST(coalesce(a.n_hits, 0) AS BIGINT) AS n_hits,
+             a.avg_logp
+      FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+    """),
+    // t8 times the identical explode + model joins + keyed agg shape on
+    // the same table — compact-line headroom
+    benchmark = false)
+
+  /** T25 — seed-labeled Naive Bayes quality classifier, trained IN-ENGINE
+    * ([[TA.nbTrain]] → [[TA.linearScore]]): the other half of the t14/t15
+    * surface, which loads exported weights but never produces them. The
+    * seed is the deterministic md5-bucket half of the corpus, labeled from
+    * metadata (lang = 'en' — the stand-in for "labels from cheap
+    * heuristics or a reference corpus", the fastText/DCLM recipe); the
+    * trained (term, weight) table then scores EVERY document — seed and
+    * held-out alike — through the unchanged t15 scoring path. `is_en`
+    * rides along as ground truth, so the output IS the eval table
+    * (pred vs is_en) a curation pipeline thresholds on.
+    *
+    * Determinism: integer counts → two ln per term (ulp-stable) →
+    * DECIMAL(18,6) rounding once inside linearScore → exact decimal sums;
+    * the bias is ln of the two collected class counts (one 2-column driver
+    * row), recomputed identically by the oracle.
+    */
+  val t25NbClassifier = QueryDef(
+    "t25_nb_classifier",
+    (s, dir) => {
+      val docs = Td(s, dir, "documents")
+      val seed = docs.where(Similarity.sampleBucket(col("doc_id")) < 128)
+        .select(col("text"), (col("lang") === "en").as("_y"))
+      val (wts, bias) = TA.nbTrain(seed, "text", "_y")
+      val scored = TA.linearScore(docs, "doc_id", "text", wts, bias = bias)
+      docs.select(col("doc_id"), (col("lang") === "en").as("is_en"))
+        .join(scored, Seq("doc_id"))
+        .select(col("doc_id"), col("is_en"), col("n_tokens"), col("n_hits"),
+          col("score"), (col("score") > 0.0).as("pred"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH seed AS (SELECT (lang = 'en') AS y, text FROM documents
+                    WHERE ${sampleBucketSql("doc_id")} < 128),
+      st AS (SELECT y, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term FROM seed),
+      tc AS (SELECT term,
+               sum(CASE WHEN y THEN 1 ELSE 0 END) AS c1,
+               sum(CASE WHEN y THEN 0 ELSE 1 END) AS c0
+             FROM st GROUP BY 1),
+      tot AS (SELECT sum(c1) AS n1, sum(c0) AS n0, count(*) AS v FROM tc),
+      wt AS (SELECT term,
+               CAST(ln(CAST(c1 + 1 AS DOUBLE) / CAST(n1 + v AS DOUBLE))
+                  - ln(CAST(c0 + 1 AS DOUBLE) / CAST(n0 + v AS DOUBLE))
+                 AS DECIMAL(18,6)) AS w
+             FROM tc CROSS JOIN tot),
+      bias AS (SELECT ln(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS DOUBLE)) AS b
+               FROM seed),
+      dt AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+             FROM documents),
+      j AS (SELECT dt.doc_id, wt.w FROM dt LEFT JOIN wt USING (term)),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(count(w) AS BIGINT) AS n_hits,
+                (SELECT b FROM bias)
+                  + coalesce(CAST(sum(w) AS DOUBLE), 0.0) / CAST(count(*) AS DOUBLE) AS score
+              FROM j GROUP BY 1)
+      SELECT d.doc_id, (d.lang = 'en') AS is_en, a.n_tokens, a.n_hits,
+             a.score, (a.score > 0.0) AS pred
+      FROM documents d JOIN agg a USING (doc_id) ORDER BY d.doc_id
+    """),
+    // t15/t5 time the explode + broadcast-weight join + keyed agg shape —
+    // compact-line headroom
+    benchmark = false)
+
   /** X39 — takedown through the durable BM25 index
     * ([[graft.ext.Bm25.buildIndex]] → [[graft.tables.Deletes.cascade]]
     * `bm25Indexes` leg → [[graft.ext.Bm25.searchIndex]]): build the
@@ -5822,7 +5960,8 @@ object ExtQueries {
     t7PiiRedact, t8LmPerplexity, t9TextNormalize, t10ScriptDetect, t11GopherRules,
     t12GopherRepetition, t13HtmlExtract, t14ClassifierScore, t15ClassifierWeighted,
     t16BpeEncode, t17LmScored, t18BpeTrain, t19BpePipeline, t20ByteBpe,
-    t21ByteBpeTrain, t22ByteBpeIds, t23Gpt2Tokenizer, x36PackSequences, x37Dml,
+    t21ByteBpeTrain, t22ByteBpeIds, t23Gpt2Tokenizer, t24LmBackoff,
+    t25NbClassifier, x36PackSequences, x37Dml,
     x38TokenizerFertility,
     d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc, d21SemDedup, x24TokenBudget,
     x25LinkRank, x26TrainSplit, x27QuantileNorm, x28LinkRankFull, x29Fim,

@@ -350,8 +350,12 @@ case class Gpt2SplitText(child: Expression, specials: Seq[String])
     Gpt2SplitText.compute(input.asInstanceOf[UTF8String], specialsByLen)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // Java SOURCE syntax, not classOf[Array[String]].getName: getName yields
+    // the JVM-internal "[Ljava.lang.String;" which Janino cannot parse in the
+    // cast addReferenceObj emits, silently dropping the whole stage to the
+    // interpreted path ("Unexpected token [ in primary").
     val sref = ctx.addReferenceObj("gpt2Specials", specialsByLen,
-      classOf[Array[String]].getName)
+      "java.lang.String[]")
     defineCodeGen(ctx, ev, c =>
       s"org.apache.spark.sql.graft.Gpt2SplitText.compute($c, $sref)")
   }

@@ -288,6 +288,28 @@ class BpeSpec extends SparkSpec {
     assert(gsplit("<|eot|>!", Seq("<|eot|>", "<|eot|>!")) === Seq("<|eot|>!"))
   }
 
+  test("gpt2Split codegen-compiles: Janino accepts the reference-object cast") {
+    // GenerateMutableProjection compiles through Janino with NO interpreted
+    // fallback — this throws if doGenCode emits anything Janino can't parse.
+    // Regression pin: addReferenceObj with classOf[Array[String]].getName
+    // emitted the JVM-internal "[Ljava.lang.String;" cast, which Janino
+    // rejected ("Unexpected token [ in primary") and every t23 plan silently
+    // ran interpreted.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val expr = org.apache.spark.sql.graft.Gpt2SplitText(
+      BoundReference(0, StringType, nullable = true), Seq("<|endoftext|>"))
+    val proj = GenerateMutableProjection.generate(Seq(expr))
+    val out = proj(InternalRow(UTF8String.fromString("don't<|endoftext|>")))
+      .getArray(0).asInstanceOf[ArrayData]
+    assert(out.toObjectArray(StringType).map(_.toString).toSeq ===
+      Seq("don", "'t", "<|endoftext|>"))
+  }
+
   test("gpt2Split feeds the byte encode: raw text to production ids") {
     // 'the café' through T20-style merges: Ġt+he fuse via ranks, é's two
     // mapped bytes fuse via (Ã,©) — checked end-to-end from RAW text

@@ -142,6 +142,40 @@ object RecallBench {
         }
         report("residual", m, k, approx, best)
       }
+
+      // refined variant (IVFADC+R): the SAME residual pipeline, but the
+      // ADC stage only proposes a kShort=50 shortlist and the top-10 comes
+      // from refineExact's exact-cosine re-rank of those rows. Isolates
+      // what the two-stage production shape buys: ADC error only has to
+      // keep true neighbors in the top-50, not rank them — recall/MRR
+      // should close most of the gap to exact at a per-query cost of 50
+      // exact dots. Time covers train+encode+shortlist+refine (comparable
+      // to the residual row).
+      {
+        val (m, k) = (16, 16)
+        var best = Double.MaxValue
+        var approx: Array[(Long, Long, Int)] = Array.empty
+        for (_ <- 1 to reps) {
+          val t0 = System.nanoTime()
+          val centroids = Similarity.kmeansTrain(emb, "vec_id", "embedding",
+              k = 8, iters = 2)
+            .select(col("centroid_id").cast("long").as("vec_id"), col("embedding"))
+          val centers = Similarity.residualCenters(emb, centroids,
+            "vec_id", "embedding")
+          val books = Similarity.pqTrainResidual(emb, "vec_id", "embedding",
+            centroids, centers, dim = 64, m = m, k = k, iters = 2, sampleMod = Some(4))
+          val index = Similarity.pqEncodeResidual(emb, centroids, centers,
+            "vec_id", "embedding", books)
+          val shortlist = Similarity.ivfPqResidualSearch(queries, index, centroids,
+            centers, "vec_id", "embedding", books, k = 50, nprobe = 8)
+          approx = Similarity.refineExact(shortlist, queries, emb,
+              "vec_id", "embedding", k = 10)
+            .select(col("query_id"), col("neighbor_id"), col("rnk"))
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        }
+        report("refined", m, k, approx, best)
+      }
     }
     graft.tables.Scratch.cleanup(spark)
     spark.stop()

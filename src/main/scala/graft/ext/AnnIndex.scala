@@ -133,4 +133,20 @@ object AnnIndex {
     Similarity.ivfPqResidualSearch(queries, store.read(codesT(name)),
       centroids, centers, idCol, vecCol, books, k, nprobe)
   }
+
+  /** Two-stage search (IVFADC+R): [[search]] proposes a `kShort`
+    * shortlist from the stored codes, [[Similarity.refineExact]] re-ranks
+    * those rows by exact cosine against `corpus` — the ORIGINAL vector
+    * table, passed by the caller because the index deliberately stores
+    * only 8 B codes, never floats (the whole point of PQ at 100 TB is
+    * that the raw vectors live once, in the corpus, not twice). Refine
+    * cost is one broadcast-pruned map pass over the corpus scan;
+    * everything else is bounded by |Q|×kShort.
+    */
+  def searchRefined(store: TableStore, name: String, queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 5, kShort: Int = 25, nprobe: Int = 2): DataFrame =
+    Similarity.refineExact(
+      search(store, name, queries, idCol, vecCol, kShort, nprobe),
+      queries, corpus, idCol, vecCol, k)
 }

@@ -954,6 +954,43 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Exact re-rank of an ANN shortlist (the "+R" of IVFADC+R, Jégou et
+    * al. §V reduced to its modern production form): the quantized stage
+    * proposes `kShort` candidates per query, and only THOSE rows pay an
+    * exact cosine against the original vectors — the two-stage shape
+    * every large retrieval deployment runs, because ADC error only has to
+    * keep the true neighbors inside the shortlist, not rank them.
+    *
+    * Contract: output ⊆ shortlist by construction (an exact-closer vector
+    * the ANN stage missed can never appear — refine repairs ORDER, not
+    * RECALL; recall repairs belong to nprobe/kShort). Ranks by exact
+    * cosine desc, neighbor_id tiebreak; rows with `cos` ties replay
+    * identically in any engine because [[dot]] is a strict left fold.
+    *
+    * Scale shape: the shortlist is |Q|×kShort rows — broadcast it into
+    * the corpus scan, so fetching candidate vectors is ONE map-only pass
+    * over the vector table (broadcast hash join, no corpus shuffle, scan
+    * pruned to the id and vector columns); norms are computed on the
+    * |Q|×kShort fetched rows only. Queries broadcast likewise. Nothing
+    * downstream of the scan exceeds |Q|×kShort rows.
+    */
+  def refineExact(shortlist: DataFrame, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int = 5): DataFrame = {
+    val q = withNorm(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "qv", "qn")
+    val cand = shortlist.select(col("query_id"), col("neighbor_id"))
+    val fetched = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+    val scored = withNorm(fetched, "cv", "cn")
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   // --- per-dimension standardization (whitening-lite) -----------------------
 
   /** Per-DIMENSION corpus moments of an embedding column — the statistics

@@ -3058,6 +3058,91 @@ object ExtQueries {
       SELECT query_id, neighbor_id, adc, rnk FROM pr WHERE rnk <= 5 ORDER BY query_id, rnk
     """))
 
+  /** S16 — two-stage ANN: ADC shortlist + EXACT re-rank (IVFADC+R,
+    * [[graft.ext.AnnIndex.searchRefined]]) — the production retrieval
+    * shape: the stored float-free index proposes kShort=25 candidates per
+    * query, and only those 25 rows pay an exact cosine against the
+    * original vectors (one broadcast-pruned map pass over the embeddings
+    * scan — the corpus never shuffles and never stores floats twice).
+    * Shares s15's durable index verbatim (same name, same build params,
+    * existence probe — whichever query runs first pays the build), so the
+    * bench delta s16 − s15 IS the refine cost. Output is ⊆ the shortlist
+    * by construction: refine repairs ORDER, not RECALL — the oracle's
+    * exact ranks come from re-scoring `pr rnk ≤ 25`, never from a fresh
+    * brute-force, so a shortlist miss stays missed in both engines.
+    */
+  val s16AnnRefine = QueryDef(
+    "s16_ann_refine",
+    (s, dir) => {
+      import graft.ext.AnnIndex
+      val emb = Td(s, dir, "embeddings")
+      val store = graft.tables.Scratch.store(s)
+      if (!store.exists("s15_ann_codes"))
+        AnnIndex.build(store, "s15_ann", emb, "vec_id", "embedding",
+          dim = 64, nlist = 8, coarseIters = 2, m = 8, k = 16, pqIters = 2,
+          sampleMod = Some(4))
+      AnnIndex.searchRefined(store, "s15_ann", emb.filter(col("vec_id") < 5),
+          emb, "vec_id", "embedding", k = 5, kShort = 25, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("cos"),
+          col("rnk").cast("long").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some(s"""
+      WITH $vecCte,
+      ${kmeansCte(8, 2, srcWhere = s" WHERE ${sampleFilterSql("vec_id", 4)}")},
+      ${trainedCentSql(2)},
+      asg0 AS (SELECT n.vec_id, cent.centroid_id,
+                 ${dotSql.format("n.v", "centv")} / (n.nrm * centn) AS ccos
+               FROM n CROSS JOIN cent),
+      asg AS (SELECT vec_id, centroid_id AS cluster FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rnk
+                FROM asg0) WHERE rnk = 1),
+      probes0 AS (SELECT n.vec_id AS query_id, cent.centroid_id,
+                    ${dotSql.format("n.v", "centv")} / (n.nrm * centn) AS ccos
+                  FROM n CROSS JOIN cent WHERE n.vec_id < 5),
+      probes AS (SELECT query_id, centroid_id AS cluster FROM (
+                   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ccos DESC, centroid_id) AS rnk
+                   FROM probes0) WHERE rnk <= 2),
+      ${pqResCte(m = 8, k = 16, iters = 2, dsub = 8,
+        trainWhere = s" WHERE ${sampleFilterSql("vec_id", 4)}")},
+      pe AS (SELECT s.vec_id, s.sub, c.cid,
+               list_reduce(list_transform(c.cv, x -> x * x), (a, b) -> a + b) -
+                 2 * ${dotSql.format("s.sv", "c.cv")} AS dist
+             FROM pq_sv s JOIN pc2 c ON c.sub = s.sub),
+      penc AS (SELECT vec_id, sub, cid FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rnk
+               FROM pe) WHERE rnk = 1),
+      plut AS (SELECT s.vec_id AS query_id, s.sub, c.cid,
+                 ${dotSql.format("s.sv", "c.cv")} AS ip
+               FROM pq_qsv s JOIN pc2 c ON c.sub = s.sub WHERE s.vec_id < 5),
+      coarse AS (SELECT u.vec_id AS query_id, cu.centroid_id AS cluster,
+                   ${dotSql.format("u.uv", "cu.centuv")} AS cip
+                 FROM pq_u u CROSS JOIN centu cu WHERE u.vec_id < 5),
+      cand AS (SELECT p.query_id, a.vec_id, a.cluster
+               FROM asg a JOIN probes p ON a.cluster = p.cluster
+               WHERE a.vec_id <> p.query_id),
+      psc0 AS (SELECT cd.query_id, cd.vec_id AS neighbor_id, cd.cluster, e.sub, l.ip
+               FROM cand cd
+               JOIN penc e ON e.vec_id = cd.vec_id
+               JOIN plut l ON l.query_id = cd.query_id AND l.sub = e.sub AND l.cid = e.cid),
+      psc AS (SELECT query_id, neighbor_id, cluster,
+                list_reduce(list(ip ORDER BY sub), (a, b) -> a + b) AS radc
+              FROM psc0 GROUP BY 1, 2, 3),
+      pscf AS (SELECT p.query_id, p.neighbor_id, co.cip + p.radc AS adc
+               FROM psc p JOIN coarse co ON co.query_id = p.query_id AND co.cluster = p.cluster),
+      pr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rnk
+             FROM pscf),
+      short AS (SELECT query_id, neighbor_id FROM pr WHERE rnk <= 25),
+      rf AS (SELECT sh.query_id, sh.neighbor_id,
+               ${dotSql.format("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+             FROM short sh
+             JOIN n q ON q.vec_id = sh.query_id
+             JOIN n c ON c.vec_id = sh.neighbor_id),
+      rr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+             FROM rf)
+      SELECT query_id, neighbor_id, cos, rnk FROM rr WHERE rnk <= 5 ORDER BY query_id, rnk
+    """))
+
   /** S14 — DURABLE ANN index, incremental ([[graft.ext.AnnIndex]]):
     * build the residual-IVF+PQ index on the ~4/5 base slice (quantizers
     * trained on the base's md5 sample), APPEND the ~1/5 increment against
@@ -5966,7 +6051,7 @@ object ExtQueries {
     d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc, d21SemDedup, x24TokenBudget,
     x25LinkRank, x26TrainSplit, x27QuantileNorm, x28LinkRankFull, x29Fim,
     x30LengthBatches, x31EmbedStandardize, x32SpanCorrupt, x33GateAttrition,
-    x34DeleteCascade, x35VersionDiff, x39Bm25Takedown, s15AnnSearch,
+    x34DeleteCascade, x35VersionDiff, x39Bm25Takedown, s15AnnSearch, s16AnnRefine,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,

@@ -307,6 +307,23 @@ class PlanSpec extends SparkSpec {
       "only the doc-id outer join may sort-merge")
   }
 
+  test("ANN exact refine: shortlist and queries broadcast into the corpus scan (S16@scale)") {
+    import org.apache.spark.sql.functions._
+    val emb = Td(spark, sf, "embeddings")
+    val shortlist = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), (col("vec_id") + 7).as("neighbor_id"))
+    val p = plan(graft.ext.Similarity.refineExact(
+      shortlist, emb.filter(col("vec_id") < 2), emb, "vec_id", "embedding", k = 5))
+    // the |Q|×kShort shortlist and the query vectors both broadcast: the
+    // corpus-sized vector table is ONE map-only scan, never shuffled
+    assert(p.split("BroadcastHashJoin").length >= 3,
+      p.linesIterator.take(50).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"),
+      "refine must never sort-merge the corpus")
+    // everything past the fetch is |Q|×kShort-sized; the only exchange is
+    // the per-query window over those rows
+  }
+
   test("exact span confirm runs only behind the candidate semi-join (D22)") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val lp = graft.queries.ExtQueries.d22SpanExact.fn(spark, sf)

@@ -65,6 +65,41 @@ class AnnIndexSpec extends SparkSpec {
     assert(out.forall(_ % 2 === 1), s"cross-family neighbors: ${out.toSeq}")
   }
 
+  test("searchRefined: exact-cosine order, output ⊆ shortlist, never a shortlist repair") {
+    val store = newStore()
+    AnnIndex.build(store, "idx", corpus, "vec_id", "embedding",
+      dim = 16, nlist = 2, m = 4, k = 4)
+    val q = corpus.filter(col("vec_id") === 1)
+
+    // the refined top-k re-ranks EXACTLY the ADC shortlist — membership
+    // must match the kShort search, order must be exact cosine
+    val shortIds = AnnIndex.search(store, "idx", q, "vec_id", "embedding",
+        k = 12, nprobe = 1)
+      .select("neighbor_id").as[Long].collect().toSet
+    val refined = AnnIndex.searchRefined(store, "idx", q, corpus,
+        "vec_id", "embedding", k = 5, kShort = 12, nprobe = 1)
+      .orderBy(col("rnk"))
+      .select(col("neighbor_id"), col("cos")).as[(Long, Double)].collect()
+    assert(refined.length === 5)
+    assert(refined.map(_._1).toSet.subsetOf(shortIds))
+    // exact cosine recomputed independently driver-side, strict left fold
+    val vecs = corpus.as[(Long, Seq[Float])].collect().toMap
+    def cosOf(a: Seq[Float], b: Seq[Float]): Double = {
+      def dotD(x: Seq[Float], y: Seq[Float]) =
+        x.zip(y).foldLeft(0.0) { case (s, (p, r)) => s + p.toDouble * r.toDouble }
+      dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
+    }
+    val want = shortIds.toSeq
+      .map(id => (id, cosOf(vecs(1L), vecs(id))))
+      .sortBy { case (id, c) => (-c, id) }.take(5)
+    assert(refined.map(_._1).toSeq === want.map(_._1))
+
+    // contract pin: refine repairs ORDER, not RECALL — with the shortlist
+    // restricted to one probe, an exact-closer vector from the unprobed
+    // cluster must NOT appear (it was never a candidate)
+    assert(refined.map(_._1).forall(_ % 2 === 1))
+  }
+
   test("takedown rewrites only the deleted ids' clusters; artifacts stay frozen") {
     val store = newStore()
     AnnIndex.build(store, "idx", corpus, "vec_id", "embedding",

@@ -101,6 +101,36 @@ object Bm25 {
     writeStats(store, name)
   }
 
+  /** Incremental append — the lexical side of the [[AnnIndex.append]]
+    * contract: a new document's postings and doclen rows are DOC-LOCAL,
+    * so indexing an increment appends rows without ever re-reading or
+    * re-tokenizing the already-indexed corpus; stats recompute from the
+    * updated doclen table. Post-append [[searchIndex]] equals a
+    * [[buildIndex]] over the union double-for-double, because df, N, and
+    * avgdl are all DERIVED from the rows present — there is no frozen
+    * quantizer analogue here and no counter to adjust, which is exactly
+    * why BM25 appends need no training artifact at all.
+    *
+    * Caller contract: `docs` must not contain already-indexed ids (their
+    * postings would double-count) — guard a re-deliverable feed with an
+    * anti-join against [[knownIds]], the DedupIndex idiom.
+    */
+  def append(store: TableStore, name: String, docs: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val toks = TextAnalysis.wsTokens(col(textCol))
+    store.append(s"${name}_postings",
+      docs.select(col(idCol), explode(toks).as("term"))
+        .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tcnt")))
+    store.append(s"${name}_doclen",
+      docs.select(col(idCol), size(toks).cast("long").as("dlen")))
+    writeStats(store, name)
+  }
+
+  /** Ids currently indexed — narrow scan of the doclen table (one row per
+    * doc; postings would multiply the scan by the vocabulary). */
+  def knownIds(store: TableStore, name: String, idCol: String): DataFrame =
+    store.read(s"${name}_doclen").select(col(idCol))
+
   /** stats = a pure aggregate of the CURRENT doclen table (recompute, not
     * adjust — see [[buildIndex]]'s idempotency rationale).
     */

@@ -5158,6 +5158,41 @@ object ExtQueries {
     // delete leg is doc-local anti-joins
     benchmark = false)
 
+  /** X40 — incremental BM25 index append ([[graft.ext.Bm25.append]]):
+    * build the durable index on the ~4/5 md5-bucket base, APPEND the ~1/5
+    * increment — postings/doclen rows are doc-local, so the base is never
+    * re-read or re-tokenized (Bm25Spec deletes the base corpus first to
+    * enforce it) — then search the appended index. The oracle is the
+    * FULL-corpus BM25 search with no split at all: because df/N/avgdl are
+    * derived from the rows present rather than persisted counters,
+    * append ≡ union-rebuild ≡ never-split, double-for-double — the s14
+    * frozen-artifact criterion in the regime where there is no artifact
+    * to freeze. Any leak of split state into scoring flips rows.
+    */
+  val x40Bm25Append = QueryDef(
+    "x40_bm25_append",
+    (s, dir) => {
+      val docs = Td(s, dir, "documents").select(col("doc_id"), col("text"))
+      val store = graft.tables.Scratch.store(s)
+      val isInc = Similarity.sampleBucket(col("doc_id")) % 5 === 0
+      graft.ext.Bm25.buildIndex(store, "x40_bm", docs.filter(!isInc),
+        "doc_id", "text")
+      graft.ext.Bm25.append(store, "x40_bm", docs.filter(isInc),
+        "doc_id", "text")
+      graft.ext.Bm25.searchIndex(store, "x40_bm", "doc_id",
+          queryTerms = Seq("table", "merge", "spark"), topK = 20)
+        .select(col("doc_id"), col("score"), col("rnk").cast("long").as("rnk"))
+        .orderBy(col("rnk"))
+    },
+    Some(s"""
+      WITH ${bm25Cte(Seq("table", "merge", "spark"))},
+      r AS (SELECT doc_id, score,
+              row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM bscore)
+      SELECT doc_id, score, rnk FROM r WHERE rnk <= 20 ORDER BY rnk
+    """),
+    // the x39 build shape plus a smaller one — nothing new to time
+    benchmark = false)
+
   /** T18 — BPE merge-table TRAINING ([[graft.ext.TextAnalysis.bpeTrain]],
     * the learning side of t16): three rounds of encode-with-learned-merges
     * → within-word adjacent-pair counts → deterministic argmax (count
@@ -6051,7 +6086,8 @@ object ExtQueries {
     d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc, d21SemDedup, x24TokenBudget,
     x25LinkRank, x26TrainSplit, x27QuantileNorm, x28LinkRankFull, x29Fim,
     x30LengthBatches, x31EmbedStandardize, x32SpanCorrupt, x33GateAttrition,
-    x34DeleteCascade, x35VersionDiff, x39Bm25Takedown, s15AnnSearch, s16AnnRefine,
+    x34DeleteCascade, x35VersionDiff, x39Bm25Takedown, x40Bm25Append,
+    s15AnnSearch, s16AnnRefine,
     d1DedupExact, d2DedupNgram, d3DedupMinhash, d4DedupSimhash, d5DedupEmbed,
     d6DedupEmbedIvf, d7DedupHotbucket, d8DedupIncremental, d9DedupEmbedLsh,
     d10DedupIndexReuse, d11DedupIvfMultiprobe, d12Contamination, d13DedupIndexDigest,

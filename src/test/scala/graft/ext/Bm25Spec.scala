@@ -42,4 +42,36 @@ class Bm25Spec extends SparkSpec {
     intercept[IllegalArgumentException] { Bm25.score(df, "doc_id", "text", Nil) }
     intercept[IllegalArgumentException] { Bm25.score(df, "doc_id", "text", Seq("a", "a")) }
   }
+
+  test("append: increment indexes without re-reading the base; equals a union rebuild exactly") {
+    val store = new graft.tables.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_bm25idx").toString)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25corpus").toString
+    val docs = Seq(
+      (1L, "spark table merge table"),
+      (2L, "merge spark spark"),
+      (3L, "table table table noise"),
+      (4L, "spark merge table words here"),
+      (5L, "unrelated text entirely")).toDF("doc_id", "text")
+    val isInc = col("doc_id") >= 4
+    docs.filter(!isInc).write.parquet(s"$tmp/base")
+    docs.filter(isInc).write.parquet(s"$tmp/inc")
+
+    Bm25.buildIndex(store, "bm", spark.read.parquet(s"$tmp/base"), "doc_id", "text")
+    // base corpus DELETED before the append: any plan that re-reads or
+    // re-tokenizes base text fails at action time (the AnnIndexSpec pin)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$tmp/base"))
+    Bm25.append(store, "bm", spark.read.parquet(s"$tmp/inc"), "doc_id", "text")
+
+    // df of 'spark'/'table' shifts, N 3→5, avgdl shifts — all derived, so
+    // the appended index must match a from-scratch union build exactly
+    Bm25.buildIndex(store, "bm_union", docs, "doc_id", "text")
+    def res(n: String) = Bm25.searchIndex(store, n, "doc_id",
+        Seq("spark", "table"), topK = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    assert(res("bm") === res("bm_union"),
+      "append must score identically to a union rebuild")
+    assert(Bm25.knownIds(store, "bm", "doc_id").as[Long].collect().toSet ===
+      Set(1L, 2L, 3L, 4L, 5L))
+  }
 }

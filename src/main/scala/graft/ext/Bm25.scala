@@ -131,6 +131,16 @@ object Bm25 {
   def knownIds(store: TableStore, name: String, idCol: String): DataFrame =
     store.read(s"${name}_doclen").select(col(idCol))
 
+  /** Recompute the stats cache from the current doclen table — the
+    * crash-repair hook for streaming ingest: a crash between a doclen
+    * commit and its stats write leaves a correct index with a stale
+    * cache, and the id-based re-delivery guard would never re-enter the
+    * repairing leg; an unconditional per-batch refresh closes that
+    * window ([[graft.streaming.Streams.retrievalIngestSink]]).
+    */
+  def refreshStats(store: TableStore, name: String): Unit =
+    writeStats(store, name)
+
   /** stats = a pure aggregate of the CURRENT doclen table (recompute, not
     * adjust — see [[buildIndex]]'s idempotency rationale).
     */

@@ -400,6 +400,103 @@ object Streams {
       }
       .start()
 
+  /** Streaming ingest into the DURABLE retrieval artifacts — the arrival
+    * side of [[takedownSink]]'s departure side: each micro-batch of new
+    * documents appends to the ANN index ([[graft.ext.AnnIndex.append]] —
+    * encode against FROZEN stored quantizers, never a retrain) and/or the
+    * BM25 index ([[graft.ext.Bm25.append]] — doc-local postings, never a
+    * base re-read), so retrieval artifacts track the corpus continuously
+    * instead of by rebuild. Indexes must be BUILT before the stream
+    * starts (the [[indexedNearDupSink]] contract: the stream only ever
+    * increments).
+    *
+    * Effectively-once per artifact, without per-batch index scans: the
+    * hot path is guard → append only (each leg anti-joins its OWN
+    * `knownIds` — an id can be present in one artifact and not the other
+    * inside a crash window — then appends; O(batch + a narrow id-column
+    * scan), never O(index)). Crash repair is gated behind an INTENT
+    * MARKER (1-row `<intentTable>`: started/done batch ids, started
+    * written before the legs, done after): a replayed batch whose marker
+    * says started-but-not-done is the ONLY state where partial rows can
+    * exist, and only there does the sink pay the delete-before-append
+    * repair ([[graft.ext.Bm25.deleteIds]] / [[graft.ext.AnnIndex.deleteIds]]
+    * drop whatever the interrupted append left; the re-append then
+    * converges to byte-identical state from any interruption point) plus
+    * the stats refresh that closes the doclen-committed-stats-stale
+    * window the id guard cannot re-enter. A first delivery, a re-delivered
+    * id, and a crash-free replay all stay on the fast path. Within-batch
+    * duplicates fold first (deterministic winner).
+    */
+  def retrievalIngestSink(docs: DataFrame, store: TableStore, idCol: String,
+      checkpoint: String,
+      annIndex: Option[String] = None, vecCol: String = "embedding",
+      bm25Index: Option[String] = None, textCol: String = "text",
+      intentTable: Option[String] = None): StreamingQuery = {
+    require(annIndex.nonEmpty || bm25Index.nonEmpty,
+      "retrievalIngestSink needs at least one of annIndex / bm25Index")
+    val intentT = intentTable.getOrElse(
+      s"${annIndex.getOrElse(bm25Index.get)}_ingest_intent")
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        import batch.sparkSession.implicits._
+        val (started, done) =
+          if (store.exists(intentT)) {
+            val r = store.read(intentT).select(col("started_batch"),
+              col("done_batch")).collect()(0)
+            (r.getLong(0), r.getLong(1))
+          } else (-1L, -1L)
+        // partial rows can exist ONLY when a prior attempt of THIS batch
+        // declared intent and never finished
+        val repair = started == bid && done < bid
+        store.overwrite(intentT,
+          Seq((bid, done)).toDF("started_batch", "done_batch"))
+        val tiebreak = if (bm25Index.nonEmpty) textCol else vecCol
+        val b = graft.clean.Normalize.dedupKeep(batch, Seq(idCol),
+          Seq(col(tiebreak)))
+        // on the repair path the guard's anti-join must be MATERIALIZED
+        // before deleteIds mutates the very table it reads — stage the
+        // fresh set and read it back (batch-sized, disk-backed; the fast
+        // path never mutates before consuming, so it skips the copy)
+        def freshFor(fresh: DataFrame, n: String): DataFrame =
+          if (!repair) fresh
+          else {
+            store.overwrite(s"${n}_ingest_stage", fresh)
+            store.read(s"${n}_ingest_stage")
+          }
+        annIndex.foreach { n =>
+          val fresh = freshFor(
+            b.join(graft.ext.AnnIndex.knownIds(store, n, idCol),
+              Seq(idCol), "left_anti"), n)
+          if (!fresh.isEmpty) {
+            if (repair)
+              graft.ext.AnnIndex.deleteIds(store, n, fresh.select(col(idCol)), idCol)
+            graft.ext.AnnIndex.append(store, n, fresh, idCol, vecCol)
+          }
+        }
+        bm25Index.foreach { n =>
+          val fresh = freshFor(
+            b.join(graft.ext.Bm25.knownIds(store, n, idCol),
+              Seq(idCol), "left_anti"), n)
+          if (!fresh.isEmpty) {
+            if (repair)
+              graft.ext.Bm25.deleteIds(store, n, fresh.select(col(idCol)), idCol)
+            graft.ext.Bm25.append(store, n, fresh, idCol, textCol)
+          } else if (repair) {
+            // the doc committed its doclen (hence guarded out) but the
+            // interrupted attempt may have died before the stats write
+            graft.ext.Bm25.refreshStats(store, n)
+          }
+        }
+        store.overwrite(intentT,
+          Seq((bid, bid)).toDF("started_batch", "done_batch"))
+        ()
+      }
+      .start()
+  }
+
   /** Streaming quality gate with TRAINED weights — the streaming twin of
     * the t15 batch surface: each micro-batch scores against the exported
     * (term, weight) table via [[graft.ext.TextAnalysis.linearScore]]

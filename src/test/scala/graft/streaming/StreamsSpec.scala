@@ -736,4 +736,80 @@ class StreamsSpec extends SparkSpec {
     assert(archived >= 1, s"expected at least one archived file under $archive")
     assert(landed + archived === 2, "every landed file is either pending or archived, never lost")
   }
+
+  test("retrievalIngestSink: streamed docs append to ANN + BM25 indexes; crash replay repairs; re-delivery is a no-op") {
+    import graft.ext.{AnnIndex, Bm25}
+    val dir = Files.createTempDirectory("graft_ri_landing").toString
+    val ckpt = Files.createTempDirectory("graft_ri_ckpt").toString
+    val store = new TableStore(spark, Files.createTempDirectory("graft_ri_store").toString)
+
+    // the AnnIndexSpec two-family fixture, with a text column riding along
+    def vec(base: Int, i: Int): Seq[Float] =
+      (0 until 16).map { d =>
+        val on = d >= base && d < base + 4
+        if (on) 1.0f + 0.01f * ((i * 7 + d) % 5) else 0.001f * ((i * 3 + d) % 7)
+      }
+    def text(i: Long) = s"spark table doc$i " + ("merge " * (i % 3).toInt).trim
+    val all = (1 to 16).map(i =>
+      (i.toLong, text(i), vec(if (i % 2 == 1) 0 else 8, i)))
+    val base = all.filter(_._1 <= 12)
+    val inc = all.filter(_._1 > 12)
+    val baseDf = base.toDF("doc_id", "text", "embedding")
+
+    // indexes BUILT before the stream starts (the sink only increments)
+    AnnIndex.build(store, "ri_ann", baseDf, "doc_id", "embedding",
+      dim = 16, nlist = 2, m = 4, k = 4)
+    Bm25.buildIndex(store, "ri_bm", baseDf, "doc_id", "text")
+
+    // CRASH-WINDOW PLANT: a prior attempt of batch 0 died mid-postings —
+    // doc 13 has half its postings and no doclen row; the intent marker
+    // says started=0, never done
+    store.append("ri_bm_postings",
+      Seq((13L, "spark", 1L)).toDF("doc_id", "term", "tcnt"))
+    store.overwrite("ri_ann_ingest_intent",
+      Seq((0L, -1L)).toDF("started_batch", "done_batch"))
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    def row(d: (Long, String, Seq[Float])) =
+      s"""{"doc_id":${d._1},"text":"${d._2}","embedding":[${d._3.mkString(",")}]}"""
+    def drain(): Unit = Streams.retrievalIngestSink(
+      spark.readStream.format("json").schema(schema).load(dir),
+      store, "doc_id", ckpt,
+      annIndex = Some("ri_ann"), bm25Index = Some("ri_bm"))
+      .awaitTermination()
+
+    // batch 1: the increment, plus a re-delivery of an indexed doc
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b1.json"),
+      (inc.map(row) :+ row(base.head)).mkString("\n"))
+    drain()
+
+    // both artifacts now equal a from-scratch union build, the torn
+    // postings row REPAIRED (the replay path deleted-then-reappended 13)
+    val unionDf = all.toDF("doc_id", "text", "embedding")
+    Bm25.buildIndex(store, "ri_bm_ref", unionDf, "doc_id", "text")
+    def bmRes(n: String) = Bm25.searchIndex(store, n, "doc_id",
+        Seq("spark", "merge"), topK = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    assert(bmRes("ri_bm") === bmRes("ri_bm_ref"))
+    assert(store.read("ri_bm_postings")
+      .filter(col("doc_id") === 13L && col("term") === "spark").count() === 1)
+    assert(AnnIndex.knownIds(store, "ri_ann", "doc_id")
+      .as[Long].collect().toSet === (1L to 16L).toSet)
+    val annBefore = store.read("ri_ann_codes").collect()
+      .map(_.toSeq).toSet
+
+    // batch 2: pure re-delivery — every table byte-identical after
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b2.json"),
+      inc.take(2).map(row).mkString("\n"))
+    drain()
+    assert(bmRes("ri_bm") === bmRes("ri_bm_ref"))
+    assert(store.read("ri_ann_codes").collect().map(_.toSeq).toSet === annBefore)
+    // the marker closed: started == done == the last batch id
+    val m = store.read("ri_ann_ingest_intent").collect()(0)
+    assert(m.getLong(0) === m.getLong(1))
+  }
 }

@@ -297,6 +297,17 @@ object TextAnalysis {
     org.apache.spark.sql.graft.ByteBpeEncodeIds.byteBpeEncodeIds(
       gpt2Split(c, specials), merges, specials)
 
+  /** Detokenize: id stream → text, the exact inverse of
+    * [[byteBpeIdsGpt2]] (byte-level BPE is lossless, so
+    * `byteBpeDecode(byteBpeIdsGpt2(text)) = text` for any input) — the
+    * inspection/eval leg after packing, and the round-trip check that
+    * catches a wrong-vocab load before a training run does.
+    */
+  def byteBpeDecode(ids: Column, merges: Seq[(String, String)],
+      specials: Seq[String]): Column =
+    org.apache.spark.sql.graft.ByteBpeDecodeIds.byteBpeDecodeIds(
+      ids, merges, specials)
+
   /** Parse an exported HF/GPT-2 `merges.txt` into the merge table
     * [[byteBpeEncode]] consumes verbatim: one `a b` pair per line in rank
     * order, an optional `#version` FIRST line (the only comment convention

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.graft.{BpeEncodeTokens, ByteBpeEncodeIds, ByteBpeEncodeTokens, CharShingles, Gpt2SplitText, DotProduct, IdnHostUnicode, NormalizeText, QuantizeI8, QuantizeScale, WinnowMins, WordShingles}
+import org.apache.spark.sql.graft.{BpeEncodeTokens, ByteBpeDecodeIds, ByteBpeEncodeIds, ByteBpeEncodeTokens, CharShingles, Gpt2SplitText, DotProduct, IdnHostUnicode, NormalizeText, QuantizeI8, QuantizeScale, WinnowMins, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -119,6 +119,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (c.length > 1) litStr(c(1), "specials").split(",").filter(_.nonEmpty).toSeq
         else Nil
       Gpt2SplitText(c.head, specials)
+    }
+    fn("graft_byte_bpe_decode", classOf[ByteBpeDecodeIds]) { c =>
+      arity(c, 2, 3, "graft_byte_bpe_decode(ids, 'a b,c d'[, 'sp1,sp2'])")
+      val specials =
+        if (c.length > 2) litStr(c(2), "specials").split(",").filter(_.nonEmpty).toSeq
+        else Nil
+      ByteBpeDecodeIds(c.head, parseMergeArg(c(1)), specials)
     }
   }
 }

@@ -4980,6 +4980,44 @@ object ExtQueries {
     // recursive findall is DuckDB-side only
     benchmark = false)
 
+  /** T26 — tokenizer ROUND-TRIP: `byteBpeDecode(byteBpeIdsGpt2(text))`
+    * must return the input byte-for-byte ([[TA.byteBpeDecode]], the exact
+    * inverse of the t22/t23 id emission — byte-level BPE is lossless by
+    * construction). The oracle does NOT replay the tokenizer: identity is
+    * the whole claim, so it hashes the PLANTED text directly — any
+    * decode-side defect (wrong vocab layout, byte-table inversion error,
+    * special mishandling, lost whitespace run) flips `round_trip` or the
+    * md5. The planted tail exercises contractions, specials, multi-space
+    * runs, multi-byte chars, and digit/punct seams on every row; the
+    * sanitized document prefix varies per doc. This is the wrong-vocab
+    * tripwire an id-producing pipeline runs before a training job does.
+    */
+  val t26BpeRoundTrip = QueryDef(
+    "t26_bpe_round_trip",
+    (s, dir) => {
+      val sanitized = regexp_replace(col("text"), "[^ -~]", "")
+      val planted = concat(substring(sanitized, 1, 120),
+        lit(" don't stop<|endoftext|>the café  costs 12,50!!! DON'T 'twas x3<|endoftext|> "))
+      val ids = TA.byteBpeIdsGpt2(col("_t26"), T20Merges, T20Specials)
+      val decoded = TA.byteBpeDecode(ids, T20Merges, T20Specials)
+      Td(s, dir, "documents").select(col("doc_id"), planted.as("_t26"))
+        .select(col("doc_id"),
+          length(col("_t26")).cast("long").as("n_chars"),
+          (decoded === col("_t26")).as("round_trip"),
+          md5(decoded.cast("binary")).as("decoded_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH aug AS (SELECT doc_id, left(regexp_replace(text, '[^ -~]', '', 'g'), 120) ||
+            ' don''t stop<|endoftext|>the café  costs 12,50!!! DON''T ''twas x3<|endoftext|> ' AS t
+        FROM documents)
+      SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars, TRUE AS round_trip,
+             md5(t) AS decoded_md5
+      FROM aug ORDER BY doc_id
+    """),
+    // the t23 encode shape plus a map-only decode — nothing new to time
+    benchmark = false)
+
   /** T24 — held-out LM scoring with an IN-ENGINE-trained stupid-backoff
     * bigram model ([[TA.lmTrain]] → [[TA.lmScore]]): the CCNet in-domain
     * filter end to end. The model trains on the English half-slice
@@ -6080,7 +6118,7 @@ object ExtQueries {
     t7PiiRedact, t8LmPerplexity, t9TextNormalize, t10ScriptDetect, t11GopherRules,
     t12GopherRepetition, t13HtmlExtract, t14ClassifierScore, t15ClassifierWeighted,
     t16BpeEncode, t17LmScored, t18BpeTrain, t19BpePipeline, t20ByteBpe,
-    t21ByteBpeTrain, t22ByteBpeIds, t23Gpt2Tokenizer, t24LmBackoff,
+    t21ByteBpeTrain, t22ByteBpeIds, t23Gpt2Tokenizer, t26BpeRoundTrip, t24LmBackoff,
     t25NbClassifier, x36PackSequences, x37Dml,
     x38TokenizerFertility,
     d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc, d21SemDedup, x24TokenBudget,

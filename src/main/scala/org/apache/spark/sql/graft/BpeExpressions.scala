@@ -554,3 +554,108 @@ object ByteBpeEncodeIds {
     ExpressionUtils.column(
       ByteBpeEncodeIds(ExpressionUtils.expression(tokens), merges, specials))
 }
+
+/** `byte_bpe_decode(ids, merges, specials)` — the exact inverse of
+  * [[ByteBpeEncodeIds]]: an id stream back to text. GPT-2 byte-level
+  * tokenization is LOSSLESS by construction (every byte has a spelling,
+  * specials are atomic literals), so
+  * `decode(encode_ids(gpt2_split(text))) = text` for any input — the
+  * detokenization leg an eval/inspection pipeline needs after packing.
+  *
+  * Each id resolves through a dense id→bytes table built once from the
+  * SAME vocab layout as the encoder (bytes 0..255, merge products at
+  * 256+rank, specials last): byte-alphabet spellings map each char back
+  * through the inverse byte↔unicode table to its raw byte; specials emit
+  * their literal UTF-8 text. The output is the raw byte concatenation —
+  * an id stream that slices a multi-byte character (a fixed-length
+  * packing boundary mid-é) decodes to exactly those bytes, as production
+  * detokenizers do; it is the caller's contract that sequence boundaries
+  * land where they land. Out-of-vocabulary ids fail loudly with the id
+  * and position, never silently skip.
+  */
+case class ByteBpeDecodeIds(child: Expression, merges: Seq[(String, String)],
+    specials: Seq[String]) extends UnaryExpression with ExpectsInputTypes {
+
+  require(merges.distinct.length == merges.length, "merge table has duplicate pairs")
+  require(specials.distinct.length == specials.length, "duplicate special tokens")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.IntegerType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "byte_bpe_decode"
+
+  @transient private lazy val table: Array[Array[Byte]] =
+    ByteBpeDecodeIds.decodeTable(merges, specials)
+
+  override def nullSafeEval(input: Any): Any =
+    ByteBpeDecodeIds.compute(input.asInstanceOf[ArrayData], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // Java SOURCE syntax for the array-of-array cast — getName would emit
+    // the JVM-internal "[[B" Janino cannot parse (the Gpt2SplitText lesson)
+    val tref = ctx.addReferenceObj("byteBpeDecodeTable", table, "byte[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.ByteBpeDecodeIds.compute($c, $tref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ByteBpeDecodeIds =
+    copy(child = newChild)
+}
+
+object ByteBpeDecodeIds {
+
+  /** Dense id→bytes table in [[ByteBpeEncodeTokens.byteBpeVocab]] order —
+    * its ids are 0..size-1 by construction, so position IS the id. Fails
+    * at build time if a merge spelling carries a char outside the
+    * byte-unicode image (such a table could never have come from a
+    * byte-level encoder).
+    */
+  def decodeTable(merges: Seq[(String, String)],
+      specials: Seq[String]): Array[Array[Byte]] = {
+    val u2b = new java.util.HashMap[Character, java.lang.Byte]()
+    ByteBpeEncodeTokens.ByteToUnicode.zipWithIndex.foreach { case (s, b) =>
+      u2b.put(Character.valueOf(s.charAt(0)), java.lang.Byte.valueOf(b.toByte))
+    }
+    val nSymbols = 256 + merges.length
+    ByteBpeEncodeTokens.byteBpeVocab(merges, specials).map { case (spelling, id) =>
+      if (id >= nSymbols) spelling.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      else spelling.toCharArray.map { ch =>
+        val b = u2b.get(Character.valueOf(ch))
+        require(b != null,
+          s"merge spelling char U+${ch.toInt.toHexString} is outside the " +
+            "GPT-2 byte alphabet — not a byte-level merge table")
+        b.byteValue()
+      }
+    }.toArray
+  }
+
+  def compute(ids: ArrayData, table: Array[Array[Byte]]): UTF8String = {
+    val n = ids.numElements()
+    var total = 0
+    var i = 0
+    while (i < n) {
+      val id = ids.getInt(i)
+      if (id < 0 || id >= table.length)
+        throw new IllegalArgumentException(
+          s"byte_bpe_decode: id $id at position $i outside vocabulary of ${table.length}")
+      total += table(id).length
+      i += 1
+    }
+    val out = new Array[Byte](total)
+    var o = 0
+    i = 0
+    while (i < n) {
+      val b = table(ids.getInt(i))
+      System.arraycopy(b, 0, out, o, b.length)
+      o += b.length
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Column API over an id array. */
+  def byteBpeDecodeIds(ids: Column, merges: Seq[(String, String)],
+      specials: Seq[String]): Column =
+    ExpressionUtils.column(
+      ByteBpeDecodeIds(ExpressionUtils.expression(ids), merges, specials))
+}

@@ -288,6 +288,69 @@ class BpeSpec extends SparkSpec {
     assert(gsplit("<|eot|>!", Seq("<|eot|>", "<|eot|>!")) === Seq("<|eot|>!"))
   }
 
+  test("byteBpeDecode: exact round-trip inverse of byteBpeIdsGpt2") {
+    val m = Seq(("Ġ", "t"), ("h", "e"), ("Ġt", "he"), ("Ã", "©"), ("l", "l"))
+    val sp = Seq("<|endoftext|>")
+    // multi-byte chars, contractions, specials, multi-space runs, newlines,
+    // digit seams — everything the splitter treats specially must survive
+    val texts = Seq(
+      "the café au lait",
+      "don't stop<|endoftext|>DON'T",
+      "a  b   c\n\nd\te",
+      "hello, world!!! 12,50 abc123def",
+      " 'twas ø€𝄞 mixed", // 2-, 3-, and 4-byte UTF-8
+      "")
+    val got = texts.toDF("t")
+      .select(TextAnalysis.byteBpeDecode(
+        TextAnalysis.byteBpeIdsGpt2(col("t"), m, sp), m, sp).as("d"))
+      .as[String].collect().toSeq
+    assert(got === texts)
+  }
+
+  test("byteBpeDecode: codegen-compiles; OOV id and non-byte-level table fail loudly") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, IntegerType}
+    val m = Seq(("Ġ", "t"), ("h", "e"))
+    val expr = org.apache.spark.sql.graft.ByteBpeDecodeIds(
+      BoundReference(0, ArrayType(IntegerType), nullable = true), m, Seq("<|eot|>"))
+    // the byte[][] reference-object cast must be Janino-parseable
+    val proj = GenerateMutableProjection.generate(Seq(expr))
+    // ids: 'h'=104, 'i'=105, merge product 'he'=257, special=258
+    val ok = proj(InternalRow(ArrayData.toArrayData(Array(257, 105, 258))))
+      .getUTF8String(0).toString
+    assert(ok === "hei<|eot|>")
+    val e = intercept[IllegalArgumentException] {
+      proj(InternalRow(ArrayData.toArrayData(Array(259))))
+    }
+    assert(e.getMessage.contains("259"))
+    // a merge spelling outside the byte alphabet can't be byte-level
+    val bad = intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.ByteBpeDecodeIds.decodeTable(
+        Seq(("あ", "x")), Nil)
+    }
+    assert(bad.getMessage.contains("byte alphabet"))
+  }
+
+  test("byteBpeDecode: an id stream sliced mid-character decodes to exactly those bytes") {
+    // 'é' is 0xC3 0xA9 → mapped chars Ã © → ids 195, 169; taking only the
+    // first id yields the lone 0xC3 byte (the packing-boundary contract:
+    // decode emits bytes as-is, boundaries are the caller's business).
+    // Observed at the expression level — any Column path through a Java
+    // String would sanitize the orphan byte to U+FFFD.
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val table = org.apache.spark.sql.graft.ByteBpeDecodeIds.decodeTable(Nil, Nil)
+    val got = org.apache.spark.sql.graft.ByteBpeDecodeIds.compute(
+      ArrayData.toArrayData(Array(195)), table)
+    assert(got.getBytes.toSeq === Seq(0xC3.toByte))
+    // ...and the full pair round-trips to the real character
+    val full = org.apache.spark.sql.graft.ByteBpeDecodeIds.compute(
+      ArrayData.toArrayData(Array(195, 169)), table)
+    assert(full.toString === "é")
+  }
+
   test("gpt2Split codegen-compiles: Janino accepts the reference-object cast") {
     // GenerateMutableProjection compiles through Janino with NO interpreted
     // fallback — this throws if doGenCode emits anything Janino can't parse.

@@ -54,6 +54,10 @@ class SqlFunctionsSpec extends SparkSpec {
       // ids: bytes keep their byte id, products at 256+rank, specials last
       assert(s.sql("SELECT graft_byte_bpe_ids(array('the', '<|eot|>'), 'h e,t he', '<|eot|>')")
         .head().getSeq[Int](0) === Seq(257, 258))
+      // decode is the exact inverse of the ids surface
+      assert(s.sql(
+        "SELECT graft_byte_bpe_decode(array(257, 258), 'h e,t he', '<|eot|>')")
+        .head().getString(0) === "the<|eot|>")
     }
   }
 

@@ -63,6 +63,43 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** SEMANTIC decontamination — the embedding-space twin of the n-gram
+    * scrub (c3/c4): flag every train document whose vector sits within
+    * `threshold` cosine of ANY eval document — paraphrased or reformatted
+    * benchmark leakage that shares no 13-gram survives the lexical scrub
+    * and lands exactly here. Returns one row per CONTAMINATED train doc:
+    * `(idCol, n_eval_hits, max_cos, nearest_eval_id)` — the audit record
+    * a curation run publishes before dropping them.
+    *
+    * Scale shape: eval sets are small by nature (benchmarks, not
+    * corpora), so the eval side broadcasts whole and the train side is
+    * ONE map-only scan — no shuffle touches the corpus; the only exchange
+    * groups the matched pairs (contamination-sized, not train-sized).
+    * With a large eval set, bucket it and loop — or build an
+    * [[AnnIndex]] on train and probe eval through
+    * [[AnnIndex.searchRefined]]; this exact form is also the correctness
+    * baseline those approximations are judged against.
+    *
+    * Determinism: exact cosine via the strict-left-fold [[dot]];
+    * `nearest_eval_id` breaks cosine ties by smallest eval id.
+    */
+  def semanticDecontaminate(train: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, threshold: Double = 0.8): DataFrame = {
+    val ev = withNorm(
+      evalSet.select(col(idCol).as("eval_id"), col(vecCol).as("ev")), "ev", "en")
+    val tr = withNorm(
+      train.select(col(idCol), col(vecCol).as("tv")), "tv", "tn")
+    val hits = tr.crossJoin(broadcast(ev))
+      .select(col(idCol), col("eval_id"),
+        (dot(col("tv"), col("ev")) / (col("tn") * col("en"))).as("cos"))
+      .filter(col("cos") >= threshold)
+    hits.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max(col("cos")).as("max_cos"),
+        min_by(col("eval_id"), struct(-col("cos"), col("eval_id")))
+          .as("nearest_eval_id"))
+  }
+
   /** Quantized brute kNN — the search path over an int8-compressed store
     * ([[org.apache.spark.sql.graft.QuantizeI8]]): rank by the quantized
     * inner-product estimate `dot(q̂, ĉ) · s_q · s_c`. At scale the corpus

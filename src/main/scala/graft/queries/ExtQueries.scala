@@ -2424,6 +2424,48 @@ object ExtQueries {
     // one broadcast anti-join on top — correctness-gated, not re-timed
     benchmark = false)
 
+  /** C7 — SEMANTIC decontamination
+    * ([[graft.ext.Similarity.semanticDecontaminate]]): the embedding-space
+    * twin of c3/c4 — paraphrased or reformatted benchmark leakage shares
+    * no 13-gram, so the lexical scrub misses it; here every train vector
+    * within 0.45 cosine of ANY eval vector is flagged with its hit count,
+    * max cosine, and nearest eval id (the audit record published before
+    * the drop). Eval = the vec_id % 10 slice (benchmarks are small — the
+    * eval side broadcasts whole, train is one map-only scan, no corpus
+    * shuffle); 0.45 is the corpus's planted near-dup bar, so the flags
+    * are exactly the planted structure that straddles the split.
+    */
+  val c7SemanticDecon = QueryDef(
+    "c7_semantic_decon",
+    (s, dir) => {
+      val emb = Td(s, dir, "embeddings")
+      val isEval = col("vec_id") % 10 === 0
+      Similarity.semanticDecontaminate(emb.filter(!isEval), emb.filter(isEval),
+          "vec_id", "embedding", threshold = 0.45)
+        .select(col("vec_id"), col("n_eval_hits").cast("long").as("n_eval_hits"),
+          col("max_cos"), col("nearest_eval_id"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH $vecCte,
+      ev AS (SELECT vec_id AS eval_id, v, nrm FROM n WHERE vec_id % 10 = 0),
+      tr AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 10 <> 0),
+      h AS (SELECT tr.vec_id, ev.eval_id,
+              ${dotSql.format("tr.v", "ev.v")} / (tr.nrm * ev.nrm) AS cos
+            FROM tr CROSS JOIN ev
+            WHERE ${dotSql.format("tr.v", "ev.v")} / (tr.nrm * ev.nrm) >= 0.45),
+      g AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+              max(cos) AS max_cos FROM h GROUP BY 1),
+      nr AS (SELECT vec_id, eval_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eval_id) AS rk
+             FROM h)
+      SELECT g.vec_id, g.n_eval_hits, g.max_cos, nr.eval_id AS nearest_eval_id
+      FROM g JOIN nr ON nr.vec_id = g.vec_id AND nr.rk = 1
+      ORDER BY g.vec_id
+    """),
+    // the d5/s1 cross-join+window shape the bench already times
+    benchmark = false)
+
   /** C4 — bloom-prefiltered decontamination ([[graft.ext.Bloom]]): the
     * GPT-3-style benchmark scrub (Brown et al. 2020 appendix C runs 13-gram
     * bloom membership over the whole corpus). Same cleaned-corpus contract
@@ -6135,6 +6177,7 @@ object ExtQueries {
     s14AnnIndexIncremental, s7HardNegatives, x20CorpusReport,
     m1MediaMeta, m2FrameSample, m3VideoMeta, m4ImageDedup, m5AudioDedup,
     c1Curation, c2CurationRecipe, c3Decontaminate, c4DecontaminateBloom,
+    c7SemanticDecon,
     c5NormalizedCuration, c6CrawlPipeline,
     u1UrlNormalize, u2UrlDedup, q4Expectations,
     x1HllDistinct, x2KmeansIvf,

@@ -48,6 +48,33 @@ class SemDedupSpec extends SparkSpec {
     assert(out === 0L)
   }
 
+  test("semanticDecontaminate flags train vectors near ANY eval vector (C7)") {
+    // eval = the axis-1 and axis-2 vectors; train contains a near-copy of
+    // axis 1 (flagged, cos ~0.96), an exact copy (flagged, cos 1.0, and
+    // with axis-1 AND the near-axis eval both above a loose threshold the
+    // nearest id is the higher-cos one), and an orthogonal vector (clean)
+    val evalSet = Seq(
+      (100L, Seq(1.0f, 0.0f, 0.0f)),
+      (101L, Seq(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, Seq(0.96f, 0.28f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontaminate(train, evalSet,
+        "vec_id", "embedding", threshold = 0.9)
+      .orderBy("vec_id")
+      .select("vec_id", "n_eval_hits", "nearest_eval_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 1L, 100L), (2L, 1L, 100L)))
+    // a looser threshold exposes multi-hit counting and the max-cos
+    // nearest pick: train 1 sits 0.96 from eval 100 and 0.28 from 101
+    val loose = Similarity.semanticDecontaminate(train, evalSet,
+        "vec_id", "embedding", threshold = 0.2)
+      .filter($"vec_id" === 1L)
+      .select("n_eval_hits", "nearest_eval_id").as[(Long, Long)].head()
+    assert(loose === ((2L, 100L)))
+  }
+
   test("classifier weights are multiples of 1/64 in [-0.5, 0.5) (T14)") {
     // replay the query's weight expression over distinct corpus tokens
     val toks = Seq("alpha", "beta", "gamma", "the", "x").toDF("t")

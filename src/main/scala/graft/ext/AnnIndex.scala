@@ -134,6 +134,28 @@ object AnnIndex {
       centroids, centers, idCol, vecCol, books, k, nprobe)
   }
 
+  /** [[DedupIndex.maintainIfNeeded]]'s embedding twin: compact the codes
+    * table once a long-lived append stream ([[graft.streaming.Streams
+    * .retrievalIngestSink]]) has fragmented it past `maxFiles` data
+    * files. The cluster partitioning is restated so the probe-prune
+    * layout survives the rewrite; the quantizer artifacts never need
+    * maintenance (geometry-bounded, written once at build). The health
+    * check is one driver-side directory listing — run it after every
+    * batch.
+    */
+  def maintainIfNeeded(store: TableStore, name: String, maxFiles: Int = 64,
+      targetBytes: Long = 128L << 20): Option[graft.tables.Compact.Stats] = {
+    require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(store.path(codesT(name)))
+    val n = graft.tables.Compact.dataFiles(p.getFileSystem(conf), p).size
+    if (n > maxFiles)
+      Some(graft.tables.Compact.compact(store, codesT(name), targetBytes,
+        partitionBy = Seq("cluster")))
+    else None
+  }
+
   /** Two-stage search (IVFADC+R): [[search]] proposes a `kShort`
     * shortlist from the stored codes, [[Similarity.refineExact]] re-ranks
     * those rows by exact cosine against `corpus` — the ORIGINAL vector

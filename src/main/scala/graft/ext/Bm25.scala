@@ -131,6 +131,30 @@ object Bm25 {
   def knownIds(store: TableStore, name: String, idCol: String): DataFrame =
     store.read(s"${name}_doclen").select(col(idCol))
 
+  /** [[graft.ext.DedupIndex.maintainIfNeeded]]'s lexical twin: compact
+    * the postings and doclen tables once a long-lived append stream has
+    * fragmented either past `maxFiles` data files (the stats cache is one
+    * row — never fragments). Both tables are unpartitioned, so the sweep
+    * is the no-shuffle coalesce path; content is untouched, and the
+    * driver-side listing makes the health check free enough to run after
+    * every batch.
+    */
+  def maintainIfNeeded(store: TableStore, name: String, maxFiles: Int = 64,
+      targetBytes: Long = 128L << 20)
+      : Option[Map[String, graft.tables.Compact.Stats]] = {
+    require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    def nFiles(t: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(store.path(t))
+      graft.tables.Compact.dataFiles(p.getFileSystem(conf), p).size
+    }
+    val ts = Seq(s"${name}_postings", s"${name}_doclen")
+    if (ts.exists(nFiles(_) > maxFiles))
+      Some(ts.map(t => t -> graft.tables.Compact.compact(store, t, targetBytes)).toMap)
+    else None
+  }
+
   /** Recompute the stats cache from the current doclen table — the
     * crash-repair hook for streaming ingest: a crash between a doclen
     * commit and its stats write leaves a correct index with a stale

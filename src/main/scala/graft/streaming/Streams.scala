@@ -431,7 +431,8 @@ object Streams {
       checkpoint: String,
       annIndex: Option[String] = None, vecCol: String = "embedding",
       bm25Index: Option[String] = None, textCol: String = "text",
-      intentTable: Option[String] = None): StreamingQuery = {
+      intentTable: Option[String] = None,
+      maxIndexFiles: Int = 64): StreamingQuery = {
     require(annIndex.nonEmpty || bm25Index.nonEmpty,
       "retrievalIngestSink needs at least one of annIndex / bm25Index")
     val intentT = intentTable.getOrElse(
@@ -492,6 +493,14 @@ object Streams {
         }
         store.overwrite(intentT,
           Seq((bid, bid)).toDF("started_batch", "done_batch"))
+        // per-batch appends fragment; compaction runs AFTER the done
+        // marker — it is content-neutral (atomic swap), so a crash during
+        // it must not drag the replay onto the repair path (the
+        // indexedNearDupSink cadence: health check after every batch)
+        annIndex.foreach(n =>
+          graft.ext.AnnIndex.maintainIfNeeded(store, n, maxFiles = maxIndexFiles))
+        bm25Index.foreach(n =>
+          graft.ext.Bm25.maintainIfNeeded(store, n, maxFiles = maxIndexFiles))
         ()
       }
       .start()

@@ -100,6 +100,26 @@ class AnnIndexSpec extends SparkSpec {
     assert(refined.map(_._1).forall(_ % 2 === 1))
   }
 
+  test("maintainIfNeeded compacts a fragmented codes table; prune layout and content survive") {
+    val store = newStore()
+    AnnIndex.build(store, "idx", corpus.filter(col("vec_id") <= 10),
+      "vec_id", "embedding", dim = 16, nlist = 2, m = 4, k = 4)
+    // fragment: one append per doc, like a long-lived one-doc-batch stream
+    (11 to 20).foreach { i =>
+      AnnIndex.append(store, "idx", corpus.filter(col("vec_id") === i),
+        "vec_id", "embedding")
+    }
+    val before = codesOf(store, "idx")
+    assert(AnnIndex.maintainIfNeeded(store, "idx", maxFiles = 4).isDefined)
+    assert(codesOf(store, "idx") === before)
+    // cluster partition dirs survive (the probe-prune layout), and a
+    // healthy index reports nothing to do
+    val dirs = new java.io.File(store.path("idx_codes")).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cluster="))
+    assert(dirs.nonEmpty)
+    assert(AnnIndex.maintainIfNeeded(store, "idx", maxFiles = 64).isEmpty)
+  }
+
   test("takedown rewrites only the deleted ids' clusters; artifacts stay frozen") {
     val store = newStore()
     AnnIndex.build(store, "idx", corpus, "vec_id", "embedding",

@@ -73,5 +73,16 @@ class Bm25Spec extends SparkSpec {
       "append must score identically to a union rebuild")
     assert(Bm25.knownIds(store, "bm", "doc_id").as[Long].collect().toSet ===
       Set(1L, 2L, 3L, 4L, 5L))
+
+    // a stream of one-doc appends fragments the tables; maintenance
+    // compacts without touching content, and a healthy index is a no-op
+    (6L to 12L).foreach { i =>
+      Bm25.append(store, "bm", Seq((i, s"spark extra doc$i")).toDF("doc_id", "text"),
+        "doc_id", "text")
+    }
+    val before = res("bm")
+    assert(Bm25.maintainIfNeeded(store, "bm", maxFiles = 4).isDefined)
+    assert(res("bm") === before)
+    assert(Bm25.maintainIfNeeded(store, "bm", maxFiles = 64).isEmpty)
   }
 }

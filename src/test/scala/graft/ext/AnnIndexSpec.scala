@@ -100,6 +100,38 @@ class AnnIndexSpec extends SparkSpec {
     assert(refined.map(_._1).forall(_ % 2 === 1))
   }
 
+  test("property: refineExact == driver-side exact re-rank of the shortlist, random corpora") {
+    for (seed <- Seq(7, 19)) {
+      val rnd = new scala.util.Random(seed)
+      val vecs = (1 to 60).map(i =>
+        (i.toLong, Seq.fill(12)((rnd.nextInt(2001) - 1000) / 1000.0f)))
+      val df = vecs.toDF("vec_id", "embedding")
+      val vmap = vecs.toMap
+      def cosOf(a: Seq[Float], b: Seq[Float]): Double = {
+        def d(x: Seq[Float], y: Seq[Float]) =
+          x.zip(y).foldLeft(0.0) { case (s, (p, q)) => s + p.toDouble * q.toDouble }
+        d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+      }
+      // arbitrary shortlists: 15 candidates per query, seed-drawn
+      val qids = Seq(1L, 2L, 3L)
+      val short = qids.flatMap { q =>
+        rnd.shuffle((1L to 60L).filter(_ != q).toList).take(15).map(n => (q, n))
+      }
+      val refined = Similarity.refineExact(
+          short.toDF("query_id", "neighbor_id"),
+          df.filter(col("vec_id").isin(qids: _*)), df,
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"))
+        .as[(Long, Long, Int)].collect().toSet
+      val want = short.groupBy(_._1).flatMap { case (q, ns) =>
+        ns.map(_._2).map(n => (n, cosOf(vmap(q), vmap(n))))
+          .sortBy { case (n, c) => (-c, n) }.take(5).zipWithIndex
+          .map { case ((n, _), i) => (q, n, i + 1) }
+      }.toSet
+      assert(refined === want, s"seed $seed")
+    }
+  }
+
   test("maintainIfNeeded compacts a fragmented codes table; prune layout and content survive") {
     val store = newStore()
     AnnIndex.build(store, "idx", corpus.filter(col("vec_id") <= 10),

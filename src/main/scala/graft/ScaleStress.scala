@@ -317,6 +317,54 @@ object ScaleStress {
       times(s"ann_x$factor")._2 / times("ann_x1")._2}%.2f}""")
   }
 
+  /** Semantic-decontamination tracking ([[graft.ext.AnnIndex
+    * .decontaminate]] vs [[Similarity.semanticDecontaminate]]): the claim
+    * is that routing the eval scrub through the index's coarse quantizer
+    * moves the per-train-row cost from |eval| exact dots to the eval
+    * vectors probing that row's cluster — expected nprobe/nlist of the
+    * exact fan-out. Measured directly, not inferred from wall time: the
+    * pruned scrub at threshold −1 turns every candidate into a hit, so
+    * `Σ n_eval_hits` IS the count of exact dots the prune admitted; the
+    * exact scrub's count is |train|·|eval| by construction. Wall times
+    * and retained-hit counts at the real 0.45 bar ride along — retention
+    * is the nprobe dial (the c8 scaladoc's measured curve), reported
+    * honestly rather than assumed.
+    */
+  private def deconTracking(spark: SparkSession, sfDir: String, expDir: String,
+      factor: Int, workDir: String, nprobe: Int = 4): Unit = {
+    import graft.ext.AnnIndex
+    import graft.tables.TableStore
+    val cases = Seq(("decon_x1", sfDir), (s"decon_x$factor", expDir))
+    val rows = cases.map { case (tag, dir) =>
+      val emb = Td(spark, dir, "embeddings")
+      val isEval = col("vec_id") % 10 === 0
+      val train = emb.filter(!isEval)
+      val ev = emb.filter(isEval)
+      val store = new TableStore(spark, s"$workDir/deconstore_$tag")
+      AnnIndex.build(store, "ann", train, "vec_id", "embedding",
+        dim = 64, nlist = 8, coarseIters = 2, m = 8, k = 16, pqIters = 2,
+        sampleMod = Some(4))
+      val (nTrain, nEval) = (train.count(), ev.count())
+      val t0 = System.nanoTime()
+      val exactHits = Similarity.semanticDecontaminate(train, ev,
+        "vec_id", "embedding", threshold = 0.45).count()
+      val exactSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val prunedHits = AnnIndex.decontaminate(store, "ann", train, ev,
+        "vec_id", "embedding", threshold = 0.45, nprobe = nprobe).count()
+      val prunedSec = (System.nanoTime() - t1) / 1e9
+      val candPairs = AnnIndex.decontaminate(store, "ann", train, ev,
+          "vec_id", "embedding", threshold = -1.0, nprobe = nprobe)
+        .agg(sum(col("n_eval_hits"))).collect()(0).getLong(0)
+      val exactPairs = nTrain * nEval
+      println(f"""{"deconbench":"$tag","n_train":$nTrain,"n_eval":$nEval,"exact_pairs":$exactPairs,"cand_pairs":$candPairs,"cand_frac":${candPairs.toDouble / exactPairs}%.3f,"exact_sec":$exactSec%.2f,"pruned_sec":$prunedSec%.2f,"exact_hit_rows":$exactHits,"pruned_hit_rows":$prunedHits}""")
+      tag -> (candPairs.toDouble / exactPairs, exactSec, prunedSec)
+    }.toMap
+    val (f1, e1, p1) = rows("decon_x1")
+    val (fN, eN, pN) = rows(s"decon_x$factor")
+    println(f"""{"deconbench":"summary","nprobe_over_nlist":${nprobe / 8.0}%.3f,"cand_frac_x1":$f1%.3f,"cand_frac_x$factor":$fN%.3f,"speedup_x1":${e1 / p1}%.2f,"speedup_x$factor":${eN / pN}%.2f}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val workDir = args.lift(1).getOrElse("/tmp/graft_scale_stress")
@@ -373,6 +421,12 @@ object ScaleStress {
       spark.stop()
       return
     }
+    if (args.contains("decononly")) { // semantic-decontamination prune tracking alone
+      deconTracking(spark, sfDir, expDir, factor, workDir)
+      graft.tables.Scratch.cleanup(spark)
+      spark.stop()
+      return
+    }
 
     val scales = Seq(1 -> sfDir, factor -> expDir)
     // warmup: parquet footers + codegen for both scales
@@ -410,6 +464,7 @@ object ScaleStress {
       incTracking(spark, sfDir, expDir, factor, workDir)
       delTracking(spark, sfDir, expDir, factor, workDir)
       annTracking(spark, sfDir, expDir, factor, workDir)
+      deconTracking(spark, sfDir, expDir, factor, workDir)
     }
     graft.tables.Scratch.cleanup(spark)
     spark.stop()

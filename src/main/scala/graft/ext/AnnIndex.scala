@@ -171,4 +171,25 @@ object AnnIndex {
     Similarity.refineExact(
       search(store, name, queries, idCol, vecCol, kShort, nprobe),
       queries, corpus, idCol, vecCol, k)
+
+  /** Semantic decontamination routed through the index's FROZEN coarse
+    * quantizer ([[Similarity.semanticDecontaminatePruned]]): the eval
+    * suite probes its `nprobe` nearest stored centroids, train rows
+    * assign map-only to the same centroids, and only pairs meeting in a
+    * probed cluster pay the exact-cosine confirm. This is the scrub an
+    * indexed corpus runs on every pass — per-train-row cost tracks
+    * nlist + |eval|·nprobe/nlist, not |eval|, and the emitted audit rows
+    * are exact-cosine values (the prune is invisible in the result
+    * whenever nprobe retains the contaminated pairs — the c8 oracle pins
+    * that against the exact scrub). Only the centroids table is read
+    * (k geometry-bounded rows); codes stay untouched.
+    */
+  def decontaminate(store: TableStore, name: String, train: DataFrame,
+      evalSet: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.8, nprobe: Int = 2): DataFrame = {
+    val centroids = store.read(centroidsT(name))
+      .select(col("centroid_id").as(idCol), col("vec").as(vecCol))
+    Similarity.semanticDecontaminatePruned(train, evalSet, centroids,
+      idCol, vecCol, threshold, nprobe)
+  }
 }

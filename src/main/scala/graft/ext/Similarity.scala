@@ -93,11 +93,59 @@ object Similarity {
       .select(col(idCol), col("eval_id"),
         (dot(col("tv"), col("ev")) / (col("tn") * col("en"))).as("cos"))
       .filter(col("cos") >= threshold)
+    auditAgg(hits, idCol)
+  }
+
+  /** The c7 audit record over a `(idCol, eval_id, cos)` hit set — shared
+    * by the exact and cluster-pruned scrubs so their outputs agree
+    * row-for-row whenever their hit sets do.
+    */
+  private def auditAgg(hits: DataFrame, idCol: String): DataFrame =
     hits.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_eval_hits"),
         max(col("cos")).as("max_cos"),
         min_by(col("eval_id"), struct(-col("cos"), col("eval_id")))
           .as("nearest_eval_id"))
+
+  /** [[semanticDecontaminate]] with the per-train-row eval fan-out PRUNED
+    * by a coarse quantizer — the scrub a 100 TB corpus pass actually
+    * runs, because the exact form pays O(|eval|·dim) per train row on
+    * every pass. Here each train vector is assigned map-only to its
+    * nearest centroid (codegen'd dots against ≤nlist broadcast literals —
+    * the SAME assignment [[graft.ext.AnnIndex]] froze at build time, so
+    * an already-indexed corpus could equally join its codes table), each
+    * eval vector probes its `nprobe` nearest clusters, and only
+    * (train, eval) pairs that MEET IN A PROBED CLUSTER pay the exact
+    * cosine. Per-train-row cost drops from |eval| dots to
+    * nlist + |eval|·nprobe/nlist expected dots; no shuffle touches the
+    * corpus (eval probes broadcast onto the train scan, exactly like the
+    * exact form).
+    *
+    * The c4 bloom contract, embedding-space: survivors are confirmed by
+    * EXACT cosine, so every emitted row is bit-identical to the exact
+    * scrub's row for that pair — the prune can only lose pairs whose
+    * train cluster no probing eval reached. Retention is the nprobe/nlist
+    * dial: nprobe = nlist degrades gracefully to exact semantics (every
+    * pair is a candidate); the c8 oracle pins a smaller nprobe against
+    * the EXACT oracle on the planted corpus, proving the prune invisible
+    * there. Production guidance: pick nprobe by replaying a sampled slice
+    * against [[semanticDecontaminate]] until the audit records match.
+    */
+  def semanticDecontaminatePruned(train: DataFrame, evalSet: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.8, nprobe: Int = 2): DataFrame = {
+    val tr = ivfAssign(train, centroids, idCol, vecCol)
+      .select(col(idCol), col(vecCol).as("tv"), col("nrm").as("tn"), col("cluster"))
+    // probesOf's (query_id, qv, qn, cluster): each eval row appears once
+    // per probed cluster and each train row sits in exactly one cluster,
+    // so the cluster join yields each (train, eval) pair at most once —
+    // no dedup needed before the audit aggregation
+    val ev = probesOf(evalSet, centroids, idCol, vecCol, nprobe)
+    val hits = tr.join(broadcast(ev), Seq("cluster"))
+      .select(col(idCol), col("query_id").as("eval_id"),
+        (dot(col("tv"), col("qv")) / (col("tn") * col("qn"))).as("cos"))
+      .filter(col("cos") >= threshold)
+    auditAgg(hits, idCol)
   }
 
   /** Quantized brute kNN — the search path over an int8-compressed store

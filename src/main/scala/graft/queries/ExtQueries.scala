@@ -2466,6 +2466,75 @@ object ExtQueries {
     // the d5/s1 cross-join+window shape the bench already times
     benchmark = false)
 
+  /** C8 — semantic decontamination routed through the DURABLE ANN index
+    * ([[graft.ext.AnnIndex.decontaminate]]): c7's exact scrub pays
+    * O(|eval|·dim) per train row on every corpus pass — the one plan in
+    * the repo whose cost is linear in the eval-suite size. Here the index
+    * already maintained on the training corpus prunes it: eval vectors
+    * probe their `nprobe` nearest FROZEN centroids (geometry-bounded
+    * read — the codes table is never touched), train rows assign
+    * map-only to the same centroids, and only pairs meeting in a probed
+    * cluster pay the exact-cosine confirm. The c4 bloom idiom in
+    * embedding space: the prune is invisible in the result — the ORACLE
+    * IS c7's EXACT SQL, so the hash match proves nprobe=4 of nlist=8
+    * retains every planted 0.45-cosine pair at this SF while each train
+    * row now meets only the eval vectors probing its own cluster
+    * (expected |eval|·nprobe/nlist = half the exact fan-out; ScaleStress
+    * `decon` records the measured cost tracking nprobe×cluster, not
+    * |eval|). Same audit schema as c7, bit-identical rows.
+    *
+    * Measured retention curve (BENCH_LOCAL_r15.md): sf0.01 needs probe
+    * rank ≤ 3 (nprobe=4 retains with margin); sf0.1's 23 pairs spread
+    * their needed rank over 1..7 — a 0.45 bar sits deep in the
+    * prune-hostile regime (hit cosines 0.45-0.53 vs median train
+    * assignment cosine ~0.20), so there nprobe IS a recall dial, not a
+    * free prune, and the production recipe in
+    * [[graft.ext.Similarity.semanticDecontaminatePruned]]'s scaladoc
+    * (replay a sampled slice against the exact scrub until audits match)
+    * is the honest way to set it. At the near-dup bars real scrubs run
+    * (≥0.8) the same machinery prunes far harder.
+    */
+  val c8SemanticDeconIndexed = QueryDef(
+    "c8_semantic_decon_indexed",
+    (s, dir) => {
+      import graft.ext.AnnIndex
+      val emb = Td(s, dir, "embeddings")
+      val isEval = col("vec_id") % 10 === 0
+      val store = graft.tables.Scratch.store(s)
+      if (!store.exists("c8_ann_codes"))
+        AnnIndex.build(store, "c8_ann", emb.filter(!isEval), "vec_id", "embedding",
+          dim = 64, nlist = 8, coarseIters = 2, m = 8, k = 16, pqIters = 2,
+          sampleMod = Some(4))
+      AnnIndex.decontaminate(store, "c8_ann", emb.filter(!isEval),
+          emb.filter(isEval), "vec_id", "embedding",
+          threshold = 0.45, nprobe = 4)
+        .select(col("vec_id"), col("n_eval_hits").cast("long").as("n_eval_hits"),
+          col("max_cos"), col("nearest_eval_id"))
+        .orderBy(col("vec_id"))
+    },
+    // deliberately c7's EXACT oracle, verbatim: a hash match means the
+    // cluster prune lost nothing on this corpus
+    Some(s"""
+      WITH $vecCte,
+      ev AS (SELECT vec_id AS eval_id, v, nrm FROM n WHERE vec_id % 10 = 0),
+      tr AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 10 <> 0),
+      h AS (SELECT tr.vec_id, ev.eval_id,
+              ${dotSql.format("tr.v", "ev.v")} / (tr.nrm * ev.nrm) AS cos
+            FROM tr CROSS JOIN ev
+            WHERE ${dotSql.format("tr.v", "ev.v")} / (tr.nrm * ev.nrm) >= 0.45),
+      g AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+              max(cos) AS max_cos FROM h GROUP BY 1),
+      nr AS (SELECT vec_id, eval_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eval_id) AS rk
+             FROM h)
+      SELECT g.vec_id, g.n_eval_hits, g.max_cos, nr.eval_id AS nearest_eval_id
+      FROM g JOIN nr ON nr.vec_id = g.vec_id AND nr.rk = 1
+      ORDER BY g.vec_id
+    """),
+    // prune cost is measured by ScaleStress `decon` (per-row candidate
+    // counts), not wall time on a 500-vector SF
+    benchmark = false)
+
   /** C4 — bloom-prefiltered decontamination ([[graft.ext.Bloom]]): the
     * GPT-3-style benchmark scrub (Brown et al. 2020 appendix C runs 13-gram
     * bloom membership over the whole corpus). Same cleaned-corpus contract
@@ -6177,7 +6246,7 @@ object ExtQueries {
     s14AnnIndexIncremental, s7HardNegatives, x20CorpusReport,
     m1MediaMeta, m2FrameSample, m3VideoMeta, m4ImageDedup, m5AudioDedup,
     c1Curation, c2CurationRecipe, c3Decontaminate, c4DecontaminateBloom,
-    c7SemanticDecon,
+    c7SemanticDecon, c8SemanticDeconIndexed,
     c5NormalizedCuration, c6CrawlPipeline,
     u1UrlNormalize, u2UrlDedup, q4Expectations,
     x1HllDistinct, x2KmeansIvf,

@@ -152,6 +152,48 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.maintainIfNeeded(store, "idx", maxFiles = 64).isEmpty)
   }
 
+  test("decontaminate: nprobe=nlist equals the exact scrub; narrow nprobe is a recall dial") {
+    val store = newStore()
+    val isEval = col("vec_id") % 5 === 0
+    val train = corpus.filter(!isEval)
+    val evalSet = corpus.filter(isEval)
+    AnnIndex.build(store, "idx", train, "vec_id", "embedding",
+      dim = 16, nlist = 2, m = 4, k = 4)
+
+    def rows(df: DataFrame): Set[(Long, Long, Double, Long)] = df
+      .select(col("vec_id"), col("n_eval_hits").cast("long"),
+        col("max_cos"), col("nearest_eval_id").cast("long"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+
+    // nprobe = nlist: every (train, eval) pair is a candidate — the pruned
+    // scrub must reproduce the exact audit record bit-for-bit
+    val exact = rows(Similarity.semanticDecontaminate(
+      train, evalSet, "vec_id", "embedding", threshold = 0.5))
+    assert(exact.nonEmpty)
+    assert(rows(AnnIndex.decontaminate(store, "idx", train, evalSet,
+      "vec_id", "embedding", threshold = 0.5, nprobe = 2)) === exact)
+
+    // cluster-aligned structure: within-family hits survive nprobe=1
+    // (each eval vector's top probe is its own family's centroid and the
+    // 0.5 bar only passes within-family pairs on this fixture)
+    assert(rows(AnnIndex.decontaminate(store, "idx", train, evalSet,
+      "vec_id", "embedding", threshold = 0.5, nprobe = 1)) === exact)
+
+    // and the honest flip side: drop the bar below the cross-family
+    // cosine and nprobe=1 UNDERCOUNTS hits (pairs meeting in the unprobed
+    // cluster are never confirmed) while nprobe=nlist restores exactness —
+    // the recall dial the scaladoc documents
+    val exactAll = rows(Similarity.semanticDecontaminate(
+      train, evalSet, "vec_id", "embedding", threshold = -1.0))
+    val narrow = rows(AnnIndex.decontaminate(store, "idx", train, evalSet,
+      "vec_id", "embedding", threshold = -1.0, nprobe = 1))
+    assert(rows(AnnIndex.decontaminate(store, "idx", train, evalSet,
+      "vec_id", "embedding", threshold = -1.0, nprobe = 2)) === exactAll)
+    assert(narrow.map(_._1).subsetOf(exactAll.map(_._1)))
+    assert(narrow.forall { case (id, n, _, _) =>
+      n < exactAll.find(_._1 == id).get._2 })
+  }
+
   test("takedown rewrites only the deleted ids' clusters; artifacts stay frozen") {
     val store = newStore()
     AnnIndex.build(store, "idx", corpus, "vec_id", "embedding",

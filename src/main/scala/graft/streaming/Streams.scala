@@ -413,8 +413,11 @@ object Streams {
     * Effectively-once per artifact, without per-batch index scans: the
     * hot path is guard → append only (each leg anti-joins its OWN
     * `knownIds` — an id can be present in one artifact and not the other
-    * inside a crash window — then appends; O(batch + a narrow id-column
-    * scan), never O(index)). Crash repair is gated behind an INTENT
+    * inside a crash window — then appends). The guard join is STAGED to
+    * a scratch table evaluated exactly once per leg and dropped once the
+    * leg consumed it, so the leg's cost is O(batch + one narrow
+    * id-column scan) regardless of how many actions consume the fresh
+    * set (the BM25 leg runs three), never O(index). Crash repair is gated behind an INTENT
     * MARKER (1-row `<intentTable>`: started/done batch ids, started
     * written before the legs, done after): a replayed batch whose marker
     * says started-but-not-done is the ONLY state where partial rows can
@@ -457,38 +460,42 @@ object Streams {
         val tiebreak = if (bm25Index.nonEmpty) textCol else vecCol
         val b = graft.clean.Normalize.dedupKeep(batch, Seq(idCol),
           Seq(col(tiebreak)))
-        // on the repair path the guard's anti-join must be MATERIALIZED
-        // before deleteIds mutates the very table it reads — stage the
-        // fresh set and read it back (batch-sized, disk-backed; the fast
-        // path never mutates before consuming, so it skips the copy)
-        def freshFor(fresh: DataFrame, n: String): DataFrame =
-          if (!repair) fresh
-          else {
-            store.overwrite(s"${n}_ingest_stage", fresh)
-            store.read(s"${n}_ingest_stage")
-          }
+        // stage the guard's anti-join ONCE per leg (batch-sized,
+        // disk-backed) and hand consumers the read-back: the empty probe
+        // plus one or two appends would otherwise re-run the dedup window
+        // and knownIds anti-join per action, and the repair path must
+        // never read a table it is about to mutate. The stage table is
+        // scratch — dropped as soon as the leg consumed it (a crash
+        // before the drop leaves a batch-sized orphan that the replay
+        // overwrites and then drops)
+        def withFresh(fresh0: DataFrame, n: String)(use: DataFrame => Unit): Unit = {
+          val stageT = s"${n}_ingest_stage"
+          store.overwrite(stageT, fresh0)
+          try use(store.read(stageT))
+          finally store.drop(stageT)
+        }
         annIndex.foreach { n =>
-          val fresh = freshFor(
-            b.join(graft.ext.AnnIndex.knownIds(store, n, idCol),
-              Seq(idCol), "left_anti"), n)
-          if (!fresh.isEmpty) {
-            if (repair)
-              graft.ext.AnnIndex.deleteIds(store, n, fresh.select(col(idCol)), idCol)
-            graft.ext.AnnIndex.append(store, n, fresh, idCol, vecCol)
+          withFresh(b.join(graft.ext.AnnIndex.knownIds(store, n, idCol),
+              Seq(idCol), "left_anti"), n) { fresh =>
+            if (!fresh.isEmpty) {
+              if (repair)
+                graft.ext.AnnIndex.deleteIds(store, n, fresh.select(col(idCol)), idCol)
+              graft.ext.AnnIndex.append(store, n, fresh, idCol, vecCol)
+            }
           }
         }
         bm25Index.foreach { n =>
-          val fresh = freshFor(
-            b.join(graft.ext.Bm25.knownIds(store, n, idCol),
-              Seq(idCol), "left_anti"), n)
-          if (!fresh.isEmpty) {
-            if (repair)
-              graft.ext.Bm25.deleteIds(store, n, fresh.select(col(idCol)), idCol)
-            graft.ext.Bm25.append(store, n, fresh, idCol, textCol)
-          } else if (repair) {
-            // the doc committed its doclen (hence guarded out) but the
-            // interrupted attempt may have died before the stats write
-            graft.ext.Bm25.refreshStats(store, n)
+          withFresh(b.join(graft.ext.Bm25.knownIds(store, n, idCol),
+              Seq(idCol), "left_anti"), n) { fresh =>
+            if (!fresh.isEmpty) {
+              if (repair)
+                graft.ext.Bm25.deleteIds(store, n, fresh.select(col(idCol)), idCol)
+              graft.ext.Bm25.append(store, n, fresh, idCol, textCol)
+            } else if (repair) {
+              // the doc committed its doclen (hence guarded out) but the
+              // interrupted attempt may have died before the stats write
+              graft.ext.Bm25.refreshStats(store, n)
+            }
           }
         }
         store.overwrite(intentT,

@@ -28,7 +28,56 @@ final class TableStore(spark: SparkSession, root: String) {
 
   def path(name: String): String = s"$root/$name"
 
-  def exists(name: String): Boolean = fs.exists(new Path(path(name)))
+  def exists(name: String): Boolean = {
+    val p = new Path(path(name))
+    if (fs.exists(p)) true
+    else { recoverIfInterrupted(name); fs.exists(p) }
+  }
+
+  /** Crash recovery for [[overwrite]]'s two-rename swap. The swap is
+    * live→trash then staging→live; a crash between the renames leaves the
+    * table observably missing even though the staging dir holds the
+    * complete new table (data + schema sidecar are fully durable before
+    * any rename starts — the overwrite is logically committed at that
+    * point). So: live absent + a sidecar-complete staging dir → promote
+    * the staging (finishing the interrupted overwrite); live absent + only
+    * a trash dir (unreachable under the rename order, defended anyway) →
+    * restore the trash. Runs lazily from [[exists]] (which [[read]] and
+    * [[schemaOf]] route through), so no caller ever observes the missing
+    * window; a staging dir without its sidecar is an abandoned mid-write
+    * crash and is left for [[overwrite]]'s sweep. No-op in the normal
+    * case beyond one exists() probe.
+    */
+  private def recoverIfInterrupted(name: String): Unit = {
+    val live = new Path(path(name))
+    def dirs(prefix: String) = swapDirs(prefix, name)
+    val staged = dirs("staging").filter(st => fs.exists(schemaSidecar(st.getPath)))
+    val candidate =
+      if (staged.nonEmpty) Some(staged.maxBy(_.getModificationTime).getPath)
+      else dirs("trash") match {
+        case t if t.nonEmpty => Some(t.maxBy(_.getModificationTime).getPath)
+        case _ => None
+      }
+    candidate.foreach { c =>
+      if (fs.rename(c, live)) {
+        (dirs("trash") ++ dirs("staging")).foreach(st => fs.delete(st.getPath, true))
+        spark.catalog.refreshByPath(live.toString)
+      }
+    }
+  }
+
+  /** The swap dirs belonging to exactly table `name`: the suffix must be
+    * the 8-hex-char UUID [[overwrite]] appends — a bare `{name}_*` glob
+    * would also match tables that merely share the prefix (`idx` vs
+    * `idx_codes`), and recovery/sweep must never touch a neighbor's dirs.
+    */
+  private def swapDirs(prefix: String, name: String): Array[org.apache.hadoop.fs.FileStatus] = {
+    val re = ("\\." + prefix + "_" + java.util.regex.Pattern.quote(name) +
+      "_[0-9a-f]{8}").r
+    Option(fs.globStatus(new Path(s"$root/.${prefix}_${name}_*")))
+      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+      .filter(st => re.pattern.matcher(st.getPath.getName).matches())
+  }
 
   /** Read with the table's recorded schema when one exists: files written
     * before a schema evolution lack the newer columns in their footers, and
@@ -141,6 +190,11 @@ final class TableStore(spark: SparkSession, root: String) {
     val toWrite =
       if (mergeSchema) schemaOf(name).fold(df)(ex => alignTo(df, unionSchema(name, ex, df.schema)))
       else df
+    // sweep leftovers of crashed swaps on this table: stale trash from a
+    // crash after the promote, abandoned staging from a crash mid-write —
+    // whatever is still here is superseded by this overwrite
+    (swapDirs("staging", name) ++ swapDirs("trash", name))
+      .foreach(st => fs.delete(st.getPath, true))
     val staging = new Path(s"$root/.staging_${name}_${java.util.UUID.randomUUID().toString.take(8)}")
     val live = new Path(path(name))
     val trash = new Path(s"$root/.trash_${name}_${java.util.UUID.randomUUID().toString.take(8)}")

@@ -811,5 +811,9 @@ class StreamsSpec extends SparkSpec {
     // the marker closed: started == done == the last batch id
     val m = store.read("ri_ann_ingest_intent").collect()(0)
     assert(m.getLong(0) === m.getLong(1))
+    // scratch staging dropped once consumed — neither the repair replay
+    // (batch 1) nor the fast path (batch 2) leaves an orphan stage table
+    assert(!store.exists("ri_ann_ingest_stage"))
+    assert(!store.exists("ri_bm_ingest_stage"))
   }
 }

@@ -28,6 +28,69 @@ class TableStoreSpec extends SparkSpec {
       === Seq((1, "a"), (2, "b")))
   }
 
+  test("overwrite swap crash recovery: a sidecar-complete staging is promoted, trash cleaned") {
+    val root = Files.createTempDirectory("graft_store").toString
+    val store = new TableStore(spark, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$root/$s")
+
+    // build the crash-window state between overwrite's two renames:
+    // live ABSENT, old content in .trash_, the complete new table (data +
+    // sidecar, exactly what overwrite stages before any rename) in .staging_
+    store.overwrite("t", Seq((1, "old")).toDF("id", "v"))
+    assert(fs.rename(p("t"), p(".trash_t_aaaa1111")))
+    store.overwrite("tmpnew", Seq((2, "new")).toDF("id", "v"))
+    assert(fs.rename(p("tmpnew"), p(".staging_t_bbbb2222")))
+
+    // the table is never observably missing: exists() recovers by
+    // promoting the committed staging, and both swap dirs are gone
+    assert(store.exists("t"))
+    assert(store.read("t").as[(Int, String)].collect().toSeq === Seq((2, "new")))
+    assert(!fs.exists(p(".trash_t_aaaa1111")))
+    assert(!fs.exists(p(".staging_t_bbbb2222")))
+  }
+
+  test("overwrite swap crash recovery: trash-only state restores; neighbors' dirs untouched") {
+    val root = Files.createTempDirectory("graft_store").toString
+    val store = new TableStore(spark, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$root/$s")
+
+    // trash-only (defensive branch): restore the old content
+    store.overwrite("u", Seq((1, "old")).toDF("id", "v"))
+    assert(fs.rename(p("u"), p(".trash_u_cccc3333")))
+    assert(store.exists("u"))
+    assert(store.read("u").as[(Int, String)].collect().toSeq === Seq((1, "old")))
+
+    // prefix neighbor: table "w" is absent and only "w_codes" has a
+    // staged dir — recovery of "w" must NOT promote the neighbor's
+    // staging (the 8-hex-uuid suffix rule), and "w_codes" recovery works
+    store.overwrite("tmpn", Seq((9, "n")).toDF("id", "v"))
+    assert(fs.rename(p("tmpn"), p(".staging_w_codes_dddd4444")))
+    assert(!store.exists("w"))
+    assert(fs.exists(p(".staging_w_codes_dddd4444")))
+    assert(store.exists("w_codes"))
+    assert(store.read("w_codes").as[(Int, String)].collect().toSeq === Seq((9, "n")))
+  }
+
+  test("overwrite sweeps this table's stale swap dirs, never a neighbor's") {
+    val root = Files.createTempDirectory("graft_store").toString
+    val store = new TableStore(spark, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$root/$s")
+    store.overwrite("t", Seq((1, "a")).toDF("id", "v"))
+    // stale trash from a crash after promote + a neighbor's staging
+    fs.mkdirs(p(".trash_t_eeee5555"))
+    fs.mkdirs(p(".staging_t_codes_ffff6666"))
+    store.overwrite("t", Seq((2, "b")).toDF("id", "v"))
+    assert(!fs.exists(p(".trash_t_eeee5555")))
+    assert(fs.exists(p(".staging_t_codes_ffff6666")))
+    assert(store.read("t").as[(Int, String)].collect().toSeq === Seq((2, "b")))
+  }
+
   test("append accumulates (bronze fact pattern)") {
     val store = newStore()
     store.append("b", Seq(1).toDF("id"))

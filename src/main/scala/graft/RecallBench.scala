@@ -176,6 +176,92 @@ object RecallBench {
         }
         report("refined", m, k, approx, best)
       }
+
+      // kShort sweep (r14 verdict item 3): the refined searcher's recall
+      // dial is the shortlist size — how much recall each step of exact-
+      // dot budget buys. Train+encode ONCE (staged, so the sweep never
+      // re-encodes), then time ONLY shortlist+refine per kShort: the
+      // reported sec is the query-time cost axis of the curve (per-query
+      // exact dots = kShort by construction), recall the quality axis.
+      {
+        val (m, k) = (16, 16)
+        val centroids = Similarity.kmeansTrain(emb, "vec_id", "embedding",
+            k = 8, iters = 2)
+          .select(col("centroid_id").cast("long").as("vec_id"), col("embedding"))
+        val centers = Similarity.residualCenters(emb, centroids,
+          "vec_id", "embedding")
+        val books = Similarity.pqTrainResidual(emb, "vec_id", "embedding",
+          centroids, centers, dim = 64, m = m, k = k, iters = 2, sampleMod = Some(4))
+        val index = graft.tables.Scratch.stage(
+          Similarity.pqEncodeResidual(emb, centroids, centers,
+            "vec_id", "embedding", books), s"rb_idx_$tag")
+        for (kShort <- Seq(25, 50, 100, 200)) {
+          var best = Double.MaxValue
+          var approx: Array[(Long, Long, Int)] = Array.empty
+          for (_ <- 1 to reps) {
+            val t0 = System.nanoTime()
+            val shortlist = Similarity.ivfPqResidualSearch(queries, index,
+              centroids, centers, "vec_id", "embedding", books,
+              k = kShort, nprobe = 8)
+            approx = Similarity.refineExact(shortlist, queries, emb,
+                "vec_id", "embedding", k = 10)
+              .select(col("query_id"), col("neighbor_id"), col("rnk"))
+              .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+            best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          }
+          report(s"refined_k$kShort", m, k, approx, best)
+        }
+      }
+    }
+
+    // Drift-metric ↔ recall correlation (r14 verdict item 7): the
+    // AnnIndex drift record claims a mean_err magnitude jump is the
+    // retrain bell — this measures the thing the bell warns about. Build
+    // the durable index on the ORIGINAL corpus, append replica 1 of the
+    // ScaleStress expansion (the ±1-diagonal decorrelates it from
+    // everything the quantizers trained on — a maximal distribution
+    // drift with EXACTLY preserved within-replica neighbor geometry),
+    // then search with nprobe = nlist so probe loss is zero and any
+    // recall gap is pure quantization error. Expected and measured: the
+    // drifted append's mean_err lands far above the build baseline, and
+    // recall@10 for drifted-slice queries lands far below in-distribution
+    // queries on the same index — the metric moves when and only when
+    // the quality does.
+    {
+      import graft.ext.AnnIndex
+      import graft.tables.TableStore
+      val Off = 100000000L // ScaleStress replica id offset
+      val store = new TableStore(spark, s"$workDir/driftstore")
+      val x1 = Td(spark, sfDir, "embeddings")
+      val rep1 = Td(spark, expDir, "embeddings")
+        .filter(col("vec_id") >= Off && col("vec_id") < 2L * Off)
+      AnnIndex.build(store, "drift_ann", x1, "vec_id", "embedding",
+        dim = 64, nlist = 8, coarseIters = 2, m = 16, k = 16, pqIters = 2,
+        sampleMod = Some(4))
+      AnnIndex.append(store, "drift_ann", rep1, "vec_id", "embedding")
+      val d = AnnIndex.drift(store, "drift_ann")
+        .select(col("phase"), col("mean_err")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1))
+      val union = x1.unionByName(rep1)
+      val slices = Seq(
+        "in_dist" -> x1.filter(col("vec_id") < 100),
+        "drifted" -> rep1.filter(col("vec_id") - Off < 100))
+      val recalls = slices.map { case (qtag, qs) =>
+        val exact = Similarity.knnBrute(qs, union, "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("neighbor_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+        val approx = AnnIndex.search(store, "drift_ann", qs,
+            "vec_id", "embedding", k = 10, nprobe = 8)
+          .select(col("query_id"), col("neighbor_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+        val qids = exact.keys.toSeq.sorted
+        val rec = qids.map(q =>
+          (exact(q) & approx.getOrElse(q, Set.empty)).size / 10.0).sum / qids.size
+        qtag -> rec
+      }.toMap
+      println(f"""{"driftbench":"correlation","build_err":${d.find(_._1 == "build").get._2}%.6f,"append_err":${d.find(_._1 == "append").get._2}%.6f,"recall_in_dist":${recalls("in_dist")}%.3f,"recall_drifted":${recalls("drifted")}%.3f}""")
     }
     graft.tables.Scratch.cleanup(spark)
     spark.stop()

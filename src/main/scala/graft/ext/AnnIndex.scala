@@ -42,21 +42,35 @@ object AnnIndex {
   private def centersT(name: String) = s"${name}_centers"
   private def booksT(name: String) = s"${name}_books"
   private def codesT(name: String) = s"${name}_codes"
+  private def driftT(name: String) = s"${name}_drift"
 
   /** Train the quantizer stack on `df` and write all four tables.
     * `sampleMod` routes coarse and codebook training onto the
     * deterministic md5-bucket sample (the 100 TB knob); centers, like
     * assignment, always run over the full build corpus — they are one
     * aggregation, not a training loop.
+    *
+    * `nlist = 0` (the default) AUTO-SCALES the coarse cluster count to
+    * ⌈√n⌉ from one cheap count of the build corpus (parquet-metadata
+    * cheap on a table scan) — the classic IVF balance point where
+    * per-probe cluster size and cluster count grow together as √n, so a
+    * 100× corpus probes 10×-bigger clusters instead of 100×-bigger ones
+    * (ScaleStress.annTracking measures exactly that trap at fixed
+    * geometry). Callers with a tuned geometry pass nlist explicitly;
+    * whatever was used is readable back as the centroids-table row count.
     */
   def build(store: TableStore, name: String, df: DataFrame,
-      idCol: String, vecCol: String, dim: Int, nlist: Int = 8,
+      idCol: String, vecCol: String, dim: Int, nlist: Int = 0,
       coarseIters: Int = 2, m: Int = 8, k: Int = 16, pqIters: Int = 2,
       sampleMod: Option[Int] = None): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
+    require(nlist >= 0, s"nlist must be >= 0 (0 = auto sqrt(n)), got $nlist")
+    val nl =
+      if (nlist > 0) nlist
+      else math.max(1, math.ceil(math.sqrt(df.count().toDouble)).toInt)
     val centroids = Similarity
-      .kmeansTrain(df, idCol, vecCol, nlist, coarseIters, sampleMod)
+      .kmeansTrain(df, idCol, vecCol, nl, coarseIters, sampleMod)
       .select(col("centroid_id").cast("long").as(idCol), col(vecCol))
     val centers = Similarity.residualCenters(df, centroids, idCol, vecCol)
     val books = Similarity.pqTrainResidual(df, idCol, vecCol, centroids,
@@ -71,6 +85,16 @@ object AnnIndex {
     store.overwrite(codesT(name),
       Similarity.pqEncodeResidual(df, centroids, centers, idCol, vecCol, books),
       partitionBy = Seq("cluster"))
+    // drift baseline: the build corpus's mean quantization error under the
+    // just-frozen quantizers, measured on the same deterministic sample
+    // the trainers used (corpus statistics, not the corpus — the 100 TB
+    // knob applies to measurement too)
+    val src = sampleMod.fold(df)(s =>
+      df.filter(Similarity.sampleBucket(col(idCol)) % s === 0))
+    val (n, err) = Similarity.encodeErrorResidual(src, centroids, centers,
+      idCol, vecCol, books)
+    store.overwrite(driftT(name),
+      Seq((0L, "build", n, err)).toDF("seq", "phase", "n_rows", "mean_err"))
   }
 
   /** The stored quantizer stack, in the shapes the Similarity APIs take.
@@ -103,11 +127,38 @@ object AnnIndex {
     */
   def append(store: TableStore, name: String, inc: DataFrame,
       idCol: String, vecCol: String): Unit = {
+    val spark = inc.sparkSession
+    import spark.implicits._
     val (centroids, centers, books) = artifacts(store, name, idCol, vecCol)
     store.append(codesT(name),
       Similarity.pqEncodeResidual(inc, centroids, centers, idCol, vecCol, books),
       partitionBy = Seq("cluster"))
+    // drift signal: this increment's mean quantization error under the
+    // FROZEN quantizers, appended next to the build baseline — the
+    // measurement that turns "retrain is an explicit new build" from a
+    // policy into a triggerable decision (a rising mean_err trend against
+    // seq 0 is the retrain bell; RecallBench correlates it with recall
+    // decay). One batch-sized aggregate per append; indexes that predate
+    // the drift table just start their record at this append.
+    val (n, err) = Similarity.encodeErrorResidual(inc, centroids, centers,
+      idCol, vecCol, books)
+    val seq =
+      if (store.exists(driftT(name)))
+        store.read(driftT(name)).agg(max(col("seq"))).collect()(0).getLong(0) + 1L
+      else 0L
+    store.append(driftT(name),
+      Seq((seq, "append", n, err)).toDF("seq", "phase", "n_rows", "mean_err"))
   }
+
+  /** The index's drift record — one row per build/append with the mean
+    * quantization error of that batch under the frozen quantizers,
+    * ordered by `seq` (0 = the build baseline). The retrain trigger is a
+    * caller policy over this table (e.g. alert when the trailing appends'
+    * mean_err exceeds the baseline by a factor); the index never retrains
+    * implicitly.
+    */
+  def drift(store: TableStore, name: String): DataFrame =
+    store.read(driftT(name)).orderBy(col("seq"))
 
   /** Takedown: remove `ids` from the codes table — the
     * [[graft.tables.Deletes.deleteRows]] partition-scoped leg, so only

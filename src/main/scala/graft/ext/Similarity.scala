@@ -707,7 +707,7 @@ object Similarity {
     * argmin is `array_min` over (dist, cid) structs — lexicographic struct
     * ordering IS the tie rule: ties to the lower cid.
     */
-  private def nearestCode(books: PqBooks, sv: Column, sub: Column): Column = {
+  private def nearestCand(books: PqBooks, sv: Column, sub: Column): Column = {
     val k = books.head.length
     val bookLit = typedLit(books.map(_.map(_._2)))
     val ccLit = typedLit(books.map(_.map(_._3)))
@@ -717,7 +717,33 @@ object Similarity {
       struct(
         (element_at(ccs, c) - lit(2.0) * dot(sv, element_at(kbook, c))).as("d"),
         c.as("c")))
-    array_min(cands).getField("c").cast("int")
+    array_min(cands)
+  }
+
+  private def nearestCode(books: PqBooks, sv: Column, sub: Column): Column =
+    nearestCand(books, sv, sub).getField("c").cast("int")
+
+  /** Mean squared quantization error of encoding `df`'s residuals with
+    * the given (frozen) quantizer stack — the drift statistic behind
+    * [[AnnIndex]]'s retrain trigger. Per row the error is
+    * Σ_sub ‖sv − cw_chosen‖² = Σ_sub (‖sv‖² + min_c(‖c‖² − 2·sv·c)) —
+    * the same candidate structs the encode's argmin already builds, so
+    * the measurement is one map pass + one global aggregate, never a
+    * second ranking. Returns (rows measured, mean per-row error).
+    */
+  def encodeErrorResidual(df: DataFrame, centroids: DataFrame,
+      centers: ResidualCenters, idCol: String, vecCol: String,
+      books: PqBooks): (Long, Double) = {
+    val m = books.length
+    val dsub = books.head.head._2.length
+    val res = residuals(df, centroids, centers, idCol, vecCol)
+    val r = slicedSubs(res.select(col(idCol), col("_r").as("_u")), idCol, m, dsub)
+      .select((dot(col("sv"), col("sv")) +
+        nearestCand(books, col("sv"), col("sub")).getField("d")).as("e"))
+      .agg(count(lit(1)).as("n"), sum(col("e")).as("se"))
+      .collect()(0)
+    val nRows = r.getLong(0) / m
+    (nRows, if (nRows == 0) 0.0 else r.getDouble(1) / nRows)
   }
 
   /** Train PQ codebooks: m subspaces × k codewords, all subspaces in ONE

@@ -209,4 +209,43 @@ object Deletes {
     packs.foreach(p => repackShards(store, p, idCol, ids))
     versioned.foreach(n => deleteVersioned(store, n, idCol, ids, keep))
   }
+
+  /** Compact the [[graft.streaming.Streams.takedownSink]] audit log to
+    * ONE row per id — the maintenance the sink's contract tells callers
+    * to run OUTSIDE the standing query, promoted from folklore to a
+    * library function. Keeps each id's FIRST-processed row (earliest
+    * `batch_id`, then earliest `processed_at` — the row that proves when
+    * the takedown was first applied, which is what an audit needs), so
+    * the log never shrinks below the id set the sink's replay guard
+    * anti-joins against: a replayed or re-delivered id still hits the
+    * guard and stays a no-op. That invariant is also CHECKED, not just
+    * implied — the compacted set is staged, its distinct-id count
+    * compared against the live log's, and the atomic swap only happens
+    * on equality (a belt-and-braces abort path for future edits, since
+    * window-dedup cannot lose ids today). Idempotent: a second run finds
+    * one row per id and rewrites the same content.
+    *
+    * Returns (rows before, rows after). Scale shape: one id-keyed window
+    * over the log (the a2 dedup shape) plus a narrow distinct count on
+    * each side of the swap; the log is takedown-sized, not corpus-sized.
+    */
+  def compactTakedownLog(store: TableStore, logTable: String,
+      idCol: String): (Long, Long) = {
+    val log = store.read(logTable)
+    val before = log.count()
+    val compacted = graft.clean.Normalize.dedupKeep(log, Seq(idCol),
+      Seq(col("batch_id"), col("processed_at")))
+    val stage = s"${logTable}_compact_stage"
+    store.overwrite(stage, compacted)
+    try {
+      val liveIds = log.select(col(idCol)).distinct().count()
+      val stagedIds = store.read(stage).select(col(idCol)).distinct().count()
+      require(stagedIds == liveIds,
+        s"compactTakedownLog: staged log holds $stagedIds distinct ids, live " +
+          s"holds $liveIds — refusing to swap below the replay-guard id set")
+      val after = store.read(stage).count()
+      store.overwrite(logTable, store.read(stage))
+      (before, after)
+    } finally store.drop(stage)
+  }
 }

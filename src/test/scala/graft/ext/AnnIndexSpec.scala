@@ -152,6 +152,54 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.maintainIfNeeded(store, "idx", maxFiles = 64).isEmpty)
   }
 
+  test("drift record: in-distribution appends hold the build baseline, a drifted increment rings the bell") {
+    val store = newStore()
+    // train ONLY on family A (odd ids): the frozen quantizers describe
+    // that distribution and nothing else
+    val famA = corpus.filter(col("vec_id") % 2 === 1)
+    AnnIndex.build(store, "idx", famA.filter(col("vec_id") <= 20),
+      "vec_id", "embedding", dim = 16, nlist = 2, m = 4, k = 4)
+    // in-distribution increment: more family-A vectors
+    AnnIndex.append(store, "idx", famA.filter(col("vec_id") > 20),
+      "vec_id", "embedding")
+    // drifted increment: family B lives in the orthogonal subspace the
+    // codebooks never saw
+    AnnIndex.append(store, "idx", corpus.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding")
+
+    val d = AnnIndex.drift(store, "idx")
+      .select(col("seq"), col("phase"), col("n_rows"), col("mean_err"))
+      .as[(Long, String, Long, Double)].collect()
+    assert(d.map(r => (r._1, r._2)).toSeq ===
+      Seq((0L, "build"), (1L, "append"), (2L, "append")))
+    val Array(base, inDist, drifted) = d.map(_._4)
+    // the frozen stack encodes its own distribution within noise of the
+    // build baseline (same order of magnitude); the foreign one ORDERS
+    // worse — the retrain signal is a magnitude jump, not a wiggle
+    assert(inDist < base * 10.0,
+      s"in-distribution append err $inDist vs baseline $base")
+    assert(drifted > base * 100.0,
+      s"drifted append err $drifted not orders above baseline $base")
+    assert(drifted > inDist * 100.0)
+  }
+
+  test("build default auto-scales nlist to ceil(sqrt(n)) — pinned at two corpus sizes") {
+    // 40 vectors → ceil(√40) = 7 clusters; 9 vectors → 3: cluster size
+    // tracks √n instead of n (the production knob annTracking documents)
+    val s40 = newStore()
+    AnnIndex.build(s40, "idx", corpus, "vec_id", "embedding", dim = 16, m = 4, k = 4)
+    assert(s40.read("idx_centroids").count() === 7L)
+    val s9 = newStore()
+    AnnIndex.build(s9, "idx", corpus.filter(col("vec_id") <= 9),
+      "vec_id", "embedding", dim = 16, m = 4, k = 4)
+    assert(s9.read("idx_centroids").count() === 3L)
+    // the auto-built index searches end-to-end
+    val out = AnnIndex.search(s40, "idx", corpus.filter(col("vec_id") === 1),
+        "vec_id", "embedding", k = 5, nprobe = 3)
+      .select("neighbor_id").as[Long].collect()
+    assert(out.length === 5)
+  }
+
   test("decontaminate: nprobe=nlist equals the exact scrub; narrow nprobe is a recall dial") {
     val store = newStore()
     val isEval = col("vec_id") % 5 === 0

@@ -249,4 +249,32 @@ class DeletesSpec extends SparkSpec {
     assert(rows(store.read("t")) === once)
     assert(once === Set(Seq(1L, "a"), Seq(3L, "c")))
   }
+
+  test("compactTakedownLog keeps each id's first-processed row, is idempotent, never drops an id") {
+    val store = newStore()
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def t(h: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")
+    // id 7 processed in batches 0, 2, 5; id 9 twice inside batch 1 (chunked
+    // replay); id 3 once — the audit keeps 7@batch0, 9@batch1-early, 3
+    store.append("td_log", Seq(
+      (7L, 0L, t(1)), (9L, 1L, t(2)), (9L, 1L, t(5)), (3L, 4L, ts),
+      (7L, 2L, t(3)), (7L, 5L, t(4))).toDF("doc_id", "batch_id", "processed_at"))
+
+    val (before, after) = Deletes.compactTakedownLog(store, "td_log", "doc_id")
+    assert((before, after) === (6L, 3L))
+    assert(rows(store.read("td_log")) === Set(
+      Seq(7L, 0L, t(1)), Seq(9L, 1L, t(2)), Seq(3L, 4L, ts)))
+    assert(!store.exists("td_log_compact_stage"))
+
+    // idempotent: a second pass rewrites identical content
+    val (b2, a2) = Deletes.compactTakedownLog(store, "td_log", "doc_id")
+    assert((b2, a2) === (3L, 3L))
+    assert(rows(store.read("td_log")) === Set(
+      Seq(7L, 0L, t(1)), Seq(9L, 1L, t(2)), Seq(3L, 4L, ts)))
+
+    // the replay-guard id set is intact: every ever-processed id still
+    // anti-joins out of a re-delivered batch
+    assert(store.read("td_log").select("doc_id").distinct()
+      .as[Long].collect().toSet === Set(3L, 7L, 9L))
+  }
 }

@@ -41,6 +41,7 @@ object RecallBench {
 
     val expDir = s"$workDir/x$factor"
     ScaleStress.expand(spark, sfDir, expDir, factor)
+    val driftOnly = args.contains("driftonly") // re-run just the §drift block
 
     // third leg: the x1 corpus per-dimension STANDARDIZED (x31's transform)
     // — measures whether whitening-lite moves retrieval quality on this
@@ -49,10 +50,10 @@ object RecallBench {
     def standardized(dir: String) =
       graft.ext.Similarity.standardize(Td(spark, dir, "embeddings"), "embedding")
         .select(col("vec_id"), col("embedding_std").as("embedding"))
-    for ((tag, embIn) <- Seq(
+    for ((tag, embIn) <- (if (driftOnly) Seq.empty else Seq(
         "x1" -> Td(spark, sfDir, "embeddings"),
         s"x$factor" -> Td(spark, expDir, "embeddings"),
-        "x1std" -> standardized(sfDir))) {
+        "x1std" -> standardized(sfDir)))) {
       val emb = embIn
       emb.count() // warm footers
       val queries = emb.filter(col("vec_id") < 200)
@@ -233,19 +234,31 @@ object RecallBench {
       val Off = 100000000L // ScaleStress replica id offset
       val store = new TableStore(spark, s"$workDir/driftstore")
       val x1 = Td(spark, sfDir, "embeddings")
+      // mild drift: the ±1-diagonal replica — decorrelated from the
+      // trained centroids, but this corpus is mostly isotropic already,
+      // so a rotation barely changes the residual statistics (measured
+      // +12% mean_err). Strong drift: the STANDARDIZED geometry (per-dim
+      // rescale amplifies low-variance dims — a genuinely different
+      // residual distribution), ids offset to 2·Off.
       val rep1 = Td(spark, expDir, "embeddings")
         .filter(col("vec_id") >= Off && col("vec_id") < 2L * Off)
+        .select(col("vec_id"), col("embedding"))
+      val std = standardized(sfDir)
+        .select((col("vec_id") + 2L * Off).as("vec_id"), col("embedding"))
       AnnIndex.build(store, "drift_ann", x1, "vec_id", "embedding",
         dim = 64, nlist = 8, coarseIters = 2, m = 16, k = 16, pqIters = 2,
         sampleMod = Some(4))
       AnnIndex.append(store, "drift_ann", rep1, "vec_id", "embedding")
+      AnnIndex.append(store, "drift_ann", std, "vec_id", "embedding")
       val d = AnnIndex.drift(store, "drift_ann")
-        .select(col("phase"), col("mean_err")).collect()
-        .map(r => r.getString(0) -> r.getDouble(1))
-      val union = x1.unionByName(rep1)
+        .select(col("seq"), col("mean_err")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val union = x1.select(col("vec_id"), col("embedding"))
+        .unionByName(rep1).unionByName(std)
       val slices = Seq(
         "in_dist" -> x1.filter(col("vec_id") < 100),
-        "drifted" -> rep1.filter(col("vec_id") - Off < 100))
+        "drifted" -> rep1.filter(col("vec_id") - Off < 100),
+        "drifted_std" -> std.filter(col("vec_id") - 2L * Off < 100))
       val recalls = slices.map { case (qtag, qs) =>
         val exact = Similarity.knnBrute(qs, union, "vec_id", "embedding", k = 10)
           .select(col("query_id"), col("neighbor_id")).collect()
@@ -261,7 +274,7 @@ object RecallBench {
           (exact(q) & approx.getOrElse(q, Set.empty)).size / 10.0).sum / qids.size
         qtag -> rec
       }.toMap
-      println(f"""{"driftbench":"correlation","build_err":${d.find(_._1 == "build").get._2}%.6f,"append_err":${d.find(_._1 == "append").get._2}%.6f,"recall_in_dist":${recalls("in_dist")}%.3f,"recall_drifted":${recalls("drifted")}%.3f}""")
+      println(f"""{"driftbench":"correlation","build_err":${d(0L)}%.6f,"append_err_mild":${d(1L)}%.6f,"append_err_strong":${d(2L)}%.6f,"recall_in_dist":${recalls("in_dist")}%.3f,"recall_drifted_mild":${recalls("drifted")}%.3f,"recall_drifted_strong":${recalls("drifted_std")}%.3f}""")
     }
     graft.tables.Scratch.cleanup(spark)
     spark.stop()

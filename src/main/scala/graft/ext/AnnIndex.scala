@@ -215,10 +215,18 @@ object AnnIndex {
     * that the raw vectors live once, in the corpus, not twice). Refine
     * cost is one broadcast-pruned map pass over the corpus scan;
     * everything else is bounded by |Q|×kShort.
+    *
+    * Default kShort = 100 per the measured r15 sweep (RecallBench
+    * refined_k25..200, BENCH_LOCAL_r15.md): recall@10 climbs
+    * 0.33 → 0.47 → 0.63 → 0.77 (×10 corpus) as kShort goes 25→200 while
+    * query wall-clock stays flat — the refine stage's |Q|×kShort exact
+    * dots are noise next to the ADC scan, so a small shortlist buys
+    * nothing. Callers tune down only when |Q| is huge enough that the
+    * broadcast candidate set itself matters.
     */
   def searchRefined(store: TableStore, name: String, queries: DataFrame,
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int = 5, kShort: Int = 25, nprobe: Int = 2): DataFrame =
+      k: Int = 5, kShort: Int = 100, nprobe: Int = 2): DataFrame =
     Similarity.refineExact(
       search(store, name, queries, idCol, vecCol, kShort, nprobe),
       queries, corpus, idCol, vecCol, k)

@@ -251,4 +251,91 @@ object AnnIndex {
     Similarity.semanticDecontaminatePruned(train, evalSet, centroids,
       idCol, vecCol, threshold, nprobe)
   }
+
+  /** What [[decontaminateCalibrated]] measured while picking its probe
+    * count: the chosen `nprobe` (margin included), the index's `nlist`,
+    * the exact hit-pair count on the calibration slice, and how many
+    * pruned replays the binary search paid. `slicePairs == 0` means the
+    * slice saw no contamination at all — the calibration then proved
+    * nothing (any nprobe is "parity" with an empty hit set) and the
+    * caller should widen the slice (`sampleMod` → 1) or treat the run as
+    * uncalibrated rather than trust `nprobe`.
+    */
+  final case class DeconCalibration(
+      nprobe: Int, nlist: Int, slicePairs: Long, checks: Int)
+
+  /** [[decontaminate]] with `nprobe` MEASURED instead of guessed — the
+    * "replay a sampled slice against the exact scrub and widen nprobe
+    * until the audit records match" recipe from
+    * [[Similarity.semanticDecontaminatePruned]]'s scaladoc, promoted from
+    * folklore to a function (BENCH_LOCAL_r15.md §2 measured why guessing
+    * is hostile at low thresholds: borderline-pair cosines dwarf coarse
+    * assignment cosines, so the needed probe rank is corpus-specific).
+    *
+    * Mechanics: a deterministic md5-bucket slice of `train` (~1/sampleMod
+    * of the corpus, engine-independent — the same knob the index trainers
+    * use) is scrubbed EXACTLY once, then the smallest `nprobe` whose
+    * pruned scrub of the slice retains every exact hit is found by BINARY
+    * search over [1, nlist]. Two structural facts make the parity test
+    * one cheap aggregate per probe-count tried: the pruned hit set is a
+    * SUBSET of the exact hit set (every survivor is exact-cosine
+    * confirmed, each pair counted at most once in both), so set equality
+    * collapses to Σn_eval_hits equality; and top-nprobe probe lists are
+    * PREFIXES of each other, so parity is monotone in nprobe and binary
+    * search is sound — ⌈log₂ nlist⌉ slice replays instead of nlist. At
+    * `nprobe = nlist` every pair is a candidate (exact semantics by
+    * construction), so the search always terminates at true parity.
+    *
+    * `margin` extra probes (default 1) absorb what the slice cannot see:
+    * a sampled slice proves retention for ITS pairs; borderline pairs
+    * outside the slice may need one more probe rank. `sampleMod = 1`
+    * calibrates on the full corpus — the returned nprobe is then
+    * PROVABLY exact-retaining for this train/eval pair (margin adds
+    * nothing but cost), which is how the c9 oracle query pins this
+    * function against c7's exact SQL.
+    *
+    * Cost shape at 100 TB: calibration pays the exact scrub on
+    * train/sampleMod plus ~log₂(nlist) pruned slice replays (each
+    * cheaper than the exact slice scrub), then the full corpus pays the
+    * pruned scrub at the calibrated nprobe — the slice is staged once to
+    * scratch parquet so no replay re-evaluates the train source plan.
+    */
+  def decontaminateCalibrated(store: TableStore, name: String,
+      train: DataFrame, evalSet: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.8, sampleMod: Int = 10,
+      margin: Int = 1): (DataFrame, DeconCalibration) = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    require(margin >= 0, s"margin must be >= 0, got $margin")
+    val centroids = store.read(centroidsT(name))
+      .select(col("centroid_id").as(idCol), col("vec").as(vecCol))
+    val nlist = centroids.count().toInt
+    val slice0 =
+      if (sampleMod == 1) train
+      else train.filter(Similarity.sampleBucket(col(idCol)) % sampleMod === 0)
+    val slice = graft.tables.Scratch.stage(
+      slice0.select(col(idCol), col(vecCol)), s"${name}_cal_tr")
+    val ev = graft.tables.Scratch.stage(
+      evalSet.select(col(idCol), col(vecCol)), s"${name}_cal_ev")
+    def pairsOf(audit: DataFrame): Long = audit
+      .agg(coalesce(sum(col("n_eval_hits")), lit(0L)).as("p"))
+      .collect()(0).getAs[Number]("p").longValue()
+    val exactPairs = pairsOf(
+      Similarity.semanticDecontaminate(slice, ev, idCol, vecCol, threshold))
+    var checks = 0
+    def parityAt(np: Int): Boolean = {
+      checks += 1
+      pairsOf(Similarity.semanticDecontaminatePruned(
+        slice, ev, centroids, idCol, vecCol, threshold, np)) == exactPairs
+    }
+    var lo = 1
+    var hi = nlist
+    while (lo < hi) {
+      val mid = lo + (hi - lo) / 2
+      if (parityAt(mid)) hi = mid else lo = mid + 1
+    }
+    val chosen = math.min(nlist, lo + margin)
+    val cal = DeconCalibration(chosen, nlist, exactPairs, checks)
+    (Similarity.semanticDecontaminatePruned(train, evalSet, centroids,
+      idCol, vecCol, threshold, chosen), cal)
+  }
 }

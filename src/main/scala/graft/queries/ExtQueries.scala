@@ -2535,6 +2535,71 @@ object ExtQueries {
     // counts), not wall time on a 500-vector SF
     benchmark = false)
 
+  /** C9 — CALIBRATED indexed decontamination
+    * ([[graft.ext.AnnIndex.decontaminateCalibrated]]): c8 proves the
+    * cluster prune CAN be invisible, but its nprobe=4 is a hand-picked
+    * constant that happens to retain every planted pair at this SF — the
+    * measured retention curve (BENCH_LOCAL_r15.md §2: needed probe rank
+    * ≤3 of 8 at sf0.01, 1..7 of 8 at sf0.1) shows the right value is
+    * corpus-specific, which is exactly what a hardcoded dial gets wrong
+    * on the next corpus. Here the probe count is MEASURED: the scrub
+    * replays a deterministic slice of train against the exact scrub and
+    * binary-searches the smallest nprobe whose pruned slice audit
+    * retains every exact hit (parity = one Σn_eval_hits aggregate per
+    * try, sound because the pruned hit set is a subset of the exact one
+    * and probe lists are prefixes — monotone, so ⌈log₂ nlist⌉ replays).
+    * This query calibrates on the FULL slice (sampleMod=1, margin=0), so
+    * the chosen nprobe is provably exact-retaining and the ORACLE IS
+    * c7's EXACT SQL — the hash match certifies the calibration loop
+    * terminated at true parity, not at a lucky constant. Production runs
+    * sample the slice (sampleMod≈10) and keep the default margin; the
+    * returned [[graft.ext.AnnIndex.DeconCalibration]] record is the
+    * audit row a curation pass publishes next to c7/c8's per-doc flags.
+    */
+  val c9SemanticDeconCalibrated = QueryDef(
+    "c9_semantic_decon_calibrated",
+    (s, dir) => {
+      import graft.ext.AnnIndex
+      val emb = Td(s, dir, "embeddings")
+      val isEval = col("vec_id") % 10 === 0
+      val store = graft.tables.Scratch.store(s)
+      if (!store.exists("c8_ann_codes"))
+        AnnIndex.build(store, "c8_ann", emb.filter(!isEval), "vec_id", "embedding",
+          dim = 64, nlist = 8, coarseIters = 2, m = 8, k = 16, pqIters = 2,
+          sampleMod = Some(4))
+      val (scrub, _) = AnnIndex.decontaminateCalibrated(store, "c8_ann",
+        emb.filter(!isEval), emb.filter(isEval), "vec_id", "embedding",
+        threshold = 0.45, sampleMod = 1, margin = 0)
+      scrub
+        .select(col("vec_id"), col("n_eval_hits").cast("long").as("n_eval_hits"),
+          col("max_cos"), col("nearest_eval_id"))
+        .orderBy(col("vec_id"))
+    },
+    // c7's EXACT oracle, verbatim (the c8 contract): a hash match means
+    // the CALIBRATED probe count lost nothing — proven here by
+    // construction (full-slice calibration), measured by sampled replay
+    // in production
+    Some(s"""
+      WITH $vecCte,
+      ev AS (SELECT vec_id AS eval_id, v, nrm FROM n WHERE vec_id % 10 = 0),
+      tr AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 10 <> 0),
+      h AS (SELECT tr.vec_id, ev.eval_id,
+              ${dotSql.format("tr.v", "ev.v")} / (tr.nrm * ev.nrm) AS cos
+            FROM tr CROSS JOIN ev
+            WHERE ${dotSql.format("tr.v", "ev.v")} / (tr.nrm * ev.nrm) >= 0.45),
+      g AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+              max(cos) AS max_cos FROM h GROUP BY 1),
+      nr AS (SELECT vec_id, eval_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eval_id) AS rk
+             FROM h)
+      SELECT g.vec_id, g.n_eval_hits, g.max_cos, nr.eval_id AS nearest_eval_id
+      FROM g JOIN nr ON nr.vec_id = g.vec_id AND nr.rk = 1
+      ORDER BY g.vec_id
+    """),
+    // calibration cost is measured by ScaleStress `decononly` (chosen
+    // nprobe + replay count vs the exact scrub), not wall time at gate SF
+    benchmark = false)
+
   /** C4 — bloom-prefiltered decontamination ([[graft.ext.Bloom]]): the
     * GPT-3-style benchmark scrub (Brown et al. 2020 appendix C runs 13-gram
     * bloom membership over the whole corpus). Same cleaned-corpus contract
@@ -6246,7 +6311,7 @@ object ExtQueries {
     s14AnnIndexIncremental, s7HardNegatives, x20CorpusReport,
     m1MediaMeta, m2FrameSample, m3VideoMeta, m4ImageDedup, m5AudioDedup,
     c1Curation, c2CurationRecipe, c3Decontaminate, c4DecontaminateBloom,
-    c7SemanticDecon, c8SemanticDeconIndexed,
+    c7SemanticDecon, c8SemanticDeconIndexed, c9SemanticDeconCalibrated,
     c5NormalizedCuration, c6CrawlPipeline,
     u1UrlNormalize, u2UrlDedup, q4Expectations,
     x1HllDistinct, x2KmeansIvf,

@@ -242,6 +242,65 @@ class AnnIndexSpec extends SparkSpec {
       n < exactAll.find(_._1 == id).get._2 })
   }
 
+  test("decontaminateCalibrated: binary search lands on the minimal exact-parity nprobe") {
+    val store = newStore()
+    val isEval = col("vec_id") % 5 === 0
+    val train = corpus.filter(!isEval)
+    val evalSet = corpus.filter(isEval)
+    AnnIndex.build(store, "idx", train, "vec_id", "embedding",
+      dim = 16, nlist = 2, m = 4, k = 4)
+
+    def rows(df: DataFrame): Set[(Long, Long, Double, Long)] = df
+      .select(col("vec_id"), col("n_eval_hits").cast("long"),
+        col("max_cos"), col("nearest_eval_id").cast("long"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+
+    // cluster-aligned bar (0.5): parity already holds at nprobe=1, and a
+    // full-slice margin-0 calibration must find exactly that minimum —
+    // with ⌈log₂ 2⌉ = 1 pruned replay, not an nlist sweep
+    val exactAligned = rows(Similarity.semanticDecontaminate(
+      train, evalSet, "vec_id", "embedding", threshold = 0.5))
+    val (s1, c1) = AnnIndex.decontaminateCalibrated(store, "idx", train,
+      evalSet, "vec_id", "embedding", threshold = 0.5, sampleMod = 1, margin = 0)
+    assert(c1.nprobe === 1)
+    assert(c1.nlist === 2)
+    assert(c1.checks === 1)
+    assert(c1.slicePairs > 0)
+    assert(rows(s1) === exactAligned)
+
+    // bar below the cross-family cosine (-1): nprobe=1 provably
+    // undercounts (the recall-dial test above), so calibration must
+    // escalate to 2 — and the returned scrub is exact by construction
+    val exactAll = rows(Similarity.semanticDecontaminate(
+      train, evalSet, "vec_id", "embedding", threshold = -1.0))
+    val (s2, c2) = AnnIndex.decontaminateCalibrated(store, "idx", train,
+      evalSet, "vec_id", "embedding", threshold = -1.0, sampleMod = 1, margin = 0)
+    assert(c2.nprobe === 2)
+    assert(rows(s2) === exactAll)
+
+    // margin rides on top of the calibrated minimum, capped at nlist
+    val (s3, c3) = AnnIndex.decontaminateCalibrated(store, "idx", train,
+      evalSet, "vec_id", "embedding", threshold = 0.5, sampleMod = 1, margin = 1)
+    assert(c3.nprobe === 2)
+    assert(rows(s3) === exactAligned)
+
+    // sampled slice: deterministic md5-bucket subset, still calibrates
+    // (aligned structure holds on any subset) and the record is honest
+    // about how many pairs the slice actually saw
+    val (s4, c4) = AnnIndex.decontaminateCalibrated(store, "idx", train,
+      evalSet, "vec_id", "embedding", threshold = 0.5, sampleMod = 3, margin = 0)
+    assert(c4.slicePairs <= c1.slicePairs)
+    assert(rows(s4) === exactAligned)
+
+    // a slice that saw NO hits proves nothing: the record says so
+    // (slicePairs = 0) and the scrub itself is empty at that bar
+    val (s5, c5) = AnnIndex.decontaminateCalibrated(store, "idx", train,
+      evalSet, "vec_id", "embedding", threshold = 2.0, sampleMod = 1, margin = 0)
+    assert(c5.slicePairs === 0L)
+    assert(c5.nprobe === 1)
+    assert(s5.count() === 0L)
+  }
+
   test("takedown rewrites only the deleted ids' clusters; artifacts stay frozen") {
     val store = newStore()
     AnnIndex.build(store, "idx", corpus, "vec_id", "embedding",

@@ -378,7 +378,16 @@ object ScaleStress {
         .agg(sum(col("n_eval_hits"))).collect()(0).getLong(0)
       val exactPairs = nTrain * nEval
       val nl = store.read("ann_centroids").count()
-      println(f"""{"deconbench":"$tag","n_train":$nTrain,"n_eval":$nEval,"nlist":$nl,"exact_pairs":$exactPairs,"cand_pairs":$candPairs,"cand_frac":${candPairs.toDouble / exactPairs}%.3f,"exact_sec":$exactSec%.2f,"pruned_sec":$prunedSec%.2f,"exact_hit_rows":$exactHits,"pruned_hit_rows":$prunedHits}""")
+      // the measured alternative to the fixed nprobe above: calibrate on
+      // a 1/10 md5 slice (the production recipe), recording the probe
+      // count the binary search lands on, how many slice replays it paid,
+      // and the end-to-end cost including the full pruned scrub it feeds
+      val t2 = System.nanoTime()
+      val (calScrub, cal) = AnnIndex.decontaminateCalibrated(store, "ann",
+        train, ev, "vec_id", "embedding", threshold = 0.45, sampleMod = 10)
+      val calHits = calScrub.count()
+      val calSec = (System.nanoTime() - t2) / 1e9
+      println(f"""{"deconbench":"$tag","n_train":$nTrain,"n_eval":$nEval,"nlist":$nl,"exact_pairs":$exactPairs,"cand_pairs":$candPairs,"cand_frac":${candPairs.toDouble / exactPairs}%.3f,"exact_sec":$exactSec%.2f,"pruned_sec":$prunedSec%.2f,"exact_hit_rows":$exactHits,"pruned_hit_rows":$prunedHits,"cal_nprobe":${cal.nprobe},"cal_checks":${cal.checks},"cal_slice_pairs":${cal.slicePairs},"cal_hit_rows":$calHits,"cal_sec":$calSec%.2f}""")
       tag -> (candPairs.toDouble / exactPairs, exactSec, prunedSec)
     }.toMap
     val (f1, e1, p1) = rows("decon_x1")
@@ -400,8 +409,9 @@ object ScaleStress {
     * that proves the trigger works under load rather than in a spec.
     */
   private def ingestTracking(spark: SparkSession, sfDir: String,
-      workDir: String, nBatches: Int = 20, maxIndexFiles: Int = 20): Unit = {
-    import graft.ext.{AnnIndex, Bm25}
+      workDir: String, nBatches: Int = 20, maxIndexFiles: Int = 20,
+      gated: Boolean = false): Unit = {
+    import graft.ext.{AnnIndex, Bm25, DedupIndex}
     import graft.tables.TableStore
     import graft.tables.Compact
     val store = new TableStore(spark, s"$workDir/ingeststore")
@@ -412,12 +422,29 @@ object ScaleStress {
     // md5-bucket split: ~half builds the indexes, the rest streams in
     val b = Similarity.sampleBucket(col("doc_id")) % 2
     val base = joined.filter(b === 0)
-    val stream = joined.filter(b === 1).withColumn(
+    val stream0 = joined.filter(b === 1).withColumn(
       "bat", pmod(Similarity.sampleBucket(col("doc_id") + 7), lit(nBatches)))
+    // gated mode: plant verbatim copies of two base documents' text into
+    // ~20% of the streamed docs (deterministic md5 pick) — the gate must
+    // drop every one of them (they near-dup INDEXED docs) while novel
+    // docs pass untouched; the planted rate shows up as the admitted-id
+    // gap in the end-of-run totals line
+    val stream =
+      if (!gated) stream0
+      else {
+        val planted = base.select(col("text"))
+          .orderBy(col("doc_id")).limit(2).collect().map(_.getString(0))
+        val pick = pmod(Similarity.sampleBucket(col("doc_id") + 13), lit(10))
+        stream0.withColumn("text",
+          when(pick === 0, lit(planted(0)))
+            .when(pick === 1, lit(planted(1)))
+            .otherwise(col("text")))
+      }
     AnnIndex.build(store, "ing_ann", base, "doc_id", "embedding",
       dim = 64, nlist = 8, coarseIters = 2, m = 8, k = 16, pqIters = 2,
       sampleMod = Some(4))
     Bm25.buildIndex(store, "ing_bm", base, "doc_id", "text")
+    if (gated) DedupIndex.build(store, "ing_gate", base, "doc_id", "text")
     val landing = s"$workDir/ingest_landing"
     val ckpt = s"$workDir/ingest_ckpt"
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -441,10 +468,23 @@ object ScaleStress {
         spark.readStream.format("parquet").schema(schema).load(landing),
         store, "doc_id", ckpt,
         annIndex = Some("ing_ann"), bm25Index = Some("ing_bm"),
-        maxIndexFiles = maxIndexFiles)
+        maxIndexFiles = maxIndexFiles,
+        dedupGate = if (gated) Some("ing_gate") else None,
+        gatePairsTable = if (gated) Some("ing_gate_pairs") else None)
         .awaitTermination()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"ingestbench":$i,"sec":$sec%.2f,"ann_files":${files("ing_ann_codes")},"bm_postings_files":${files("ing_bm_postings")}}""")
+      val gateF = if (gated) s""","gate_bands_files":${files("ing_gate_bands")}""" else ""
+      println(f"""{"ingestbench":$i,"sec":$sec%.2f,"ann_files":${files("ing_ann_codes")},"bm_postings_files":${files("ing_bm_postings")}$gateF}""")
+    }
+    if (gated) {
+      // the admitted-vs-seen gap IS the gate's work: ann/bm25 hold base +
+      // survivors, the gate index holds base + every streamed doc
+      val nBase = base.count()
+      val nStream = stream.select(col("doc_id")).distinct().count()
+      val nAnn = AnnIndex.knownIds(store, "ing_ann", "doc_id").count()
+      val nGate = DedupIndex.knownIds(store, "ing_gate", "doc_id").count()
+      val nPairs = store.read("ing_gate_pairs").count()
+      println(s"""{"ingestbench":"gate_totals","n_base":$nBase,"n_streamed":$nStream,"ann_ids":$nAnn,"gate_ids":$nGate,"dropped":${nBase + nStream - nAnn},"audit_pairs":$nPairs}""")
     }
   }
 
@@ -485,6 +525,12 @@ object ScaleStress {
 
     if (args.contains("ingestonly")) { // streaming retrieval-ingest throughput (no expansion needed)
       ingestTracking(spark, sfDir, workDir)
+      graft.tables.Scratch.cleanup(spark)
+      spark.stop()
+      return
+    }
+    if (args.contains("ingestgated")) { // same battery with the near-dup gate in front
+      ingestTracking(spark, sfDir, s"$workDir/gated", gated = true)
       graft.tables.Scratch.cleanup(spark)
       spark.stop()
       return

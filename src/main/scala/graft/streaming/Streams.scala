@@ -429,13 +429,49 @@ object Streams {
     * window the id guard cannot re-enter. A first delivery, a re-delivered
     * id, and a crash-free replay all stay on the fast path. Within-batch
     * duplicates fold first (deterministic winner).
+    *
+    * `dedupGate` (optional) is the crawl pipeline's missing middle: a
+    * durable [[graft.ext.DedupIndex]] (built before the stream starts,
+    * possibly over an empty frame — the [[indexedNearDupSink]] contract)
+    * that only lets NEAR-DUP-NOVEL documents through to the retrieval
+    * artifacts. Each batch probes the gate index non-mutatingly
+    * ([[graft.ext.DedupIndex.probeIncrement]] — shingles only itself,
+    * never re-reads accumulated text) and drops every document that
+    * near-dups (Jaccard ≥ `gateThreshold`) something ALREADY SEEN or an
+    * earlier-id document of the same batch — greedy arrival-order
+    * semantics, one join over the capped candidate pairs, no per-batch
+    * component iteration. The gate index records the SEEN corpus (dropped
+    * documents commit their signatures too), so a re-delivered dropped id
+    * is guarded out by `knownIds` without re-probing, and a future
+    * second-degree near-dup (dups a dropped doc but not its kept
+    * representative) is also caught — chain-dropping, deliberately
+    * conservative; admission of borderline chains therefore depends on
+    * how a chain splits across batches, the inherent property of any
+    * incremental gate (the audit trail in `gatePairsTable` — pair-keyed
+    * upserts, replay-idempotent — is what an offline re-adjudication
+    * reads). Requires `textCol` even on an ANN-only sink.
+    *
+    * Gate crash-safety composes with the intent marker: the probe and
+    * the kept-set staging mutate nothing, the legs run on the kept set,
+    * and the gate's [[graft.ext.DedupIndex.commitIncrement]] lands after
+    * the legs but BEFORE the done marker — a crash before commit replays
+    * into an unchanged gate index and recomputes the identical kept set
+    * (the legs' own guards then no-op); a crash after commit replays
+    * into an empty fresh set over fully-completed legs; a crash inside
+    * commit leaves residue the next probe's distinct hygiene neutralizes
+    * (the [[graft.ext.DedupIndex.commitIncrement]] at-least-once
+    * contract). Gate scratch tables (`{gate}_gate_fresh/_gate_kept`) are
+    * dropped once consumed; a crash leaves at most a batch-sized orphan
+    * the replay overwrites and then drops.
     */
   def retrievalIngestSink(docs: DataFrame, store: TableStore, idCol: String,
       checkpoint: String,
       annIndex: Option[String] = None, vecCol: String = "embedding",
       bm25Index: Option[String] = None, textCol: String = "text",
       intentTable: Option[String] = None,
-      maxIndexFiles: Int = 64): StreamingQuery = {
+      maxIndexFiles: Int = 64,
+      dedupGate: Option[String] = None, gateThreshold: Double = 0.8,
+      gatePairsTable: Option[String] = None): StreamingQuery = {
     require(annIndex.nonEmpty || bm25Index.nonEmpty,
       "retrievalIngestSink needs at least one of annIndex / bm25Index")
     val intentT = intentTable.getOrElse(
@@ -457,9 +493,48 @@ object Streams {
         val repair = started == bid && done < bid
         store.overwrite(intentT,
           Seq((bid, done)).toDF("started_batch", "done_batch"))
-        val tiebreak = if (bm25Index.nonEmpty) textCol else vecCol
+        val tiebreak = if (bm25Index.nonEmpty || dedupGate.nonEmpty) textCol
+          else vecCol
         val b = graft.clean.Normalize.dedupKeep(batch, Seq(idCol),
           Seq(col(tiebreak)))
+        // near-dup gate: probe (non-mutating), audit, resolve, stage the
+        // kept set; the index commit is deferred until after the legs
+        // (see the scaladoc's crash-ordering argument)
+        val (input, gateCommit): (DataFrame, () => Unit) = dedupGate match {
+          case None => (b, () => ())
+          case Some(g) =>
+            val freshT = s"${g}_gate_fresh"
+            val keptT = s"${g}_gate_kept"
+            store.overwrite(freshT, b.join(
+              graft.ext.DedupIndex.knownIds(store, g, idCol),
+              Seq(idCol), "left_anti"))
+            val freshG = store.read(freshT)
+            val (pairs, incStage) = graft.ext.DedupIndex.probeIncrement(
+              store, g, freshG, idCol, textCol, threshold = gateThreshold)
+            gatePairsTable.foreach { pt =>
+              val out = pairs.select(col("id_a"), col("id_b"), col("jaccard"))
+              store.overwriteIfAbsentElse(pt, out)(target =>
+                Upsert.merge(target, out, Seq("id_a", "id_b"),
+                  onDuplicate = Upsert.DuplicatePolicy.DedupDeterministic))
+            }
+            // greedy arrival-order resolution: drop x when it pairs with
+            // an already-indexed partner (any id) or an earlier-id fresh
+            // partner — exactly the outcome of the docs arriving one at a
+            // time in id order against a seen-corpus index
+            val partnered = pairs.select(col("id_a").as("x"), col("id_b").as("y"))
+              .unionByName(pairs.select(col("id_b").as("x"), col("id_a").as("y")))
+            val dropIds = partnered
+              .join(freshG.select(col(idCol).as("y"), lit(true).as("_yfresh")),
+                Seq("y"), "left")
+              .filter(col("_yfresh").isNull || col("y") < col("x"))
+              .select(col("x").as(idCol)).distinct()
+            store.overwrite(keptT, freshG.join(dropIds, Seq(idCol), "left_anti"))
+            store.drop(freshT)
+            (store.read(keptT), () => {
+              graft.ext.DedupIndex.commitIncrement(store, g, incStage)
+              store.drop(keptT)
+            })
+        }
         // stage the guard's anti-join ONCE per leg (batch-sized,
         // disk-backed) and hand consumers the read-back: the empty probe
         // plus one or two appends would otherwise re-run the dedup window
@@ -475,7 +550,7 @@ object Streams {
           finally store.drop(stageT)
         }
         annIndex.foreach { n =>
-          withFresh(b.join(graft.ext.AnnIndex.knownIds(store, n, idCol),
+          withFresh(input.join(graft.ext.AnnIndex.knownIds(store, n, idCol),
               Seq(idCol), "left_anti"), n) { fresh =>
             if (!fresh.isEmpty) {
               if (repair)
@@ -485,7 +560,7 @@ object Streams {
           }
         }
         bm25Index.foreach { n =>
-          withFresh(b.join(graft.ext.Bm25.knownIds(store, n, idCol),
+          withFresh(input.join(graft.ext.Bm25.knownIds(store, n, idCol),
               Seq(idCol), "left_anti"), n) { fresh =>
             if (!fresh.isEmpty) {
               if (repair)
@@ -498,6 +573,9 @@ object Streams {
             }
           }
         }
+        // gate commit BEFORE the done marker: a crash in between replays
+        // into an empty fresh set over fully-completed legs (see scaladoc)
+        gateCommit()
         store.overwrite(intentT,
           Seq((bid, bid)).toDF("started_batch", "done_batch"))
         // per-batch appends fragment; compaction runs AFTER the done
@@ -508,6 +586,8 @@ object Streams {
           graft.ext.AnnIndex.maintainIfNeeded(store, n, maxFiles = maxIndexFiles))
         bm25Index.foreach(n =>
           graft.ext.Bm25.maintainIfNeeded(store, n, maxFiles = maxIndexFiles))
+        dedupGate.foreach(g =>
+          graft.ext.DedupIndex.maintainIfNeeded(store, g, maxFiles = maxIndexFiles))
         ()
       }
       .start()

@@ -816,4 +816,92 @@ class StreamsSpec extends SparkSpec {
     assert(!store.exists("ri_ann_ingest_stage"))
     assert(!store.exists("ri_bm_ingest_stage"))
   }
+
+  test("retrievalIngestSink dedupGate: near-dup docs never reach the retrieval indexes; dropped ids stay guarded") {
+    import graft.ext.{AnnIndex, Bm25, DedupIndex}
+    val dir = Files.createTempDirectory("graft_rg_landing").toString
+    val ckpt = Files.createTempDirectory("graft_rg_ckpt").toString
+    val store = new TableStore(spark, Files.createTempDirectory("graft_rg_store").toString)
+
+    def vec(base: Int, i: Int): Seq[Float] =
+      (0 until 16).map { d =>
+        val on = d >= base && d < base + 4
+        if (on) 1.0f + 0.01f * ((i * 7 + d) % 5) else 0.001f * ((i * 3 + d) % 7)
+      }
+    // texts pairwise-distinct unless copied verbatim: id-specific tokens
+    // in several positions keep 3-shingle jaccard of distinct docs far
+    // below the 0.8 gate bar
+    def text(i: Long) = s"alpha$i spark beta$i table gamma$i merge delta$i"
+    def doc(i: Long, t: String) = (i, t, vec(if (i % 2 == 1) 0 else 8, i.toInt))
+    val base = (1L to 12L).map(i => doc(i, text(i)))
+    val baseDf = base.toDF("doc_id", "text", "embedding")
+
+    AnnIndex.build(store, "rg_ann", baseDf, "doc_id", "embedding",
+      dim = 16, nlist = 2, m = 4, k = 4)
+    Bm25.buildIndex(store, "rg_bm", baseDf, "doc_id", "text")
+    DedupIndex.build(store, "rg_gate", baseDf, "doc_id", "text")
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    def row(d: (Long, String, Seq[Float])) =
+      s"""{"doc_id":${d._1},"text":"${d._2}","embedding":[${d._3.mkString(",")}]}"""
+    def drain(): Unit = Streams.retrievalIngestSink(
+      spark.readStream.format("json").schema(schema).load(dir),
+      store, "doc_id", ckpt,
+      annIndex = Some("rg_ann"), bm25Index = Some("rg_bm"),
+      dedupGate = Some("rg_gate"), gatePairsTable = Some("rg_pairs"))
+      .awaitTermination()
+
+    // batch 1: 17 copies an INDEXED doc's text (cross-batch dup), 18 is
+    // novel, 19 and 21 copy each other (within-batch dup — smaller id wins)
+    val b1 = Seq(doc(17L, text(1)), doc(18L, text(18)),
+      doc(19L, text(19)), doc(21L, text(19)))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b1.json"),
+      b1.map(row).mkString("\n"))
+    drain()
+
+    val keptIds = (1L to 12L).toSet + 18L + 19L
+    assert(AnnIndex.knownIds(store, "rg_ann", "doc_id")
+      .as[Long].collect().toSet === keptIds)
+    assert(Bm25.knownIds(store, "rg_bm", "doc_id")
+      .as[Long].collect().toSet === keptIds)
+    // retrieval content equals a from-scratch build on the KEPT corpus
+    val keptDf = (base ++ Seq(doc(18L, text(18)), doc(19L, text(19))))
+      .toDF("doc_id", "text", "embedding")
+    Bm25.buildIndex(store, "rg_bm_ref", keptDf, "doc_id", "text")
+    def bmRes(n: String) = Bm25.searchIndex(store, n, "doc_id",
+        Seq("spark", "merge"), topK = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    assert(bmRes("rg_bm") === bmRes("rg_bm_ref"))
+    // the gate index records the SEEN corpus — dropped ids included
+    assert(DedupIndex.knownIds(store, "rg_gate", "doc_id")
+      .as[Long].collect().toSet === (1L to 12L).toSet ++ Set(17L, 18L, 19L, 21L))
+    // audit trail: the cross-batch pair and the within-batch pair
+    val pairs = store.read("rg_pairs")
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 17L)) || pairs.contains((17L, 1L)))
+    assert(pairs.contains((19L, 21L)) || pairs.contains((21L, 19L)))
+
+    // batch 2: re-delivery of a DROPPED id plus a second-degree near-dup
+    // (23 copies dropped 17's text): both guarded/dropped, nothing changes
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b2.json"),
+      Seq(doc(17L, text(1)), doc(23L, text(1))).map(row).mkString("\n"))
+    drain()
+    assert(AnnIndex.knownIds(store, "rg_ann", "doc_id")
+      .as[Long].collect().toSet === keptIds)
+    assert(bmRes("rg_bm") === bmRes("rg_bm_ref"))
+    assert(DedupIndex.knownIds(store, "rg_gate", "doc_id")
+      .as[Long].collect().toSet === (1L to 12L).toSet ++ Set(17L, 18L, 19L, 21L, 23L))
+
+    // gate scratch staging never leaks
+    assert(!store.exists("rg_gate_gate_fresh"))
+    assert(!store.exists("rg_gate_gate_kept"))
+    // the marker closed
+    val m = store.read("rg_ann_ingest_intent").collect()(0)
+    assert(m.getLong(0) === m.getLong(1))
+  }
 }

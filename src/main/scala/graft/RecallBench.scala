@@ -42,6 +42,7 @@ object RecallBench {
     val expDir = s"$workDir/x$factor"
     ScaleStress.expand(spark, sfDir, expDir, factor)
     val driftOnly = args.contains("driftonly") // re-run just the §drift block
+    val npOnly = args.contains("nprobeonly") // just the auto-geometry nprobe sweep
 
     // third leg: the x1 corpus per-dimension STANDARDIZED (x31's transform)
     // — measures whether whitening-lite moves retrieval quality on this
@@ -101,7 +102,7 @@ object RecallBench {
       // registered s11/s12 point is (16, 16); (16, 64) asks whether lost
       // structure at scale is a RESOLUTION knob (log2(k) bits/subspace) or
       // an implementation defect
-      for ((m, k) <- Seq((8, 16), (16, 16), (16, 64))) {
+      if (!npOnly) for ((m, k) <- Seq((8, 16), (16, 16), (16, 64))) {
         var best = Double.MaxValue
         var approx: Array[(Long, Long, Int)] = Array.empty
         for (_ <- 1 to reps) {
@@ -120,7 +121,7 @@ object RecallBench {
       // bits/vector, codebooks trained on coarse-centroid residuals; all
       // 8 clusters probed so the comparison isolates codebook resolution
       // (no IVF recall loss in either column)
-      {
+      if (!npOnly) {
         val (m, k) = (16, 16)
         var best = Double.MaxValue
         var approx: Array[(Long, Long, Int)] = Array.empty
@@ -152,7 +153,7 @@ object RecallBench {
       // should close most of the gap to exact at a per-query cost of 50
       // exact dots. Time covers train+encode+shortlist+refine (comparable
       // to the residual row).
-      {
+      if (!npOnly) {
         val (m, k) = (16, 16)
         var best = Double.MaxValue
         var approx: Array[(Long, Long, Int)] = Array.empty
@@ -184,7 +185,7 @@ object RecallBench {
       // re-encodes), then time ONLY shortlist+refine per kShort: the
       // reported sec is the query-time cost axis of the curve (per-query
       // exact dots = kShort by construction), recall the quality axis.
-      {
+      if (!npOnly) {
         val (m, k) = (16, 16)
         val centroids = Similarity.kmeansTrain(emb, "vec_id", "embedding",
             k = 8, iters = 2)
@@ -213,6 +214,46 @@ object RecallBench {
           report(s"refined_k$kShort", m, k, approx, best)
         }
       }
+
+      // AUTO-GEOMETRY nprobe sweep: AnnIndex.build's auto default (nlist =
+      // ⌈√n⌉) shrinks clusters as the corpus grows, so a FIXED nprobe
+      // probes a falling fraction of the corpus — the flip side of the
+      // √n codes-per-search win the annonly battery measures. This sweeps
+      // nprobe at the auto geometry (refined search, kShort = the
+      // measured default 100) so the recall cost of each probed fraction
+      // is a recorded curve, not a surprise: per-query scanned codes =
+      // nprobe·n/nlist ≈ nprobe·√n by construction.
+      {
+        val (m, k) = (16, 16)
+        val nlist = math.max(1,
+          math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+        val centroids = Similarity.kmeansTrain(emb, "vec_id", "embedding",
+            k = nlist, iters = 2, sampleMod = Some(4))
+          .select(col("centroid_id").cast("long").as("vec_id"), col("embedding"))
+        val centers = Similarity.residualCenters(emb, centroids,
+          "vec_id", "embedding")
+        val books = Similarity.pqTrainResidual(emb, "vec_id", "embedding",
+          centroids, centers, dim = 64, m = m, k = k, iters = 2, sampleMod = Some(4))
+        val index = graft.tables.Scratch.stage(
+          Similarity.pqEncodeResidual(emb, centroids, centers,
+            "vec_id", "embedding", books), s"rb_anp_$tag")
+        for (nprobe <- (Seq(2, 4, 8, 16, 32).filter(_ < nlist) :+ nlist)) {
+          var best = Double.MaxValue
+          var approx: Array[(Long, Long, Int)] = Array.empty
+          for (_ <- 1 to reps) {
+            val t0 = System.nanoTime()
+            val shortlist = Similarity.ivfPqResidualSearch(queries, index,
+              centroids, centers, "vec_id", "embedding", books,
+              k = 100, nprobe = nprobe)
+            approx = Similarity.refineExact(shortlist, queries, emb,
+                "vec_id", "embedding", k = 10)
+              .select(col("query_id"), col("neighbor_id"), col("rnk"))
+              .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+            best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          }
+          report(s"auto_nl${nlist}_np$nprobe", m, k, approx, best)
+        }
+      }
     }
 
     // Drift-metric ↔ recall correlation (r14 verdict item 7): the
@@ -228,7 +269,7 @@ object RecallBench {
     // recall@10 for drifted-slice queries lands far below in-distribution
     // queries on the same index — the metric moves when and only when
     // the quality does.
-    {
+    if (!npOnly) {
       import graft.ext.AnnIndex
       import graft.tables.TableStore
       val Off = 100000000L // ScaleStress replica id offset

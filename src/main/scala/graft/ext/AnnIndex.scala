@@ -174,15 +174,33 @@ object AnnIndex {
   def knownIds(store: TableStore, name: String, idCol: String): DataFrame =
     store.read(codesT(name)).select(col(idCol))
 
+  /** The auto-nprobe rule paired with the auto-nlist build default:
+    * max(2, ⌈√nlist⌉) probes. Rationale: with nlist itself at ⌈√n⌉, a
+    * FIXED probe count scans a falling fraction of the corpus as it
+    * grows (nprobe/√n) — recall silently collapses (measured: nprobe=2
+    * at nlist=142 lands recall@10 at 0.30 where probing all clusters
+    * gives 0.72, BENCH_LOCAL_r15.md §10). √nlist probes hold scanned
+    * codes at n/√nlist (= n^¾ at auto geometry — still sublinear) and
+    * land mid-curve on the measured recall-vs-probes trade; callers
+    * with a recall target pick an explicit nprobe from that curve, or
+    * calibrate ([[decontaminateCalibrated]] for the scrub).
+    */
+  private def autoNprobe(nlist: Long): Int =
+    math.max(2, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+
   /** Top-k search over the stored index:
     * [[Similarity.ivfPqResidualSearch]] verbatim against the codes table —
-    * probed-cluster partition prune, float-free ranking.
+    * probed-cluster partition prune, float-free ranking. `nprobe = 0`
+    * (the default) auto-scales to max(2, ⌈√nlist⌉) of the STORED
+    * geometry — see [[autoNprobe]]; explicit values win.
     */
   def search(store: TableStore, name: String, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int = 5, nprobe: Int = 2): DataFrame = {
+      idCol: String, vecCol: String, k: Int = 5, nprobe: Int = 0): DataFrame = {
+    require(nprobe >= 0, s"nprobe must be >= 0 (0 = auto sqrt(nlist)), got $nprobe")
     val (centroids, centers, books) = artifacts(store, name, idCol, vecCol)
+    val np = if (nprobe > 0) nprobe else autoNprobe(centroids.count())
     Similarity.ivfPqResidualSearch(queries, store.read(codesT(name)),
-      centroids, centers, idCol, vecCol, books, k, nprobe)
+      centroids, centers, idCol, vecCol, books, k, np)
   }
 
   /** [[DedupIndex.maintainIfNeeded]]'s embedding twin: compact the codes
@@ -226,7 +244,7 @@ object AnnIndex {
     */
   def searchRefined(store: TableStore, name: String, queries: DataFrame,
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int = 5, kShort: Int = 100, nprobe: Int = 2): DataFrame =
+      k: Int = 5, kShort: Int = 100, nprobe: Int = 0): DataFrame =
     Similarity.refineExact(
       search(store, name, queries, idCol, vecCol, kShort, nprobe),
       queries, corpus, idCol, vecCol, k)
@@ -245,11 +263,13 @@ object AnnIndex {
     */
   def decontaminate(store: TableStore, name: String, train: DataFrame,
       evalSet: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.8, nprobe: Int = 2): DataFrame = {
+      threshold: Double = 0.8, nprobe: Int = 0): DataFrame = {
+    require(nprobe >= 0, s"nprobe must be >= 0 (0 = auto sqrt(nlist)), got $nprobe")
     val centroids = store.read(centroidsT(name))
       .select(col("centroid_id").as(idCol), col("vec").as(vecCol))
+    val np = if (nprobe > 0) nprobe else autoNprobe(centroids.count())
     Similarity.semanticDecontaminatePruned(train, evalSet, centroids,
-      idCol, vecCol, threshold, nprobe)
+      idCol, vecCol, threshold, np)
   }
 
   /** What [[decontaminateCalibrated]] measured while picking its probe

@@ -242,6 +242,25 @@ class AnnIndexSpec extends SparkSpec {
       n < exactAll.find(_._1 == id).get._2 })
   }
 
+  test("search auto-nprobe default: max(2, ceil(sqrt(nlist))) of the stored geometry — pinned at two nlists") {
+    def ranked(df: DataFrame): Seq[(Long, Long, Int)] = df
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    // nlist=9 → auto 3
+    val s9 = newStore()
+    AnnIndex.build(s9, "idx", corpus, "vec_id", "embedding",
+      dim = 16, nlist = 9, m = 4, k = 4)
+    val qs = corpus.filter(col("vec_id") <= 4)
+    assert(ranked(AnnIndex.search(s9, "idx", qs, "vec_id", "embedding", k = 5)) ===
+      ranked(AnnIndex.search(s9, "idx", qs, "vec_id", "embedding", k = 5, nprobe = 3)))
+    // nlist=2 → auto max(2, ceil(sqrt 2)) = 2 = nlist (probe everything)
+    val s2 = newStore()
+    AnnIndex.build(s2, "idx", corpus, "vec_id", "embedding",
+      dim = 16, nlist = 2, m = 4, k = 4)
+    assert(ranked(AnnIndex.search(s2, "idx", qs, "vec_id", "embedding", k = 5)) ===
+      ranked(AnnIndex.search(s2, "idx", qs, "vec_id", "embedding", k = 5, nprobe = 2)))
+  }
+
   test("decontaminateCalibrated: binary search lands on the minimal exact-parity nprobe") {
     val store = newStore()
     val isEval = col("vec_id") % 5 === 0

@@ -463,6 +463,23 @@ object Streams {
     * contract). Gate scratch tables (`{gate}_gate_fresh/_gate_kept`) are
     * dropped once consumed; a crash leaves at most a batch-sized orphan
     * the replay overwrites and then drops.
+    *
+    * `gateBucketCap` bounds the clone-flood quadratic: m verbatim copies
+    * of one document put m ids in one band bucket and emit O(m²) audit
+    * pairs (measured: 2 planted texts × ~100 clones → ~12k pairs at
+    * ScaleStress `ingestgated`). Over the cap, hot buckets star-pair with
+    * the bucket's min-id representative instead — and star pairs are
+    * SUFFICIENT for the drop decision on verbatim floods: every member
+    * pairs with the rep at jaccard 1, so a flood over an indexed doc
+    * drops whole (the rep itself pairs with the indexed doc) and a novel
+    * flood admits exactly its rep — the admitted set is unchanged and
+    * only the audit trail coarsens. For NEAR-dup (non-verbatim) members
+    * of a hot bucket the exact-jaccard confirm runs against the rep
+    * only, so a member whose similarity to the rep falls below the bar
+    * may be admitted where the uncapped gate would have dropped it — the
+    * same recall trade [[graft.ext.Dedup]] documents for capped batch
+    * dedup; leave the cap at the default where that matters more than
+    * the O(m²) bound.
     */
   def retrievalIngestSink(docs: DataFrame, store: TableStore, idCol: String,
       checkpoint: String,
@@ -471,7 +488,8 @@ object Streams {
       intentTable: Option[String] = None,
       maxIndexFiles: Int = 64,
       dedupGate: Option[String] = None, gateThreshold: Double = 0.8,
-      gatePairsTable: Option[String] = None): StreamingQuery = {
+      gatePairsTable: Option[String] = None,
+      gateBucketCap: Int = Int.MaxValue): StreamingQuery = {
     require(annIndex.nonEmpty || bm25Index.nonEmpty,
       "retrievalIngestSink needs at least one of annIndex / bm25Index")
     val intentT = intentTable.getOrElse(
@@ -509,12 +527,18 @@ object Streams {
               graft.ext.DedupIndex.knownIds(store, g, idCol),
               Seq(idCol), "left_anti"))
             val freshG = store.read(freshT)
-            val (pairs, incStage) = graft.ext.DedupIndex.probeIncrement(
-              store, g, freshG, idCol, textCol, threshold = gateThreshold)
+            val (pairs0, incStage) = graft.ext.DedupIndex.probeIncrement(
+              store, g, freshG, idCol, textCol, threshold = gateThreshold,
+              bucketCap = gateBucketCap)
+            // staged once: the audit upsert and the drop resolution are
+            // separate actions, and the verified-pairs plan (jaccard join
+            // over the candidate set) must not run per consumer
+            val pairs = graft.tables.Scratch.stage(
+              pairs0.select(col("id_a"), col("id_b"), col("jaccard")),
+              s"${g}_gate_pairs")
             gatePairsTable.foreach { pt =>
-              val out = pairs.select(col("id_a"), col("id_b"), col("jaccard"))
-              store.overwriteIfAbsentElse(pt, out)(target =>
-                Upsert.merge(target, out, Seq("id_a", "id_b"),
+              store.overwriteIfAbsentElse(pt, pairs)(target =>
+                Upsert.merge(target, pairs, Seq("id_a", "id_b"),
                   onDuplicate = Upsert.DuplicatePolicy.DedupDeterministic))
             }
             // greedy arrival-order resolution: drop x when it pairs with
@@ -726,7 +750,8 @@ object Streams {
       packs: Seq[graft.tables.Deletes.PackSpec] = Nil,
       versioned: Seq[String] = Nil, keep: Int = 3,
       maxBatchIds: Int = 100000,
-      bm25Indexes: Seq[String] = Nil): StreamingQuery = {
+      bm25Indexes: Seq[String] = Nil,
+      pairTables: Seq[String] = Nil): StreamingQuery = {
     require(maxBatchIds > 0, s"maxBatchIds must be positive, got $maxBatchIds")
     ids.writeStream
       .outputMode(OutputMode.Append)
@@ -756,7 +781,7 @@ object Streams {
               java.util.Arrays.asList(freshRows: _*), fresh.schema)
             graft.tables.Deletes.cascade(store, freshDf, idCol,
               corpus, corpusPartitionCol, indexes, annIndexes, packs,
-              versioned, keep, bm25Indexes)
+              versioned, keep, bm25Indexes, pairTables)
             store.append(logTable, freshDf
               .withColumn("batch_id", lit(batchId))
               .withColumn("processed_at", current_timestamp()))

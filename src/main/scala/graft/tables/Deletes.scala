@@ -194,18 +194,31 @@ object Deletes {
     * id, partition-scoped where laid out so). List them in `corpus`. The
     * dedicated legs exist only where a naive row drop would be WRONG:
     * dedup/ANN indexes (bucketed layouts), BM25 (global stats), packs
-    * (prefix-sum shards), versioned snapshots (audit diff).
+    * (prefix-sum shards), versioned snapshots (audit diff) — and
+    * `pairTables`, the near-dup PAIR tables ([[graft.streaming.Streams
+    * .nearDupSink]] / `indexedNearDupSink` / the ingest gate's audit
+    * trail: `(id_a, id_b, …)` rows), where a single-column corpus-leg
+    * drop would silently keep every row holding the deleted id on its
+    * OTHER side; here a row dies when EITHER side is deleted (two
+    * broadcast anti-joins, one atomic overwrite per table).
     */
   def cascade(store: TableStore, ids: DataFrame, idCol: String,
       corpus: Seq[String] = Nil, corpusPartitionCol: Option[String] = None,
       indexes: Seq[String] = Nil, annIndexes: Seq[String] = Nil,
       packs: Seq[PackSpec] = Nil,
       versioned: Seq[String] = Nil, keep: Int = 3,
-      bm25Indexes: Seq[String] = Nil): Unit = {
+      bm25Indexes: Seq[String] = Nil,
+      pairTables: Seq[String] = Nil): Unit = {
     corpus.foreach(t => deleteRows(store, t, idCol, ids, corpusPartitionCol))
     indexes.foreach(n => graft.ext.DedupIndex.deleteIds(store, n, ids, idCol))
     annIndexes.foreach(n => graft.ext.AnnIndex.deleteIds(store, n, ids, idCol))
     bm25Indexes.foreach(n => graft.ext.Bm25.deleteIds(store, n, ids, idCol))
+    pairTables.foreach { t =>
+      val k = broadcast(ids.select(col(idCol)))
+      store.overwrite(t, store.read(t)
+        .join(k.select(col(idCol).as("id_a")), Seq("id_a"), "left_anti")
+        .join(k.select(col(idCol).as("id_b")), Seq("id_b"), "left_anti"))
+    }
     packs.foreach(p => repackShards(store, p, idCol, ids))
     versioned.foreach(n => deleteVersioned(store, n, idCol, ids, keep))
   }

@@ -904,4 +904,58 @@ class StreamsSpec extends SparkSpec {
     val m = store.read("rg_ann_ingest_intent").collect()(0)
     assert(m.getLong(0) === m.getLong(1))
   }
+
+  test("retrievalIngestSink dedupGate: hot-bucket cap star-pairs verbatim floods, drop decisions intact") {
+    import graft.ext.{AnnIndex, Bm25, DedupIndex}
+    val dir = Files.createTempDirectory("graft_rc_landing").toString
+    val ckpt = Files.createTempDirectory("graft_rc_ckpt").toString
+    val store = new TableStore(spark, Files.createTempDirectory("graft_rc_store").toString)
+
+    def vec(base: Int, i: Int): Seq[Float] =
+      (0 until 16).map { d =>
+        val on = d >= base && d < base + 4
+        if (on) 1.0f + 0.01f * ((i * 7 + d) % 5) else 0.001f * ((i * 3 + d) % 7)
+      }
+    def text(i: Long) = s"alpha$i spark beta$i table gamma$i merge delta$i"
+    def doc(i: Long, t: String) = (i, t, vec(if (i % 2 == 1) 0 else 8, i.toInt))
+    val base = (1L to 8L).map(i => doc(i, text(i)))
+    val baseDf = base.toDF("doc_id", "text", "embedding")
+    AnnIndex.build(store, "rc_ann", baseDf, "doc_id", "embedding",
+      dim = 16, nlist = 2, m = 4, k = 4)
+    Bm25.buildIndex(store, "rc_bm", baseDf, "doc_id", "text")
+    DedupIndex.build(store, "rc_gate", baseDf, "doc_id", "text")
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    def row(d: (Long, String, Seq[Float])) =
+      s"""{"doc_id":${d._1},"text":"${d._2}","embedding":[${d._3.mkString(",")}]}"""
+
+    // a verbatim flood over INDEXED doc 2's text (ids 21-24) and a NOVEL
+    // verbatim flood (ids 31-33) — with bucketCap=1 every bucket they
+    // share is over-cap, so all pairing is rep-star
+    val b1 = (21L to 24L).map(i => doc(i, text(2))) ++
+      (31L to 33L).map(i => doc(i, text(77)))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b1.json"),
+      b1.map(row).mkString("\n"))
+    Streams.retrievalIngestSink(
+      spark.readStream.format("json").schema(schema).load(dir),
+      store, "doc_id", ckpt,
+      annIndex = Some("rc_ann"), bm25Index = Some("rc_bm"),
+      dedupGate = Some("rc_gate"), gatePairsTable = Some("rc_pairs"),
+      gateBucketCap = 1)
+      .awaitTermination()
+
+    // indexed-doc flood drops whole; the novel flood admits its min id
+    assert(AnnIndex.knownIds(store, "rc_ann", "doc_id")
+      .as[Long].collect().toSet === (1L to 8L).toSet + 31L)
+    // audit coarsened to rep-mediated pairs but nonempty for both floods
+    val pairs = store.read("rc_pairs")
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.exists(p => Set(p._1, p._2).contains(2L)))
+    assert(pairs.exists(p => Set(p._1, p._2).subsetOf(Set(31L, 32L, 33L))))
+  }
 }

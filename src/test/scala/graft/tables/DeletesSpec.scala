@@ -140,6 +140,22 @@ class DeletesSpec extends SparkSpec {
     assert(again === adjusted)
   }
 
+  test("pairTables cascade leg: a pair row dies when EITHER side is deleted; idempotent") {
+    val store = newStore()
+    store.overwrite("pairs", Seq(
+      (1L, 2L, 0.9), (3L, 4L, 0.85), (5L, 1L, 0.95), (6L, 7L, 0.8))
+      .toDF("id_a", "id_b", "jaccard"))
+    val ids = Seq(1L, 4L).toDF("doc_id")
+    Deletes.cascade(store, ids, "doc_id", pairTables = Seq("pairs"))
+    def rows() = store.read("pairs")
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    // (1,2) dies on id_a, (5,1) on id_b, (3,4) on id_b; (6,7) survives
+    assert(rows() === Set((6L, 7L)))
+    // idempotent: re-running the same takedown changes nothing
+    Deletes.cascade(store, ids, "doc_id", pairTables = Seq("pairs"))
+    assert(rows() === Set((6L, 7L)))
+  }
+
   test("restore re-publishes an old snapshot as the new latest; the bad version stays diffable") {
     val store = newStore()
     Versions.overwrite(store, "snap", Seq((1L, "good"), (2L, "good")).toDF("id", "v"))

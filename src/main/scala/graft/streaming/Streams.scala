@@ -464,6 +464,36 @@ object Streams {
     * dropped once consumed; a crash leaves at most a batch-sized orphan
     * the replay overwrites and then drops.
     *
+    * `corpusTable` (optional) makes the sink land the CORPUS itself —
+    * kept documents append to a plain row table (create it before the
+    * stream starts, possibly empty), with the same guard → repair →
+    * append leg shape as the indexes, so corpus and retrieval artifacts
+    * stay in lockstep under one intent marker instead of two sinks
+    * racing.
+    *
+    * `semanticGateThreshold` (optional; requires `annIndex` AND
+    * `corpusTable`) adds the EMBEDDING twin of `dedupGate` — SemDeDup's
+    * streaming counterpart: a batch document is dropped when its exact
+    * cosine against an already-ADMITTED corpus document reaches the
+    * threshold (candidates proposed by the durable ANN index —
+    * `semanticGateKShort` ADC shortlist per doc, `semanticGateNprobe`
+    * probes (0 = auto √nlist) — then exact-confirmed against the corpus
+    * table's vectors, the c8 prune-invisible idiom; recall is bounded by
+    * the shortlist/probe dials exactly as in [[graft.ext.AnnIndex
+    * .searchRefined]]), or when an earlier-id document of the same batch
+    * sits within the threshold (exact batch×batch cosine, broadcast —
+    * greedy arrival order, like the lexical gate). Semantics differ from
+    * the lexical gate on purpose: this gate remembers the KEPT corpus
+    * (dropped docs leave no vectors anywhere), so a future dup of a
+    * dropped doc is caught only via its kept representative — greedy
+    * representative selection, the batch SemDeDup contract. Exact
+    * confirmation against the corpus also shields replays from partial
+    * index state: a candidate pair whose neighbor never committed to the
+    * corpus finds no vector to confirm against and vanishes. Runs AFTER
+    * the lexical gate (cheap shingles prune before exact dots) and
+    * before any leg mutates state, so a replayed batch recomputes a
+    * converging kept set from the same corpus.
+    *
     * `gateBucketCap` bounds the clone-flood quadratic: m verbatim copies
     * of one document put m ids in one band bucket and emit O(m²) audit
     * pairs (measured: 2 planted texts × ~100 clones → ~12k pairs at
@@ -489,9 +519,17 @@ object Streams {
       maxIndexFiles: Int = 64,
       dedupGate: Option[String] = None, gateThreshold: Double = 0.8,
       gatePairsTable: Option[String] = None,
-      gateBucketCap: Int = Int.MaxValue): StreamingQuery = {
+      gateBucketCap: Int = Int.MaxValue,
+      corpusTable: Option[String] = None,
+      semanticGateThreshold: Option[Double] = None,
+      semanticGateKShort: Int = 100,
+      semanticGateNprobe: Int = 0): StreamingQuery = {
     require(annIndex.nonEmpty || bm25Index.nonEmpty,
       "retrievalIngestSink needs at least one of annIndex / bm25Index")
+    require(semanticGateThreshold.isEmpty ||
+        (annIndex.nonEmpty && corpusTable.nonEmpty),
+      "semanticGateThreshold needs annIndex (candidate proposal) and " +
+        "corpusTable (exact confirm + admitted-corpus memory)")
     val intentT = intentTable.getOrElse(
       s"${annIndex.getOrElse(bm25Index.get)}_ingest_intent")
     docs.writeStream
@@ -559,6 +597,59 @@ object Streams {
               store.drop(keptT)
             })
         }
+        // semantic gate: ADC shortlist from the durable ANN index, exact
+        // cosine confirm against the ADMITTED corpus, greedy earlier-id
+        // resolution within the batch (see scaladoc); reads only — every
+        // mutation happens in the legs below
+        val (input2, sgateCleanup): (DataFrame, () => Unit) =
+          semanticGateThreshold match {
+            case None => (input, () => ())
+            case Some(tau) =>
+              import graft.ext.{AnnIndex, Similarity}
+              val ann = annIndex.get
+              val corpus = store.read(corpusTable.get)
+              val candT = s"${ann}_sgate_cand"
+              val keptT = s"${ann}_sgate_kept"
+              // already-admitted docs skip the gate (they were kept once;
+              // the legs' own guards handle their re-delivery)
+              store.overwrite(candT, input.join(
+                corpus.select(col(idCol)), Seq(idCol), "left_anti"))
+              val cand = store.read(candT)
+              val corpusHits = Similarity.refineExact(
+                  AnnIndex.search(store, ann, cand, idCol, vecCol,
+                    k = semanticGateKShort, nprobe = semanticGateNprobe),
+                  cand, corpus, idCol, vecCol, k = semanticGateKShort)
+                .filter(col("cos") >= tau)
+                .select(col("query_id").as(idCol))
+              val a = Similarity.withNorm(cand.select(
+                col(idCol).as("_ia"), col(vecCol).as("_va")), "_va", "_na")
+              val bb = Similarity.withNorm(cand.select(
+                col(idCol).as("_ib"), col(vecCol).as("_vb")), "_vb", "_nb")
+              val batchHits = a.crossJoin(broadcast(bb))
+                .filter(col("_ia") < col("_ib"))
+                .filter(Similarity.dot(col("_va"), col("_vb")) /
+                  (col("_na") * col("_nb")) >= tau)
+                .select(col("_ib").as(idCol))
+              store.overwrite(keptT, input.join(
+                corpusHits.unionByName(batchHits).distinct(),
+                Seq(idCol), "left_anti"))
+              store.drop(candT)
+              (store.read(keptT), () => store.drop(keptT))
+          }
+        // corpus leg FIRST: the semantic gate's next-batch memory is the
+        // admitted corpus, and exact confirm must find a kept doc's
+        // vector even when a crash interrupted the index legs behind it
+        corpusTable.foreach { ct =>
+          withFresh(input2.join(store.read(ct).select(col(idCol)),
+              Seq(idCol), "left_anti"), ct) { fresh =>
+            if (!fresh.isEmpty) {
+              if (repair)
+                graft.tables.Deletes.deleteRows(store, ct, idCol,
+                  fresh.select(col(idCol)), None)
+              store.append(ct, fresh)
+            }
+          }
+        }
         // stage the guard's anti-join ONCE per leg (batch-sized,
         // disk-backed) and hand consumers the read-back: the empty probe
         // plus one or two appends would otherwise re-run the dedup window
@@ -574,7 +665,7 @@ object Streams {
           finally store.drop(stageT)
         }
         annIndex.foreach { n =>
-          withFresh(input.join(graft.ext.AnnIndex.knownIds(store, n, idCol),
+          withFresh(input2.join(graft.ext.AnnIndex.knownIds(store, n, idCol),
               Seq(idCol), "left_anti"), n) { fresh =>
             if (!fresh.isEmpty) {
               if (repair)
@@ -584,7 +675,7 @@ object Streams {
           }
         }
         bm25Index.foreach { n =>
-          withFresh(input.join(graft.ext.Bm25.knownIds(store, n, idCol),
+          withFresh(input2.join(graft.ext.Bm25.knownIds(store, n, idCol),
               Seq(idCol), "left_anti"), n) { fresh =>
             if (!fresh.isEmpty) {
               if (repair)
@@ -600,6 +691,7 @@ object Streams {
         // gate commit BEFORE the done marker: a crash in between replays
         // into an empty fresh set over fully-completed legs (see scaladoc)
         gateCommit()
+        sgateCleanup()
         store.overwrite(intentT,
           Seq((bid, bid)).toDF("started_batch", "done_batch"))
         // per-batch appends fragment; compaction runs AFTER the done

@@ -905,6 +905,73 @@ class StreamsSpec extends SparkSpec {
     assert(m.getLong(0) === m.getLong(1))
   }
 
+  test("retrievalIngestSink semanticGate: embedding dups dropped via ANN+exact confirm; corpus leg lands kept docs") {
+    import graft.ext.{AnnIndex, Bm25}
+    val dir = Files.createTempDirectory("graft_sg_landing").toString
+    val ckpt = Files.createTempDirectory("graft_sg_ckpt").toString
+    val store = new TableStore(spark, Files.createTempDirectory("graft_sg_store").toString)
+
+    // one-hot fixture: distinct docs are orthogonal (cos 0), dups are
+    // verbatim copies (cos 1) — clean margins around the 0.99 gate bar
+    def vec(dim: Int): Seq[Float] =
+      (0 until 16).map(d => if (d == dim) 1.0f else 0.0f)
+    def text(i: Long) = s"alpha$i spark beta$i table gamma$i merge delta$i"
+    val base = (1L to 12L).map(i => (i, text(i), vec(i.toInt - 1)))
+    val baseDf = base.toDF("doc_id", "text", "embedding")
+    AnnIndex.build(store, "sg_ann", baseDf, "doc_id", "embedding",
+      dim = 16, nlist = 2, m = 4, k = 4)
+    Bm25.buildIndex(store, "sg_bm", baseDf, "doc_id", "text")
+    store.overwrite("sg_corpus", baseDf) // the admitted corpus, pre-seeded
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    def row(d: (Long, String, Seq[Float])) =
+      s"""{"doc_id":${d._1},"text":"${d._2}","embedding":[${d._3.mkString(",")}]}"""
+    def drain(): Unit = Streams.retrievalIngestSink(
+      spark.readStream.format("json").schema(schema).load(dir),
+      store, "doc_id", ckpt,
+      annIndex = Some("sg_ann"), bm25Index = Some("sg_bm"),
+      corpusTable = Some("sg_corpus"),
+      semanticGateThreshold = Some(0.99))
+      .awaitTermination()
+
+    // 17: EXACT embedding of indexed doc 3, fresh TEXT (a paraphrase — the
+    // case the lexical gate misses) → dropped; 18: novel embedding →
+    // kept; 19/21: same novel embedding as each other → 19 kept, 21
+    // dropped (earlier id wins)
+    val b1 = Seq((17L, text(90), vec(2)), (18L, text(18), vec(12)),
+      (19L, text(19), vec(13)), (21L, text(91), vec(13)))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b1.json"),
+      b1.map(row).mkString("\n"))
+    drain()
+
+    val keptIds = (1L to 12L).toSet + 18L + 19L
+    assert(AnnIndex.knownIds(store, "sg_ann", "doc_id")
+      .as[Long].collect().toSet === keptIds)
+    assert(Bm25.knownIds(store, "sg_bm", "doc_id")
+      .as[Long].collect().toSet === keptIds)
+    // the corpus leg landed exactly the kept docs
+    assert(store.read("sg_corpus").select(col("doc_id"))
+      .as[Long].collect().toSet === keptIds)
+
+    // batch 2: re-delivery of kept 18 (skips the gate via corpus
+    // membership, no-ops at the legs) and a fresh dup of KEPT 19's
+    // embedding → dropped via the corpus rule
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b2.json"),
+      Seq((18L, text(18), vec(12)), (23L, text(93), vec(13))).map(row).mkString("\n"))
+    drain()
+    assert(store.read("sg_corpus").select(col("doc_id"))
+      .as[Long].collect().toSet === keptIds)
+    assert(AnnIndex.knownIds(store, "sg_ann", "doc_id")
+      .as[Long].collect().toSet === keptIds)
+    // gate scratch never leaks
+    assert(!store.exists("sg_ann_sgate_cand"))
+    assert(!store.exists("sg_ann_sgate_kept"))
+  }
+
   test("retrievalIngestSink dedupGate: hot-bucket cap star-pairs verbatim floods, drop decisions intact") {
     import graft.ext.{AnnIndex, Bm25, DedupIndex}
     val dir = Files.createTempDirectory("graft_rc_landing").toString

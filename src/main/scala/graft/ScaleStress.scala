@@ -410,7 +410,7 @@ object ScaleStress {
     */
   private def ingestTracking(spark: SparkSession, sfDir: String,
       workDir: String, nBatches: Int = 20, maxIndexFiles: Int = 20,
-      gated: Boolean = false): Unit = {
+      gated: Boolean = false, semantic: Boolean = false): Unit = {
     import graft.ext.{AnnIndex, Bm25, DedupIndex}
     import graft.tables.TableStore
     import graft.tables.Compact
@@ -429,22 +429,31 @@ object ScaleStress {
     // drop every one of them (they near-dup INDEXED docs) while novel
     // docs pass untouched; the planted rate shows up as the admitted-id
     // gap in the end-of-run totals line
+    val pick = pmod(Similarity.sampleBucket(col("doc_id") + 13), lit(10))
     val stream =
-      if (!gated) stream0
-      else {
+      if (gated) {
         val planted = base.select(col("text"))
           .orderBy(col("doc_id")).limit(2).collect().map(_.getString(0))
-        val pick = pmod(Similarity.sampleBucket(col("doc_id") + 13), lit(10))
         stream0.withColumn("text",
           when(pick === 0, lit(planted(0)))
             .when(pick === 1, lit(planted(1)))
             .otherwise(col("text")))
-      }
+      } else if (semantic) {
+        // the semantic battery plants EMBEDDING copies (text untouched —
+        // exactly the paraphrase leak the lexical gate cannot see)
+        val planted = base.orderBy(col("doc_id")).limit(2).collect()
+          .map(_.getSeq[Float](2).toSeq)
+        stream0.withColumn("embedding",
+          when(pick === 0, typedLit(planted(0)))
+            .when(pick === 1, typedLit(planted(1)))
+            .otherwise(col("embedding")))
+      } else stream0
     AnnIndex.build(store, "ing_ann", base, "doc_id", "embedding",
       dim = 64, nlist = 8, coarseIters = 2, m = 8, k = 16, pqIters = 2,
       sampleMod = Some(4))
     Bm25.buildIndex(store, "ing_bm", base, "doc_id", "text")
     if (gated) DedupIndex.build(store, "ing_gate", base, "doc_id", "text")
+    if (semantic) store.overwrite("ing_corpus", base) // the admitted corpus
     val landing = s"$workDir/ingest_landing"
     val ckpt = s"$workDir/ingest_ckpt"
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -470,21 +479,31 @@ object ScaleStress {
         annIndex = Some("ing_ann"), bm25Index = Some("ing_bm"),
         maxIndexFiles = maxIndexFiles,
         dedupGate = if (gated) Some("ing_gate") else None,
-        gatePairsTable = if (gated) Some("ing_gate_pairs") else None)
+        gatePairsTable = if (gated) Some("ing_gate_pairs") else None,
+        corpusTable = if (semantic) Some("ing_corpus") else None,
+        semanticGateThreshold = if (semantic) Some(0.99) else None,
+        semanticGatePairsTable = if (semantic) Some("ing_sgate_pairs") else None)
         .awaitTermination()
       val sec = (System.nanoTime() - t0) / 1e9
-      val gateF = if (gated) s""","gate_bands_files":${files("ing_gate_bands")}""" else ""
+      val gateF =
+        if (gated) s""","gate_bands_files":${files("ing_gate_bands")}"""
+        else if (semantic) s""","corpus_files":${files("ing_corpus")}"""
+        else ""
       println(f"""{"ingestbench":$i,"sec":$sec%.2f,"ann_files":${files("ing_ann_codes")},"bm_postings_files":${files("ing_bm_postings")}$gateF}""")
     }
-    if (gated) {
+    if (gated || semantic) {
       // the admitted-vs-seen gap IS the gate's work: ann/bm25 hold base +
-      // survivors, the gate index holds base + every streamed doc
+      // survivors; the lexical gate index remembers every streamed doc,
+      // the semantic corpus only the kept ones
       val nBase = base.count()
       val nStream = stream.select(col("doc_id")).distinct().count()
       val nAnn = AnnIndex.knownIds(store, "ing_ann", "doc_id").count()
-      val nGate = DedupIndex.knownIds(store, "ing_gate", "doc_id").count()
-      val nPairs = store.read("ing_gate_pairs").count()
-      println(s"""{"ingestbench":"gate_totals","n_base":$nBase,"n_streamed":$nStream,"ann_ids":$nAnn,"gate_ids":$nGate,"dropped":${nBase + nStream - nAnn},"audit_pairs":$nPairs}""")
+      val nMem =
+        if (gated) DedupIndex.knownIds(store, "ing_gate", "doc_id").count()
+        else store.read("ing_corpus").count()
+      val nPairs = store.read(
+        if (gated) "ing_gate_pairs" else "ing_sgate_pairs").count()
+      println(s"""{"ingestbench":"gate_totals","n_base":$nBase,"n_streamed":$nStream,"ann_ids":$nAnn,"memory_ids":$nMem,"dropped":${nBase + nStream - nAnn},"audit_pairs":$nPairs}""")
     }
   }
 
@@ -531,6 +550,12 @@ object ScaleStress {
     }
     if (args.contains("ingestgated")) { // same battery with the near-dup gate in front
       ingestTracking(spark, sfDir, s"$workDir/gated", gated = true)
+      graft.tables.Scratch.cleanup(spark)
+      spark.stop()
+      return
+    }
+    if (args.contains("ingestsemantic")) { // embedding-dup gate + corpus leg
+      ingestTracking(spark, sfDir, s"$workDir/sgated", semantic = true)
       graft.tables.Scratch.cleanup(spark)
       spark.stop()
       return

@@ -493,6 +493,11 @@ object Streams {
     * the lexical gate (cheap shingles prune before exact dots) and
     * before any leg mutates state, so a replayed batch recomputes a
     * converging kept set from the same corpus.
+    * `semanticGatePairsTable` keeps the audit trail — `(id_a = the kept/
+    * corpus side, id_b = the condemned doc, cos)`, pair-keyed upserts
+    * (replay-idempotent) in the same shape as the lexical
+    * `gatePairsTable`, so the [[graft.tables.Deletes.cascade]]
+    * `pairTables` takedown leg covers both.
     *
     * `gateBucketCap` bounds the clone-flood quadratic: m verbatim copies
     * of one document put m ids in one band bucket and emit O(m²) audit
@@ -523,7 +528,8 @@ object Streams {
       corpusTable: Option[String] = None,
       semanticGateThreshold: Option[Double] = None,
       semanticGateKShort: Int = 100,
-      semanticGateNprobe: Int = 0): StreamingQuery = {
+      semanticGateNprobe: Int = 0,
+      semanticGatePairsTable: Option[String] = None): StreamingQuery = {
     require(annIndex.nonEmpty || bm25Index.nonEmpty,
       "retrievalIngestSink needs at least one of annIndex / bm25Index")
     require(semanticGateThreshold.isEmpty ||
@@ -615,23 +621,37 @@ object Streams {
               store.overwrite(candT, input.join(
                 corpus.select(col(idCol)), Seq(idCol), "left_anti"))
               val cand = store.read(candT)
-              val corpusHits = Similarity.refineExact(
+              // pair convention matches the lexical audit (and the
+              // pairTables takedown leg): id_a = the kept/corpus side,
+              // id_b = the document the pair condemns
+              val corpusPairs = Similarity.refineExact(
                   AnnIndex.search(store, ann, cand, idCol, vecCol,
                     k = semanticGateKShort, nprobe = semanticGateNprobe),
                   cand, corpus, idCol, vecCol, k = semanticGateKShort)
                 .filter(col("cos") >= tau)
-                .select(col("query_id").as(idCol))
+                .select(col("neighbor_id").as("id_a"),
+                  col("query_id").as("id_b"), col("cos"))
               val a = Similarity.withNorm(cand.select(
                 col(idCol).as("_ia"), col(vecCol).as("_va")), "_va", "_na")
               val bb = Similarity.withNorm(cand.select(
                 col(idCol).as("_ib"), col(vecCol).as("_vb")), "_vb", "_nb")
-              val batchHits = a.crossJoin(broadcast(bb))
+              val batchPairs = a.crossJoin(broadcast(bb))
                 .filter(col("_ia") < col("_ib"))
-                .filter(Similarity.dot(col("_va"), col("_vb")) /
-                  (col("_na") * col("_nb")) >= tau)
-                .select(col("_ib").as(idCol))
+                .select(col("_ia").as("id_a"), col("_ib").as("id_b"),
+                  (Similarity.dot(col("_va"), col("_vb")) /
+                    (col("_na") * col("_nb"))).as("cos"))
+                .filter(col("cos") >= tau)
+              // staged once: the audit upsert and the drop resolution must
+              // not each re-run the shortlist+confirm pipeline
+              val pairs = graft.tables.Scratch.stage(
+                corpusPairs.unionByName(batchPairs), s"${ann}_sgate_pairs")
+              semanticGatePairsTable.foreach { pt =>
+                store.overwriteIfAbsentElse(pt, pairs)(target =>
+                  Upsert.merge(target, pairs, Seq("id_a", "id_b"),
+                    onDuplicate = Upsert.DuplicatePolicy.DedupDeterministic))
+              }
               store.overwrite(keptT, input.join(
-                corpusHits.unionByName(batchHits).distinct(),
+                pairs.select(col("id_b").as(idCol)).distinct(),
                 Seq(idCol), "left_anti"))
               store.drop(candT)
               (store.read(keptT), () => store.drop(keptT))
@@ -704,6 +724,9 @@ object Streams {
           graft.ext.Bm25.maintainIfNeeded(store, n, maxFiles = maxIndexFiles))
         dedupGate.foreach(g =>
           graft.ext.DedupIndex.maintainIfNeeded(store, g, maxFiles = maxIndexFiles))
+        corpusTable.foreach(ct =>
+          graft.tables.Compact.compactIfFragmented(store, ct,
+            maxFiles = maxIndexFiles))
         ()
       }
       .start()

@@ -118,6 +118,27 @@ object Compact {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** Run [[compact]] only when the table's data-file count exceeds
+    * `maxFiles` — the per-batch health-check trigger the durable indexes
+    * already use (`AnnIndex`/`Bm25`/`DedupIndex.maintainIfNeeded`),
+    * generalized to any plain table a streaming sink appends to (the
+    * corpus leg of [[graft.streaming.Streams.retrievalIngestSink]]). One
+    * driver-side directory listing per call; `None` = healthy, no work.
+    * Content-neutral (atomic swap), so it belongs AFTER a sink's done
+    * marker like the other triggers.
+    */
+  def compactIfFragmented(store: TableStore, name: String, maxFiles: Int = 64,
+      targetBytes: Long = 128L << 20,
+      partitionBy: Seq[String] = Nil): Option[Stats] = {
+    require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val p = new Path(store.path(name))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (dataFiles(fs, p).size > maxFiles)
+      Some(compact(store, name, targetBytes, partitionBy = partitionBy))
+    else None
+  }
+
   /** Rewrite `name` into ~`targetBytes`-sized files (or exactly `numFiles`
     * when given), optionally Z-ordered by `zorderBy`. `partitionBy` must
     * restate the table's hive layout, like [[TableStore.append]]. Atomic:

@@ -935,7 +935,8 @@ class StreamsSpec extends SparkSpec {
       store, "doc_id", ckpt,
       annIndex = Some("sg_ann"), bm25Index = Some("sg_bm"),
       corpusTable = Some("sg_corpus"),
-      semanticGateThreshold = Some(0.99))
+      semanticGateThreshold = Some(0.99),
+      semanticGatePairsTable = Some("sg_pairs"))
       .awaitTermination()
 
     // 17: EXACT embedding of indexed doc 3, fresh TEXT (a paraphrase — the
@@ -967,6 +968,12 @@ class StreamsSpec extends SparkSpec {
       .as[Long].collect().toSet === keptIds)
     assert(AnnIndex.knownIds(store, "sg_ann", "doc_id")
       .as[Long].collect().toSet === keptIds)
+    // audit trail: (kept side, condemned side) for the cross-corpus drop,
+    // the within-batch drop, and batch 2's dup-of-kept
+    val sgPairs = store.read("sg_pairs")
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(Set((3L, 17L), (19L, 21L), (19L, 23L)).subsetOf(sgPairs))
     // gate scratch never leaks
     assert(!store.exists("sg_ann_sgate_cand"))
     assert(!store.exists("sg_ann_sgate_kept"))

@@ -37,6 +37,22 @@ class CompactSpec extends SparkSpec {
     assert(store.schemaOf("fact").get.fieldNames.toSeq === Seq("id", "v"))
   }
 
+  test("compactIfFragmented: no-op below maxFiles, compacts above, content unchanged") {
+    val store = newStore()
+    (0 until 10).foreach { b =>
+      store.append("t", Seq.tabulate(20)(i => (b * 20 + i, s"v$i")).toDF("id", "v"))
+    }
+    val orig = store.read("t").as[(Int, String)].collect().sortBy(_._1).toSeq
+    // healthy: file count within bound — nothing happens
+    assert(Compact.compactIfFragmented(store, "t", maxFiles = 64).isEmpty)
+    assert(parquetFiles(store, "t").size >= 10)
+    // fragmented past the bound: one compaction, data identical
+    val stats = Compact.compactIfFragmented(store, "t", maxFiles = 4)
+    assert(stats.nonEmpty)
+    assert(parquetFiles(store, "t").size <= 4)
+    assert(store.read("t").as[(Int, String)].collect().sortBy(_._1).toSeq === orig)
+  }
+
   test("targetBytes sizes the output file count from the table's bytes") {
     val store = newStore()
     (0 until 8).foreach { b =>

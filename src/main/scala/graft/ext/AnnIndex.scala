@@ -272,6 +272,43 @@ object AnnIndex {
       idCol, vecCol, threshold, np)
   }
 
+  /** One-call operational report over a stored index — the numbers an
+    * operator pages on, see [[health]]. `maxClusterFrac` is the IVF skew
+    * signal: the probe-prune cost model assumes ~n/nlist codes per
+    * cluster, and a hot cluster (frac ≫ 1/nlist) makes every query that
+    * probes it scan far more than its budget — the fix is a rebuild
+    * (possibly with larger nlist), same as drift. `driftLast/driftBaseline`
+    * operationalizes the drift table's retrain bell: a magnitude jump is
+    * the signal, a wiggle is not (AnnIndexSpec pins both regimes).
+    */
+  final case class Health(
+      nCodes: Long, nClusters: Int, maxClusterFrac: Double,
+      codesFiles: Int, driftBaseline: Double, driftLast: Double)
+
+  /** Compute [[Health]] from the stored tables: one narrow
+    * cluster-grouped count over the codes table (map-side combined, never
+    * the corpus), one driver-side file listing, two rows of the drift
+    * table. Safe to run after every append batch.
+    */
+  def health(store: TableStore, name: String): Health = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val byCluster = store.read(codesT(name))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("total"), max(col("n")).as("hot"),
+        count(lit(1)).as("k"))
+      .collect()(0)
+    val (total, hot, k) =
+      (byCluster.getLong(0), byCluster.getLong(1), byCluster.getLong(2))
+    val p = new org.apache.hadoop.fs.Path(store.path(codesT(name)))
+    val nFiles = graft.tables.Compact
+      .dataFiles(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p).size
+    val d = drift(store, name).select(col("seq"), col("mean_err")).collect()
+    val baseline = d.headOption.map(_.getDouble(1)).getOrElse(Double.NaN)
+    val last = d.lastOption.map(_.getDouble(1)).getOrElse(Double.NaN)
+    Health(total, k.toInt, if (total == 0) 0.0 else hot.toDouble / total,
+      nFiles, baseline, last)
+  }
+
   /** What [[decontaminateCalibrated]] measured while picking its probe
     * count: the chosen `nprobe` (margin included), the index's `nlist`,
     * the exact hit-pair count on the calibration slice, and how many

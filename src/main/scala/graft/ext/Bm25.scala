@@ -155,6 +155,47 @@ object Bm25 {
     else None
   }
 
+  /** [[AnnIndex.Health]]'s lexical twin. `maxTermFrac` is the hot-term
+    * skew signal: the term-filtered postings scan assumes df ≪ N, and a
+    * term present in most documents makes every query containing it pay
+    * a near-full postings read (stopword-scale df — prune it query-side
+    * or accept the cost knowingly). `staleStats` flags a stats cache
+    * that disagrees with the doclen table (normally impossible —
+    * [[refreshStats]] closes the crash window — so true here means
+    * something external touched the tables).
+    */
+  final case class Health(
+      nDocs: Long, nPostings: Long, vocab: Long, maxTermFrac: Double,
+      postingsFiles: Int, doclenFiles: Int, staleStats: Boolean)
+
+  /** Compute [[Health]]: one term-grouped count over postings (map-side
+    * combined), one doclen count, two file listings, one stats-row read.
+    * Safe after every append batch.
+    */
+  def health(store: TableStore, name: String): Health = {
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    def nFiles(t: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(store.path(t))
+      graft.tables.Compact.dataFiles(p.getFileSystem(conf), p).size
+    }
+    val byTerm = store.read(s"${name}_postings")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .agg(sum(col("df")).as("total"), max(col("df")).as("hot"),
+        count(lit(1)).as("vocab"))
+      .collect()(0)
+    val nDocs = store.read(s"${name}_doclen").count()
+    val statsN = store.read(s"${name}_stats")
+      .select(col("n_docs")).collect()(0).getLong(0)
+    Health(nDocs,
+      if (byTerm.isNullAt(0)) 0L else byTerm.getLong(0),
+      byTerm.getLong(2),
+      if (nDocs == 0) 0.0
+      else (if (byTerm.isNullAt(1)) 0L else byTerm.getLong(1)).toDouble / nDocs,
+      nFiles(s"${name}_postings"), nFiles(s"${name}_doclen"),
+      staleStats = statsN != nDocs)
+  }
+
   /** Recompute the stats cache from the current doclen table — the
     * crash-repair hook for streaming ingest: a crash between a doclen
     * commit and its stats write leaves a correct index with a stale

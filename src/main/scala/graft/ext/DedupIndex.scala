@@ -442,6 +442,42 @@ object DedupIndex {
     * are unchanged — DedupIndexSpec pins both). Run it on the cadence the
     * append rate dictates, e.g. weekly for daily increments.
     */
+  /** [[AnnIndex.Health]]'s MinHash twin. `maxBucketFrac` is the
+    * hot-bucket skew signal: probe cost assumes band buckets hold a
+    * handful of docs, and a bucket holding a large fraction of the
+    * corpus (boilerplate flood) makes every probing doc that lands in it
+    * fan out accordingly — the `bucketCap` star-pairing knob is the
+    * mitigation, this number says whether it is needed.
+    */
+  final case class Health(
+      nDocs: Long, nShingleRows: Long, nBandRows: Long,
+      maxBucketFrac: Double, bandsFiles: Int, shinglesFiles: Int,
+      sizesFiles: Int)
+
+  /** Compute [[Health]]: a (band, bucket)-grouped count over the bands
+    * table (map-side combined), two narrow counts, three file listings.
+    * Safe after every increment.
+    */
+  def health(store: TableStore, name: String): Health = {
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    def nFiles(t: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(store.path(t))
+      graft.tables.Compact.dataFiles(p.getFileSystem(conf), p).size
+    }
+    val nDocs = store.read(sizesT(name)).count()
+    val byBucket = store.read(bandsT(name))
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("total"), max(col("n")).as("hot"))
+      .collect()(0)
+    Health(nDocs,
+      store.read(shinglesT(name)).count(),
+      if (byBucket.isNullAt(0)) 0L else byBucket.getLong(0),
+      if (nDocs == 0) 0.0
+      else (if (byBucket.isNullAt(1)) 0L else byBucket.getLong(1)).toDouble / nDocs,
+      nFiles(bandsT(name)), nFiles(shinglesT(name)), nFiles(sizesT(name)))
+  }
+
   def maintain(store: TableStore, name: String,
       targetBytes: Long = 128L << 20): Map[String, graft.tables.Compact.Stats] = {
     // the bucketed shingle table must restate its hive layout or the

@@ -320,6 +320,27 @@ class AnnIndexSpec extends SparkSpec {
     assert(s5.count() === 0L)
   }
 
+  test("health: counts, cluster-skew fraction, file count, drift trend from the stored tables") {
+    val store = newStore()
+    AnnIndex.build(store, "idx", corpus, "vec_id", "embedding",
+      dim = 16, nlist = 2, m = 4, k = 4)
+    val h = AnnIndex.health(store, "idx")
+    assert(h.nCodes === 40L)
+    assert(h.nClusters === 2)
+    // two balanced orthogonal families → each cluster holds half
+    assert(h.maxClusterFrac === 0.5)
+    assert(h.codesFiles >= 1)
+    assert(h.driftBaseline === h.driftLast) // build only: one drift row
+    // an append moves the trend's LAST point, never the baseline
+    AnnIndex.append(store, "idx",
+      (101 to 110).map(i => (i.toLong, vec(0, i))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val h2 = AnnIndex.health(store, "idx")
+    assert(h2.nCodes === 50L)
+    assert(h2.driftBaseline === h.driftBaseline)
+    assert(h2.maxClusterFrac > 0.5) // the family-0 cluster grew
+  }
+
   test("takedown rewrites only the deleted ids' clusters; artifacts stay frozen") {
     val store = newStore()
     AnnIndex.build(store, "idx", corpus, "vec_id", "embedding",

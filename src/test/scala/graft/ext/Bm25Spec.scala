@@ -43,6 +43,28 @@ class Bm25Spec extends SparkSpec {
     intercept[IllegalArgumentException] { Bm25.score(df, "doc_id", "text", Seq("a", "a")) }
   }
 
+  test("health: doc/posting/vocab counts, hot-term fraction, stale-stats flag") {
+    val store = new graft.tables.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_bm25h").toString)
+    val docs = Seq(
+      (1L, "spark table merge"),
+      (2L, "spark rows"),
+      (3L, "spark other words")).toDF("doc_id", "text")
+    Bm25.buildIndex(store, "bm", docs, "doc_id", "text")
+    val h = Bm25.health(store, "bm")
+    assert(h.nDocs === 3L)
+    assert(h.nPostings === 8L) // 8 distinct (doc, term) pairs
+    assert(h.vocab === 6L)     // spark table merge rows other words
+    assert(h.maxTermFrac === 1.0) // 'spark' is in every doc — the skew flag
+    assert(!h.staleStats)
+    assert(h.postingsFiles >= 1 && h.doclenFiles >= 1)
+    // simulate the externally-touched-tables case the flag exists for
+    store.append("bm_doclen", Seq((9L, 2L)).toDF("doc_id", "dlen"))
+    assert(Bm25.health(store, "bm").staleStats)
+    Bm25.refreshStats(store, "bm")
+    assert(!Bm25.health(store, "bm").staleStats)
+  }
+
   test("append: increment indexes without re-reading the base; equals a union rebuild exactly") {
     val store = new graft.tables.TableStore(spark,
       java.nio.file.Files.createTempDirectory("graft_bm25idx").toString)

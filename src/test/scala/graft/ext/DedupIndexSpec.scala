@@ -117,6 +117,21 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("health: doc/row counts and the hot-bucket fraction that says when bucketCap is needed") {
+    val store = new graft.tables.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_dihealth").toString)
+    // 6 distinct docs plus a 4-clone boilerplate flood: the clones share
+    // every band bucket, so maxBucketFrac ≈ flood/(corpus)
+    val docs = corpus(7, 6).take(6) ++
+      (100L to 103L).map(i => (i, "the same boilerplate line every time"))
+    DedupIndex.build(store, "di", docs.toDF("doc_id", "text"), "doc_id", "text")
+    val h = DedupIndex.health(store, "di")
+    assert(h.nDocs === 10L)
+    assert(h.nShingleRows > 0L && h.nBandRows > 0L)
+    assert(h.maxBucketFrac >= 0.4) // the 4-clone bucket of 10 docs
+    assert(h.bandsFiles >= 1 && h.shinglesFiles >= 1 && h.sizesFiles >= 1)
+  }
+
   test("maintain compacts the appended index tables; next increment unchanged") {
     val all = corpus(31, 60).toDF("doc_id", "text")
     val tmp = java.nio.file.Files.createTempDirectory("graft_didx_m").toString

@@ -320,6 +320,35 @@ class AnnIndexSpec extends SparkSpec {
     assert(s5.count() === 0L)
   }
 
+  test("property: calibrated nprobe is MINIMAL — binary search equals a linear scan, random corpora") {
+    val rnd = new scala.util.Random(41)
+    def rvec(dim: Int): Seq[Float] = Seq.fill(dim)(rnd.nextGaussian().toFloat)
+    for (trial <- 1 to 4) {
+      val store = newStore()
+      val train = (1 to 30).map(i => (i.toLong, rvec(8))).toDF("vec_id", "embedding")
+      val evalSet = (101 to 106).map(i => (i.toLong, rvec(8))).toDF("vec_id", "embedding")
+      val nlist = 2 + trial // 3..6
+      AnnIndex.build(store, "idx", train, "vec_id", "embedding",
+        dim = 8, nlist = nlist, m = 4, k = 4)
+      // a bar low enough that random gaussians produce hits (cos > 0.3
+      // is common at dim 8) but high enough that narrow probing misses some
+      val tau = 0.3
+      def pairsAt(np: Int): Long = AnnIndex.decontaminate(store, "idx",
+          train, evalSet, "vec_id", "embedding", threshold = tau, nprobe = np)
+        .agg(coalesce(sum(col("n_eval_hits")), lit(0L))).collect()(0).getLong(0)
+      val exact = pairsAt(nlist) // nprobe = nlist ≡ exact by construction
+      val linearMin = (1 to nlist).find(pairsAt(_) == exact).get
+      val (scrub, cal) = AnnIndex.decontaminateCalibrated(store, "idx",
+        train, evalSet, "vec_id", "embedding", threshold = tau,
+        sampleMod = 1, margin = 0)
+      assert(cal.nprobe === linearMin,
+        s"trial $trial nlist=$nlist: binary ${cal.nprobe} != linear $linearMin")
+      assert(cal.checks <= math.ceil(math.log(nlist.toDouble) / math.log(2.0)).toInt + 1)
+      assert(scrub.agg(coalesce(sum(col("n_eval_hits")), lit(0L)))
+        .collect()(0).getLong(0) === exact)
+    }
+  }
+
   test("health: counts, cluster-skew fraction, file count, drift trend from the stored tables") {
     val store = newStore()
     AnnIndex.build(store, "idx", corpus, "vec_id", "embedding",

@@ -302,9 +302,17 @@ object AnnIndex {
     val p = new org.apache.hadoop.fs.Path(store.path(codesT(name)))
     val nFiles = graft.tables.Compact
       .dataFiles(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p).size
-    val d = drift(store, name).select(col("seq"), col("mean_err")).collect()
-    val baseline = d.headOption.map(_.getDouble(1)).getOrElse(Double.NaN)
-    val last = d.lastOption.map(_.getDouble(1)).getOrElse(Double.NaN)
+    // first/last of the trend only — the drift table grows one row per
+    // append, so a long-lived stream must not collect it whole
+    val (baseline, last) =
+      if (!store.exists(driftT(name))) (Double.NaN, Double.NaN)
+      else {
+        val d = store.read(driftT(name)).agg(
+          min_by(col("mean_err"), col("seq")).as("base"),
+          max_by(col("mean_err"), col("seq")).as("last")).collect()(0)
+        if (d.isNullAt(0)) (Double.NaN, Double.NaN)
+        else (d.getDouble(0), d.getDouble(1))
+      }
     Health(total, k.toInt, if (total == 0) 0.0 else hot.toDouble / total,
       nFiles, baseline, last)
   }

@@ -118,6 +118,82 @@ object ExtQueries {
     // signal - timed coverage lives in the correctness gate; dropping it
     // from the bench preserves the compact stdout line's precision budget
     benchmark = false)
+  /** T27 — paragraph-level language mix (the CCNet per-paragraph pass):
+    * language-ID each `\n\n` paragraph ([[graft.ext.Paragraphs
+    * .chunksBySplit]] + [[graft.ext.TextAnalysis.langId]] — t3's vote,
+    * paragraph-grained), take the doc's majority language (count argmax,
+    * ties by language code), and report the MINORITY fraction — the
+    * mixed-language signal CCNet filters on, because a doc-level lang ID
+    * happily averages an English page with embedded Spanish boilerplate
+    * into "en" and ships the Spanish into an English corpus. The corpus
+    * is single-line, so structure is planted (the d16 idiom): every
+    * doc_id % 5 == 0 document gains one Spanish-marker paragraph. Scale
+    * shape: one narrow posexplode + codegen'd marker counts riding the
+    * scan, one doc-keyed count shuffle — paragraph-grained rows never
+    * carry text past the langId projection.
+    */
+  val t27ParagraphLangmix = QueryDef(
+    "t27_paragraph_langmix",
+    (s, dir) => {
+      val planted = Td(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit("\n\nel la de que y el la de")))
+          .otherwise(col("text")).as("text"))
+      val ch = graft.ext.Paragraphs.chunksBySplit(planted, "doc_id", "text")
+        .select(col("doc_id"), TA.langId(col("chunk")).as("plang"))
+      val counts = ch.groupBy(col("doc_id"), col("plang"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("n").desc, col("plang"))
+      val major = counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("plang").as("majority_lang"),
+          col("n").as("n_major"))
+      ch.groupBy(col("doc_id")).agg(count(lit(1)).as("n_par"))
+        .join(major, Seq("doc_id"))
+        .select(col("doc_id"), col("n_par"), col("majority_lang"),
+          (col("n_par") - col("n_major")).cast("long").as("n_minority"),
+          ((col("n_par") - col("n_major")).cast("double") / col("n_par"))
+            .as("mix_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val counts = TA.LangMarkers.map { case (l, m) =>
+        s"CAST(len(list_filter(ws, x -> list_contains(${sqlList(m)}, x))) AS BIGINT) AS ${l}_n"
+      }.mkString(",\n               ")
+      val langs = TA.LangMarkers.map(_._1)
+      val best = s"greatest(${langs.map(_ + "_n").mkString(", ")})"
+      val caseArm = langs.map(l => s"WHEN ${l}_n = $best AND $best > 0 THEN '$l'").mkString(" ")
+      s"""
+      WITH aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                 THEN text || chr(10) || chr(10) || 'el la de que y el la de'
+                 ELSE text END AS t
+        FROM documents),
+      w AS (SELECT doc_id, string_split(t, chr(10) || chr(10)) AS ps FROM aug),
+      c AS (SELECT doc_id, unnest(generate_series(1, len(ps))) AS i, ps FROM w),
+      tok AS (SELECT doc_id, regexp_split_to_array(trim(ps[i]), '\\s+') AS ws FROM c),
+      sc AS (SELECT doc_id,
+               $counts
+             FROM tok),
+      lang AS (SELECT doc_id, CASE $caseArm ELSE 'und' END AS plang FROM sc),
+      cnt AS (SELECT doc_id, plang, count(*) AS n FROM lang GROUP BY 1, 2),
+      maj AS (SELECT doc_id, plang AS majority_lang, n AS n_major,
+                row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, plang) AS rk
+              FROM cnt),
+      tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_par FROM lang GROUP BY 1)
+      SELECT t.doc_id, t.n_par, m.majority_lang,
+             CAST(t.n_par - m.n_major AS BIGINT) AS n_minority,
+             CAST(t.n_par - m.n_major AS DOUBLE) / t.n_par AS mix_frac
+      FROM tot t JOIN maj m ON m.doc_id = t.doc_id AND m.rk = 1
+      ORDER BY t.doc_id
+    """
+    },
+    // paragraph-grained marker counting rides the scan; sub-0.2 s at
+    // sf0.1 — correctness-gated, not benched (the t2/t3 rationale)
+    benchmark = false)
+
   /** T4 — document fingerprinting: md5 of normalized text + polynomial
     * rolling hash over character codes.
     */
@@ -6294,7 +6370,8 @@ object ExtQueries {
     t7PiiRedact, t8LmPerplexity, t9TextNormalize, t10ScriptDetect, t11GopherRules,
     t12GopherRepetition, t13HtmlExtract, t14ClassifierScore, t15ClassifierWeighted,
     t16BpeEncode, t17LmScored, t18BpeTrain, t19BpePipeline, t20ByteBpe,
-    t21ByteBpeTrain, t22ByteBpeIds, t23Gpt2Tokenizer, t26BpeRoundTrip, t24LmBackoff,
+    t21ByteBpeTrain, t22ByteBpeIds, t23Gpt2Tokenizer, t26BpeRoundTrip,
+    t27ParagraphLangmix, t24LmBackoff,
     t25NbClassifier, x36PackSequences, x37Dml,
     x38TokenizerFertility,
     d15ParagraphDedup, d16ParagraphSplit, d18DedupWithinDoc, d21SemDedup, x24TokenBudget,

@@ -96,6 +96,32 @@ object Similarity {
     auditAgg(hits, idCol)
   }
 
+  /** [[semanticDecontaminate]]'s hit set aggregated the OTHER way — one
+    * row per LEAKED EVAL item: `(eval_id, n_train_hits, max_cos,
+    * nearest_train_id)`. The per-train audit says what to DROP; this is
+    * the report a benchmark owner reads — which eval items leaked into
+    * the corpus at all, how many train documents carry each, and the
+    * closest copy. Same hits, same plan shape (eval broadcasts, train is
+    * one map-only scan; the group-by is leakage-sized, keyed on the
+    * small side).
+    */
+  def evalLeakReport(train: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, threshold: Double = 0.8): DataFrame = {
+    val ev = withNorm(
+      evalSet.select(col(idCol).as("eval_id"), col(vecCol).as("ev")), "ev", "en")
+    val tr = withNorm(
+      train.select(col(idCol), col(vecCol).as("tv")), "tv", "tn")
+    tr.crossJoin(broadcast(ev))
+      .select(col(idCol), col("eval_id"),
+        (dot(col("tv"), col("ev")) / (col("tn") * col("en"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_train_hits"),
+        max(col("cos")).as("max_cos"),
+        min_by(col(idCol), struct(-col("cos"), col(idCol)))
+          .as("nearest_train_id"))
+  }
+
   /** The c7 audit record over a `(idCol, eval_id, cos)` hit set — shared
     * by the exact and cluster-pruned scrubs so their outputs agree
     * row-for-row whenever their hit sets do.

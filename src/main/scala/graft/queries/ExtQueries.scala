@@ -2676,6 +2676,47 @@ object ExtQueries {
     // nprobe + replay count vs the exact scrub), not wall time at gate SF
     benchmark = false)
 
+  /** C10 — the eval-owner's leak report ([[graft.ext.Similarity
+    * .evalLeakReport]]): c7's hit set aggregated per EVAL item instead of
+    * per train document — which benchmark items leaked into the training
+    * corpus at all, how many train documents carry each, and the closest
+    * copy. The per-train audit (c7/c8/c9) says what to drop; this is what
+    * gets REPORTED upstream, because a benchmark item with thousands of
+    * train-side copies is compromised even after the drop (its answer
+    * pattern saturated the corpus before this snapshot). Same broadcast
+    * map-only plan as c7; the group-by keys on the small side.
+    */
+  val c10EvalLeakReport = QueryDef(
+    "c10_eval_leak_report",
+    (s, dir) => {
+      val emb = Td(s, dir, "embeddings")
+      val isEval = col("vec_id") % 10 === 0
+      Similarity.evalLeakReport(emb.filter(!isEval), emb.filter(isEval),
+          "vec_id", "embedding", threshold = 0.45)
+        .select(col("eval_id"), col("n_train_hits").cast("long").as("n_train_hits"),
+          col("max_cos"), col("nearest_train_id"))
+        .orderBy(col("eval_id"))
+    },
+    Some(s"""
+      WITH $vecCte,
+      ev AS (SELECT vec_id AS eval_id, v, nrm FROM n WHERE vec_id % 10 = 0),
+      tr AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 10 <> 0),
+      h AS (SELECT tr.vec_id, ev.eval_id,
+              ${dotSql.format("tr.v", "ev.v")} / (tr.nrm * ev.nrm) AS cos
+            FROM tr CROSS JOIN ev
+            WHERE ${dotSql.format("tr.v", "ev.v")} / (tr.nrm * ev.nrm) >= 0.45),
+      g AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_train_hits,
+              max(cos) AS max_cos FROM h GROUP BY 1),
+      nr AS (SELECT eval_id, vec_id,
+               row_number() OVER (PARTITION BY eval_id ORDER BY cos DESC, vec_id) AS rk
+             FROM h)
+      SELECT g.eval_id, g.n_train_hits, g.max_cos, nr.vec_id AS nearest_train_id
+      FROM g JOIN nr ON nr.eval_id = g.eval_id AND nr.rk = 1
+      ORDER BY g.eval_id
+    """),
+    // c7's plan, re-keyed — not separately benched
+    benchmark = false)
+
   /** C4 — bloom-prefiltered decontamination ([[graft.ext.Bloom]]): the
     * GPT-3-style benchmark scrub (Brown et al. 2020 appendix C runs 13-gram
     * bloom membership over the whole corpus). Same cleaned-corpus contract
@@ -6389,6 +6430,7 @@ object ExtQueries {
     m1MediaMeta, m2FrameSample, m3VideoMeta, m4ImageDedup, m5AudioDedup,
     c1Curation, c2CurationRecipe, c3Decontaminate, c4DecontaminateBloom,
     c7SemanticDecon, c8SemanticDeconIndexed, c9SemanticDeconCalibrated,
+    c10EvalLeakReport,
     c5NormalizedCuration, c6CrawlPipeline,
     u1UrlNormalize, u2UrlDedup, q4Expectations,
     x1HllDistinct, x2KmeansIvf,

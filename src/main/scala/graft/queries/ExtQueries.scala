@@ -2717,6 +2717,61 @@ object ExtQueries {
     // c7's plan, re-keyed — not separately benched
     benchmark = false)
 
+  /** C11 — the LEXICAL leak report: c10's per-eval-item view over the
+    * n-gram contamination hit set (c3's bars: ≥3 shared df-capped
+    * 5-shingles covering ≥50% of the eval doc). Together with c10 the
+    * report matrix is complete — lexical/semantic × per-train (what to
+    * drop: c3/c7) and per-eval (what to report upstream: c11/c10).
+    */
+  val c11LexicalLeakReport = QueryDef(
+    "c11_lexical_leak_report",
+    (s, dir) => {
+      val docs = Td(s, dir, "documents")
+      val isEval = Similarity.sampleBucket(col("doc_id")) % 4 === 0
+      Dedup.contamination(docs.filter(!isEval), docs.filter(isEval),
+          "doc_id", "text", n = 5, minShared = 3)
+        .filter(col("overlap_frac") >= 0.5)
+        .groupBy(col("eval_id"))
+        .agg(count(lit(1)).cast("long").as("n_train_hits"),
+          max(col("overlap_frac")).as("max_overlap"),
+          min_by(col("train_id"), struct(-col("overlap_frac"), col("train_id")))
+            .as("nearest_train_id"))
+        .orderBy(col("eval_id"))
+    },
+    Some(s"""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+      sh5 AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(ws) >= 5
+                 THEN list_transform(generate_series(1, len(ws)-4), i -> array_to_string(ws[i:i+4], ' '))
+                 ELSE [array_to_string(ws, ' ')] END)) AS shingle FROM w),
+      tr0 AS (SELECT doc_id AS train_id, shingle FROM sh5
+             WHERE NOT ${sampleFilterSql("doc_id", 4)}),
+      ev0 AS (SELECT doc_id AS eval_id, shingle FROM sh5
+             WHERE ${sampleFilterSql("doc_id", 4)}),
+      hot AS (SELECT shingle FROM tr0 GROUP BY 1
+              HAVING COUNT(*) > ${Dedup.ContaminationMaxDf}),
+      tr AS (SELECT * FROM tr0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      ev AS (SELECT * FROM ev0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      sz AS (SELECT eval_id, COUNT(*) AS n_ev FROM ev GROUP BY 1),
+      p AS (SELECT train_id, eval_id, COUNT(*) AS n_shared
+            FROM tr JOIN ev USING (shingle) GROUP BY 1, 2),
+      hits AS (SELECT train_id, eval_id,
+                 CAST(n_shared AS DOUBLE) / CAST(n_ev AS DOUBLE) AS ofrac
+               FROM p JOIN sz USING (eval_id)
+               WHERE n_shared >= 3
+                 AND CAST(n_shared AS DOUBLE) / CAST(n_ev AS DOUBLE) >= 0.5),
+      g AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_train_hits,
+              max(ofrac) AS max_overlap FROM hits GROUP BY 1),
+      nr AS (SELECT eval_id, train_id,
+               row_number() OVER (PARTITION BY eval_id ORDER BY ofrac DESC, train_id) AS rk
+             FROM hits)
+      SELECT g.eval_id, g.n_train_hits, g.max_overlap, nr.train_id AS nearest_train_id
+      FROM g JOIN nr ON nr.eval_id = g.eval_id AND nr.rk = 1
+      ORDER BY g.eval_id
+    """),
+    // c3's detection plan re-keyed — detection cost is benched via d12
+    benchmark = false)
+
   /** C4 — bloom-prefiltered decontamination ([[graft.ext.Bloom]]): the
     * GPT-3-style benchmark scrub (Brown et al. 2020 appendix C runs 13-gram
     * bloom membership over the whole corpus). Same cleaned-corpus contract
@@ -6430,7 +6485,7 @@ object ExtQueries {
     m1MediaMeta, m2FrameSample, m3VideoMeta, m4ImageDedup, m5AudioDedup,
     c1Curation, c2CurationRecipe, c3Decontaminate, c4DecontaminateBloom,
     c7SemanticDecon, c8SemanticDeconIndexed, c9SemanticDeconCalibrated,
-    c10EvalLeakReport,
+    c10EvalLeakReport, c11LexicalLeakReport,
     c5NormalizedCuration, c6CrawlPipeline,
     u1UrlNormalize, u2UrlDedup, q4Expectations,
     x1HllDistinct, x2KmeansIvf,

@@ -316,6 +316,23 @@ object RecallBench {
         qtag -> rec
       }.toMap
       println(f"""{"driftbench":"correlation","build_err":${d(0L)}%.6f,"append_err_mild":${d(1L)}%.6f,"append_err_strong":${d(2L)}%.6f,"recall_in_dist":${recalls("in_dist")}%.3f,"recall_drifted_mild":${recalls("drifted")}%.3f,"recall_drifted_strong":${recalls("drifted_std")}%.3f}""")
+      // drift ↔ calibration coupling: the scrub's calibrated nprobe over
+      // the SAME frozen quantizers, measured on the pre-drift corpus vs
+      // the corpus with both drifted appends — does quantizer-corpus
+      // mismatch widen the probe count the exact-parity scrub needs?
+      // (full-slice calibration, so each chosen nprobe is provably
+      // minimal for its corpus, not sampling noise)
+      val evalQ = x1.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("embedding"))
+      def calOn(train: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+        val (scrub, cal) = AnnIndex.decontaminateCalibrated(store, "drift_ann",
+          train.filter(!(col("vec_id") % 10 === 0)), evalQ,
+          "vec_id", "embedding", threshold = 0.45, sampleMod = 1, margin = 0)
+        val hits = scrub.count()
+        println(s"""{"driftbench":"cal_$tag","nprobe":${cal.nprobe},"nlist":${cal.nlist},"checks":${cal.checks},"pairs":${cal.slicePairs},"hit_rows":$hits}""")
+      }
+      calOn(x1.select(col("vec_id"), col("embedding")), "in_dist")
+      calOn(union, "drifted")
     }
     graft.tables.Scratch.cleanup(spark)
     spark.stop()

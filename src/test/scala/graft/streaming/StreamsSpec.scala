@@ -979,6 +979,72 @@ class StreamsSpec extends SparkSpec {
     assert(!store.exists("sg_ann_sgate_kept"))
   }
 
+  test("retrievalIngestSink with BOTH gates: lexical drops text dups, semantic drops embedding dups, novel docs land everywhere") {
+    import graft.ext.{AnnIndex, Bm25, DedupIndex}
+    val dir = Files.createTempDirectory("graft_bg_landing").toString
+    val ckpt = Files.createTempDirectory("graft_bg_ckpt").toString
+    val store = new TableStore(spark, Files.createTempDirectory("graft_bg_store").toString)
+
+    def vec(dim: Int): Seq[Float] =
+      (0 until 16).map(d => if (d == dim) 1.0f else 0.0f)
+    def text(i: Long) = s"alpha$i spark beta$i table gamma$i merge delta$i"
+    val base = (1L to 12L).map(i => (i, text(i), vec(i.toInt - 1)))
+    val baseDf = base.toDF("doc_id", "text", "embedding")
+    AnnIndex.build(store, "bg_ann", baseDf, "doc_id", "embedding",
+      dim = 16, nlist = 2, m = 4, k = 4)
+    Bm25.buildIndex(store, "bg_bm", baseDf, "doc_id", "text")
+    DedupIndex.build(store, "bg_gate", baseDf, "doc_id", "text")
+    store.overwrite("bg_corpus", baseDf)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    def row(d: (Long, String, Seq[Float])) =
+      s"""{"doc_id":${d._1},"text":"${d._2}","embedding":[${d._3.mkString(",")}]}"""
+
+    // 31: verbatim TEXT of indexed doc 2, novel embedding → the LEXICAL
+    // gate drops it (never reaches the semantic gate or any leg);
+    // 32: novel text, EXACT embedding of indexed doc 5 → passes the
+    // lexical gate, the SEMANTIC gate drops it; 33: novel both → admitted
+    val b1 = Seq((31L, text(2), vec(13)), (32L, text(32), vec(4)),
+      (33L, text(33), vec(14)))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b1.json"),
+      b1.map(row).mkString("\n"))
+    Streams.retrievalIngestSink(
+      spark.readStream.format("json").schema(schema).load(dir),
+      store, "doc_id", ckpt,
+      annIndex = Some("bg_ann"), bm25Index = Some("bg_bm"),
+      dedupGate = Some("bg_gate"), gatePairsTable = Some("bg_lex_pairs"),
+      corpusTable = Some("bg_corpus"),
+      semanticGateThreshold = Some(0.99),
+      semanticGatePairsTable = Some("bg_sem_pairs"))
+      .awaitTermination()
+
+    val keptIds = (1L to 12L).toSet + 33L
+    assert(AnnIndex.knownIds(store, "bg_ann", "doc_id")
+      .as[Long].collect().toSet === keptIds)
+    assert(Bm25.knownIds(store, "bg_bm", "doc_id")
+      .as[Long].collect().toSet === keptIds)
+    assert(store.read("bg_corpus").select(col("doc_id"))
+      .as[Long].collect().toSet === keptIds)
+    // the two memories differ by design: the lexical gate saw everything
+    // that survived the batch fold (31 was ITS drop; 32/33 passed it),
+    // the corpus holds only the finally-kept
+    assert(DedupIndex.knownIds(store, "bg_gate", "doc_id")
+      .as[Long].collect().toSet === (1L to 12L).toSet ++ Set(31L, 32L, 33L))
+    // each gate's audit carries ITS drop
+    val lex = store.read("bg_lex_pairs")
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(lex.exists(p => Set(p._1, p._2) === Set(2L, 31L)))
+    val sem = store.read("bg_sem_pairs")
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(sem === Set((5L, 32L)))
+  }
+
   test("retrievalIngestSink dedupGate: hot-bucket cap star-pairs verbatim floods, drop decisions intact") {
     import graft.ext.{AnnIndex, Bm25, DedupIndex}
     val dir = Files.createTempDirectory("graft_rc_landing").toString

@@ -481,18 +481,29 @@ object Streams {
     * table's vectors, the c8 prune-invisible idiom; recall is bounded by
     * the shortlist/probe dials exactly as in [[graft.ext.AnnIndex
     * .searchRefined]]), or when an earlier-id document of the same batch
-    * sits within the threshold (exact batch×batch cosine, broadcast —
-    * greedy arrival order, like the lexical gate). Semantics differ from
-    * the lexical gate on purpose: this gate remembers the KEPT corpus
-    * (dropped docs leave no vectors anywhere), so a future dup of a
-    * dropped doc is caught only via its kept representative — greedy
-    * representative selection, the batch SemDeDup contract. Exact
+    * sits within the threshold (batch-internal pairing — greedy arrival
+    * order, like the lexical gate). Batch-internal pairing is exact
+    * all-pairs while the batch holds at most `semanticGateExactCap`
+    * docs; above the cap (a fresh-checkpoint `AvailableNow` backfill
+    * delivers the whole backlog as ONE batch) it routes through
+    * [[graft.ext.Similarity.cosinePairsLsh]] — sub-quadratic
+    * (Σ|bucket|², 8 bands × 4 rows), with recall band-bounded exactly
+    * as the corpus side is shortlist-bounded; verbatim embedding copies
+    * always collide, so dup floods drop whole on either path. Semantics
+    * differ from the lexical gate on purpose: this gate remembers the
+    * KEPT corpus (dropped docs leave no vectors anywhere), so a future
+    * dup of a dropped doc is caught only via its kept representative —
+    * greedy representative selection, the batch SemDeDup contract. Exact
     * confirmation against the corpus also shields replays from partial
     * index state: a candidate pair whose neighbor never committed to the
-    * corpus finds no vector to confirm against and vanishes. Runs AFTER
-    * the lexical gate (cheap shingles prune before exact dots) and
-    * before any leg mutates state, so a replayed batch recomputes a
-    * converging kept set from the same corpus.
+    * corpus finds no vector to confirm against and vanishes; and
+    * admitted corpus docs REAPPEARING in the batch are exact-confirmed
+    * against the candidates DIRECTLY (not via ANN proposal), so a
+    * replayed batch whose crashed attempt appended to the corpus but
+    * died before the ANN leg still condemns the same batch-mates — the
+    * kept set converges under replay regardless of how far the legs
+    * got. Runs AFTER the lexical gate (cheap shingles prune before
+    * exact dots) and before any leg mutates state.
     * `semanticGatePairsTable` keeps the audit trail — `(id_a = the kept/
     * corpus side, id_b = the condemned doc, cos)`, pair-keyed upserts
     * (replay-idempotent) in the same shape as the lexical
@@ -529,7 +540,8 @@ object Streams {
       semanticGateThreshold: Option[Double] = None,
       semanticGateKShort: Int = 100,
       semanticGateNprobe: Int = 0,
-      semanticGatePairsTable: Option[String] = None): StreamingQuery = {
+      semanticGatePairsTable: Option[String] = None,
+      semanticGateExactCap: Int = 10000): StreamingQuery = {
     require(annIndex.nonEmpty || bm25Index.nonEmpty,
       "retrievalIngestSink needs at least one of annIndex / bm25Index")
     require(semanticGateThreshold.isEmpty ||
@@ -617,10 +629,22 @@ object Streams {
               val candT = s"${ann}_sgate_cand"
               val keptT = s"${ann}_sgate_kept"
               // already-admitted docs skip the gate (they were kept once;
-              // the legs' own guards handle their re-delivery)
-              store.overwrite(candT, input.join(
-                corpus.select(col(idCol)), Seq(idCol), "left_anti"))
-              val cand = store.read(candT)
+              // the legs' own guards handle their re-delivery) — but
+              // admitted docs REAPPEARING IN THIS BATCH ride along
+              // flagged (_adm): they condemn candidates by direct exact
+              // confirm, which closes the repair-replay hole — a doc
+              // admitted to the corpus by a crashed attempt condemns its
+              // replayed batch-mates even before the ANN leg has indexed
+              // it (candidate proposal alone would miss a corpus row
+              // absent from the ANN index)
+              store.overwrite(candT,
+                input.join(corpus.select(col(idCol)), Seq(idCol), "left_anti")
+                  .select(col(idCol), col(vecCol), lit(false).as("_adm"))
+                  .unionByName(
+                    corpus.join(b.select(col(idCol)), Seq(idCol), "left_semi")
+                      .select(col(idCol), col(vecCol), lit(true).as("_adm"))))
+              val side = store.read(candT)
+              val cand = side.filter(!col("_adm")).drop("_adm")
               // pair convention matches the lexical audit (and the
               // pairTables takedown leg): id_a = the kept/corpus side,
               // id_b = the document the pair condemns
@@ -631,16 +655,49 @@ object Streams {
                 .filter(col("cos") >= tau)
                 .select(col("neighbor_id").as("id_a"),
                   col("query_id").as("id_b"), col("cos"))
-              val a = Similarity.withNorm(cand.select(
-                col(idCol).as("_ia"), col(vecCol).as("_va")), "_va", "_na")
-              val bb = Similarity.withNorm(cand.select(
-                col(idCol).as("_ib"), col(vecCol).as("_vb")), "_vb", "_nb")
-              val batchPairs = a.crossJoin(broadcast(bb))
-                .filter(col("_ia") < col("_ib"))
-                .select(col("_ia").as("id_a"), col("_ib").as("id_b"),
-                  (Similarity.dot(col("_va"), col("_vb")) /
-                    (col("_na") * col("_nb"))).as("cos"))
-                .filter(col("cos") >= tau)
+              // batch-internal pairing: exact all-pairs under the cap
+              // (the steady-state micro-batch), sign-LSH-pruned above it
+              // — a fresh-checkpoint AvailableNow backfill delivers the
+              // whole backlog as ONE batch, and |B|² exact dots there is
+              // the quadratic this sink must not pay. The LSH path's
+              // recall is band-bounded exactly as the corpus side is
+              // shortlist-bounded; verbatim embedding copies always
+              // collide (every sign agrees)
+              val st = side.agg(count(lit(1)),
+                max(size(col(vecCol)))).collect()(0)
+              val nSide = st.getLong(0)
+              val dim = if (st.isNullAt(1)) 0 else st.getInt(1)
+              val batchPairs =
+                if (nSide <= semanticGateExactCap) {
+                  val a = Similarity.withNorm(side.select(
+                    col(idCol).as("_ia"), col(vecCol).as("_va"),
+                    col("_adm").as("_aa")), "_va", "_na")
+                  val bb = Similarity.withNorm(cand.select(
+                    col(idCol).as("_ib"), col(vecCol).as("_vb")), "_vb", "_nb")
+                  a.crossJoin(broadcast(bb))
+                    .filter(col("_aa") || col("_ia") < col("_ib"))
+                    .select(col("_ia").as("id_a"), col("_ib").as("id_b"),
+                      (Similarity.dot(col("_va"), col("_vb")) /
+                        (col("_na") * col("_nb"))).as("cos"))
+                    .filter(col("cos") >= tau)
+                } else {
+                  val adm = side.select(col(idCol), col("_adm"))
+                  Similarity.cosinePairsLsh(side, idCol, vecCol, dim, tau,
+                      bands = 8, rowsPerBand = 4)
+                    .join(adm.select(col(idCol).as("id_a"),
+                      col("_adm").as("_aa")), Seq("id_a"))
+                    .join(adm.select(col(idCol).as("id_b"),
+                      col("_adm").as("_ab")), Seq("id_b"))
+                    // two admitted docs condemn nobody; an admitted doc
+                    // on either end takes the condemner (id_a) seat
+                    .filter(!(col("_aa") && col("_ab")))
+                    .select(
+                      when(col("_ab"), col("id_b")).otherwise(col("id_a"))
+                        .as("id_a"),
+                      when(col("_ab"), col("id_a")).otherwise(col("id_b"))
+                        .as("id_b"),
+                      col("cos"))
+                }
               // staged once: the audit upsert and the drop resolution must
               // not each re-run the shortlist+confirm pipeline
               val pairs = graft.tables.Scratch.stage(

@@ -979,6 +979,127 @@ class StreamsSpec extends SparkSpec {
     assert(!store.exists("sg_ann_sgate_kept"))
   }
 
+  test("retrievalIngestSink semanticGate: replay condemns via corpus rows the crashed ANN leg never indexed (both orientations, exact + LSH paths)") {
+    import graft.ext.AnnIndex
+    // cap=10000 → exact batch pairing; cap=1 → the sign-LSH path. The
+    // repair-replay semantics must be identical on both.
+    Seq(("sge", 10000), ("sgl", 1)).foreach { case (tag, cap) =>
+      val dir = Files.createTempDirectory(s"graft_${tag}_landing").toString
+      val ckpt = Files.createTempDirectory(s"graft_${tag}_ckpt").toString
+      val store = new TableStore(spark,
+        Files.createTempDirectory(s"graft_${tag}_store").toString)
+      def vec(dim: Int): Seq[Float] =
+        (0 until 16).map(d => if (d == dim) 1.0f else 0.0f)
+      val base = (1L to 12L).map(i => (i, vec(i.toInt - 1)))
+      val baseDf = base.toDF("doc_id", "embedding")
+      AnnIndex.build(store, s"${tag}_ann", baseDf, "doc_id", "embedding",
+        dim = 16, nlist = 2, m = 4, k = 4)
+      store.overwrite(s"${tag}_corpus", baseDf)
+      // CRASH PLANT: a prior attempt of batch 0 admitted 19 and 999 to
+      // the corpus, then died before the ANN leg — corpus and ANN index
+      // disagree, so candidate proposal alone cannot see either doc
+      store.append(s"${tag}_corpus",
+        Seq((19L, vec(13)), (999L, vec(14))).toDF("doc_id", "embedding"))
+      store.overwrite(s"${tag}_ann_ingest_intent",
+        Seq((0L, -1L)).toDF("started_batch", "done_batch"))
+
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType))))
+      def row(d: (Long, Seq[Float])) =
+        s"""{"doc_id":${d._1},"embedding":[${d._2.mkString(",")}]}"""
+      // replayed batch 0: the two admitted docs plus one dup of each —
+      // 21 dups LOWER-id 19, 22 dups HIGHER-id 999 (the orientation-flip
+      // case: the condemner seat must go to the admitted doc even when
+      // its id is the larger one)
+      val b0 = Seq((19L, vec(13)), (21L, vec(13)), (22L, vec(14)),
+        (999L, vec(14)))
+      Files.writeString(java.nio.file.Paths.get(s"$dir/b0.json"),
+        b0.map(row).mkString("\n"))
+      Streams.retrievalIngestSink(
+        spark.readStream.format("json").schema(schema).load(dir),
+        store, "doc_id", ckpt,
+        annIndex = Some(s"${tag}_ann"),
+        corpusTable = Some(s"${tag}_corpus"),
+        semanticGateThreshold = Some(0.99),
+        semanticGatePairsTable = Some(s"${tag}_pairs"),
+        semanticGateExactCap = cap)
+        .awaitTermination()
+
+      // 21/22 dropped (their only condemners were corpus-not-ANN rows);
+      // 19/999 repaired into the ANN index by their leg's guard
+      val keptIds = (1L to 12L).toSet + 19L + 999L
+      assert(store.read(s"${tag}_corpus").select(col("doc_id"))
+        .as[Long].collect().toSet === keptIds, s"corpus ($tag)")
+      assert(AnnIndex.knownIds(store, s"${tag}_ann", "doc_id")
+        .as[Long].collect().toSet === keptIds, s"ann ($tag)")
+      // audit orientation: id_a = the admitted/corpus side, both ways
+      val pairs = store.read(s"${tag}_pairs")
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .as[(Long, Long)].collect().toSet
+      assert(Set((19L, 21L), (999L, 22L)).subsetOf(pairs), s"pairs ($tag)")
+      assert(!pairs.exists(_._2 == 999L), s"999 condemned ($tag)")
+      val m = store.read(s"${tag}_ann_ingest_intent").collect()(0)
+      assert(m.getLong(0) === m.getLong(1))
+      assert(!store.exists(s"${tag}_ann_sgate_cand"))
+      assert(!store.exists(s"${tag}_ann_sgate_kept"))
+    }
+  }
+
+  test("retrievalIngestSink semanticGate: backfill batch over exactCap routes through sign-LSH with the kept set the exact path computes") {
+    import graft.ext.AnnIndex
+    def vec(dim: Int): Seq[Float] =
+      (0 until 16).map(d => if (d == dim) 1.0f else 0.0f)
+    val base = (1L to 4L).map(i => (i, vec(i.toInt - 1)))
+    // one backfill batch: 12 mutually-orthogonal novel docs, one dup of
+    // an indexed doc, two dups of batch doc 101 (one crossing the other)
+    val backfill = (101L to 112L).map(i => (i, vec(i.toInt - 97))) ++
+      Seq((113L, vec(0)), (114L, vec(4)), (115L, vec(4)))
+    def run(tag: String, cap: Int): Set[Long] = {
+      val dir = Files.createTempDirectory(s"graft_${tag}_landing").toString
+      val ckpt = Files.createTempDirectory(s"graft_${tag}_ckpt").toString
+      val store = new TableStore(spark,
+        Files.createTempDirectory(s"graft_${tag}_store").toString)
+      val baseDf = base.toDF("doc_id", "embedding")
+      AnnIndex.build(store, s"${tag}_ann", baseDf, "doc_id", "embedding",
+        dim = 16, nlist = 2, m = 4, k = 4)
+      store.overwrite(s"${tag}_corpus", baseDf)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType))))
+      def row(d: (Long, Seq[Float])) =
+        s"""{"doc_id":${d._1},"embedding":[${d._2.mkString(",")}]}"""
+      Files.writeString(java.nio.file.Paths.get(s"$dir/b0.json"),
+        backfill.map(row).mkString("\n"))
+      Streams.retrievalIngestSink(
+        spark.readStream.format("json").schema(schema).load(dir),
+        store, "doc_id", ckpt,
+        annIndex = Some(s"${tag}_ann"),
+        corpusTable = Some(s"${tag}_corpus"),
+        semanticGateThreshold = Some(0.99),
+        semanticGatePairsTable = Some(s"${tag}_pairs"),
+        semanticGateExactCap = cap)
+        .awaitTermination()
+      val pairs = store.read(s"${tag}_pairs")
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .as[(Long, Long)].collect().toSet
+      // the cross-corpus dup and the within-batch dup, on either path
+      assert(Set((1L, 113L), (101L, 114L)).subsetOf(pairs), s"pairs ($tag)")
+      store.read(s"${tag}_corpus").select(col("doc_id"))
+        .as[Long].collect().toSet
+    }
+    val lsh = run("sgb", cap = 5)    // 15 candidates > 5 → LSH path
+    val exact = run("sgx", cap = 10000)
+    assert(lsh === exact)
+    assert(lsh === (1L to 4L).toSet ++ (101L to 112L).toSet)
+  }
+
   test("retrievalIngestSink with BOTH gates: lexical drops text dups, semantic drops embedding dups, novel docs land everywhere") {
     import graft.ext.{AnnIndex, Bm25, DedupIndex}
     val dir = Files.createTempDirectory("graft_bg_landing").toString

@@ -58,23 +58,36 @@ object AnnIndex {
     * (ScaleStress.annTracking measures exactly that trap at fixed
     * geometry). Callers with a tuned geometry pass nlist explicitly;
     * whatever was used is readable back as the centroids-table row count.
+    *
+    * `m = 0` (the default) picks the largest divisor of `dim` at most
+    * dim/2 — 2-wide subspaces, ½ byte of code per dimension at k = 16.
+    * Measured (RecallBench m-sweep, BENCH_LOCAL_r16.md §1, dim 64, ×10
+    * corpus, refined search): m 16 → 32 lifts recall@10 0.767 → 0.987
+    * and true-NN MRR 0.865 → 0.995 at FLAT wall-clock — the refined
+    * recall ceiling was codebook capacity, not the corpus — for 2× the
+    * code bytes (16 B/vector at dim 64, still 16× under float32). Pass
+    * m explicitly when the index must stay smaller than dim/2 bytes.
     */
   def build(store: TableStore, name: String, df: DataFrame,
       idCol: String, vecCol: String, dim: Int, nlist: Int = 0,
-      coarseIters: Int = 2, m: Int = 8, k: Int = 16, pqIters: Int = 2,
+      coarseIters: Int = 2, m: Int = 0, k: Int = 16, pqIters: Int = 2,
       sampleMod: Option[Int] = None): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     require(nlist >= 0, s"nlist must be >= 0 (0 = auto sqrt(n)), got $nlist")
+    require(m >= 0, s"m must be >= 0 (0 = auto dim/2), got $m")
     val nl =
       if (nlist > 0) nlist
       else math.max(1, math.ceil(math.sqrt(df.count().toDouble)).toInt)
+    val mm =
+      if (m > 0) m
+      else (dim / 2 to 1 by -1).find(dim % _ == 0).getOrElse(1)
     val centroids = Similarity
       .kmeansTrain(df, idCol, vecCol, nl, coarseIters, sampleMod)
       .select(col("centroid_id").cast("long").as(idCol), col(vecCol))
     val centers = Similarity.residualCenters(df, centroids, idCol, vecCol)
     val books = Similarity.pqTrainResidual(df, idCol, vecCol, centroids,
-      centers, dim, m, k, pqIters, sampleMod)
+      centers, dim, mm, k, pqIters, sampleMod)
     store.overwrite(centroidsT(name), centroids
       .select(col(idCol).as("centroid_id"), col(vecCol).cast("array<double>").as("vec")))
     store.overwrite(centersT(name), centers.zipWithIndex
@@ -193,14 +206,32 @@ object AnnIndex {
     * probed-cluster partition prune, float-free ranking. `nprobe = 0`
     * (the default) auto-scales to max(2, ⌈√nlist⌉) of the STORED
     * geometry — see [[autoNprobe]]; explicit values win.
+    *
+    * The pruned plan collects |Q|×nprobe probe rows CARRYING QUERY
+    * VECTORS to the driver (the static partition prune needs the probed
+    * cluster ids there) — driver-bounded only while |Q| is
+    * interactive-sized. Above `maxPrunedQueryBytes` of query-plan stats
+    * (file-size metadata for a staged/parquet query frame — no count job
+    * runs) the search routes to [[Similarity.ivfPqResidualSearchJoin]]:
+    * same results, probes stay distributed, the scan reads all cluster
+    * partitions once instead of pruning — the right trade at a
+    * backfill-sized query set, where the collect is gigabytes and most
+    * clusters are probed by someone anyway. Pass `Long.MaxValue` to pin
+    * the pruned plan, `0` to pin the join plan.
     */
   def search(store: TableStore, name: String, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int = 5, nprobe: Int = 0): DataFrame = {
+      idCol: String, vecCol: String, k: Int = 5, nprobe: Int = 0,
+      maxPrunedQueryBytes: Long = 8L << 20): DataFrame = {
     require(nprobe >= 0, s"nprobe must be >= 0 (0 = auto sqrt(nlist)), got $nprobe")
     val (centroids, centers, books) = artifacts(store, name, idCol, vecCol)
     val np = if (nprobe > 0) nprobe else autoNprobe(centroids.count())
-    Similarity.ivfPqResidualSearch(queries, store.read(codesT(name)),
-      centroids, centers, idCol, vecCol, books, k, np)
+    val qBytes = queries.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (qBytes <= maxPrunedQueryBytes)
+      Similarity.ivfPqResidualSearch(queries, store.read(codesT(name)),
+        centroids, centers, idCol, vecCol, books, k, np)
+    else
+      Similarity.ivfPqResidualSearchJoin(queries, store.read(codesT(name)),
+        centroids, centers, idCol, vecCol, books, k, np)
   }
 
   /** [[DedupIndex.maintainIfNeeded]]'s embedding twin: compact the codes
@@ -277,9 +308,24 @@ object AnnIndex {
     * signal: the probe-prune cost model assumes ~n/nlist codes per
     * cluster, and a hot cluster (frac ≫ 1/nlist) makes every query that
     * probes it scan far more than its budget — the fix is a rebuild
-    * (possibly with larger nlist), same as drift. `driftLast/driftBaseline`
+    * (possibly with larger nlist), same as drift.
+    *
+    * PAGE-WORTHY LEVEL, measured (ScaleStress healthskew, 20k codes at
+    * auto geometry, hot-family queries — BENCH_LOCAL_r16.md §4): the
+    * cost multiple over a balanced probe is `maxClusterFrac × nClusters`.
+    * At ×14.8 (frac 0.121) search latency moved +3% — noise; at ×34
+    * (frac 0.472) it was +46%, at frac 0.848 +60%. **Alert at
+    * maxClusterFrac ≥ 16 / nClusters** (cost multiple ≥ ~16); page
+    * unconditionally when `nClusters` itself lands far below the ⌈√n⌉
+    * the auto build would pick — heavy skew COLLAPSES the trained
+    * geometry (142 → 20 clusters at an 80% one-point flood in the same
+    * battery), which both fattens every probe and starves the probe
+    * budget, a sharper signal than the fraction alone.
+    *
+    * `driftLast/driftBaseline`
     * operationalizes the drift table's retrain bell: a magnitude jump is
-    * the signal, a wiggle is not (AnnIndexSpec pins both regimes).
+    * the signal, a wiggle is not (AnnIndexSpec pins both regimes); the
+    * clapper is [[rebuildIfDrifted]].
     */
   final case class Health(
       nCodes: Long, nClusters: Int, maxClusterFrac: Double,
@@ -297,8 +343,11 @@ object AnnIndex {
       .agg(sum(col("n")).as("total"), max(col("n")).as("hot"),
         count(lit(1)).as("k"))
       .collect()(0)
+    // zero clusters (full takedown) leaves null sum/max — the Bm25.health
+    // null-guard pattern, not primitive getters on null
     val (total, hot, k) =
-      (byCluster.getLong(0), byCluster.getLong(1), byCluster.getLong(2))
+      if (byCluster.isNullAt(0)) (0L, 0L, 0L)
+      else (byCluster.getLong(0), byCluster.getLong(1), byCluster.getLong(2))
     val p = new org.apache.hadoop.fs.Path(store.path(codesT(name)))
     val nFiles = graft.tables.Compact
       .dataFiles(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p).size
@@ -402,5 +451,65 @@ object AnnIndex {
     val cal = DeconCalibration(chosen, nlist, exactPairs, checks)
     (Similarity.semanticDecontaminatePruned(train, evalSet, centroids,
       idCol, vecCol, threshold, chosen), cal)
+  }
+
+  /** What the scrub should re-measure after a drift-triggered rebuild:
+    * the [[decontaminateCalibrated]] inputs, bundled so
+    * [[rebuildIfDrifted]] can re-run the calibration against the FRESH
+    * quantizers in the same transaction of intent (BENCH_LOCAL_r15.md §6
+    * measured the coupling this closes: drift alone widened the
+    * exact-parity nprobe 6→8 on an unchanged index — stale calibration
+    * under drift silently under-probes).
+    */
+  final case class RecalSpec(train: DataFrame, evalSet: DataFrame,
+      threshold: Double = 0.8, sampleMod: Int = 10, margin: Int = 1)
+
+  /** The retrain decision taken (or declined) by [[rebuildIfDrifted]]:
+    * the drift trend it judged, the factor bar it judged against, and —
+    * when a rebuild fired with a [[RecalSpec]] — the fresh calibration.
+    */
+  final case class RebuildDecision(
+      triggered: Boolean, driftBaseline: Double, driftLast: Double,
+      factor: Double, recalibration: Option[DeconCalibration])
+
+  /** The drift bell's clapper — the retrain policy promoted from scaladoc
+    * folklore ("a rising mean_err trend against seq 0 is the retrain
+    * bell") to a library function, the same promotion
+    * `compactTakedownLog` got in r15. Reads [[health]]'s drift trend;
+    * when the last batch's mean quantization error reaches `factor` ×
+    * the build baseline, rebuilds the index from `corpus` (fresh
+    * centroids, residual centers, codebooks, codes — and a fresh drift
+    * BASELINE, so the bell re-arms instead of ringing forever), then, if
+    * `recal` is given, re-runs [[decontaminateCalibrated]] against the
+    * fresh quantizers — a calibrated nprobe is a property of the trained
+    * geometry and expires with it. No drift record (pre-drift index,
+    * empty trend) or an in-bar trend returns `triggered = false` and
+    * touches nothing. The caller owns WHEN to ask (e.g. per ingest
+    * batch, the indexedNearDupSink health cadence) and what `corpus` is
+    * (typically the sink's corpus table — the admitted set the index
+    * must mirror).
+    */
+  def rebuildIfDrifted(store: TableStore, name: String, corpus: DataFrame,
+      idCol: String, vecCol: String, dim: Int, factor: Double = 2.0,
+      nlist: Int = 0, coarseIters: Int = 2, m: Int = 0, k: Int = 16,
+      pqIters: Int = 2, sampleMod: Option[Int] = None,
+      recal: Option[RecalSpec] = None): RebuildDecision = {
+    require(factor > 0, s"factor must be > 0, got $factor")
+    val h = health(store, name)
+    val triggered = !h.driftBaseline.isNaN && !h.driftLast.isNaN &&
+      h.driftBaseline > 0.0 && h.driftLast >= factor * h.driftBaseline
+    if (!triggered)
+      RebuildDecision(triggered = false, h.driftBaseline, h.driftLast,
+        factor, None)
+    else {
+      build(store, name, corpus, idCol, vecCol, dim, nlist, coarseIters,
+        m, k, pqIters, sampleMod)
+      val cal = recal.map { r =>
+        decontaminateCalibrated(store, name, r.train, r.evalSet, idCol,
+          vecCol, r.threshold, r.sampleMod, r.margin)._2
+      }
+      RebuildDecision(triggered = true, h.driftBaseline, h.driftLast,
+        factor, cal)
+    }
   }
 }

@@ -1091,6 +1091,38 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** [[ivfPqResidualSearch]] for a DATA-SIZED query set: identical
+    * semantics (same probes, same ADC expression, same rank/tiebreak),
+    * but nothing driver-side depends on |Q| — the probe frame stays
+    * distributed and joins the codes table on `cluster` (the
+    * [[ivfSearch]]-vs-[[ivfSearchPruned]] split, applied to the PQ
+    * tier). The price is the prune: with the probed cluster ids unknown
+    * to the driver, the scan reads every cluster partition once instead
+    * of only the probed directories — the right trade exactly when |Q|
+    * is large enough that most clusters are probed by SOMEONE anyway
+    * (and the collect would be |Q|×nprobe rows CARRYING QUERY VECTORS —
+    * gigabytes at a backfill-sized batch). No broadcast hint on either
+    * side: a data-sized probe frame must be allowed to shuffle; AQE
+    * still promotes small sides at runtime.
+    */
+  def ivfPqResidualSearchJoin(
+      queries: DataFrame, index: DataFrame, centroids: DataFrame,
+      centers: ResidualCenters, idCol: String, vecCol: String, books: PqBooks,
+      k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val centLit = typedLit(centers)
+    val probes = probesOf(queries, centroids, idCol, vecCol, nprobe)
+      .select(col("query_id"), unitVec(col("qv")).as("qu"), col("cluster"))
+    val scored = index
+      .join(probes, Seq("cluster"))
+      .filter(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        (dot(col("qu"), element_at(centLit, col("cluster").cast("int"))) +
+          adcExpr(books, col("qu"), col("codes"))).as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Exact re-rank of an ANN shortlist (the "+R" of IVFADC+R, Jégou et
     * al. §V reduced to its modern production form): the quantized stage
     * proposes `kShort` candidates per query, and only THOSE rows pay an
@@ -1112,15 +1144,22 @@ object Similarity {
     * downstream of the scan exceeds |Q|×kShort rows.
     */
   def refineExact(shortlist: DataFrame, queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int = 5): DataFrame = {
+      idCol: String, vecCol: String, k: Int = 5,
+      broadcastHints: Boolean = true): DataFrame = {
+    // broadcastHints = false is the DATA-SIZED query-set shape (a backfill
+    // batch refined through the semantic ingest gate): |Q|×kShort shortlist
+    // rows and |Q| query vectors must be allowed to shuffle instead of
+    // being forced driver-through as broadcasts; AQE still promotes small
+    // sides at runtime, so the small-|Q| plan is unchanged in effect.
+    def maybeB(df: DataFrame) = if (broadcastHints) broadcast(df) else df
     val q = withNorm(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "qv", "qn")
     val cand = shortlist.select(col("query_id"), col("neighbor_id"))
     val fetched = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(maybeB(cand), Seq("neighbor_id"))
     val scored = withNorm(fetched, "cv", "cn")
-      .join(broadcast(q), Seq("query_id"))
+      .join(maybeB(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
     val w = Window.partitionBy(col("query_id"))

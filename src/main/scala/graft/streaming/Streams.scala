@@ -487,9 +487,11 @@ object Streams {
     * docs; above the cap (a fresh-checkpoint `AvailableNow` backfill
     * delivers the whole backlog as ONE batch) it routes through
     * [[graft.ext.Similarity.cosinePairsLsh]] — sub-quadratic
-    * (Σ|bucket|², 8 bands × 4 rows), with recall band-bounded exactly
-    * as the corpus side is shortlist-bounded; verbatim embedding copies
-    * always collide, so dup floods drop whole on either path. Semantics
+    * (Σ|bucket|², 8 bands, τ-adaptive band width: wide bands at high dup
+    * bars prune random pairs to ~2⁻ʳ while keeping ~95% τ-pair recall),
+    * with recall band-bounded exactly as the corpus side is
+    * shortlist-bounded; verbatim embedding copies always collide, so dup
+    * floods drop whole on either path. Semantics
     * differ from the lexical gate on purpose: this gate remembers the
     * KEPT corpus (dropped docs leave no vectors anywhere), so a future
     * dup of a dropped doc is caught only via its kept representative —
@@ -645,13 +647,22 @@ object Streams {
                       .select(col(idCol), col(vecCol), lit(true).as("_adm"))))
               val side = store.read(candT)
               val cand = side.filter(!col("_adm")).drop("_adm")
+              val st = side.agg(count(lit(1)),
+                max(size(col(vecCol)))).collect()(0)
+              val nSide = st.getLong(0)
+              val dim = if (st.isNullAt(1)) 0 else st.getInt(1)
               // pair convention matches the lexical audit (and the
               // pairTables takedown leg): id_a = the kept/corpus side,
               // id_b = the document the pair condemns
               val corpusPairs = Similarity.refineExact(
                   AnnIndex.search(store, ann, cand, idCol, vecCol,
                     k = semanticGateKShort, nprobe = semanticGateNprobe),
-                  cand, corpus, idCol, vecCol, k = semanticGateKShort)
+                  cand, corpus, idCol, vecCol, k = semanticGateKShort,
+                  // over the cap the |B|×kShort shortlist and the batch's
+                  // query vectors must not be forced through the driver
+                  // as broadcasts (the same bound the LSH path enforces
+                  // on the batch-internal side)
+                  broadcastHints = nSide <= semanticGateExactCap)
                 .filter(col("cos") >= tau)
                 .select(col("neighbor_id").as("id_a"),
                   col("query_id").as("id_b"), col("cos"))
@@ -663,10 +674,6 @@ object Streams {
               // recall is band-bounded exactly as the corpus side is
               // shortlist-bounded; verbatim embedding copies always
               // collide (every sign agrees)
-              val st = side.agg(count(lit(1)),
-                max(size(col(vecCol)))).collect()(0)
-              val nSide = st.getLong(0)
-              val dim = if (st.isNullAt(1)) 0 else st.getInt(1)
               val batchPairs =
                 if (nSide <= semanticGateExactCap) {
                   val a = Similarity.withNorm(side.select(
@@ -681,9 +688,25 @@ object Streams {
                         (col("_na") * col("_nb"))).as("cos"))
                     .filter(col("cos") >= tau)
                 } else {
+                  // τ-ADAPTIVE band width: a cos-τ pair agrees with a random
+                  // hyperplane with p = 1 − acos(τ)/π per bit, so rowsPerBand
+                  // targets ~0.3 per-band collision for τ-pairs (8 bands →
+                  // ~95% band recall; verbatim copies always collide at any
+                  // width) while a RANDOM pair collides at 8·2⁻ʳ — at the
+                  // τ=0.99 dup bar r=24 makes novel×novel candidates ~10⁻⁷
+                  // of pairs, the prune that actually deletes the backfill
+                  // quadratic (fixed 4-bit bands admit ~40% of ALL pairs —
+                  // measured no better than exact, BENCH_LOCAL_r16.md §3).
+                  // Low bars floor at r=4: sign-LSH cannot prune hard at
+                  // τ ≤ 0.8 without losing τ-pairs — raise the exact cap
+                  // there instead.
+                  val pTau = 1.0 - math.acos(math.min(1.0, tau)) / math.Pi
+                  val r = math.max(4, math.min(24, math.ceil(
+                    math.log(0.3) / math.log(math.min(0.99,
+                      math.max(0.51, pTau)))).toInt))
                   val adm = side.select(col(idCol), col("_adm"))
                   Similarity.cosinePairsLsh(side, idCol, vecCol, dim, tau,
-                      bands = 8, rowsPerBand = 4)
+                      bands = 8, rowsPerBand = r)
                     .join(adm.select(col(idCol).as("id_a"),
                       col("_adm").as("_aa")), Seq("id_a"))
                     .join(adm.select(col(idCol).as("id_b"),

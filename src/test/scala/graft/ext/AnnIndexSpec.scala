@@ -193,6 +193,12 @@ class AnnIndexSpec extends SparkSpec {
     AnnIndex.build(s9, "idx", corpus.filter(col("vec_id") <= 9),
       "vec_id", "embedding", dim = 16, m = 4, k = 4)
     assert(s9.read("idx_centroids").count() === 3L)
+    // m default auto-scales to dim/2 (the measured r16 capacity curve):
+    // dim 16 → 8 subspaces in the books table
+    val sm = newStore()
+    AnnIndex.build(sm, "idx", corpus.filter(col("vec_id") <= 9),
+      "vec_id", "embedding", dim = 16, k = 4)
+    assert(sm.read("idx_books").select(col("sub")).distinct().count() === 8L)
     // the auto-built index searches end-to-end
     val out = AnnIndex.search(s40, "idx", corpus.filter(col("vec_id") === 1),
         "vec_id", "embedding", k = 5, nprobe = 3)
@@ -368,6 +374,69 @@ class AnnIndexSpec extends SparkSpec {
     assert(h2.nCodes === 50L)
     assert(h2.driftBaseline === h.driftBaseline)
     assert(h2.maxClusterFrac > 0.5) // the family-0 cluster grew
+    // a FULL takedown empties the codes table — health must report
+    // zeros, not NPE on the null sum/max of a zero-cluster aggregate
+    AnnIndex.deleteIds(store, "idx",
+      AnnIndex.knownIds(store, "idx", "vec_id"), "vec_id")
+    val h3 = AnnIndex.health(store, "idx")
+    assert(h3.nCodes === 0L)
+    assert(h3.nClusters === 0)
+    assert(h3.maxClusterFrac === 0.0)
+  }
+
+  test("search join path (data-sized queries, no driver collect) equals the pruned path exactly") {
+    val store = newStore()
+    AnnIndex.build(store, "idx", corpus, "vec_id", "embedding",
+      dim = 16, nlist = 2, m = 4, k = 4)
+    val qs = corpus.filter(col("vec_id") <= 8)
+    // nprobe=1 so the per-query probe CHOICE matters, not just the rank
+    def res(maxBytes: Long) = AnnIndex.search(store, "idx", qs,
+        "vec_id", "embedding", k = 6, nprobe = 1,
+        maxPrunedQueryBytes = maxBytes)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(res(0L) === res(Long.MaxValue))
+    assert(res(0L).nonEmpty)
+  }
+
+  test("rebuildIfDrifted: in-bar appends decline; a drifted increment triggers rebuild, resets the baseline, recalibrates") {
+    val store = newStore()
+    val famA = corpus.filter(col("vec_id") % 2 === 1)
+    val famB = corpus.filter(col("vec_id") % 2 === 0)
+    AnnIndex.build(store, "idx", famA.filter(col("vec_id") <= 20),
+      "vec_id", "embedding", dim = 16, nlist = 2, m = 4, k = 4)
+    AnnIndex.append(store, "idx", famA.filter(col("vec_id") > 20),
+      "vec_id", "embedding")
+    // in-distribution trend: the bell stays silent and nothing rewrites
+    val codesBefore = codesOf(store, "idx")
+    val d0 = AnnIndex.rebuildIfDrifted(store, "idx", famA,
+      "vec_id", "embedding", dim = 16, factor = 10.0, nlist = 2, m = 4, k = 4)
+    assert(!d0.triggered)
+    assert(d0.recalibration.isEmpty)
+    assert(codesOf(store, "idx") === codesBefore)
+    // the orthogonal family rings it: rebuild from the full corpus,
+    // recalibrate the scrub against the fresh quantizers
+    AnnIndex.append(store, "idx", famB, "vec_id", "embedding")
+    val dec = AnnIndex.rebuildIfDrifted(store, "idx", corpus,
+      "vec_id", "embedding", dim = 16, factor = 10.0, nlist = 2, m = 4, k = 4,
+      recal = Some(AnnIndex.RecalSpec(corpus,
+        corpus.filter(col("vec_id") <= 4), threshold = 0.99,
+        sampleMod = 1, margin = 0)))
+    assert(dec.triggered)
+    assert(dec.driftLast >= 10.0 * dec.driftBaseline)
+    assert(codesOf(store, "idx").keySet === (1L to 40L).toSet)
+    // two-family fixture: same-family cosines ≈0.9999, so the exact
+    // calibration slice sees pairs and the chosen nprobe is usable
+    assert(dec.recalibration.exists(c =>
+      c.slicePairs > 0L && c.nprobe >= 1 && c.nprobe <= c.nlist))
+    // the drift BASELINE reset: one fresh build row, and asking again
+    // declines — the bell re-armed instead of ringing forever
+    val d = AnnIndex.drift(store, "idx")
+      .select(col("seq"), col("phase")).as[(Long, String)].collect()
+    assert(d.toSeq === Seq((0L, "build")))
+    val d2 = AnnIndex.rebuildIfDrifted(store, "idx", corpus,
+      "vec_id", "embedding", dim = 16, factor = 10.0, nlist = 2, m = 4, k = 4)
+    assert(!d2.triggered)
   }
 
   test("takedown rewrites only the deleted ids' clusters; artifacts stay frozen") {

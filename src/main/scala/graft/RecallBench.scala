@@ -43,6 +43,7 @@ object RecallBench {
     ScaleStress.expand(spark, sfDir, expDir, factor)
     val driftOnly = args.contains("driftonly") // re-run just the §drift block
     val npOnly = args.contains("nprobeonly") // just the auto-geometry nprobe sweep
+    val m32Only = args.contains("m32only") // just the codebook-capacity m-sweep
 
     // third leg: the x1 corpus per-dimension STANDARDIZED (x31's transform)
     // — measures whether whitening-lite moves retrieval quality on this
@@ -51,10 +52,13 @@ object RecallBench {
     def standardized(dir: String) =
       graft.ext.Similarity.standardize(Td(spark, dir, "embeddings"), "embedding")
         .select(col("vec_id"), col("embedding_std").as("embedding"))
-    for ((tag, embIn) <- (if (driftOnly) Seq.empty else Seq(
-        "x1" -> Td(spark, sfDir, "embeddings"),
-        s"x$factor" -> Td(spark, expDir, "embeddings"),
-        "x1std" -> standardized(sfDir)))) {
+    for ((tag, embIn) <- (
+        if (driftOnly) Seq.empty
+        else if (m32Only) Seq(s"x$factor" -> Td(spark, expDir, "embeddings"))
+        else Seq(
+          "x1" -> Td(spark, sfDir, "embeddings"),
+          s"x$factor" -> Td(spark, expDir, "embeddings"),
+          "x1std" -> standardized(sfDir)))) {
       val emb = embIn
       emb.count() // warm footers
       val queries = emb.filter(col("vec_id") < 200)
@@ -80,7 +84,8 @@ object RecallBench {
       val structuredWithin = structured.filter(_._2 < 100000000L)
 
       def report(variant: String, m: Int, k: Int,
-          approx: Array[(Long, Long, Int)], best: Double): Unit = {
+          approx: Array[(Long, Long, Int)], best: Double,
+          bytes: Long = -1L): Unit = {
         val approxTop10 = approx.groupBy(_._1).map { case (q, rs) =>
           q -> rs.map(_._2).toSet
         }
@@ -95,14 +100,15 @@ object RecallBench {
         def hitRate(ps: Array[(Long, Long)]): Double =
           if (ps.isEmpty) -1.0
           else ps.count(p => approxRank.contains(p)).toDouble / ps.length
-        println(f"""{"recallbench":"$tag","variant":"$variant","m":$m,"k":$k,"queries":${qs.size},"recall_at_10":$recall%.3f,"true_nn_mrr":$mrr%.3f,"n_struct":${structured.length},"struct_recall":${hitRate(structured)}%.3f,"n_struct_within":${structuredWithin.length},"struct_within_recall":${hitRate(structuredWithin)}%.3f,"sec":$best%.2f}""")
+        val bytesF = if (bytes >= 0) s""","index_bytes":$bytes""" else ""
+        println(f"""{"recallbench":"$tag","variant":"$variant","m":$m,"k":$k,"queries":${qs.size},"recall_at_10":$recall%.3f,"true_nn_mrr":$mrr%.3f,"n_struct":${structured.length},"struct_recall":${hitRate(structured)}%.3f,"n_struct_within":${structuredWithin.length},"struct_within_recall":${hitRate(structuredWithin)}%.3f,"sec":$best%.2f$bytesF}""")
       }
 
       // (m, k) grid: m spans subspace count, k codebook resolution — the
       // registered s11/s12 point is (16, 16); (16, 64) asks whether lost
       // structure at scale is a RESOLUTION knob (log2(k) bits/subspace) or
       // an implementation defect
-      if (!npOnly) for ((m, k) <- Seq((8, 16), (16, 16), (16, 64))) {
+      if (!npOnly && !m32Only) for ((m, k) <- Seq((8, 16), (16, 16), (16, 64))) {
         var best = Double.MaxValue
         var approx: Array[(Long, Long, Int)] = Array.empty
         for (_ <- 1 to reps) {
@@ -121,7 +127,7 @@ object RecallBench {
       // bits/vector, codebooks trained on coarse-centroid residuals; all
       // 8 clusters probed so the comparison isolates codebook resolution
       // (no IVF recall loss in either column)
-      if (!npOnly) {
+      if (!npOnly && !m32Only) {
         val (m, k) = (16, 16)
         var best = Double.MaxValue
         var approx: Array[(Long, Long, Int)] = Array.empty
@@ -153,7 +159,7 @@ object RecallBench {
       // should close most of the gap to exact at a per-query cost of 50
       // exact dots. Time covers train+encode+shortlist+refine (comparable
       // to the residual row).
-      if (!npOnly) {
+      if (!npOnly && !m32Only) {
         val (m, k) = (16, 16)
         var best = Double.MaxValue
         var approx: Array[(Long, Long, Int)] = Array.empty
@@ -185,7 +191,7 @@ object RecallBench {
       // re-encodes), then time ONLY shortlist+refine per kShort: the
       // reported sec is the query-time cost axis of the curve (per-query
       // exact dots = kShort by construction), recall the quality axis.
-      if (!npOnly) {
+      if (!npOnly && !m32Only) {
         val (m, k) = (16, 16)
         val centroids = Similarity.kmeansTrain(emb, "vec_id", "embedding",
             k = 8, iters = 2)
@@ -215,6 +221,49 @@ object RecallBench {
         }
       }
 
+      // CODEBOOK-CAPACITY m-sweep (r15 verdict item 2): the kShort curve
+      // flattens at 0.767 (x10, kShort=200) — is the ceiling quantization
+      // error (then doubling m, i.e. halving subspace width 64/m → 64/2m
+      // dims at double the code bytes, should lift it) or the fixture's
+      // diffuse cosine geometry (then m=32 recall stays put and the
+      // ceiling is intrinsic)? Same residual+refine production shape as
+      // the kShort sweep; index_bytes = n·m·log₂(k)/8 logical code bytes
+      // so the capacity axis is in the row. Train+encode once per m.
+      if (m32Only) {
+        val n = emb.count()
+        for (m <- Seq(16, 32)) {
+          val k = 16
+          val centroids = Similarity.kmeansTrain(emb, "vec_id", "embedding",
+              k = 8, iters = 2)
+            .select(col("centroid_id").cast("long").as("vec_id"), col("embedding"))
+          val centers = Similarity.residualCenters(emb, centroids,
+            "vec_id", "embedding")
+          val books = Similarity.pqTrainResidual(emb, "vec_id", "embedding",
+            centroids, centers, dim = 64, m = m, k = k, iters = 2,
+            sampleMod = Some(4))
+          val index = graft.tables.Scratch.stage(
+            Similarity.pqEncodeResidual(emb, centroids, centers,
+              "vec_id", "embedding", books), s"rb_m${m}_$tag")
+          val bytes = n * m * 4 / 8 // log2(16) = 4 bits per code
+          for (kShort <- Seq(100, 200)) {
+            var best = Double.MaxValue
+            var approx: Array[(Long, Long, Int)] = Array.empty
+            for (_ <- 1 to reps) {
+              val t0 = System.nanoTime()
+              val shortlist = Similarity.ivfPqResidualSearch(queries, index,
+                centroids, centers, "vec_id", "embedding", books,
+                k = kShort, nprobe = 8)
+              approx = Similarity.refineExact(shortlist, queries, emb,
+                  "vec_id", "embedding", k = 10)
+                .select(col("query_id"), col("neighbor_id"), col("rnk"))
+                .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+              best = math.min(best, (System.nanoTime() - t0) / 1e9)
+            }
+            report(s"m${m}_k$kShort", m, k, approx, best, bytes)
+          }
+        }
+      }
+
       // AUTO-GEOMETRY nprobe sweep: AnnIndex.build's auto default (nlist =
       // ⌈√n⌉) shrinks clusters as the corpus grows, so a FIXED nprobe
       // probes a falling fraction of the corpus — the flip side of the
@@ -223,7 +272,7 @@ object RecallBench {
       // measured default 100) so the recall cost of each probed fraction
       // is a recorded curve, not a surprise: per-query scanned codes =
       // nprobe·n/nlist ≈ nprobe·√n by construction.
-      {
+      if (!m32Only) {
         val (m, k) = (16, 16)
         val nlist = math.max(1,
           math.ceil(math.sqrt(emb.count().toDouble)).toInt)
@@ -269,7 +318,7 @@ object RecallBench {
     // recall@10 for drifted-slice queries lands far below in-distribution
     // queries on the same index — the metric moves when and only when
     // the quality does.
-    if (!npOnly) {
+    if (!npOnly && !m32Only) {
       import graft.ext.AnnIndex
       import graft.tables.TableStore
       val Off = 100000000L // ScaleStress replica id offset

@@ -469,9 +469,20 @@ object ScaleStress {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) 0 else Compact.dataFiles(fs, p).size
     }
+    // per-batch Spark JOB count: at steady-state micro-batch sizes every
+    // job is scheduling-floor-bound, so the gate's per-batch premium is
+    // ≈ Δjobs × floor — the jobs column is what names (or refutes) that
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          jobs.incrementAndGet()
+      })
     (0 until nBatches).foreach { i =>
       stream.filter(col("bat") === i).drop("bat")
         .coalesce(1).write.mode("append").parquet(landing)
+      val j0 = jobs.get()
       val t0 = System.nanoTime()
       graft.streaming.Streams.retrievalIngestSink(
         spark.readStream.format("parquet").schema(schema).load(landing),
@@ -489,7 +500,7 @@ object ScaleStress {
         if (gated) s""","gate_bands_files":${files("ing_gate_bands")}"""
         else if (semantic) s""","corpus_files":${files("ing_corpus")}"""
         else ""
-      println(f"""{"ingestbench":$i,"sec":$sec%.2f,"ann_files":${files("ing_ann_codes")},"bm_postings_files":${files("ing_bm_postings")}$gateF}""")
+      println(f"""{"ingestbench":$i,"sec":$sec%.2f,"jobs":${jobs.get() - j0},"ann_files":${files("ing_ann_codes")},"bm_postings_files":${files("ing_bm_postings")}$gateF}""")
     }
     if (gated || semantic) {
       // the admitted-vs-seen gap IS the gate's work: ann/bm25 hold base +
@@ -504,6 +515,112 @@ object ScaleStress {
       val nPairs = store.read(
         if (gated) "ing_gate_pairs" else "ing_sgate_pairs").count()
       println(s"""{"ingestbench":"gate_totals","n_base":$nBase,"n_streamed":$nStream,"ann_ids":$nAnn,"memory_ids":$nMem,"dropped":${nBase + nStream - nAnn},"audit_pairs":$nPairs}""")
+    }
+  }
+
+  /** One-batch BACKFILL through the semantic ingest gate — the r15
+    * verdict's open edge, measured: a fresh checkpoint's AvailableNow
+    * drain delivers the whole backlog as a SINGLE batch, so the gate's
+    * batch-internal confirm is where a quadratic would live. Four rows:
+    * {small, big ≈ 10×} × {exact (cap ∞), LSH (cap 1k)}. The exact
+    * column's batch-internal work scales ×100 across the size step by
+    * construction (|B|² dots); the LSH column is the bound the sink now
+    * enforces by default above `semanticGateExactCap` — its growth must
+    * track the batch, not its square. ~10% of the backlog is planted
+    * embedding dups (copies of two base vectors), so the gate drops real
+    * work on every row: admitted counts print next to wall-clock.
+    */
+  private def ingestBackfill(spark: SparkSession, expDir: String,
+      workDir: String): Unit = {
+    import graft.ext.AnnIndex
+    import graft.tables.TableStore
+    val emb = Td(spark, expDir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val b = Similarity.sampleBucket(col("doc_id")) % 10
+    val base = emb.filter(b === 0)
+    val planted = base.orderBy(col("doc_id")).limit(2).collect()
+      .map(_.getSeq[Float](1).toSeq)
+    val pick = pmod(Similarity.sampleBucket(col("doc_id") + 13), lit(10))
+    val rest = emb.filter(b =!= 0).withColumn("embedding",
+      when(pick === 0, typedLit(planted(0)))
+        .when(pick === 1, typedLit(planted(1)))
+        .otherwise(col("embedding")))
+    val small = rest.filter(
+      pmod(Similarity.sampleBucket(col("doc_id") + 3), lit(10)) === 0)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(FloatType))))
+    val nBase = base.count()
+    for ((tag, df, cap) <- Seq(
+        ("small_exact", small, Int.MaxValue), ("small_lsh", small, 1000),
+        ("big_exact", rest, Int.MaxValue), ("big_lsh", rest, 1000))) {
+      val store = new TableStore(spark, s"$workDir/bf_$tag")
+      AnnIndex.build(store, "bf_ann", base, "doc_id", "embedding",
+        dim = 64, m = 8, k = 16, sampleMod = Some(4))
+      store.overwrite("bf_corpus", base)
+      val landing = s"$workDir/bf_${tag}_landing"
+      df.coalesce(1).write.mode("overwrite").parquet(landing)
+      val n = df.count()
+      val t0 = System.nanoTime()
+      graft.streaming.Streams.retrievalIngestSink(
+        spark.readStream.format("parquet").schema(schema).load(landing),
+        store, "doc_id", s"$workDir/bf_${tag}_ckpt",
+        annIndex = Some("bf_ann"),
+        corpusTable = Some("bf_corpus"),
+        semanticGateThreshold = Some(0.99),
+        semanticGatePairsTable = Some("bf_pairs"),
+        semanticGateExactCap = cap)
+        .awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val admitted = store.read("bf_corpus").count() - nBase
+      val pairs =
+        if (store.exists("bf_pairs")) store.read("bf_pairs").count() else 0L
+      println(f"""{"backfill":"$tag","n_docs":$n,"sec":$sec%.2f,"admitted":$admitted,"audit_pairs":$pairs}""")
+    }
+  }
+
+  /** Probe latency vs cluster skew — the measurement behind the
+    * [[graft.ext.AnnIndex.Health]] `maxClusterFrac` alert threshold
+    * (r15 verdict item 6: health reports the fraction but documents no
+    * page-worthy level). Plants skew by replacing a fraction of the
+    * corpus with copies of ONE vector (the coarse trainer collapses them
+    * into a single hot cluster), builds at the auto geometry, then times
+    * hot-family searches whose probes must scan that cluster. Per-probe
+    * scanned codes ≈ maxClusterFrac·n instead of n/nlist, so the cost
+    * multiple over balanced is maxClusterFrac·nlist — the printed rows
+    * put numbers on that line so the scaladoc can cite a threshold
+    * instead of asserting one.
+    */
+  private def healthSkew(spark: SparkSession, expDir: String,
+      workDir: String): Unit = {
+    import graft.ext.AnnIndex
+    import graft.tables.TableStore
+    val emb = Td(spark, expDir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val hot = emb.orderBy(col("doc_id")).limit(1).collect()(0)
+      .getSeq[Float](1).toSeq
+    for (fPct <- Seq(0, 10, 40, 80)) {
+      val isHot = pmod(Similarity.sampleBucket(col("doc_id") + 5), lit(100)) < fPct
+      val skewed = emb.withColumn("embedding",
+        when(isHot, typedLit(hot)).otherwise(col("embedding")))
+      val store = new TableStore(spark, s"$workDir/skew_$fPct")
+      AnnIndex.build(store, "sk_ann", skewed, "doc_id", "embedding",
+        dim = 64, m = 8, k = 16, sampleMod = Some(4))
+      val h = AnnIndex.health(store, "sk_ann")
+      // worst-case queries: the hot family itself (every probe list
+      // includes the hot cluster); f=0 keeps the same query COUNT so the
+      // row is the balanced baseline
+      val qs = (if (fPct == 0) skewed else skewed.filter(isHot)).limit(200)
+      var best = Double.MaxValue
+      for (_ <- 1 to 2) {
+        val t0 = System.nanoTime()
+        AnnIndex.search(store, "sk_ann", qs, "doc_id", "embedding", k = 10)
+          .count()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      println(f"""{"healthskew":$fPct,"n":${h.nCodes},"nlist":${h.nClusters},"max_cluster_frac":${h.maxClusterFrac}%.3f,"cost_multiple":${h.maxClusterFrac * h.nClusters}%.1f,"search_sec":$best%.2f}""")
     }
   }
 
@@ -564,6 +681,18 @@ object ScaleStress {
     val expDir = s"$workDir/x$factor"
     expand(spark, sfDir, expDir, factor)
 
+    if (args.contains("ingestbackfill")) { // one-batch backfill through the semantic gate
+      ingestBackfill(spark, expDir, s"$workDir/backfill")
+      graft.tables.Scratch.cleanup(spark)
+      spark.stop()
+      return
+    }
+    if (args.contains("healthskew")) { // probe latency vs cluster-skew fraction
+      healthSkew(spark, expDir, s"$workDir/healthskew")
+      graft.tables.Scratch.cleanup(spark)
+      spark.stop()
+      return
+    }
     if (args.contains("inconly")) { // incremental-index tracking alone
       incTracking(spark, sfDir, expDir, factor, workDir)
       graft.tables.Scratch.cleanup(spark)

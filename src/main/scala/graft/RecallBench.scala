@@ -271,9 +271,12 @@ object RecallBench {
       // nprobe at the auto geometry (refined search, kShort = the
       // measured default 100) so the recall cost of each probed fraction
       // is a recorded curve, not a surprise: per-query scanned codes =
-      // nprobe·n/nlist ≈ nprobe·√n by construction.
-      if (!m32Only) {
-        val (m, k) = (16, 16)
+      // nprobe·n/nlist ≈ nprobe·√n by construction. m = 16 is the r15
+      // curve (kept label-compatible); m = 32 re-measures it at the NEW
+      // auto build default (dim/2) — the recall the auto defaults
+      // actually deliver per probed fraction.
+      if (!m32Only) for (m <- Seq(16, 32)) {
+        val k = 16
         val nlist = math.max(1,
           math.ceil(math.sqrt(emb.count().toDouble)).toInt)
         val centroids = Similarity.kmeansTrain(emb, "vec_id", "embedding",
@@ -285,7 +288,7 @@ object RecallBench {
           centroids, centers, dim = 64, m = m, k = k, iters = 2, sampleMod = Some(4))
         val index = graft.tables.Scratch.stage(
           Similarity.pqEncodeResidual(emb, centroids, centers,
-            "vec_id", "embedding", books), s"rb_anp_$tag")
+            "vec_id", "embedding", books), s"rb_anp_m${m}_$tag")
         for (nprobe <- (Seq(2, 4, 8, 16, 32).filter(_ < nlist) :+ nlist)) {
           var best = Double.MaxValue
           var approx: Array[(Long, Long, Int)] = Array.empty
@@ -300,7 +303,9 @@ object RecallBench {
               .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
             best = math.min(best, (System.nanoTime() - t0) / 1e9)
           }
-          report(s"auto_nl${nlist}_np$nprobe", m, k, approx, best)
+          val label = if (m == 16) s"auto_nl${nlist}_np$nprobe"
+            else s"auto_m32_nl${nlist}_np$nprobe"
+          report(label, m, k, approx, best)
         }
       }
     }

@@ -624,6 +624,86 @@ object ScaleStress {
     }
   }
 
+  /** [[healthSkew]]'s BM25 twin: search latency vs a stopword-scale term —
+    * the measurement behind `Bm25.Health.maxTermFrac`'s alert level. A
+    * token is planted into a fraction of the ×10 documents corpus; the
+    * query asks for that term plus a normal one, so the postings read
+    * scales with the hot term's df (frac·n rows) while the rest of the
+    * pipeline is constant.
+    */
+  private def bm25Skew(spark: SparkSession, expDir: String,
+      workDir: String): Unit = {
+    import graft.ext.Bm25
+    import graft.tables.TableStore
+    val docs = Td(spark, expDir, "documents").select(col("doc_id"), col("text"))
+    for (fPct <- Seq(0, 10, 40, 80)) {
+      val isHot = pmod(Similarity.sampleBucket(col("doc_id") + 11), lit(100)) < fPct
+      val planted = docs.withColumn("text",
+        when(isHot, concat(col("text"), lit(" zzcommon"))).otherwise(col("text")))
+      val store = new TableStore(spark, s"$workDir/bmskew_$fPct")
+      Bm25.buildIndex(store, "bm", planted, "doc_id", "text")
+      val h = Bm25.health(store, "bm")
+      var best = Double.MaxValue
+      for (_ <- 1 to 2) {
+        val t0 = System.nanoTime()
+        Bm25.searchIndex(store, "bm", "doc_id",
+          Seq("zzcommon", "spark"), topK = 10).count()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      println(f"""{"bm25skew":$fPct,"n_docs":${h.nDocs},"max_term_frac":${h.maxTermFrac}%.3f,"search_sec":$best%.2f}""")
+    }
+  }
+
+  /** [[healthSkew]]'s lexical twin: incremental-probe latency vs a
+    * verbatim-flood band bucket — the measurement behind
+    * `DedupIndex.Health.maxBucketFrac`'s alert level and the
+    * `bucketCap` dial. A fraction of the indexed history is verbatim
+    * copies of one document; a fresh 200-doc batch (10% of it more
+    * copies) probes the index uncapped vs capped — the uncapped probe's
+    * candidate fan-out is Σ over probing docs of the hot-bucket size,
+    * the capped one star-pairs.
+    */
+  private def lexSkew(spark: SparkSession, expDir: String,
+      workDir: String): Unit = {
+    import graft.ext.DedupIndex
+    import graft.tables.TableStore
+    val docs = Td(spark, expDir, "documents").select(col("doc_id"), col("text"))
+    val hotText = docs.orderBy(col("doc_id")).limit(1).collect()(0).getString(1)
+    val b = Similarity.sampleBucket(col("doc_id")) % 10
+    val baseAll = docs.filter(b =!= 0)
+    val batch0 = docs.filter(b === 0).limit(200)
+    for (fPct <- Seq(0, 10, 40)) {
+      val isHot = pmod(Similarity.sampleBucket(col("doc_id") + 11), lit(100)) < fPct
+      val base = baseAll.withColumn("text",
+        when(isHot, lit(hotText)).otherwise(col("text")))
+      val batch = batch0.withColumn("text",
+        when(pmod(Similarity.sampleBucket(col("doc_id") + 13), lit(10)) === 0,
+          lit(hotText)).otherwise(col("text")))
+      // the uncapped leg stops at 10%: at a 40% flood (18k-doc bucket)
+      // the verification join degenerates to a SINGLE-KEY shuffle task
+      // (the flood text's shingles each map to 18k docs — no AQE skew
+      // split can divide one key) and ran 47 min single-threaded before
+      // being killed; that unboundedness is exactly what bucketCap is for
+      val modes = if (fPct >= 40) Seq(("capped", 64))
+        else Seq(("capped", 64), ("uncapped", Int.MaxValue))
+      for ((mode, cap) <- modes) {
+        val store = new TableStore(spark, s"$workDir/lexskew_${fPct}_$mode")
+        DedupIndex.build(store, "dx", base, "doc_id", "text")
+        val h = DedupIndex.health(store, "dx")
+        var best = Double.MaxValue
+        var pairs = 0L
+        for (_ <- 1 to 2) {
+          val t0 = System.nanoTime()
+          val (p, _) = DedupIndex.probeIncrement(store, "dx", batch,
+            "doc_id", "text", threshold = 0.8, bucketCap = cap)
+          pairs = p.count()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        }
+        println(f"""{"lexskew":$fPct,"mode":"$mode","max_bucket_frac":${h.maxBucketFrac}%.3f,"probe_sec":$best%.2f,"pairs":$pairs}""")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val workDir = args.lift(1).getOrElse("/tmp/graft_scale_stress")
@@ -689,6 +769,18 @@ object ScaleStress {
     }
     if (args.contains("healthskew")) { // probe latency vs cluster-skew fraction
       healthSkew(spark, expDir, s"$workDir/healthskew")
+      graft.tables.Scratch.cleanup(spark)
+      spark.stop()
+      return
+    }
+    if (args.contains("bm25skew")) { // search latency vs stopword-scale term
+      bm25Skew(spark, expDir, s"$workDir/bm25skew")
+      graft.tables.Scratch.cleanup(spark)
+      spark.stop()
+      return
+    }
+    if (args.contains("lexskew")) { // probe latency vs verbatim-flood bucket
+      lexSkew(spark, expDir, s"$workDir/lexskew")
       graft.tables.Scratch.cleanup(spark)
       spark.stop()
       return

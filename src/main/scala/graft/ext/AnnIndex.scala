@@ -326,10 +326,18 @@ object AnnIndex {
     * operationalizes the drift table's retrain bell: a magnitude jump is
     * the signal, a wiggle is not (AnnIndexSpec pins both regimes); the
     * clapper is [[rebuildIfDrifted]].
+    *
+    * `autoNlist` is ⌈√nCodes⌉ — the cluster count [[build]] would pick
+    * for TODAY's corpus. `nClusters` far below it means either the
+    * corpus outgrew the build (appends never add clusters) or the coarse
+    * trainer collapsed under skew (healthskew measured 142 → 20 at an
+    * 80% one-point flood) — both rebuild signals, and the collapse one
+    * fires even when maxClusterFrac alone looks survivable.
     */
   final case class Health(
       nCodes: Long, nClusters: Int, maxClusterFrac: Double,
-      codesFiles: Int, driftBaseline: Double, driftLast: Double)
+      codesFiles: Int, driftBaseline: Double, driftLast: Double,
+      autoNlist: Int)
 
   /** Compute [[Health]] from the stored tables: one narrow
     * cluster-grouped count over the codes table (map-side combined, never
@@ -363,7 +371,8 @@ object AnnIndex {
         else (d.getDouble(0), d.getDouble(1))
       }
     Health(total, k.toInt, if (total == 0) 0.0 else hot.toDouble / total,
-      nFiles, baseline, last)
+      nFiles, baseline, last,
+      autoNlist = math.ceil(math.sqrt(total.toDouble)).toInt)
   }
 
   /** What [[decontaminateCalibrated]] measured while picking its probe

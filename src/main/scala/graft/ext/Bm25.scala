@@ -159,7 +159,17 @@ object Bm25 {
     * skew signal: the term-filtered postings scan assumes df ≪ N, and a
     * term present in most documents makes every query containing it pay
     * a near-full postings read (stopword-scale df — prune it query-side
-    * or accept the cost knowingly). `staleStats` flags a stats cache
+    * or accept the cost knowingly).
+    *
+    * Measured context (ScaleStress bm25skew, 50k docs,
+    * BENCH_LOCAL_r16.md §8): natural text ALREADY carries df≈0.79 terms
+    * in this corpus, and search latency was flat (~0.6 s) from frac 0.79
+    * to 0.84 — the postings read is a map-only scan and BM25's idf
+    * discounts the term's score anyway, so maxTermFrac alone is a WEAK
+    * page signal. The actionable quantity is maxTermFrac · nDocs — the
+    * postings ROWS one query term drags in — judged against the
+    * per-query scan budget at the deployment's corpus size, not a fixed
+    * fraction. `staleStats` flags a stats cache
     * that disagrees with the doclen table (normally impossible —
     * [[refreshStats]] closes the crash window — so true here means
     * something external touched the tables).

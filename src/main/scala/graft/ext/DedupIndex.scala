@@ -448,6 +448,17 @@ object DedupIndex {
     * corpus (boilerplate flood) makes every probing doc that lands in it
     * fan out accordingly — the `bucketCap` star-pairing knob is the
     * mitigation, this number says whether it is needed.
+    *
+    * PAGE-WORTHY LEVEL, measured (ScaleStress lexskew, 45k-doc index,
+    * 200-doc probes, BENCH_LOCAL_r16.md §9): at maxBucketFrac = 0.116
+    * the UNCAPPED probe took 160 s vs 3.0 s capped (54×, 104 599 audit
+    * pairs vs 29 star pairs); at 0.465 the uncapped verification join
+    * degenerated to a SINGLE-KEY shuffle task (a flood text's shingle
+    * maps to 18k docs — AQE cannot split one key) and was killed after
+    * 47 minutes, while the capped probe stayed flat at 2.6 s. **Alert —
+    * and set `bucketCap` — as soon as maxBucketFrac · nDocs exceeds a
+    * few × the cap you'd choose**; there is no graceful uncapped regime
+    * above ~0.1.
     */
   final case class Health(
       nDocs: Long, nShingleRows: Long, nBandRows: Long,

@@ -362,6 +362,7 @@ class AnnIndexSpec extends SparkSpec {
     val h = AnnIndex.health(store, "idx")
     assert(h.nCodes === 40L)
     assert(h.nClusters === 2)
+    assert(h.autoNlist === 7) // ceil(sqrt(40)) — what a rebuild would pick
     // two balanced orthogonal families → each cluster holds half
     assert(h.maxClusterFrac === 0.5)
     assert(h.codesFiles >= 1)

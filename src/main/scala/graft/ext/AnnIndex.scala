@@ -234,6 +234,28 @@ object AnnIndex {
         centroids, centers, idCol, vecCol, books, k, np)
   }
 
+  /** [[search]] with a SCANNED-CODES BUDGET instead of a probe count —
+    * [[Similarity.ivfPqResidualSearchBudgeted]] against the stored
+    * tables: per query the cosine-ranked centroid PREFIX whose
+    * cumulative cluster size stays ≤ `codesBudget` is probed (top-1
+    * always), so the per-query scan bound holds even when
+    * [[Health.maxClusterFrac]] says a hot cluster broke the ~n/nlist
+    * assumption fixed-nprobe budgets on — the latency-SLO dial for
+    * skewed indexes (the healthskew battery's +46% at ×34 skew is
+    * exactly what this caps). Costs one narrow cluster-grouped count
+    * over the codes table per call (map-side combined — the health()
+    * aggregate); interactive query sets only (collect-and-prune tail).
+    */
+  def searchBudgeted(store: TableStore, name: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int = 5,
+      codesBudget: Long = 10000): DataFrame = {
+    val (centroids, centers, books) = artifacts(store, name, idCol, vecCol)
+    val sizes = store.read(codesT(name))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
+    Similarity.ivfPqResidualSearchBudgeted(queries, store.read(codesT(name)),
+      centroids, centers, idCol, vecCol, books, k, codesBudget, sizes)
+  }
+
   /** [[DedupIndex.maintainIfNeeded]]'s embedding twin: compact the codes
     * table once a long-lived append stream ([[graft.streaming.Streams
     * .retrievalIngestSink]]) has fragmented it past `maxFiles` data

@@ -1091,6 +1091,67 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** [[ivfPqResidualSearch]] with the probe count replaced by a
+    * SCANNED-CODES BUDGET — the latency-SLO dial the healthskew battery
+    * showed fixed-nprobe search lacks (BENCH_LOCAL_r16.md §4: a hot
+    * cluster at maxClusterFrac 0.47 made every probe that touched it
+    * scan 34× its share and latency +46%; with a budget the hot cluster
+    * EATS the budget instead of blowing it). Per query, centroids are
+    * ranked by cosine (all nlist — geometry-bounded) and the probed set
+    * is the ranked PREFIX whose cumulative cluster size stays ≤
+    * `codesBudget`, top-1 always included — so per-query scanned codes
+    * ≤ max(budget, largest single probed cluster), a bound the data
+    * cannot break, at the price of recall that degrades (gracefully,
+    * nearest-first) exactly where the geometry is skewed. Deterministic:
+    * the prefix rule is a window over the same (ccos desc, centroid_id)
+    * order every engine replays. Collect-and-prune tail like
+    * [[ivfSearchPruned]] — |Q|×nlist driver rows by contract, so this is
+    * the INTERACTIVE shape; data-sized query sets belong on
+    * [[ivfPqResidualSearchJoin]] with a caller-chosen nprobe.
+    */
+  def ivfPqResidualSearchBudgeted(
+      queries: DataFrame, index: DataFrame, centroids: DataFrame,
+      centers: ResidualCenters, idCol: String, vecCol: String, books: PqBooks,
+      k: Int, codesBudget: Long, clusterSizes: DataFrame): DataFrame = {
+    require(codesBudget >= 1, s"codesBudget must be >= 1, got $codesBudget")
+    val spark = queries.sparkSession
+    val centLit = typedLit(centers)
+    val q = withNorm(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "qv", "qn")
+    val cent = withNorm(centroids.select(
+      col(idCol).as("centroid_id"), col(vecCol).as("centv")), "centv", "centn")
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    val ranked = q.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("centroid_id"),
+        (dot(col("qv"), col("centv")) / (col("qn") * col("centn"))).as("ccos"))
+      .withColumn("rnk", row_number().over(rankW))
+      .join(broadcast(clusterSizes.select(
+        col("cluster").as("centroid_id"), col("csize"))),
+        Seq("centroid_id"), "left")
+      .withColumn("csize", coalesce(col("csize"), lit(0L)))
+    val cumW = Window.partitionBy(col("query_id")).orderBy(col("rnk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val probes = ranked.withColumn("cum", sum(col("csize")).over(cumW))
+      .filter(col("rnk") === 1 || col("cum") <= codesBudget)
+      .select(col("query_id"), unitVec(col("qv")).as("qu"), col("centroid_id").as("cluster"))
+    val probeRows = probes.collect() // ≤ |Q|×nlist rows — interactive contract
+    val probedClusters =
+      probeRows.map(_.getAs[Number]("cluster").longValue()).distinct.sorted.toSeq
+    val probesLocal = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probes.schema)
+    val scored = index
+      .filter(col("cluster").isInCollection(probedClusters)) // static partition prune
+      .join(broadcast(probesLocal), Seq("cluster"))
+      .filter(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        (dot(col("qu"), element_at(centLit, col("cluster").cast("int"))) +
+          adcExpr(books, col("qu"), col("codes"))).as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** [[ivfPqResidualSearch]] for a DATA-SIZED query set: identical
     * semantics (same probes, same ADC expression, same rank/tiebreak),
     * but nothing driver-side depends on |Q| — the probe frame stays

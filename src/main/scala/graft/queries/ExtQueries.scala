@@ -3324,6 +3324,92 @@ object ExtQueries {
     // durable index, and ScaleStress --ann tracks the build cost
     benchmark = false)
 
+  /** S17 — BUDGETED residual IVF+PQ search ([[Similarity
+    * .ivfPqResidualSearchBudgeted]]): s13's stack with the probe count
+    * replaced by a scanned-codes budget — per query, the cosine-ranked
+    * centroid prefix whose cumulative cluster size stays ≤ the budget
+    * (top-1 always) is probed, so per-query scan cost is bounded even
+    * when the cluster histogram is skewed (the healthskew battery's
+    * motivation, BENCH_LOCAL_r16.md §4). The oracle replays the prefix
+    * rule as a windowed running sum over the same (ccos DESC,
+    * centroid_id) order plus s13's full IVFADC pipeline — a drift in the
+    * budget arithmetic or the tie order flips which clusters are probed
+    * and therefore whole result rows.
+    */
+  val s17AnnBudgeted = QueryDef(
+    "s17_ann_budgeted",
+    (s, dir) => {
+      val emb = Td(s, dir, "embeddings")
+      val centroids = Similarity.kmeansTrain(emb, "vec_id", "embedding", k = 8, iters = 2)
+        .select(col("centroid_id").cast("long").as("vec_id"), col("embedding"))
+      val centers = Similarity.residualCenters(emb, centroids, "vec_id", "embedding")
+      val books = Similarity.pqTrainResidual(emb, "vec_id", "embedding", centroids,
+        centers, dim = 64, m = 8, k = 16, iters = 2, sampleMod = Some(4))
+      val index = graft.tables.Scratch.stage(
+        Similarity.pqEncodeResidual(emb, centroids, centers, "vec_id", "embedding", books),
+        "s17_budget_index", Seq("cluster"))
+      val sizes = index.groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
+      Similarity.ivfPqResidualSearchBudgeted(emb.filter(col("vec_id") < 5), index,
+          centroids, centers, "vec_id", "embedding", books, k = 5,
+          codesBudget = 60L, clusterSizes = sizes)
+        .select(col("query_id"), col("neighbor_id"), col("adc"),
+          col("rnk").cast("long").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some(s"""
+      WITH $vecCte,
+      ${kmeansCte(8, 2)},
+      ${trainedCentSql(2)},
+      asg0 AS (SELECT n.vec_id, cent.centroid_id,
+                 ${dotSql.format("n.v", "centv")} / (n.nrm * centn) AS ccos
+               FROM n CROSS JOIN cent),
+      asg AS (SELECT vec_id, centroid_id AS cluster FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rnk
+                FROM asg0) WHERE rnk = 1),
+      csz AS (SELECT cluster, count(*) AS csize FROM asg GROUP BY 1),
+      probes0 AS (SELECT n.vec_id AS query_id, cent.centroid_id,
+                    ${dotSql.format("n.v", "centv")} / (n.nrm * centn) AS ccos
+                  FROM n CROSS JOIN cent WHERE n.vec_id < 5),
+      probes AS (SELECT query_id, cluster FROM (
+                   SELECT p.query_id, p.centroid_id AS cluster,
+                     ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY p.ccos DESC, p.centroid_id) AS rnk,
+                     SUM(coalesce(c.csize, 0)) OVER (PARTITION BY p.query_id ORDER BY p.ccos DESC, p.centroid_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+                   FROM probes0 p LEFT JOIN csz c ON c.cluster = p.centroid_id)
+                 WHERE rnk = 1 OR cum <= 60),
+      ${pqResCte(m = 8, k = 16, iters = 2, dsub = 8, trainWhere = s" WHERE ${sampleFilterSql("vec_id", 4)}")},
+      pe AS (SELECT s.vec_id, s.sub, c.cid,
+               list_reduce(list_transform(c.cv, x -> x * x), (a, b) -> a + b) -
+                 2 * ${dotSql.format("s.sv", "c.cv")} AS dist
+             FROM pq_sv s JOIN pc2 c ON c.sub = s.sub),
+      penc AS (SELECT vec_id, sub, cid FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rnk
+               FROM pe) WHERE rnk = 1),
+      plut AS (SELECT s.vec_id AS query_id, s.sub, c.cid,
+                 ${dotSql.format("s.sv", "c.cv")} AS ip
+               FROM pq_qsv s JOIN pc2 c ON c.sub = s.sub WHERE s.vec_id < 5),
+      coarse AS (SELECT u.vec_id AS query_id, cu.centroid_id AS cluster,
+                   ${dotSql.format("u.uv", "cu.centuv")} AS cip
+                 FROM pq_u u CROSS JOIN centu cu WHERE u.vec_id < 5),
+      cand AS (SELECT p.query_id, a.vec_id, a.cluster
+               FROM asg a JOIN probes p ON a.cluster = p.cluster
+               WHERE a.vec_id <> p.query_id),
+      psc0 AS (SELECT cd.query_id, cd.vec_id AS neighbor_id, cd.cluster, e.sub, l.ip
+               FROM cand cd
+               JOIN penc e ON e.vec_id = cd.vec_id
+               JOIN plut l ON l.query_id = cd.query_id AND l.sub = e.sub AND l.cid = e.cid),
+      psc AS (SELECT query_id, neighbor_id, cluster,
+                list_reduce(list(ip ORDER BY sub), (a, b) -> a + b) AS radc
+              FROM psc0 GROUP BY 1, 2, 3),
+      pscf AS (SELECT p.query_id, p.neighbor_id, co.cip + p.radc AS adc
+               FROM psc p JOIN coarse co ON co.query_id = p.query_id AND co.cluster = p.cluster),
+      pr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rnk
+             FROM pscf)
+      SELECT query_id, neighbor_id, adc, rnk FROM pr WHERE rnk <= 5 ORDER BY query_id, rnk
+    """),
+    // correctness-only, the s13 rationale: training dominates the timing
+    benchmark = false)
+
   /** S15 — search against the DURABLE residual-IVF+PQ index, benched
     * SEARCH-ONLY: [[graft.ext.AnnIndex.build]] runs once per process
     * (guarded by a codes-table existence probe — the index is the durable
@@ -6481,6 +6567,7 @@ object ExtQueries {
     d14DedupChargram, d17DedupIndexBucketed, d19DedupContainment, d20SpanDedup,
     d22SpanExact, d23SpanGuaranteed,
     s1KnnBrute, s2AnnIvf, s3KnnQuantized, s5KnnPq, s6AnnIvfPq, s13AnnIvfPqResidual,
+    s17AnnBudgeted,
     s14AnnIndexIncremental, s7HardNegatives, x20CorpusReport,
     m1MediaMeta, m2FrameSample, m3VideoMeta, m4ImageDedup, m5AudioDedup,
     c1Curation, c2CurationRecipe, c3Decontaminate, c4DecontaminateBloom,

@@ -400,6 +400,27 @@ class AnnIndexSpec extends SparkSpec {
     assert(res(0L).nonEmpty)
   }
 
+  test("searchBudgeted: budget >= n equals probe-everything; a one-code budget probes only the top cluster") {
+    val store = newStore()
+    AnnIndex.build(store, "idx", corpus, "vec_id", "embedding",
+      dim = 16, nlist = 2, m = 4, k = 4)
+    val q = corpus.filter(col("vec_id") === 1)
+    def rows(df: DataFrame) = df.select(col("neighbor_id"), col("rnk"))
+      .as[(Long, Int)].collect().toSet
+    // budget covers the whole corpus → identical to nprobe = nlist
+    assert(rows(AnnIndex.searchBudgeted(store, "idx", q, "vec_id", "embedding",
+        k = 10, codesBudget = 1000L)) ===
+      rows(AnnIndex.search(store, "idx", q, "vec_id", "embedding",
+        k = 10, nprobe = 2)))
+    // budget below any cluster size → the guaranteed top-1 probe only,
+    // i.e. nprobe = 1 semantics (the scan bound holds, recall degrades
+    // nearest-first)
+    assert(rows(AnnIndex.searchBudgeted(store, "idx", q, "vec_id", "embedding",
+        k = 10, codesBudget = 1L)) ===
+      rows(AnnIndex.search(store, "idx", q, "vec_id", "embedding",
+        k = 10, nprobe = 1)))
+  }
+
   test("rebuildIfDrifted: in-bar appends decline; a drifted increment triggers rebuild, resets the baseline, recalibrates") {
     val store = newStore()
     val famA = corpus.filter(col("vec_id") % 2 === 1)

@@ -482,6 +482,11 @@ object ScaleStress {
     (0 until nBatches).foreach { i =>
       stream.filter(col("bat") === i).drop("bat")
         .coalesce(1).write.mode("append").parquet(landing)
+      // JobEnd arrives on the async listener bus: quiesce before each
+      // snapshot so a previous batch's in-flight tail doesn't smear into
+      // this row (the public API has no waitUntilEmpty; ±1-2 residual
+      // jobs of imprecision are inside the Δ≈30 signal this measures)
+      Thread.sleep(300)
       val j0 = jobs.get()
       val t0 = System.nanoTime()
       graft.streaming.Streams.retrievalIngestSink(
@@ -496,6 +501,7 @@ object ScaleStress {
         semanticGatePairsTable = if (semantic) Some("ing_sgate_pairs") else None)
         .awaitTermination()
       val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // drain the last batch's JobEnd tail before reading
       val gateF =
         if (gated) s""","gate_bands_files":${files("ing_gate_bands")}"""
         else if (semantic) s""","corpus_files":${files("ing_corpus")}"""
@@ -526,9 +532,10 @@ object ScaleStress {
     * column's batch-internal work scales ×100 across the size step by
     * construction (|B|² dots); the LSH column is the bound the sink now
     * enforces by default above `semanticGateExactCap` — its growth must
-    * track the batch, not its square. ~10% of the backlog is planted
-    * embedding dups (copies of two base vectors), so the gate drops real
-    * work on every row: admitted counts print next to wall-clock.
+    * track the batch, not its square. ~20% of the backlog is planted
+    * embedding dups (copies of two base vectors, ~10% each), so the gate
+    * drops real work on every row: admitted counts print next to
+    * wall-clock.
     */
   private def ingestBackfill(spark: SparkSession, expDir: String,
       workDir: String): Unit = {

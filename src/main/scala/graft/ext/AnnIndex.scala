@@ -210,23 +210,28 @@ object AnnIndex {
     * The pruned plan collects |Q|×nprobe probe rows CARRYING QUERY
     * VECTORS to the driver (the static partition prune needs the probed
     * cluster ids there) — driver-bounded only while |Q| is
-    * interactive-sized. Above `maxPrunedQueryBytes` of query-plan stats
-    * (file-size metadata for a staged/parquet query frame — no count job
-    * runs) the search routes to [[Similarity.ivfPqResidualSearchJoin]]:
-    * same results, probes stay distributed, the scan reads all cluster
-    * partitions once instead of pruning — the right trade at a
-    * backfill-sized query set, where the collect is gigabytes and most
-    * clusters are probed by someone anyway. Pass `Long.MaxValue` to pin
-    * the pruned plan, `0` to pin the join plan.
+    * interactive-sized. Above `maxPrunedQueries` rows the search routes
+    * to [[Similarity.ivfPqResidualSearchJoin]]: same results, probes
+    * stay distributed, the scan reads all cluster partitions once
+    * instead of pruning — the right trade at a backfill-sized query
+    * set, where the collect is gigabytes and most clusters are probed
+    * by someone anyway. The row count comes from a LIMIT-bounded count
+    * (one job scanning at most maxPrunedQueries+1 rows) — NOT plan-stats
+    * bytes, which for a filtered parquet scan report the whole file and
+    * would silently unprune a 5-query search the moment the corpus file
+    * outgrew a byte bound. Pass `Int.MaxValue` to pin the pruned plan,
+    * `0` to pin the join plan.
     */
   def search(store: TableStore, name: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int = 5, nprobe: Int = 0,
-      maxPrunedQueryBytes: Long = 8L << 20): DataFrame = {
+      maxPrunedQueries: Int = 4096): DataFrame = {
     require(nprobe >= 0, s"nprobe must be >= 0 (0 = auto sqrt(nlist)), got $nprobe")
     val (centroids, centers, books) = artifacts(store, name, idCol, vecCol)
     val np = if (nprobe > 0) nprobe else autoNprobe(centroids.count())
-    val qBytes = queries.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (qBytes <= maxPrunedQueryBytes)
+    val small = maxPrunedQueries == Int.MaxValue ||
+      (maxPrunedQueries > 0 &&
+        queries.limit(maxPrunedQueries + 1).count() <= maxPrunedQueries)
+    if (small)
       Similarity.ivfPqResidualSearch(queries, store.read(codesT(name)),
         centroids, centers, idCol, vecCol, books, k, np)
     else
@@ -394,7 +399,9 @@ object AnnIndex {
       }
     Health(total, k.toInt, if (total == 0) 0.0 else hot.toDouble / total,
       nFiles, baseline, last,
-      autoNlist = math.ceil(math.sqrt(total.toDouble)).toInt)
+      // max(1, ...): what build(nlist = 0) would actually pick, empty
+      // corpus included — the field IS that comparison
+      autoNlist = math.max(1, math.ceil(math.sqrt(total.toDouble)).toInt))
   }
 
   /** What [[decontaminateCalibrated]] measured while picking its probe
@@ -515,26 +522,44 @@ object AnnIndex {
     * fresh quantizers — a calibrated nprobe is a property of the trained
     * geometry and expires with it. No drift record (pre-drift index,
     * empty trend) or an in-bar trend returns `triggered = false` and
-    * touches nothing. The caller owns WHEN to ask (e.g. per ingest
-    * batch, the indexedNearDupSink health cadence) and what `corpus` is
-    * (typically the sink's corpus table — the admitted set the index
-    * must mirror).
+    * touches nothing. A ZERO baseline (codebooks that reproduced the
+    * build corpus exactly — small or templated corpora) with any
+    * positive driftLast triggers: every finite factor bar is exceeded,
+    * and treating it like a missing trend would disarm the bell forever
+    * on exactly the indexes that drift most visibly. The caller owns
+    * WHEN to ask (e.g. per ingest batch, the indexedNearDupSink health
+    * cadence) and what `corpus` is (typically the sink's corpus table —
+    * the admitted set the index must mirror).
+    *
+    * Geometry on rebuild: `nlist = 0` re-derives ⌈√n⌉ from TODAY's
+    * corpus (cluster count is a corpus property — rescaling it is the
+    * point of the rebuild), but `m = 0` / `k = 0` default to the STORED
+    * code geometry (read from the books table), NOT the build auto
+    * default — code width is a storage contract, and a drift rebuild
+    * must not silently 4× the index bytes of an index built with an
+    * explicit m.
     */
   def rebuildIfDrifted(store: TableStore, name: String, corpus: DataFrame,
       idCol: String, vecCol: String, dim: Int, factor: Double = 2.0,
-      nlist: Int = 0, coarseIters: Int = 2, m: Int = 0, k: Int = 16,
+      nlist: Int = 0, coarseIters: Int = 2, m: Int = 0, k: Int = 0,
       pqIters: Int = 2, sampleMod: Option[Int] = None,
       recal: Option[RecalSpec] = None): RebuildDecision = {
     require(factor > 0, s"factor must be > 0, got $factor")
     val h = health(store, name)
     val triggered = !h.driftBaseline.isNaN && !h.driftLast.isNaN &&
-      h.driftBaseline > 0.0 && h.driftLast >= factor * h.driftBaseline
+      (if (h.driftBaseline > 0.0) h.driftLast >= factor * h.driftBaseline
+       else h.driftLast > 0.0)
     if (!triggered)
       RebuildDecision(triggered = false, h.driftBaseline, h.driftLast,
         factor, None)
     else {
+      val stored = store.read(booksT(name))
+        .agg(countDistinct(col("sub")).as("m"),
+          countDistinct(col("cid")).as("k")).collect()(0)
+      val mm = if (m > 0) m else stored.getLong(0).toInt
+      val kk = if (k > 0) k else stored.getLong(1).toInt
       build(store, name, corpus, idCol, vecCol, dim, nlist, coarseIters,
-        m, k, pqIters, sampleMod)
+        mm, kk, pqIters, sampleMod)
       val cal = recal.map { r =>
         decontaminateCalibrated(store, name, r.train, r.evalSet, idCol,
           vecCol, r.threshold, r.sampleMod, r.margin)._2

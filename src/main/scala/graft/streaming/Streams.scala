@@ -550,6 +550,8 @@ object Streams {
         (annIndex.nonEmpty && corpusTable.nonEmpty),
       "semanticGateThreshold needs annIndex (candidate proposal) and " +
         "corpusTable (exact confirm + admitted-corpus memory)")
+    require(semanticGateExactCap >= 0,
+      s"semanticGateExactCap must be >= 0, got $semanticGateExactCap")
     val intentT = intentTable.getOrElse(
       s"${annIndex.getOrElse(bm25Index.get)}_ingest_intent")
     docs.writeStream

@@ -391,13 +391,13 @@ class AnnIndexSpec extends SparkSpec {
       dim = 16, nlist = 2, m = 4, k = 4)
     val qs = corpus.filter(col("vec_id") <= 8)
     // nprobe=1 so the per-query probe CHOICE matters, not just the rank
-    def res(maxBytes: Long) = AnnIndex.search(store, "idx", qs,
+    def res(maxQ: Int) = AnnIndex.search(store, "idx", qs,
         "vec_id", "embedding", k = 6, nprobe = 1,
-        maxPrunedQueryBytes = maxBytes)
+        maxPrunedQueries = maxQ)
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
       .as[(Long, Long, Int)].collect().toSet
-    assert(res(0L) === res(Long.MaxValue))
-    assert(res(0L).nonEmpty)
+    assert(res(0) === res(Int.MaxValue))
+    assert(res(0).nonEmpty)
   }
 
   test("searchBudgeted: budget >= n equals probe-everything; a one-code budget probes only the top cluster") {
@@ -439,14 +439,19 @@ class AnnIndexSpec extends SparkSpec {
     // the orthogonal family rings it: rebuild from the full corpus,
     // recalibrate the scrub against the fresh quantizers
     AnnIndex.append(store, "idx", famB, "vec_id", "embedding")
+    // m/k OMITTED: the rebuild must preserve the STORED code geometry
+    // (m=4, k=4), not jump to the auto dim/2 default — code width is a
+    // storage contract
     val dec = AnnIndex.rebuildIfDrifted(store, "idx", corpus,
-      "vec_id", "embedding", dim = 16, factor = 10.0, nlist = 2, m = 4, k = 4,
+      "vec_id", "embedding", dim = 16, factor = 10.0, nlist = 2,
       recal = Some(AnnIndex.RecalSpec(corpus,
         corpus.filter(col("vec_id") <= 4), threshold = 0.99,
         sampleMod = 1, margin = 0)))
     assert(dec.triggered)
     assert(dec.driftLast >= 10.0 * dec.driftBaseline)
     assert(codesOf(store, "idx").keySet === (1L to 40L).toSet)
+    assert(store.read("idx_books").select(col("sub")).distinct().count() === 4L)
+    assert(store.read("idx_books").select(col("cid")).distinct().count() === 4L)
     // two-family fixture: same-family cosines ≈0.9999, so the exact
     // calibration slice sees pairs and the chosen nprobe is usable
     assert(dec.recalibration.exists(c =>
@@ -459,6 +464,23 @@ class AnnIndexSpec extends SparkSpec {
     val d2 = AnnIndex.rebuildIfDrifted(store, "idx", corpus,
       "vec_id", "embedding", dim = 16, factor = 10.0, nlist = 2, m = 4, k = 4)
     assert(!d2.triggered)
+
+    // zero-baseline bell: identical build vectors quantize exactly
+    // (mean_err 0.0) — a drifted append must STILL trigger (any finite
+    // factor bar is exceeded), not be disarmed like a missing trend
+    val s0 = newStore()
+    val flat = (1L to 10L).map(i => (i, vec(0, 3))).toDF("vec_id", "embedding")
+    AnnIndex.build(s0, "idx", flat, "vec_id", "embedding",
+      dim = 16, nlist = 1, m = 4, k = 4)
+    assert(AnnIndex.health(s0, "idx").driftBaseline === 0.0)
+    AnnIndex.append(s0, "idx",
+      (21L to 30L).map(i => (i, vec(8, i.toInt))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val d0flat = AnnIndex.rebuildIfDrifted(s0, "idx",
+      flat.unionByName((21L to 30L).map(i => (i, vec(8, i.toInt)))
+        .toDF("vec_id", "embedding")),
+      "vec_id", "embedding", dim = 16, factor = 10.0, nlist = 2)
+    assert(d0flat.triggered)
   }
 
   test("takedown rewrites only the deleted ids' clusters; artifacts stay frozen") {

@@ -473,13 +473,15 @@ object ScaleStress {
     // job is scheduling-floor-bound, so the gate's per-batch premium is
     // ≈ Δjobs × floor — the jobs column is what names (or refutes) that
     val jobs = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onJobEnd(
-            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
-          jobs.incrementAndGet()
-      })
-    (0 until nBatches).foreach { i =>
+    val jobListener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobEnd(
+          e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(jobListener)
+    // removed in the finally below — a second battery in the same session
+    // must not double-count every job through a leaked listener
+    try (0 until nBatches).foreach { i =>
       stream.filter(col("bat") === i).drop("bat")
         .coalesce(1).write.mode("append").parquet(landing)
       // JobEnd arrives on the async listener bus: quiesce before each
@@ -507,7 +509,7 @@ object ScaleStress {
         else if (semantic) s""","corpus_files":${files("ing_corpus")}"""
         else ""
       println(f"""{"ingestbench":$i,"sec":$sec%.2f,"jobs":${jobs.get() - j0},"ann_files":${files("ing_ann_codes")},"bm_postings_files":${files("ing_bm_postings")}$gateF}""")
-    }
+    } finally spark.sparkContext.removeSparkListener(jobListener)
     if (gated || semantic) {
       // the admitted-vs-seen gap IS the gate's work: ann/bm25 hold base +
       // survivors; the lexical gate index remembers every streamed doc,

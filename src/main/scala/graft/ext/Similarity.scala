@@ -614,6 +614,26 @@ object Similarity {
     * recall, rowsPerBand for precision. Identical vectors always collide
     * (every sign agrees).
     */
+  /** The MEASURED band width for [[cosinePairsLsh]] at a cosine bar τ —
+    * the derivation BENCH_LOCAL_r16.md §3 paid for: a cos-τ pair agrees
+    * with a random hyperplane with p = 1 − acos(τ)/π per bit (Charikar
+    * '02), so r = ⌈ln 0.3 / ln p⌉ targets ~0.3 per-band τ-pair collision
+    * — 8 bands give ~95% τ-pair recall (1 − 0.7⁸) while a RANDOM pair
+    * collides at only bands·2⁻ʳ. Fixed narrow bands are a trap the same
+    * battery measured: 4-bit bands admit ~40% of ALL pairs and the
+    * "prune" ran SLOWER than exact brute force (454 s vs 431 s at ×10;
+    * τ-adaptive r=24 → 307 s, bit-identical output). Capped at 24 so the
+    * packed bucket Int never overflows (1 << r); floored at 4 — sign-LSH
+    * cannot prune hard at τ ≤ ~0.8 without losing τ-pairs, so low-bar
+    * batch pairing belongs on an ADC shortlist or a raised exact cap,
+    * not on wider bands.
+    */
+  def lshRowsPerBand(tau: Double): Int = {
+    val pTau = 1.0 - math.acos(math.min(1.0, tau)) / math.Pi
+    math.max(4, math.min(24, math.ceil(
+      math.log(0.3) / math.log(math.min(0.99, math.max(0.51, pTau)))).toInt))
+  }
+
   def cosinePairsLsh(
       df: DataFrame, idCol: String, vecCol: String, dim: Int, threshold: Double,
       bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {

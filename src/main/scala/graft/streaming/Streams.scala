@@ -690,22 +690,13 @@ object Streams {
                         (col("_na") * col("_nb"))).as("cos"))
                     .filter(col("cos") >= tau)
                 } else {
-                  // τ-ADAPTIVE band width: a cos-τ pair agrees with a random
-                  // hyperplane with p = 1 − acos(τ)/π per bit, so rowsPerBand
-                  // targets ~0.3 per-band collision for τ-pairs (8 bands →
-                  // ~95% band recall; verbatim copies always collide at any
-                  // width) while a RANDOM pair collides at 8·2⁻ʳ — at the
+                  // τ-ADAPTIVE band width ([[Similarity.lshRowsPerBand]] —
+                  // the measured derivation, see its scaladoc): at the
                   // τ=0.99 dup bar r=24 makes novel×novel candidates ~10⁻⁷
                   // of pairs, the prune that actually deletes the backfill
                   // quadratic (fixed 4-bit bands admit ~40% of ALL pairs —
-                  // measured no better than exact, BENCH_LOCAL_r16.md §3).
-                  // Low bars floor at r=4: sign-LSH cannot prune hard at
-                  // τ ≤ 0.8 without losing τ-pairs — raise the exact cap
-                  // there instead.
-                  val pTau = 1.0 - math.acos(math.min(1.0, tau)) / math.Pi
-                  val r = math.max(4, math.min(24, math.ceil(
-                    math.log(0.3) / math.log(math.min(0.99,
-                      math.max(0.51, pTau)))).toInt))
+                  // measured no better than exact, BENCH_LOCAL_r16.md §3)
+                  val r = Similarity.lshRowsPerBand(tau)
                   val adm = side.select(col(idCol), col("_adm"))
                   Similarity.cosinePairsLsh(side, idCol, vecCol, dim, tau,
                       bands = 8, rowsPerBand = r)

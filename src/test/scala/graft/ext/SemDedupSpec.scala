@@ -48,6 +48,25 @@ class SemDedupSpec extends SparkSpec {
     assert(out === 0L)
   }
 
+  test("lshRowsPerBand: the measured r(τ) — 24 at the dup bar, 8 at 0.9, floor at low bars, bucket-packing cap") {
+    import graft.ext.Similarity
+    // τ=0.99: p=0.955 → ln0.3/ln p ≈ 26.1, capped at 24 (Int bucket packs
+    // 1 << r); the BENCH_LOCAL_r16.md §3 value that turned the backfill
+    // LSH from slower-than-exact (454 s) into the real prune (307 s)
+    assert(Similarity.lshRowsPerBand(0.99) === 24)
+    // τ=0.9: p ≈ 0.8565 → r = 8 — still a real prune (random pairs 8·2⁻⁸)
+    assert(Similarity.lshRowsPerBand(0.9) === 8)
+    // τ=0.8: p ≈ 0.7952 → r = 6 — random pairs collide at 8/64: sign-LSH
+    // stops pruning hard here, the reason low bars route elsewhere
+    assert(Similarity.lshRowsPerBand(0.8) === 6)
+    // the floor: τ→0.5 would want r→small/negative; 4 is the narrowest
+    // band that is still a bucket at all
+    assert(Similarity.lshRowsPerBand(0.5) === 4)
+    assert(Similarity.lshRowsPerBand(0.0) === 4)
+    // τ=1.0 (verbatim copies) stays inside the cap, acos-domain safe
+    assert(Similarity.lshRowsPerBand(1.0) === 24)
+  }
+
   test("semanticDecontaminate flags train vectors near ANY eval vector (C7)") {
     // eval = the axis-1 and axis-2 vectors; train contains a near-copy of
     // axis 1 (flagged, cos ~0.96), an exact copy (flagged, cos 1.0, and

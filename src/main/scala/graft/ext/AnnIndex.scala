@@ -43,6 +43,7 @@ object AnnIndex {
   private def booksT(name: String) = s"${name}_books"
   private def codesT(name: String) = s"${name}_codes"
   private def driftT(name: String) = s"${name}_drift"
+  private def csizesT(name: String) = s"${name}_csizes"
 
   /** Train the quantizer stack on `df` and write all four tables.
     * `sampleMod` routes coarse and codebook training onto the
@@ -92,9 +93,15 @@ object AnnIndex {
       .select(col(idCol).as("centroid_id"), col(vecCol).cast("array<double>").as("vec")))
     store.overwrite(centersT(name), centers.zipWithIndex
       .map { case (c, i) => (i + 1, c) }.toDF("cluster", "center"))
+    // build_m/build_k persist the CONFIGURED code geometry next to the
+    // codebooks: pqLloyd seeds only min(k, distinct-points) codewords, so
+    // inferring k back from the stored rows under-reads it on tiny or
+    // templated corpora — exactly the zero-baseline case a drift rebuild
+    // targets — and the rebuild would silently shrink the codebook
     store.overwrite(booksT(name), books.zipWithIndex
       .flatMap { case (cws, sub) => cws.map { case (cid, cw, cc) => (sub, cid, cw, cc) } }
-      .toDF("sub", "cid", "cw", "cc"))
+      .toDF("sub", "cid", "cw", "cc")
+      .withColumn("build_m", lit(mm)).withColumn("build_k", lit(k)))
     store.overwrite(codesT(name),
       Similarity.pqEncodeResidual(df, centroids, centers, idCol, vecCol, books),
       partitionBy = Seq("cluster"))
@@ -108,6 +115,11 @@ object AnnIndex {
       idCol, vecCol, books)
     store.overwrite(driftT(name),
       Seq((0L, "build", n, err)).toDF("seq", "phase", "n_rows", "mean_err"))
+    // warm the cluster-size cache while the build is already paying
+    // full-corpus passes — the first health()/searchBudgeted after a
+    // build then reads nlist rows instead of recounting
+    refreshClusterSizes(store, name)
+    ()
   }
 
   /** The stored quantizer stack, in the shapes the Similarity APIs take.
@@ -226,6 +238,8 @@ object AnnIndex {
       idCol: String, vecCol: String, k: Int = 5, nprobe: Int = 0,
       maxPrunedQueries: Int = 4096): DataFrame = {
     require(nprobe >= 0, s"nprobe must be >= 0 (0 = auto sqrt(nlist)), got $nprobe")
+    require(maxPrunedQueries >= 0,
+      s"maxPrunedQueries must be >= 0 (0 = always join path), got $maxPrunedQueries")
     val (centroids, centers, books) = artifacts(store, name, idCol, vecCol)
     val np = if (nprobe > 0) nprobe else autoNprobe(centroids.count())
     val small = maxPrunedQueries == Int.MaxValue ||
@@ -239,6 +253,55 @@ object AnnIndex {
         centroids, centers, idCol, vecCol, books, k, np)
   }
 
+  /** The codes table's data-file fingerprint — what the cluster-size
+    * cache is keyed on. Parquet writers name every part file with a
+    * task UUID, so ANY build/append/takedown/compaction changes the
+    * (path, length) set — no mtime needed; one driver-side directory
+    * listing, the [[maintainIfNeeded]] cost class.
+    */
+  private def codesFingerprint(store: TableStore, name: String): String = {
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(store.path(codesT(name)))
+    val files = graft.tables.Compact.dataFiles(p.getFileSystem(conf), p)
+      .map { case (path, len) => s"${path.toUri.getPath}:$len" }
+      .sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    files.foreach(f => md.update(f.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Bring the per-cluster size table `{name}_csizes` up to date with the
+    * codes table, returning whether a recompute ran. The cache is keyed
+    * on the codes table's data-file fingerprint, so it is crash-safe by
+    * construction — any mutation path that died between the codes write
+    * and this refresh just leaves a stale fingerprint that the next
+    * caller detects and recomputes (one narrow map-side-combined count;
+    * never eager bookkeeping that a replay could double-apply). [[build]]
+    * warms it (the build already pays full-corpus passes); [[health]] and
+    * [[searchBudgeted]] validate it, so after an append the FIRST health
+    * check of the sink's per-batch cadence pays the recount and every
+    * budgeted search after that reads nlist rows.
+    */
+  def refreshClusterSizes(store: TableStore, name: String): Boolean = {
+    val fp = codesFingerprint(store, name)
+    val fresh = store.exists(csizesT(name)) && {
+      val head = store.read(csizesT(name)).select(col("fp")).limit(1).collect()
+      // an EMPTY cached table carries no fp row: it is fresh exactly when
+      // the codes table is empty too (empty-listing fingerprints match)
+      if (head.isEmpty) codesFingerprint0Empty == fp else head(0).getString(0) == fp
+    }
+    if (!fresh)
+      store.overwrite(csizesT(name), store.read(codesT(name))
+        .groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
+        .withColumn("fp", lit(fp)))
+    !fresh
+  }
+  // md5 of zero files — the fingerprint an emptied codes table hashes to
+  private val codesFingerprint0Empty: String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest().map("%02x".format(_)).mkString
+
   /** [[search]] with a SCANNED-CODES BUDGET instead of a probe count —
     * [[Similarity.ivfPqResidualSearchBudgeted]] against the stored
     * tables: per query the cosine-ranked centroid PREFIX whose
@@ -247,18 +310,68 @@ object AnnIndex {
     * [[Health.maxClusterFrac]] says a hot cluster broke the ~n/nlist
     * assumption fixed-nprobe budgets on — the latency-SLO dial for
     * skewed indexes (the healthskew battery's +46% at ×34 skew is
-    * exactly what this caps). Costs one narrow cluster-grouped count
-    * over the codes table per call (map-side combined — the health()
-    * aggregate); interactive query sets only (collect-and-prune tail).
+    * exactly what this caps). Cluster sizes come from the
+    * [[refreshClusterSizes]] cache (nlist rows) — a steady-state call
+    * never aggregates the codes table, only validates the cache's
+    * file fingerprint; interactive query sets only (collect-and-prune
+    * tail).
     */
   def searchBudgeted(store: TableStore, name: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int = 5,
       codesBudget: Long = 10000): DataFrame = {
     val (centroids, centers, books) = artifacts(store, name, idCol, vecCol)
-    val sizes = store.read(codesT(name))
-      .groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
+    refreshClusterSizes(store, name)
+    val sizes = store.read(csizesT(name)).select(col("cluster"), col("csize"))
     Similarity.ivfPqResidualSearchBudgeted(queries, store.read(codesT(name)),
       centroids, centers, idCol, vecCol, books, k, codesBudget, sizes)
+  }
+
+  /** ALL-PAIRS cosine matches WITHIN `df` (id_a < id_b, cos ≥ threshold),
+    * shortlisted through the index's FROZEN quantizers — the batch
+    * self-pairing that stays sub-quadratic at ANY threshold. Sign-LSH
+    * (the other training-free route) cannot prune hard below τ ≈ 0.9:
+    * [[Similarity.lshRowsPerBand]] floors at r = 4 there, admitting
+    * bands·2⁻⁴ of ALL pairs, so a backfill-sized batch at a
+    * SemDeDup-like 0.6–0.8 bar pays near-|B|² anyway. This route
+    * instead encodes `df` map-only against the stored quantizers (one
+    * pass — the same encode an [[append]] would run), proposes each
+    * row's `kShort` nearest batch-mates by float-free ADC over the
+    * batch's OWN codes ([[Similarity.ivfPqResidualSearchJoin]] with the
+    * batch as both sides — nothing driver-side depends on |df|), and
+    * exact-confirms only those |df|×kShort candidate pairs
+    * ([[Similarity.refineExact]], no broadcast hints — data-sized
+    * contract). Candidates are bounded by kShort REGARDLESS of τ, which
+    * is exactly what the LSH route cannot offer at low bars.
+    *
+    * Recall is shortlist-bounded, two-sided: a pair survives when
+    * EITHER end shortlists the other (the union of both orientations,
+    * deduped — symmetric exact cosine makes the duplicates
+    * bit-identical). Verbatim copies always pair: identical vectors
+    * share a cluster and tie at the maximum ADC score, and the
+    * (adc DESC, neighbor_id) tiebreak fills each copy's shortlist with
+    * the kShort SMALLEST-ID copies — so every flood member pairs with
+    * the flood's min-id representative and a greedy earlier-id
+    * resolution drops the flood whole, even when the flood dwarfs
+    * kShort. `df` is scanned several times (encode, probes, both refine
+    * sides) — pass a materialized frame, not an expensive plan.
+    */
+  def selfPairs(store: TableStore, name: String, df: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      kShort: Int = 100, nprobe: Int = 0): DataFrame = {
+    require(nprobe >= 0, s"nprobe must be >= 0 (0 = auto sqrt(nlist)), got $nprobe")
+    require(kShort >= 1, s"kShort must be >= 1, got $kShort")
+    val (centroids, centers, books) = artifacts(store, name, idCol, vecCol)
+    val np = if (nprobe > 0) nprobe else autoNprobe(centroids.count())
+    val codes = Similarity.pqEncodeResidual(df, centroids, centers,
+      idCol, vecCol, books)
+    val shortlist = Similarity.ivfPqResidualSearchJoin(df, codes, centroids,
+      centers, idCol, vecCol, books, kShort, np)
+    Similarity.refineExact(shortlist, df, df, idCol, vecCol, k = kShort,
+        broadcastHints = false)
+      .filter(col("cos") >= threshold)
+      .select(least(col("query_id"), col("neighbor_id")).as("id_a"),
+        greatest(col("query_id"), col("neighbor_id")).as("id_b"), col("cos"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** [[DedupIndex.maintainIfNeeded]]'s embedding twin: compact the codes
@@ -366,16 +479,19 @@ object AnnIndex {
       codesFiles: Int, driftBaseline: Double, driftLast: Double,
       autoNlist: Int)
 
-  /** Compute [[Health]] from the stored tables: one narrow
-    * cluster-grouped count over the codes table (map-side combined, never
-    * the corpus), one driver-side file listing, two rows of the drift
-    * table. Safe to run after every append batch.
+  /** Compute [[Health]] from the stored tables: the cluster histogram
+    * reads the [[refreshClusterSizes]] cache (nlist rows; the narrow
+    * cluster-grouped count over the codes table runs only when the cache
+    * is stale — so the sink's health-after-every-batch cadence pays ONE
+    * recount per mutation and every other health call is
+    * geometry-bounded), one driver-side file listing, two rows of the
+    * drift table.
     */
   def health(store: TableStore, name: String): Health = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val byCluster = store.read(codesT(name))
-      .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
-      .agg(sum(col("n")).as("total"), max(col("n")).as("hot"),
+    refreshClusterSizes(store, name)
+    val byCluster = store.read(csizesT(name))
+      .agg(sum(col("csize")).as("total"), max(col("csize")).as("hot"),
         count(lit(1)).as("k"))
       .collect()(0)
     // zero clusters (full takedown) leaves null sum/max — the Bm25.health
@@ -502,6 +618,25 @@ object AnnIndex {
   final case class RecalSpec(train: DataFrame, evalSet: DataFrame,
       threshold: Double = 0.8, sampleMod: Int = 10, margin: Int = 1)
 
+  /** The stored code geometry `(m, k)` a rebuild must preserve. Indexes
+    * written since build_m/build_k were persisted read the CONFIGURED
+    * values back; older books tables fall back to inference — max(sub)+1
+    * is always exact (every sub holds rows for every vector), max(cid)
+    * recovers the SEEDED k (cids are 1..k from seeding), which matches
+    * the configured k except on corpora smaller than k.
+    */
+  private def storedGeometry(store: TableStore, name: String): (Int, Int) = {
+    val books = store.read(booksT(name))
+    if (books.columns.contains("build_m")) {
+      val r = books.select(col("build_m"), col("build_k")).limit(1).collect()(0)
+      (r.getInt(0), r.getInt(1))
+    } else {
+      val r = books.agg(max(col("sub")).as("m"), max(col("cid")).as("k"))
+        .collect()(0)
+      (r.getAs[Number](0).intValue() + 1, r.getAs[Number](1).intValue())
+    }
+  }
+
   /** The retrain decision taken (or declined) by [[rebuildIfDrifted]]:
     * the drift trend it judged, the factor bar it judged against, and —
     * when a rebuild fired with a [[RecalSpec]] — the fresh calibration.
@@ -546,26 +681,109 @@ object AnnIndex {
       recal: Option[RecalSpec] = None): RebuildDecision = {
     require(factor > 0, s"factor must be > 0, got $factor")
     val h = health(store, name)
-    val triggered = !h.driftBaseline.isNaN && !h.driftLast.isNaN &&
-      (if (h.driftBaseline > 0.0) h.driftLast >= factor * h.driftBaseline
-       else h.driftLast > 0.0)
-    if (!triggered)
+    if (!driftTriggered(h, factor))
       RebuildDecision(triggered = false, h.driftBaseline, h.driftLast,
         factor, None)
     else {
-      val stored = store.read(booksT(name))
-        .agg(countDistinct(col("sub")).as("m"),
-          countDistinct(col("cid")).as("k")).collect()(0)
-      val mm = if (m > 0) m else stored.getLong(0).toInt
-      val kk = if (k > 0) k else stored.getLong(1).toInt
-      build(store, name, corpus, idCol, vecCol, dim, nlist, coarseIters,
-        mm, kk, pqIters, sampleMod)
-      val cal = recal.map { r =>
-        decontaminateCalibrated(store, name, r.train, r.evalSet, idCol,
-          vecCol, r.threshold, r.sampleMod, r.margin)._2
-      }
+      val cal = rebuildNow(store, name, corpus, idCol, vecCol, dim, nlist,
+        coarseIters, m, k, pqIters, sampleMod, recal)
       RebuildDecision(triggered = true, h.driftBaseline, h.driftLast,
         factor, cal)
     }
+  }
+
+  private def driftTriggered(h: Health, factor: Double): Boolean =
+    !h.driftBaseline.isNaN && !h.driftLast.isNaN &&
+      (if (h.driftBaseline > 0.0) h.driftLast >= factor * h.driftBaseline
+       else h.driftLast > 0.0)
+
+  /** The shared rebuild action: stored code geometry preserved unless
+    * overridden, fresh quantizers + codes + drift baseline, then the
+    * optional recalibration against the fresh geometry.
+    */
+  private def rebuildNow(store: TableStore, name: String, corpus: DataFrame,
+      idCol: String, vecCol: String, dim: Int, nlist: Int, coarseIters: Int,
+      m: Int, k: Int, pqIters: Int, sampleMod: Option[Int],
+      recal: Option[RecalSpec]): Option[DeconCalibration] = {
+    val (sm, sk) = storedGeometry(store, name)
+    val mm = if (m > 0) m else sm
+    val kk = if (k > 0) k else sk
+    build(store, name, corpus, idCol, vecCol, dim, nlist, coarseIters,
+      mm, kk, pqIters, sampleMod)
+    recal.map { r =>
+      decontaminateCalibrated(store, name, r.train, r.evalSet, idCol,
+        vecCol, r.threshold, r.sampleMod, r.margin)._2
+    }
+  }
+
+  /** The full retrain decision of [[rebuildIfUnhealthy]]: which of the
+    * three measured bells rang (any one triggers the rebuild), the
+    * numbers each was judged against, and — when a rebuild fired with a
+    * [[RecalSpec]] — the fresh calibration.
+    */
+  final case class UnhealthyDecision(
+      triggered: Boolean, driftTriggered: Boolean, skewTriggered: Boolean,
+      collapseTriggered: Boolean, driftBaseline: Double, driftLast: Double,
+      maxClusterFrac: Double, nClusters: Int, autoNlist: Int,
+      recalibration: Option[DeconCalibration])
+
+  /** [[rebuildIfDrifted]] widened to ALL of [[health]]'s measured alert
+    * levels — the r16 verdict's open edge was that the geometry-collapse
+    * bell (`autoNlist` ≫ `nClusters`) had no clapper: a collapsed or
+    * outgrown geometry silently turns every probe into a near-full scan
+    * even with ZERO drift, because appends never add clusters. Three
+    * triggers, any one rebuilds (measured in BENCH_LOCAL_r16.md §4,
+    * 20k-code healthskew battery):
+    *
+    *   - DRIFT: `driftLast ≥ driftFactor × driftBaseline` (zero-baseline
+    *     positive-drift included) — [[rebuildIfDrifted]]'s bell verbatim.
+    *   - SKEW: `maxClusterFrac × nClusters ≥ skewCostMultiple` — the hot
+    *     probe scans that multiple of a balanced probe's share. Default
+    *     16: ×14.8 measured +3% latency (noise), ×34 measured +46%.
+    *   - COLLAPSE: `autoNlist ≥ collapseFactor × nClusters` — today's
+    *     ⌈√n⌉ build target vs the stored cluster count. Default 2:
+    *     ratio 1.16 measured +3% (no page); the 80% flood collapsed
+    *     142 → 20 (ratio 7.1, +60%), and a corpus grown 4× past its
+    *     build reaches 2 by pure append growth — both are exactly "the
+    *     geometry no longer matches the corpus".
+    *
+    * The rebuild is [[rebuildIfDrifted]]'s action verbatim: fresh
+    * quantizers from `corpus` at today's auto nlist (explicit nlist
+    * wins), STORED code geometry preserved (m/k are a storage contract),
+    * fresh drift baseline, optional recalibration. Re-arming caveat the
+    * flood battery makes explicit: the collapse was CAUSED by duplicate
+    * vectors merging k-means centroids, so a rebuild from a still-flooded
+    * corpus re-collapses and the bell rings again — the fix for a flood
+    * is upstream dedup (the ingest gates / [[Similarity.semDedup]]), and
+    * this clapper is the signal that it was skipped; after the dedup,
+    * rebuild from the CLEANED corpus restores ⌈√n⌉ geometry
+    * (AnnIndexSpec pins exactly that sequence). An empty index
+    * (nCodes = 0) never triggers on skew/collapse — there is no geometry
+    * to judge and nothing to rebuild from.
+    */
+  def rebuildIfUnhealthy(store: TableStore, name: String, corpus: DataFrame,
+      idCol: String, vecCol: String, dim: Int, driftFactor: Double = 2.0,
+      skewCostMultiple: Double = 16.0, collapseFactor: Double = 2.0,
+      nlist: Int = 0, coarseIters: Int = 2, m: Int = 0, k: Int = 0,
+      pqIters: Int = 2, sampleMod: Option[Int] = None,
+      recal: Option[RecalSpec] = None): UnhealthyDecision = {
+    require(driftFactor > 0, s"driftFactor must be > 0, got $driftFactor")
+    require(skewCostMultiple > 1,
+      s"skewCostMultiple must be > 1, got $skewCostMultiple")
+    require(collapseFactor > 1,
+      s"collapseFactor must be > 1, got $collapseFactor")
+    val h = health(store, name)
+    val drift = driftTriggered(h, driftFactor)
+    val skew = h.nCodes > 0 &&
+      h.maxClusterFrac * h.nClusters >= skewCostMultiple
+    val collapse = h.nCodes > 0 &&
+      h.autoNlist >= collapseFactor * h.nClusters
+    val any = drift || skew || collapse
+    val cal =
+      if (!any) None
+      else rebuildNow(store, name, corpus, idCol, vecCol, dim, nlist,
+        coarseIters, m, k, pqIters, sampleMod, recal)
+    UnhealthyDecision(any, drift, skew, collapse, h.driftBaseline,
+      h.driftLast, h.maxClusterFrac, h.nClusters, h.autoNlist, cal)
   }
 }

@@ -3410,6 +3410,90 @@ object ExtQueries {
     // correctness-only, the s13 rationale: training dominates the timing
     benchmark = false)
 
+  /** S18 — batch SELF-pairing through the stored quantizers
+    * ([[graft.ext.AnnIndex.selfPairs]]): the sub-quadratic all-pairs
+    * route for thresholds where sign-LSH stops pruning (τ < 0.9 floors
+    * [[Similarity.lshRowsPerBand]] at r = 4) — the batch encodes
+    * map-only against s15's FROZEN index artifacts, each row proposes
+    * its kShort nearest batch-mates by float-free ADC over the batch's
+    * OWN codes, and only those candidates pay the exact-cosine confirm.
+    * Candidates are |B|×kShort at ANY τ. Shares s15's durable index
+    * (existence probe — whichever query runs first pays the build). The
+    * oracle replays the whole stack: s15's training split, batch-only
+    * encode/probes/ADC rank, the kShort cut, exact re-score, threshold,
+    * and the min/max pair orientation with both-orientations dedup — a
+    * drift in any stage flips whole pair rows.
+    */
+  val s18AnnSelfPairs = QueryDef(
+    "s18_ann_self_pairs",
+    (s, dir) => {
+      import graft.ext.AnnIndex
+      val emb = Td(s, dir, "embeddings")
+      val store = graft.tables.Scratch.store(s)
+      if (!store.exists("s15_ann_codes"))
+        AnnIndex.build(store, "s15_ann", emb, "vec_id", "embedding",
+          dim = 64, nlist = 8, coarseIters = 2, m = 8, k = 16, pqIters = 2,
+          sampleMod = Some(4))
+      AnnIndex.selfPairs(store, "s15_ann", emb.filter(col("vec_id") < 40),
+          "vec_id", "embedding", threshold = 0.3, kShort = 10, nprobe = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""
+      WITH $vecCte,
+      ${kmeansCte(8, 2, srcWhere = s" WHERE ${sampleFilterSql("vec_id", 4)}")},
+      ${trainedCentSql(2)},
+      asg0 AS (SELECT n.vec_id, cent.centroid_id,
+                 ${dotSql.format("n.v", "centv")} / (n.nrm * centn) AS ccos
+               FROM n CROSS JOIN cent),
+      asg AS (SELECT vec_id, centroid_id AS cluster FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rnk
+                FROM asg0) WHERE rnk = 1),
+      probes AS (SELECT vec_id AS query_id, centroid_id AS cluster FROM (
+                   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rnk
+                   FROM asg0 WHERE vec_id < 40) WHERE rnk <= 2),
+      ${pqResCte(m = 8, k = 16, iters = 2, dsub = 8,
+        trainWhere = s" WHERE ${sampleFilterSql("vec_id", 4)}")},
+      pe AS (SELECT s.vec_id, s.sub, c.cid,
+               list_reduce(list_transform(c.cv, x -> x * x), (a, b) -> a + b) -
+                 2 * ${dotSql.format("s.sv", "c.cv")} AS dist
+             FROM pq_sv s JOIN pc2 c ON c.sub = s.sub WHERE s.vec_id < 40),
+      penc AS (SELECT vec_id, sub, cid FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rnk
+               FROM pe) WHERE rnk = 1),
+      plut AS (SELECT s.vec_id AS query_id, s.sub, c.cid,
+                 ${dotSql.format("s.sv", "c.cv")} AS ip
+               FROM pq_qsv s JOIN pc2 c ON c.sub = s.sub WHERE s.vec_id < 40),
+      coarse AS (SELECT u.vec_id AS query_id, cu.centroid_id AS cluster,
+                   ${dotSql.format("u.uv", "cu.centuv")} AS cip
+                 FROM pq_u u CROSS JOIN centu cu WHERE u.vec_id < 40),
+      cand AS (SELECT p.query_id, a.vec_id, a.cluster
+               FROM asg a JOIN probes p ON a.cluster = p.cluster
+               WHERE a.vec_id < 40 AND a.vec_id <> p.query_id),
+      psc0 AS (SELECT cd.query_id, cd.vec_id AS neighbor_id, cd.cluster, e.sub, l.ip
+               FROM cand cd
+               JOIN penc e ON e.vec_id = cd.vec_id
+               JOIN plut l ON l.query_id = cd.query_id AND l.sub = e.sub AND l.cid = e.cid),
+      psc AS (SELECT query_id, neighbor_id, cluster,
+                list_reduce(list(ip ORDER BY sub), (a, b) -> a + b) AS radc
+              FROM psc0 GROUP BY 1, 2, 3),
+      pscf AS (SELECT p.query_id, p.neighbor_id, co.cip + p.radc AS adc
+               FROM psc p JOIN coarse co ON co.query_id = p.query_id AND co.cluster = p.cluster),
+      pr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rnk
+             FROM pscf),
+      short AS (SELECT query_id, neighbor_id FROM pr WHERE rnk <= 10),
+      rf AS (SELECT sh.query_id, sh.neighbor_id,
+               ${dotSql.format("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+             FROM short sh
+             JOIN n q ON q.vec_id = sh.query_id
+             JOIN n c ON c.vec_id = sh.neighbor_id)
+      SELECT DISTINCT least(query_id, neighbor_id) AS id_a,
+             greatest(query_id, neighbor_id) AS id_b, cos
+      FROM rf WHERE cos >= 0.3
+      ORDER BY id_a, id_b
+    """),
+    // correctness-only, the s13 rationale: training dominates the timing
+    benchmark = false)
+
   /** S15 — search against the DURABLE residual-IVF+PQ index, benched
     * SEARCH-ONLY: [[graft.ext.AnnIndex.build]] runs once per process
     * (guarded by a codes-table existence probe — the index is the durable
@@ -6567,7 +6651,7 @@ object ExtQueries {
     d14DedupChargram, d17DedupIndexBucketed, d19DedupContainment, d20SpanDedup,
     d22SpanExact, d23SpanGuaranteed,
     s1KnnBrute, s2AnnIvf, s3KnnQuantized, s5KnnPq, s6AnnIvfPq, s13AnnIvfPqResidual,
-    s17AnnBudgeted,
+    s17AnnBudgeted, s18AnnSelfPairs,
     s14AnnIndexIncremental, s7HardNegatives, x20CorpusReport,
     m1MediaMeta, m2FrameSample, m3VideoMeta, m4ImageDedup, m5AudioDedup,
     c1Curation, c2CurationRecipe, c3Decontaminate, c4DecontaminateBloom,

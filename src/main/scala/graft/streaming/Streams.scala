@@ -485,13 +485,18 @@ object Streams {
     * order, like the lexical gate). Batch-internal pairing is exact
     * all-pairs while the batch holds at most `semanticGateExactCap`
     * docs; above the cap (a fresh-checkpoint `AvailableNow` backfill
-    * delivers the whole backlog as ONE batch) it routes through
-    * [[graft.ext.Similarity.cosinePairsLsh]] — sub-quadratic
-    * (Σ|bucket|², 8 bands, τ-adaptive band width: wide bands at high dup
-    * bars prune random pairs to ~2⁻ʳ while keeping ~95% τ-pair recall),
-    * with recall band-bounded exactly as the corpus side is
-    * shortlist-bounded; verbatim embedding copies always collide, so dup
-    * floods drop whole on either path. Semantics
+    * delivers the whole backlog as ONE batch) it stays sub-quadratic by
+    * bar: at dup thresholds (τ ≥ 0.9) through
+    * [[graft.ext.Similarity.cosinePairsLsh]] (Σ|bucket|², 8 bands,
+    * τ-adaptive band width: wide bands prune random pairs to ~2⁻ʳ while
+    * keeping ~95% τ-pair recall), and at SemDeDup-like bars (τ < 0.9,
+    * where sign-LSH floors at r = 4 and stops pruning) through
+    * [[graft.ext.AnnIndex.selfPairs]] — the batch encoded map-only
+    * against the index's frozen quantizers and self-shortlisted by ADC,
+    * candidates bounded at |B|×kShort at ANY τ. Recall is band- or
+    * shortlist-bounded exactly as the corpus side is shortlist-bounded;
+    * verbatim embedding copies always collide / tie at max ADC, so dup
+    * floods drop whole on every path. Semantics
     * differ from the lexical gate on purpose: this gate remembers the
     * KEPT corpus (dropped docs leave no vectors anywhere), so a future
     * dup of a dropped doc is caught only via its kept representative —
@@ -690,16 +695,30 @@ object Streams {
                         (col("_na") * col("_nb"))).as("cos"))
                     .filter(col("cos") >= tau)
                 } else {
-                  // τ-ADAPTIVE band width ([[Similarity.lshRowsPerBand]] —
-                  // the measured derivation, see its scaladoc): at the
-                  // τ=0.99 dup bar r=24 makes novel×novel candidates ~10⁻⁷
-                  // of pairs, the prune that actually deletes the backfill
-                  // quadratic (fixed 4-bit bands admit ~40% of ALL pairs —
-                  // measured no better than exact, BENCH_LOCAL_r16.md §3)
-                  val r = Similarity.lshRowsPerBand(tau)
+                  // past the cap the pairing must stay sub-quadratic, and
+                  // the route depends on the bar. At dup bars (τ ≥ 0.9)
+                  // τ-adaptive sign-LSH ([[Similarity.lshRowsPerBand]] —
+                  // the measured derivation: at τ=0.99, r=24 makes
+                  // novel×novel candidates ~10⁻⁷ of pairs, 307 s vs 427 s
+                  // exact at ×10, BENCH_LOCAL_r16.md §3). BELOW 0.9
+                  // sign-LSH floors at r=4 and admits 8·2⁻⁴ of ALL pairs —
+                  // the backfill quadratic would survive a SemDeDup-like
+                  // bar — so low bars route through the index's own frozen
+                  // quantizers instead: [[graft.ext.AnnIndex.selfPairs]]
+                  // bounds candidates at |B|×kShort at ANY τ (recall
+                  // shortlist-bounded exactly as the corpus side is,
+                  // verbatim floods always pair with their min-id rep)
+                  val raw =
+                    if (tau >= 0.9)
+                      Similarity.cosinePairsLsh(side, idCol, vecCol, dim,
+                        tau, bands = 8,
+                        rowsPerBand = Similarity.lshRowsPerBand(tau))
+                    else
+                      AnnIndex.selfPairs(store, ann, side, idCol, vecCol,
+                        tau, kShort = semanticGateKShort,
+                        nprobe = semanticGateNprobe)
                   val adm = side.select(col(idCol), col("_adm"))
-                  Similarity.cosinePairsLsh(side, idCol, vecCol, dim, tau,
-                      bands = 8, rowsPerBand = r)
+                  raw
                     .join(adm.select(col(idCol).as("id_a"),
                       col("_adm").as("_aa")), Seq("id_a"))
                     .join(adm.select(col(idCol).as("id_b"),

@@ -421,6 +421,77 @@ class AnnIndexSpec extends SparkSpec {
         k = 10, nprobe = 1)))
   }
 
+  test("selfPairs: equals exact all-pairs at full probes/shortlist; verbatim floods pair with the min-id rep under a tiny kShort") {
+    val store = newStore()
+    AnnIndex.build(store, "idx", corpus, "vec_id", "embedding",
+      dim = 16, nlist = 2, m = 4, k = 4)
+    // full recall regime (kShort ≥ |batch|, nprobe = nlist): the ADC
+    // shortlist proposes every batch-mate in a probed cluster and the
+    // exact confirm makes the pair set identical to brute-force all-pairs
+    val batch = corpus.filter(col("vec_id") <= 24)
+    def pairSet(df: DataFrame) = df.select(col("id_a"), col("id_b"))
+      .as[(Long, Long)].collect().toSet
+    val got = pairSet(AnnIndex.selfPairs(store, "idx", batch,
+      "vec_id", "embedding", threshold = 0.8, kShort = 100, nprobe = 2))
+    val want = pairSet(Similarity.cosinePairs(batch,
+      "vec_id", "embedding", threshold = 0.8))
+    assert(got === want)
+    assert(got.nonEmpty) // same-family cosines ≈ 0.9999 — pairs exist
+    // a flood bigger than kShort still resolves greedily: identical
+    // vectors tie at max ADC and the (adc DESC, neighbor_id) tiebreak
+    // fills every copy's shortlist with the SMALLEST-id copies, so each
+    // non-min member pairs with the min-id rep
+    val oneHot = (i: Int) => (0 until 16).map(d => if (d == i) 1.0f else 0.0f)
+    val flood = (1L to 5L).map(i => (i, vec(0, 999))) ++
+      (6L to 13L).map(i => (i, oneHot(4 + (i.toInt - 6))))
+    val fp = pairSet(AnnIndex.selfPairs(store, "idx",
+      flood.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      threshold = 0.99, kShort = 2, nprobe = 2))
+    assert((2L to 5L).forall(x => fp.contains((1L, x))),
+      s"flood members not condemned by the min-id rep: $fp")
+    assert(fp.forall { case (a, b) => a <= 5L && b <= 5L },
+      s"orthogonal one-hots paired: $fp")
+  }
+
+  test("cluster-size cache: build warms it, mutations invalidate by fingerprint, contents track the codes table exactly") {
+    val store = newStore()
+    def actualSizes() = store.read("idx_codes")
+      .groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
+      .as[(Long, Long)].collect().toMap
+    def cachedSizes() = store.read("idx_csizes")
+      .select(col("cluster"), col("csize"))
+      .as[(Long, Long)].collect().toMap
+    AnnIndex.build(store, "idx", corpus.filter(col("vec_id") <= 30),
+      "vec_id", "embedding", dim = 16, nlist = 2, m = 4, k = 4)
+    // build warmed the cache: no recompute on first ask, contents exact
+    assert(!AnnIndex.refreshClusterSizes(store, "idx"))
+    assert(cachedSizes() === actualSizes())
+    // append: the file fingerprint moves, ONE recompute, then cached
+    AnnIndex.append(store, "idx", corpus.filter(col("vec_id") > 30),
+      "vec_id", "embedding")
+    assert(AnnIndex.refreshClusterSizes(store, "idx"))
+    assert(!AnnIndex.refreshClusterSizes(store, "idx"))
+    assert(cachedSizes() === actualSizes())
+    // takedown: same contract (health() validates it on its own path)
+    AnnIndex.deleteIds(store, "idx", Seq(1L, 2L, 3L).toDF("vec_id"), "vec_id")
+    val h = AnnIndex.health(store, "idx")
+    assert(h.nCodes === 37L)
+    assert(!AnnIndex.refreshClusterSizes(store, "idx")) // health refreshed it
+    assert(cachedSizes() === actualSizes())
+    // a budgeted search in the steady state reads the cache — its result
+    // stays identical to the probe-count contract pinned above
+    val q = corpus.filter(col("vec_id") === 5)
+    val out = AnnIndex.searchBudgeted(store, "idx", q, "vec_id", "embedding",
+      k = 5, codesBudget = 1000L)
+    assert(out.count() === 5L)
+    // full takedown: empty codes table round-trips (no fp row to read)
+    AnnIndex.deleteIds(store, "idx",
+      AnnIndex.knownIds(store, "idx", "vec_id"), "vec_id")
+    assert(AnnIndex.refreshClusterSizes(store, "idx"))
+    assert(!AnnIndex.refreshClusterSizes(store, "idx"))
+    assert(AnnIndex.health(store, "idx").nCodes === 0L)
+  }
+
   test("rebuildIfDrifted: in-bar appends decline; a drifted increment triggers rebuild, resets the baseline, recalibrates") {
     val store = newStore()
     val famA = corpus.filter(col("vec_id") % 2 === 1)
@@ -481,6 +552,58 @@ class AnnIndexSpec extends SparkSpec {
         .toDF("vec_id", "embedding")),
       "vec_id", "embedding", dim = 16, factor = 10.0, nlist = 2)
     assert(d0flat.triggered)
+  }
+
+  test("rebuildIfUnhealthy: flood-collapsed geometry triggers; rebuild from the cleaned corpus restores sqrt-n clusters; balanced declines") {
+    val store = newStore()
+    // 48 verbatim copies of one vector + 16 distinct rows: auto nlist is
+    // ceil(sqrt(64)) = 8, but all 8 smallest-id seeds are flood copies, so
+    // every trained centroid is identical and the lowest-id tiebreak puts
+    // EVERY code in cluster 1 — the 142→20 k-means collapse of
+    // BENCH_LOCAL_r16.md §4, in miniature
+    val flood = (1 to 48).map(i => (i.toLong, vec(0, 999)))
+    val distinct = (49 to 64).map(i =>
+      (i.toLong, vec(if (i % 2 == 1) 0 else 8, i)))
+    AnnIndex.build(store, "idx", (flood ++ distinct).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dim = 16, m = 4, k = 4)
+    val h = AnnIndex.health(store, "idx")
+    // identical seeds collapse: Lloyd leaves at most 3 of the 8 target
+    // clusters populated (the flood seat, the drifted-mean seat, and one
+    // distinct-family seat)
+    assert(h.nClusters <= 3, s"expected collapse, got ${h.nClusters}")
+    assert(h.autoNlist === 8)
+    // zero drift (build-only trend) — ONLY the collapse bell rings; the
+    // caller's corpus is the flood-deduped one (rebuilding from a
+    // still-flooded corpus would just re-collapse — the scaladoc caveat)
+    val cleaned = ((1 to 1).map(i => (i.toLong, vec(0, 999))) ++ distinct)
+      .toDF("vec_id", "embedding")
+    val dec = AnnIndex.rebuildIfUnhealthy(store, "idx", cleaned,
+      "vec_id", "embedding", dim = 16)
+    assert(dec.triggered && dec.collapseTriggered)
+    assert(!dec.driftTriggered)
+    assert(dec.nClusters === h.nClusters && dec.autoNlist === 8)
+    // fresh geometry near ceil(sqrt(17)) = 5 (distinct seeds now), codes
+    // cover exactly the cleaned corpus, drift baseline reset to one row
+    val h2 = AnnIndex.health(store, "idx")
+    assert(h2.nCodes === 17L)
+    assert(h2.autoNlist === 5)
+    assert(h2.nClusters >= 3, s"still collapsed: ${h2.nClusters}")
+    val d = AnnIndex.drift(store, "idx")
+      .select(col("seq"), col("phase")).as[(Long, String)].collect()
+    assert(d.toSeq === Seq((0L, "build")))
+    // re-armed: the second ask declines on every bell
+    val dec2 = AnnIndex.rebuildIfUnhealthy(store, "idx", cleaned,
+      "vec_id", "embedding", dim = 16)
+    assert(!dec2.triggered)
+    assert(!dec2.skewTriggered && !dec2.collapseTriggered && !dec2.driftTriggered)
+
+    // a balanced auto-geometry index never pages: all three bells silent
+    val s2 = newStore()
+    AnnIndex.build(s2, "idx", corpus, "vec_id", "embedding",
+      dim = 16, m = 4, k = 4)
+    val db = AnnIndex.rebuildIfUnhealthy(s2, "idx", corpus,
+      "vec_id", "embedding", dim = 16)
+    assert(!db.triggered, s"balanced index paged: $db")
   }
 
   test("takedown rewrites only the deleted ids' clusters; artifacts stay frozen") {

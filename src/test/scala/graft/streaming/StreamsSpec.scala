@@ -817,6 +817,85 @@ class StreamsSpec extends SparkSpec {
     assert(!store.exists("ri_bm_ingest_stage"))
   }
 
+  test("retrievalIngestSink + rebuildIfDrifted: the per-batch clapper cadence — drifted batch rings, rebuild mid-stream, next batch appends against the fresh artifacts") {
+    import graft.ext.AnnIndex
+    val dir = Files.createTempDirectory("graft_rb_landing").toString
+    val ckpt = Files.createTempDirectory("graft_rb_ckpt").toString
+    val store = new TableStore(spark, Files.createTempDirectory("graft_rb_store").toString)
+    def vec(base: Int, i: Int): Seq[Float] =
+      (0 until 16).map { d =>
+        val on = d >= base && d < base + 4
+        if (on) 1.0f + 0.01f * ((i * 7 + d) % 5) else 0.001f * ((i * 3 + d) % 7)
+      }
+    // family-A world: quantizers trained on A only, corpus = A
+    val base = (1 to 10).map(i => (i.toLong, vec(0, i)))
+    val baseDf = base.toDF("doc_id", "embedding")
+    AnnIndex.build(store, "rb_ann", baseDf, "doc_id", "embedding",
+      dim = 16, nlist = 2, m = 4, k = 4)
+    store.overwrite("rb_corpus", baseDf)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    def row(d: (Long, Seq[Float])) =
+      s"""{"doc_id":${d._1},"embedding":[${d._2.mkString(",")}]}"""
+    def drain(): Unit = Streams.retrievalIngestSink(
+      spark.readStream.format("json").schema(schema).load(dir),
+      store, "doc_id", ckpt,
+      annIndex = Some("rb_ann"), corpusTable = Some("rb_corpus"))
+      .awaitTermination()
+    // the documented operational cadence: ask the clapper after every
+    // batch, with the sink's own corpus table as the rebuild source
+    def clapper() = AnnIndex.rebuildIfDrifted(store, "rb_ann",
+      store.read("rb_corpus"), "doc_id", "embedding", dim = 16, factor = 2.0)
+
+    // batch 1: the ORTHOGONAL family — the frozen A-only quantizers code
+    // it badly, the drift row lands, the bell rings
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b1.json"),
+      (21 to 30).map(i => row((i.toLong, vec(8, i)))).mkString("\n"))
+    drain()
+    val dec = clapper()
+    assert(dec.triggered, s"drifted batch did not ring: $dec")
+    // rebuild covered the whole admitted corpus, preserved stored (m, k),
+    // reset the baseline to one fresh build row
+    assert(AnnIndex.knownIds(store, "rb_ann", "doc_id")
+      .as[Long].collect().toSet === ((1L to 10L) ++ (21L to 30L)).toSet)
+    assert(store.read("rb_ann_books").select(col("sub"))
+      .distinct().count() === 4L)
+    assert(AnnIndex.drift(store, "rb_ann")
+      .select(col("phase")).as[String].collect().toSeq === Seq("build"))
+
+    // batch 2: more family-B docs append against the FRESH artifacts
+    // through the unchanged guard/marker machinery
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b2.json"),
+      (31 to 35).map(i => row((i.toLong, vec(8, i)))).mkString("\n"))
+    drain()
+    assert(AnnIndex.knownIds(store, "rb_ann", "doc_id")
+      .as[Long].collect().toSet ===
+      ((1L to 10L) ++ (21L to 35L)).toSet)
+    // the rebuilt geometry KNOWS family B now: a one-probe search for a
+    // family-B query stays inside family B — impossible pre-rebuild,
+    // where no centroid pointed at B
+    val out = AnnIndex.search(store, "rb_ann",
+        Seq((31L, vec(8, 31))).toDF("doc_id", "embedding"),
+        "doc_id", "embedding", k = 5, nprobe = 1)
+      .select(col("neighbor_id")).as[Long].collect().toSet
+    assert(out.nonEmpty && out.forall(id => id >= 21L),
+      s"family-A neighbors from a family-B probe: $out")
+    // post-rebuild appends are in-distribution: the bell re-armed and
+    // stays silent, nothing rewrites
+    val codesBefore = store.read("rb_ann_codes").collect().map(_.toSeq).toSet
+    val dec2 = clapper()
+    assert(!dec2.triggered)
+    assert(store.read("rb_ann_codes").collect().map(_.toSeq).toSet === codesBefore)
+    // marker closed, no stage orphans — the rebuild composed cleanly
+    val m = store.read("rb_ann_ingest_intent").collect()(0)
+    assert(m.getLong(0) === m.getLong(1))
+    assert(!store.exists("rb_ann_ingest_stage"))
+  }
+
   test("retrievalIngestSink dedupGate: near-dup docs never reach the retrieval indexes; dropped ids stay guarded") {
     import graft.ext.{AnnIndex, Bm25, DedupIndex}
     val dir = Files.createTempDirectory("graft_rg_landing").toString
@@ -1098,6 +1177,67 @@ class StreamsSpec extends SparkSpec {
     val exact = run("sgx", cap = 10000)
     assert(lsh === exact)
     assert(lsh === (1L to 4L).toSet ++ (101L to 112L).toSet)
+  }
+
+  test("retrievalIngestSink semanticGate: over-cap backfill at tau=0.7 routes through ADC selfPairs with the exact path's kept set") {
+    import graft.ext.AnnIndex
+    def vec(dim: Int): Seq[Float] =
+      (0 until 16).map(d => if (d == dim) 1.0f else 0.0f)
+    // cos(e_i, (a·e_i + b·e_j)) = a/√(a²+b²): (4,3) → 0.8 (a τ=0.7 dup),
+    // (3,4) → 0.6 (clean) — sign-LSH at this bar floors at r=4 and stops
+    // pruning (ADVICE r16), which is exactly what the selfPairs route fixes
+    def mix(i: Int, j: Int, a: Float, b: Float): Seq[Float] =
+      (0 until 16).map(d => if (d == i) a else if (d == j) b else 0.0f)
+    // an equal three-way mix has cos 1/√3 ≈ 0.577 < 0.7 with EVERY
+    // one-hot in the batch — sub-threshold against all of them
+    def mix3(i: Int, j: Int, l: Int): Seq[Float] =
+      (0 until 16).map(d => if (d == i || d == j || d == l) 1.0f else 0.0f)
+    val base = (1L to 4L).map(i => (i, vec(i.toInt - 1)))
+    val backfill = (101L to 112L).map(i => (i, vec(i.toInt - 97))) ++ Seq(
+      (113L, mix(0, 9, 4f, 3f)),  // 0.8 vs corpus doc 1 → dropped
+      (114L, mix(4, 10, 4f, 3f)), // 0.8 vs batch doc 101 → dropped
+      (115L, mix3(5, 11, 14)))    // 0.577 vs everything → admitted
+    def run(tag: String, cap: Int): Set[Long] = {
+      val dir = Files.createTempDirectory(s"graft_${tag}_landing").toString
+      val ckpt = Files.createTempDirectory(s"graft_${tag}_ckpt").toString
+      val store = new TableStore(spark,
+        Files.createTempDirectory(s"graft_${tag}_store").toString)
+      val baseDf = base.toDF("doc_id", "embedding")
+      AnnIndex.build(store, s"${tag}_ann", baseDf, "doc_id", "embedding",
+        dim = 16, nlist = 2, m = 4, k = 4)
+      store.overwrite(s"${tag}_corpus", baseDf)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType))))
+      def row(d: (Long, Seq[Float])) =
+        s"""{"doc_id":${d._1},"embedding":[${d._2.mkString(",")}]}"""
+      Files.writeString(java.nio.file.Paths.get(s"$dir/b0.json"),
+        backfill.map(row).mkString("\n"))
+      Streams.retrievalIngestSink(
+        spark.readStream.format("json").schema(schema).load(dir),
+        store, "doc_id", ckpt,
+        annIndex = Some(s"${tag}_ann"),
+        corpusTable = Some(s"${tag}_corpus"),
+        semanticGateThreshold = Some(0.7),
+        semanticGatePairsTable = Some(s"${tag}_pairs"),
+        semanticGateExactCap = cap)
+        .awaitTermination()
+      val pairs = store.read(s"${tag}_pairs")
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .as[(Long, Long)].collect().toSet
+      assert(Set((1L, 113L), (101L, 114L)).subsetOf(pairs), s"pairs ($tag)")
+      assert(!pairs.exists(p => p._1 == 115L || p._2 == 115L),
+        s"sub-threshold doc condemned ($tag): $pairs")
+      store.read(s"${tag}_corpus").select(col("doc_id"))
+        .as[Long].collect().toSet
+    }
+    val adc = run("sg7a", cap = 5)     // 15 candidates > 5, τ<0.9 → selfPairs
+    val exact = run("sg7x", cap = 10000)
+    assert(adc === exact)
+    assert(adc === (1L to 4L).toSet ++ (101L to 112L).toSet + 115L)
   }
 
   test("retrievalIngestSink with BOTH gates: lexical drops text dups, semantic drops embedding dups, novel docs land everywhere") {

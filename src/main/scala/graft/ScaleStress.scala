@@ -526,6 +526,82 @@ object ScaleStress {
     }
   }
 
+  /** Rebuild SAWTOOTH under streaming (r16 verdict queue #7): micro-batches
+    * with PROGRESSIVE covariate drift — batch `bat` scales dims 0..31 by
+    * (1 + 0.5·bat), concentrating the unit vector ever further into the
+    * scaled half, which the codebooks trained on balanced data quantize
+    * progressively worse. (Two measured dead ends documented here so the
+    * next battery skips them: a uniform scalar SHIFT saturates toward the
+    * diagonal after unit normalization and plateaus at 1.6× baseline;
+    * ROTATION is distribution-invariant on these i.i.d. synthetic dims —
+    * per-subspace codebooks are statistically identical, drift ≈ 0. Also:
+    * with `sampleMod` the drift BASELINE is training-set error on the
+    * sample — at 50 training rows the m=32 codebooks memorize it and even
+    * in-distribution held-out data reads 1.7× "drift"; the battery trains
+    * on the full 200-row base so the baseline generalizes.) Flows through
+    * [[graft.streaming.Streams.retrievalIngestSink]], and after every
+    * batch the documented clapper cadence runs —
+    * [[graft.ext.AnnIndex.rebuildIfDrifted]] with the sink's own corpus
+    * table as the rebuild source. The row stream shows the tooth:
+    * drift_last climbs against the frozen baseline, the bell rings,
+    * the rebuild resets the baseline mid-stream, and the NEXT batches
+    * append against the fresh artifacts through the unchanged
+    * guard/marker machinery until drift accumulates again. One JSON row
+    * per batch (drift trend, rebuild flag, geometry).
+    */
+  private def ingestRebuild(spark: SparkSession, sfDir: String,
+      workDir: String): Unit = {
+    import graft.ext.AnnIndex
+    import graft.tables.TableStore
+    val emb = Td(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val bkt = Similarity.sampleBucket(col("doc_id")) % 10
+    val base = emb.filter(bkt === 0)
+    val nBatches = 12
+    val stream = emb.filter(bkt =!= 0)
+      .withColumn("bat", pmod(Similarity.sampleBucket(col("doc_id") + 3),
+        lit(nBatches)))
+      .withColumn("embedding", transform(col("embedding"),
+        (x, i) => when(i < 32,
+          x * (lit(1.0f) + lit(0.5f) * col("bat").cast("float")))
+          .otherwise(x)))
+    val store = new TableStore(spark, s"$workDir/store")
+    val landing = s"$workDir/landing"
+    val ckpt = s"$workDir/ckpt"
+    // auto m (= 32 at dim 64, the r16 measured default): the m=8 codebook
+    // quantizes so coarsely (baseline mean_err 0.40 on unit vectors) that
+    // NO direction change can double it — the bell can only ring on an
+    // index whose baseline error leaves headroom, which a real index has.
+    // No sampleMod: see the scaladoc's overfit-baseline note.
+    AnnIndex.build(store, "rb_ann", base, "doc_id", "embedding",
+      dim = 64, k = 16)
+    store.overwrite("rb_corpus", base)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    (0 until nBatches).foreach { i =>
+      stream.filter(col("bat") === i).drop("bat")
+        .coalesce(1).write.mode("append").parquet(landing)
+      val t0 = System.nanoTime()
+      graft.streaming.Streams.retrievalIngestSink(
+        spark.readStream.format("parquet").schema(schema).load(landing),
+        store, "doc_id", ckpt,
+        annIndex = Some("rb_ann"), corpusTable = Some("rb_corpus"))
+        .awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rt0 = System.nanoTime()
+      val dec = AnnIndex.rebuildIfDrifted(store, "rb_ann",
+        store.read("rb_corpus"), "doc_id", "embedding", dim = 64,
+        factor = 2.0)
+      val rSec = (System.nanoTime() - rt0) / 1e9
+      val h = AnnIndex.health(store, "rb_ann")
+      println(f"""{"ingestrebuild":$i,"sec":$sec%.2f,"rebuilt":${dec.triggered},"rebuild_sec":$rSec%.2f,"drift_baseline":${h.driftBaseline}%.5f,"drift_last":${h.driftLast}%.5f,"nclusters":${h.nClusters},"n":${h.nCodes}}""")
+    }
+  }
+
   /** One-batch BACKFILL through the semantic ingest gate — the r15
     * verdict's open edge, measured: a fresh checkpoint's AvailableNow
     * drain delivers the whole backlog as a SINGLE batch, so the gate's
@@ -630,6 +706,114 @@ object ScaleStress {
         best = math.min(best, (System.nanoTime() - t0) / 1e9)
       }
       println(f"""{"healthskew":$fPct,"n":${h.nCodes},"nlist":${h.nClusters},"max_cluster_frac":${h.maxClusterFrac}%.3f,"cost_multiple":${h.maxClusterFrac * h.nClusters}%.1f,"search_sec":$best%.2f}""")
+    }
+  }
+
+  /** The budgeted search's RECALL price ([[graft.ext.AnnIndex
+    * .searchBudgeted]], r16 verdict queue #2): on the healthskew indexes
+    * (0/40/80% one-point floods), sweep `codesBudget` and compare
+    * recall@10 / true-NN MRR against FIXED-nprobe search at (as close as
+    * the cluster histogram allows) EQUAL mean scanned codes — the
+    * question the latency-SLO dial shipped without: does nearest-first
+    * degradation actually beat uniform probing under skew? Per row both
+    * strategies report their MEASURED mean scanned codes (sum of probed
+    * cluster sizes, replayed from the same ranked-prefix rule the search
+    * uses), so the comparison is price-per-recall, not dial-vs-dial.
+    * Queries are 200 COLD docs (smallest ids the flood left alone): hot-
+    * family queries are degenerate — their top-1 probe IS the hot
+    * cluster, the top-1 guarantee eats any budget, and their "neighbors"
+    * are just flood copies — while a cold query pays the hot cluster
+    * only when fixed-nprobe ranks it inside the probe list, which is
+    * exactly the waste the budget rule refuses. Both arms run the
+    * PRODUCTION two-stage shape (kShort=100 shortlist → exact refine,
+    * the r15-measured default) so probe COVERAGE is the axis under test
+    * — unrefined ADC rank error (recall ~0.13 flat across budgets at
+    * this m=8 geometry, measured in this battery's first cut) would
+    * otherwise drown the coverage signal entirely.
+    */
+  private def budgetRecall(spark: SparkSession, expDir: String,
+      workDir: String): Unit = {
+    import graft.ext.AnnIndex
+    import graft.tables.TableStore
+    val emb = Td(spark, expDir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val hot = emb.orderBy(col("doc_id")).limit(1).collect()(0)
+      .getSeq[Float](1).toSeq
+    for (fPct <- Seq(0, 40, 80)) {
+      val isHot = pmod(Similarity.sampleBucket(col("doc_id") + 5), lit(100)) < fPct
+      val skewed = graft.tables.Scratch.stage(
+        emb.withColumn("embedding",
+          when(isHot, typedLit(hot)).otherwise(col("embedding"))),
+        s"br_skewed_$fPct")
+      val store = new TableStore(spark, s"$workDir/br_$fPct")
+      AnnIndex.build(store, "br_ann", skewed, "doc_id", "embedding",
+        dim = 64, m = 8, k = 16, sampleMod = Some(4))
+      val h = AnnIndex.health(store, "br_ann")
+      val qs = graft.tables.Scratch.stage(
+        skewed.filter(!isHot).orderBy(col("doc_id")).limit(200),
+        s"br_queries_$fPct")
+      val exact = Similarity.knnBrute(qs, skewed, "doc_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      val top10 = exact.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      val top1 = exact.filter(_._3 == 1).map(r => r._1 -> r._2).toMap
+      def score(approx: Array[(Long, Long, Int)]): (Double, Double) = {
+        val at10 = approx.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+        val rank = approx.map(r => (r._1, r._2) -> r._3).toMap
+        val ks = top10.keys.toSeq
+        (ks.map(q => (top10(q) & at10.getOrElse(q, Set.empty)).size / 10.0).sum / ks.size,
+          ks.map(q => rank.get((q, top1(q))).map(1.0 / _).getOrElse(0.0)).sum / ks.size)
+      }
+      // the per-query (ccos DESC, centroid_id) centroid rank with cluster
+      // sizes — |Q| × nlist rows, the frame both selection rules replay
+      val csz = store.read("br_ann_csizes")
+        .select(col("cluster"), col("csize")).collect()
+        .map(r => r.getAs[Number](0).longValue() -> r.getAs[Number](1).longValue())
+        .toMap
+      val cents = store.read("br_ann_centroids")
+        .select(col("centroid_id"), col("vec").as("embedding"))
+      val qn = Similarity.withNorm(
+        qs.select(col("doc_id").as("qid"), col("embedding").as("qv")), "qv", "qn")
+      val cn = Similarity.withNorm(
+        cents.select(col("centroid_id"), col("embedding").as("cv")), "cv", "cn")
+      val rankedByQ = qn.crossJoin(broadcast(cn))
+        .select(col("qid"), col("centroid_id"),
+          (Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("ccos"))
+        .collect().map(r => (r.getLong(0),
+          r.getAs[Number](1).longValue(), r.getDouble(2)))
+        .groupBy(_._1).map { case (q, rs) =>
+          q -> rs.sortBy(t => (-t._3, t._2)).map(t => csz.getOrElse(t._2, 0L)).toSeq
+        }
+      def meanScannedBudget(b: Long): Double = rankedByQ.values.map { sizes =>
+        var cum = 0L
+        sizes.zipWithIndex.takeWhile { case (s, i) =>
+          cum += s; i == 0 || cum <= b
+        }.map(_._1).sum.toDouble
+      }.sum / rankedByQ.size
+      def meanScannedNprobe(np: Int): Double =
+        rankedByQ.values.map(_.take(np).sum.toDouble).sum / rankedByQ.size
+      val nlist = h.nClusters
+      for (budget <- Seq(250L, 500L, 1000L, 2000L, 4000L)) {
+        val sb = meanScannedBudget(budget)
+        // the fixed-nprobe column at (nearest achievable) equal price
+        val npEq = (1 to nlist).minBy(np => math.abs(meanScannedNprobe(np) - sb))
+        val sn = meanScannedNprobe(npEq)
+        def run(fn: => org.apache.spark.sql.DataFrame): (Array[(Long, Long, Int)], Double) = {
+          val t0 = System.nanoTime()
+          val rows = fn.select(col("query_id"), col("neighbor_id"), col("rnk"))
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+          (rows, (System.nanoTime() - t0) / 1e9)
+        }
+        val (ab, tb) = run(Similarity.refineExact(
+          AnnIndex.searchBudgeted(store, "br_ann", qs, "doc_id", "embedding",
+            k = 100, codesBudget = budget),
+          qs, skewed, "doc_id", "embedding", k = 10))
+        val (rb, mb) = score(ab)
+        val (an, tn) = run(AnnIndex.searchRefined(store, "br_ann", qs,
+          skewed, "doc_id", "embedding", k = 10, kShort = 100, nprobe = npEq))
+        val (rn, mn) = score(an)
+        println(f"""{"budgetrecall":$fPct,"n":${h.nCodes},"nlist":$nlist,"max_cluster_frac":${h.maxClusterFrac}%.3f,"budget":$budget,"scanned_budget":$sb%.0f,"recall_budget":$rb%.3f,"mrr_budget":$mb%.3f,"sec_budget":$tb%.2f,"nprobe_eq":$npEq,"scanned_nprobe":$sn%.0f,"recall_nprobe":$rn%.3f,"mrr_nprobe":$mn%.3f,"sec_nprobe":$tn%.2f}""")
+      }
     }
   }
 
@@ -766,6 +950,12 @@ object ScaleStress {
       spark.stop()
       return
     }
+    if (args.contains("ingestrebuild")) { // drift clapper sawtooth mid-stream
+      ingestRebuild(spark, sfDir, s"$workDir/rebuild")
+      graft.tables.Scratch.cleanup(spark)
+      spark.stop()
+      return
+    }
 
     val expDir = s"$workDir/x$factor"
     expand(spark, sfDir, expDir, factor)
@@ -778,6 +968,12 @@ object ScaleStress {
     }
     if (args.contains("healthskew")) { // probe latency vs cluster-skew fraction
       healthSkew(spark, expDir, s"$workDir/healthskew")
+      graft.tables.Scratch.cleanup(spark)
+      spark.stop()
+      return
+    }
+    if (args.contains("budgetrecall")) { // recall price of the scanned-codes budget
+      budgetRecall(spark, expDir, s"$workDir/budgetrecall")
       graft.tables.Scratch.cleanup(spark)
       spark.stop()
       return

@@ -310,20 +310,50 @@ object AnnIndex {
     * [[Health.maxClusterFrac]] says a hot cluster broke the ~n/nlist
     * assumption fixed-nprobe budgets on — the latency-SLO dial for
     * skewed indexes (the healthskew battery's +46% at ×34 skew is
-    * exactly what this caps). Cluster sizes come from the
-    * [[refreshClusterSizes]] cache (nlist rows) — a steady-state call
-    * never aggregates the codes table, only validates the cache's
-    * file fingerprint; interactive query sets only (collect-and-prune
-    * tail).
+    * exactly what this caps).
+    *
+    * RECALL PRICE, measured (ScaleStress budgetrecall, 20k codes,
+    * two-stage kShort=100 refined, 200 cold queries, recall@10 vs
+    * fixed-nprobe at ~equal MEAN scanned codes — BENCH_LOCAL_r17.md §2):
+    * on a balanced index the prefix rule IS top-nprobe, recall
+    * identical at every price point (0.247/0.311/0.361/0.399/0.427
+    * from 144 to 3.9k codes, both arms). Under skew the budget is
+    * strictly BETTER per scanned code, because fixed-nprobe burns scan
+    * on the hot cluster's flood copies while the prefix rule stops
+    * before it: at maxClusterFrac 0.47, 0.359 vs 0.324 at ~1.7k codes;
+    * at 0.85, 0.327 vs 0.269 with the budget scanning FEWER codes
+    * (1645 vs 2246). Nearest-first degradation beats uniform probing
+    * under skew — the dial has no recall downside at equal price.
+    *
+    * `codesBudget = 0` (the default) auto-derives ⌈nCodes/√nlist⌉ from
+    * the stored tables — the mean scan the [[autoNprobe]] rule would
+    * pay on a BALANCED index (√nlist probes × n/nlist codes each), so
+    * the auto pair (search's auto-nprobe, this auto-budget) price the
+    * same scan and differ only in allocation, which is what the curve
+    * above prices. Cluster sizes come from the [[refreshClusterSizes]]
+    * cache (nlist rows) — a steady-state call never aggregates the
+    * codes table, only validates the cache's file fingerprint;
+    * interactive query sets only (collect-and-prune tail).
     */
   def searchBudgeted(store: TableStore, name: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int = 5,
-      codesBudget: Long = 10000): DataFrame = {
+      codesBudget: Long = 0): DataFrame = {
+    require(codesBudget >= 0,
+      s"codesBudget must be >= 0 (0 = auto n/sqrt(nlist)), got $codesBudget")
     val (centroids, centers, books) = artifacts(store, name, idCol, vecCol)
     refreshClusterSizes(store, name)
     val sizes = store.read(csizesT(name)).select(col("cluster"), col("csize"))
+    val budget =
+      if (codesBudget > 0) codesBudget
+      else {
+        val t = sizes.agg(sum(col("csize")).as("n"), count(lit(1)).as("k"))
+          .collect()(0)
+        val (n, nl) =
+          if (t.isNullAt(0)) (0L, 1L) else (t.getLong(0), math.max(1L, t.getLong(1)))
+        math.max(1L, math.ceil(n / math.sqrt(nl.toDouble)).toLong)
+      }
     Similarity.ivfPqResidualSearchBudgeted(queries, store.read(codesT(name)),
-      centroids, centers, idCol, vecCol, books, k, codesBudget, sizes)
+      centroids, centers, idCol, vecCol, books, k, budget, sizes)
   }
 
   /** ALL-PAIRS cosine matches WITHIN `df` (id_a < id_b, cos ≥ threshold),

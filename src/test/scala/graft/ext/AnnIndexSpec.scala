@@ -419,6 +419,13 @@ class AnnIndexSpec extends SparkSpec {
         k = 10, codesBudget = 1L)) ===
       rows(AnnIndex.search(store, "idx", q, "vec_id", "embedding",
         k = 10, nprobe = 1)))
+    // codesBudget = 0 → auto ceil(n/sqrt(nlist)) from the stored tables
+    // (40 codes, 2 clusters → 29), the balanced-scan price auto-nprobe
+    // pays — identical to passing the derived value explicitly
+    assert(rows(AnnIndex.searchBudgeted(store, "idx", q, "vec_id", "embedding",
+        k = 10)) ===
+      rows(AnnIndex.searchBudgeted(store, "idx", q, "vec_id", "embedding",
+        k = 10, codesBudget = 29L)))
   }
 
   test("selfPairs: equals exact all-pairs at full probes/shortlist; verbatim floods pair with the min-id rep under a tiny kShort") {

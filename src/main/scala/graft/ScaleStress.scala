@@ -558,11 +558,16 @@ object ScaleStress {
     val bkt = Similarity.sampleBucket(col("doc_id")) % 10
     val base = emb.filter(bkt === 0)
     val nBatches = 12
+    // two drift REGIMES so the record shows the bell RE-ARMING: batches
+    // 0-7 drift dims 0..31 (first tooth), batches 8+ flip to dims 32..63
+    // — a fresh direction the first rebuild's corpus never saw, so the
+    // re-armed bell must ring a second time
     val stream = emb.filter(bkt =!= 0)
       .withColumn("bat", pmod(Similarity.sampleBucket(col("doc_id") + 3),
         lit(nBatches)))
       .withColumn("embedding", transform(col("embedding"),
-        (x, i) => when(i < 32,
+        (x, i) => when(
+          when(col("bat") < 8, i < 32).otherwise(i >= 32),
           x * (lit(1.0f) + lit(0.5f) * col("bat").cast("float")))
           .otherwise(x)))
     val store = new TableStore(spark, s"$workDir/store")

@@ -259,7 +259,7 @@ object AnnIndex {
     * (path, length) set — no mtime needed; one driver-side directory
     * listing, the [[maintainIfNeeded]] cost class.
     */
-  private def codesFingerprint(store: TableStore, name: String): String = {
+  private def codesListing(store: TableStore, name: String): (String, Int) = {
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(store.path(codesT(name)))
@@ -268,8 +268,10 @@ object AnnIndex {
       .sorted
     val md = java.security.MessageDigest.getInstance("MD5")
     files.foreach(f => md.update(f.getBytes("UTF-8")))
-    md.digest().map("%02x".format(_)).mkString
+    (md.digest().map("%02x".format(_)).mkString, files.size)
   }
+  private def codesFingerprint(store: TableStore, name: String): String =
+    codesListing(store, name)._1
 
   /** Bring the per-cluster size table `{name}_csizes` up to date with the
     * codes table, returning whether a recompute ran. The cache is keyed
@@ -283,8 +285,11 @@ object AnnIndex {
     * check of the sink's per-batch cadence pays the recount and every
     * budgeted search after that reads nlist rows.
     */
-  def refreshClusterSizes(store: TableStore, name: String): Boolean = {
-    val fp = codesFingerprint(store, name)
+  def refreshClusterSizes(store: TableStore, name: String): Boolean =
+    refreshClusterSizes0(store, name, codesFingerprint(store, name))
+
+  private def refreshClusterSizes0(store: TableStore, name: String,
+      fp: String): Boolean = {
     val fresh = store.exists(csizesT(name)) && {
       val head = store.read(csizesT(name)).select(col("fp")).limit(1).collect()
       // an EMPTY cached table carries no fp row: it is fresh exactly when
@@ -346,10 +351,15 @@ object AnnIndex {
     val budget =
       if (codesBudget > 0) codesBudget
       else {
-        val t = sizes.agg(sum(col("csize")).as("n"), count(lit(1)).as("k"))
-          .collect()(0)
-        val (n, nl) =
-          if (t.isNullAt(0)) (0L, 1L) else (t.getLong(0), math.max(1L, t.getLong(1)))
+        // nlist = the STORED geometry (centroids table), NOT the count of
+        // nonempty clusters: on a collapsed index (the healthskew 142→20)
+        // the nonempty count would inflate the auto budget toward a
+        // full-corpus scan — exactly where the dial must hold its price —
+        // and autoNprobe prices √(centroids.count()) too, so the auto
+        // pair stays parity-priced
+        val t = sizes.agg(sum(col("csize")).as("n")).collect()(0)
+        val n = if (t.isNullAt(0)) 0L else t.getLong(0)
+        val nl = math.max(1L, centroids.count())
         math.max(1L, math.ceil(n / math.sqrt(nl.toDouble)).toLong)
       }
     Similarity.ivfPqResidualSearchBudgeted(queries, store.read(codesT(name)),
@@ -376,14 +386,17 @@ object AnnIndex {
     * Recall is shortlist-bounded, two-sided: a pair survives when
     * EITHER end shortlists the other (the union of both orientations,
     * deduped — symmetric exact cosine makes the duplicates
-    * bit-identical). Verbatim copies always pair: identical vectors
-    * share a cluster and tie at the maximum ADC score, and the
-    * (adc DESC, neighbor_id) tiebreak fills each copy's shortlist with
-    * the kShort SMALLEST-ID copies — so every flood member pairs with
-    * the flood's min-id representative and a greedy earlier-id
-    * resolution drops the flood whole, even when the flood dwarfs
-    * kShort. `df` is scanned several times (encode, probes, both refine
-    * sides) — pass a materialized frame, not an expensive plan.
+    * bit-identical). Verbatim floods drop whole AT ANY kShort by a
+    * separate guarantee, not by ADC rank: identical vectors encode to
+    * identical (cluster, codes) under the frozen quantizers, so
+    * code-identical groups STAR-PAIR with their min-id member directly
+    * (one map-side-combined group over the batch codes) and those pairs
+    * ride the same exact-cosine confirm. The ADC shortlist alone could
+    * not promise this — L2-nearest codewords do not maximize inner
+    * product, so a batch can hold ≥ kShort non-copies whose ADC
+    * out-scores a copy's own code and starves copy pairs out of the
+    * rank cut. `df` is scanned several times (encode, probes, both
+    * refine sides) — pass a materialized frame, not an expensive plan.
     */
   def selfPairs(store: TableStore, name: String, df: DataFrame,
       idCol: String, vecCol: String, threshold: Double,
@@ -396,8 +409,28 @@ object AnnIndex {
       idCol, vecCol, books)
     val shortlist = Similarity.ivfPqResidualSearchJoin(df, codes, centroids,
       centers, idCol, vecCol, books, kShort, np)
-    Similarity.refineExact(shortlist, df, df, idCol, vecCol, k = kShort,
-        broadcastHints = false)
+    val adcPairs = Similarity.refineExact(shortlist, df, df, idCol, vecCol,
+        k = kShort, broadcastHints = false)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    // the verbatim-flood star leg (see scaladoc): code-identical groups
+    // pair min-id → member, exact cosine computed with the identical
+    // expression refineExact uses, so a pair found by both legs carries
+    // a bit-identical cos and the dedup below is orientation-safe
+    val reps = codes.groupBy(col("cluster"), col("codes"))
+      .agg(min(col(idCol)).as("_rep"), count(lit(1)).as("_n"))
+      .filter(col("_n") > 1)
+    val starCand = codes.join(reps, Seq("cluster", "codes"))
+      .filter(col(idCol) =!= col("_rep"))
+      .select(col("_rep").as("query_id"), col(idCol).as("neighbor_id"))
+    val q = Similarity.withNorm(
+      df.select(col(idCol).as("query_id"), col(vecCol).as("_qv")), "_qv", "_qn")
+    val c = Similarity.withNorm(
+      df.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv")), "_cv", "_cn")
+    val starPairs = starCand.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (Similarity.dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
+          .as("cos"))
+    adcPairs.unionByName(starPairs)
       .filter(col("cos") >= threshold)
       .select(least(col("query_id"), col("neighbor_id")).as("id_a"),
         greatest(col("query_id"), col("neighbor_id")).as("id_b"), col("cos"))
@@ -518,8 +551,11 @@ object AnnIndex {
     * drift table.
     */
   def health(store: TableStore, name: String): Health = {
-    val spark = org.apache.spark.sql.SparkSession.active
-    refreshClusterSizes(store, name)
+    // one listing serves both the cache validation and codesFiles — two
+    // recursive LIST sweeps per health call would double the object-store
+    // round trips of the sink's per-batch cadence
+    val (fp, nFiles) = codesListing(store, name)
+    refreshClusterSizes0(store, name, fp)
     val byCluster = store.read(csizesT(name))
       .agg(sum(col("csize")).as("total"), max(col("csize")).as("hot"),
         count(lit(1)).as("k"))
@@ -529,9 +565,6 @@ object AnnIndex {
     val (total, hot, k) =
       if (byCluster.isNullAt(0)) (0L, 0L, 0L)
       else (byCluster.getLong(0), byCluster.getLong(1), byCluster.getLong(2))
-    val p = new org.apache.hadoop.fs.Path(store.path(codesT(name)))
-    val nFiles = graft.tables.Compact
-      .dataFiles(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p).size
     // first/last of the trend only — the drift table grows one row per
     // append, so a long-lived stream must not collect it whole
     val (baseline, last) =
@@ -748,14 +781,18 @@ object AnnIndex {
 
   /** The full retrain decision of [[rebuildIfUnhealthy]]: which of the
     * three measured bells rang (any one triggers the rebuild), the
-    * numbers each was judged against, and — when a rebuild fired with a
-    * [[RecalSpec]] — the fresh calibration.
+    * numbers each was judged against, the FRESH index's health when a
+    * rebuild ran (`post` — how the caller sees whether the rebuild
+    * actually cleared the bell or the corpus itself is the problem),
+    * and — when a rebuild fired with a [[RecalSpec]] — the fresh
+    * calibration.
     */
   final case class UnhealthyDecision(
       triggered: Boolean, driftTriggered: Boolean, skewTriggered: Boolean,
       collapseTriggered: Boolean, driftBaseline: Double, driftLast: Double,
       maxClusterFrac: Double, nClusters: Int, autoNlist: Int,
-      recalibration: Option[DeconCalibration])
+      recalibration: Option[DeconCalibration],
+      post: Option[Health] = None)
 
   /** [[rebuildIfDrifted]] widened to ALL of [[health]]'s measured alert
     * levels — the r16 verdict's open edge was that the geometry-collapse
@@ -783,17 +820,33 @@ object AnnIndex {
     * fresh drift baseline, optional recalibration. Re-arming caveat the
     * flood battery makes explicit: the collapse was CAUSED by duplicate
     * vectors merging k-means centroids, so a rebuild from a still-flooded
-    * corpus re-collapses and the bell rings again — the fix for a flood
-    * is upstream dedup (the ingest gates / [[Similarity.semDedup]]), and
-    * this clapper is the signal that it was skipped; after the dedup,
-    * rebuild from the CLEANED corpus restores ⌈√n⌉ geometry
-    * (AnnIndexSpec pins exactly that sequence). An empty index
-    * (nCodes = 0) never triggers on skew/collapse — there is no geometry
-    * to judge and nothing to rebuild from.
+    * corpus re-collapses — the fix for a flood is upstream dedup (the
+    * ingest gates / [[Similarity.semDedup]]), and this clapper is the
+    * signal that it was skipped; after the dedup, rebuild from the
+    * CLEANED corpus restores ⌈√n⌉ geometry (AnnIndexSpec pins exactly
+    * that sequence).
+    *
+    * THRASH GUARD (the drift bell's baseline-reset idea, applied to
+    * geometry): a rebuild the corpus itself defeats must not re-fire on
+    * every ask of a per-batch cadence — that would multiply ingest cost
+    * by the build cost forever. After any rebuild here, the FRESH
+    * index's skew cost-multiple and collapse ratio are persisted as the
+    * geometry baseline (`{name}_geom_base`), and the skew/collapse bells
+    * additionally require their signal to exceed `rearmFactor` × that
+    * baseline (default 1.25 — re-ring only when things got measurably
+    * WORSE than the best a rebuild could do). A rebuild that fixed the
+    * geometry writes a low baseline, so the bell re-arms fully; a futile
+    * one writes ≈ the ringing value, disarming the repeat. Inspect
+    * `post` to see which happened. `rearmFactor = 0` disables the gate
+    * (absolute bars only — the escape hatch for "I cleaned the corpus,
+    * rebuild NOW"). Drift keeps its own baseline-reset re-arming and
+    * ignores this gate. An empty index (nCodes = 0) never triggers on
+    * skew/collapse — there is no geometry to judge.
     */
   def rebuildIfUnhealthy(store: TableStore, name: String, corpus: DataFrame,
       idCol: String, vecCol: String, dim: Int, driftFactor: Double = 2.0,
       skewCostMultiple: Double = 16.0, collapseFactor: Double = 2.0,
+      rearmFactor: Double = 1.25,
       nlist: Int = 0, coarseIters: Int = 2, m: Int = 0, k: Int = 0,
       pqIters: Int = 2, sampleMod: Option[Int] = None,
       recal: Option[RecalSpec] = None): UnhealthyDecision = {
@@ -802,18 +855,43 @@ object AnnIndex {
       s"skewCostMultiple must be > 1, got $skewCostMultiple")
     require(collapseFactor > 1,
       s"collapseFactor must be > 1, got $collapseFactor")
+    require(rearmFactor >= 0,
+      s"rearmFactor must be >= 0 (0 disables the thrash guard), got $rearmFactor")
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val h = health(store, name)
+    val costNow = h.maxClusterFrac * h.nClusters
+    val ratioNow =
+      if (h.nClusters == 0) 0.0 else h.autoNlist.toDouble / h.nClusters
+    val base: Option[(Double, Double)] =
+      if (rearmFactor == 0 || !store.exists(geomBaseT(name))) None
+      else {
+        val r = store.read(geomBaseT(name)).collect()(0)
+        Some((r.getDouble(r.fieldIndex("cost_multiple")),
+          r.getDouble(r.fieldIndex("collapse_ratio"))))
+      }
     val drift = driftTriggered(h, driftFactor)
-    val skew = h.nCodes > 0 &&
-      h.maxClusterFrac * h.nClusters >= skewCostMultiple
-    val collapse = h.nCodes > 0 &&
-      h.autoNlist >= collapseFactor * h.nClusters
+    val skew = h.nCodes > 0 && costNow >= skewCostMultiple &&
+      base.forall(b => costNow >= rearmFactor * b._1)
+    val collapse = h.nCodes > 0 && ratioNow >= collapseFactor &&
+      base.forall(b => ratioNow >= rearmFactor * b._2)
     val any = drift || skew || collapse
-    val cal =
-      if (!any) None
-      else rebuildNow(store, name, corpus, idCol, vecCol, dim, nlist,
+    if (!any)
+      UnhealthyDecision(triggered = false, drift, skew, collapse,
+        h.driftBaseline, h.driftLast, h.maxClusterFrac, h.nClusters,
+        h.autoNlist, None)
+    else {
+      val cal = rebuildNow(store, name, corpus, idCol, vecCol, dim, nlist,
         coarseIters, m, k, pqIters, sampleMod, recal)
-    UnhealthyDecision(any, drift, skew, collapse, h.driftBaseline,
-      h.driftLast, h.maxClusterFrac, h.nClusters, h.autoNlist, cal)
+      val h2 = health(store, name)
+      store.overwrite(geomBaseT(name),
+        Seq((h2.maxClusterFrac * h2.nClusters,
+          if (h2.nClusters == 0) 0.0 else h2.autoNlist.toDouble / h2.nClusters))
+          .toDF("cost_multiple", "collapse_ratio"))
+      UnhealthyDecision(triggered = true, drift, skew, collapse,
+        h.driftBaseline, h.driftLast, h.maxClusterFrac, h.nClusters,
+        h.autoNlist, cal, post = Some(h2))
+    }
   }
+  private def geomBaseT(name: String) = s"${name}_geom_base"
 }

@@ -601,19 +601,6 @@ object Similarity {
       }
     }
 
-  /** Sign-LSH bucketed cosine near-dup pairs — the second ANN scale path
-    * beside [[cosinePairsClustered]], with no training step: each vector's
-    * band bucket packs the signs of `rowsPerBand` hyperplane dots
-    * (sign-random-projection LSH, Charikar '02 — here with deterministic
-    * md5-derived planes); vectors sharing any band bucket become
-    * candidates, then candidates are verified with the exact cosine.
-    * Sub-quadratic like the IVF path (Σ|bucket|² pairs, not n²) and
-    * embarrassingly parallel to bucket: 16 codegen'd dots per row, one
-    * shuffle on (band, bucket). Recall < 1 by design — a pair collides
-    * with probability (1-θ/π)^rowsPerBand per band; raise bands for
-    * recall, rowsPerBand for precision. Identical vectors always collide
-    * (every sign agrees).
-    */
   /** The MEASURED band width for [[cosinePairsLsh]] at a cosine bar τ —
     * the derivation BENCH_LOCAL_r16.md §3 paid for: a cos-τ pair agrees
     * with a random hyperplane with p = 1 − acos(τ)/π per bit (Charikar
@@ -634,6 +621,20 @@ object Similarity {
       math.log(0.3) / math.log(math.min(0.99, math.max(0.51, pTau)))).toInt))
   }
 
+  /** Sign-LSH bucketed cosine near-dup pairs — the second ANN scale path
+    * beside [[cosinePairsClustered]], with no training step: each vector's
+    * band bucket packs the signs of `rowsPerBand` hyperplane dots
+    * (sign-random-projection LSH, Charikar '02 — here with deterministic
+    * md5-derived planes); vectors sharing any band bucket become
+    * candidates, then candidates are verified with the exact cosine.
+    * Sub-quadratic like the IVF path (Σ|bucket|² pairs, not n²) and
+    * embarrassingly parallel to bucket: 16 codegen'd dots per row, one
+    * shuffle on (band, bucket). Recall < 1 by design — a pair collides
+    * with probability (1-θ/π)^rowsPerBand per band; raise bands for
+    * recall, rowsPerBand for precision ([[lshRowsPerBand]] is the
+    * measured τ-adaptive choice). Identical vectors always collide
+    * (every sign agrees).
+    */
   def cosinePairsLsh(
       df: DataFrame, idCol: String, vecCol: String, dim: Int, threshold: Double,
       bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {

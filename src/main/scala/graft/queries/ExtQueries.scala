@@ -3481,9 +3481,20 @@ object ExtQueries {
       pr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rnk
              FROM pscf),
       short AS (SELECT query_id, neighbor_id FROM pr WHERE rnk <= 10),
+      -- the verbatim-flood star leg: code-identical (cluster, code-list)
+      -- groups pair min-id -> member, bypassing the ADC rank cut
+      pcl AS (SELECT e.vec_id, a.cluster, list(e.cid ORDER BY e.sub) AS cl
+              FROM penc e JOIN asg a ON a.vec_id = e.vec_id GROUP BY 1, 2),
+      prep AS (SELECT cluster, cl, min(vec_id) AS rep, count(*) AS grp_n
+               FROM pcl GROUP BY 1, 2),
+      pstar AS (SELECT p.rep AS query_id, c.vec_id AS neighbor_id
+                FROM pcl c JOIN prep p ON p.cluster = c.cluster AND p.cl = c.cl
+                WHERE p.grp_n > 1 AND c.vec_id <> p.rep),
+      cand2 AS (SELECT query_id, neighbor_id FROM short
+                UNION ALL SELECT query_id, neighbor_id FROM pstar),
       rf AS (SELECT sh.query_id, sh.neighbor_id,
                ${dotSql.format("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
-             FROM short sh
+             FROM cand2 sh
              JOIN n q ON q.vec_id = sh.query_id
              JOIN n c ON c.vec_id = sh.neighbor_id)
       SELECT DISTINCT least(query_id, neighbor_id) AS id_a,

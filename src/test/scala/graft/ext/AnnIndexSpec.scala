@@ -561,48 +561,55 @@ class AnnIndexSpec extends SparkSpec {
     assert(d0flat.triggered)
   }
 
-  test("rebuildIfUnhealthy: flood-collapsed geometry triggers; rebuild from the cleaned corpus restores sqrt-n clusters; balanced declines") {
+  test("rebuildIfUnhealthy: collapse triggers; a futile rebuild disarms the repeat; rearmFactor=0 + cleaned corpus restores sqrt-n; balanced declines") {
     val store = newStore()
     // 48 verbatim copies of one vector + 16 distinct rows: auto nlist is
     // ceil(sqrt(64)) = 8, but all 8 smallest-id seeds are flood copies, so
-    // every trained centroid is identical and the lowest-id tiebreak puts
-    // EVERY code in cluster 1 — the 142→20 k-means collapse of
-    // BENCH_LOCAL_r16.md §4, in miniature
+    // Lloyd collapses the populated clusters — the 142→20 k-means collapse
+    // of BENCH_LOCAL_r16.md §4, in miniature
     val flood = (1 to 48).map(i => (i.toLong, vec(0, 999)))
     val distinct = (49 to 64).map(i =>
       (i.toLong, vec(if (i % 2 == 1) 0 else 8, i)))
-    AnnIndex.build(store, "idx", (flood ++ distinct).toDF("vec_id", "embedding"),
+    val flooded = (flood ++ distinct).toDF("vec_id", "embedding")
+    AnnIndex.build(store, "idx", flooded,
       "vec_id", "embedding", dim = 16, m = 4, k = 4)
     val h = AnnIndex.health(store, "idx")
-    // identical seeds collapse: Lloyd leaves at most 3 of the 8 target
-    // clusters populated (the flood seat, the drifted-mean seat, and one
-    // distinct-family seat)
     assert(h.nClusters <= 3, s"expected collapse, got ${h.nClusters}")
     assert(h.autoNlist === 8)
-    // zero drift (build-only trend) — ONLY the collapse bell rings; the
-    // caller's corpus is the flood-deduped one (rebuilding from a
-    // still-flooded corpus would just re-collapse — the scaladoc caveat)
-    val cleaned = ((1 to 1).map(i => (i.toLong, vec(0, 999))) ++ distinct)
-      .toDF("vec_id", "embedding")
-    val dec = AnnIndex.rebuildIfUnhealthy(store, "idx", cleaned,
+    // FUTILE rebuild: the caller's corpus is still flooded, so the
+    // rebuild re-collapses — triggered (zero drift: collapse bell only),
+    // and `post` reports the geometry stayed collapsed
+    val dec = AnnIndex.rebuildIfUnhealthy(store, "idx", flooded,
       "vec_id", "embedding", dim = 16)
-    assert(dec.triggered && dec.collapseTriggered)
-    assert(!dec.driftTriggered)
+    assert(dec.triggered && dec.collapseTriggered && !dec.driftTriggered)
     assert(dec.nClusters === h.nClusters && dec.autoNlist === 8)
-    // fresh geometry near ceil(sqrt(17)) = 5 (distinct seeds now), codes
-    // cover exactly the cleaned corpus, drift baseline reset to one row
-    val h2 = AnnIndex.health(store, "idx")
-    assert(h2.nCodes === 17L)
-    assert(h2.autoNlist === 5)
-    assert(h2.nClusters >= 3, s"still collapsed: ${h2.nClusters}")
+    assert(dec.post.exists(p =>
+      p.autoNlist >= 2.0 * p.nClusters), s"flooded rebuild cleared?: $dec")
+    // THRASH GUARD: the futile rebuild wrote the fresh geometry as the
+    // baseline — an immediate second ask (per-batch cadence) declines
+    // instead of paying another full rebuild
+    val dec2 = AnnIndex.rebuildIfUnhealthy(store, "idx", flooded,
+      "vec_id", "embedding", dim = 16)
+    assert(!dec2.triggered, s"futile rebuild thrashed: $dec2")
+    // escape hatch: corpus cleaned upstream, rearmFactor = 0 forces the
+    // absolute bars — rebuild from the cleaned corpus restores geometry
+    // near ceil(sqrt(17)) = 5 and resets the drift baseline
+    val cleaned = (Seq((1L, vec(0, 999))) ++ distinct)
+      .toDF("vec_id", "embedding")
+    val dec3 = AnnIndex.rebuildIfUnhealthy(store, "idx", cleaned,
+      "vec_id", "embedding", dim = 16, rearmFactor = 0)
+    assert(dec3.triggered && dec3.collapseTriggered)
+    assert(dec3.post.exists(p => p.nCodes == 17L && p.autoNlist == 5 &&
+      p.nClusters >= 3), s"cleaned rebuild stayed collapsed: $dec3")
     val d = AnnIndex.drift(store, "idx")
       .select(col("seq"), col("phase")).as[(Long, String)].collect()
     assert(d.toSeq === Seq((0L, "build")))
-    // re-armed: the second ask declines on every bell
-    val dec2 = AnnIndex.rebuildIfUnhealthy(store, "idx", cleaned,
+    // healthy now: the next ask declines on every bell (absolute bars,
+    // not the guard — the cleaned rebuild re-armed the bell fully)
+    val dec4 = AnnIndex.rebuildIfUnhealthy(store, "idx", cleaned,
       "vec_id", "embedding", dim = 16)
-    assert(!dec2.triggered)
-    assert(!dec2.skewTriggered && !dec2.collapseTriggered && !dec2.driftTriggered)
+    assert(!dec4.triggered)
+    assert(!dec4.skewTriggered && !dec4.collapseTriggered && !dec4.driftTriggered)
 
     // a balanced auto-geometry index never pages: all three bells silent
     val s2 = newStore()

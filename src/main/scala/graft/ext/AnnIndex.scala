@@ -444,7 +444,11 @@ object AnnIndex {
     * layout survives the rewrite; the quantizer artifacts never need
     * maintenance (geometry-bounded, written once at build). The health
     * check is one driver-side directory listing — run it after every
-    * batch.
+    * batch. Compaction is content-neutral, so a cluster-size cache that
+    * was FRESH going in is re-stamped to the post-compaction fingerprint
+    * without a recount (a stale one is left stale — re-stamping it would
+    * freeze wrong sizes; the next health/searchBudgeted recounts as
+    * usual).
     */
   def maintainIfNeeded(store: TableStore, name: String, maxFiles: Int = 64,
       targetBytes: Long = 128L << 20): Option[graft.tables.Compact.Stats] = {
@@ -453,10 +457,20 @@ object AnnIndex {
       .sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(store.path(codesT(name)))
     val n = graft.tables.Compact.dataFiles(p.getFileSystem(conf), p).size
-    if (n > maxFiles)
-      Some(graft.tables.Compact.compact(store, codesT(name), targetBytes,
-        partitionBy = Seq("cluster")))
-    else None
+    if (n > maxFiles) {
+      val fpBefore = codesFingerprint(store, name)
+      val sizesWereFresh = store.exists(csizesT(name)) && {
+        val head = store.read(csizesT(name)).select(col("fp")).limit(1).collect()
+        if (head.isEmpty) codesFingerprint0Empty == fpBefore
+        else head(0).getString(0) == fpBefore
+      }
+      val stats = graft.tables.Compact.compact(store, codesT(name), targetBytes,
+        partitionBy = Seq("cluster"))
+      if (sizesWereFresh)
+        store.overwrite(csizesT(name), store.read(csizesT(name))
+          .withColumn("fp", lit(codesFingerprint(store, name))))
+      Some(stats)
+    } else None
   }
 
   /** Two-stage search (IVFADC+R): [[search]] proposes a `kShort`
@@ -481,6 +495,24 @@ object AnnIndex {
       k: Int = 5, kShort: Int = 100, nprobe: Int = 0): DataFrame =
     Similarity.refineExact(
       search(store, name, queries, idCol, vecCol, kShort, nprobe),
+      queries, corpus, idCol, vecCol, k)
+
+  /** Two-stage BUDGETED search (IVFADC+R on the latency-SLO dial):
+    * [[searchBudgeted]] proposes the `kShort` shortlist under the
+    * scanned-codes bound, [[Similarity.refineExact]] re-ranks those rows
+    * by exact cosine against `corpus` — the production shape the
+    * budgetrecall battery measured (BENCH_LOCAL_r17.md §2: refined and
+    * at equal scanned codes, the budget arm matches fixed-nprobe on a
+    * balanced index and strictly beats it under skew). Same kShort
+    * default, refine cost shape, and output-⊆-shortlist contract as
+    * [[searchRefined]]; the scan bound applies to the ADC stage — refine
+    * adds |Q|×kShort exact dots, never a corpus scan.
+    */
+  def searchBudgetedRefined(store: TableStore, name: String,
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 5, kShort: Int = 100, codesBudget: Long = 0): DataFrame =
+    Similarity.refineExact(
+      searchBudgeted(store, name, queries, idCol, vecCol, kShort, codesBudget),
       queries, corpus, idCol, vecCol, k)
 
   /** Semantic decontamination routed through the index's FROZEN coarse

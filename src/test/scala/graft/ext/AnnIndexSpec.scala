@@ -426,6 +426,15 @@ class AnnIndexSpec extends SparkSpec {
         k = 10)) ===
       rows(AnnIndex.searchBudgeted(store, "idx", q, "vec_id", "embedding",
         k = 10, codesBudget = 29L)))
+    // the two-stage dial: at full coverage the budgeted refine equals the
+    // fixed-nprobe refine exactly (same shortlist, same exact re-rank)
+    def rrows(df: DataFrame) = df
+      .select(col("neighbor_id"), col("cos"), col("rnk"))
+      .as[(Long, Double, Int)].collect().toSet
+    assert(rrows(AnnIndex.searchBudgetedRefined(store, "idx", q, corpus,
+        "vec_id", "embedding", k = 5, kShort = 10, codesBudget = 1000L)) ===
+      rrows(AnnIndex.searchRefined(store, "idx", q, corpus,
+        "vec_id", "embedding", k = 5, kShort = 10, nprobe = 2)))
   }
 
   test("selfPairs: equals exact all-pairs at full probes/shortlist; verbatim floods pair with the min-id rep under a tiny kShort") {
@@ -491,6 +500,19 @@ class AnnIndexSpec extends SparkSpec {
     val out = AnnIndex.searchBudgeted(store, "idx", q, "vec_id", "embedding",
       k = 5, codesBudget = 1000L)
     assert(out.count() === 5L)
+    // compaction is content-neutral: a FRESH cache is re-stamped to the
+    // new fingerprint without a recount (refresh stays false), contents
+    // still exact
+    assert(AnnIndex.maintainIfNeeded(store, "idx", maxFiles = 1).nonEmpty)
+    assert(!AnnIndex.refreshClusterSizes(store, "idx"))
+    assert(cachedSizes() === actualSizes())
+    // ... but a cache that was STALE going into the compaction is left
+    // stale (re-stamping would freeze wrong sizes) and recounts once
+    AnnIndex.append(store, "idx",
+      Seq((90L, vec(0, 90))).toDF("vec_id", "embedding"), "vec_id", "embedding")
+    assert(AnnIndex.maintainIfNeeded(store, "idx", maxFiles = 1).nonEmpty)
+    assert(AnnIndex.refreshClusterSizes(store, "idx"))
+    assert(cachedSizes() === actualSizes())
     // full takedown: empty codes table round-trips (no fp row to read)
     AnnIndex.deleteIds(store, "idx",
       AnnIndex.knownIds(store, "idx", "vec_id"), "vec_id")

@@ -180,30 +180,54 @@ object Bm25 {
 
   /** Compute [[Health]]: one term-grouped count over postings (map-side
     * combined), one doclen count, two file listings, one stats-row read.
-    * Safe after every append batch.
+    * Safe after every append batch — and free to POLL: the aggregates
+    * are cached in a 1-row `{name}_health_cache` keyed on the two
+    * tables' data-file fingerprint (the [[AnnIndex.refreshClusterSizes]]
+    * idea), so a monitoring loop between appends reads one row instead
+    * of re-aggregating the postings table; the worst case (first call
+    * after a mutation) is exactly the old cost.
     */
   def health(store: TableStore, name: String): Health = {
-    val conf = org.apache.spark.sql.SparkSession.active
-      .sparkContext.hadoopConfiguration
-    def nFiles(t: String): Int = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    def listing(t: String): (String, Int) = {
       val p = new org.apache.hadoop.fs.Path(store.path(t))
-      graft.tables.Compact.dataFiles(p.getFileSystem(conf), p).size
+      val files = graft.tables.Compact.dataFiles(p.getFileSystem(conf), p)
+        .map { case (path, len) => s"${path.toUri.getPath}:$len" }.sorted
+      val md = java.security.MessageDigest.getInstance("MD5")
+      files.foreach(f => md.update(f.getBytes("UTF-8")))
+      (md.digest().map("%02x".format(_)).mkString, files.size)
     }
-    val byTerm = store.read(s"${name}_postings")
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .agg(sum(col("df")).as("total"), max(col("df")).as("hot"),
-        count(lit(1)).as("vocab"))
-      .collect()(0)
-    val nDocs = store.read(s"${name}_doclen").count()
+    val (fpP, nfP) = listing(s"${name}_postings")
+    val (fpD, nfD) = listing(s"${name}_doclen")
+    val fp = s"$fpP:$fpD"
+    val cacheT = s"${name}_health_cache"
+    val cached: Option[(Long, Long, Long, Long)] =
+      if (!store.exists(cacheT)) None
+      else {
+        val r = store.read(cacheT).collect()(0)
+        if (r.getString(r.fieldIndex("fp")) != fp) None
+        else Some((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+    val (nDocs, total, hot, vocab) = cached.getOrElse {
+      val byTerm = store.read(s"${name}_postings")
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .agg(sum(col("df")).as("total"), max(col("df")).as("hot"),
+          count(lit(1)).as("vocab"))
+        .collect()(0)
+      val nd = store.read(s"${name}_doclen").count()
+      val t = if (byTerm.isNullAt(0)) 0L else byTerm.getLong(0)
+      val h = if (byTerm.isNullAt(1)) 0L else byTerm.getLong(1)
+      store.overwrite(cacheT, Seq((nd, t, h, byTerm.getLong(2), fp))
+        .toDF("n_docs", "n_postings", "hot_df", "vocab", "fp"))
+      (nd, t, h, byTerm.getLong(2))
+    }
     val statsN = store.read(s"${name}_stats")
       .select(col("n_docs")).collect()(0).getLong(0)
-    Health(nDocs,
-      if (byTerm.isNullAt(0)) 0L else byTerm.getLong(0),
-      byTerm.getLong(2),
-      if (nDocs == 0) 0.0
-      else (if (byTerm.isNullAt(1)) 0L else byTerm.getLong(1)).toDouble / nDocs,
-      nFiles(s"${name}_postings"), nFiles(s"${name}_doclen"),
-      staleStats = statsN != nDocs)
+    Health(nDocs, total, vocab,
+      if (nDocs == 0) 0.0 else hot.toDouble / nDocs,
+      nfP, nfD, staleStats = statsN != nDocs)
   }
 
   /** Recompute the stats cache from the current doclen table — the

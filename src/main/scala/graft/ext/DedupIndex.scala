@@ -467,26 +467,54 @@ object DedupIndex {
 
   /** Compute [[Health]]: a (band, bucket)-grouped count over the bands
     * table (map-side combined), two narrow counts, three file listings.
-    * Safe after every increment.
+    * Safe after every increment — and free to POLL: the aggregates are
+    * cached in a 1-row `{name}_health_cache` keyed on the three tables'
+    * data-file fingerprint (the [[AnnIndex.refreshClusterSizes]] idea —
+    * parquet part names are task UUIDs, so any increment/compaction/
+    * takedown moves the key), so a monitoring loop between increments
+    * reads one row instead of re-aggregating the bands table, and the
+    * worst case (first call after a mutation) is exactly the old cost.
     */
   def health(store: TableStore, name: String): Health = {
-    val conf = org.apache.spark.sql.SparkSession.active
-      .sparkContext.hadoopConfiguration
-    def nFiles(t: String): Int = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    def listing(t: String): (String, Int) = {
       val p = new org.apache.hadoop.fs.Path(store.path(t))
-      graft.tables.Compact.dataFiles(p.getFileSystem(conf), p).size
+      val files = graft.tables.Compact.dataFiles(p.getFileSystem(conf), p)
+        .map { case (path, len) => s"${path.toUri.getPath}:$len" }.sorted
+      val md = java.security.MessageDigest.getInstance("MD5")
+      files.foreach(f => md.update(f.getBytes("UTF-8")))
+      (md.digest().map("%02x".format(_)).mkString, files.size)
     }
-    val nDocs = store.read(sizesT(name)).count()
-    val byBucket = store.read(bandsT(name))
-      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
-      .agg(sum(col("n")).as("total"), max(col("n")).as("hot"))
-      .collect()(0)
-    Health(nDocs,
-      store.read(shinglesT(name)).count(),
-      if (byBucket.isNullAt(0)) 0L else byBucket.getLong(0),
-      if (nDocs == 0) 0.0
-      else (if (byBucket.isNullAt(1)) 0L else byBucket.getLong(1)).toDouble / nDocs,
-      nFiles(bandsT(name)), nFiles(shinglesT(name)), nFiles(sizesT(name)))
+    val (fpB, nfB) = listing(bandsT(name))
+    val (fpS, nfS) = listing(shinglesT(name))
+    val (fpZ, nfZ) = listing(sizesT(name))
+    val fp = s"$fpB:$fpS:$fpZ"
+    val cacheT = s"${name}_health_cache"
+    val cached: Option[(Long, Long, Long, Long)] =
+      if (!store.exists(cacheT)) None
+      else {
+        val r = store.read(cacheT).collect()(0)
+        if (r.getString(r.fieldIndex("fp")) != fp) None
+        else Some((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+    val (nDocs, nShingles, total, hot) = cached.getOrElse {
+      val nd = store.read(sizesT(name)).count()
+      val ns = store.read(shinglesT(name)).count()
+      val byBucket = store.read(bandsT(name))
+        .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")).as("total"), max(col("n")).as("hot"))
+        .collect()(0)
+      val t = if (byBucket.isNullAt(0)) 0L else byBucket.getLong(0)
+      val h = if (byBucket.isNullAt(1)) 0L else byBucket.getLong(1)
+      store.overwrite(cacheT, Seq((nd, ns, t, h, fp))
+        .toDF("n_docs", "n_shingles", "n_band_rows", "hot_bucket", "fp"))
+      (nd, ns, t, h)
+    }
+    Health(nDocs, nShingles, total,
+      if (nDocs == 0) 0.0 else hot.toDouble / nDocs,
+      nfB, nfS, nfZ)
   }
 
   def maintain(store: TableStore, name: String,

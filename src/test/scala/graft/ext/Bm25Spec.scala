@@ -58,9 +58,16 @@ class Bm25Spec extends SparkSpec {
     assert(h.maxTermFrac === 1.0) // 'spark' is in every doc — the skew flag
     assert(!h.staleStats)
     assert(h.postingsFiles >= 1 && h.doclenFiles >= 1)
-    // simulate the externally-touched-tables case the flag exists for
+    // a repeat poll serves from the fingerprint-keyed 1-row cache and
+    // must agree exactly
+    assert(Bm25.health(store, "bm") === h)
+    // simulate the externally-touched-tables case the flag exists for —
+    // the external append also moves the fingerprint, so the recomputed
+    // nDocs reflects the touched doclen table
     store.append("bm_doclen", Seq((9L, 2L)).toDF("doc_id", "dlen"))
-    assert(Bm25.health(store, "bm").staleStats)
+    val hs = Bm25.health(store, "bm")
+    assert(hs.staleStats)
+    assert(hs.nDocs === 4L)
     Bm25.refreshStats(store, "bm")
     assert(!Bm25.health(store, "bm").staleStats)
   }

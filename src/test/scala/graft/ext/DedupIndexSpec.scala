@@ -130,6 +130,18 @@ class DedupIndexSpec extends SparkSpec {
     assert(h.nShingleRows > 0L && h.nBandRows > 0L)
     assert(h.maxBucketFrac >= 0.4) // the 4-clone bucket of 10 docs
     assert(h.bandsFiles >= 1 && h.shinglesFiles >= 1 && h.sizesFiles >= 1)
+    // a repeat poll serves from the fingerprint-keyed 1-row cache and
+    // must agree exactly; an increment moves the fingerprint and the
+    // recomputed numbers reflect the new corpus
+    assert(DedupIndex.health(store, "di") === h)
+    // corpus(60, 3) = 3 base + 1 planted near-dup; fresh ids
+    DedupIndex.dedupIncrement(store, "di",
+      corpus(60, 3).map { case (i, t) => (i + 200L, t) }
+        .toDF("doc_id", "text"), "doc_id", "text",
+      threshold = 0.7).collect()
+    val h2 = DedupIndex.health(store, "di")
+    assert(h2.nDocs === 14L)
+    assert(h2.nBandRows > h.nBandRows)
   }
 
   test("maintain compacts the appended index tables; next increment unchanged") {

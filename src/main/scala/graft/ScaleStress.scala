@@ -643,9 +643,24 @@ object ScaleStress {
       org.apache.spark.sql.types.StructField("embedding",
         org.apache.spark.sql.types.ArrayType(FloatType))))
     val nBase = base.count()
-    for ((tag, df, cap) <- Seq(
-        ("small_exact", small, Int.MaxValue), ("small_lsh", small, 1000),
-        ("big_exact", rest, Int.MaxValue), ("big_lsh", rest, 1000))) {
+    // the t07 rows price the τ<0.9 route (batch-trained clustered
+    // pairing — r17): at τ=0.7 sign-LSH floors at r=4 (≈50% of pairs
+    // admitted, measured no better than exact in r16 §3) and EXACT work
+    // is τ-independent (the big_exact row IS the quadratic bar at any
+    // τ), so the over-cap low-bar rows run the clustered route, small +
+    // big for the growth exponent. (The first cut routed these through
+    // the stored-quantizer self-ADC shortlist and measured it SLOWER
+    // than exact — 567 s vs 385 s at ×10 — because the backfill runs
+    // |B|²·nprobe/nlist ADC rows against the base's stale 8-cluster
+    // geometry; batch-fresh centroids scale with the batch instead.)
+    for ((tag, df, cap, tau) <- Seq(
+        ("small_exact", small, Int.MaxValue, 0.99),
+        ("small_lsh", small, 1000, 0.99),
+        ("big_exact", rest, Int.MaxValue, 0.99),
+        ("big_lsh", rest, 1000, 0.99),
+        ("small_exact_t07", small, Int.MaxValue, 0.7),
+        ("small_clu_t07", small, 1000, 0.7),
+        ("big_clu_t07", rest, 1000, 0.7))) {
       val store = new TableStore(spark, s"$workDir/bf_$tag")
       AnnIndex.build(store, "bf_ann", base, "doc_id", "embedding",
         dim = 64, m = 8, k = 16, sampleMod = Some(4))
@@ -659,7 +674,7 @@ object ScaleStress {
         store, "doc_id", s"$workDir/bf_${tag}_ckpt",
         annIndex = Some("bf_ann"),
         corpusTable = Some("bf_corpus"),
-        semanticGateThreshold = Some(0.99),
+        semanticGateThreshold = Some(tau),
         semanticGatePairsTable = Some("bf_pairs"),
         semanticGateExactCap = cap)
         .awaitTermination()

@@ -199,6 +199,17 @@ object AnnIndex {
   def knownIds(store: TableStore, name: String, idCol: String): DataFrame =
     store.read(codesT(name)).select(col(idCol))
 
+  /** Full teardown of a stored index — every table [[build]] and the
+    * maintenance surface own (codes, quantizer artifacts, drift trend,
+    * size cache, geometry baseline), so an operator retiring an index
+    * does not need to know its seven-table layout. Row-level removal is
+    * [[deleteIds]]; this is the index-wide DROP TABLE.
+    */
+  def dropIndex(store: TableStore, name: String): Unit =
+    Seq(codesT(name), centroidsT(name), centersT(name), booksT(name),
+      driftT(name), csizesT(name), geomBaseT(name))
+      .foreach(t => if (store.exists(t)) store.drop(t))
+
   /** The auto-nprobe rule paired with the auto-nlist build default:
     * max(2, ⌈√nlist⌉) probes. Rationale: with nlist itself at ⌈√n⌉, a
     * FIXED probe count scans a falling fraction of the corpus as it
@@ -380,8 +391,24 @@ object AnnIndex {
     * batch as both sides — nothing driver-side depends on |df|), and
     * exact-confirms only those |df|×kShort candidate pairs
     * ([[Similarity.refineExact]], no broadcast hints — data-sized
-    * contract). Candidates are bounded by kShort REGARDLESS of τ, which
-    * is exactly what the LSH route cannot offer at low bars.
+    * contract). The EXACT-CONFIRM set is bounded by kShort regardless
+    * of τ — what the LSH route cannot offer at low bars. The ADC
+    * SCORING stage upstream of the rank cut is honest arithmetic, not
+    * magic: each row scores against batch-mates sharing a probed
+    * cluster, ≈ |df|²·nprobe/nlist rows — so this route requires the
+    * STORED GEOMETRY TO BE ADEQUATE FOR THE BATCH (nlist² ≳ |df|, the
+    * regime where the scoring set stays ≪ |df|²). MEASURED FAILURE
+    * outside that regime (ScaleStress ingestbackfill, first cut,
+    * BENCH_LOCAL_r17.md §3): an 18k-doc backfill against an index built
+    * on a 2k-doc base (nlist = 8) ran 567 s vs 385 s EXACT — the
+    * 0.375·|df|² ADC rows plus the rank-window shuffle ate the
+    * per-row cheapness entirely. For a batch that dwarfs the index,
+    * pair through batch-fresh centroids instead
+    * ([[Similarity.cosinePairsClusteredMultiProbe]] at ⌈√|df|⌉
+    * clusters — |df|^1.5 regardless of the index's age; what
+    * [[graft.streaming.Streams.retrievalIngestSink]] routes to), or
+    * rebuild the index first — [[rebuildIfUnhealthy]]'s collapse bell
+    * fires on exactly this outgrown-geometry condition.
     *
     * Recall is shortlist-bounded, two-sided: a pair survives when
     * EITHER end shortlists the other (the union of both orientations,

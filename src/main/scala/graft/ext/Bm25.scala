@@ -131,6 +131,16 @@ object Bm25 {
   def knownIds(store: TableStore, name: String, idCol: String): DataFrame =
     store.read(s"${name}_doclen").select(col(idCol))
 
+  /** Full teardown of a stored index — postings, doclen, the stats row
+    * and the health cache ([[graft.ext.DedupIndex.dropIndex]]'s BM25
+    * twin). Row-level removal is [[deleteIds]]; this is the index-wide
+    * DROP TABLE.
+    */
+  def dropIndex(store: TableStore, name: String): Unit =
+    Seq(s"${name}_postings", s"${name}_doclen", s"${name}_stats",
+      s"${name}_health_cache")
+      .foreach(t => if (store.exists(t)) store.drop(t))
+
   /** [[graft.ext.DedupIndex.maintainIfNeeded]]'s lexical twin: compact
     * the postings and doclen tables once a long-lived append stream has
     * fragmented either past `maxFiles` data files (the stats cache is one

@@ -187,6 +187,16 @@ object DedupIndex {
   def knownIds(store: TableStore, name: String, idCol: String): DataFrame =
     store.read(sizesT(name)).select(col(idCol))
 
+  /** Full teardown of a stored index — the three data tables plus the
+    * health cache and any legacy conf metadata ([[AnnIndex.dropIndex]]'s
+    * lexical twin). Row-level removal is the [[graft.tables.Deletes
+    * .cascade]] leg; this is the index-wide DROP TABLE.
+    */
+  def dropIndex(store: TableStore, name: String): Unit =
+    Seq(bandsT(name), shinglesT(name), sizesT(name),
+      s"${name}_health_cache", s"${name}_conf")
+      .foreach(t => if (store.exists(t)) store.drop(t))
+
   // ---- audit accessors: the index's physical content in logical form ----
 
   /** Stored band rows (id, band, bucket). */

@@ -572,17 +572,48 @@ object Similarity {
     */
   def cosinePairsClusteredMultiProbe(
       df: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, threshold: Double, nprobe: Int = 2): DataFrame = {
+      idCol: String, vecCol: String, threshold: Double, nprobe: Int = 2,
+      clusterCap: Int = Int.MaxValue): DataFrame = {
+    require(clusterCap >= 1, s"clusterCap must be >= 1, got $clusterCap")
     val assigned = graft.tables.Scratch.stage(
       ivfAssignMulti(df, centroids, idCol, vecCol, nprobe),
       "ivf_mp_index", Seq("cluster"))
-    val a = assigned.select(col("cluster"),
+    // clusterCap bounds the flood quadratic exactly as [[graft.ext
+    // .DedupIndex]]'s bucketCap bounds the lexical one: a cluster holding
+    // m > cap members would emit O(m²) within-cluster pairs — a verbatim
+    // embedding flood lands whole in ONE cluster (identical vectors share
+    // every probe) — so hot clusters STAR-pair with their min-id member
+    // instead: every member pairs with the rep at exact cosine, a flood
+    // over the cap drops whole under greedy earlier-id resolution (m−1
+    // pairs, linear), and only the hot cluster's NEAR-dup (non-verbatim)
+    // recall coarsens to rep-only confirms — the documented bucketCap
+    // trade, embedding side
+    val sizes = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("_csz"), min(col(idCol)).as("_rep"))
+    val withSz = assigned.join(broadcast(sizes), Seq("cluster"))
+    val cold = withSz.filter(col("_csz") <= clusterCap)
+    val a = cold.select(col("cluster"),
       col(idCol).as("id_a"), col(vecCol).as("va"), col("nrm").as("na"))
-    val b = assigned.select(col("cluster"),
+    val b = cold.select(col("cluster"),
       col(idCol).as("id_b"), col(vecCol).as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+    val coldPairs = a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+    val hot = withSz.filter(col("_csz") > clusterCap)
+    val hotReps = hot.select(col("cluster"), col("_rep")).distinct()
+      .join(assigned.select(col("cluster"), col(idCol), col(vecCol), col("nrm")),
+        Seq("cluster"))
+      .filter(col(idCol) === col("_rep"))
+      .select(col("cluster"), col(idCol).as("id_a"),
+        col(vecCol).as("va"), col("nrm").as("na"))
+    val hotPairs = hot
+      .filter(col(idCol) =!= col("_rep"))
+      .select(col("cluster"), col(idCol).as("id_b"),
+        col(vecCol).as("vb"), col("nrm").as("nb"))
+      .join(hotReps, Seq("cluster"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+    coldPairs.unionByName(hotPairs)
       .filter(col("cos") >= threshold)
       .distinct()
   }

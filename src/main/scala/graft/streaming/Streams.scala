@@ -491,12 +491,14 @@ object Streams {
     * τ-adaptive band width: wide bands prune random pairs to ~2⁻ʳ while
     * keeping ~95% τ-pair recall), and at SemDeDup-like bars (τ < 0.9,
     * where sign-LSH floors at r = 4 and stops pruning) through
-    * [[graft.ext.AnnIndex.selfPairs]] — the batch encoded map-only
-    * against the index's frozen quantizers and self-shortlisted by ADC,
-    * candidates bounded at |B|×kShort at ANY τ. Recall is band- or
-    * shortlist-bounded exactly as the corpus side is shortlist-bounded;
-    * verbatim embedding copies always collide / tie at max ADC, so dup
-    * floods drop whole on every path. Semantics
+    * batch-trained clustered pairing ([[graft.ext.Similarity
+    * .cosinePairsClusteredMultiProbe]] over ⌈√|B|⌉ fresh centroids,
+    * nprobe 2, hot clusters star-capped at the exact cap) — |B|^1.5
+    * pair space at ANY τ. Recall is band- or cluster-bounded exactly as
+    * the corpus side is shortlist-bounded; verbatim embedding copies
+    * always collide / share every probed cluster, so dup floods drop
+    * whole on every path — linearly past the caps, via a star rep.
+    * Semantics
     * differ from the lexical gate on purpose: this gate remembers the
     * KEPT corpus (dropped docs leave no vectors anywhere), so a future
     * dup of a dropped doc is caught only via its kept representative —
@@ -703,20 +705,33 @@ object Streams {
                   // exact at ×10, BENCH_LOCAL_r16.md §3). BELOW 0.9
                   // sign-LSH floors at r=4 and admits 8·2⁻⁴ of ALL pairs —
                   // the backfill quadratic would survive a SemDeDup-like
-                  // bar — so low bars route through the index's own frozen
-                  // quantizers instead: [[graft.ext.AnnIndex.selfPairs]]
-                  // bounds candidates at |B|×kShort at ANY τ (recall
-                  // shortlist-bounded exactly as the corpus side is,
-                  // verbatim floods always pair with their min-id rep)
+                  // bar — so low bars train ⌈√|B|⌉ FRESH centroids on the
+                  // batch (two Lloyd passes) and pair within multi-probed
+                  // clusters: |B|^1.5 pair space at ANY τ, hot clusters
+                  // star-capped so verbatim floods drop whole via their
+                  // min-id rep in m−1 pairs. The stored-quantizer self-ADC
+                  // alternative ([[graft.ext.AnnIndex.selfPairs]]) was
+                  // MEASURED SLOWER THAN EXACT here (567 s vs 385 s at
+                  // ×10, BENCH_LOCAL_r17.md §3): a backfill 10× the
+                  // indexed base runs |B|²·nprobe/nlist ADC rows against
+                  // the base's stale coarse geometry — batch-fresh
+                  // clustering is the route that scales with the BATCH
                   val raw =
                     if (tau >= 0.9)
                       Similarity.cosinePairsLsh(side, idCol, vecCol, dim,
                         tau, bands = 8,
                         rowsPerBand = Similarity.lshRowsPerBand(tau))
-                    else
-                      AnnIndex.selfPairs(store, ann, side, idCol, vecCol,
-                        tau, kShort = semanticGateKShort,
-                        nprobe = semanticGateNprobe)
+                    else {
+                      val kc = math.max(2, math.min(256,
+                        math.ceil(math.sqrt(nSide.toDouble)).toInt))
+                      val cents = Similarity.kmeansTrain(side, idCol,
+                          vecCol, k = kc, iters = 2)
+                        .select(col("centroid_id").cast("long").as(idCol),
+                          col(vecCol))
+                      Similarity.cosinePairsClusteredMultiProbe(side, cents,
+                        idCol, vecCol, tau, nprobe = 2,
+                        clusterCap = math.max(1, semanticGateExactCap))
+                    }
                   val adm = side.select(col(idCol), col("_adm"))
                   raw
                     .join(adm.select(col(idCol).as("id_a"),

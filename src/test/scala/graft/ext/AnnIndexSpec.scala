@@ -642,6 +642,26 @@ class AnnIndexSpec extends SparkSpec {
     assert(!db.triggered, s"balanced index paged: $db")
   }
 
+  test("dropIndex: the full seven-table teardown; a fresh build on the same name works") {
+    val store = newStore()
+    AnnIndex.build(store, "idx", corpus, "vec_id", "embedding",
+      dim = 16, nlist = 2, m = 4, k = 4)
+    AnnIndex.append(store, "idx", // drift row beyond the baseline
+      Seq((200L, vec(8, 200))).toDF("vec_id", "embedding"), "vec_id", "embedding")
+    // materialize the geometry baseline too (a triggered unhealthy ask)
+    AnnIndex.rebuildIfUnhealthy(store, "idx", corpus, "vec_id", "embedding",
+      dim = 16, driftFactor = 1.0001)
+    val tables = Seq("idx_codes", "idx_centroids", "idx_centers",
+      "idx_books", "idx_drift", "idx_csizes", "idx_geom_base")
+    assert(tables.count(store.exists) >= 6) // geom_base only if it rang
+    AnnIndex.dropIndex(store, "idx")
+    tables.foreach(t => assert(!store.exists(t), s"$t survived dropIndex"))
+    // the name is reusable
+    AnnIndex.build(store, "idx", corpus, "vec_id", "embedding",
+      dim = 16, nlist = 2, m = 4, k = 4)
+    assert(AnnIndex.health(store, "idx").nCodes === 40L)
+  }
+
   test("takedown rewrites only the deleted ids' clusters; artifacts stay frozen") {
     val store = newStore()
     AnnIndex.build(store, "idx", corpus, "vec_id", "embedding",

@@ -72,6 +72,20 @@ class Bm25Spec extends SparkSpec {
     assert(!Bm25.health(store, "bm").staleStats)
   }
 
+  test("dropIndex: full teardown including stats and the health cache; the name is reusable") {
+    val store = new graft.tables.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_bmdrop").toString)
+    val docs = Seq((1L, "spark table"), (2L, "spark rows")).toDF("doc_id", "text")
+    Bm25.buildIndex(store, "bm", docs, "doc_id", "text")
+    Bm25.health(store, "bm") // materialize the cache
+    val tables = Seq("bm_postings", "bm_doclen", "bm_stats", "bm_health_cache")
+    assert(tables.forall(store.exists))
+    Bm25.dropIndex(store, "bm")
+    tables.foreach(t => assert(!store.exists(t), s"$t survived dropIndex"))
+    Bm25.buildIndex(store, "bm", docs, "doc_id", "text")
+    assert(Bm25.health(store, "bm").nDocs === 2L)
+  }
+
   test("append: increment indexes without re-reading the base; equals a union rebuild exactly") {
     val store = new graft.tables.TableStore(spark,
       java.nio.file.Files.createTempDirectory("graft_bm25idx").toString)

@@ -144,6 +144,21 @@ class DedupIndexSpec extends SparkSpec {
     assert(h2.nBandRows > h.nBandRows)
   }
 
+  test("dropIndex: full teardown including the health cache; the name is reusable") {
+    val store = new graft.tables.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_didrop").toString)
+    DedupIndex.build(store, "di", corpus(7, 6).toDF("doc_id", "text"),
+      "doc_id", "text")
+    DedupIndex.health(store, "di") // materialize the cache
+    val tables = Seq("di_bands", "di_shingles", "di_sizes", "di_health_cache")
+    assert(tables.forall(store.exists))
+    DedupIndex.dropIndex(store, "di")
+    tables.foreach(t => assert(!store.exists(t), s"$t survived dropIndex"))
+    DedupIndex.build(store, "di", corpus(7, 3).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(DedupIndex.health(store, "di").nDocs === 4L)
+  }
+
   test("maintain compacts the appended index tables; next increment unchanged") {
     val all = corpus(31, 60).toDF("doc_id", "text")
     val tmp = java.nio.file.Files.createTempDirectory("graft_didx_m").toString

@@ -67,6 +67,29 @@ class SemDedupSpec extends SparkSpec {
     assert(Similarity.lshRowsPerBand(1.0) === 24)
   }
 
+  test("cosinePairsClusteredMultiProbe clusterCap: hot clusters star-pair with the min-id rep; cold behavior unchanged") {
+    import graft.ext.Similarity
+    def oneHot(i: Int): Seq[Float] =
+      (0 until 8).map(d => if (d == i) 1.0f else 0.0f)
+    // a 6-copy verbatim flood (one cluster) + 4 mutually-orthogonal docs
+    val docs = ((1L to 6L).map(i => (i, oneHot(0))) ++
+      (11L to 14L).map(i => (i, oneHot((i - 9).toInt)))).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansTrain(docs, "vec_id", "embedding", k = 3, iters = 2)
+      .select(col("centroid_id").cast("long").as("vec_id"), col("embedding"))
+    def pairs(cap: Int) = Similarity.cosinePairsClusteredMultiProbe(
+        docs, cents, "vec_id", "embedding", threshold = 0.9, nprobe = 2,
+        clusterCap = cap)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    // uncapped: the flood cluster emits all 15 within-flood pairs
+    val full = pairs(Int.MaxValue)
+    assert(full === (for (a <- 1L to 6L; b <- (a + 1) to 6L) yield (a, b)).toSet)
+    // capped below the flood: STAR pairs only — every member pairs the
+    // min-id rep (5 pairs, linear), which is sufficient for a greedy
+    // earlier-id drop to remove the flood whole
+    val star = pairs(3)
+    assert(star === (2L to 6L).map(b => (1L, b)).toSet)
+  }
+
   test("semanticDecontaminate flags train vectors near ANY eval vector (C7)") {
     // eval = the axis-1 and axis-2 vectors; train contains a near-copy of
     // axis 1 (flagged, cos ~0.96), an exact copy (flagged, cos 1.0, and

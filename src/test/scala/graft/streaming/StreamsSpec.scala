@@ -1179,13 +1179,15 @@ class StreamsSpec extends SparkSpec {
     assert(lsh === (1L to 4L).toSet ++ (101L to 112L).toSet)
   }
 
-  test("retrievalIngestSink semanticGate: over-cap backfill at tau=0.7 routes through ADC selfPairs with the exact path's kept set") {
+  test("retrievalIngestSink semanticGate: over-cap backfill at tau=0.7 routes through batch-trained clustered pairing with the exact path's kept set") {
     import graft.ext.AnnIndex
     def vec(dim: Int): Seq[Float] =
       (0 until 16).map(d => if (d == dim) 1.0f else 0.0f)
     // cos(e_i, (a·e_i + b·e_j)) = a/√(a²+b²): (4,3) → 0.8 (a τ=0.7 dup),
     // (3,4) → 0.6 (clean) — sign-LSH at this bar floors at r=4 and stops
-    // pruning (ADVICE r16), which is exactly what the selfPairs route fixes
+    // pruning (ADVICE r16); the over-cap low-τ route is batch-trained
+    // clustered pairing, and the 0.8-pairs must land in a shared probed
+    // cluster for the kept set to match exact semantics
     def mix(i: Int, j: Int, a: Float, b: Float): Seq[Float] =
       (0 until 16).map(d => if (d == i) a else if (d == j) b else 0.0f)
     // an equal three-way mix has cos 1/√3 ≈ 0.577 < 0.7 with EVERY

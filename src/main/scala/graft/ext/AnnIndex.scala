@@ -270,17 +270,8 @@ object AnnIndex {
     * (path, length) set — no mtime needed; one driver-side directory
     * listing, the [[maintainIfNeeded]] cost class.
     */
-  private def codesListing(store: TableStore, name: String): (String, Int) = {
-    val conf = org.apache.spark.sql.SparkSession.active
-      .sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(store.path(codesT(name)))
-    val files = graft.tables.Compact.dataFiles(p.getFileSystem(conf), p)
-      .map { case (path, len) => s"${path.toUri.getPath}:$len" }
-      .sorted
-    val md = java.security.MessageDigest.getInstance("MD5")
-    files.foreach(f => md.update(f.getBytes("UTF-8")))
-    (md.digest().map("%02x".format(_)).mkString, files.size)
-  }
+  private def codesListing(store: TableStore, name: String): (String, Int) =
+    graft.tables.Compact.listingFingerprint(store, codesT(name))
   private def codesFingerprint(store: TableStore, name: String): String =
     codesListing(store, name)._1
 
@@ -299,19 +290,52 @@ object AnnIndex {
   def refreshClusterSizes(store: TableStore, name: String): Boolean =
     refreshClusterSizes0(store, name, codesFingerprint(store, name))
 
-  private def refreshClusterSizes0(store: TableStore, name: String,
-      fp: String): Boolean = {
-    val fresh = store.exists(csizesT(name)) && {
+  /** Is the cached size table keyed at exactly `fp`? Shared by the
+    * refresh path and [[maintainIfNeeded]]'s content-neutral re-stamp —
+    * one copy of the subtle empty-table case.
+    */
+  private def sizesFresh(store: TableStore, name: String, fp: String): Boolean =
+    store.exists(csizesT(name)) && {
       val head = store.read(csizesT(name)).select(col("fp")).limit(1).collect()
       // an EMPTY cached table carries no fp row: it is fresh exactly when
       // the codes table is empty too (empty-listing fingerprints match)
       if (head.isEmpty) codesFingerprint0Empty == fp else head(0).getString(0) == fp
     }
+
+  private def refreshClusterSizes0(store: TableStore, name: String,
+      fp: String): Boolean = {
+    val fresh = sizesFresh(store, name, fp)
     if (!fresh)
-      store.overwrite(csizesT(name), store.read(codesT(name))
+      // best-effort: the cache is a memo, and health() must stay safe to
+      // POLL concurrently with the single mutator's own cadence — two
+      // racing refreshes can sweep each other's staging dir, and the
+      // loser's exception must not take down a read-only monitor (the
+      // winner's cache is correct; a fully lost write just recomputes
+      // next call). Consumers that cannot tolerate a lost write read
+      // through clusterSizesFrame, which falls back to the direct plan.
+      try store.overwrite(csizesT(name), store.read(codesT(name))
         .groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
         .withColumn("fp", lit(fp)))
+      catch { case scala.util.control.NonFatal(_) => () }
     !fresh
+  }
+
+  /** The per-cluster sizes as a frame — cache-backed, but ALWAYS correct:
+    * if the cache is stale even after a refresh attempt (a concurrent
+    * poller won the write race, or the write was lost), serves the
+    * direct map-side-combined count instead.
+    */
+  private def clusterSizesFrame(store: TableStore, name: String): DataFrame =
+    clusterSizesFrameAt(store, name, codesFingerprint(store, name))
+
+  private def clusterSizesFrameAt(store: TableStore, name: String,
+      fp: String): DataFrame = {
+    refreshClusterSizes0(store, name, fp)
+    if (sizesFresh(store, name, fp))
+      store.read(csizesT(name)).select(col("cluster"), col("csize"))
+    else
+      store.read(codesT(name))
+        .groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
   }
   // md5 of zero files — the fingerprint an emptied codes table hashes to
   private val codesFingerprint0Empty: String =
@@ -357,8 +381,7 @@ object AnnIndex {
     require(codesBudget >= 0,
       s"codesBudget must be >= 0 (0 = auto n/sqrt(nlist)), got $codesBudget")
     val (centroids, centers, books) = artifacts(store, name, idCol, vecCol)
-    refreshClusterSizes(store, name)
-    val sizes = store.read(csizesT(name)).select(col("cluster"), col("csize"))
+    val sizes = clusterSizesFrame(store, name)
     val budget =
       if (codesBudget > 0) codesBudget
       else {
@@ -485,12 +508,8 @@ object AnnIndex {
     val p = new org.apache.hadoop.fs.Path(store.path(codesT(name)))
     val n = graft.tables.Compact.dataFiles(p.getFileSystem(conf), p).size
     if (n > maxFiles) {
-      val fpBefore = codesFingerprint(store, name)
-      val sizesWereFresh = store.exists(csizesT(name)) && {
-        val head = store.read(csizesT(name)).select(col("fp")).limit(1).collect()
-        if (head.isEmpty) codesFingerprint0Empty == fpBefore
-        else head(0).getString(0) == fpBefore
-      }
+      val sizesWereFresh =
+        sizesFresh(store, name, codesFingerprint(store, name))
       val stats = graft.tables.Compact.compact(store, codesT(name), targetBytes,
         partitionBy = Seq("cluster"))
       if (sizesWereFresh)
@@ -614,8 +633,7 @@ object AnnIndex {
     // recursive LIST sweeps per health call would double the object-store
     // round trips of the sink's per-batch cadence
     val (fp, nFiles) = codesListing(store, name)
-    refreshClusterSizes0(store, name, fp)
-    val byCluster = store.read(csizesT(name))
+    val byCluster = clusterSizesFrameAt(store, name, fp)
       .agg(sum(col("csize")).as("total"), max(col("csize")).as("hot"),
         count(lit(1)).as("k"))
       .collect()(0)

@@ -200,17 +200,10 @@ object Bm25 {
   def health(store: TableStore, name: String): Health = {
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
-    val conf = spark.sparkContext.hadoopConfiguration
-    def listing(t: String): (String, Int) = {
-      val p = new org.apache.hadoop.fs.Path(store.path(t))
-      val files = graft.tables.Compact.dataFiles(p.getFileSystem(conf), p)
-        .map { case (path, len) => s"${path.toUri.getPath}:$len" }.sorted
-      val md = java.security.MessageDigest.getInstance("MD5")
-      files.foreach(f => md.update(f.getBytes("UTF-8")))
-      (md.digest().map("%02x".format(_)).mkString, files.size)
-    }
-    val (fpP, nfP) = listing(s"${name}_postings")
-    val (fpD, nfD) = listing(s"${name}_doclen")
+    val (fpP, nfP) = graft.tables.Compact
+      .listingFingerprint(store, s"${name}_postings")
+    val (fpD, nfD) = graft.tables.Compact
+      .listingFingerprint(store, s"${name}_doclen")
     val fp = s"$fpP:$fpD"
     val cacheT = s"${name}_health_cache"
     val cached: Option[(Long, Long, Long, Long)] =
@@ -229,8 +222,12 @@ object Bm25 {
       val nd = store.read(s"${name}_doclen").count()
       val t = if (byTerm.isNullAt(0)) 0L else byTerm.getLong(0)
       val h = if (byTerm.isNullAt(1)) 0L else byTerm.getLong(1)
-      store.overwrite(cacheT, Seq((nd, t, h, byTerm.getLong(2), fp))
+      // best-effort memo: a concurrent poll racing the mutator's own
+      // cadence can lose the staging swap — the values returned here are
+      // computed locally either way, and a lost write just recomputes
+      try store.overwrite(cacheT, Seq((nd, t, h, byTerm.getLong(2), fp))
         .toDF("n_docs", "n_postings", "hot_df", "vocab", "fp"))
+      catch { case scala.util.control.NonFatal(_) => () }
       (nd, t, h, byTerm.getLong(2))
     }
     val statsN = store.read(s"${name}_stats")

@@ -488,18 +488,9 @@ object DedupIndex {
   def health(store: TableStore, name: String): Health = {
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
-    val conf = spark.sparkContext.hadoopConfiguration
-    def listing(t: String): (String, Int) = {
-      val p = new org.apache.hadoop.fs.Path(store.path(t))
-      val files = graft.tables.Compact.dataFiles(p.getFileSystem(conf), p)
-        .map { case (path, len) => s"${path.toUri.getPath}:$len" }.sorted
-      val md = java.security.MessageDigest.getInstance("MD5")
-      files.foreach(f => md.update(f.getBytes("UTF-8")))
-      (md.digest().map("%02x".format(_)).mkString, files.size)
-    }
-    val (fpB, nfB) = listing(bandsT(name))
-    val (fpS, nfS) = listing(shinglesT(name))
-    val (fpZ, nfZ) = listing(sizesT(name))
+    val (fpB, nfB) = graft.tables.Compact.listingFingerprint(store, bandsT(name))
+    val (fpS, nfS) = graft.tables.Compact.listingFingerprint(store, shinglesT(name))
+    val (fpZ, nfZ) = graft.tables.Compact.listingFingerprint(store, sizesT(name))
     val fp = s"$fpB:$fpS:$fpZ"
     val cacheT = s"${name}_health_cache"
     val cached: Option[(Long, Long, Long, Long)] =
@@ -518,8 +509,12 @@ object DedupIndex {
         .collect()(0)
       val t = if (byBucket.isNullAt(0)) 0L else byBucket.getLong(0)
       val h = if (byBucket.isNullAt(1)) 0L else byBucket.getLong(1)
-      store.overwrite(cacheT, Seq((nd, ns, t, h, fp))
+      // best-effort memo: a concurrent poll racing the mutator's own
+      // cadence can lose the staging swap — values are computed locally
+      // either way, a lost write just recomputes next call
+      try store.overwrite(cacheT, Seq((nd, ns, t, h, fp))
         .toDF("n_docs", "n_shingles", "n_band_rows", "hot_bucket", "fp"))
+      catch { case scala.util.control.NonFatal(_) => () }
       (nd, ns, t, h)
     }
     Health(nDocs, nShingles, total,

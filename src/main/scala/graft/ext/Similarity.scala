@@ -613,7 +613,23 @@ object Similarity {
       .join(hotReps, Seq("cluster"))
       .select(col("id_a"), col("id_b"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
-    coldPairs.unionByName(hotPairs)
+    // the flood guarantee must not hinge on WHO the hot cluster's min-id
+    // member is: a Voronoi cluster is not a near-dup bucket (unlike the
+    // lexical band bucket this cap imitates), so the cluster rep can be
+    // a FOREIGN vector whose star pairs all fall below the threshold —
+    // admitting the flood whole. Exact-IDENTITY groups inside a hot
+    // cluster therefore star to their OWN min-id member too: verbatim
+    // copies pair at cosine 1 in m−1 rows at any cap, whoever the
+    // cluster rep is (SemDedupSpec pins the foreign-rep scenario).
+    val idGroups = hot.groupBy(col("cluster"), col(vecCol))
+      .agg(min(col(idCol)).as("_grep"), count(lit(1)).as("_gn"))
+      .filter(col("_gn") > 1)
+      .select(col("cluster"), col(vecCol), col("_grep"))
+    val identityPairs = hot.join(idGroups, Seq("cluster", vecCol))
+      .filter(col(idCol) =!= col("_grep"))
+      .select(col("_grep").as("id_a"), col(idCol).as("id_b"),
+        (dot(col(vecCol), col(vecCol)) / (col("nrm") * col("nrm"))).as("cos"))
+    coldPairs.unionByName(hotPairs).unionByName(identityPairs)
       .filter(col("cos") >= threshold)
       .distinct()
   }

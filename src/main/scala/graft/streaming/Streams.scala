@@ -492,9 +492,11 @@ object Streams {
     * keeping ~95% τ-pair recall), and at SemDeDup-like bars (τ < 0.9,
     * where sign-LSH floors at r = 4 and stops pruning) through
     * batch-trained clustered pairing ([[graft.ext.Similarity
-    * .cosinePairsClusteredMultiProbe]] over ⌈√|B|⌉ fresh centroids,
-    * nprobe 2, hot clusters star-capped at the exact cap) — |B|^1.5
-    * pair space at ANY τ. Recall is band- or cluster-bounded exactly as
+    * .cosinePairsClusteredMultiProbe]] over ⌈√|B|⌉ fresh centroids
+    * (ceiling 256 — bound bigger backfills with maxFilesPerTrigger),
+    * nprobe 2, only DEGENERATE clusters star-capped at 8× the mean
+    * cluster size) — |B|^1.5 pair space at ANY τ. Recall is band- or
+    * cluster-bounded exactly as
     * the corpus side is shortlist-bounded; verbatim embedding copies
     * always collide / share every probed cluster, so dup floods drop
     * whole on every path — linearly past the caps, via a star rep.
@@ -722,15 +724,29 @@ object Streams {
                         tau, bands = 8,
                         rowsPerBand = Similarity.lshRowsPerBand(tau))
                     else {
+                      // kc ceiling 256: the column-projected kmeans/assign
+                      // width is the binding constraint, so the |B|^1.5
+                      // bound holds up to |B| ≈ 65k docs per batch —
+                      // backfills beyond that should bound the batch
+                      // (maxFilesPerTrigger under AvailableNow drains the
+                      // backlog in chunks; the admitted-corpus memory
+                      // gives cross-chunk dups the same greedy-
+                      // representative semantics)
                       val kc = math.max(2, math.min(256,
                         math.ceil(math.sqrt(nSide.toDouble)).toInt))
+                      // star-cap only DEGENERATE clusters: 8× the mean
+                      // 2-probe cluster size, so near-dup recall between
+                      // non-rep members survives at any |B| (a fixed cap
+                      // would mark EVERY cluster hot on a large batch and
+                      // silently degrade the whole pairing to rep stars)
+                      val cap = math.min(Int.MaxValue.toLong,
+                        math.max(64L, 16L * nSide / kc)).toInt
                       val cents = Similarity.kmeansTrain(side, idCol,
                           vecCol, k = kc, iters = 2)
                         .select(col("centroid_id").cast("long").as(idCol),
                           col(vecCol))
                       Similarity.cosinePairsClusteredMultiProbe(side, cents,
-                        idCol, vecCol, tau, nprobe = 2,
-                        clusterCap = math.max(1, semanticGateExactCap))
+                        idCol, vecCol, tau, nprobe = 2, clusterCap = cap)
                     }
                   val adm = side.select(col(idCol), col("_adm"))
                   raw

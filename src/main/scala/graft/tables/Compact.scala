@@ -43,6 +43,24 @@ object Compact {
     * trigger counts this same listing, so a future sidecar-convention
     * change cannot desynchronize the two.
     */
+  /** A table's data-file listing as a cache key: md5 over the sorted
+    * (path, length) pairs plus the file count. Parquet writers name every
+    * part file with a task UUID, so ANY rewrite/append/compaction moves
+    * the fingerprint — the shared primitive behind the durable indexes'
+    * fingerprint-keyed caches (one copy, so a keying change cannot
+    * desynchronize the indexes).
+    */
+  private[graft] def listingFingerprint(store: TableStore, table: String): (String, Int) = {
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val p = new Path(store.path(table))
+    val files = dataFiles(p.getFileSystem(conf), p)
+      .map { case (path, len) => s"${path.toUri.getPath}:$len" }.sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    files.foreach(f => md.update(f.getBytes("UTF-8")))
+    (md.digest().map("%02x".format(_)).mkString, files.size)
+  }
+
   private[graft] def dataFiles(fs: FileSystem, dir: Path): Seq[(Path, Long)] = {
     if (!fs.exists(dir)) return Nil
     fs.listStatus(dir).toSeq.flatMap { st =>

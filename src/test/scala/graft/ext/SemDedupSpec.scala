@@ -90,6 +90,26 @@ class SemDedupSpec extends SparkSpec {
     assert(star === (2L to 6L).map(b => (1L, b)).toSet)
   }
 
+  test("cosinePairsClusteredMultiProbe clusterCap: a FOREIGN min-id cluster rep cannot mask a verbatim flood (identity-group stars)") {
+    import graft.ext.Similarity
+    def oneHot(i: Int): Seq[Float] =
+      (0 until 8).map(d => if (d == i) 1.0f else 0.0f)
+    // doc 1 is orthogonal to the 6-copy flood; with k=2 seeds (ids 1,
+    // 100) and nprobe=2, EVERY doc probes both clusters, so the flood's
+    // hot cluster carries min id 1 — a rep whose star pairs are all
+    // cos 0. Without identity-group stars the flood would be admitted
+    // whole; with them every copy pairs the flood's OWN min id at cos 1
+    val docs = (Seq((1L, oneHot(7))) ++
+      (100L to 105L).map(i => (i, oneHot(0)))).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansTrain(docs, "vec_id", "embedding", k = 2, iters = 2)
+      .select(col("centroid_id").cast("long").as("vec_id"), col("embedding"))
+    val star = Similarity.cosinePairsClusteredMultiProbe(
+        docs, cents, "vec_id", "embedding", threshold = 0.9, nprobe = 2,
+        clusterCap = 3)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(star === (101L to 105L).map(b => (100L, b)).toSet, s"got $star")
+  }
+
   test("semanticDecontaminate flags train vectors near ANY eval vector (C7)") {
     // eval = the axis-1 and axis-2 vectors; train contains a near-copy of
     // axis 1 (flagged, cos ~0.96), an exact copy (flagged, cos 1.0, and

@@ -295,12 +295,17 @@ object AnnIndex {
     * one copy of the subtle empty-table case.
     */
   private def sizesFresh(store: TableStore, name: String, fp: String): Boolean =
-    store.exists(csizesT(name)) && {
+    // NonFatal → stale: a concurrent refresh can swap the cache files
+    // between exists() and the collect (the poll-safety contract covers
+    // READS too, not just the best-effort write) — a read-only poller
+    // must degrade to "recompute", never throw
+    try store.exists(csizesT(name)) && {
       val head = store.read(csizesT(name)).select(col("fp")).limit(1).collect()
       // an EMPTY cached table carries no fp row: it is fresh exactly when
       // the codes table is empty too (empty-listing fingerprints match)
       if (head.isEmpty) codesFingerprint0Empty == fp else head(0).getString(0) == fp
     }
+    catch { case scala.util.control.NonFatal(_) => false }
 
   private def refreshClusterSizes0(store: TableStore, name: String,
       fp: String): Boolean = {
@@ -331,11 +336,25 @@ object AnnIndex {
   private def clusterSizesFrameAt(store: TableStore, name: String,
       fp: String): DataFrame = {
     refreshClusterSizes0(store, name, fp)
-    if (sizesFresh(store, name, fp))
-      store.read(csizesT(name)).select(col("cluster"), col("csize"))
-    else
+    // The cached rows are COLLECTED inside the freshness window and
+    // re-served as a local relation: the returned frame is consumed lazily
+    // (health's collect, searchBudgeted's plan can execute after a
+    // concurrent refresh swaps the cache files), so a poll-safe path must
+    // not carry a file-backed plan out of this method. nlist rows —
+    // driver-trivial, and downstream joins see a broadcastable local
+    // relation instead of a parquet scan.
+    val local: Option[DataFrame] =
+      try {
+        if (!sizesFresh(store, name, fp)) None
+        else {
+          val df = store.read(csizesT(name)).select(col("cluster"), col("csize"))
+          Some(org.apache.spark.sql.SparkSession.active.createDataFrame(
+            java.util.Arrays.asList(df.collect(): _*), df.schema))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    local.getOrElse(
       store.read(codesT(name))
-        .groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
+        .groupBy(col("cluster")).agg(count(lit(1)).as("csize")))
   }
   // md5 of zero files — the fingerprint an emptied codes table hashes to
   private val codesFingerprint0Empty: String =

@@ -160,9 +160,26 @@ object Bm25 {
       graft.tables.Compact.dataFiles(p.getFileSystem(conf), p).size
     }
     val ts = Seq(s"${name}_postings", s"${name}_doclen")
-    if (ts.exists(nFiles(_) > maxFiles))
-      Some(ts.map(t => t -> graft.tables.Compact.compact(store, t, targetBytes)).toMap)
-    else None
+    if (ts.exists(nFiles(_) > maxFiles)) {
+      // Compaction is content-neutral, so a health cache that was FRESH
+      // going in is re-stamped to the post-compaction fingerprint without
+      // re-aggregating the postings table (the [[AnnIndex
+      // .maintainIfNeeded]] csizes idea); a stale one is left stale —
+      // re-stamping it would freeze wrong aggregates
+      val cacheT = s"${name}_health_cache"
+      val wasFresh =
+        try store.exists(cacheT) &&
+          store.read(cacheT).select(col("fp")).collect()
+            .headOption.exists(_.getString(0) == healthKey(store, name)._1)
+        catch { case scala.util.control.NonFatal(_) => false }
+      val stats =
+        ts.map(t => t -> graft.tables.Compact.compact(store, t, targetBytes)).toMap
+      if (wasFresh)
+        try store.overwrite(cacheT, store.read(cacheT)
+          .withColumn("fp", lit(healthKey(store, name)._1)))
+        catch { case scala.util.control.NonFatal(_) => () }
+      Some(stats)
+    } else None
   }
 
   /** [[AnnIndex.Health]]'s lexical twin. `maxTermFrac` is the hot-term
@@ -197,22 +214,33 @@ object Bm25 {
     * of re-aggregating the postings table; the worst case (first call
     * after a mutation) is exactly the old cost.
     */
-  def health(store: TableStore, name: String): Health = {
-    val spark = org.apache.spark.sql.SparkSession.active
-    import spark.implicits._
+  /** The two data tables' combined listing fingerprint + file counts —
+    * the ONE definition of the health-cache key, shared by [[health]] and
+    * [[maintainIfNeeded]]'s content-neutral re-stamp.
+    */
+  private def healthKey(store: TableStore, name: String): (String, Int, Int) = {
     val (fpP, nfP) = graft.tables.Compact
       .listingFingerprint(store, s"${name}_postings")
     val (fpD, nfD) = graft.tables.Compact
       .listingFingerprint(store, s"${name}_doclen")
-    val fp = s"$fpP:$fpD"
+    (s"$fpP:$fpD", nfP, nfD)
+  }
+
+  def health(store: TableStore, name: String): Health = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val (fp, nfP, nfD) = healthKey(store, name)
     val cacheT = s"${name}_health_cache"
+    // NonFatal → recompute: a concurrent refresh can swap the cache files
+    // between exists() and the collect — poll-safety covers the READ too
     val cached: Option[(Long, Long, Long, Long)] =
-      if (!store.exists(cacheT)) None
-      else {
-        val r = store.read(cacheT).collect()(0)
-        if (r.getString(r.fieldIndex("fp")) != fp) None
-        else Some((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      }
+      try {
+        if (!store.exists(cacheT)) None
+        else store.read(cacheT).collect().headOption.flatMap { r =>
+          if (r.getString(r.fieldIndex("fp")) != fp) None
+          else Some((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
     val (nDocs, total, hot, vocab) = cached.getOrElse {
       val byTerm = store.read(s"${name}_postings")
         .groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -485,21 +485,32 @@ object DedupIndex {
     * reads one row instead of re-aggregating the bands table, and the
     * worst case (first call after a mutation) is exactly the old cost.
     */
-  def health(store: TableStore, name: String): Health = {
-    val spark = org.apache.spark.sql.SparkSession.active
-    import spark.implicits._
+  /** The three index tables' combined listing fingerprint + file counts —
+    * the ONE definition of the health-cache key, shared by [[health]] and
+    * [[maintain]]'s content-neutral re-stamp.
+    */
+  private def healthKey(store: TableStore, name: String): (String, Int, Int, Int) = {
     val (fpB, nfB) = graft.tables.Compact.listingFingerprint(store, bandsT(name))
     val (fpS, nfS) = graft.tables.Compact.listingFingerprint(store, shinglesT(name))
     val (fpZ, nfZ) = graft.tables.Compact.listingFingerprint(store, sizesT(name))
-    val fp = s"$fpB:$fpS:$fpZ"
+    (s"$fpB:$fpS:$fpZ", nfB, nfS, nfZ)
+  }
+
+  def health(store: TableStore, name: String): Health = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val (fp, nfB, nfS, nfZ) = healthKey(store, name)
     val cacheT = s"${name}_health_cache"
+    // NonFatal → recompute: a concurrent refresh can swap the cache files
+    // between exists() and the collect — poll-safety covers the READ too
     val cached: Option[(Long, Long, Long, Long)] =
-      if (!store.exists(cacheT)) None
-      else {
-        val r = store.read(cacheT).collect()(0)
-        if (r.getString(r.fieldIndex("fp")) != fp) None
-        else Some((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      }
+      try {
+        if (!store.exists(cacheT)) None
+        else store.read(cacheT).collect().headOption.flatMap { r =>
+          if (r.getString(r.fieldIndex("fp")) != fp) None
+          else Some((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
     val (nDocs, nShingles, total, hot) = cached.getOrElse {
       val nd = store.read(sizesT(name)).count()
       val ns = store.read(shinglesT(name)).count()
@@ -528,10 +539,25 @@ object DedupIndex {
     // rewrite would collapse the partition dirs pruning depends on
     val nBkt = idBucketsOf(store.read(shinglesT(name)).schema)
     val shPb = if (nBkt > 0) Seq(bktCol(nBkt)) else Nil
-    Seq(bandsT(name) -> Nil, shinglesT(name) -> shPb, sizesT(name) -> Nil)
+    // Compaction is content-neutral, so a health cache that was FRESH
+    // going in is re-stamped to the post-compaction fingerprint without
+    // re-aggregating the bands table (the [[AnnIndex.maintainIfNeeded]]
+    // csizes idea); a stale one is left stale
+    val cacheT = s"${name}_health_cache"
+    val wasFresh =
+      try store.exists(cacheT) &&
+        store.read(cacheT).select(col("fp")).collect()
+          .headOption.exists(_.getString(0) == healthKey(store, name)._1)
+      catch { case scala.util.control.NonFatal(_) => false }
+    val stats = Seq(bandsT(name) -> Nil, shinglesT(name) -> shPb, sizesT(name) -> Nil)
       .map { case (t, pb) =>
         t -> graft.tables.Compact.compact(store, t, targetBytes, partitionBy = pb)
       }.toMap
+    if (wasFresh)
+      try store.overwrite(cacheT, store.read(cacheT)
+        .withColumn("fp", lit(healthKey(store, name)._1)))
+      catch { case scala.util.control.NonFatal(_) => () }
+    stats
   }
 
   /** [[maintain]] behind an operational TRIGGER: compact only when one of

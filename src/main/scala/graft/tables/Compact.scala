@@ -43,6 +43,16 @@ object Compact {
     * trigger counts this same listing, so a future sidecar-convention
     * change cannot desynchronize the two.
     */
+  private[graft] def dataFiles(fs: FileSystem, dir: Path): Seq[(Path, Long)] = {
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Nil
+      else if (st.isDirectory) dataFiles(fs, st.getPath)
+      else Seq(st.getPath -> st.getLen)
+    }
+  }
+
   /** A table's data-file listing as a cache key: md5 over the sorted
     * (path, length) pairs plus the file count. Parquet writers name every
     * part file with a task UUID, so ANY rewrite/append/compaction moves
@@ -59,16 +69,6 @@ object Compact {
     val md = java.security.MessageDigest.getInstance("MD5")
     files.foreach(f => md.update(f.getBytes("UTF-8")))
     (md.digest().map("%02x".format(_)).mkString, files.size)
-  }
-
-  private[graft] def dataFiles(fs: FileSystem, dir: Path): Seq[(Path, Long)] = {
-    if (!fs.exists(dir)) return Nil
-    fs.listStatus(dir).toSeq.flatMap { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("_") || n.startsWith(".")) Nil
-      else if (st.isDirectory) dataFiles(fs, st.getPath)
-      else Seq(st.getPath -> st.getLen)
-    }
   }
 
   /** Morton key: bit j of lane i lands at position j*n + i, so the sort

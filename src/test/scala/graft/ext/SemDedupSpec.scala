@@ -90,6 +90,37 @@ class SemDedupSpec extends SparkSpec {
     assert(star === (2L to 6L).map(b => (1L, b)).toSet)
   }
 
+  test("cosinePairsClusteredMultiProbe uncapped short-circuit: only the distinct aggregate, no vector-column groupBy (r17 d11 regression)") {
+    import graft.ext.Similarity
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    def oneHot(i: Int): Seq[Float] =
+      (0 until 8).map(d => if (d == i) 1.0f else 0.0f)
+    val docs = ((1L to 6L).map(i => (i, oneHot(0))) ++
+      (11L to 14L).map(i => (i, oneHot((i - 9).toInt)))).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansTrain(docs, "vec_id", "embedding", k = 3, iters = 2)
+      .select(col("centroid_id").cast("long").as("vec_id"), col("embedding"))
+    def aggs(cap: Int) = Similarity.cosinePairsClusteredMultiProbe(
+        docs, cents, "vec_id", "embedding", threshold = 0.9, nprobe = 2,
+        clusterCap = cap)
+      .queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+    // at the default cap the star-cap machinery (sizes aggregate, size
+    // join, hot branches, identity groupBy on the raw vector column) must
+    // be absent: the only aggregate left is the final distinct, and
+    // nothing groups by the embedding column
+    val un = aggs(Int.MaxValue)
+    assert(un.size === 1, s"uncapped plan should carry ONLY the distinct, got ${un.size}")
+    un.foreach { a =>
+      val refs = a.groupingExpressions.flatMap(_.references.map(_.name)).toSet
+      assert(!refs.contains("embedding"), s"vector-column groupBy in uncapped plan: $refs")
+    }
+    // contrast: the capped plan pays them (sizes agg + identity groupBy +
+    // distinct), including a grouping that references the vector column
+    val capped = aggs(3)
+    assert(capped.size > 1)
+    assert(capped.exists(_.groupingExpressions
+      .flatMap(_.references.map(_.name)).contains("embedding")))
+  }
+
   test("cosinePairsClusteredMultiProbe clusterCap: a FOREIGN min-id cluster rep cannot mask a verbatim flood (identity-group stars)") {
     import graft.ext.Similarity
     def oneHot(i: Int): Seq[Float] =

@@ -1236,7 +1236,7 @@ class StreamsSpec extends SparkSpec {
       store.read(s"${tag}_corpus").select(col("doc_id"))
         .as[Long].collect().toSet
     }
-    val adc = run("sg7a", cap = 5)     // 15 candidates > 5, τ<0.9 → selfPairs
+    val adc = run("sg7a", cap = 5)     // 15 candidates > 5, τ<0.9 → clustered pairing
     val exact = run("sg7x", cap = 10000)
     assert(adc === exact)
     assert(adc === (1L to 4L).toSet ++ (101L to 112L).toSet + 115L)

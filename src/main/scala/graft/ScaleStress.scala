@@ -653,25 +653,46 @@ object ScaleStress {
     // than exact — 567 s vs 385 s at ×10 — because the backfill runs
     // |B|²·nprobe/nlist ADC rows against the base's stale 8-cluster
     // geometry; batch-fresh centroids scale with the batch instead.)
-    for ((tag, df, cap, tau) <- Seq(
-        ("small_exact", small, Int.MaxValue, 0.99),
-        ("small_lsh", small, 1000, 0.99),
-        ("big_exact", rest, Int.MaxValue, 0.99),
-        ("big_lsh", rest, 1000, 0.99),
-        ("small_exact_t07", small, Int.MaxValue, 0.7),
-        ("small_clu_t07", small, 1000, 0.7),
-        ("big_clu_t07", rest, 1000, 0.7))) {
+    // the chunked row prices the OVERSIZED-backfill recipe (bound the
+    // batch with maxFilesPerTrigger): same backlog as big_clu_t07 drained
+    // in 4 chunks — per-chunk pairing is (|B|/c)^1.5, so the chunked
+    // total must land at or under the one-batch row (Σ c·(|B|/c)^1.5 =
+    // |B|^1.5/√c) plus per-batch fixed costs; admitted counts may differ
+    // by greedy-representative swaps only (the StreamsSpec-pinned
+    // composition semantics)
+    for ((tag, df, cap, tau, chunks) <- Seq(
+        ("small_exact", small, Int.MaxValue, 0.99, 1),
+        ("small_lsh", small, 1000, 0.99, 1),
+        ("big_exact", rest, Int.MaxValue, 0.99, 1),
+        ("big_lsh", rest, 1000, 0.99, 1),
+        ("small_exact_t07", small, Int.MaxValue, 0.7, 1),
+        ("small_clu_t07", small, 1000, 0.7, 1),
+        ("big_clu_t07", rest, 1000, 0.7, 1),
+        ("big_clu_t07_chunked", rest, 1000, 0.7, 4))) {
       val store = new TableStore(spark, s"$workDir/bf_$tag")
       AnnIndex.build(store, "bf_ann", base, "doc_id", "embedding",
         dim = 64, m = 8, k = 16, sampleMod = Some(4))
       store.overwrite("bf_corpus", base)
       val landing = s"$workDir/bf_${tag}_landing"
-      df.coalesce(1).write.mode("overwrite").parquet(landing)
+      if (chunks == 1) df.coalesce(1).write.mode("overwrite").parquet(landing)
+      else {
+        // one file per chunk, written in order (file-source batches
+        // follow modification time, so chunk = file here)
+        val bat = pmod(Similarity.sampleBucket(col("doc_id") + 29),
+          lit(chunks))
+        (0 until chunks).foreach { c =>
+          df.filter(bat === c).coalesce(1)
+            .write.mode(if (c == 0) "overwrite" else "append")
+            .parquet(landing)
+        }
+      }
       val n = df.count()
+      val reader = spark.readStream.format("parquet").schema(schema)
+      val src = (if (chunks > 1) reader.option("maxFilesPerTrigger", "1")
+                 else reader).load(landing)
       val t0 = System.nanoTime()
       graft.streaming.Streams.retrievalIngestSink(
-        spark.readStream.format("parquet").schema(schema).load(landing),
-        store, "doc_id", s"$workDir/bf_${tag}_ckpt",
+        src, store, "doc_id", s"$workDir/bf_${tag}_ckpt",
         annIndex = Some("bf_ann"),
         corpusTable = Some("bf_corpus"),
         semanticGateThreshold = Some(tau),
@@ -682,7 +703,7 @@ object ScaleStress {
       val admitted = store.read("bf_corpus").count() - nBase
       val pairs =
         if (store.exists("bf_pairs")) store.read("bf_pairs").count() else 0L
-      println(f"""{"backfill":"$tag","n_docs":$n,"sec":$sec%.2f,"admitted":$admitted,"audit_pairs":$pairs}""")
+      println(f"""{"backfill":"$tag","n_docs":$n,"chunks":$chunks,"sec":$sec%.2f,"sec_per_chunk":${sec / chunks}%.2f,"admitted":$admitted,"audit_pairs":$pairs}""")
     }
   }
 

@@ -194,7 +194,7 @@ object DedupIndex {
     */
   def dropIndex(store: TableStore, name: String): Unit =
     Seq(bandsT(name), shinglesT(name), sizesT(name),
-      s"${name}_health_cache", s"${name}_conf")
+      s"${name}_health_cache", s"${name}_cap_policy", s"${name}_conf")
       .foreach(t => if (store.exists(t)) store.drop(t))
 
   // ---- audit accessors: the index's physical content in logical form ----
@@ -327,6 +327,16 @@ object DedupIndex {
       digest: Boolean = false,
       broadcastCandBytes: Long = 8L << 20): (DataFrame, IncrementStage) = {
     require(k % bands == 0, s"k ($k) must be divisible by bands ($bands)")
+    require(bucketCap >= 0,
+      s"bucketCap must be >= 0 (0 = the stored [[capIfUnhealthy]] policy, " +
+        s"uncapped when none exists), got $bucketCap")
+    // bucketCap = 0 opts into the persisted probe policy: the cap
+    // capIfUnhealthy derived on the health cadence, uncapped until the
+    // bell first rings — how a long-lived probe loop picks up the
+    // clapper's decision without a config change
+    val cap =
+      if (bucketCap == 0) storedBucketCap(store, name).getOrElse(Int.MaxValue)
+      else bucketCap
     // the stored schema records which mode AND layout the index was BUILT
     // with — a mismatched `digest` here would only surface later as a
     // cryptic append-schema conflict, after the increment was already
@@ -364,7 +374,7 @@ object DedupIndex {
     // distinctStats: crash-residue duplicate band rows must not inflate a
     // bucket past the cap (which would star-pair it and drop true pairs)
     val cands = Scratch.stage(
-      Dedup.probeCappedPairs(ebInc, eb, idCol, bucketCap, distinctStats = true),
+      Dedup.probeCappedPairs(ebInc, eb, idCol, cap, distinctStats = true),
       s"${name}_inc_cands")
     // staged once: the union+distinct is a real exchange, and its result
     // feeds the gate count, the shCand staging, and the returned plan's two
@@ -468,7 +478,9 @@ object DedupIndex {
     * 47 minutes, while the capped probe stayed flat at 2.6 s. **Alert —
     * and set `bucketCap` — as soon as maxBucketFrac · nDocs exceeds a
     * few × the cap you'd choose**; there is no graceful uncapped regime
-    * above ~0.1.
+    * above ~0.1. [[capIfUnhealthy]] is this bell's clapper: it derives
+    * and persists the cap on that exact rule, and `bucketCap = 0` probes
+    * pick it up.
     */
   final case class Health(
       nDocs: Long, nShingleRows: Long, nBandRows: Long,
@@ -531,6 +543,101 @@ object DedupIndex {
     Health(nDocs, nShingles, total,
       if (nDocs == 0) 0.0 else hot.toDouble / nDocs,
       nfB, nfS, nfZ)
+  }
+
+  private def capPolicyT(name: String) = s"${name}_cap_policy"
+
+  /** The probe-side bucket cap [[capIfUnhealthy]] last derived and
+    * persisted for this index, if any — what `bucketCap = 0` on
+    * [[probeIncrement]]/[[dedupIncrement]] resolves to. Poll-safe
+    * (NonFatal → None, the health-cache read contract).
+    */
+  def storedBucketCap(store: TableStore, name: String): Option[Int] =
+    try {
+      if (!store.exists(capPolicyT(name))) None
+      else store.read(capPolicyT(name)).collect().headOption
+        .map(r => r.getInt(r.fieldIndex("bucket_cap")))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** What [[capIfUnhealthy]] decided: whether the hot-bucket bell rang,
+    * the numbers it was judged against (rows in the hottest band bucket
+    * vs the scan budget), the mean bucket size the cap was derived from
+    * (0 when it declined — the trigger path alone pays the bucket
+    * count), and the policy in force AFTER the call (newly derived, or
+    * the pre-existing one on a decline; None when no policy exists).
+    */
+  final case class CapDecision(
+      triggered: Boolean, hotBucketRows: Long, hotBucketBudget: Long,
+      meanBucketRows: Double, cap: Option[Int])
+
+  /** [[AnnIndex.rebuildIfUnhealthy]]'s lexical twin — the clapper for
+    * the [[Health.maxBucketFrac]] bell. The lexical index has no rebuild
+    * action that can help: band buckets are CONTENT-determined, so
+    * rebuilding from the same corpus reproduces the same hot buckets
+    * (unlike IVF geometry, which fresh k-means can fix). The measured
+    * fix is probe-side (BENCH_LOCAL_r16.md §9: the uncapped probe is 54×
+    * slower at maxBucketFrac 0.116 and collapses onto a single shuffle
+    * key at 0.465 — there is no graceful uncapped regime): cap hot
+    * buckets so they star-pair with their min-id rep. This derives that
+    * cap and persists it as the index's probe POLICY — callers passing
+    * `bucketCap = 0` (and [[graft.streaming.Streams.retrievalIngestSink]]
+    * gates configured the same way) pick it up on their next probe, so
+    * the bell's consumer is one call on the health cadence, not an
+    * operator action.
+    *
+    *   - BELL: rows in the hottest band bucket (`maxBucketFrac × nDocs`)
+    *     ≥ `hotBucketBudget`. The budget is the m where the O(m²)
+    *     verification join stops being acceptable — default 4096 (≈16M
+    *     candidate pairs from one bucket; the measured 54× slowdown was
+    *     at m ≈ 5.2k on 45k docs).
+    *   - CAP: `capFactor ×` the mean band-bucket size (floor 64) — the
+    *     same "only DEGENERATE buckets are hot" rule the sink's clustered
+    *     pairing uses for clusters: a flood bucket is orders over the
+    *     mean, so the cap binds it without touching organic buckets.
+    *   - THRASH GUARD: the ringing `hot_rows` persists with the policy,
+    *     and the bell re-rings only at `rearmFactor ×` that baseline —
+    *     a still-flooded corpus (the fix is upstream dedup / takedown)
+    *     must not re-derive every batch. `rearmFactor = 0` disables the
+    *     guard (re-derive whenever over budget).
+    *
+    * Steady-state cost is one [[health]] poll (fingerprint-cached, one
+    * row) plus one 1-row policy read; only the trigger path pays the
+    * bucket count the cap derivation needs.
+    */
+  def capIfUnhealthy(store: TableStore, name: String,
+      hotBucketBudget: Long = 4096, capFactor: Long = 8,
+      rearmFactor: Double = 1.25): CapDecision = {
+    require(hotBucketBudget >= 1,
+      s"hotBucketBudget must be >= 1, got $hotBucketBudget")
+    require(capFactor >= 1, s"capFactor must be >= 1, got $capFactor")
+    require(rearmFactor >= 0,
+      s"rearmFactor must be >= 0 (0 disables the thrash guard), got $rearmFactor")
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val h = health(store, name)
+    val hot = math.round(h.maxBucketFrac * h.nDocs)
+    val prev: Option[(Int, Long)] =
+      try {
+        if (!store.exists(capPolicyT(name))) None
+        else store.read(capPolicyT(name)).collect().headOption
+          .map(r => (r.getInt(r.fieldIndex("bucket_cap")),
+            r.getLong(r.fieldIndex("hot_rows"))))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val base = if (rearmFactor == 0) None else prev
+    val ring = h.nDocs > 0 && hot >= hotBucketBudget &&
+      base.forall(b => hot >= rearmFactor * b._2)
+    if (!ring)
+      CapDecision(triggered = false, hot, hotBucketBudget, 0.0, prev.map(_._1))
+    else {
+      val nBuckets = store.read(bandsT(name))
+        .select(col("band"), col("bucket")).distinct().count()
+      val mean = if (nBuckets == 0) 0.0 else h.nBandRows.toDouble / nBuckets
+      val cap = math.min(Int.MaxValue.toLong,
+        math.max(64L, capFactor * math.ceil(mean).toLong)).toInt
+      store.overwrite(capPolicyT(name),
+        Seq((cap, hot)).toDF("bucket_cap", "hot_rows"))
+      CapDecision(triggered = true, hot, hotBucketBudget, mean, Some(cap))
+    }
   }
 
   def maintain(store: TableStore, name: String,

@@ -537,7 +537,75 @@ object Streams {
     * same recall trade [[graft.ext.Dedup]] documents for capped batch
     * dedup; leave the cap at the default where that matters more than
     * the O(m²) bound.
+    *
+    * `rebuildPolicy` (optional; requires `annIndex` AND `corpusTable`)
+    * runs [[graft.ext.AnnIndex.rebuildIfUnhealthy]] on the sink's own
+    * per-batch cadence, right where the compaction triggers live — see
+    * [[RebuildPolicy]]. The r17 ingestrebuild battery measured exactly
+    * this composition (rebuild mid-stream, guards/marker unchanged,
+    * 0.33-0.49 s/batch when the bells are silent); the flag makes it the
+    * paved path instead of a caller-owned loop.
     */
+  /** [[retrievalIngestSink]]'s ANN retrain policy — [[graft.ext.AnnIndex
+    * .rebuildIfUnhealthy]] wired onto the sink's own per-batch health
+    * cadence (where the compaction triggers already live), so the
+    * measured drift/skew/collapse policy is one flag instead of an
+    * external loop the operator must build. `dim` is the embedding
+    * dimensionality (the one argument the rebuild cannot recover from
+    * stored artifacts cheaply); the factors are rebuildIfUnhealthy's
+    * measured defaults; `decisionTable` (optional) appends one audit row
+    * per batch — (batch_id, rebuilt, drift, skew, collapse,
+    * drift_baseline, drift_last, max_cluster_frac, n_clusters,
+    * auto_nlist) — the operational record of which bell rang and when
+    * (at-least-once on replay, like every sink audit trail).
+    */
+  final case class RebuildPolicy(
+      dim: Int,
+      driftFactor: Double = 2.0,
+      skewCostMultiple: Double = 16.0,
+      collapseFactor: Double = 2.0,
+      rearmFactor: Double = 1.25,
+      nlist: Int = 0, coarseIters: Int = 2, m: Int = 0, k: Int = 0,
+      pqIters: Int = 2, sampleMod: Option[Int] = None,
+      recal: Option[graft.ext.AnnIndex.RecalSpec] = None,
+      decisionTable: Option[String] = None)
+
+  /** [[retrievalIngestSink]]'s LEXICAL clapper policy — [[graft.ext
+    * .DedupIndex.capIfUnhealthy]] on the sink's per-batch cadence, the
+    * hot-bucket twin of [[RebuildPolicy]]: when the gate index's hottest
+    * band bucket crosses `hotBucketBudget` rows, a probe-side
+    * `bucketCap` is derived and persisted as the index's cap policy.
+    * Pair it with `gateBucketCap = 0` (the stored-policy sentinel on
+    * [[graft.ext.DedupIndex.probeIncrement]]) so the NEXT batch's probe
+    * picks the derived cap up automatically — uncapped until the bell
+    * first rings, capped from then on, no config change. `decisionTable`
+    * (optional) appends one (batch_id, capped, hot_rows, budget,
+    * bucket_cap) audit row per batch, at-least-once on replay.
+    */
+  final case class GateCapPolicy(
+      hotBucketBudget: Long = 4096, capFactor: Long = 8,
+      rearmFactor: Double = 1.25, decisionTable: Option[String] = None)
+
+  /** Tear down the gate SCRATCH tables a retired retrieval stack can
+    * leave behind: the semantic gate's `{ann}_sgate_cand`/`{ann}_sgate_
+    * kept` and the lexical gate's `{gate}_gate_fresh`/`{gate}_gate_kept`
+    * are store-persistent batch staging, dropped at the end of every
+    * healthy batch but orphaned by a crash — and deliberately NOT
+    * removed by [[graft.ext.AnnIndex.dropIndex]] /
+    * [[graft.ext.DedupIndex.dropIndex]], which are scoped to the tables
+    * build/maintenance own. The SINK owns these names, so retiring a
+    * gated stack is dropIndex (each index) + this. The intent/done
+    * marker table is durable sink state, not scratch — drop it with the
+    * checkpoint directory when retiring the stream itself.
+    */
+  def dropGateScratch(store: TableStore, annIndex: Option[String] = None,
+      dedupGate: Option[String] = None): Unit = {
+    val ts =
+      annIndex.toSeq.flatMap(a => Seq(s"${a}_sgate_cand", s"${a}_sgate_kept")) ++
+      dedupGate.toSeq.flatMap(g => Seq(s"${g}_gate_fresh", s"${g}_gate_kept"))
+    ts.foreach(t => if (store.exists(t)) store.drop(t))
+  }
+
   def retrievalIngestSink(docs: DataFrame, store: TableStore, idCol: String,
       checkpoint: String,
       annIndex: Option[String] = None, vecCol: String = "embedding",
@@ -552,7 +620,9 @@ object Streams {
       semanticGateKShort: Int = 100,
       semanticGateNprobe: Int = 0,
       semanticGatePairsTable: Option[String] = None,
-      semanticGateExactCap: Int = 10000): StreamingQuery = {
+      semanticGateExactCap: Int = 10000,
+      rebuildPolicy: Option[RebuildPolicy] = None,
+      gateCapPolicy: Option[GateCapPolicy] = None): StreamingQuery = {
     require(annIndex.nonEmpty || bm25Index.nonEmpty,
       "retrievalIngestSink needs at least one of annIndex / bm25Index")
     require(semanticGateThreshold.isEmpty ||
@@ -561,6 +631,13 @@ object Streams {
         "corpusTable (exact confirm + admitted-corpus memory)")
     require(semanticGateExactCap >= 0,
       s"semanticGateExactCap must be >= 0, got $semanticGateExactCap")
+    require(rebuildPolicy.isEmpty ||
+        (annIndex.nonEmpty && corpusTable.nonEmpty),
+      "rebuildPolicy needs annIndex (the index to retrain) and " +
+        "corpusTable (the vectors a rebuild trains from)")
+    require(gateCapPolicy.isEmpty || dedupGate.nonEmpty,
+      "gateCapPolicy needs dedupGate (the lexical index whose probe cap " +
+        "it derives)")
     val intentT = intentTable.getOrElse(
       s"${annIndex.getOrElse(bm25Index.get)}_ingest_intent")
     docs.writeStream
@@ -729,9 +806,20 @@ object Streams {
                       // bound holds up to |B| ≈ 65k docs per batch —
                       // backfills beyond that should bound the batch
                       // (maxFilesPerTrigger under AvailableNow drains the
-                      // backlog in chunks; the admitted-corpus memory
-                      // gives cross-chunk dups the same greedy-
-                      // representative semantics)
+                      // backlog in chunks). The chunked drain's SEMANTICS
+                      // are pinned, not assumed (StreamsSpec "chunked
+                      // backfill composes"): the admitted-corpus memory
+                      // makes it greedy in (chunk, id) ARRIVAL order —
+                      // every dup group still admits exactly ONE
+                      // representative and every novel/sub-threshold doc
+                      // is admitted identically to the one-batch run; the
+                      // only divergence is WHICH rep survives a group
+                      // whose later id arrives in an earlier chunk (the
+                      // earliest ARRIVAL wins, where one-batch keeps the
+                      // smallest id). Drain the backlog in id order when
+                      // rep identity matters; per-chunk cost stays
+                      // batch-linear (ScaleStress ingestbackfill chunked
+                      // row)
                       val kc = math.max(2, math.min(256,
                         math.ceil(math.sqrt(nSide.toDouble)).toInt))
                       // star-cap only DEGENERATE clusters: 8× the mean
@@ -837,6 +925,52 @@ object Streams {
         sgateCleanup()
         store.overwrite(intentT,
           Seq((bid, bid)).toDF("started_batch", "done_batch"))
+        // retrain policy runs AFTER the done marker for the same reason
+        // as compaction (content-preserving — the rebuild retrains
+        // quantizers from the corpus the legs just committed; a crash
+        // inside it must not drag the replay onto the repair path) and
+        // BEFORE it: a rebuild that fires rewrites the codes table
+        // wholesale, so compacting first would be wasted work. The
+        // health poll it starts from is the fingerprint-cached one-row
+        // read — the silent-bell cost is the measured 0.33-0.49 s/batch
+        // clapper cadence, not a corpus aggregate.
+        rebuildPolicy.foreach { rp =>
+          val n = annIndex.get
+          val dec = graft.ext.AnnIndex.rebuildIfUnhealthy(store, n,
+            store.read(corpusTable.get), idCol, vecCol, rp.dim,
+            driftFactor = rp.driftFactor,
+            skewCostMultiple = rp.skewCostMultiple,
+            collapseFactor = rp.collapseFactor,
+            rearmFactor = rp.rearmFactor,
+            nlist = rp.nlist, coarseIters = rp.coarseIters,
+            m = rp.m, k = rp.k, pqIters = rp.pqIters,
+            sampleMod = rp.sampleMod, recal = rp.recal)
+          rp.decisionTable.foreach { dt =>
+            store.append(dt, Seq((bid, dec.triggered, dec.driftTriggered,
+              dec.skewTriggered, dec.collapseTriggered, dec.driftBaseline,
+              dec.driftLast, dec.maxClusterFrac, dec.nClusters,
+              dec.autoNlist))
+              .toDF("batch_id", "rebuilt", "drift", "skew", "collapse",
+                "drift_baseline", "drift_last", "max_cluster_frac",
+                "n_clusters", "auto_nlist"))
+          }
+        }
+        // the lexical clapper shares the cadence: derive/persist the
+        // gate's probe cap when its hottest band bucket crosses the
+        // budget — the NEXT batch's probe resolves it via
+        // gateBucketCap = 0 (a policy write, content-neutral, so it also
+        // runs after the done marker)
+        gateCapPolicy.foreach { gp =>
+          val g = dedupGate.get
+          val dec = graft.ext.DedupIndex.capIfUnhealthy(store, g,
+            hotBucketBudget = gp.hotBucketBudget, capFactor = gp.capFactor,
+            rearmFactor = gp.rearmFactor)
+          gp.decisionTable.foreach { dt =>
+            store.append(dt, Seq((bid, dec.triggered, dec.hotBucketRows,
+              dec.hotBucketBudget, dec.cap.getOrElse(0)))
+              .toDF("batch_id", "capped", "hot_rows", "budget", "bucket_cap"))
+          }
+        }
         // per-batch appends fragment; compaction runs AFTER the done
         // marker — it is content-neutral (atomic swap), so a crash during
         // it must not drag the replay onto the repair path (the

@@ -319,6 +319,59 @@ class DedupIndexSpec extends SparkSpec {
       s"compaction changed partition dirs: $dirsBefore -> $bktDirs")
   }
 
+  test("capIfUnhealthy: flood rings and persists a probe cap, rearm guard declines until measurably worse, rearmFactor=0 escapes, bucketCap=0 probes resolve the policy") {
+    val store = new graft.tables.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_dicap").toString)
+    val flood = "the same boilerplate line every time"
+    val docs = corpus(7, 6).take(6) ++ (100L to 111L).map(i => (i, flood))
+    DedupIndex.build(store, "cp", docs.toDF("doc_id", "text"),
+      "doc_id", "text")
+    // bucketCap = 0 with NO stored policy probes uncapped — identical
+    // pairs to the explicit Int.MaxValue probe
+    def probePairs(cap: Int): Set[(Long, Long)] = {
+      val (p, _) = DedupIndex.probeIncrement(store, "cp",
+        Seq((500L, flood)).toDF("doc_id", "text"), "doc_id", "text",
+        threshold = 0.7, bucketCap = cap)
+      pairSet(p)
+    }
+    assert(probePairs(0) === probePairs(Int.MaxValue))
+    // a generous budget declines: no policy written
+    val calm = DedupIndex.capIfUnhealthy(store, "cp", hotBucketBudget = 1000)
+    assert(!calm.triggered && calm.cap.isEmpty)
+    assert(DedupIndex.storedBucketCap(store, "cp").isEmpty)
+    // budget under the 12-clone flood rings: cap derived from the mean
+    // bucket size (floor 64 here — organic buckets hold a handful of
+    // rows) and persisted as the probe policy
+    val ring = DedupIndex.capIfUnhealthy(store, "cp", hotBucketBudget = 10)
+    assert(ring.triggered)
+    assert(ring.hotBucketRows === 12L)
+    assert(ring.meanBucketRows > 0.0)
+    val cap0 = ring.cap.get
+    assert(cap0 >= 64)
+    assert(DedupIndex.storedBucketCap(store, "cp") === Some(cap0))
+    // bucketCap = 0 now resolves to the stored cap
+    assert(probePairs(0) === probePairs(cap0))
+    // rearm guard: the same still-flooded state declines (hot 12 <
+    // 1.25 × the stored 12), policy left in force
+    val again = DedupIndex.capIfUnhealthy(store, "cp", hotBucketBudget = 10)
+    assert(!again.triggered && again.cap === Some(cap0))
+    // the flood worsening past the rearm bar (12 → 18 ≥ 1.25 × 12)
+    // re-rings and re-stamps the baseline
+    DedupIndex.dedupIncrement(store, "cp",
+      (200L to 205L).map(i => (i, flood)).toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.7).collect()
+    val worse = DedupIndex.capIfUnhealthy(store, "cp", hotBucketBudget = 10)
+    assert(worse.triggered)
+    assert(worse.hotBucketRows === 18L)
+    // rearmFactor = 0 disables the guard: re-derives at the SAME level
+    val esc = DedupIndex.capIfUnhealthy(store, "cp", hotBucketBudget = 10,
+      rearmFactor = 0)
+    assert(esc.triggered && esc.hotBucketRows === 18L)
+    // dropIndex tears the policy down with the index
+    DedupIndex.dropIndex(store, "cp")
+    assert(!store.exists("cp_cap_policy"))
+  }
+
   test("index persists across runs: run 2's base includes run 1's increment") {
     val all = corpus(12, 40).toDF("doc_id", "text")
     val inc1 = col("doc_id") % 3 === 0

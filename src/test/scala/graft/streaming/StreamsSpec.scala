@@ -896,6 +896,110 @@ class StreamsSpec extends SparkSpec {
     assert(!store.exists("rb_ann_ingest_stage"))
   }
 
+  test("dropGateScratch: retiring a gated stack removes crash-orphaned gate scratch; absent tables are a no-op") {
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_dgs_store").toString)
+    // a crashed batch's orphans, planted directly (the sink drops these
+    // at the end of every HEALTHY batch — only a crash leaves them)
+    val orphans = Seq("xann_sgate_cand", "xann_sgate_kept",
+      "xg_gate_fresh", "xg_gate_kept")
+    orphans.foreach(t =>
+      store.overwrite(t, Seq((1L, "x")).toDF("doc_id", "text")))
+    // an unrelated neighbor sharing the prefix must survive
+    store.overwrite("xann_codes", Seq((1L, 2L)).toDF("doc_id", "cluster"))
+    Streams.dropGateScratch(store, annIndex = Some("xann"),
+      dedupGate = Some("xg"))
+    orphans.foreach(t => assert(!store.exists(t), s"$t survived"))
+    assert(store.exists("xann_codes"))
+    // idempotent on an already-clean store
+    Streams.dropGateScratch(store, Some("xann"), Some("xg"))
+    assert(store.exists("xann_codes"))
+  }
+
+  test("retrievalIngestSink rebuildPolicy: a mid-stream flood rings the collapse bell INSIDE the sink; the rearm guard holds across batches") {
+    import graft.ext.AnnIndex
+    val dir = Files.createTempDirectory("graft_rbp_landing").toString
+    val ckpt = Files.createTempDirectory("graft_rbp_ckpt").toString
+    val store = new TableStore(spark, Files.createTempDirectory("graft_rbp_store").toString)
+    def vec(base: Int, i: Int): Seq[Float] =
+      (0 until 16).map { d =>
+        val on = d >= base && d < base + 4
+        if (on) 1.0f + 0.01f * ((i * 7 + d) % 5) else 0.001f * ((i * 3 + d) % 7)
+      }
+    // base ids are HIGH (101..116) so a flood with LOW ids supplies the
+    // rebuild's smallest-id k-means seeds — the AnnIndexSpec futile-
+    // rebuild shape: Lloyd collapses the populated clusters and the
+    // fresh geometry stays collapsed
+    val base = (101 to 116).map(i =>
+      (i.toLong, vec(if (i % 2 == 1) 0 else 8, i)))
+    val baseDf = base.toDF("doc_id", "embedding")
+    AnnIndex.build(store, "rbp_ann", baseDf, "doc_id", "embedding",
+      dim = 16, m = 4, k = 4) // auto nlist = ceil(sqrt(16)) = 4
+    store.overwrite("rbp_corpus", baseDf)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    def row(d: (Long, Seq[Float])) =
+      s"""{"doc_id":${d._1},"embedding":[${d._2.mkString(",")}]}"""
+    // driftFactor pinned out of reach: this case is about the skew/
+    // collapse bells and their geometry-baseline rearm guard
+    def drain(): Unit = Streams.retrievalIngestSink(
+      spark.readStream.format("json").schema(schema).load(dir),
+      store, "doc_id", ckpt,
+      annIndex = Some("rbp_ann"), corpusTable = Some("rbp_corpus"),
+      rebuildPolicy = Some(Streams.RebuildPolicy(dim = 16,
+        driftFactor = 100.0, decisionTable = Some("rbp_dec"))))
+      .awaitTermination()
+
+    // batch 0: a 48-copy verbatim flood — appends push autoNlist to
+    // ceil(sqrt(64)) = 8 against the stored 4 clusters (ratio 2 ≥ 2):
+    // the collapse bell rings INSIDE the sink, after the legs and the
+    // done marker
+    val flood = vec(0, 999)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b0.json"),
+      (1 to 48).map(i => row((i.toLong, flood))).mkString("\n"))
+    drain()
+    val d0 = store.read("rbp_dec").orderBy(col("batch_id")).collect()
+    assert(d0.length === 1)
+    assert(d0(0).getBoolean(d0(0).fieldIndex("rebuilt")),
+      s"flood batch did not ring: ${d0(0)}")
+    assert(d0(0).getBoolean(d0(0).fieldIndex("collapse")))
+    assert(!d0(0).getBoolean(d0(0).fieldIndex("drift")))
+    // the rebuild composed with the guard/marker machinery: all docs
+    // indexed once, marker closed, fresh geometry + baseline persisted
+    assert(AnnIndex.knownIds(store, "rbp_ann", "doc_id")
+      .as[Long].collect().toSet ===
+      ((1L to 48L) ++ (101L to 116L)).toSet)
+    val m0 = store.read("rbp_ann_ingest_intent").collect()(0)
+    assert(m0.getLong(0) === m0.getLong(1))
+    assert(store.exists("rbp_ann_geom_base"))
+    // the still-flooded corpus defeated the rebuild (futile): geometry
+    // stayed collapsed
+    val h1 = AnnIndex.health(store, "rbp_ann")
+    assert(h1.autoNlist >= 2 * h1.nClusters,
+      s"flooded rebuild unexpectedly cleared: $h1")
+
+    // batch 1: more flood copies — the collapse signal is still over the
+    // absolute bar, but NOT 1.25× worse than the futile rebuild's own
+    // baseline: the rearm guard declines instead of paying a rebuild
+    // every batch
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b1.json"),
+      (49 to 56).map(i => row((i.toLong, flood))).mkString("\n"))
+    drain()
+    val d1 = store.read("rbp_dec").orderBy(col("batch_id")).collect()
+    assert(d1.length === 2)
+    assert(!d1(1).getBoolean(d1(1).fieldIndex("rebuilt")),
+      s"rearm guard did not hold across batches: ${d1(1)}")
+    // the batch itself still landed through the unchanged legs
+    assert(AnnIndex.knownIds(store, "rbp_ann", "doc_id")
+      .as[Long].collect().toSet ===
+      ((1L to 56L) ++ (101L to 116L)).toSet)
+    assert(!store.exists("rbp_ann_ingest_stage"))
+  }
+
   test("retrievalIngestSink dedupGate: near-dup docs never reach the retrieval indexes; dropped ids stay guarded") {
     import graft.ext.{AnnIndex, Bm25, DedupIndex}
     val dir = Files.createTempDirectory("graft_rg_landing").toString
@@ -982,6 +1086,74 @@ class StreamsSpec extends SparkSpec {
     // the marker closed
     val m = store.read("rg_ann_ingest_intent").collect()(0)
     assert(m.getLong(0) === m.getLong(1))
+  }
+
+  test("retrievalIngestSink gateCapPolicy: a text flood rings the lexical clapper on the sink cadence; gateBucketCap=0 picks the persisted cap up; rearm holds") {
+    import graft.ext.{Bm25, DedupIndex}
+    val dir = Files.createTempDirectory("graft_gcp_landing").toString
+    val ckpt = Files.createTempDirectory("graft_gcp_ckpt").toString
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_gcp_store").toString)
+    def text(i: Long) = s"alpha$i spark beta$i table gamma$i merge delta$i"
+    val flood = "the same boilerplate crawl banner on every mirror page"
+    val base = (1L to 6L).map(i => (i, text(i)))
+    val baseDf = base.toDF("doc_id", "text")
+    Bm25.buildIndex(store, "gcp_bm", baseDf, "doc_id", "text")
+    DedupIndex.build(store, "gcp_gate", baseDf, "doc_id", "text")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def row(d: (Long, String)) =
+      s"""{"doc_id":${d._1},"text":"${d._2}"}"""
+    // gateBucketCap = 0: probes resolve the STORED cap policy — uncapped
+    // until the clapper first rings, capped from then on
+    def drain(): Unit = Streams.retrievalIngestSink(
+      spark.readStream.format("json").schema(schema).load(dir),
+      store, "doc_id", ckpt,
+      bm25Index = Some("gcp_bm"),
+      dedupGate = Some("gcp_gate"), gateBucketCap = 0,
+      gateCapPolicy = Some(Streams.GateCapPolicy(hotBucketBudget = 10,
+        decisionTable = Some("gcp_dec"))))
+      .awaitTermination()
+
+    // batch 0: a 12-copy verbatim text flood + one novel doc. The gate
+    // admits the flood's min id only; the SEEN-corpus commit puts all 12
+    // copies in one band bucket, and the clapper on the sink cadence
+    // rings (12 ≥ 10) and persists the derived cap
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b0.json"),
+      ((101L to 112L).map(i => (i, flood)) ++ Seq((120L, text(120L))))
+        .map(row).mkString("\n"))
+    drain()
+    assert(Bm25.knownIds(store, "gcp_bm", "doc_id")
+      .as[Long].collect().toSet === (1L to 6L).toSet ++ Set(101L, 120L))
+    val d0 = store.read("gcp_dec").orderBy(col("batch_id")).collect()
+    assert(d0.length === 1 && d0(0).getBoolean(d0(0).fieldIndex("capped")),
+      s"flood batch did not ring: ${d0.toSeq}")
+    assert(d0(0).getLong(d0(0).fieldIndex("hot_rows")) === 12L)
+    val cap0 = DedupIndex.storedBucketCap(store, "gcp_gate")
+    assert(cap0.nonEmpty && cap0.get >= 64)
+
+    // batch 1: two more flood copies probe under the now-persisted
+    // policy (resolved via gateBucketCap = 0) and drop as dups of the
+    // seen corpus; hot grows 12 → 14 < 1.25 × 12, so the rearm guard
+    // declines instead of re-deriving every batch
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b1.json"),
+      Seq((201L, flood), (202L, flood)).map(row).mkString("\n"))
+    drain()
+    assert(Bm25.knownIds(store, "gcp_bm", "doc_id")
+      .as[Long].collect().toSet === (1L to 6L).toSet ++ Set(101L, 120L))
+    val d1 = store.read("gcp_dec").orderBy(col("batch_id")).collect()
+    assert(d1.length === 2)
+    assert(!d1(1).getBoolean(d1(1).fieldIndex("capped")),
+      s"rearm guard did not hold: ${d1(1)}")
+    assert(DedupIndex.storedBucketCap(store, "gcp_gate") === cap0)
+    // marker closed, no gate-scratch orphans
+    val m = store.read("gcp_bm_ingest_intent").collect()(0)
+    assert(m.getLong(0) === m.getLong(1))
+    assert(!store.exists("gcp_gate_gate_fresh"))
+    assert(!store.exists("gcp_gate_gate_kept"))
   }
 
   test("retrievalIngestSink semanticGate: embedding dups dropped via ANN+exact confirm; corpus leg lands kept docs") {
@@ -1240,6 +1412,97 @@ class StreamsSpec extends SparkSpec {
     val exact = run("sg7x", cap = 10000)
     assert(adc === exact)
     assert(adc === (1L to 4L).toSet ++ (101L to 112L).toSet + 115L)
+  }
+
+  test("retrievalIngestSink semanticGate: chunked backfill (maxFilesPerTrigger) composes — one representative per dup group, identical to one-batch except the documented arrival-order rep swap") {
+    import graft.ext.AnnIndex
+    def vec(dim: Int): Seq[Float] =
+      (0 until 16).map(d => if (d == dim) 1.0f else 0.0f)
+    // cos 1/√3 ≈ 0.577 < 0.7 against every one-hot → admitted everywhere
+    def mix3(i: Int, j: Int, l: Int): Seq[Float] =
+      (0 until 16).map(d => if (d == i || d == j || d == l) 1.0f else 0.0f)
+    // the oversized-backfill recipe (Streams scaladoc): bound the batch
+    // with maxFilesPerTrigger and let the admitted-corpus memory give
+    // cross-chunk dups greedy-REPRESENTATIVE semantics. Dup groups
+    // straddle the chunk boundary in BOTH directions:
+    //   A: 5 (chunk 1) ≡ 100 (chunk 2) — earlier id arrives first →
+    //      both paths keep 5
+    //   B: 200 (chunk 1) ≡ 7 (chunk 2) — LATER id arrives first →
+    //      one-batch keeps 7 (greedy id order), chunked keeps 200
+    //      (greedy ARRIVAL order: 200 was already admitted to the corpus
+    //      when 7 arrived) — exactly one rep either way
+    //   C: 50 ≡ 51 (both chunk 2) — both paths keep 50
+    //   plus a dup of INDEXED corpus doc 1 (300, dropped on both paths)
+    //   and a sub-threshold doc (400, admitted on both)
+    val chunk1 = Seq(
+      (5L, vec(8)), (200L, vec(9)), (300L, vec(0)),
+      (20L, vec(4)), (21L, vec(5)), (22L, vec(6)), (23L, vec(7)))
+    val chunk2 = Seq(
+      (100L, vec(8)), (7L, vec(9)), (50L, vec(10)), (51L, vec(10)),
+      (24L, vec(12)), (25L, vec(13)), (26L, vec(14)),
+      (400L, mix3(5, 11, 15)))
+    val base = (1L to 4L).map(i => (i, vec(i.toInt - 1)))
+    def run(tag: String, chunked: Boolean): Set[Long] = {
+      val dir = Files.createTempDirectory(s"graft_${tag}_landing").toString
+      val ckpt = Files.createTempDirectory(s"graft_${tag}_ckpt").toString
+      val store = new TableStore(spark,
+        Files.createTempDirectory(s"graft_${tag}_store").toString)
+      val baseDf = base.toDF("doc_id", "embedding")
+      AnnIndex.build(store, s"${tag}_ann", baseDf, "doc_id", "embedding",
+        dim = 16, nlist = 2, m = 4, k = 4)
+      store.overwrite(s"${tag}_corpus", baseDf)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType))))
+      def row(d: (Long, Seq[Float])) =
+        s"""{"doc_id":${d._1},"embedding":[${d._2.mkString(",")}]}"""
+      if (chunked) {
+        // two files, one per trigger; modification times pin chunk order
+        val p0 = java.nio.file.Paths.get(s"$dir/b0.json")
+        val p1 = java.nio.file.Paths.get(s"$dir/b1.json")
+        Files.writeString(p0, chunk1.map(row).mkString("\n"))
+        Files.writeString(p1, chunk2.map(row).mkString("\n"))
+        Files.setLastModifiedTime(p0,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+        Files.setLastModifiedTime(p1,
+          java.nio.file.attribute.FileTime.fromMillis(1000000010000L))
+      } else
+        Files.writeString(java.nio.file.Paths.get(s"$dir/b0.json"),
+          (chunk1 ++ chunk2).map(row).mkString("\n"))
+      val reader = spark.readStream.format("json").schema(schema)
+      val src = (if (chunked) reader.option("maxFilesPerTrigger", "1")
+                 else reader).load(dir)
+      // exactCap 5 < every chunk: both paths run the over-cap low-τ
+      // clustered route — the mode a real 100 TB backfill drains in
+      Streams.retrievalIngestSink(src, store, "doc_id", ckpt,
+        annIndex = Some(s"${tag}_ann"),
+        corpusTable = Some(s"${tag}_corpus"),
+        semanticGateThreshold = Some(0.7),
+        semanticGatePairsTable = Some(s"${tag}_pairs"),
+        semanticGateExactCap = 5)
+        .awaitTermination()
+      if (chunked) { // the drain really was two batches
+        val m = store.read(s"${tag}_ann_ingest_intent").collect()(0)
+        assert(m.getLong(1) === 1L, s"expected 2 chunks, done=${m.getLong(1)}")
+      }
+      store.read(s"${tag}_corpus").select(col("doc_id"))
+        .as[Long].collect().toSet
+    }
+    val one = run("sgc1", chunked = false)
+    val chk = run("sgc2", chunked = true)
+    val novel = Set(20L, 21L, 22L, 23L, 24L, 25L, 26L, 400L)
+    val corpusIds = (1L to 4L).toSet
+    assert(one === corpusIds ++ novel ++ Set(5L, 7L, 50L),
+      s"one-batch admitted: $one")
+    assert(chk === corpusIds ++ novel ++ Set(5L, 200L, 50L),
+      s"chunked admitted: $chk")
+    // the composition contract: identical admitted sets up to the
+    // arrival-order representative of the boundary-straddling group —
+    // exactly one rep per dup group on both paths, everything else equal
+    assert((one -- chk) === Set(7L) && (chk -- one) === Set(200L))
   }
 
   test("retrievalIngestSink with BOTH gates: lexical drops text dups, semantic drops embedding dups, novel docs land everywhere") {

@@ -42,31 +42,43 @@ object Verify {
     // exact makes Σ n_eval_hits equality ⟺ hit-SET equality, so one
     // aggregate per side detects any retention loss and names it — the
     // alternative is a mystery hash mismatch in the driver's compare.
-    for {
-      c7 <- scala.util.Try(
-        spark.read.parquet(s"$outDir/c7_semantic_decon")).toOption
-      c8 <- scala.util.Try(
-        spark.read.parquet(s"$outDir/c8_semantic_decon_indexed")).toOption
-    } {
-      import org.apache.spark.sql.functions.{coalesce, count, lit, sum}
-      def hits(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
-        val r = df.agg(coalesce(sum("n_eval_hits"), lit(0L)),
-          count(lit(1))).collect()(0)
-        (r.getLong(0), r.getLong(1))
+    // Skipped under a name filter that excluded either side: the guard
+    // must never compare a fresh dump against a stale cross-run one.
+    // Guard failures land in `errors` like any query failure — this
+    // check must never crash main before the JSON sidecars are written
+    // (the exact silent-zero mode the error collection exists to stop).
+    if (only.forall(o => o.contains("c7_semantic_decon") &&
+        o.contains("c8_semantic_decon_indexed")))
+      try {
+        for {
+          c7 <- scala.util.Try(
+            spark.read.parquet(s"$outDir/c7_semantic_decon")).toOption
+          c8 <- scala.util.Try(
+            spark.read.parquet(s"$outDir/c8_semantic_decon_indexed")).toOption
+        } {
+          import org.apache.spark.sql.functions.{coalesce, count, lit, sum}
+          def hits(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+            val r = df.agg(coalesce(sum("n_eval_hits"), lit(0L)),
+              count(lit(1))).collect()(0)
+            (r.getLong(0), r.getLong(1))
+          }
+          val (h7, n7) = hits(c7)
+          val (h8, n8) = hits(c8)
+          if (h7 != h8 || n7 != n8) {
+            val msg = s"c8 retention guard: the pruned scrub retains $h8/$h7 " +
+              s"exact hits ($n8/$n7 flagged rows) — nprobe=4 of nlist=8 no " +
+              "longer retains every 0.45-cosine pair on the CURRENT testdata " +
+              "(regenerated parquet, or touched c8 geometry?). Recalibrate " +
+              "(AnnIndex.decontaminateCalibrated) or raise c8's nprobe before " +
+              "trusting its oracle."
+            errors("c8_retention_guard") = msg
+            System.err.println(s"[verify] $msg")
+          }
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
+        errors("c8_retention_guard") =
+          s"guard itself failed: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(400)}"
       }
-      val (h7, n7) = hits(c7)
-      val (h8, n8) = hits(c8)
-      if (h7 != h8 || n7 != n8) {
-        val msg = s"c8 retention guard: the pruned scrub retains $h8/$h7 " +
-          s"exact hits ($n8/$n7 flagged rows) — nprobe=4 of nlist=8 no " +
-          "longer retains every 0.45-cosine pair on the CURRENT testdata " +
-          "(regenerated parquet, or touched c8 geometry?). Recalibrate " +
-          "(AnnIndex.decontaminateCalibrated) or raise c8's nprobe before " +
-          "trusting its oracle."
-        errors("c8_retention_guard") = msg
-        System.err.println(s"[verify] $msg")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -339,10 +339,15 @@ object AnnIndex {
     // The cached rows are COLLECTED inside the freshness window and
     // re-served as a local relation: the returned frame is consumed lazily
     // (health's collect, searchBudgeted's plan can execute after a
-    // concurrent refresh swaps the cache files), so a poll-safe path must
-    // not carry a file-backed plan out of this method. nlist rows —
-    // driver-trivial, and downstream joins see a broadcastable local
-    // relation instead of a parquet scan.
+    // concurrent refresh swaps the cache files), so the CACHE-table read
+    // must not leave this method as a file-backed plan — the cache is the
+    // one table concurrent POLLERS rewrite, so its swap races happen even
+    // under the single-mutator model. The stale-cache fallback below
+    // stays a lazy plan over the codes table deliberately: only the
+    // single mutator moves that table, the same exposure every
+    // probe/search plan already has. nlist rows — driver-trivial, and
+    // downstream joins see a broadcastable local relation instead of a
+    // parquet scan.
     val local: Option[DataFrame] =
       try {
         if (!sizesFresh(store, name, fp)) None

@@ -484,8 +484,8 @@ object DedupIndex {
     */
   final case class Health(
       nDocs: Long, nShingleRows: Long, nBandRows: Long,
-      maxBucketFrac: Double, bandsFiles: Int, shinglesFiles: Int,
-      sizesFiles: Int)
+      maxBucketFrac: Double, hotBucketRows: Long, bandsFiles: Int,
+      shinglesFiles: Int, sizesFiles: Int)
 
   /** Compute [[Health]]: a (band, bucket)-grouped count over the bands
     * table (map-side combined), two narrow counts, three file listings.
@@ -542,7 +542,7 @@ object DedupIndex {
     }
     Health(nDocs, nShingles, total,
       if (nDocs == 0) 0.0 else hot.toDouble / nDocs,
-      nfB, nfS, nfZ)
+      hot, nfB, nfS, nfZ)
   }
 
   private def capPolicyT(name: String) = s"${name}_cap_policy"
@@ -550,14 +550,24 @@ object DedupIndex {
   /** The probe-side bucket cap [[capIfUnhealthy]] last derived and
     * persisted for this index, if any — what `bucketCap = 0` on
     * [[probeIncrement]]/[[dedupIncrement]] resolves to. Poll-safe
-    * (NonFatal → None, the health-cache read contract).
+    * (NonFatal → None, the health-cache read contract) — with ONE retry:
+    * [[capIfUnhealthy]]'s overwrite swap has a two-rename window where
+    * the table is briefly absent, and a probe that misread it as "no
+    * policy" would run one batch uncapped on a flooded index (a one-off
+    * quadratic AND a different kept set). The retry lands after the
+    * microsecond-scale window in practice; a doubly-unlucky read still
+    * degrades to uncapped for that one probe and the next batch
+    * re-resolves — never an error.
     */
-  def storedBucketCap(store: TableStore, name: String): Option[Int] =
-    try {
-      if (!store.exists(capPolicyT(name))) None
-      else store.read(capPolicyT(name)).collect().headOption
-        .map(r => r.getInt(r.fieldIndex("bucket_cap")))
-    } catch { case scala.util.control.NonFatal(_) => None }
+  def storedBucketCap(store: TableStore, name: String): Option[Int] = {
+    def once: Option[Int] =
+      try {
+        if (!store.exists(capPolicyT(name))) None
+        else store.read(capPolicyT(name)).collect().headOption
+          .map(r => r.getInt(r.fieldIndex("bucket_cap")))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    once.orElse(once)
+  }
 
   /** What [[capIfUnhealthy]] decided: whether the hot-bucket bell rang,
     * the numbers it was judged against (rows in the hottest band bucket
@@ -615,7 +625,7 @@ object DedupIndex {
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
     val h = health(store, name)
-    val hot = math.round(h.maxBucketFrac * h.nDocs)
+    val hot = h.hotBucketRows
     val prev: Option[(Int, Long)] =
       try {
         if (!store.exists(capPolicyT(name))) None

@@ -568,7 +568,17 @@ object Streams {
       nlist: Int = 0, coarseIters: Int = 2, m: Int = 0, k: Int = 0,
       pqIters: Int = 2, sampleMod: Option[Int] = None,
       recal: Option[graft.ext.AnnIndex.RecalSpec] = None,
-      decisionTable: Option[String] = None)
+      decisionTable: Option[String] = None,
+      // every batch's appends move the codes fingerprint, so each
+      // policy ask after a non-empty batch re-pays the csizes recount
+      // (one narrow map-side aggregate over the codes table — the
+      // measured 0.33-0.49 s/batch figure). On high-frequency
+      // micro-batches over a huge index, raise `cadence` to ask every
+      // Nth batch instead; bells then ring at most `cadence` batches
+      // late, which is how a monitoring loop behaves anyway
+      cadence: Int = 1) {
+    require(cadence >= 1, s"cadence must be >= 1, got $cadence")
+  }
 
   /** [[retrievalIngestSink]]'s LEXICAL clapper policy — [[graft.ext
     * .DedupIndex.capIfUnhealthy]] on the sink's per-batch cadence, the
@@ -584,25 +594,40 @@ object Streams {
     */
   final case class GateCapPolicy(
       hotBucketBudget: Long = 4096, capFactor: Long = 8,
-      rearmFactor: Double = 1.25, decisionTable: Option[String] = None)
+      rearmFactor: Double = 1.25, decisionTable: Option[String] = None,
+      // the gate's commit moves the health fingerprint EVERY batch, so
+      // each policy ask re-pays the lexical health aggregate — and that
+      // one counts the whole shingles table (O(corpus shingle rows),
+      // grows without bound), unlike the ANN policy's geometry-narrow
+      // recount. On high-frequency micro-batches raise `cadence` to ask
+      // every Nth batch; the bell rings at most `cadence` batches late
+      cadence: Int = 1) {
+    require(cadence >= 1, s"cadence must be >= 1, got $cadence")
+  }
 
-  /** Tear down the gate SCRATCH tables a retired retrieval stack can
-    * leave behind: the semantic gate's `{ann}_sgate_cand`/`{ann}_sgate_
-    * kept` and the lexical gate's `{gate}_gate_fresh`/`{gate}_gate_kept`
+  /** Tear down the SCRATCH tables a retired retrieval stack can leave
+    * behind: the semantic gate's `{ann}_sgate_cand`/`{ann}_sgate_kept`,
+    * the lexical gate's `{gate}_gate_fresh`/`{gate}_gate_kept`, and the
+    * legs' `{table}_ingest_stage` staging (one per ann/bm25/corpus leg)
     * are store-persistent batch staging, dropped at the end of every
-    * healthy batch but orphaned by a crash — and deliberately NOT
-    * removed by [[graft.ext.AnnIndex.dropIndex]] /
+    * healthy batch (or leg) but orphaned by a crash — and deliberately
+    * NOT removed by [[graft.ext.AnnIndex.dropIndex]] /
     * [[graft.ext.DedupIndex.dropIndex]], which are scoped to the tables
     * build/maintenance own. The SINK owns these names, so retiring a
-    * gated stack is dropIndex (each index) + this. The intent/done
-    * marker table is durable sink state, not scratch — drop it with the
-    * checkpoint directory when retiring the stream itself.
+    * gated stack is dropIndex (each index) + this, with the same names
+    * the sink was configured with. The intent/done marker table is
+    * durable sink state, not scratch — drop it with the checkpoint
+    * directory when retiring the stream itself.
     */
   def dropGateScratch(store: TableStore, annIndex: Option[String] = None,
-      dedupGate: Option[String] = None): Unit = {
+      dedupGate: Option[String] = None, bm25Index: Option[String] = None,
+      corpusTable: Option[String] = None): Unit = {
     val ts =
-      annIndex.toSeq.flatMap(a => Seq(s"${a}_sgate_cand", s"${a}_sgate_kept")) ++
-      dedupGate.toSeq.flatMap(g => Seq(s"${g}_gate_fresh", s"${g}_gate_kept"))
+      annIndex.toSeq.flatMap(a => Seq(s"${a}_sgate_cand", s"${a}_sgate_kept",
+        s"${a}_ingest_stage")) ++
+      dedupGate.toSeq.flatMap(g => Seq(s"${g}_gate_fresh", s"${g}_gate_kept")) ++
+      bm25Index.toSeq.map(b => s"${b}_ingest_stage") ++
+      corpusTable.toSeq.map(c => s"${c}_ingest_stage")
     ts.foreach(t => if (store.exists(t)) store.drop(t))
   }
 
@@ -638,6 +663,14 @@ object Streams {
     require(gateCapPolicy.isEmpty || dedupGate.nonEmpty,
       "gateCapPolicy needs dedupGate (the lexical index whose probe cap " +
         "it derives)")
+    // the policy is INERT unless the probes resolve it: a persisted cap
+    // that no probe reads would let the measured 54×-slower uncapped
+    // regime through while the decision table claims "capped" — fail the
+    // misconfiguration loudly instead
+    require(gateCapPolicy.isEmpty || gateBucketCap == 0,
+      "gateCapPolicy derives a cap that probes pick up via the stored-" +
+        "policy sentinel — pass gateBucketCap = 0 with it (an explicit " +
+        "cap would silently ignore every cap the policy persists)")
     val intentT = intentTable.getOrElse(
       s"${annIndex.getOrElse(bm25Index.get)}_ingest_intent")
     docs.writeStream
@@ -934,7 +967,7 @@ object Streams {
         // health poll it starts from is the fingerprint-cached one-row
         // read — the silent-bell cost is the measured 0.33-0.49 s/batch
         // clapper cadence, not a corpus aggregate.
-        rebuildPolicy.foreach { rp =>
+        rebuildPolicy.filter(rp => bid % rp.cadence == 0).foreach { rp =>
           val n = annIndex.get
           val dec = graft.ext.AnnIndex.rebuildIfUnhealthy(store, n,
             store.read(corpusTable.get), idCol, vecCol, rp.dim,
@@ -960,7 +993,7 @@ object Streams {
         // budget — the NEXT batch's probe resolves it via
         // gateBucketCap = 0 (a policy write, content-neutral, so it also
         // runs after the done marker)
-        gateCapPolicy.foreach { gp =>
+        gateCapPolicy.filter(gp => bid % gp.cadence == 0).foreach { gp =>
           val g = dedupGate.get
           val dec = graft.ext.DedupIndex.capIfUnhealthy(store, g,
             hotBucketBudget = gp.hotBucketBudget, capFactor = gp.capFactor,

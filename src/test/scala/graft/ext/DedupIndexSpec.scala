@@ -129,6 +129,7 @@ class DedupIndexSpec extends SparkSpec {
     assert(h.nDocs === 10L)
     assert(h.nShingleRows > 0L && h.nBandRows > 0L)
     assert(h.maxBucketFrac >= 0.4) // the 4-clone bucket of 10 docs
+    assert(h.hotBucketRows === 4L) // exact, not reconstructed from the frac
     assert(h.bandsFiles >= 1 && h.shinglesFiles >= 1 && h.sizesFiles >= 1)
     // a repeat poll serves from the fingerprint-keyed 1-row cache and
     // must agree exactly; an increment moves the fingerprint and the

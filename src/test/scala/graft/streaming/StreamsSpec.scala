@@ -900,19 +900,23 @@ class StreamsSpec extends SparkSpec {
     val store = new TableStore(spark,
       Files.createTempDirectory("graft_dgs_store").toString)
     // a crashed batch's orphans, planted directly (the sink drops these
-    // at the end of every HEALTHY batch — only a crash leaves them)
+    // at the end of every HEALTHY batch or leg — only a crash leaves
+    // them): gate staging AND the legs' ingest staging
     val orphans = Seq("xann_sgate_cand", "xann_sgate_kept",
-      "xg_gate_fresh", "xg_gate_kept")
+      "xg_gate_fresh", "xg_gate_kept", "xann_ingest_stage",
+      "xbm_ingest_stage", "xcorp_ingest_stage")
     orphans.foreach(t =>
       store.overwrite(t, Seq((1L, "x")).toDF("doc_id", "text")))
     // an unrelated neighbor sharing the prefix must survive
     store.overwrite("xann_codes", Seq((1L, 2L)).toDF("doc_id", "cluster"))
     Streams.dropGateScratch(store, annIndex = Some("xann"),
-      dedupGate = Some("xg"))
+      dedupGate = Some("xg"), bm25Index = Some("xbm"),
+      corpusTable = Some("xcorp"))
     orphans.foreach(t => assert(!store.exists(t), s"$t survived"))
     assert(store.exists("xann_codes"))
     // idempotent on an already-clean store
-    Streams.dropGateScratch(store, Some("xann"), Some("xg"))
+    Streams.dropGateScratch(store, Some("xann"), Some("xg"), Some("xbm"),
+      Some("xcorp"))
     assert(store.exists("xann_codes"))
   }
 

@@ -917,13 +917,19 @@ object ScaleStress {
       // the verification join degenerates to a SINGLE-KEY shuffle task
       // (the flood text's shingles each map to 18k docs — no AQE skew
       // split can divide one key) and ran 47 min single-threaded before
-      // being killed; that unboundedness is exactly what bucketCap is for
-      val modes = if (fPct >= 40) Seq(("capped", 64))
-        else Seq(("capped", 64), ("uncapped", Int.MaxValue))
+      // being killed; that unboundedness is exactly what bucketCap is for.
+      // "clapper" is the r18 policy row: capIfUnhealthy at defaults
+      // derives/persists the cap (or declines on a clean index), then
+      // the probe runs bucketCap = 0 — the exact composition the sink's
+      // GateCapPolicy + gateBucketCap = 0 pairing executes
+      val modes = if (fPct >= 40) Seq(("capped", 64), ("clapper", 0))
+        else Seq(("capped", 64), ("uncapped", Int.MaxValue), ("clapper", 0))
       for ((mode, cap) <- modes) {
         val store = new TableStore(spark, s"$workDir/lexskew_${fPct}_$mode")
         DedupIndex.build(store, "dx", base, "doc_id", "text")
         val h = DedupIndex.health(store, "dx")
+        val dec = if (mode == "clapper")
+          Some(DedupIndex.capIfUnhealthy(store, "dx")) else None
         var best = Double.MaxValue
         var pairs = 0L
         for (_ <- 1 to 2) {
@@ -933,7 +939,9 @@ object ScaleStress {
           pairs = p.count()
           best = math.min(best, (System.nanoTime() - t0) / 1e9)
         }
-        println(f"""{"lexskew":$fPct,"mode":"$mode","max_bucket_frac":${h.maxBucketFrac}%.3f,"probe_sec":$best%.2f,"pairs":$pairs}""")
+        val capInfo = dec.map(d =>
+          s""","rang":${d.triggered},"hot_rows":${d.hotBucketRows},"derived_cap":${d.cap.getOrElse(0)}""").getOrElse("")
+        println(f"""{"lexskew":$fPct,"mode":"$mode","max_bucket_frac":${h.maxBucketFrac}%.3f,"probe_sec":$best%.2f,"pairs":$pairs$capInfo}""")
       }
     }
   }

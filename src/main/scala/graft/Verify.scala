@@ -42,13 +42,16 @@ object Verify {
     // exact makes Σ n_eval_hits equality ⟺ hit-SET equality, so one
     // aggregate per side detects any retention loss and names it — the
     // alternative is a mystery hash mismatch in the driver's compare.
-    // Skipped under a name filter that excluded either side: the guard
-    // must never compare a fresh dump against a stale cross-run one.
-    // Guard failures land in `errors` like any query failure — this
-    // check must never crash main before the JSON sidecars are written
-    // (the exact silent-zero mode the error collection exists to stop).
+    // Skipped under a name filter that excluded either side, AND when
+    // either query FAILED this run (its old parquet may survive a reused
+    // outDir): the guard must never compare a fresh dump against a stale
+    // cross-run one. Guard failures land in `errors` like any query
+    // failure — this check must never crash main before the JSON
+    // sidecars are written (the silent-zero mode the collection stops).
     if (only.forall(o => o.contains("c7_semantic_decon") &&
-        o.contains("c8_semantic_decon_indexed")))
+        o.contains("c8_semantic_decon_indexed")) &&
+        !errors.contains("c7_semantic_decon") &&
+        !errors.contains("c8_semantic_decon_indexed"))
       try {
         for {
           c7 <- scala.util.Try(

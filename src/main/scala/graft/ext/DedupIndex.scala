@@ -547,27 +547,37 @@ object DedupIndex {
 
   private def capPolicyT(name: String) = s"${name}_cap_policy"
 
+  /** The ONE reader of the `{name}_cap_policy` row — (bucket_cap,
+    * hot_rows), poll-safe (NonFatal → None, the health-cache read
+    * contract). Shared by [[storedBucketCap]] (probe side) and
+    * [[capIfUnhealthy]] (the rearm baseline) so the two can never
+    * drift in read semantics.
+    */
+  private def readCapPolicy(store: TableStore, name: String): Option[(Int, Long)] =
+    try {
+      if (!store.exists(capPolicyT(name))) None
+      else store.read(capPolicyT(name)).collect().headOption
+        .map(r => (r.getInt(r.fieldIndex("bucket_cap")),
+          r.getLong(r.fieldIndex("hot_rows"))))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** The probe-side bucket cap [[capIfUnhealthy]] last derived and
     * persisted for this index, if any — what `bucketCap = 0` on
-    * [[probeIncrement]]/[[dedupIncrement]] resolves to. Poll-safe
-    * (NonFatal → None, the health-cache read contract) — with ONE retry:
-    * [[capIfUnhealthy]]'s overwrite swap has a two-rename window where
-    * the table is briefly absent, and a probe that misread it as "no
-    * policy" would run one batch uncapped on a flooded index (a one-off
-    * quadratic AND a different kept set). The retry lands after the
-    * microsecond-scale window in practice; a doubly-unlucky read still
-    * degrades to uncapped for that one probe and the next batch
-    * re-resolves — never an error.
+    * [[probeIncrement]]/[[dedupIncrement]] resolves to. ONE retry on an
+    * absent/failed read: [[capIfUnhealthy]]'s overwrite swap has a
+    * two-rename window where the table is briefly absent, and a probe
+    * that misread it as "no policy" would run one batch uncapped on a
+    * flooded index (a one-off quadratic AND a different kept set). The
+    * retry costs one extra driver-side exists listing per probe in the
+    * no-policy steady state — noise next to the probe job it guards —
+    * and lands after the microsecond-scale window in practice; a
+    * doubly-unlucky read still degrades to uncapped for that one probe
+    * and the next batch re-resolves, never an error. The writer itself
+    * ([[capIfUnhealthy]]) reads without the retry: it cannot race its
+    * own swap, and a lost read there just re-derives, idempotently.
     */
-  def storedBucketCap(store: TableStore, name: String): Option[Int] = {
-    def once: Option[Int] =
-      try {
-        if (!store.exists(capPolicyT(name))) None
-        else store.read(capPolicyT(name)).collect().headOption
-          .map(r => r.getInt(r.fieldIndex("bucket_cap")))
-      } catch { case scala.util.control.NonFatal(_) => None }
-    once.orElse(once)
-  }
+  def storedBucketCap(store: TableStore, name: String): Option[Int] =
+    readCapPolicy(store, name).orElse(readCapPolicy(store, name)).map(_._1)
 
   /** What [[capIfUnhealthy]] decided: whether the hot-bucket bell rang,
     * the numbers it was judged against (rows in the hottest band bucket
@@ -626,13 +636,7 @@ object DedupIndex {
     import spark.implicits._
     val h = health(store, name)
     val hot = h.hotBucketRows
-    val prev: Option[(Int, Long)] =
-      try {
-        if (!store.exists(capPolicyT(name))) None
-        else store.read(capPolicyT(name)).collect().headOption
-          .map(r => (r.getInt(r.fieldIndex("bucket_cap")),
-            r.getLong(r.fieldIndex("hot_rows"))))
-      } catch { case scala.util.control.NonFatal(_) => None }
+    val prev = readCapPolicy(store, name)
     val base = if (rearmFactor == 0) None else prev
     val ring = h.nDocs > 0 && hot >= hotBucketBudget &&
       base.forall(b => hot >= rearmFactor * b._2)

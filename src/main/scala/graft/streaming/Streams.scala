@@ -584,11 +584,17 @@ object Streams {
     * .DedupIndex.capIfUnhealthy]] on the sink's per-batch cadence, the
     * hot-bucket twin of [[RebuildPolicy]]: when the gate index's hottest
     * band bucket crosses `hotBucketBudget` rows, a probe-side
-    * `bucketCap` is derived and persisted as the index's cap policy.
-    * Pair it with `gateBucketCap = 0` (the stored-policy sentinel on
-    * [[graft.ext.DedupIndex.probeIncrement]]) so the NEXT batch's probe
-    * picks the derived cap up automatically — uncapped until the bell
-    * first rings, capped from then on, no config change. `decisionTable`
+    * `bucketCap` is derived and persisted as the index's cap policy,
+    * and every subsequent gate probe picks it up automatically (the
+    * sink composes it into the probe's cap — no config change). With
+    * the policy set, `gateBucketCap` changes meaning to a STATIC
+    * pre-ring safety bound (0 / the default = none), min-composed with
+    * the stored policy: the clapper runs AFTER a batch commits, so a
+    * flood's own arrival batch probes before any derived cap exists —
+    * the static bound is what stands between that first batch and the
+    * measured unbounded regime (set it to a few × the expected organic
+    * bucket size when first-batch floods are a real risk; the policy
+    * then tightens it from the measured state). `decisionTable`
     * (optional) appends one (batch_id, capped, hot_rows, budget,
     * bucket_cap) audit row per batch, at-least-once on replay.
     */
@@ -663,14 +669,6 @@ object Streams {
     require(gateCapPolicy.isEmpty || dedupGate.nonEmpty,
       "gateCapPolicy needs dedupGate (the lexical index whose probe cap " +
         "it derives)")
-    // the policy is INERT unless the probes resolve it: a persisted cap
-    // that no probe reads would let the measured 54×-slower uncapped
-    // regime through while the decision table claims "capped" — fail the
-    // misconfiguration loudly instead
-    require(gateCapPolicy.isEmpty || gateBucketCap == 0,
-      "gateCapPolicy derives a cap that probes pick up via the stored-" +
-        "policy sentinel — pass gateBucketCap = 0 with it (an explicit " +
-        "cap would silently ignore every cap the policy persists)")
     val intentT = intentTable.getOrElse(
       s"${annIndex.getOrElse(bm25Index.get)}_ingest_intent")
     docs.writeStream
@@ -706,9 +704,25 @@ object Streams {
               graft.ext.DedupIndex.knownIds(store, g, idCol),
               Seq(idCol), "left_anti"))
             val freshG = store.read(freshT)
+            // with a cap POLICY the probe cap composes BOTH bounds: the
+            // stored policy (tightens once the bell rings) and
+            // gateBucketCap as a STATIC pre-ring safety bound (0 /
+            // default = none). A flood's own ARRIVAL batch probes before
+            // the post-batch clapper can see it, so the static bound is
+            // the only thing standing between that first batch and the
+            // measured unbounded regime — and the policy can never be
+            // silently inert, whatever gateBucketCap says
+            val effGateCap = gateCapPolicy match {
+              case None => gateBucketCap
+              case Some(_) =>
+                val static =
+                  if (gateBucketCap == 0) Int.MaxValue else gateBucketCap
+                math.min(static, graft.ext.DedupIndex
+                  .storedBucketCap(store, g).getOrElse(Int.MaxValue))
+            }
             val (pairs0, incStage) = graft.ext.DedupIndex.probeIncrement(
               store, g, freshG, idCol, textCol, threshold = gateThreshold,
-              bucketCap = gateBucketCap)
+              bucketCap = effGateCap)
             // staged once: the audit upsert and the drop resolution are
             // separate actions, and the verified-pairs plan (jaccard join
             // over the candidate set) must not run per consumer

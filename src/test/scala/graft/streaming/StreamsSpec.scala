@@ -1092,7 +1092,7 @@ class StreamsSpec extends SparkSpec {
     assert(m.getLong(0) === m.getLong(1))
   }
 
-  test("retrievalIngestSink gateCapPolicy: a text flood rings the lexical clapper on the sink cadence; gateBucketCap=0 picks the persisted cap up; rearm holds") {
+  test("retrievalIngestSink gateCapPolicy: the static bound caps the flood's ARRIVAL batch, the clapper rings on the sink cadence, min(static, stored) probes after; rearm holds") {
     import graft.ext.{Bm25, DedupIndex}
     val dir = Files.createTempDirectory("graft_gcp_landing").toString
     val ckpt = Files.createTempDirectory("graft_gcp_ckpt").toString
@@ -1111,21 +1111,25 @@ class StreamsSpec extends SparkSpec {
         org.apache.spark.sql.types.StringType)))
     def row(d: (Long, String)) =
       s"""{"doc_id":${d._1},"text":"${d._2}"}"""
-    // gateBucketCap = 0: probes resolve the STORED cap policy — uncapped
-    // until the clapper first rings, capped from then on
+    // with gateCapPolicy, gateBucketCap is the STATIC pre-ring bound:
+    // the clapper runs after a batch commits, so the flood's own arrival
+    // batch (batch 0 below) is bounded only by this — and once the bell
+    // rings, the probe cap is min(static, stored policy)
     def drain(): Unit = Streams.retrievalIngestSink(
       spark.readStream.format("json").schema(schema).load(dir),
       store, "doc_id", ckpt,
       bm25Index = Some("gcp_bm"),
-      dedupGate = Some("gcp_gate"), gateBucketCap = 0,
+      dedupGate = Some("gcp_gate"), gateBucketCap = 3,
       gateCapPolicy = Some(Streams.GateCapPolicy(hotBucketBudget = 10,
         decisionTable = Some("gcp_dec"))))
       .awaitTermination()
 
-    // batch 0: a 12-copy verbatim text flood + one novel doc. The gate
-    // admits the flood's min id only; the SEEN-corpus commit puts all 12
-    // copies in one band bucket, and the clapper on the sink cadence
-    // rings (12 ≥ 10) and persists the derived cap
+    // batch 0: a 12-copy verbatim text flood + one novel doc. The
+    // STATIC bound (3) caps the flood's own arrival batch — star pairs
+    // are sufficient for a verbatim flood, so the gate still admits the
+    // min id only; the SEEN-corpus commit puts all 12 copies in one band
+    // bucket, and the clapper on the sink cadence rings (12 ≥ 10) and
+    // persists the derived cap
     Files.writeString(java.nio.file.Paths.get(s"$dir/b0.json"),
       ((101L to 112L).map(i => (i, flood)) ++ Seq((120L, text(120L))))
         .map(row).mkString("\n"))
@@ -1139,10 +1143,10 @@ class StreamsSpec extends SparkSpec {
     val cap0 = DedupIndex.storedBucketCap(store, "gcp_gate")
     assert(cap0.nonEmpty && cap0.get >= 64)
 
-    // batch 1: two more flood copies probe under the now-persisted
-    // policy (resolved via gateBucketCap = 0) and drop as dups of the
-    // seen corpus; hot grows 12 → 14 < 1.25 × 12, so the rearm guard
-    // declines instead of re-deriving every batch
+    // batch 1: two more flood copies probe under min(static 3, stored
+    // 64) = 3 — the hot bucket star-pairs to its min-id seen member —
+    // and drop as dups of the seen corpus; hot grows 12 → 14 < 1.25 ×
+    // 12, so the rearm guard declines instead of re-deriving every batch
     Files.writeString(java.nio.file.Paths.get(s"$dir/b1.json"),
       Seq((201L, flood), (202L, flood)).map(row).mkString("\n"))
     drain()

@@ -1004,6 +1004,103 @@ class StreamsSpec extends SparkSpec {
     assert(!store.exists("rbp_ann_ingest_stage"))
   }
 
+  test("retrievalIngestSink rebuildPolicy: the DRIFT bell rings through the sink flag too — orthogonal-family batch rebuilds, in-distribution follow-up declines") {
+    import graft.ext.AnnIndex
+    val dir = Files.createTempDirectory("graft_rbd_landing").toString
+    val ckpt = Files.createTempDirectory("graft_rbd_ckpt").toString
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_rbd_store").toString)
+    def vec(base: Int, i: Int): Seq[Float] =
+      (0 until 16).map { d =>
+        val on = d >= base && d < base + 4
+        if (on) 1.0f + 0.01f * ((i * 7 + d) % 5) else 0.001f * ((i * 3 + d) % 7)
+      }
+    // family-A world; nlist = 4 keeps the COLLAPSE bell silent across
+    // the growth below (autoNlist(20) = 5 < 2 × 4), isolating drift
+    val base = (1 to 10).map(i => (i.toLong, vec(0, i)))
+    val baseDf = base.toDF("doc_id", "embedding")
+    AnnIndex.build(store, "rbd_ann", baseDf, "doc_id", "embedding",
+      dim = 16, nlist = 4, m = 4, k = 4)
+    store.overwrite("rbd_corpus", baseDf)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    def row(d: (Long, Seq[Float])) =
+      s"""{"doc_id":${d._1},"embedding":[${d._2.mkString(",")}]}"""
+    def drain(): Unit = Streams.retrievalIngestSink(
+      spark.readStream.format("json").schema(schema).load(dir),
+      store, "doc_id", ckpt,
+      annIndex = Some("rbd_ann"), corpusTable = Some("rbd_corpus"),
+      rebuildPolicy = Some(Streams.RebuildPolicy(dim = 16,
+        decisionTable = Some("rbd_dec"))))
+      .awaitTermination()
+    // batch 0: the ORTHOGONAL family — the frozen A-trained quantizers
+    // code it badly, the drift bell rings inside the sink
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b0.json"),
+      (21 to 30).map(i => row((i.toLong, vec(8, i)))).mkString("\n"))
+    drain()
+    val d0 = store.read("rbd_dec").orderBy(col("batch_id")).collect()
+    assert(d0.length === 1)
+    assert(d0(0).getBoolean(d0(0).fieldIndex("rebuilt")), s"${d0(0)}")
+    assert(d0(0).getBoolean(d0(0).fieldIndex("drift")))
+    assert(!d0(0).getBoolean(d0(0).fieldIndex("collapse")))
+    // the rebuild reset the drift record to one fresh build row
+    assert(AnnIndex.drift(store, "rbd_ann")
+      .select(col("phase")).as[String].collect().toSeq === Seq("build"))
+    // batch 1: more family-B docs are IN-distribution for the fresh
+    // quantizers — every bell declines, artifacts untouched
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b1.json"),
+      (31 to 35).map(i => row((i.toLong, vec(8, i)))).mkString("\n"))
+    drain()
+    val d1 = store.read("rbd_dec").orderBy(col("batch_id")).collect()
+    assert(d1.length === 2)
+    assert(!d1(1).getBoolean(d1(1).fieldIndex("rebuilt")), s"${d1(1)}")
+    assert(AnnIndex.knownIds(store, "rbd_ann", "doc_id")
+      .as[Long].collect().toSet ===
+      ((1L to 10L) ++ (21L to 35L)).toSet)
+  }
+
+  test("retrievalIngestSink policy cadence: cadence=2 asks on even batches only — the odd batch writes no decision row") {
+    import graft.ext.{Bm25, DedupIndex}
+    val dir = Files.createTempDirectory("graft_cad_landing").toString
+    val ckpt = Files.createTempDirectory("graft_cad_ckpt").toString
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_cad_store").toString)
+    def text(i: Long) = s"alpha$i spark beta$i table gamma$i merge delta$i"
+    val baseDf = (1L to 4L).map(i => (i, text(i))).toDF("doc_id", "text")
+    Bm25.buildIndex(store, "cad_bm", baseDf, "doc_id", "text")
+    DedupIndex.build(store, "cad_gate", baseDf, "doc_id", "text")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def drain(): Unit = Streams.retrievalIngestSink(
+      spark.readStream.format("json").schema(schema).load(dir),
+      store, "doc_id", ckpt,
+      bm25Index = Some("cad_bm"), dedupGate = Some("cad_gate"),
+      gateCapPolicy = Some(Streams.GateCapPolicy(cadence = 2,
+        decisionTable = Some("cad_dec"))))
+      .awaitTermination()
+    def push(b: Int, ids: Seq[Long]): Unit = {
+      Files.writeString(java.nio.file.Paths.get(s"$dir/b$b.json"),
+        ids.map(i => s"""{"doc_id":$i,"text":"${text(i)}"}""").mkString("\n"))
+      drain()
+    }
+    push(0, Seq(10L, 11L)) // batch 0: 0 % 2 == 0 → asked (declines)
+    push(1, Seq(12L, 13L)) // batch 1: skipped — no row
+    push(2, Seq(14L, 15L)) // batch 2: asked again
+    val rows = store.read("cad_dec").select(col("batch_id"))
+      .as[Long].collect().sorted.toSeq
+    assert(rows === Seq(0L, 2L), s"cadence rows: $rows")
+    // the skipped batch still landed through the unchanged legs
+    assert(Bm25.knownIds(store, "cad_bm", "doc_id")
+      .as[Long].collect().toSet === (1L to 4L).toSet ++ (10L to 15L).toSet)
+  }
+
   test("retrievalIngestSink dedupGate: near-dup docs never reach the retrieval indexes; dropped ids stay guarded") {
     import graft.ext.{AnnIndex, Bm25, DedupIndex}
     val dir = Files.createTempDirectory("graft_rg_landing").toString

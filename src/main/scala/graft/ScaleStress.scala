@@ -920,8 +920,10 @@ object ScaleStress {
       // being killed; that unboundedness is exactly what bucketCap is for.
       // "clapper" is the r18 policy row: capIfUnhealthy at defaults
       // derives/persists the cap (or declines on a clean index), then
-      // the probe runs bucketCap = 0 — the exact composition the sink's
-      // GateCapPolicy + gateBucketCap = 0 pairing executes
+      // the probe runs bucketCap = 0 — the composition the sink's
+      // GateCapPolicy executes in its default (no static pre-ring
+      // bound) configuration; a static gateBucketCap would min-compose
+      // on top
       val modes = if (fPct >= 40) Seq(("capped", 64), ("clapper", 0))
         else Seq(("capped", 64), ("uncapped", Int.MaxValue), ("clapper", 0))
       for ((mode, cap) <- modes) {

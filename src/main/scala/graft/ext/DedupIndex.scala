@@ -600,9 +600,10 @@ object DedupIndex {
     * key at 0.465 — there is no graceful uncapped regime): cap hot
     * buckets so they star-pair with their min-id rep. This derives that
     * cap and persists it as the index's probe POLICY — callers passing
-    * `bucketCap = 0` (and [[graft.streaming.Streams.retrievalIngestSink]]
-    * gates configured the same way) pick it up on their next probe, so
-    * the bell's consumer is one call on the health cadence, not an
+    * `bucketCap = 0` pick it up on their next probe, and
+    * [[graft.streaming.Streams.retrievalIngestSink]] gates under a
+    * `GateCapPolicy` min-compose it with their static pre-ring bound —
+    * so the bell's consumer is one call on the health cadence, not an
     * operator action.
     *
     *   - BELL: rows in the hottest band bucket (`maxBucketFrac × nDocs`)

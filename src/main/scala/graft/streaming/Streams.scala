@@ -596,7 +596,9 @@ object Streams {
     * bucket size when first-batch floods are a real risk; the policy
     * then tightens it from the measured state). `decisionTable`
     * (optional) appends one (batch_id, capped, hot_rows, budget,
-    * bucket_cap) audit row per batch, at-least-once on replay.
+    * bucket_cap, probe_cap) audit row per batch — `bucket_cap` is the
+    * stored policy alone, `probe_cap` the min-composed cap the NEXT
+    * batch's probe actually runs under — at-least-once on replay.
     */
   final case class GateCapPolicy(
       hotBucketBudget: Long = 4096, capFactor: Long = 8,
@@ -669,6 +671,13 @@ object Streams {
     require(gateCapPolicy.isEmpty || dedupGate.nonEmpty,
       "gateCapPolicy needs dedupGate (the lexical index whose probe cap " +
         "it derives)")
+    // validated at CONSTRUCTION: a negative cap reaching probeIncrement
+    // would die mid-batch, after the intent marker was written, and the
+    // corrected rerun would take the crash-repair path for a pure
+    // misconfiguration
+    require(gateBucketCap >= 0,
+      s"gateBucketCap must be >= 0 (0 = stored-policy sentinel / no " +
+        s"static bound under gateCapPolicy), got $gateBucketCap")
     val intentT = intentTable.getOrElse(
       s"${annIndex.getOrElse(bm25Index.get)}_ingest_intent")
     docs.writeStream
@@ -1004,18 +1013,26 @@ object Streams {
         }
         // the lexical clapper shares the cadence: derive/persist the
         // gate's probe cap when its hottest band bucket crosses the
-        // budget — the NEXT batch's probe resolves it via
-        // gateBucketCap = 0 (a policy write, content-neutral, so it also
-        // runs after the done marker)
+        // budget — the NEXT batch's probe picks it up through the
+        // effGateCap min-compose above (a policy write, content-neutral,
+        // so it also runs after the done marker)
         gateCapPolicy.filter(gp => bid % gp.cadence == 0).foreach { gp =>
           val g = dedupGate.get
           val dec = graft.ext.DedupIndex.capIfUnhealthy(store, g,
             hotBucketBudget = gp.hotBucketBudget, capFactor = gp.capFactor,
             rearmFactor = gp.rearmFactor)
           gp.decisionTable.foreach { dt =>
+            // probe_cap = what the NEXT batch's probe will actually run
+            // under (the min-compose), beside bucket_cap = the stored
+            // policy alone — the audit must name the EFFECTIVE cap or an
+            // operator debugging coarsened recall reads the wrong number
+            val probeCap = math.min(
+              if (gateBucketCap == 0) Int.MaxValue else gateBucketCap,
+              dec.cap.getOrElse(Int.MaxValue))
             store.append(dt, Seq((bid, dec.triggered, dec.hotBucketRows,
-              dec.hotBucketBudget, dec.cap.getOrElse(0)))
-              .toDF("batch_id", "capped", "hot_rows", "budget", "bucket_cap"))
+              dec.hotBucketBudget, dec.cap.getOrElse(0), probeCap))
+              .toDF("batch_id", "capped", "hot_rows", "budget",
+                "bucket_cap", "probe_cap"))
           }
         }
         // per-batch appends fragment; compaction runs AFTER the done

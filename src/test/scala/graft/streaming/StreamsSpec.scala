@@ -1239,6 +1239,10 @@ class StreamsSpec extends SparkSpec {
     assert(d0(0).getLong(d0(0).fieldIndex("hot_rows")) === 12L)
     val cap0 = DedupIndex.storedBucketCap(store, "gcp_gate")
     assert(cap0.nonEmpty && cap0.get >= 64)
+    // the audit names BOTH caps: the stored policy alone and the
+    // EFFECTIVE min-composed cap the next probe runs under
+    assert(d0(0).getInt(d0(0).fieldIndex("bucket_cap")) === cap0.get)
+    assert(d0(0).getInt(d0(0).fieldIndex("probe_cap")) === 3)
 
     // batch 1: two more flood copies probe under min(static 3, stored
     // 64) = 3 — the hot bucket star-pairs to its min-id seen member —

@@ -583,12 +583,35 @@ object DedupIndex {
     * the numbers it was judged against (rows in the hottest band bucket
     * vs the scan budget), the mean bucket size the cap was derived from
     * (0 when it declined — the trigger path alone pays the bucket
-    * count), and the policy in force AFTER the call (newly derived, or
-    * the pre-existing one on a decline; None when no policy exists).
+    * count), the policy in force AFTER the call (newly derived, or
+    * the pre-existing one on a decline; None when no policy exists),
+    * and whether this call RETIRED a pre-existing policy (the
+    * `retireFraction` hysteresis leg — `cap` is None exactly then).
     */
   final case class CapDecision(
       triggered: Boolean, hotBucketRows: Long, hotBucketBudget: Long,
-      meanBucketRows: Double, cap: Option[Int])
+      meanBucketRows: Double, cap: Option[Int], retired: Boolean = false)
+
+  /** Retire the stored probe-cap policy — the clapper's UN-ring, for
+    * after the flood source is fixed upstream (takedown / upstream
+    * dedup of the boilerplate source). A stored finite cap is never
+    * wrong on a clean index — organic band buckets sit far under any
+    * derived cap, so the kept set is identical — but it is not free:
+    * every `bucketCap = 0` probe pays the capped path's per-bucket
+    * stats aggregate instead of the plain `Int.MaxValue` short-circuit
+    * join (measured constant on the 0%-flood lexskew row: 3.06 s
+    * capped-64 vs 1.84 s uncapped, BENCH_LOCAL_r18.md §5), and the
+    * rearm baseline persisted with the policy keeps the bell from
+    * re-deriving until the NEXT flood is `rearmFactor ×` the OLD one.
+    * Clearing restores the uncapped probe plan and fully re-arms the
+    * bell. Returns whether a policy existed. [[capIfUnhealthy]]'s
+    * `retireFraction` is this call on an automatic hysteresis trigger.
+    */
+  def clearCapPolicy(store: TableStore, name: String): Boolean = {
+    val had = store.exists(capPolicyT(name))
+    if (had) store.drop(capPolicyT(name))
+    had
+  }
 
   /** [[AnnIndex.rebuildIfUnhealthy]]'s lexical twin — the clapper for
     * the [[Health.maxBucketFrac]] bell. The lexical index has no rebuild
@@ -620,6 +643,19 @@ object DedupIndex {
     *     a still-flooded corpus (the fix is upstream dedup / takedown)
     *     must not re-derive every batch. `rearmFactor = 0` disables the
     *     guard (re-derive whenever over budget).
+    *   - RETIRE (the un-ring, opt-in): once that upstream fix lands —
+    *     the flood taken down via [[deleteIds]] — the stored cap is no
+    *     longer needed, and it is not free (see [[clearCapPolicy]]).
+    *     With `retireFraction > 0`, a poll that finds a policy in force
+    *     while the hottest bucket has fallen to ≤ `retireFraction ×
+    *     hotBucketBudget` clears it: the probe plan goes back to the
+    *     uncapped short-circuit and the bell re-arms fresh (no stale
+    *     rearm baseline). The fraction is a HYSTERESIS band — retire
+    *     well under the ring bar (0.25-0.5 is sensible) so a flood
+    *     oscillating around the budget cannot flap the probe plan
+    *     capped↔uncapped batch to batch. Default 0 = never retire
+    *     (today's semantics; a stale cap costs a constant, never
+    *     recall on organic buckets).
     *
     * Steady-state cost is one [[health]] poll (fingerprint-cached, one
     * row) plus one 1-row policy read; only the trigger path pays the
@@ -627,12 +663,15 @@ object DedupIndex {
     */
   def capIfUnhealthy(store: TableStore, name: String,
       hotBucketBudget: Long = 4096, capFactor: Long = 8,
-      rearmFactor: Double = 1.25): CapDecision = {
+      rearmFactor: Double = 1.25, retireFraction: Double = 0.0): CapDecision = {
     require(hotBucketBudget >= 1,
       s"hotBucketBudget must be >= 1, got $hotBucketBudget")
     require(capFactor >= 1, s"capFactor must be >= 1, got $capFactor")
     require(rearmFactor >= 0,
       s"rearmFactor must be >= 0 (0 disables the thrash guard), got $rearmFactor")
+    require(retireFraction >= 0 && retireFraction <= 1,
+      s"retireFraction must be in [0, 1] (0 = never retire; keep it well " +
+        s"under 1 for hysteresis), got $retireFraction")
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
     val h = health(store, name)
@@ -641,9 +680,19 @@ object DedupIndex {
     val base = if (rearmFactor == 0) None else prev
     val ring = h.nDocs > 0 && hot >= hotBucketBudget &&
       base.forall(b => hot >= rearmFactor * b._2)
-    if (!ring)
-      CapDecision(triggered = false, hot, hotBucketBudget, 0.0, prev.map(_._1))
-    else {
+    if (!ring) {
+      // `hot < hotBucketBudget` is explicit: a rearm-DECLINED flood (hot
+      // still ≥ budget, just not rearmFactor× the baseline) lands on this
+      // branch too, and at retireFraction = 1 the fraction bar alone
+      // would retire the policy mid-flood
+      if (prev.nonEmpty && retireFraction > 0 && hot < hotBucketBudget &&
+          hot <= retireFraction * hotBucketBudget) {
+        clearCapPolicy(store, name)
+        CapDecision(triggered = false, hot, hotBucketBudget, 0.0, None,
+          retired = true)
+      } else
+        CapDecision(triggered = false, hot, hotBucketBudget, 0.0, prev.map(_._1))
+    } else {
       val nBuckets = store.read(bandsT(name))
         .select(col("band"), col("bucket")).distinct().count()
       val mean = if (nBuckets == 0) 0.0 else h.nBandRows.toDouble / nBuckets

@@ -594,15 +594,23 @@ object Streams {
     * the static bound is what stands between that first batch and the
     * measured unbounded regime (set it to a few × the expected organic
     * bucket size when first-batch floods are a real risk; the policy
-    * then tightens it from the measured state). `decisionTable`
-    * (optional) appends one (batch_id, capped, hot_rows, budget,
-    * bucket_cap, probe_cap) audit row per batch — `bucket_cap` is the
-    * stored policy alone, `probe_cap` the min-composed cap the NEXT
-    * batch's probe actually runs under — at-least-once on replay.
+    * then tightens it from the measured state). `retireFraction > 0`
+    * opts into the clapper's UN-ring ([[graft.ext.DedupIndex
+    * .capIfUnhealthy]]'s hysteresis leg): once a takedown/upstream fix
+    * drops the hottest bucket to ≤ `retireFraction × hotBucketBudget`,
+    * the stored cap is cleared on the same cadence — the gate probe
+    * goes back to the uncapped short-circuit plan instead of paying the
+    * capped path's stats aggregate forever, and the bell re-arms fresh.
+    * `decisionTable` (optional) appends one (batch_id, capped, retired,
+    * hot_rows, budget, bucket_cap, probe_cap) audit row per batch —
+    * `bucket_cap` is the stored policy alone, `probe_cap` the
+    * min-composed cap the NEXT batch's probe actually runs under —
+    * at-least-once on replay.
     */
   final case class GateCapPolicy(
       hotBucketBudget: Long = 4096, capFactor: Long = 8,
-      rearmFactor: Double = 1.25, decisionTable: Option[String] = None,
+      rearmFactor: Double = 1.25, retireFraction: Double = 0.0,
+      decisionTable: Option[String] = None,
       // the gate's commit moves the health fingerprint EVERY batch, so
       // each policy ask re-pays the lexical health aggregate — and that
       // one counts the whole shingles table (O(corpus shingle rows),
@@ -1020,7 +1028,7 @@ object Streams {
           val g = dedupGate.get
           val dec = graft.ext.DedupIndex.capIfUnhealthy(store, g,
             hotBucketBudget = gp.hotBucketBudget, capFactor = gp.capFactor,
-            rearmFactor = gp.rearmFactor)
+            rearmFactor = gp.rearmFactor, retireFraction = gp.retireFraction)
           gp.decisionTable.foreach { dt =>
             // probe_cap = what the NEXT batch's probe will actually run
             // under (the min-compose), beside bucket_cap = the stored
@@ -1029,9 +1037,10 @@ object Streams {
             val probeCap = math.min(
               if (gateBucketCap == 0) Int.MaxValue else gateBucketCap,
               dec.cap.getOrElse(Int.MaxValue))
-            store.append(dt, Seq((bid, dec.triggered, dec.hotBucketRows,
-              dec.hotBucketBudget, dec.cap.getOrElse(0), probeCap))
-              .toDF("batch_id", "capped", "hot_rows", "budget",
+            store.append(dt, Seq((bid, dec.triggered, dec.retired,
+              dec.hotBucketRows, dec.hotBucketBudget, dec.cap.getOrElse(0),
+              probeCap))
+              .toDF("batch_id", "capped", "retired", "hot_rows", "budget",
                 "bucket_cap", "probe_cap"))
           }
         }

@@ -373,6 +373,69 @@ class DedupIndexSpec extends SparkSpec {
     assert(!store.exists("cp_cap_policy"))
   }
 
+  test("capIfUnhealthy retireFraction: the un-ring — a takedown'd flood clears the policy on the hysteresis bar, never mid-flood, and re-arms the bell fresh; clearCapPolicy is the manual form") {
+    val store = new graft.tables.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_diret").toString)
+    val flood = "the same boilerplate line every time"
+    val docs = corpus(7, 6).take(6) ++ (100L to 111L).map(i => (i, flood))
+    DedupIndex.build(store, "rp", docs.toDF("doc_id", "text"),
+      "doc_id", "text")
+    def probePairs(cap: Int): Set[(Long, Long)] = {
+      val (p, _) = DedupIndex.probeIncrement(store, "rp",
+        Seq((500L, flood)).toDF("doc_id", "text"), "doc_id", "text",
+        threshold = 0.7, bucketCap = cap)
+      pairSet(p)
+    }
+    // the 12-clone flood rings and persists the cap
+    val ring = DedupIndex.capIfUnhealthy(store, "rp", hotBucketBudget = 10)
+    assert(ring.triggered && !ring.retired)
+    val cap0 = ring.cap.get
+    // STILL flooded: the retire leg must never fire while hot is at/over
+    // the ring bar — even at retireFraction = 1, where the fraction bar
+    // alone (12 ≤ 1 × 10 is false here, but the explicit hot < budget
+    // guard covers the hot == budget rearm-declined case) cannot help
+    val held = DedupIndex.capIfUnhealthy(store, "rp", hotBucketBudget = 10,
+      retireFraction = 1.0)
+    assert(!held.triggered && !held.retired && held.cap === Some(cap0))
+    assert(DedupIndex.storedBucketCap(store, "rp") === Some(cap0))
+    // upstream fix lands: 10 of the 12 flood copies taken down — the
+    // flood bucket keeps a 2-row remnant, under the budget
+    DedupIndex.deleteIds(store, "rp", (102L to 111L).toDF("doc_id"),
+      "doc_id")
+    val hAfter = DedupIndex.health(store, "rp").hotBucketRows
+    assert(hAfter >= 2 && hAfter < 10, s"fixture drifted: hot $hAfter")
+    // ABOVE the hysteresis bar the policy holds: calm, but not calm
+    // enough to retire (bar = hAfter - 1 < hot)
+    val hold = DedupIndex.capIfUnhealthy(store, "rp", hotBucketBudget = 10,
+      retireFraction = (hAfter - 1).toDouble / 10)
+    assert(!hold.triggered && !hold.retired && hold.cap === Some(cap0))
+    // AT/UNDER the bar it retires: policy cleared, bucketCap = 0 probes
+    // go back to the uncapped short-circuit plan
+    val ret = DedupIndex.capIfUnhealthy(store, "rp", hotBucketBudget = 10,
+      retireFraction = math.min(1.0, (hAfter + 1).toDouble / 10))
+    assert(!ret.triggered && ret.retired && ret.cap.isEmpty)
+    assert(DedupIndex.storedBucketCap(store, "rp").isEmpty)
+    assert(!store.exists("rp_cap_policy"))
+    assert(probePairs(0) === probePairs(Int.MaxValue))
+    // idempotent: a second calm poll neither retires nor rings
+    val calm2 = DedupIndex.capIfUnhealthy(store, "rp", hotBucketBudget = 10,
+      retireFraction = 1.0)
+    assert(!calm2.triggered && !calm2.retired && calm2.cap.isEmpty)
+    // the bell re-armed FRESH: a new 12-copy flood lands the bucket at 14
+    // rows — under 1.25 × the OLD 12-row baseline, so a surviving
+    // baseline would have declined; the retire dropped it, so it rings
+    DedupIndex.dedupIncrement(store, "rp",
+      (300L to 311L).map(i => (i, flood)).toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.7).collect()
+    val re = DedupIndex.capIfUnhealthy(store, "rp", hotBucketBudget = 10)
+    assert(re.triggered && re.hotBucketRows >= 14L,
+      s"retire left a stale rearm baseline: $re")
+    // clearCapPolicy is the manual form: reports whether one existed
+    assert(DedupIndex.clearCapPolicy(store, "rp"))
+    assert(DedupIndex.storedBucketCap(store, "rp").isEmpty)
+    assert(!DedupIndex.clearCapPolicy(store, "rp"))
+  }
+
   test("index persists across runs: run 2's base includes run 1's increment") {
     val all = corpus(12, 40).toDF("doc_id", "text")
     val inc1 = col("doc_id") % 3 === 0

@@ -1212,13 +1212,13 @@ class StreamsSpec extends SparkSpec {
     // the clapper runs after a batch commits, so the flood's own arrival
     // batch (batch 0 below) is bounded only by this — and once the bell
     // rings, the probe cap is min(static, stored policy)
-    def drain(): Unit = Streams.retrievalIngestSink(
+    def drain(retireFraction: Double = 0.0): Unit = Streams.retrievalIngestSink(
       spark.readStream.format("json").schema(schema).load(dir),
       store, "doc_id", ckpt,
       bm25Index = Some("gcp_bm"),
       dedupGate = Some("gcp_gate"), gateBucketCap = 3,
       gateCapPolicy = Some(Streams.GateCapPolicy(hotBucketBudget = 10,
-        decisionTable = Some("gcp_dec"))))
+        retireFraction = retireFraction, decisionTable = Some("gcp_dec"))))
       .awaitTermination()
 
     // batch 0: a 12-copy verbatim text flood + one novel doc. The
@@ -1257,7 +1257,33 @@ class StreamsSpec extends SparkSpec {
     assert(d1.length === 2)
     assert(!d1(1).getBoolean(d1(1).fieldIndex("capped")),
       s"rearm guard did not hold: ${d1(1)}")
+    assert(!d1(1).getBoolean(d1(1).fieldIndex("retired")),
+      s"default retireFraction = 0 must never retire: ${d1(1)}")
     assert(DedupIndex.storedBucketCap(store, "gcp_gate") === cap0)
+
+    // batch 2: the flood source is fixed upstream — every flood copy the
+    // SEEN gate recorded is taken down — and the sink runs with
+    // retireFraction = 0.5: the clapper finds the hottest bucket at
+    // organic levels (≤ 5 = 0.5 × 10) with a policy in force, retires
+    // it on the sink cadence, and the audit row says so
+    DedupIndex.deleteIds(store, "gcp_gate",
+      ((101L to 112L) ++ Seq(201L, 202L)).toDF("doc_id"), "doc_id")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b2.json"),
+      Seq((300L, text(300L))).map(row).mkString("\n"))
+    drain(retireFraction = 0.5)
+    val d2 = store.read("gcp_dec").orderBy(col("batch_id")).collect()
+    assert(d2.length === 3)
+    assert(!d2(2).getBoolean(d2(2).fieldIndex("capped")))
+    assert(d2(2).getBoolean(d2(2).fieldIndex("retired")),
+      s"clean index under the hysteresis bar did not retire: ${d2(2)}")
+    assert(d2(2).getInt(d2(2).fieldIndex("bucket_cap")) === 0)
+    // probe_cap still names the static bound — the only cap left
+    assert(d2(2).getInt(d2(2).fieldIndex("probe_cap")) === 3)
+    assert(DedupIndex.storedBucketCap(store, "gcp_gate").isEmpty)
+    assert(!store.exists("gcp_gate_cap_policy"))
+    // the novel doc landed through the legs as usual
+    assert(Bm25.knownIds(store, "gcp_bm", "doc_id")
+      .as[Long].collect().toSet === (1L to 6L).toSet ++ Set(101L, 120L, 300L))
     // marker closed, no gate-scratch orphans
     val m = store.read("gcp_bm_ingest_intent").collect()(0)
     assert(m.getLong(0) === m.getLong(1))

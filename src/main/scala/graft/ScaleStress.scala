@@ -945,6 +945,29 @@ object ScaleStress {
           s""","rang":${d.triggered},"hot_rows":${d.hotBucketRows},"derived_cap":${d.cap.getOrElse(0)}""").getOrElse("")
         println(f"""{"lexskew":$fPct,"mode":"$mode","max_bucket_frac":${h.maxBucketFrac}%.3f,"probe_sec":$best%.2f,"pairs":$pairs$capInfo}""")
       }
+      // "retire" (10% row only): the un-ring's measured leg. The flood is
+      // taken down upstream, the SAME poll (now with retireFraction) finds
+      // the hottest bucket at organic levels with a policy in force and
+      // clears it, and the bucketCap = 0 probe goes back to the uncapped
+      // short-circuit plan — compare probe_sec against the 0%-flood
+      // clapper row (the capped-path stats aggregate is the difference)
+      if (fPct == 10) {
+        val store = new TableStore(spark, s"$workDir/lexskew_${fPct}_clapper")
+        DedupIndex.deleteIds(store, "dx",
+          base.filter(isHot).select(col("doc_id")), "doc_id")
+        val dec = DedupIndex.capIfUnhealthy(store, "dx", retireFraction = 0.25)
+        var best = Double.MaxValue
+        var pairs = 0L
+        for (_ <- 1 to 2) {
+          val t0 = System.nanoTime()
+          val (p, _) = DedupIndex.probeIncrement(store, "dx", batch,
+            "doc_id", "text", threshold = 0.8, bucketCap = 0)
+          pairs = p.count()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        }
+        val h2 = DedupIndex.health(store, "dx")
+        println(f"""{"lexskew":$fPct,"mode":"retire","max_bucket_frac":${h2.maxBucketFrac}%.3f,"probe_sec":$best%.2f,"pairs":$pairs,"retired":${dec.retired},"stored_cap":${DedupIndex.storedBucketCap(store, "dx").getOrElse(0)}}""")
+      }
     }
   }
 

@@ -578,6 +578,17 @@ object Streams {
       // late, which is how a monitoring loop behaves anyway
       cadence: Int = 1) {
     require(cadence >= 1, s"cadence must be >= 1, got $cadence")
+    // mirror rebuildIfUnhealthy's own requires at CONSTRUCTION (the
+    // gateBucketCap rule): the clapper runs post-marker, so a bad factor
+    // surfacing there crash-loops the stream mid-flight for a pure
+    // misconfiguration instead of failing where the policy was written
+    require(driftFactor > 0, s"driftFactor must be > 0, got $driftFactor")
+    require(skewCostMultiple > 1,
+      s"skewCostMultiple must be > 1, got $skewCostMultiple")
+    require(collapseFactor > 1,
+      s"collapseFactor must be > 1, got $collapseFactor")
+    require(rearmFactor >= 0,
+      s"rearmFactor must be >= 0 (0 disables the thrash guard), got $rearmFactor")
   }
 
   /** [[retrievalIngestSink]]'s LEXICAL clapper policy — [[graft.ext
@@ -619,6 +630,17 @@ object Streams {
       // every Nth batch; the bell rings at most `cadence` batches late
       cadence: Int = 1) {
     require(cadence >= 1, s"cadence must be >= 1, got $cadence")
+    // mirror capIfUnhealthy's own requires at CONSTRUCTION (the
+    // gateBucketCap rule): the clapper runs post-marker, so a bad value
+    // surfacing there crash-loops the stream mid-flight for a pure
+    // misconfiguration instead of failing where the policy was written
+    require(hotBucketBudget >= 1,
+      s"hotBucketBudget must be >= 1, got $hotBucketBudget")
+    require(capFactor >= 1, s"capFactor must be >= 1, got $capFactor")
+    require(rearmFactor >= 0,
+      s"rearmFactor must be >= 0 (0 disables the thrash guard), got $rearmFactor")
+    require(retireFraction >= 0 && retireFraction <= 1,
+      s"retireFraction must be in [0, 1] (0 = never retire), got $retireFraction")
   }
 
   /** Tear down the SCRATCH tables a retired retrieval stack can leave

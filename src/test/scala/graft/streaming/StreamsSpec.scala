@@ -1291,6 +1291,20 @@ class StreamsSpec extends SparkSpec {
     assert(!store.exists("gcp_gate_gate_kept"))
   }
 
+  test("sink policies validate at CONSTRUCTION: out-of-range factors throw where the policy is written, never mid-stream in the post-marker clapper") {
+    intercept[IllegalArgumentException] { Streams.GateCapPolicy(retireFraction = 1.5) }
+    intercept[IllegalArgumentException] { Streams.GateCapPolicy(retireFraction = -0.1) }
+    intercept[IllegalArgumentException] { Streams.GateCapPolicy(hotBucketBudget = 0) }
+    intercept[IllegalArgumentException] { Streams.GateCapPolicy(capFactor = 0) }
+    intercept[IllegalArgumentException] { Streams.GateCapPolicy(rearmFactor = -0.1) }
+    intercept[IllegalArgumentException] { Streams.GateCapPolicy(cadence = 0) }
+    intercept[IllegalArgumentException] { Streams.RebuildPolicy(dim = 16, driftFactor = 0) }
+    intercept[IllegalArgumentException] { Streams.RebuildPolicy(dim = 16, skewCostMultiple = 1) }
+    intercept[IllegalArgumentException] { Streams.RebuildPolicy(dim = 16, collapseFactor = 1) }
+    intercept[IllegalArgumentException] { Streams.RebuildPolicy(dim = 16, rearmFactor = -1) }
+    intercept[IllegalArgumentException] { Streams.RebuildPolicy(dim = 16, cadence = 0) }
+  }
+
   test("retrievalIngestSink semanticGate: embedding dups dropped via ANN+exact confirm; corpus leg lands kept docs") {
     import graft.ext.{AnnIndex, Bm25}
     val dir = Files.createTempDirectory("graft_sg_landing").toString

@@ -1303,6 +1303,14 @@ class StreamsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Streams.RebuildPolicy(dim = 16, collapseFactor = 1) }
     intercept[IllegalArgumentException] { Streams.RebuildPolicy(dim = 16, rearmFactor = -1) }
     intercept[IllegalArgumentException] { Streams.RebuildPolicy(dim = 16, cadence = 0) }
+    // the build params a FIRED rebuild forwards fail at construction too
+    intercept[IllegalArgumentException] { Streams.RebuildPolicy(dim = 0) }
+    intercept[IllegalArgumentException] { Streams.RebuildPolicy(dim = 16, nlist = -1) }
+    intercept[IllegalArgumentException] { Streams.RebuildPolicy(dim = 16, m = -1) }
+    intercept[IllegalArgumentException] { Streams.RebuildPolicy(dim = 16, k = -1) }
+    intercept[IllegalArgumentException] { Streams.RebuildPolicy(dim = 16, coarseIters = 0) }
+    intercept[IllegalArgumentException] { Streams.RebuildPolicy(dim = 16, pqIters = 0) }
+    intercept[IllegalArgumentException] { Streams.RebuildPolicy(dim = 16, sampleMod = Some(0)) }
   }
 
   test("retrievalIngestSink semanticGate: embedding dups dropped via ANN+exact confirm; corpus leg lands kept docs") {

@@ -926,12 +926,10 @@ object ScaleStress {
       // on top
       val modes = if (fPct >= 40) Seq(("capped", 64), ("clapper", 0))
         else Seq(("capped", 64), ("uncapped", Int.MaxValue), ("clapper", 0))
-      for ((mode, cap) <- modes) {
-        val store = new TableStore(spark, s"$workDir/lexskew_${fPct}_$mode")
-        DedupIndex.build(store, "dx", base, "doc_id", "text")
-        val h = DedupIndex.health(store, "dx")
-        val dec = if (mode == "clapper")
-          Some(DedupIndex.capIfUnhealthy(store, "dx")) else None
+      // ONE timing idiom for every row at this flood level (modes + the
+      // retire leg below) — a future warmup/rep change applies to all
+      // rows or the comparison silently skews
+      def timedProbe(store: TableStore, cap: Int): (Double, Long) = {
         var best = Double.MaxValue
         var pairs = 0L
         for (_ <- 1 to 2) {
@@ -941,6 +939,15 @@ object ScaleStress {
           pairs = p.count()
           best = math.min(best, (System.nanoTime() - t0) / 1e9)
         }
+        (best, pairs)
+      }
+      for ((mode, cap) <- modes) {
+        val store = new TableStore(spark, s"$workDir/lexskew_${fPct}_$mode")
+        DedupIndex.build(store, "dx", base, "doc_id", "text")
+        val h = DedupIndex.health(store, "dx")
+        val dec = if (mode == "clapper")
+          Some(DedupIndex.capIfUnhealthy(store, "dx")) else None
+        val (best, pairs) = timedProbe(store, cap)
         val capInfo = dec.map(d =>
           s""","rang":${d.triggered},"hot_rows":${d.hotBucketRows},"derived_cap":${d.cap.getOrElse(0)}""").getOrElse("")
         println(f"""{"lexskew":$fPct,"mode":"$mode","max_bucket_frac":${h.maxBucketFrac}%.3f,"probe_sec":$best%.2f,"pairs":$pairs$capInfo}""")
@@ -956,15 +963,7 @@ object ScaleStress {
         DedupIndex.deleteIds(store, "dx",
           base.filter(isHot).select(col("doc_id")), "doc_id")
         val dec = DedupIndex.capIfUnhealthy(store, "dx", retireFraction = 0.25)
-        var best = Double.MaxValue
-        var pairs = 0L
-        for (_ <- 1 to 2) {
-          val t0 = System.nanoTime()
-          val (p, _) = DedupIndex.probeIncrement(store, "dx", batch,
-            "doc_id", "text", threshold = 0.8, bucketCap = 0)
-          pairs = p.count()
-          best = math.min(best, (System.nanoTime() - t0) / 1e9)
-        }
+        val (best, pairs) = timedProbe(store, 0)
         val h2 = DedupIndex.health(store, "dx")
         println(f"""{"lexskew":$fPct,"mode":"retire","max_bucket_frac":${h2.maxBucketFrac}%.3f,"probe_sec":$best%.2f,"pairs":$pairs,"retired":${dec.retired},"stored_cap":${DedupIndex.storedBucketCap(store, "dx").getOrElse(0)}}""")
       }

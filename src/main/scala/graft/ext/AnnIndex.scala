@@ -780,7 +780,14 @@ object AnnIndex {
     * under drift silently under-probes).
     */
   final case class RecalSpec(train: DataFrame, evalSet: DataFrame,
-      threshold: Double = 0.8, sampleMod: Int = 10, margin: Int = 1)
+      threshold: Double = 0.8, sampleMod: Int = 10, margin: Int = 1) {
+    // validated at CONSTRUCTION: a RecalSpec rides inside RebuildPolicy /
+    // rebuildIfUnhealthy and is only consumed by a FIRED rebuild — a bad
+    // value surfacing there (decontaminateCalibrated's requires) would
+    // crash mid-stream, post-marker, instead of where the spec was written
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    require(margin >= 0, s"margin must be >= 0, got $margin")
+  }
 
   /** The stored code geometry `(m, k)` a rebuild must preserve. Indexes
     * written since build_m/build_k were persisted read the CONFIGURED
@@ -944,13 +951,18 @@ object AnnIndex {
     * ignores this gate. An empty index (nCodes = 0) never triggers on
     * skew/collapse — there is no geometry to judge.
     */
-  def rebuildIfUnhealthy(store: TableStore, name: String, corpus: DataFrame,
-      idCol: String, vecCol: String, dim: Int, driftFactor: Double = 2.0,
-      skewCostMultiple: Double = 16.0, collapseFactor: Double = 2.0,
-      rearmFactor: Double = 1.25,
-      nlist: Int = 0, coarseIters: Int = 2, m: Int = 0, k: Int = 0,
-      pqIters: Int = 2, sampleMod: Option[Int] = None,
-      recal: Option[RecalSpec] = None): UnhealthyDecision = {
+  /** The ONE statement of [[rebuildIfUnhealthy]]'s parameter bounds —
+    * including the build params a FIRED rebuild forwards (nlist/m/k/
+    * iters/sampleMod, with `pqTrainResidual`'s m-divides-dim rule
+    * mirrored so an explicit non-divisor m fails before any work).
+    * The function itself validates through this, and
+    * [[graft.streaming.Streams.RebuildPolicy]] calls it at CONSTRUCTION,
+    * so the sink-policy mirror can never drift from the callee chain.
+    */
+  private[graft] def requireRebuildParams(driftFactor: Double,
+      skewCostMultiple: Double, collapseFactor: Double, rearmFactor: Double,
+      dim: Int, nlist: Int, coarseIters: Int, m: Int, k: Int, pqIters: Int,
+      sampleMod: Option[Int]): Unit = {
     require(driftFactor > 0, s"driftFactor must be > 0, got $driftFactor")
     require(skewCostMultiple > 1,
       s"skewCostMultiple must be > 1, got $skewCostMultiple")
@@ -958,6 +970,29 @@ object AnnIndex {
       s"collapseFactor must be > 1, got $collapseFactor")
     require(rearmFactor >= 0,
       s"rearmFactor must be >= 0 (0 disables the thrash guard), got $rearmFactor")
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    require(nlist >= 0, s"nlist must be >= 0 (0 = auto sqrt(n)), got $nlist")
+    require(m >= 0, s"m must be >= 0 (0 = auto dim/2), got $m")
+    require(m == 0 || dim % m == 0,
+      s"dim $dim must divide into m=$m subspaces (pqTrainResidual's rule)")
+    require(k >= 0, s"k must be >= 0 (0 = stored geometry), got $k")
+    require(coarseIters >= 0,
+      s"coarseIters must be >= 0 (0 = seeds only), got $coarseIters")
+    require(pqIters >= 0,
+      s"pqIters must be >= 0 (0 = seeds only), got $pqIters")
+    sampleMod.foreach(sm =>
+      require(sm >= 1, s"sampleMod must be >= 1, got $sm"))
+  }
+
+  def rebuildIfUnhealthy(store: TableStore, name: String, corpus: DataFrame,
+      idCol: String, vecCol: String, dim: Int, driftFactor: Double = 2.0,
+      skewCostMultiple: Double = 16.0, collapseFactor: Double = 2.0,
+      rearmFactor: Double = 1.25,
+      nlist: Int = 0, coarseIters: Int = 2, m: Int = 0, k: Int = 0,
+      pqIters: Int = 2, sampleMod: Option[Int] = None,
+      recal: Option[RecalSpec] = None): UnhealthyDecision = {
+    requireRebuildParams(driftFactor, skewCostMultiple, collapseFactor,
+      rearmFactor, dim, nlist, coarseIters, m, k, pqIters, sampleMod)
     val spark = corpus.sparkSession
     import spark.implicits._
     val h = health(store, name)

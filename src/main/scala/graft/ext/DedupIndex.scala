@@ -586,7 +586,9 @@ object DedupIndex {
     * count), the policy in force AFTER the call (newly derived, or
     * the pre-existing one on a decline; None when no policy exists),
     * and whether this call RETIRED a pre-existing policy (the
-    * `retireFraction` hysteresis leg — `cap` is None exactly then).
+    * `retireFraction` hysteresis leg). `cap` is None on a retire AND on
+    * any no-policy decline — `retired`, not `cap.isEmpty`, is the
+    * retire signal.
     */
   final case class CapDecision(
       triggered: Boolean, hotBucketRows: Long, hotBucketBudget: Long,
@@ -661,9 +663,13 @@ object DedupIndex {
     * row) plus one 1-row policy read; only the trigger path pays the
     * bucket count the cap derivation needs.
     */
-  def capIfUnhealthy(store: TableStore, name: String,
-      hotBucketBudget: Long = 4096, capFactor: Long = 8,
-      rearmFactor: Double = 1.25, retireFraction: Double = 0.0): CapDecision = {
+  /** The ONE statement of [[capIfUnhealthy]]'s parameter bounds — the
+    * function validates through this, and [[graft.streaming.Streams
+    * .GateCapPolicy]] calls it at CONSTRUCTION, so the sink-policy
+    * mirror can never drift from the callee's rules.
+    */
+  private[graft] def requireCapParams(hotBucketBudget: Long, capFactor: Long,
+      rearmFactor: Double, retireFraction: Double): Unit = {
     require(hotBucketBudget >= 1,
       s"hotBucketBudget must be >= 1, got $hotBucketBudget")
     require(capFactor >= 1, s"capFactor must be >= 1, got $capFactor")
@@ -672,6 +678,12 @@ object DedupIndex {
     require(retireFraction >= 0 && retireFraction <= 1,
       s"retireFraction must be in [0, 1] (0 = never retire; keep it well " +
         s"under 1 for hysteresis), got $retireFraction")
+  }
+
+  def capIfUnhealthy(store: TableStore, name: String,
+      hotBucketBudget: Long = 4096, capFactor: Long = 8,
+      rearmFactor: Double = 1.25, retireFraction: Double = 0.0): CapDecision = {
+    requireCapParams(hotBucketBudget, capFactor, rearmFactor, retireFraction)
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
     val h = health(store, name)

@@ -578,26 +578,15 @@ object Streams {
       // late, which is how a monitoring loop behaves anyway
       cadence: Int = 1) {
     require(cadence >= 1, s"cadence must be >= 1, got $cadence")
-    // mirror the callee chain's requires (rebuildIfUnhealthy + the
-    // AnnIndex.build a fired rebuild runs) at CONSTRUCTION, the
-    // gateBucketCap rule: the clapper runs post-marker, so a bad value
-    // surfacing there crash-loops the stream mid-flight for a pure
-    // misconfiguration instead of failing where the policy was written
-    require(dim >= 1, s"dim must be >= 1, got $dim")
-    require(driftFactor > 0, s"driftFactor must be > 0, got $driftFactor")
-    require(skewCostMultiple > 1,
-      s"skewCostMultiple must be > 1, got $skewCostMultiple")
-    require(collapseFactor > 1,
-      s"collapseFactor must be > 1, got $collapseFactor")
-    require(rearmFactor >= 0,
-      s"rearmFactor must be >= 0 (0 disables the thrash guard), got $rearmFactor")
-    require(nlist >= 0, s"nlist must be >= 0 (0 = auto sqrt(n)), got $nlist")
-    require(m >= 0, s"m must be >= 0 (0 = auto dim/2), got $m")
-    require(k >= 0, s"k must be >= 0 (0 = stored geometry), got $k")
-    require(coarseIters >= 1, s"coarseIters must be >= 1, got $coarseIters")
-    require(pqIters >= 1, s"pqIters must be >= 1, got $pqIters")
-    sampleMod.foreach(sm =>
-      require(sm >= 1, s"sampleMod must be >= 1, got $sm"))
+    // the callee chain's bounds at CONSTRUCTION, the gateBucketCap rule:
+    // the clapper runs post-marker, so a bad value surfacing there
+    // crash-loops the stream mid-flight for a pure misconfiguration.
+    // ONE shared validator (rebuildIfUnhealthy checks through the same
+    // call) so the mirror can never drift from the callee; a RecalSpec
+    // in `recal` validates itself at its own construction
+    graft.ext.AnnIndex.requireRebuildParams(driftFactor, skewCostMultiple,
+      collapseFactor, rearmFactor, dim, nlist, coarseIters, m, k, pqIters,
+      sampleMod)
   }
 
   /** [[retrievalIngestSink]]'s LEXICAL clapper policy — [[graft.ext
@@ -639,17 +628,12 @@ object Streams {
       // every Nth batch; the bell rings at most `cadence` batches late
       cadence: Int = 1) {
     require(cadence >= 1, s"cadence must be >= 1, got $cadence")
-    // mirror capIfUnhealthy's own requires at CONSTRUCTION (the
-    // gateBucketCap rule): the clapper runs post-marker, so a bad value
-    // surfacing there crash-loops the stream mid-flight for a pure
-    // misconfiguration instead of failing where the policy was written
-    require(hotBucketBudget >= 1,
-      s"hotBucketBudget must be >= 1, got $hotBucketBudget")
-    require(capFactor >= 1, s"capFactor must be >= 1, got $capFactor")
-    require(rearmFactor >= 0,
-      s"rearmFactor must be >= 0 (0 disables the thrash guard), got $rearmFactor")
-    require(retireFraction >= 0 && retireFraction <= 1,
-      s"retireFraction must be in [0, 1] (0 = never retire), got $retireFraction")
+    // capIfUnhealthy's bounds at CONSTRUCTION (the gateBucketCap rule):
+    // the clapper runs post-marker, so a bad value surfacing there
+    // crash-loops the stream mid-flight for a pure misconfiguration.
+    // ONE shared validator so the mirror can never drift from the callee
+    graft.ext.DedupIndex.requireCapParams(hotBucketBudget, capFactor,
+      rearmFactor, retireFraction)
   }
 
   /** Tear down the SCRATCH tables a retired retrieval stack can leave

@@ -1307,10 +1307,26 @@ class StreamsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Streams.RebuildPolicy(dim = 0) }
     intercept[IllegalArgumentException] { Streams.RebuildPolicy(dim = 16, nlist = -1) }
     intercept[IllegalArgumentException] { Streams.RebuildPolicy(dim = 16, m = -1) }
+    // pqTrainResidual's m-divides-dim rule, mirrored through the shared
+    // validator — the one bound a naive param-range copy would miss
+    intercept[IllegalArgumentException] { Streams.RebuildPolicy(dim = 16, m = 3) }
     intercept[IllegalArgumentException] { Streams.RebuildPolicy(dim = 16, k = -1) }
-    intercept[IllegalArgumentException] { Streams.RebuildPolicy(dim = 16, coarseIters = 0) }
-    intercept[IllegalArgumentException] { Streams.RebuildPolicy(dim = 16, pqIters = 0) }
+    intercept[IllegalArgumentException] { Streams.RebuildPolicy(dim = 16, coarseIters = -1) }
+    intercept[IllegalArgumentException] { Streams.RebuildPolicy(dim = 16, pqIters = -1) }
     intercept[IllegalArgumentException] { Streams.RebuildPolicy(dim = 16, sampleMod = Some(0)) }
+    // seed-only iteration counts are VALID end-to-end (kmeansTrain runs
+    // `0 until iters`, pqTrainResidual requires only iters >= 0) — the
+    // construction mirror must not be stricter than the callee chain
+    Streams.RebuildPolicy(dim = 16, coarseIters = 0, pqIters = 0)
+    // a RecalSpec riding inside the policy validates ITSELF at its own
+    // construction — same fail-where-written rule
+    val df = Seq((1L, Seq(1.0f))).toDF("doc_id", "embedding")
+    intercept[IllegalArgumentException] {
+      graft.ext.AnnIndex.RecalSpec(df, df, sampleMod = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ext.AnnIndex.RecalSpec(df, df, margin = -1)
+    }
   }
 
   test("retrievalIngestSink semanticGate: embedding dups dropped via ANN+exact confirm; corpus leg lands kept docs") {

@@ -625,7 +625,13 @@ object Streams {
       // one counts the whole shingles table (O(corpus shingle rows),
       // grows without bound), unlike the ANN policy's geometry-narrow
       // recount. On high-frequency micro-batches raise `cadence` to ask
-      // every Nth batch; the bell rings at most `cadence` batches late
+      // every Nth batch; the bell rings at most `cadence` batches late.
+      // An INCREMENTALLY-maintained bucket histogram does not fix this:
+      // the (band, bucket) histogram is itself O(corpus) rows (~bands ×
+      // nDocs — organic buckets hold 1-2 rows), so merging each batch's
+      // deltas rewrites an O(corpus) table EVERY commit, strictly worse
+      // than a map-side-combined columnar aggregate every `cadence`
+      // batches — the knob is the design, not a stopgap
       cadence: Int = 1) {
     require(cadence >= 1, s"cadence must be >= 1, got $cadence")
     // capIfUnhealthy's bounds at CONSTRUCTION (the gateBucketCap rule):

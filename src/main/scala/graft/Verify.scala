@@ -99,6 +99,16 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/_errors.json"),
       errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // Attribution line + sidecar: the repo DECLARES its query count at dump
+    // time, so a zero-entry driver artifact (r18's empty {}) is attributable
+    // on sight — if _declared.json says 177 and the round record says 0, the
+    // loss happened downstream of this process, not in the repo.
+    val dumped =
+      SparkEntry.queries.size - errors.keysIterator.count(SparkEntry.queries.contains)
+    val declared = s"""{"queries_declared": ${SparkEntry.queries.size}, """ +
+      s""""dumped": $dumped, "errors": ${errors.size}}"""
+    Files.writeString(Paths.get(s"$outDir/_declared.json"), declared)
+    println(s"[verify] $declared")
     graft.tables.Scratch.cleanup(spark) // drop stage tables (all actions done)
     spark.stop()
   }

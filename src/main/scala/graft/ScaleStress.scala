@@ -870,6 +870,21 @@ object ScaleStress {
     import graft.ext.Bm25
     import graft.tables.TableStore
     val docs = Td(spark, expDir, "documents").select(col("doc_id"), col("text"))
+    // ONE timing idiom for every row (plain / clapper / retire legs) —
+    // the lexskew rule: a warmup/rep change applies to all rows or the
+    // comparison silently skews. termDfCap = Long.MaxValue is the
+    // never-prune plan (plain), 0 resolves the stored policy.
+    def timedSearch(store: TableStore, cap: Long): (Double, Long) = {
+      var best = Double.MaxValue
+      var n = 0L
+      for (_ <- 1 to 2) {
+        val t0 = System.nanoTime()
+        n = Bm25.searchIndex(store, "bm", "doc_id",
+          Seq("zzcommon", "spark"), topK = 10, termDfCap = cap).count()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      (best, n)
+    }
     for (fPct <- Seq(0, 10, 40, 80)) {
       val isHot = pmod(Similarity.sampleBucket(col("doc_id") + 11), lit(100)) < fPct
       val planted = docs.withColumn("text",
@@ -877,14 +892,46 @@ object ScaleStress {
       val store = new TableStore(spark, s"$workDir/bmskew_$fPct")
       Bm25.buildIndex(store, "bm", planted, "doc_id", "text")
       val h = Bm25.health(store, "bm")
-      var best = Double.MaxValue
-      for (_ <- 1 to 2) {
-        val t0 = System.nanoTime()
-        Bm25.searchIndex(store, "bm", "doc_id",
-          Seq("zzcommon", "spark"), topK = 10).count()
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
-      }
-      println(f"""{"bm25skew":$fPct,"n_docs":${h.nDocs},"max_term_frac":${h.maxTermFrac}%.3f,"search_sec":$best%.2f}""")
+      val (plainSec, _) = timedSearch(store, Long.MaxValue)
+      println(f"""{"bm25skew":$fPct,"mode":"plain","n_docs":${h.nDocs},"max_term_frac":${h.maxTermFrac}%.3f,"search_sec":$plainSec%.2f}""")
+      // "clapper": the r19 policy row — capIfUnhealthy at a half-corpus
+      // scan budget (a term in half the docs has rational idf ≤ 1/3:
+      // marginal contribution, maximal scan), then the SAME search with
+      // termDfCap = 0 resolving the persisted stop list. This corpus'
+      // NATURAL stopwords (df ≈ 0.79 · n) ring the bell at every flood
+      // level — which is the 100 TB story: the clapper's routine value
+      // is pruning organic stopword scans, not just planted floods; the
+      // planted term joins the stop list once its df crosses the budget
+      val dec = Bm25.capIfUnhealthy(store, "bm",
+        hotTermBudget = math.max(1L, h.nDocs / 2))
+      val (polSec, polRows) = timedSearch(store, 0L)
+      println(f"""{"bm25skew":$fPct,"mode":"clapper","rang":${dec.triggered},"hot_df":${dec.hotTermRows},"n_stopterms":${dec.nStopTerms},"search_sec":$polSec%.2f,"rows":$polRows}""")
+    }
+    // "retire": the un-ring's measured leg, at a budget only a PLANTED
+    // flood crosses (1.1 × the natural hot df — organic stopwords stay
+    // under it, so the stop list is exactly the flood term): a 90% plant
+    // rings, the policy prunes that term's near-full postings read, the
+    // takedown removes the planted docs, and the same poll (now with
+    // retireFraction) finds the corpus clean, clears the policy, and the
+    // search returns to the unpruned plan
+    {
+      val natHot = Bm25.health(
+        new TableStore(spark, s"$workDir/bmskew_0"), "bm").hotTermRows
+      val isHot = pmod(Similarity.sampleBucket(col("doc_id") + 11), lit(100)) < 90
+      val planted = docs.withColumn("text",
+        when(isHot, concat(col("text"), lit(" zzcommon"))).otherwise(col("text")))
+      val store = new TableStore(spark, s"$workDir/bmskew_retire")
+      Bm25.buildIndex(store, "bm", planted, "doc_id", "text")
+      val budget = math.max(1L, (1.1 * natHot).toLong)
+      val ring = Bm25.capIfUnhealthy(store, "bm", hotTermBudget = budget)
+      val (capSec, _) = timedSearch(store, 0L)
+      println(f"""{"bm25skew":90,"mode":"clapper","rang":${ring.triggered},"hot_df":${ring.hotTermRows},"budget":$budget,"n_stopterms":${ring.nStopTerms},"search_sec":$capSec%.2f}""")
+      Bm25.deleteIds(store, "bm",
+        planted.filter(isHot).select(col("doc_id")), "doc_id")
+      val dec = Bm25.capIfUnhealthy(store, "bm", hotTermBudget = budget,
+        retireFraction = 0.25)
+      val (retSec, _) = timedSearch(store, 0L)
+      println(f"""{"bm25skew":90,"mode":"retire","retired":${dec.retired},"hot_df":${dec.hotTermRows},"search_sec":$retSec%.2f,"stored_cap":${Bm25.storedDfCap(store, "bm").getOrElse(0L)}}""")
     }
   }
 

@@ -103,8 +103,12 @@ object Verify {
     // time, so a zero-entry driver artifact (r18's empty {}) is attributable
     // on sight — if _declared.json says 177 and the round record says 0, the
     // loss happened downstream of this process, not in the repo.
+    // `dumped` counts the queries this RUN attempted (the name filter is
+    // a builder iteration aid; the driver's 2-arg run attempts all)
+    val attempted =
+      SparkEntry.queries.keysIterator.count(n => only.forall(_.contains(n)))
     val dumped =
-      SparkEntry.queries.size - errors.keysIterator.count(SparkEntry.queries.contains)
+      attempted - errors.keysIterator.count(SparkEntry.queries.contains)
     val declared = s"""{"queries_declared": ${SparkEntry.queries.size}, """ +
       s""""dumped": $dumped, "errors": ${errors.size}}"""
     Files.writeString(Paths.get(s"$outDir/_declared.json"), declared)

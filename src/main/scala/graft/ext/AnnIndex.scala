@@ -902,6 +902,38 @@ object AnnIndex {
       recalibration: Option[DeconCalibration],
       post: Option[Health] = None)
 
+  /** The ONE statement of [[rebuildIfUnhealthy]]'s parameter bounds —
+    * including the build params a FIRED rebuild forwards (nlist/m/k/
+    * iters/sampleMod, with `pqTrainResidual`'s m-divides-dim rule
+    * mirrored so an explicit non-divisor m fails before any work).
+    * The function itself validates through this, and
+    * [[graft.streaming.Streams.RebuildPolicy]] calls it at CONSTRUCTION,
+    * so the sink-policy mirror can never drift from the callee chain.
+    */
+  private[graft] def requireRebuildParams(driftFactor: Double,
+      skewCostMultiple: Double, collapseFactor: Double, rearmFactor: Double,
+      dim: Int, nlist: Int, coarseIters: Int, m: Int, k: Int, pqIters: Int,
+      sampleMod: Option[Int]): Unit = {
+    require(driftFactor > 0, s"driftFactor must be > 0, got $driftFactor")
+    require(skewCostMultiple > 1,
+      s"skewCostMultiple must be > 1, got $skewCostMultiple")
+    require(collapseFactor > 1,
+      s"collapseFactor must be > 1, got $collapseFactor")
+    Clapper.requireRearm(rearmFactor)
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    require(nlist >= 0, s"nlist must be >= 0 (0 = auto sqrt(n)), got $nlist")
+    require(m >= 0, s"m must be >= 0 (0 = auto dim/2), got $m")
+    require(m == 0 || dim % m == 0,
+      s"dim $dim must divide into m=$m subspaces (pqTrainResidual's rule)")
+    require(k >= 0, s"k must be >= 0 (0 = stored geometry), got $k")
+    require(coarseIters >= 0,
+      s"coarseIters must be >= 0 (0 = seeds only), got $coarseIters")
+    require(pqIters >= 0,
+      s"pqIters must be >= 0 (0 = seeds only), got $pqIters")
+    sampleMod.foreach(sm =>
+      require(sm >= 1, s"sampleMod must be >= 1, got $sm"))
+  }
+
   /** [[rebuildIfDrifted]] widened to ALL of [[health]]'s measured alert
     * levels — the r16 verdict's open edge was that the geometry-collapse
     * bell (`autoNlist` ≫ `nClusters`) had no clapper: a collapsed or
@@ -951,39 +983,6 @@ object AnnIndex {
     * ignores this gate. An empty index (nCodes = 0) never triggers on
     * skew/collapse — there is no geometry to judge.
     */
-  /** The ONE statement of [[rebuildIfUnhealthy]]'s parameter bounds —
-    * including the build params a FIRED rebuild forwards (nlist/m/k/
-    * iters/sampleMod, with `pqTrainResidual`'s m-divides-dim rule
-    * mirrored so an explicit non-divisor m fails before any work).
-    * The function itself validates through this, and
-    * [[graft.streaming.Streams.RebuildPolicy]] calls it at CONSTRUCTION,
-    * so the sink-policy mirror can never drift from the callee chain.
-    */
-  private[graft] def requireRebuildParams(driftFactor: Double,
-      skewCostMultiple: Double, collapseFactor: Double, rearmFactor: Double,
-      dim: Int, nlist: Int, coarseIters: Int, m: Int, k: Int, pqIters: Int,
-      sampleMod: Option[Int]): Unit = {
-    require(driftFactor > 0, s"driftFactor must be > 0, got $driftFactor")
-    require(skewCostMultiple > 1,
-      s"skewCostMultiple must be > 1, got $skewCostMultiple")
-    require(collapseFactor > 1,
-      s"collapseFactor must be > 1, got $collapseFactor")
-    require(rearmFactor >= 0,
-      s"rearmFactor must be >= 0 (0 disables the thrash guard), got $rearmFactor")
-    require(dim >= 1, s"dim must be >= 1, got $dim")
-    require(nlist >= 0, s"nlist must be >= 0 (0 = auto sqrt(n)), got $nlist")
-    require(m >= 0, s"m must be >= 0 (0 = auto dim/2), got $m")
-    require(m == 0 || dim % m == 0,
-      s"dim $dim must divide into m=$m subspaces (pqTrainResidual's rule)")
-    require(k >= 0, s"k must be >= 0 (0 = stored geometry), got $k")
-    require(coarseIters >= 0,
-      s"coarseIters must be >= 0 (0 = seeds only), got $coarseIters")
-    require(pqIters >= 0,
-      s"pqIters must be >= 0 (0 = seeds only), got $pqIters")
-    sampleMod.foreach(sm =>
-      require(sm >= 1, s"sampleMod must be >= 1, got $sm"))
-  }
-
   def rebuildIfUnhealthy(store: TableStore, name: String, corpus: DataFrame,
       idCol: String, vecCol: String, dim: Int, driftFactor: Double = 2.0,
       skewCostMultiple: Double = 16.0, collapseFactor: Double = 2.0,
@@ -1007,10 +1006,10 @@ object AnnIndex {
           r.getDouble(r.fieldIndex("collapse_ratio"))))
       }
     val drift = driftTriggered(h, driftFactor)
-    val skew = h.nCodes > 0 && costNow >= skewCostMultiple &&
-      base.forall(b => costNow >= rearmFactor * b._1)
-    val collapse = h.nCodes > 0 && ratioNow >= collapseFactor &&
-      base.forall(b => ratioNow >= rearmFactor * b._2)
+    val skew = Clapper.rings(costNow, skewCostMultiple, base.map(_._1),
+      rearmFactor, live = h.nCodes > 0)
+    val collapse = Clapper.rings(ratioNow, collapseFactor, base.map(_._2),
+      rearmFactor, live = h.nCodes > 0)
     val any = drift || skew || collapse
     if (!any)
       UnhealthyDecision(triggered = false, drift, skew, collapse,

@@ -138,7 +138,7 @@ object Bm25 {
     */
   def dropIndex(store: TableStore, name: String): Unit =
     Seq(s"${name}_postings", s"${name}_doclen", s"${name}_stats",
-      s"${name}_health_cache")
+      s"${name}_health_cache", capPolicyT(name), stopTermsT(name))
       .foreach(t => if (store.exists(t)) store.drop(t))
 
   /** [[graft.ext.DedupIndex.maintainIfNeeded]]'s lexical twin: compact
@@ -203,7 +203,12 @@ object Bm25 {
     */
   final case class Health(
       nDocs: Long, nPostings: Long, vocab: Long, maxTermFrac: Double,
-      postingsFiles: Int, doclenFiles: Int, staleStats: Boolean)
+      postingsFiles: Int, doclenFiles: Int, staleStats: Boolean,
+      // appended LAST (the GateCapPolicy source-compat lesson): the
+      // hottest term's absolute df — the postings ROWS one query term
+      // drags in, the actionable quantity the maxTermFrac scaladoc
+      // derives and [[capIfUnhealthy]] judges against its budget
+      hotTermRows: Long = 0L)
 
   /** Compute [[Health]]: one term-grouped count over postings (map-side
     * combined), one doclen count, two file listings, one stats-row read.
@@ -262,7 +267,178 @@ object Bm25 {
       .select(col("n_docs")).collect()(0).getLong(0)
     Health(nDocs, total, vocab,
       if (nDocs == 0) 0.0 else hot.toDouble / nDocs,
-      nfP, nfD, staleStats = statsN != nDocs)
+      nfP, nfD, staleStats = statsN != nDocs, hotTermRows = hot)
+  }
+
+  private def capPolicyT(name: String) = s"${name}_cap_policy"
+  private def stopTermsT(name: String) = s"${name}_cap_stopterms"
+
+  /** The ONE reader of the `{name}_cap_policy` row — (df_cap, hot_df),
+    * poll-safe (NonFatal → None, the health-cache read contract). Shared
+    * by [[storedDfCap]] (search side) and [[capIfUnhealthy]] (the rearm
+    * baseline) so the two can never drift in read semantics.
+    */
+  private def readCapPolicy(store: TableStore, name: String): Option[(Long, Long)] =
+    try {
+      if (!store.exists(capPolicyT(name))) None
+      else store.read(capPolicyT(name)).collect().headOption
+        .map(r => (r.getLong(r.fieldIndex("df_cap")),
+          r.getLong(r.fieldIndex("hot_df"))))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The df-cap [[capIfUnhealthy]] last derived and persisted for this
+    * index, if any — what `termDfCap = 0` on [[searchIndex]] resolves to.
+    * ONE retry on an absent/failed read, the [[DedupIndex
+    * .storedBucketCap]] rationale verbatim: the writer's overwrite swap
+    * has a two-rename window where the table is briefly absent, and a
+    * search that misread it as "no policy" would pay one full hot-term
+    * postings scan on a flooded index; a doubly-unlucky read still
+    * degrades to unpruned for that one query, never an error.
+    */
+  def storedDfCap(store: TableStore, name: String): Option[Long] =
+    readCapPolicy(store, name).orElse(readCapPolicy(store, name)).map(_._1)
+
+  /** The query terms the stored policy would PRUNE — the intersection of
+    * `queryTerms` with the persisted stop-term list, resolved with the
+    * same one-retry read as [[storedDfCap]] (both tables swap in the same
+    * clapper call). Scan shape: a term-filtered read of the SMALL stop
+    * table (≤ nPostings / df_cap terms by construction), never the
+    * postings — this lookup is what lets the search prune BEFORE paying
+    * the hot term's postings scan.
+    */
+  private def storedStopTerms(store: TableStore, name: String,
+      queryTerms: Seq[String]): Set[String] = {
+    def once(): Option[Set[String]] =
+      try {
+        if (!store.exists(stopTermsT(name))) None
+        else Some(store.read(stopTermsT(name))
+          .filter(col("term").isInCollection(queryTerms))
+          .select(col("term")).collect().map(_.getString(0)).toSet)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    once().orElse(once()).getOrElse(Set.empty)
+  }
+
+  /** Retire the stored df-cap policy — the clapper's un-ring, for after
+    * the flood source is fixed upstream (takedown of the boilerplate
+    * docs whose shared vocabulary rang the bell). Searches go back to
+    * scoring every query term; the bell re-arms fresh (no stale rearm
+    * baseline). Natural-language stopwords never go away, so on an
+    * organic corpus a derived policy normally stays in force — retire is
+    * for floods, not for "the". Returns whether a policy existed.
+    * [[capIfUnhealthy]]'s `retireFraction` is this call on an automatic
+    * hysteresis trigger.
+    */
+  def clearCapPolicy(store: TableStore, name: String): Boolean = {
+    val had = store.exists(capPolicyT(name))
+    Seq(capPolicyT(name), stopTermsT(name))
+      .foreach(t => if (store.exists(t)) store.drop(t))
+    had
+  }
+
+  /** What [[capIfUnhealthy]] decided: whether the hot-term bell rang, the
+    * numbers it was judged against (the hottest term's df vs the scan
+    * budget), the df-cap in force AFTER the call (newly derived, or the
+    * pre-existing one on a decline; None when no policy exists), how many
+    * terms the persisted stop list holds (0 when it declined — the
+    * trigger path alone pays the vocabulary aggregate), and whether this
+    * call RETIRED a pre-existing policy. `cap` is None on a retire AND on
+    * any no-policy decline — `retired`, not `cap.isEmpty`, is the retire
+    * signal.
+    */
+  final case class CapDecision(
+      triggered: Boolean, hotTermRows: Long, hotTermBudget: Long,
+      cap: Option[Long], nStopTerms: Long, retired: Boolean = false)
+
+  /** The ONE statement of [[capIfUnhealthy]]'s parameter bounds — the
+    * function validates through this, and [[graft.streaming.Streams
+    * .Bm25CapPolicy]] calls it at CONSTRUCTION, so the sink-policy mirror
+    * can never drift from the callee's rules.
+    */
+  private[graft] def requireCapParams(hotTermBudget: Long,
+      rearmFactor: Double, retireFraction: Double): Unit = {
+    require(hotTermBudget >= 1,
+      s"hotTermBudget must be >= 1, got $hotTermBudget")
+    Clapper.requireRearm(rearmFactor)
+    Clapper.requireRetire(retireFraction)
+  }
+
+  /** The hot-term bell's clapper — [[DedupIndex.capIfUnhealthy]]'s BM25
+    * twin, closing the one bell-without-clapper gap: [[Health]] carries a
+    * measured rows-per-term alert (`maxTermFrac · nDocs` vs the per-query
+    * scan budget) but through r18 had no policy consumer, so a
+    * stopword-flooded postings list stayed an operator action. Ring /
+    * rearm / retire arbitration is [[Clapper]], shared with the lexical
+    * and ANN clappers.
+    *
+    *   - BELL: the hottest term's df (`Health.hotTermRows`) ≥
+    *     `hotTermBudget`. The budget is the postings-scan size per query
+    *     term the deployment accepts — rows, not a fraction, because the
+    *     cost of a query term IS its df (the term-filtered scan reads
+    *     exactly df rows).
+    *   - CAP: `df_cap = hotTermBudget` itself — deliberately NOT the
+    *     `capFactor × mean` rule the lexical clapper uses. Band buckets
+    *     are near-uniform (organic buckets hold 1-2 rows), so a
+    *     mean-multiple isolates degenerate buckets there; term df is
+    *     ZIPF-distributed, and a mean-multiple would prune the useful
+    *     mid-frequency vocabulary wholesale (mean df is single-digit on
+    *     natural text while "the" is 0.8 · N). The budget is the one bar
+    *     that means the same thing for ringing and for pruning: a term
+    *     at/over it costs more scan than the deployment accepts.
+    *   - ACTION: persist the df-cap AND the current stop-term list —
+    *     every term with df ≥ df_cap, a table bounded by nPostings /
+    *     df_cap entries — so [[searchIndex]] under the policy prunes
+    *     those terms BEFORE the postings scan (the saving; df is only
+    *     knowable by scanning, so pre-scan pruning needs the
+    *     materialized list). Pruning a stopword-scale term trades a
+    *     near-zero score contribution (rational idf at df ≈ N is ≈ 0)
+    *     for skipping its near-full postings read; size the budget so
+    *     that trade holds at the deployment's corpus size. Terms that
+    *     cross the cap AFTER derivation stay scored until the clapper's
+    *     next ring refreshes the list (clapper-cadence staleness — the
+    *     same contract as the lexical cap).
+    *   - THRASH GUARD / RETIRE: [[Clapper]] semantics verbatim — re-ring
+    *     only at `rearmFactor ×` the persisted ringing df; with
+    *     `retireFraction > 0`, a poll that finds the hottest df fallen
+    *     to ≤ `retireFraction × hotTermBudget` (a takedown removed the
+    *     flood) clears the policy and re-arms the bell.
+    *
+    * Steady-state cost is one [[health]] poll (fingerprint-cached, one
+    * row) plus one 1-row policy read; only the trigger path pays the
+    * vocabulary aggregate the stop list needs.
+    */
+  def capIfUnhealthy(store: TableStore, name: String,
+      hotTermBudget: Long = 262144, rearmFactor: Double = 1.25,
+      retireFraction: Double = 0.0): CapDecision = {
+    requireCapParams(hotTermBudget, rearmFactor, retireFraction)
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val h = health(store, name)
+    val hot = h.hotTermRows
+    val prev = readCapPolicy(store, name)
+    val ring = Clapper.rings(hot.toDouble, hotTermBudget.toDouble,
+      prev.map(_._2.toDouble), rearmFactor, live = h.nDocs > 0)
+    if (!ring) {
+      if (Clapper.retires(hot.toDouble, hotTermBudget.toDouble,
+          retireFraction, hasPolicy = prev.nonEmpty)) {
+        clearCapPolicy(store, name)
+        CapDecision(triggered = false, hot, hotTermBudget, None, 0L,
+          retired = true)
+      } else
+        CapDecision(triggered = false, hot, hotTermBudget, prev.map(_._1), 0L)
+    } else {
+      val stop = store.read(s"${name}_postings")
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= hotTermBudget)
+      // stop list FIRST, policy row LAST: a crash between the two leaves
+      // no policy in force (searches stay unpruned — today's behavior)
+      // rather than a policy whose stop list is missing
+      store.overwrite(stopTermsT(name), stop)
+      val n = store.read(stopTermsT(name)).count()
+      store.overwrite(capPolicyT(name),
+        Seq((hotTermBudget, hot)).toDF("df_cap", "hot_df"))
+      CapDecision(triggered = true, hot, hotTermBudget,
+        Some(hotTermBudget), n)
+    }
   }
 
   /** Recompute the stats cache from the current doclen table — the
@@ -286,14 +462,38 @@ object Bm25 {
   /** BM25 top-k from the durable index — same formula, tie-break, and
     * fixed-order summation as [[score]], so `searchIndex(buildIndex(d))`
     * ≡ `score(d)` double-for-double.
+    *
+    * `termDfCap` is the hot-term policy dial, the [[DedupIndex
+    * .probeIncrement]] `bucketCap` contract transposed: `0` (the
+    * default) resolves the stored [[capIfUnhealthy]] policy — query
+    * terms on the persisted stop list are pruned BEFORE the postings
+    * scan (the whole saving; no policy stored ≡ no pruning, today's
+    * plan untouched); `Long.MaxValue` never prunes regardless of
+    * policy; any other positive value is an explicit cap applied as a
+    * post-scan df filter — terms with df ≥ cap contribute nothing and
+    * docs matched only by them drop out, the SEMANTIC reference the
+    * stored path equals while its stop list is current (the explicit
+    * path still pays the capped terms' scan to learn their df — only
+    * the materialized list can prune pre-scan). A search whose every
+    * query term is pruned returns an empty frame (no terms left to
+    * score), same columns.
     */
   def searchIndex(store: TableStore, name: String, idCol: String,
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
-      topK: Int = 20): DataFrame = {
+      topK: Int = 20, termDfCap: Long = 0L): DataFrame = {
     require(queryTerms.nonEmpty, "bm25: need at least one query term")
     require(queryTerms.distinct == queryTerms, "bm25: duplicate query terms")
+    require(termDfCap >= 0,
+      s"termDfCap must be >= 0 (0 = stored-policy sentinel), got $termDfCap")
+    val pruned: Set[String] =
+      if (termDfCap == 0L) storedStopTerms(store, name, queryTerms)
+      else Set.empty
+    val active = queryTerms.filterNot(pruned)
+    if (active.isEmpty)
+      return store.read(s"${name}_doclen").select(col(idCol)).limit(0)
+        .withColumn("score", lit(0.0)).withColumn("rnk", lit(1))
     val postings = store.read(s"${name}_postings")
-      .filter(col("term").isInCollection(queryTerms))
+      .filter(col("term").isInCollection(active))
       .select(col(idCol), col("term"), col("tcnt").cast("double").as("tcnt"))
     // global df from the filtered rows themselves (term-filter preserves it)
     val df_ = postings.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
@@ -302,7 +502,7 @@ object Bm25 {
     val stats = store.read(s"${name}_stats")
       .select(col("n_docs").cast("double").as("_n"),
         (col("sum_dlen").cast("double") / col("n_docs").cast("double")).as("_avgdl"))
-    val scored = postings
+    val scored0 = postings
       .join(broadcast(df_), Seq("term"))
       .join(lens, Seq(idCol))
       .crossJoin(broadcast(stats))
@@ -310,13 +510,18 @@ object Bm25 {
       .withColumn("tscore",
         col("idf") * ((col("tcnt") * lit(k1 + 1.0)) /
           (col("tcnt") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dlen") / col("_avgdl")))))
+    // explicit cap: the row filter (not a when() in the sum) also drops
+    // docs matched ONLY by capped terms — the stored-prune equivalence
+    val scored =
+      if (termDfCap == 0L || termDfCap == Long.MaxValue) scored0
+      else scored0.filter(col("df") < lit(termDfCap.toDouble))
     val wide = scored.groupBy(col(idCol))
       .agg(
-        max(when(col("term") === queryTerms.head, col("tscore"))).as("_t0"),
-        queryTerms.zipWithIndex.tail.map { case (t, i) =>
+        max(when(col("term") === active.head, col("tscore"))).as("_t0"),
+        active.zipWithIndex.tail.map { case (t, i) =>
           max(when(col("term") === t, col("tscore"))).as(s"_t$i")
         }: _*)
-    val total = queryTerms.indices.map(i => coalesce(col(s"_t$i"), lit(0.0))).reduce(_ + _)
+    val total = active.indices.map(i => coalesce(col(s"_t$i"), lit(0.0))).reduce(_ + _)
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("score").desc, col(idCol))
     wide.select(col(idCol), total.as("score"))

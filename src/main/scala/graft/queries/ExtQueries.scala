@@ -4038,11 +4038,16 @@ object ExtQueries {
     * s9 and s10 replays (a threshold or formula change must not be
     * hand-synced across copies).
     */
-  private def bm25Cte(terms: Seq[String], where: String = ""): String = {
+  private def bm25Cte(terms: Seq[String], where: String = "",
+      dfCap: Option[Long] = None): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
     val arms = terms.map(t =>
       s"max(CASE WHEN term = '$t' THEN tscore END) AS \"_t_$t\"").mkString(",\n                 ")
     val total = terms.map(t => s"COALESCE(\"_t_$t\", 0.0)").mkString(" + ")
+    // the df-cap prune (s20): a capped term's rows drop BEFORE the wide
+    // pivot, so docs matched only by capped terms vanish — the engine's
+    // stored-stop-list semantics exactly
+    val capPred = dfCap.map(c => s"WHERE bdf.df < $c").getOrElse("")
     s"""lens AS (SELECT doc_id,
                CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS dlen
              FROM documents $where),
@@ -4058,7 +4063,8 @@ object ExtQueries {
                   (bp.tcnt + 1.2 * (1.0 - 0.75 + 0.75 * lens.dlen / stats.avgdl))) AS tscore
              FROM bp JOIN bdf ON bp.term = bdf.term
                     JOIN lens ON bp.doc_id = lens.doc_id
-                    CROSS JOIN stats),
+                    CROSS JOIN stats
+             $capPred),
       bwide AS (SELECT doc_id,
                  $arms
                FROM bts GROUP BY 1),
@@ -4085,6 +4091,41 @@ object ExtQueries {
       SELECT doc_id, score, rnk FROM r WHERE rnk <= 20 ORDER BY rnk
     """),
     // s1/t5 already time the explode+agg+join scan shapes
+    benchmark = false)
+
+  /** S20 — BM25 under the hot-term cap policy ([[graft.ext.Bm25
+    * .capIfUnhealthy]] → [[graft.ext.Bm25.searchIndex]] `termDfCap = 0`):
+    * the clapper rings on the corpus' stopword-scale terms (this
+    * vocabulary's common terms sit at df ≈ 0.78 · N vs the budget 100)
+    * and persists the df-cap + stop-term list; the search then prunes
+    * 'merge' and 'spark' BEFORE the postings scan and scores 'dup'
+    * (df 25) alone — docs matched only by pruned terms drop out. The
+    * oracle recomputes the same rule as SQL (per-term df over the
+    * corpus, capped terms' rows filtered before the pivot), so the
+    * policy's scoring semantics — not just the plumbing — are
+    * hash-gated.
+    */
+  val s20Bm25Capped = QueryDef(
+    "s20_bm25_capped",
+    (s, dir) => {
+      val docs = Td(s, dir, "documents").select(col("doc_id"), col("text"))
+      val store = graft.tables.Scratch.store(s)
+      graft.ext.Bm25.buildIndex(store, "s20_bm", docs, "doc_id", "text")
+      val dec = graft.ext.Bm25.capIfUnhealthy(store, "s20_bm",
+        hotTermBudget = 100)
+      require(dec.triggered, s"s20 fixture drifted: bell declined at $dec")
+      graft.ext.Bm25.searchIndex(store, "s20_bm", "doc_id",
+          queryTerms = Seq("dup", "merge", "spark"), topK = 20)
+        .select(col("doc_id"), col("score"), col("rnk").cast("long").as("rnk"))
+        .orderBy(col("rnk"))
+    },
+    Some(s"""
+      WITH ${bm25Cte(Seq("dup", "merge", "spark"), dfCap = Some(100L))},
+      r AS (SELECT doc_id, score,
+              row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM bscore)
+      SELECT doc_id, score, rnk FROM r WHERE rnk <= 20 ORDER BY rnk
+    """),
+    // the s9 scan shapes plus a vocabulary aggregate — nothing new to time
     benchmark = false)
 
   /** S10 — hybrid retrieval via reciprocal-rank fusion
@@ -6768,5 +6809,6 @@ object ExtQueries {
     x12TemperatureMix, x13CurriculumTiles, x14DomainQuota, x15SourceOverlap,
     x16SnapshotDiff, x17EmbedQuantize, x18ShardShuffle, x19ChunkWindows, x23CorpusFingerprint,
     x11DedupRepresentative,
-    x10SequencePack, x21TrainingPrep, s9Bm25, s10HybridRrf, s11PqRecall, s12PqMrr)
+    x10SequencePack, x21TrainingPrep, s9Bm25, s20Bm25Capped, s10HybridRrf,
+    s11PqRecall, s12PqMrr)
 }

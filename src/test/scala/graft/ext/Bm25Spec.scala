@@ -128,4 +128,120 @@ class Bm25Spec extends SparkSpec {
     assert(res("bm") === before)
     assert(Bm25.maintainIfNeeded(store, "bm", maxFiles = 64).isEmpty)
   }
+
+  test("capIfUnhealthy: hot term rings and persists the df-cap + stop list, searches resolve it pre-scan, rearm guard declines until measurably worse, rearmFactor=0 escapes") {
+    val store = new graft.tables.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_bmcap").toString)
+    // 'common' in every doc (df = 20, the stopword); every other term
+    // doc-local (df = 1)
+    val docs = (1L to 20L).map(i => (i, s"uniq$i filler$i common extra$i"))
+    Bm25.buildIndex(store, "cp", docs.toDF("doc_id", "text"),
+      "doc_id", "text")
+    def res(cap: Long) = Bm25.searchIndex(store, "cp", "doc_id",
+        Seq("uniq3", "common"), topK = 25, termDfCap = cap)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    // termDfCap = 0 with NO stored policy searches unpruned — identical
+    // to the explicit never-prune search
+    assert(res(0L) === res(Long.MaxValue))
+    assert(res(0L).map(_._1).toSet === (1L to 20L).toSet,
+      "'common' matches every doc when unpruned")
+    // a generous budget declines: no policy written
+    val calm = Bm25.capIfUnhealthy(store, "cp", hotTermBudget = 100)
+    assert(!calm.triggered && calm.cap.isEmpty && calm.hotTermRows === 20L)
+    assert(Bm25.storedDfCap(store, "cp").isEmpty)
+    // budget under the stopword's df rings: cap = the budget itself
+    // (Zipf — no mean-multiple), stop list = the one term at/over it
+    val ring = Bm25.capIfUnhealthy(store, "cp", hotTermBudget = 10)
+    assert(ring.triggered && ring.hotTermRows === 20L)
+    assert(ring.cap === Some(10L) && ring.nStopTerms === 1L)
+    assert(Bm25.storedDfCap(store, "cp") === Some(10L))
+    // termDfCap = 0 now prunes 'common' BEFORE the scan: only the
+    // uniq3 doc survives, and the result equals the explicit post-scan
+    // df-filter semantics exactly
+    assert(res(0L).map(_._1).toSeq === Seq(3L))
+    assert(res(0L) === res(10L))
+    // the explicit never-prune escape ignores the stored policy
+    assert(res(Long.MaxValue).map(_._1).toSet === (1L to 20L).toSet)
+    // every query term pruned → empty frame, same columns
+    val allPruned = Bm25.searchIndex(store, "cp", "doc_id",
+      Seq("common"), topK = 5)
+    assert(allPruned.columns.toSeq === Seq("doc_id", "score", "rnk"))
+    assert(allPruned.count() === 0L)
+    // rearm guard: the same state declines (20 < 1.25 × 20), policy held
+    val again = Bm25.capIfUnhealthy(store, "cp", hotTermBudget = 10)
+    assert(!again.triggered && again.cap === Some(10L))
+    // worsening past the rearm bar (20 → 26 ≥ 25) re-rings
+    Bm25.append(store, "cp",
+      (100L to 105L).map(i => (i, s"uniq$i common")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val worse = Bm25.capIfUnhealthy(store, "cp", hotTermBudget = 10)
+    assert(worse.triggered && worse.hotTermRows === 26L)
+    // rearmFactor = 0 disables the guard: re-derives at the SAME level
+    val esc = Bm25.capIfUnhealthy(store, "cp", hotTermBudget = 10,
+      rearmFactor = 0)
+    assert(esc.triggered && esc.hotTermRows === 26L)
+    // dropIndex tears the policy down with the index
+    Bm25.dropIndex(store, "cp")
+    assert(!store.exists("cp_cap_policy") && !store.exists("cp_cap_stopterms"))
+  }
+
+  test("capIfUnhealthy retireFraction: a takedown'd flood clears the policy on the hysteresis bar, never mid-flood, and re-arms the bell fresh; clearCapPolicy is the manual form") {
+    val store = new graft.tables.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_bmret").toString)
+    // organic docs term-disjoint; the 12-doc flood shares 'boilerplate'
+    val docs = (1L to 6L).map(i => (i, s"alpha$i beta$i gamma$i")) ++
+      (100L to 111L).map(i => (i, s"boilerplate junk$i filler$i"))
+    Bm25.buildIndex(store, "rp", docs.toDF("doc_id", "text"),
+      "doc_id", "text")
+    val ring = Bm25.capIfUnhealthy(store, "rp", hotTermBudget = 10)
+    assert(ring.triggered && !ring.retired && ring.hotTermRows === 12L)
+    // STILL flooded: retire must never fire at/over the ring bar, even
+    // at retireFraction = 1
+    val held = Bm25.capIfUnhealthy(store, "rp", hotTermBudget = 10,
+      retireFraction = 1.0)
+    assert(!held.triggered && !held.retired && held.cap === Some(10L))
+    // upstream fix: 10 of the 12 flood docs taken down → hot df 2
+    Bm25.deleteIds(store, "rp", (102L to 111L).toDF("doc_id"), "doc_id")
+    assert(Bm25.health(store, "rp").hotTermRows === 2L)
+    // above the hysteresis bar the policy holds (bar 1 < hot 2)
+    val hold = Bm25.capIfUnhealthy(store, "rp", hotTermBudget = 10,
+      retireFraction = 0.1)
+    assert(!hold.triggered && !hold.retired && hold.cap === Some(10L))
+    // at/under the bar it retires: both policy tables cleared, searches
+    // go back to unpruned
+    val ret = Bm25.capIfUnhealthy(store, "rp", hotTermBudget = 10,
+      retireFraction = 0.3)
+    assert(!ret.triggered && ret.retired && ret.cap.isEmpty)
+    assert(Bm25.storedDfCap(store, "rp").isEmpty)
+    assert(!store.exists("rp_cap_policy") && !store.exists("rp_cap_stopterms"))
+    def pruned() = Bm25.searchIndex(store, "rp", "doc_id",
+      Seq("boilerplate"), topK = 25).count()
+    assert(pruned() === 2L, "retired policy must stop pruning")
+    // idempotent calm poll
+    val calm2 = Bm25.capIfUnhealthy(store, "rp", hotTermBudget = 10,
+      retireFraction = 1.0)
+    assert(!calm2.triggered && !calm2.retired && calm2.cap.isEmpty)
+    // the bell re-armed FRESH: a new 12-doc flood lands hot at 14 —
+    // under 1.25 × the OLD 12 baseline, so a surviving baseline would
+    // have declined; the retire dropped it, so it rings
+    Bm25.append(store, "rp",
+      (300L to 311L).map(i => (i, s"boilerplate junk$i")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val re = Bm25.capIfUnhealthy(store, "rp", hotTermBudget = 10)
+    assert(re.triggered && re.hotTermRows === 14L,
+      s"retire left a stale rearm baseline: $re")
+    // clearCapPolicy is the manual form: reports whether one existed
+    assert(Bm25.clearCapPolicy(store, "rp"))
+    assert(Bm25.storedDfCap(store, "rp").isEmpty)
+    assert(!Bm25.clearCapPolicy(store, "rp"))
+    // parameter bounds (the shared-validator statement)
+    intercept[IllegalArgumentException] {
+      Bm25.capIfUnhealthy(store, "rp", hotTermBudget = 0) }
+    intercept[IllegalArgumentException] {
+      Bm25.capIfUnhealthy(store, "rp", rearmFactor = -0.1) }
+    intercept[IllegalArgumentException] {
+      Bm25.capIfUnhealthy(store, "rp", retireFraction = 1.5) }
+    intercept[IllegalArgumentException] {
+      Bm25.searchIndex(store, "rp", "doc_id", Seq("a"), termDfCap = -1) }
+  }
 }

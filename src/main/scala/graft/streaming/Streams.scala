@@ -544,7 +544,9 @@ object Streams {
     * [[RebuildPolicy]]. The r17 ingestrebuild battery measured exactly
     * this composition (rebuild mid-stream, guards/marker unchanged,
     * 0.33-0.49 s/batch when the bells are silent); the flag makes it the
-    * paved path instead of a caller-owned loop.
+    * paved path instead of a caller-owned loop. `gateCapPolicy` and
+    * `bm25CapPolicy` are its lexical and BM25 twins — see
+    * [[GateCapPolicy]] and [[Bm25CapPolicy]].
     */
   /** [[retrievalIngestSink]]'s ANN retrain policy — [[graft.ext.AnnIndex
     * .rebuildIfUnhealthy]] wired onto the sink's own per-batch health
@@ -614,24 +616,29 @@ object Streams {
     * hot_rows, budget, bucket_cap, probe_cap) audit row per batch —
     * `bucket_cap` is the stored policy alone, `probe_cap` the
     * min-composed cap the NEXT batch's probe actually runs under —
-    * at-least-once on replay.
+    * at-least-once on replay. Schema caveat: `retired` was added after
+    * the table's first shipped schema, so rows written by the earlier
+    * sink read back as NULL under parquet schema merge — readers must
+    * treat NULL as false (`coalesce`, or an `isNullAt` check before
+    * `getBoolean`) rather than assume the column is non-nullable.
     */
   final case class GateCapPolicy(
       hotBucketBudget: Long = 4096, capFactor: Long = 8,
       rearmFactor: Double = 1.25, retireFraction: Double = 0.0,
       decisionTable: Option[String] = None,
-      // the gate's commit moves the health fingerprint EVERY batch, so
-      // each policy ask re-pays the lexical health aggregate — and that
-      // one counts the whole shingles table (O(corpus shingle rows),
-      // grows without bound), unlike the ANN policy's geometry-narrow
-      // recount. On high-frequency micro-batches raise `cadence` to ask
-      // every Nth batch; the bell rings at most `cadence` batches late.
-      // An INCREMENTALLY-maintained bucket histogram does not fix this:
-      // the (band, bucket) histogram is itself O(corpus) rows (~bands ×
-      // nDocs — organic buckets hold 1-2 rows), so merging each batch's
-      // deltas rewrites an O(corpus) table EVERY commit, strictly worse
-      // than a map-side-combined columnar aggregate every `cadence`
-      // batches — the knob is the design, not a stopgap
+      // the ROUTINE poll is O(sketch), flat in corpus size: the clapper
+      // lazily builds a fixed-width hot-bucket CMS that the gate's
+      // commit folds per batch (O(batch)), and each ask reads its upper
+      // bound — the corpus-sized exact aggregate is paid only when the
+      // bound cannot prove the decision (a possible ring, or a pending
+      // retire masked by takedown inflation), after which the sketch
+      // re-baselines. An incrementally-maintained EXACT histogram would
+      // still be wrong (it is itself O(corpus) rows, rewritten every
+      // commit); the fixed-width sketch is what makes incremental
+      // maintenance cheaper than re-aggregation. `cadence` remains the
+      // knob for the residual per-ask cost (the sketch read + 1-row
+      // policy read, plus exact confirmation whenever a flood is
+      // actually in progress); bells ring at most `cadence` batches late
       cadence: Int = 1) {
     require(cadence >= 1, s"cadence must be >= 1, got $cadence")
     // capIfUnhealthy's bounds at CONSTRUCTION (the gateBucketCap rule):
@@ -640,6 +647,46 @@ object Streams {
     // ONE shared validator so the mirror can never drift from the callee
     graft.ext.DedupIndex.requireCapParams(hotBucketBudget, capFactor,
       rearmFactor, retireFraction)
+  }
+
+  /** [[retrievalIngestSink]]'s BM25 clapper policy — [[graft.ext.Bm25
+    * .capIfUnhealthy]] on the sink's per-batch cadence, completing the
+    * bell-and-clapper triple ([[RebuildPolicy]] = ANN geometry,
+    * [[GateCapPolicy]] = lexical hot buckets, this = hot terms): when
+    * the BM25 index's hottest term crosses `hotTermBudget` postings
+    * rows, the df-cap and the current stop-term list are derived and
+    * persisted as the index's search policy, and every subsequent
+    * `searchIndex(termDfCap = 0)` prunes those terms before the
+    * postings scan — no config change on the query side.
+    * `retireFraction > 0` opts into the un-ring: once a takedown drops
+    * the hottest term's df to ≤ `retireFraction × hotTermBudget`, the
+    * stored policy is cleared on the same cadence and the bell re-arms
+    * fresh (on ORGANIC corpora the hottest term is a natural stopword
+    * that never goes away, so a derived policy normally stays — retire
+    * fires for floods, not for "the"). `decisionTable` (optional)
+    * appends one (batch_id, capped, retired, hot_df, budget, df_cap,
+    * n_stopterms) audit row per cadence-batch — at-least-once on
+    * replay, compacted under the sink's `maxIndexFiles` bound like the
+    * other audit tables.
+    */
+  final case class Bm25CapPolicy(
+      hotTermBudget: Long = 262144,
+      rearmFactor: Double = 1.25, retireFraction: Double = 0.0,
+      decisionTable: Option[String] = None,
+      // the BM25 legs' appends move the health fingerprint every
+      // non-empty batch, so each policy ask re-pays the postings
+      // term-aggregate (O(corpus postings rows), the lexical
+      // GateCapPolicy's scaling note verbatim) — raise `cadence` on
+      // high-frequency micro-batches; the bell rings at most `cadence`
+      // batches late
+      cadence: Int = 1) {
+    require(cadence >= 1, s"cadence must be >= 1, got $cadence")
+    // the callee's bounds at CONSTRUCTION (the gateBucketCap rule): the
+    // clapper runs post-marker, and a bad value surfacing there would
+    // crash-loop the stream for a pure misconfiguration. ONE shared
+    // validator so the mirror can never drift from the callee
+    graft.ext.Bm25.requireCapParams(hotTermBudget, rearmFactor,
+      retireFraction)
   }
 
   /** Tear down the SCRATCH tables a retired retrieval stack can leave
@@ -684,7 +731,8 @@ object Streams {
       semanticGatePairsTable: Option[String] = None,
       semanticGateExactCap: Int = 10000,
       rebuildPolicy: Option[RebuildPolicy] = None,
-      gateCapPolicy: Option[GateCapPolicy] = None): StreamingQuery = {
+      gateCapPolicy: Option[GateCapPolicy] = None,
+      bm25CapPolicy: Option[Bm25CapPolicy] = None): StreamingQuery = {
     require(annIndex.nonEmpty || bm25Index.nonEmpty,
       "retrievalIngestSink needs at least one of annIndex / bm25Index")
     require(semanticGateThreshold.isEmpty ||
@@ -700,6 +748,8 @@ object Streams {
     require(gateCapPolicy.isEmpty || dedupGate.nonEmpty,
       "gateCapPolicy needs dedupGate (the lexical index whose probe cap " +
         "it derives)")
+    require(bm25CapPolicy.isEmpty || bm25Index.nonEmpty,
+      "bm25CapPolicy needs bm25Index (the index whose df-cap it derives)")
     // validated at CONSTRUCTION: a negative cap reaching probeIncrement
     // would die mid-batch, after the intent marker was written, and the
     // corrected rerun would take the crash-repair path for a pure
@@ -1065,6 +1115,25 @@ object Streams {
                 "bucket_cap", "probe_cap"))
           }
         }
+        // the BM25 clapper shares the cadence: derive/persist the index's
+        // df-cap + stop-term list when its hottest term crosses the scan
+        // budget — subsequent searchIndex(termDfCap = 0) calls prune
+        // through the stored policy (a policy write, content-neutral, so
+        // it also runs after the done marker)
+        bm25CapPolicy.filter(bp => bid % bp.cadence == 0).foreach { bp =>
+          val n = bm25Index.get
+          val dec = graft.ext.Bm25.capIfUnhealthy(store, n,
+            hotTermBudget = bp.hotTermBudget,
+            rearmFactor = bp.rearmFactor,
+            retireFraction = bp.retireFraction)
+          bp.decisionTable.foreach { dt =>
+            store.append(dt, Seq((bid, dec.triggered, dec.retired,
+              dec.hotTermRows, dec.hotTermBudget, dec.cap.getOrElse(0L),
+              dec.nStopTerms))
+              .toDF("batch_id", "capped", "retired", "hot_df", "budget",
+                "df_cap", "n_stopterms"))
+          }
+        }
         // per-batch appends fragment; compaction runs AFTER the done
         // marker — it is content-neutral (atomic swap), so a crash during
         // it must not drag the replay onto the repair path (the
@@ -1077,6 +1146,20 @@ object Streams {
           graft.ext.DedupIndex.maintainIfNeeded(store, g, maxFiles = maxIndexFiles))
         corpusTable.foreach(ct =>
           graft.tables.Compact.compactIfFragmented(store, ct,
+            maxFiles = maxIndexFiles))
+        // the policy audit tables append ONE ROW PER CADENCE-BATCH forever
+        // — months of per-minute micro-batches make them the classic
+        // small-files trap on exactly the table an operator reads when
+        // paged. Same trigger, same bound, same post-marker safety as the
+        // index tables (compaction is content-neutral)
+        rebuildPolicy.flatMap(_.decisionTable).foreach(dt =>
+          graft.tables.Compact.compactIfFragmented(store, dt,
+            maxFiles = maxIndexFiles))
+        gateCapPolicy.flatMap(_.decisionTable).foreach(dt =>
+          graft.tables.Compact.compactIfFragmented(store, dt,
+            maxFiles = maxIndexFiles))
+        bm25CapPolicy.flatMap(_.decisionTable).foreach(dt =>
+          graft.tables.Compact.compactIfFragmented(store, dt,
             maxFiles = maxIndexFiles))
         ()
       }

@@ -1101,6 +1101,64 @@ class StreamsSpec extends SparkSpec {
       .as[Long].collect().toSet === (1L to 4L).toSet ++ (10L to 15L).toSet)
   }
 
+  test("retrievalIngestSink policy audit tables honor the sink's compaction bound — a long run stays under the file-count the index tables honor") {
+    import graft.ext.{AnnIndex, Bm25, DedupIndex}
+    val dir = Files.createTempDirectory("graft_dtc_landing").toString
+    val ckpt = Files.createTempDirectory("graft_dtc_ckpt").toString
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_dtc_store").toString)
+    def vec(i: Int): Seq[Float] =
+      (0 until 16).map(d => if (d < 4) 1.0f + 0.01f * ((i * 7 + d) % 5)
+        else 0.001f * ((i * 3 + d) % 7))
+    def text(i: Long) = s"alpha$i spark beta$i table gamma$i merge delta$i"
+    val baseDf = (1L to 8L).map(i => (i, text(i), vec(i.toInt)))
+      .toDF("doc_id", "text", "embedding")
+    AnnIndex.build(store, "dtc_ann", baseDf, "doc_id", "embedding",
+      dim = 16, nlist = 2, m = 4, k = 4)
+    store.overwrite("dtc_corpus", baseDf)
+    Bm25.buildIndex(store, "dtc_bm", baseDf, "doc_id", "text")
+    DedupIndex.build(store, "dtc_gate", baseDf, "doc_id", "text")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    // every bell silenced: this spec is about the AUDIT tables' file
+    // count, not the policies' decisions
+    def drain(): Unit = Streams.retrievalIngestSink(
+      spark.readStream.format("json").schema(schema).load(dir),
+      store, "doc_id", ckpt,
+      annIndex = Some("dtc_ann"), bm25Index = Some("dtc_bm"),
+      dedupGate = Some("dtc_gate"), corpusTable = Some("dtc_corpus"),
+      maxIndexFiles = 2,
+      rebuildPolicy = Some(Streams.RebuildPolicy(dim = 16,
+        driftFactor = 100.0, skewCostMultiple = 1000.0,
+        collapseFactor = 100.0, decisionTable = Some("dtc_rdec"))),
+      gateCapPolicy = Some(Streams.GateCapPolicy(
+        decisionTable = Some("dtc_gdec"))))
+      .awaitTermination()
+    (0 until 5).foreach { b =>
+      val i = 100L + b
+      Files.writeString(java.nio.file.Paths.get(s"$dir/b$b.json"),
+        s"""{"doc_id":$i,"text":"${text(i)}","embedding":[${vec(i.toInt).mkString(",")}]}""")
+      drain()
+    }
+    def nFiles(t: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(store.path(t))
+      graft.tables.Compact.dataFiles(
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration), p).size
+    }
+    for (t <- Seq("dtc_rdec", "dtc_gdec")) {
+      // 5 one-row appends; the per-batch compaction trigger keeps the
+      // table at/under the bound instead of one file per batch forever
+      assert(store.read(t).count() === 5L, s"$t rows")
+      assert(nFiles(t) <= 3, s"$t data files: ${nFiles(t)}")
+    }
+  }
+
   test("retrievalIngestSink dedupGate: near-dup docs never reach the retrieval indexes; dropped ids stay guarded") {
     import graft.ext.{AnnIndex, Bm25, DedupIndex}
     val dir = Files.createTempDirectory("graft_rg_landing").toString
@@ -1291,7 +1349,80 @@ class StreamsSpec extends SparkSpec {
     assert(!store.exists("gcp_gate_gate_kept"))
   }
 
+  test("retrievalIngestSink bm25CapPolicy: a shared-vocabulary flood rings the hot-term bell through the sink flag, searches prune through the stored policy, takedown + retireFraction un-rings it") {
+    import graft.ext.Bm25
+    val dir = Files.createTempDirectory("graft_bcp_landing").toString
+    val ckpt = Files.createTempDirectory("graft_bcp_ckpt").toString
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_bcp_store").toString)
+    // every doc carries 'common' (the stopword-to-be); the rest doc-local
+    def text(i: Long) = s"alpha$i common beta$i gamma$i"
+    Bm25.buildIndex(store, "bcp_bm",
+      (1L to 4L).map(i => (i, text(i))).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def drain(retireFraction: Double = 0.0): Unit = Streams.retrievalIngestSink(
+      spark.readStream.format("json").schema(schema).load(dir),
+      store, "doc_id", ckpt,
+      bm25Index = Some("bcp_bm"),
+      bm25CapPolicy = Some(Streams.Bm25CapPolicy(hotTermBudget = 6,
+        retireFraction = retireFraction, decisionTable = Some("bcp_dec"))))
+      .awaitTermination()
+    def push(b: Int, ids: Seq[Long], retireFraction: Double = 0.0): Unit = {
+      Files.writeString(java.nio.file.Paths.get(s"$dir/b$b.json"),
+        ids.map(i => s"""{"doc_id":$i,"text":"${text(i)}"}""").mkString("\n"))
+      drain(retireFraction)
+    }
+    // batch 0: 2 more docs → df('common') = 6 ≥ budget 6, the bell
+    // rings on the sink cadence and persists the policy
+    push(0, Seq(10L, 11L))
+    val d0 = store.read("bcp_dec").orderBy(col("batch_id")).collect()
+    assert(d0.length === 1 && d0(0).getBoolean(d0(0).fieldIndex("capped")),
+      s"hot-term bell did not ring: ${d0.toSeq}")
+    assert(d0(0).getLong(d0(0).fieldIndex("hot_df")) === 6L)
+    assert(d0(0).getLong(d0(0).fieldIndex("df_cap")) === 6L)
+    assert(d0(0).getLong(d0(0).fieldIndex("n_stopterms")) === 1L)
+    assert(Bm25.storedDfCap(store, "bcp_bm") === Some(6L))
+    // the search side picks the policy up with NO config change:
+    // 'common' is pruned pre-scan, only the alpha1 doc survives
+    assert(Bm25.searchIndex(store, "bcp_bm", "doc_id",
+        Seq("common", "alpha1"), topK = 10)
+      .select(col("doc_id")).as[Long].collect().toSeq === Seq(1L))
+    // batch 1: one more doc → hot 7 < 1.25 × 6 = 7.5, rearm declines
+    push(1, Seq(12L))
+    val d1 = store.read("bcp_dec").orderBy(col("batch_id")).collect()
+    assert(d1.length === 2 && !d1(1).getBoolean(d1(1).fieldIndex("capped")),
+      s"rearm guard did not hold: ${d1(1)}")
+    assert(Bm25.storedDfCap(store, "bcp_bm") === Some(6L))
+    // batch 2: the flood source is fixed upstream — enough docs taken
+    // down to land hot df at 1 ≤ 0.5 × 6 — and the sink runs with
+    // retireFraction = 0.5: the clapper retires the policy on its own
+    // cadence and searches go back to unpruned
+    Bm25.deleteIds(store, "bcp_bm",
+      ((2L to 4L) ++ Seq(10L, 11L, 12L)).toDF("doc_id"), "doc_id")
+    assert(Bm25.health(store, "bcp_bm").hotTermRows === 1L)
+    push(2, Seq(20L), retireFraction = 0.5)
+    val d2 = store.read("bcp_dec").orderBy(col("batch_id")).collect()
+    assert(d2.length === 3 && !d2(2).getBoolean(d2(2).fieldIndex("capped")))
+    assert(d2(2).getBoolean(d2(2).fieldIndex("retired")),
+      s"takedown'd flood under the hysteresis bar did not retire: ${d2(2)}")
+    assert(Bm25.storedDfCap(store, "bcp_bm").isEmpty)
+    assert(!store.exists("bcp_bm_cap_policy"))
+    assert(!store.exists("bcp_bm_cap_stopterms"))
+    assert(Bm25.searchIndex(store, "bcp_bm", "doc_id",
+        Seq("common", "alpha1"), topK = 10).count() === 2L,
+      "retired policy must stop pruning — both 'common' docs score")
+  }
+
   test("sink policies validate at CONSTRUCTION: out-of-range factors throw where the policy is written, never mid-stream in the post-marker clapper") {
+    intercept[IllegalArgumentException] { Streams.Bm25CapPolicy(hotTermBudget = 0) }
+    intercept[IllegalArgumentException] { Streams.Bm25CapPolicy(rearmFactor = -0.1) }
+    intercept[IllegalArgumentException] { Streams.Bm25CapPolicy(retireFraction = 1.5) }
+    intercept[IllegalArgumentException] { Streams.Bm25CapPolicy(cadence = 0) }
     intercept[IllegalArgumentException] { Streams.GateCapPolicy(retireFraction = 1.5) }
     intercept[IllegalArgumentException] { Streams.GateCapPolicy(retireFraction = -0.1) }
     intercept[IllegalArgumentException] { Streams.GateCapPolicy(hotBucketBudget = 0) }
@@ -1615,7 +1746,8 @@ class StreamsSpec extends SparkSpec {
       (24L, vec(12)), (25L, vec(13)), (26L, vec(14)),
       (400L, mix3(5, 11, 15)))
     val base = (1L to 4L).map(i => (i, vec(i.toInt - 1)))
-    def run(tag: String, chunked: Boolean): Set[Long] = {
+    def run(tag: String, files: Seq[Seq[(Long, Seq[Float])]]): Set[Long] = {
+      val chunked = files.size > 1
       val dir = Files.createTempDirectory(s"graft_${tag}_landing").toString
       val ckpt = Files.createTempDirectory(s"graft_${tag}_ckpt").toString
       val store = new TableStore(spark,
@@ -1632,19 +1764,13 @@ class StreamsSpec extends SparkSpec {
             org.apache.spark.sql.types.FloatType))))
       def row(d: (Long, Seq[Float])) =
         s"""{"doc_id":${d._1},"embedding":[${d._2.mkString(",")}]}"""
-      if (chunked) {
-        // two files, one per trigger; modification times pin chunk order
-        val p0 = java.nio.file.Paths.get(s"$dir/b0.json")
-        val p1 = java.nio.file.Paths.get(s"$dir/b1.json")
-        Files.writeString(p0, chunk1.map(row).mkString("\n"))
-        Files.writeString(p1, chunk2.map(row).mkString("\n"))
-        Files.setLastModifiedTime(p0,
-          java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
-        Files.setLastModifiedTime(p1,
-          java.nio.file.attribute.FileTime.fromMillis(1000000010000L))
-      } else
-        Files.writeString(java.nio.file.Paths.get(s"$dir/b0.json"),
-          (chunk1 ++ chunk2).map(row).mkString("\n"))
+      // one file per trigger; modification times pin chunk order
+      files.zipWithIndex.foreach { case (chunk, i) =>
+        val p = java.nio.file.Paths.get(s"$dir/b$i.json")
+        Files.writeString(p, chunk.map(row).mkString("\n"))
+        Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + 10000L * i))
+      }
       val reader = spark.readStream.format("json").schema(schema)
       val src = (if (chunked) reader.option("maxFilesPerTrigger", "1")
                  else reader).load(dir)
@@ -1657,15 +1783,16 @@ class StreamsSpec extends SparkSpec {
         semanticGatePairsTable = Some(s"${tag}_pairs"),
         semanticGateExactCap = 5)
         .awaitTermination()
-      if (chunked) { // the drain really was two batches
+      if (chunked) { // the drain really was `files.size` batches
         val m = store.read(s"${tag}_ann_ingest_intent").collect()(0)
-        assert(m.getLong(1) === 1L, s"expected 2 chunks, done=${m.getLong(1)}")
+        assert(m.getLong(1) === files.size - 1L,
+          s"expected ${files.size} chunks, done=${m.getLong(1)}")
       }
       store.read(s"${tag}_corpus").select(col("doc_id"))
         .as[Long].collect().toSet
     }
-    val one = run("sgc1", chunked = false)
-    val chk = run("sgc2", chunked = true)
+    val one = run("sgc1", Seq(chunk1 ++ chunk2))
+    val chk = run("sgc2", Seq(chunk1, chunk2))
     val novel = Set(20L, 21L, 22L, 23L, 24L, 25L, 26L, 400L)
     val corpusIds = (1L to 4L).toSet
     assert(one === corpusIds ++ novel ++ Set(5L, 7L, 50L),
@@ -1676,6 +1803,16 @@ class StreamsSpec extends SparkSpec {
     // arrival-order representative of the boundary-straddling group —
     // exactly one rep per dup group on both paths, everything else equal
     assert((one -- chk) === Set(7L) && (chk -- one) === Set(200L))
+    // the "drain in id order when rep identity matters" RECIPE, pinned:
+    // the same backfill chunked at an id boundary makes greedy arrival
+    // order coincide with greedy id order — every dup group's smallest
+    // id arrives no later than its members, so the admitted set equals
+    // the one-batch run EXACTLY, rep identity included (no {7}↔{200}
+    // swap), while the drain still really runs as two batches
+    val byId = (chunk1 ++ chunk2).sortBy(_._1)
+    val ord = run("sgc3", Seq(byId.take(7), byId.drop(7)))
+    assert(ord === one,
+      s"id-ordered drain must reproduce the one-batch rep set: $ord vs $one")
   }
 
   test("retrievalIngestSink with BOTH gates: lexical drops text dups, semantic drops embedding dups, novel docs land everywhere") {

@@ -1017,6 +1017,48 @@ object ScaleStress {
     }
   }
 
+  /** The r19 sketch-poll measurement: routine lexical clapper ask cost vs
+    * corpus size. Run at two factors (e.g. 2 and 10) and compare rows —
+    * `sketch_poll_sec` (the CMS-bounded routine ask, after a commit
+    * invalidated the health cache: the state every live-stream poll
+    * faces) should stay flat while `exact_poll_sec` (the sketch dropped
+    * before each rep, so the ask pays the corpus aggregate + re-baseline
+    * — the pre-r19 cost plus the rebuild) grows with the corpus. The
+    * budget is set far above any bucket so both paths DECLINE — the
+    * routine no-flood state the sketch exists for; ring/retire behavior
+    * at flood points is the lexskew battery's job.
+    */
+  private def lexPoll(spark: SparkSession, expDir: String,
+      workDir: String): Unit = {
+    import graft.ext.DedupIndex
+    import graft.tables.TableStore
+    val docs = Td(spark, expDir, "documents").select(col("doc_id"), col("text"))
+    val b = Similarity.sampleBucket(col("doc_id")) % 100
+    val store = new TableStore(spark, s"$workDir/lexpoll")
+    DedupIndex.build(store, "lp", docs.filter(b =!= 0), "doc_id", "text")
+    val budget = 1L << 40
+    DedupIndex.capIfUnhealthy(store, "lp", hotBucketBudget = budget) // lazy build
+    DedupIndex.dedupIncrement(store, "lp",
+      docs.filter(b === 0).limit(200), "doc_id", "text").collect()
+    def timed(prep: => Unit)(f: => Unit): Double = {
+      var best = Double.MaxValue
+      for (_ <- 1 to 2) {
+        prep
+        val t0 = System.nanoTime()
+        f
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      best
+    }
+    val sketchSec = timed(()) {
+      DedupIndex.capIfUnhealthy(store, "lp", hotBucketBudget = budget) }
+    val exactSec = timed({
+      if (store.exists("lp_hh_sketch")) store.drop("lp_hh_sketch") }) {
+      DedupIndex.capIfUnhealthy(store, "lp", hotBucketBudget = budget) }
+    val h = DedupIndex.health(store, "lp")
+    println(f"""{"lexpoll":1,"n_docs":${h.nDocs},"n_band_rows":${h.nBandRows},"sketch_poll_sec":$sketchSec%.2f,"exact_poll_sec":$exactSec%.2f}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val workDir = args.lift(1).getOrElse("/tmp/graft_scale_stress")
@@ -1100,6 +1142,12 @@ object ScaleStress {
     }
     if (args.contains("bm25skew")) { // search latency vs stopword-scale term
       bm25Skew(spark, expDir, s"$workDir/bm25skew")
+      graft.tables.Scratch.cleanup(spark)
+      spark.stop()
+      return
+    }
+    if (args.contains("lexpoll")) { // routine clapper ask vs corpus size
+      lexPoll(spark, expDir, s"$workDir/lexpoll")
       graft.tables.Scratch.cleanup(spark)
       spark.stop()
       return

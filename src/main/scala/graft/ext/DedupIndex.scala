@@ -194,7 +194,8 @@ object DedupIndex {
     */
   def dropIndex(store: TableStore, name: String): Unit =
     Seq(bandsT(name), shinglesT(name), sizesT(name),
-      s"${name}_health_cache", s"${name}_cap_policy", s"${name}_conf")
+      s"${name}_health_cache", s"${name}_cap_policy", s"${name}_hh_sketch",
+      s"${name}_conf")
       .foreach(t => if (store.exists(t)) store.drop(t))
 
   // ---- audit accessors: the index's physical content in logical form ----
@@ -437,6 +438,11 @@ object DedupIndex {
     * silently unmatchable doc.
     */
   def commitIncrement(store: TableStore, name: String, stage: IncrementStage): Unit = {
+    // the sketch-fold freshness key: the bands listing THIS commit
+    // extends — captured before the append so a fold over a sketch that
+    // missed any other mutation is detected and dropped, never extended
+    val fpBefore =
+      if (store.exists(hhSketchT(name))) bandsFp(store, name) else ""
     store.append(bandsT(name), stage.bands)
     // bucketed layout: the increment's rows land in their hive partitions
     // (same id→bucket formula as build — see idBucket's warning)
@@ -447,6 +453,13 @@ object DedupIndex {
         partitionBy = Seq(bktCol(stage.idBuckets)))
     else store.append(shinglesT(name), stage.shStored)
     store.append(sizesT(name), stage.sizes)
+    // O(batch) hot-bucket sketch fold, only when a clapper built one —
+    // what keeps [[capIfUnhealthy]]'s routine poll off the corpus
+    // tables. Crash-safe through the fingerprint, not through ordering:
+    // a commit that dies before this fold leaves the sketch stamped
+    // with a listing the bands table no longer has, so the next poll
+    // treats it as absent and re-baselines exactly
+    foldHhSketch(store, name, stage.bands, fpBefore)
   }
 
   /** Periodic index maintenance: compact the three append-only tables.
@@ -546,6 +559,96 @@ object DedupIndex {
   }
 
   private def capPolicyT(name: String) = s"${name}_cap_policy"
+  private def hhSketchT(name: String) = s"${name}_hh_sketch"
+  // fixed CMS geometry (the [[graft.functions.CountMin]] caller contract:
+  // merge only like with like — one constant pair per index lifetime).
+  // Sizing rule: the sketch's max-cell upper bound inflates by ≈ total
+  // band rows / width of background mass, so routine polls stay
+  // short-circuited while corpus band rows ≲ width × hotBucketBudget
+  // (≈ 33M rows ≈ 4M docs at 8 bands for the default 4096 budget);
+  // past that the poll degrades to the exact aggregate it replaces —
+  // never to a wrong decision. Shard the index before that point (the
+  // same boundary every per-index aggregate here already has).
+  private val HhDepth = 4
+  private val HhWidth = 8192
+  private def hhKey =
+    concat(col("band").cast("string"), lit(":"), col("bucket").cast("string"))
+
+  /** The sketch rides a FINGERPRINT of the bands table's listing (the
+    * health-cache key idea, stamped as a constant `fp` column on every
+    * sketch row): a sketch whose fp does not match the live listing is
+    * treated as absent — so a crash between a band append and its fold,
+    * an external [[deleteIds]], a [[build]] overwrite, or ANY mutation
+    * the fold did not see invalidates the sketch instead of silently
+    * undercounting (the one direction the upper bound must never err).
+    * The next poll pays the exact aggregate and re-baselines.
+    */
+  private def bandsFp(store: TableStore, name: String): String =
+    graft.tables.Compact.listingFingerprint(store, bandsT(name))._1
+
+  /** Rebuild the hot-bucket CMS from the CURRENT bands table — the
+    * re-baseline every exact-pay moment performs (sheds takedown
+    * inflation and collision drift). One map-side-combined pass, the
+    * same shuffle shape as the exact histogram the poll avoids.
+    * Single-writer contract: stamped with the post-read listing, so a
+    * concurrent mutation would surface as a mismatch, never as a wrong
+    * bound.
+    */
+  private def writeHhSketch(store: TableStore, name: String): Unit =
+    store.overwrite(hhSketchT(name),
+      graft.functions.CountMin.build(
+        store.read(bandsT(name)).select(hhKey.as("k")),
+        "k", d = HhDepth, w = HhWidth)
+        .withColumn("fp", lit(bandsFp(store, name))))
+
+  /** Fold a committed increment's band rows into the sketch, if one
+    * exists (the clapper builds it lazily — an index nobody polls never
+    * pays this). CMS linearity makes fold(A) ⊕ fold(B) ≡ rebuild(A ∪ B)
+    * exactly. `fpBefore` is the bands listing the CALLER captured before
+    * its append: a sketch stamped with anything else missed a mutation
+    * and is dropped rather than extended; the successful fold re-stamps
+    * to the post-append listing. A failed fold also drops — an absent
+    * sketch costs one exact poll, a wrong one costs correctness.
+    */
+  private def foldHhSketch(store: TableStore, name: String,
+      newBands: DataFrame, fpBefore: String): Unit =
+    if (store.exists(hhSketchT(name)))
+      try {
+        val cur = store.read(hhSketchT(name))
+        val fresh = cur.select(col("fp")).limit(1).collect()
+          .headOption.exists(_.getString(0) == fpBefore)
+        if (!fresh) store.drop(hhSketchT(name))
+        else store.overwrite(hhSketchT(name),
+          graft.functions.CountMin.merge(
+            cur.select(col("row"), col("bucket"), col("cnt")),
+            graft.functions.CountMin.build(
+              newBands.select(hhKey.as("k")), "k", d = HhDepth, w = HhWidth))
+            .withColumn("fp", lit(bandsFp(store, name))))
+      } catch { case scala.util.control.NonFatal(_) =>
+        try store.drop(hhSketchT(name))
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+
+  /** The sketch's upper bound on the hottest bucket's row count:
+    * min over hash rows of that row's max cell — for the true-max key,
+    * every row holds a cell ≥ its count, so each row's max does too.
+    * None when no sketch exists, its fingerprint mismatches the live
+    * bands listing, or the read raced a swap (the poll-safe contract):
+    * the caller falls back to the exact aggregate.
+    */
+  private[ext] def hhUpperBound(store: TableStore, name: String): Option[Long] =
+    try {
+      if (!store.exists(hhSketchT(name))) None
+      else {
+        val cur = store.read(hhSketchT(name))
+        val fresh = cur.select(col("fp")).limit(1).collect()
+          .headOption.exists(_.getString(0) == bandsFp(store, name))
+        if (!fresh) None
+        else cur.groupBy(col("row")).agg(max(col("cnt")).as("m"))
+          .agg(min(col("m"))).collect()
+          .headOption.map(row => if (row.isNullAt(0)) 0L else row.getLong(0))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The ONE reader of the `{name}_cap_policy` row — (bucket_cap,
     * hot_rows), poll-safe (NonFatal → None, the health-cache read
@@ -615,6 +718,20 @@ object DedupIndex {
     had
   }
 
+  /** The ONE statement of [[capIfUnhealthy]]'s parameter bounds — the
+    * function validates through this, and [[graft.streaming.Streams
+    * .GateCapPolicy]] calls it at CONSTRUCTION, so the sink-policy
+    * mirror can never drift from the callee's rules.
+    */
+  private[graft] def requireCapParams(hotBucketBudget: Long, capFactor: Long,
+      rearmFactor: Double, retireFraction: Double): Unit = {
+    require(hotBucketBudget >= 1,
+      s"hotBucketBudget must be >= 1, got $hotBucketBudget")
+    require(capFactor >= 1, s"capFactor must be >= 1, got $capFactor")
+    Clapper.requireRearm(rearmFactor)
+    Clapper.requireRetire(retireFraction)
+  }
+
   /** [[AnnIndex.rebuildIfUnhealthy]]'s lexical twin — the clapper for
     * the [[Health.maxBucketFrac]] bell. The lexical index has no rebuild
     * action that can help: band buckets are CONTENT-determined, so
@@ -659,60 +776,87 @@ object DedupIndex {
     *     (today's semantics; a stale cap costs a constant, never
     *     recall on organic buckets).
     *
-    * Steady-state cost is one [[health]] poll (fingerprint-cached, one
-    * row) plus one 1-row policy read; only the trigger path pays the
-    * bucket count the cap derivation needs.
+    * Steady-state cost (r19): one fixed-width sketch read plus one
+    * 1-row policy read — FLAT in corpus size, because the first ask
+    * builds a hot-bucket CMS that [[commitIncrement]] folds per batch
+    * and subsequent asks arbitrate from its upper bound (see the fast
+    * path's comment for the exact one-sided-error rules). The corpus-
+    * sized aggregate is paid only when the bound cannot prove the
+    * decision; the trigger path additionally pays the bucket count the
+    * cap derivation needs.
     */
-  /** The ONE statement of [[capIfUnhealthy]]'s parameter bounds — the
-    * function validates through this, and [[graft.streaming.Streams
-    * .GateCapPolicy]] calls it at CONSTRUCTION, so the sink-policy
-    * mirror can never drift from the callee's rules.
-    */
-  private[graft] def requireCapParams(hotBucketBudget: Long, capFactor: Long,
-      rearmFactor: Double, retireFraction: Double): Unit = {
-    require(hotBucketBudget >= 1,
-      s"hotBucketBudget must be >= 1, got $hotBucketBudget")
-    require(capFactor >= 1, s"capFactor must be >= 1, got $capFactor")
-    require(rearmFactor >= 0,
-      s"rearmFactor must be >= 0 (0 disables the thrash guard), got $rearmFactor")
-    require(retireFraction >= 0 && retireFraction <= 1,
-      s"retireFraction must be in [0, 1] (0 = never retire; keep it well " +
-        s"under 1 for hysteresis), got $retireFraction")
-  }
-
   def capIfUnhealthy(store: TableStore, name: String,
       hotBucketBudget: Long = 4096, capFactor: Long = 8,
       rearmFactor: Double = 1.25, retireFraction: Double = 0.0): CapDecision = {
     requireCapParams(hotBucketBudget, capFactor, rearmFactor, retireFraction)
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
-    val h = health(store, name)
-    val hot = h.hotBucketRows
     val prev = readCapPolicy(store, name)
-    val base = if (rearmFactor == 0) None else prev
-    val ring = h.nDocs > 0 && hot >= hotBucketBudget &&
-      base.forall(b => hot >= rearmFactor * b._2)
-    if (!ring) {
-      // `hot < hotBucketBudget` is explicit: a rearm-DECLINED flood (hot
-      // still ≥ budget, just not rearmFactor× the baseline) lands on this
-      // branch too, and at retireFraction = 1 the fraction bar alone
-      // would retire the policy mid-flood
-      if (prev.nonEmpty && retireFraction > 0 && hot < hotBucketBudget &&
-          hot <= retireFraction * hotBucketBudget) {
+    // SKETCH FAST PATH (r18 verdict: the lexical health aggregate was
+    // O(corpus shingle rows) per ask, re-paid every commit because the
+    // gate's append moves the fingerprint): the per-commit-maintained
+    // CMS bounds the hottest bucket from ABOVE in O(sketch) — one
+    // fixed-width read, flat in corpus size — so the routine no-flood
+    // poll never touches the corpus tables. One-sided error does the
+    // arbitration safely: ub < every bar that could RING proves the
+    // decline (true hot ≤ ub), and ub inside the RETIRE band proves the
+    // retire (both its conjuncts are <-closed under hot ≤ ub). Anything
+    // the bound cannot prove — a possible ring, or a policy whose
+    // retire is masked by takedown/collision inflation — pays the exact
+    // aggregate exactly as before and then REBUILDS the sketch from the
+    // current bands table, shedding that inflation at the moment the
+    // full pass is already paid. Decisions are therefore IDENTICAL to
+    // the exact path (DedupIndexSpec pins sketch-vs-exact agreement);
+    // only `hotBucketRows` coarsens to the upper bound on
+    // short-circuited declines/retires.
+    val ub = hhUpperBound(store, name)
+    val skDecision: Option[CapDecision] = ub.flatMap { u =>
+      val ringPossible = Clapper.rings(u.toDouble, hotBucketBudget.toDouble,
+        prev.map(_._2.toDouble), rearmFactor, live = u > 0)
+      if (ringPossible) None // must confirm (or refute) exactly
+      else if (Clapper.retires(u.toDouble, hotBucketBudget.toDouble,
+          retireFraction, hasPolicy = prev.nonEmpty)) {
         clearCapPolicy(store, name)
-        CapDecision(triggered = false, hot, hotBucketBudget, 0.0, None,
-          retired = true)
+        Some(CapDecision(triggered = false, u, hotBucketBudget, 0.0, None,
+          retired = true))
+      } else if (prev.nonEmpty && retireFraction > 0) {
+        // retire pending but unprovable from the bound (a takedown's
+        // rows still inflate the sketch) — only the exact pass can say
+        None
       } else
-        CapDecision(triggered = false, hot, hotBucketBudget, 0.0, prev.map(_._1))
-    } else {
-      val nBuckets = store.read(bandsT(name))
-        .select(col("band"), col("bucket")).distinct().count()
-      val mean = if (nBuckets == 0) 0.0 else h.nBandRows.toDouble / nBuckets
-      val cap = math.min(Int.MaxValue.toLong,
-        math.max(64L, capFactor * math.ceil(mean).toLong)).toInt
-      store.overwrite(capPolicyT(name),
-        Seq((cap, hot)).toDF("bucket_cap", "hot_rows"))
-      CapDecision(triggered = true, hot, hotBucketBudget, mean, Some(cap))
+        Some(CapDecision(triggered = false, u, hotBucketBudget, 0.0,
+          prev.map(_._1)))
+    }
+    skDecision.getOrElse {
+      val h = health(store, name)
+      val hot = h.hotBucketRows
+      val ring = Clapper.rings(hot.toDouble, hotBucketBudget.toDouble,
+        prev.map(_._2.toDouble), rearmFactor, live = h.nDocs > 0)
+      val dec =
+        if (!ring) {
+          if (Clapper.retires(hot.toDouble, hotBucketBudget.toDouble,
+              retireFraction, hasPolicy = prev.nonEmpty)) {
+            clearCapPolicy(store, name)
+            CapDecision(triggered = false, hot, hotBucketBudget, 0.0, None,
+              retired = true)
+          } else
+            CapDecision(triggered = false, hot, hotBucketBudget, 0.0,
+              prev.map(_._1))
+        } else {
+          val nBuckets = store.read(bandsT(name))
+            .select(col("band"), col("bucket")).distinct().count()
+          val mean = if (nBuckets == 0) 0.0 else h.nBandRows.toDouble / nBuckets
+          val cap = math.min(Int.MaxValue.toLong,
+            math.max(64L, capFactor * math.ceil(mean).toLong)).toInt
+          store.overwrite(capPolicyT(name),
+            Seq((cap, hot)).toDF("bucket_cap", "hot_rows"))
+          CapDecision(triggered = true, hot, hotBucketBudget, mean, Some(cap))
+        }
+      // re-baseline at the already-paying moment (also the lazy FIRST
+      // build — an index nobody polls never carries a sketch)
+      try writeHhSketch(store, name)
+      catch { case scala.util.control.NonFatal(_) => () }
+      dec
     }
   }
 
@@ -732,6 +876,13 @@ object DedupIndex {
         store.read(cacheT).select(col("fp")).collect()
           .headOption.exists(_.getString(0) == healthKey(store, name)._1)
       catch { case scala.util.control.NonFatal(_) => false }
+    // the hot-bucket sketch gets the same treatment (its key is the
+    // bands listing alone)
+    val skWasFresh =
+      try store.exists(hhSketchT(name)) &&
+        store.read(hhSketchT(name)).select(col("fp")).limit(1).collect()
+          .headOption.exists(_.getString(0) == bandsFp(store, name))
+      catch { case scala.util.control.NonFatal(_) => false }
     val stats = Seq(bandsT(name) -> Nil, shinglesT(name) -> shPb, sizesT(name) -> Nil)
       .map { case (t, pb) =>
         t -> graft.tables.Compact.compact(store, t, targetBytes, partitionBy = pb)
@@ -739,6 +890,10 @@ object DedupIndex {
     if (wasFresh)
       try store.overwrite(cacheT, store.read(cacheT)
         .withColumn("fp", lit(healthKey(store, name)._1)))
+      catch { case scala.util.control.NonFatal(_) => () }
+    if (skWasFresh)
+      try store.overwrite(hhSketchT(name), store.read(hhSketchT(name))
+        .withColumn("fp", lit(bandsFp(store, name))))
       catch { case scala.util.control.NonFatal(_) => () }
     stats
   }

@@ -373,6 +373,72 @@ class DedupIndexSpec extends SparkSpec {
     assert(!store.exists("cp_cap_policy"))
   }
 
+  test("capIfUnhealthy sketch poll: the routine ask reads the CMS bound instead of the corpus aggregate, folds ride commits, desyncs invalidate instead of undercounting, decisions agree with exact") {
+    val store = new graft.tables.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_disk").toString)
+    val flood = "the same boilerplate line every time"
+    val docs = corpus(7, 6).take(6) ++ (100L to 111L).map(i => (i, flood))
+    DedupIndex.build(store, "sx", docs.toDF("doc_id", "text"),
+      "doc_id", "text")
+    // no sketch before the first ask — an index nobody polls never pays
+    assert(!store.exists("sx_hh_sketch"))
+    assert(DedupIndex.hhUpperBound(store, "sx").isEmpty)
+    // ask 1 (generous budget): exact path declines AND lazily builds the
+    // sketch; the bound dominates the true hottest bucket (12)
+    val calm = DedupIndex.capIfUnhealthy(store, "sx", hotBucketBudget = 1000)
+    assert(!calm.triggered && calm.hotBucketRows === 12L)
+    assert(store.exists("sx_hh_sketch"))
+    val ub1 = DedupIndex.hhUpperBound(store, "sx")
+    assert(ub1.exists(_ >= 12L), s"bound must dominate the hot bucket: $ub1")
+    // a committed increment FOLDS into the sketch (stays fresh, no
+    // rebuild) — novel docs leave the flood bucket at 12
+    DedupIndex.dedupIncrement(store, "sx",
+      (500L to 502L).map(i => (i, s"novel doc number $i with words"))
+        .toDF("doc_id", "text"), "doc_id", "text", threshold = 0.7).collect()
+    assert(DedupIndex.hhUpperBound(store, "sx").exists(_ >= 12L),
+      "per-commit fold must keep the sketch fresh across increments")
+    // ask 2: the bound proves the decline, so the corpus aggregate is
+    // NOT paid — observable through the health cache, which the commit
+    // invalidated and only an exact pass would refresh
+    val hcBefore = store.read("sx_health_cache").collect().toSeq
+    val calm2 = DedupIndex.capIfUnhealthy(store, "sx", hotBucketBudget = 1000)
+    assert(!calm2.triggered)
+    assert(calm2.hotBucketRows >= 12L,
+      s"short-circuited decline reports the upper bound: $calm2")
+    assert(store.read("sx_health_cache").collect().toSeq === hcBefore,
+      "a sketch-proved decline must not pay the exact aggregate")
+    // ask 3 (budget under the flood): the bound cannot prove a decline,
+    // the exact pass confirms the ring — hotBucketRows is EXACT, the
+    // policy persists, and the health cache shows the exact pass ran
+    val ring = DedupIndex.capIfUnhealthy(store, "sx", hotBucketBudget = 10)
+    assert(ring.triggered && ring.hotBucketRows === 12L)
+    assert(store.read("sx_health_cache").collect().toSeq !== hcBefore)
+    // an EXTERNAL mutation the fold never saw (a raw append to the bands
+    // table) moves the listing: the sketch reads as absent — the
+    // undercount direction is structurally impossible — and the next
+    // exact ask re-baselines it
+    store.append("sx_bands",
+      store.read("sx_bands").limit(1))
+    assert(DedupIndex.hhUpperBound(store, "sx").isEmpty,
+      "a mutation the fold missed must invalidate the sketch")
+    val again = DedupIndex.capIfUnhealthy(store, "sx", hotBucketBudget = 10)
+    assert(!again.triggered, s"rearm guard must hold through the rebuild: $again")
+    assert(DedupIndex.hhUpperBound(store, "sx").exists(_ >= 12L),
+      "the exact ask re-baselines the sketch")
+    // agreement under retire: the takedown moves the listing too, so the
+    // retire decision always comes from the exact pass — identical to
+    // the pre-sketch semantics
+    DedupIndex.deleteIds(store, "sx", (102L to 111L).toDF("doc_id"),
+      "doc_id")
+    val ret = DedupIndex.capIfUnhealthy(store, "sx", hotBucketBudget = 10,
+      retireFraction = 0.5)
+    assert(!ret.triggered && ret.retired && ret.cap.isEmpty)
+    assert(DedupIndex.storedBucketCap(store, "sx").isEmpty)
+    // dropIndex tears the sketch down with the index
+    DedupIndex.dropIndex(store, "sx")
+    assert(!store.exists("sx_hh_sketch"))
+  }
+
   test("capIfUnhealthy retireFraction: the un-ring — a takedown'd flood clears the policy on the hysteresis bar, never mid-flood, and re-arms the bell fresh; clearCapPolicy is the manual form") {
     val store = new graft.tables.TableStore(spark,
       java.nio.file.Files.createTempDirectory("graft_diret").toString)

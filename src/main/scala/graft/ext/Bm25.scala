@@ -301,13 +301,18 @@ object Bm25 {
   /** The query terms the stored policy would PRUNE — the intersection of
     * `queryTerms` with the persisted stop-term list, resolved with the
     * same one-retry read as [[storedDfCap]] (both tables swap in the same
-    * clapper call). Scan shape: a term-filtered read of the SMALL stop
-    * table (≤ nPostings / df_cap terms by construction), never the
-    * postings — this lookup is what lets the search prune BEFORE paying
-    * the hot term's postings scan.
+    * clapper call). GATED ON THE POLICY ROW, not on the stop table's
+    * existence: [[capIfUnhealthy]] writes the stop list first and the
+    * policy row last, so a crash between the two leaves an orphaned stop
+    * list that must stay inert — no policy in force means no pruning,
+    * whatever tables exist. Scan shape: one 1-row policy read plus a
+    * term-filtered read of the SMALL stop table (≤ nPostings / df_cap
+    * terms by construction), never the postings — this lookup is what
+    * lets the search prune BEFORE paying the hot term's postings scan.
     */
   private def storedStopTerms(store: TableStore, name: String,
       queryTerms: Seq[String]): Set[String] = {
+    if (storedDfCap(store, name).isEmpty) return Set.empty
     def once(): Option[Set[String]] =
       try {
         if (!store.exists(stopTermsT(name))) None

@@ -234,6 +234,14 @@ class Bm25Spec extends SparkSpec {
     assert(Bm25.clearCapPolicy(store, "rp"))
     assert(Bm25.storedDfCap(store, "rp").isEmpty)
     assert(!Bm25.clearCapPolicy(store, "rp"))
+    // an ORPHANED stop list (a crash between the clapper's stop-list
+    // write and its policy write) stays inert: pruning is gated on the
+    // policy row, so no policy in force means no pruning
+    store.overwrite("rp_cap_stopterms",
+      Seq(("boilerplate", 14L)).toDF("term", "df"))
+    assert(Bm25.searchIndex(store, "rp", "doc_id",
+        Seq("boilerplate"), topK = 25).count() === 14L,
+      "a stop list without a policy row must not prune")
     // parameter bounds (the shared-validator statement)
     intercept[IllegalArgumentException] {
       Bm25.capIfUnhealthy(store, "rp", hotTermBudget = 0) }

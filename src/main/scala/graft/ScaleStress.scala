@@ -1057,6 +1057,19 @@ object ScaleStress {
       DedupIndex.capIfUnhealthy(store, "lp", hotBucketBudget = budget) }
     val h = DedupIndex.health(store, "lp")
     println(f"""{"lexpoll":1,"n_docs":${h.nDocs},"n_band_rows":${h.nBandRows},"sketch_poll_sec":$sketchSec%.2f,"exact_poll_sec":$exactSec%.2f}""")
+    // the BM25 twin rows — same protocol over the hot-term sketch
+    import graft.ext.Bm25
+    Bm25.buildIndex(store, "bp", docs.filter(b =!= 0), "doc_id", "text")
+    Bm25.capIfUnhealthy(store, "bp", hotTermBudget = budget) // lazy build
+    Bm25.append(store, "bp", docs.filter(b === 0).limit(200),
+      "doc_id", "text")
+    val bSketchSec = timed(()) {
+      Bm25.capIfUnhealthy(store, "bp", hotTermBudget = budget) }
+    val bExactSec = timed({
+      if (store.exists("bp_df_sketch")) store.drop("bp_df_sketch") }) {
+      Bm25.capIfUnhealthy(store, "bp", hotTermBudget = budget) }
+    val bh = Bm25.health(store, "bp")
+    println(f"""{"bm25poll":1,"n_docs":${bh.nDocs},"n_postings":${bh.nPostings},"sketch_poll_sec":$bSketchSec%.2f,"exact_poll_sec":$bExactSec%.2f}""")
   }
 
   def main(args: Array[String]): Unit = {

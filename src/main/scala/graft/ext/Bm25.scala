@@ -117,13 +117,22 @@ object Bm25 {
     */
   def append(store: TableStore, name: String, docs: DataFrame,
       idCol: String, textCol: String): Unit = {
+    val fpBefore =
+      if (store.exists(dfSketchT(name))) postingsFp(store, name) else ""
     val toks = TextAnalysis.wsTokens(col(textCol))
-    store.append(s"${name}_postings",
-      docs.select(col(idCol), explode(toks).as("term"))
-        .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tcnt")))
+    val newPostings = docs.select(col(idCol), explode(toks).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tcnt"))
+    store.append(s"${name}_postings", newPostings)
     store.append(s"${name}_doclen",
       docs.select(col(idCol), size(toks).cast("long").as("dlen")))
     writeStats(store, name)
+    // O(batch) hot-term sketch fold, only when a clapper built one (the
+    // [[DedupIndex.commitIncrement]] contract — crash-safe through the
+    // fingerprint, not ordering). Re-evaluates the batch's explode+
+    // groupBy: one extra pass over the INCREMENT's text, never the corpus
+    HotKeySketch.fold(store, dfSketchT(name),
+      newPostings.select(col("term").as("k")), fpBefore,
+      postingsFp(store, name))
   }
 
   /** Ids currently indexed — narrow scan of the doclen table (one row per
@@ -138,7 +147,8 @@ object Bm25 {
     */
   def dropIndex(store: TableStore, name: String): Unit =
     Seq(s"${name}_postings", s"${name}_doclen", s"${name}_stats",
-      s"${name}_health_cache", capPolicyT(name), stopTermsT(name))
+      s"${name}_health_cache", capPolicyT(name), stopTermsT(name),
+      dfSketchT(name))
       .foreach(t => if (store.exists(t)) store.drop(t))
 
   /** [[graft.ext.DedupIndex.maintainIfNeeded]]'s lexical twin: compact
@@ -172,12 +182,18 @@ object Bm25 {
           store.read(cacheT).select(col("fp")).collect()
             .headOption.exists(_.getString(0) == healthKey(store, name)._1)
         catch { case scala.util.control.NonFatal(_) => false }
+      // the hot-term sketch gets the same content-neutral treatment
+      // (its key is the postings listing alone)
+      val skWasFresh =
+        HotKeySketch.isFresh(store, dfSketchT(name), postingsFp(store, name))
       val stats =
         ts.map(t => t -> graft.tables.Compact.compact(store, t, targetBytes)).toMap
       if (wasFresh)
         try store.overwrite(cacheT, store.read(cacheT)
           .withColumn("fp", lit(healthKey(store, name)._1)))
         catch { case scala.util.control.NonFatal(_) => () }
+      if (skWasFresh)
+        HotKeySketch.restamp(store, dfSketchT(name), postingsFp(store, name))
       Some(stats)
     } else None
   }
@@ -272,6 +288,26 @@ object Bm25 {
 
   private def capPolicyT(name: String) = s"${name}_cap_policy"
   private def stopTermsT(name: String) = s"${name}_cap_stopterms"
+  private def dfSketchT(name: String) = s"${name}_df_sketch"
+
+  /** The hot-term sketch bounding [[capIfUnhealthy]]'s routine poll —
+    * [[HotKeySketch]] over the postings table's term occurrences (one
+    * per (doc, term) row, so the hottest key's count IS the hottest df),
+    * fingerprinted on the postings listing. Same contract as the
+    * DedupIndex twin: a sketch that missed any mutation reads as absent
+    * (undercount impossible), exact asks re-baseline it, an index
+    * nobody polls never carries one.
+    */
+  private def postingsFp(store: TableStore, name: String): String =
+    graft.tables.Compact.listingFingerprint(store, s"${name}_postings")._1
+
+  private def writeDfSketch(store: TableStore, name: String): Unit =
+    HotKeySketch.rebuild(store, dfSketchT(name),
+      store.read(s"${name}_postings").select(col("term").as("k")),
+      postingsFp(store, name))
+
+  private[ext] def dfUpperBound(store: TableStore, name: String): Option[Long] =
+    HotKeySketch.upperBound(store, dfSketchT(name), postingsFp(store, name))
 
   /** The ONE reader of the `{name}_cap_policy` row — (df_cap, hot_df),
     * poll-safe (NonFatal → None, the health-cache read contract). Shared
@@ -407,9 +443,11 @@ object Bm25 {
     *     to ≤ `retireFraction × hotTermBudget` (a takedown removed the
     *     flood) clears the policy and re-arms the bell.
     *
-    * Steady-state cost is one [[health]] poll (fingerprint-cached, one
-    * row) plus one 1-row policy read; only the trigger path pays the
-    * vocabulary aggregate the stop list needs.
+    * Steady-state cost: one fixed-width sketch read plus one 1-row
+    * policy read — FLAT in corpus size, the [[DedupIndex.capIfUnhealthy]]
+    * sketch contract verbatim (lazy first build, per-append fold,
+    * exact-pay re-baseline, fingerprint-enforced no-undercount); only
+    * the trigger path pays the vocabulary aggregate the stop list needs.
     */
   def capIfUnhealthy(store: TableStore, name: String,
       hotTermBudget: Long = 262144, rearmFactor: Double = 1.25,
@@ -417,32 +455,62 @@ object Bm25 {
     requireCapParams(hotTermBudget, rearmFactor, retireFraction)
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
-    val h = health(store, name)
-    val hot = h.hotTermRows
     val prev = readCapPolicy(store, name)
-    val ring = Clapper.rings(hot.toDouble, hotTermBudget.toDouble,
-      prev.map(_._2.toDouble), rearmFactor, live = h.nDocs > 0)
-    if (!ring) {
-      if (Clapper.retires(hot.toDouble, hotTermBudget.toDouble,
+    // SKETCH FAST PATH — the [[DedupIndex.capIfUnhealthy]] arbitration
+    // verbatim (see its comment for the one-sided-error rules): the
+    // routine ask reads the hot-term sketch's upper bound instead of
+    // the O(corpus postings rows) term aggregate; anything the bound
+    // cannot prove pays exact and re-baselines. Decisions identical;
+    // `hotTermRows` coarsens to the bound on short-circuited asks.
+    val ub = dfUpperBound(store, name)
+    val skDecision: Option[CapDecision] = ub.flatMap { u =>
+      val ringPossible = Clapper.rings(u.toDouble, hotTermBudget.toDouble,
+        prev.map(_._2.toDouble), rearmFactor, live = u > 0)
+      if (ringPossible) None
+      else if (Clapper.retires(u.toDouble, hotTermBudget.toDouble,
           retireFraction, hasPolicy = prev.nonEmpty)) {
         clearCapPolicy(store, name)
-        CapDecision(triggered = false, hot, hotTermBudget, None, 0L,
-          retired = true)
-      } else
-        CapDecision(triggered = false, hot, hotTermBudget, prev.map(_._1), 0L)
-    } else {
-      val stop = store.read(s"${name}_postings")
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
-        .filter(col("df") >= hotTermBudget)
-      // stop list FIRST, policy row LAST: a crash between the two leaves
-      // no policy in force (searches stay unpruned — today's behavior)
-      // rather than a policy whose stop list is missing
-      store.overwrite(stopTermsT(name), stop)
-      val n = store.read(stopTermsT(name)).count()
-      store.overwrite(capPolicyT(name),
-        Seq((hotTermBudget, hot)).toDF("df_cap", "hot_df"))
-      CapDecision(triggered = true, hot, hotTermBudget,
-        Some(hotTermBudget), n)
+        Some(CapDecision(triggered = false, u, hotTermBudget, None, 0L,
+          retired = true))
+      } else if (prev.nonEmpty && retireFraction > 0) None
+      else
+        Some(CapDecision(triggered = false, u, hotTermBudget,
+          prev.map(_._1), 0L))
+    }
+    skDecision.getOrElse {
+      val h = health(store, name)
+      val hot = h.hotTermRows
+      val ring = Clapper.rings(hot.toDouble, hotTermBudget.toDouble,
+        prev.map(_._2.toDouble), rearmFactor, live = h.nDocs > 0)
+      val dec =
+        if (!ring) {
+          if (Clapper.retires(hot.toDouble, hotTermBudget.toDouble,
+              retireFraction, hasPolicy = prev.nonEmpty)) {
+            clearCapPolicy(store, name)
+            CapDecision(triggered = false, hot, hotTermBudget, None, 0L,
+              retired = true)
+          } else
+            CapDecision(triggered = false, hot, hotTermBudget,
+              prev.map(_._1), 0L)
+        } else {
+          val stop = store.read(s"${name}_postings")
+            .groupBy(col("term")).agg(count(lit(1)).as("df"))
+            .filter(col("df") >= hotTermBudget)
+          // stop list FIRST, policy row LAST: a crash between the two
+          // leaves an orphaned stop list that [[storedStopTerms]]'s
+          // policy gate keeps inert — searches stay unpruned
+          store.overwrite(stopTermsT(name), stop)
+          val n = store.read(stopTermsT(name)).count()
+          store.overwrite(capPolicyT(name),
+            Seq((hotTermBudget, hot)).toDF("df_cap", "hot_df"))
+          CapDecision(triggered = true, hot, hotTermBudget,
+            Some(hotTermBudget), n)
+        }
+      // re-baseline at the already-paying moment (also the lazy first
+      // build)
+      try writeDfSketch(store, name)
+      catch { case scala.util.control.NonFatal(_) => () }
+      dec
     }
   }
 

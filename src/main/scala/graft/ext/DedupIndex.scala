@@ -459,7 +459,8 @@ object DedupIndex {
     // a commit that dies before this fold leaves the sketch stamped
     // with a listing the bands table no longer has, so the next poll
     // treats it as absent and re-baselines exactly
-    foldHhSketch(store, name, stage.bands, fpBefore)
+    HotKeySketch.fold(store, hhSketchT(name),
+      stage.bands.select(hhKey.as("k")), fpBefore, bandsFp(store, name))
   }
 
   /** Periodic index maintenance: compact the three append-only tables.
@@ -560,95 +561,27 @@ object DedupIndex {
 
   private def capPolicyT(name: String) = s"${name}_cap_policy"
   private def hhSketchT(name: String) = s"${name}_hh_sketch"
-  // fixed CMS geometry (the [[graft.functions.CountMin]] caller contract:
-  // merge only like with like — one constant pair per index lifetime).
-  // Sizing rule: the sketch's max-cell upper bound inflates by ≈ total
-  // band rows / width of background mass, so routine polls stay
-  // short-circuited while corpus band rows ≲ width × hotBucketBudget
-  // (≈ 33M rows ≈ 4M docs at 8 bands for the default 4096 budget);
-  // past that the poll degrades to the exact aggregate it replaces —
-  // never to a wrong decision. Shard the index before that point (the
-  // same boundary every per-index aggregate here already has).
-  private val HhDepth = 4
-  private val HhWidth = 8192
   private def hhKey =
     concat(col("band").cast("string"), lit(":"), col("bucket").cast("string"))
 
-  /** The sketch rides a FINGERPRINT of the bands table's listing (the
-    * health-cache key idea, stamped as a constant `fp` column on every
-    * sketch row): a sketch whose fp does not match the live listing is
-    * treated as absent — so a crash between a band append and its fold,
-    * an external [[deleteIds]], a [[build]] overwrite, or ANY mutation
-    * the fold did not see invalidates the sketch instead of silently
-    * undercounting (the one direction the upper bound must never err).
-    * The next poll pays the exact aggregate and re-baselines.
+  /** The hot-bucket sketch bounding the clapper's routine poll — the
+    * shared [[HotKeySketch]] over `band:bucket` keys, fingerprinted on
+    * the bands table's listing (see HotKeySketch's invariant: a sketch
+    * that missed ANY mutation reads as absent, so undercounting — the
+    * one unsafe direction — is structurally impossible; at the default
+    * geometry routine polls stay short-circuited to ≈ 4M docs per index
+    * at the default budget, then degrade to exact, never to wrong).
     */
   private def bandsFp(store: TableStore, name: String): String =
     graft.tables.Compact.listingFingerprint(store, bandsT(name))._1
 
-  /** Rebuild the hot-bucket CMS from the CURRENT bands table — the
-    * re-baseline every exact-pay moment performs (sheds takedown
-    * inflation and collision drift). One map-side-combined pass, the
-    * same shuffle shape as the exact histogram the poll avoids.
-    * Single-writer contract: stamped with the post-read listing, so a
-    * concurrent mutation would surface as a mismatch, never as a wrong
-    * bound.
-    */
   private def writeHhSketch(store: TableStore, name: String): Unit =
-    store.overwrite(hhSketchT(name),
-      graft.functions.CountMin.build(
-        store.read(bandsT(name)).select(hhKey.as("k")),
-        "k", d = HhDepth, w = HhWidth)
-        .withColumn("fp", lit(bandsFp(store, name))))
+    HotKeySketch.rebuild(store, hhSketchT(name),
+      store.read(bandsT(name)).select(hhKey.as("k")),
+      bandsFp(store, name))
 
-  /** Fold a committed increment's band rows into the sketch, if one
-    * exists (the clapper builds it lazily — an index nobody polls never
-    * pays this). CMS linearity makes fold(A) ⊕ fold(B) ≡ rebuild(A ∪ B)
-    * exactly. `fpBefore` is the bands listing the CALLER captured before
-    * its append: a sketch stamped with anything else missed a mutation
-    * and is dropped rather than extended; the successful fold re-stamps
-    * to the post-append listing. A failed fold also drops — an absent
-    * sketch costs one exact poll, a wrong one costs correctness.
-    */
-  private def foldHhSketch(store: TableStore, name: String,
-      newBands: DataFrame, fpBefore: String): Unit =
-    if (store.exists(hhSketchT(name)))
-      try {
-        val cur = store.read(hhSketchT(name))
-        val fresh = cur.select(col("fp")).limit(1).collect()
-          .headOption.exists(_.getString(0) == fpBefore)
-        if (!fresh) store.drop(hhSketchT(name))
-        else store.overwrite(hhSketchT(name),
-          graft.functions.CountMin.merge(
-            cur.select(col("row"), col("bucket"), col("cnt")),
-            graft.functions.CountMin.build(
-              newBands.select(hhKey.as("k")), "k", d = HhDepth, w = HhWidth))
-            .withColumn("fp", lit(bandsFp(store, name))))
-      } catch { case scala.util.control.NonFatal(_) =>
-        try store.drop(hhSketchT(name))
-        catch { case scala.util.control.NonFatal(_) => () }
-      }
-
-  /** The sketch's upper bound on the hottest bucket's row count:
-    * min over hash rows of that row's max cell — for the true-max key,
-    * every row holds a cell ≥ its count, so each row's max does too.
-    * None when no sketch exists, its fingerprint mismatches the live
-    * bands listing, or the read raced a swap (the poll-safe contract):
-    * the caller falls back to the exact aggregate.
-    */
   private[ext] def hhUpperBound(store: TableStore, name: String): Option[Long] =
-    try {
-      if (!store.exists(hhSketchT(name))) None
-      else {
-        val cur = store.read(hhSketchT(name))
-        val fresh = cur.select(col("fp")).limit(1).collect()
-          .headOption.exists(_.getString(0) == bandsFp(store, name))
-        if (!fresh) None
-        else cur.groupBy(col("row")).agg(max(col("cnt")).as("m"))
-          .agg(min(col("m"))).collect()
-          .headOption.map(row => if (row.isNullAt(0)) 0L else row.getLong(0))
-      }
-    } catch { case scala.util.control.NonFatal(_) => None }
+    HotKeySketch.upperBound(store, hhSketchT(name), bandsFp(store, name))
 
   /** The ONE reader of the `{name}_cap_policy` row — (bucket_cap,
     * hot_rows), poll-safe (NonFatal → None, the health-cache read
@@ -879,10 +812,7 @@ object DedupIndex {
     // the hot-bucket sketch gets the same treatment (its key is the
     // bands listing alone)
     val skWasFresh =
-      try store.exists(hhSketchT(name)) &&
-        store.read(hhSketchT(name)).select(col("fp")).limit(1).collect()
-          .headOption.exists(_.getString(0) == bandsFp(store, name))
-      catch { case scala.util.control.NonFatal(_) => false }
+      HotKeySketch.isFresh(store, hhSketchT(name), bandsFp(store, name))
     val stats = Seq(bandsT(name) -> Nil, shinglesT(name) -> shPb, sizesT(name) -> Nil)
       .map { case (t, pb) =>
         t -> graft.tables.Compact.compact(store, t, targetBytes, partitionBy = pb)
@@ -892,9 +822,7 @@ object DedupIndex {
         .withColumn("fp", lit(healthKey(store, name)._1)))
       catch { case scala.util.control.NonFatal(_) => () }
     if (skWasFresh)
-      try store.overwrite(hhSketchT(name), store.read(hhSketchT(name))
-        .withColumn("fp", lit(bandsFp(store, name))))
-      catch { case scala.util.control.NonFatal(_) => () }
+      HotKeySketch.restamp(store, hhSketchT(name), bandsFp(store, name))
     stats
   }
 

@@ -673,12 +673,12 @@ object Streams {
       hotTermBudget: Long = 262144,
       rearmFactor: Double = 1.25, retireFraction: Double = 0.0,
       decisionTable: Option[String] = None,
-      // the BM25 legs' appends move the health fingerprint every
-      // non-empty batch, so each policy ask re-pays the postings
-      // term-aggregate (O(corpus postings rows), the lexical
-      // GateCapPolicy's scaling note verbatim) — raise `cadence` on
-      // high-frequency micro-batches; the bell rings at most `cadence`
-      // batches late
+      // the routine ask is O(sketch), flat in corpus size — the
+      // GateCapPolicy scaling note verbatim: the clapper lazily builds
+      // a hot-term CMS that Bm25.append folds per batch, and the
+      // corpus-sized term aggregate is paid only when the bound cannot
+      // prove the decision. `cadence` remains the knob for the residual
+      // per-ask cost; bells ring at most `cadence` batches late
       cadence: Int = 1) {
     require(cadence >= 1, s"cadence must be >= 1, got $cadence")
     // the callee's bounds at CONSTRUCTION (the gateBucketCap rule): the

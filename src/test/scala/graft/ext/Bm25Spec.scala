@@ -180,9 +180,60 @@ class Bm25Spec extends SparkSpec {
     val esc = Bm25.capIfUnhealthy(store, "cp", hotTermBudget = 10,
       rearmFactor = 0)
     assert(esc.triggered && esc.hotTermRows === 26L)
-    // dropIndex tears the policy down with the index
+    // dropIndex tears the policy AND the poll sketch down with the index
     Bm25.dropIndex(store, "cp")
     assert(!store.exists("cp_cap_policy") && !store.exists("cp_cap_stopterms"))
+    assert(!store.exists("cp_df_sketch"))
+  }
+
+  test("capIfUnhealthy sketch poll: routine asks read the CMS bound, appends fold, desyncs invalidate instead of undercounting, decisions agree with exact") {
+    val store = new graft.tables.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_bmsk").toString)
+    // 'boilerplate' in 12 docs (the hot term); everything else df ≤ 1
+    val docs = (1L to 6L).map(i => (i, s"alpha$i beta$i gamma$i")) ++
+      (100L to 111L).map(i => (i, s"boilerplate junk$i filler$i"))
+    Bm25.buildIndex(store, "sk", docs.toDF("doc_id", "text"),
+      "doc_id", "text")
+    // no sketch before the first ask — an index nobody polls never pays
+    assert(!store.exists("sk_df_sketch"))
+    assert(Bm25.dfUpperBound(store, "sk").isEmpty)
+    // ask 1 (generous budget): exact path declines AND lazily builds
+    val calm = Bm25.capIfUnhealthy(store, "sk", hotTermBudget = 1000)
+    assert(!calm.triggered && calm.hotTermRows === 12L)
+    assert(Bm25.dfUpperBound(store, "sk").exists(_ >= 12L))
+    // an append FOLDS into the sketch (stays fresh, no rebuild)
+    Bm25.append(store, "sk",
+      (500L to 502L).map(i => (i, s"novel$i words$i here$i"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    assert(Bm25.dfUpperBound(store, "sk").exists(_ >= 12L),
+      "per-append fold must keep the sketch fresh")
+    // ask 2: the bound proves the decline — the corpus aggregate is NOT
+    // paid, observable through the health cache the append invalidated
+    val hcBefore = store.read("sk_health_cache").collect().toSeq
+    val calm2 = Bm25.capIfUnhealthy(store, "sk", hotTermBudget = 1000)
+    assert(!calm2.triggered && calm2.hotTermRows >= 12L)
+    assert(store.read("sk_health_cache").collect().toSeq === hcBefore,
+      "a sketch-proved decline must not pay the exact aggregate")
+    // ask 3 (budget under the hot term): exact confirms the ring —
+    // hotTermRows exact, stop list persisted, health cache refreshed
+    val ring = Bm25.capIfUnhealthy(store, "sk", hotTermBudget = 10)
+    assert(ring.triggered && ring.hotTermRows === 12L &&
+      ring.nStopTerms === 1L)
+    assert(store.read("sk_health_cache").collect().toSeq !== hcBefore)
+    // an external mutation the fold never saw invalidates the sketch —
+    // the undercount direction is structurally impossible
+    store.append("sk_postings", store.read("sk_postings").limit(1))
+    assert(Bm25.dfUpperBound(store, "sk").isEmpty)
+    val again = Bm25.capIfUnhealthy(store, "sk", hotTermBudget = 10)
+    assert(!again.triggered, s"rearm guard must hold through the rebuild: $again")
+    assert(Bm25.dfUpperBound(store, "sk").exists(_ >= 12L),
+      "the exact ask re-baselines the sketch")
+    // takedown + retire always through the exact pass (the delete moved
+    // the listing) — identical to pre-sketch semantics
+    Bm25.deleteIds(store, "sk", (102L to 111L).toDF("doc_id"), "doc_id")
+    val ret = Bm25.capIfUnhealthy(store, "sk", hotTermBudget = 10,
+      retireFraction = 0.5)
+    assert(!ret.triggered && ret.retired && ret.cap.isEmpty)
   }
 
   test("capIfUnhealthy retireFraction: a takedown'd flood clears the policy on the hysteresis bar, never mid-flood, and re-arms the bell fresh; clearCapPolicy is the manual form") {

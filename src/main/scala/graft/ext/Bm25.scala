@@ -1,6 +1,6 @@
 package graft.ext
 
-import graft.tables.TableStore
+import graft.tables.{Scratch, TableStore}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -122,16 +122,22 @@ object Bm25 {
     val toks = TextAnalysis.wsTokens(col(textCol))
     val newPostings = docs.select(col(idCol), explode(toks).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tcnt"))
-    store.append(s"${name}_postings", newPostings)
+    // staged ONCE (the [[DedupIndex.probeIncrement]] idiom): the append
+    // and the sketch fold below must see the SAME rows, and the caller's
+    // frame need not be deterministic under re-evaluation (a limit()
+    // batch, a shuffling source) — folding from a re-run of the plan
+    // could undercount the sketch while its fingerprint reads fresh,
+    // the one direction the bound must never err. Staging also makes
+    // the tokenize a single pass.
+    val staged = Scratch.stage(newPostings, s"${name}_app_postings")
+    store.append(s"${name}_postings", staged)
     store.append(s"${name}_doclen",
       docs.select(col(idCol), size(toks).cast("long").as("dlen")))
     writeStats(store, name)
-    // O(batch) hot-term sketch fold, only when a clapper built one (the
-    // [[DedupIndex.commitIncrement]] contract — crash-safe through the
-    // fingerprint, not ordering). Re-evaluates the batch's explode+
-    // groupBy: one extra pass over the INCREMENT's text, never the corpus
+    // O(batch) hot-term sketch fold, only when a clapper built one —
+    // crash-safe through the fingerprint, not ordering
     HotKeySketch.fold(store, dfSketchT(name),
-      newPostings.select(col("term").as("k")), fpBefore,
+      staged.select(col("term").as("k")), fpBefore,
       postingsFp(store, name))
   }
 
@@ -456,28 +462,24 @@ object Bm25 {
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
     val prev = readCapPolicy(store, name)
-    // SKETCH FAST PATH — the [[DedupIndex.capIfUnhealthy]] arbitration
-    // verbatim (see its comment for the one-sided-error rules): the
-    // routine ask reads the hot-term sketch's upper bound instead of
-    // the O(corpus postings rows) term aggregate; anything the bound
-    // cannot prove pays exact and re-baselines. Decisions identical;
-    // `hotTermRows` coarsens to the bound on short-circuited asks.
-    val ub = dfUpperBound(store, name)
-    val skDecision: Option[CapDecision] = ub.flatMap { u =>
-      val ringPossible = Clapper.rings(u.toDouble, hotTermBudget.toDouble,
-        prev.map(_._2.toDouble), rearmFactor, live = u > 0)
-      if (ringPossible) None
-      else if (Clapper.retires(u.toDouble, hotTermBudget.toDouble,
-          retireFraction, hasPolicy = prev.nonEmpty)) {
-        clearCapPolicy(store, name)
-        Some(CapDecision(triggered = false, u, hotTermBudget, None, 0L,
-          retired = true))
-      } else if (prev.nonEmpty && retireFraction > 0) None
-      else
-        Some(CapDecision(triggered = false, u, hotTermBudget,
-          prev.map(_._1), 0L))
-    }
-    skDecision.getOrElse {
+    // SKETCH FAST PATH — [[Clapper.sketchGated]] over the hot-term
+    // sketch's upper bound instead of the O(corpus postings rows) term
+    // aggregate (the ONE arbitration statement, shared with the
+    // DedupIndex twin; see its scaladoc for the one-sided-error rules
+    // and the honest cost of retireFraction > 0 under a standing
+    // policy); anything the bound cannot prove pays exact and
+    // re-baselines. Decisions identical; `hotTermRows` coarsens to the
+    // bound on short-circuited asks.
+    Clapper.sketchGated(dfUpperBound(store, name), hotTermBudget,
+      prev.map(_._2), rearmFactor, retireFraction,
+      hasPolicy = prev.nonEmpty) { u =>
+      clearCapPolicy(store, name)
+      CapDecision(triggered = false, u, hotTermBudget, None, 0L,
+        retired = true)
+    } { u =>
+      CapDecision(triggered = false, u, hotTermBudget,
+        prev.map(_._1), 0L)
+    } {
       val h = health(store, name)
       val hot = h.hotTermRows
       val ring = Clapper.rings(hot.toDouble, hotTermBudget.toDouble,

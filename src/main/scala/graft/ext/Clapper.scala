@@ -46,6 +46,49 @@ private[graft] object Clapper {
     hasPolicy && retireFraction > 0 && metric < bar &&
       metric <= retireFraction * bar
 
+  /** The ONE statement of the sketch-gated ask — how a clapper
+    * arbitrates from a [[HotKeySketch]] UPPER BOUND `ub` on its metric
+    * without ever reading the corpus-sized exact aggregate, exploiting
+    * one-sided error (true metric ≤ ub, never above):
+    *
+    *   - ub under every bar that could RING proves the decline
+    *     (`onSketchDecline`) — the metric is at most ub.
+    *   - ub inside the RETIRE band proves the retire (`onSketchRetire`)
+    *     — both retire conjuncts are <-closed under metric ≤ ub.
+    *   - a possible ring (ub clears the ring bars) must be confirmed or
+    *     refuted exactly (`exact`).
+    *   - a policy in force with `retireFraction > 0` whose retire the
+    *     bound cannot prove ALSO pays `exact`: takedown/collision
+    *     inflation can mask a true retire, and only the exact pass can
+    *     discover it. HONEST COST NOTE: this means enabling automatic
+    *     retire forfeits the flat-poll short-circuit for as long as a
+    *     policy is in force (the exceptional, flooded state — and on an
+    *     organic corpus whose stopword policy never retires, a real
+    *     standing cost). The flat-poll guarantee is for the NO-POLICY
+    *     routine state; operators who want flat polls under a standing
+    *     policy leave retireFraction = 0 and retire manually
+    *     (clearCapPolicy) after the upstream fix.
+    *   - no sketch at all (None) pays `exact`.
+    *
+    * Callers re-baseline the sketch inside `exact` (the already-paying
+    * moment), which keeps every branch's next ask cheap.
+    */
+  def sketchGated[D](ub: Option[Long], bar: Long, baselineHot: Option[Long],
+      rearmFactor: Double, retireFraction: Double, hasPolicy: Boolean)(
+      onSketchRetire: Long => D)(onSketchDecline: Long => D)(
+      exact: => D): D =
+    ub match {
+      case Some(u) =>
+        val ringPossible = rings(u.toDouble, bar.toDouble,
+          baselineHot.map(_.toDouble), rearmFactor, live = u > 0)
+        if (ringPossible) exact
+        else if (retires(u.toDouble, bar.toDouble, retireFraction,
+            hasPolicy)) onSketchRetire(u)
+        else if (hasPolicy && retireFraction > 0) exact
+        else onSketchDecline(u)
+      case None => exact
+    }
+
   /** The shared parameter bounds every clapper states through its own
     * `require*Params` mirror (which sink policies call at CONSTRUCTION).
     */

@@ -730,37 +730,25 @@ object DedupIndex {
     // gate's append moves the fingerprint): the per-commit-maintained
     // CMS bounds the hottest bucket from ABOVE in O(sketch) — one
     // fixed-width read, flat in corpus size — so the routine no-flood
-    // poll never touches the corpus tables. One-sided error does the
-    // arbitration safely: ub < every bar that could RING proves the
-    // decline (true hot ≤ ub), and ub inside the RETIRE band proves the
-    // retire (both its conjuncts are <-closed under hot ≤ ub). Anything
-    // the bound cannot prove — a possible ring, or a policy whose
-    // retire is masked by takedown/collision inflation — pays the exact
-    // aggregate exactly as before and then REBUILDS the sketch from the
-    // current bands table, shedding that inflation at the moment the
-    // full pass is already paid. Decisions are therefore IDENTICAL to
-    // the exact path (DedupIndexSpec pins sketch-vs-exact agreement);
-    // only `hotBucketRows` coarsens to the upper bound on
-    // short-circuited declines/retires.
-    val ub = hhUpperBound(store, name)
-    val skDecision: Option[CapDecision] = ub.flatMap { u =>
-      val ringPossible = Clapper.rings(u.toDouble, hotBucketBudget.toDouble,
-        prev.map(_._2.toDouble), rearmFactor, live = u > 0)
-      if (ringPossible) None // must confirm (or refute) exactly
-      else if (Clapper.retires(u.toDouble, hotBucketBudget.toDouble,
-          retireFraction, hasPolicy = prev.nonEmpty)) {
-        clearCapPolicy(store, name)
-        Some(CapDecision(triggered = false, u, hotBucketBudget, 0.0, None,
-          retired = true))
-      } else if (prev.nonEmpty && retireFraction > 0) {
-        // retire pending but unprovable from the bound (a takedown's
-        // rows still inflate the sketch) — only the exact pass can say
-        None
-      } else
-        Some(CapDecision(triggered = false, u, hotBucketBudget, 0.0,
-          prev.map(_._1)))
-    }
-    skDecision.getOrElse {
+    // poll never touches the corpus tables. The one-sided-error
+    // arbitration is [[Clapper.sketchGated]] (the ONE statement, shared
+    // with the BM25 twin — see its scaladoc for the rules and the
+    // honest cost of retireFraction > 0 under a standing policy);
+    // anything the bound cannot prove pays the exact aggregate exactly
+    // as before and then REBUILDS the sketch at the already-paying
+    // moment. Decisions are IDENTICAL to the exact path (DedupIndexSpec
+    // pins sketch-vs-exact agreement); only `hotBucketRows` coarsens to
+    // the upper bound on short-circuited declines/retires.
+    Clapper.sketchGated(hhUpperBound(store, name), hotBucketBudget,
+      prev.map(_._2), rearmFactor, retireFraction,
+      hasPolicy = prev.nonEmpty) { u =>
+      clearCapPolicy(store, name)
+      CapDecision(triggered = false, u, hotBucketBudget, 0.0, None,
+        retired = true)
+    } { u =>
+      CapDecision(triggered = false, u, hotBucketBudget, 0.0,
+        prev.map(_._1))
+    } {
       val h = health(store, name)
       val hot = h.hotBucketRows
       val ring = Clapper.rings(hot.toDouble, hotBucketBudget.toDouble,

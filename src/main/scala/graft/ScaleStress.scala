@@ -1076,6 +1076,22 @@ object ScaleStress {
       Bm25.capIfUnhealthy(store, "bp", hotTermBudget = budget) }
     val bh = Bm25.health(store, "bp")
     println(f"""{"bm25poll":1,"n_docs":${bh.nDocs},"n_postings":${bh.nPostings},"sketch_poll_sec":$bSketchSec%.2f,"exact_poll_sec":$bExactSec%.2f}""")
+    // the ANN twin rows — no sketch needed: csizes is O(nlist) rows, so
+    // append folds the increment's EXACT cluster counts; the poll column
+    // is health() on the fold-kept cache, the exact column drops the
+    // cache per rep (the recount every append used to force)
+    import graft.ext.AnnIndex
+    val emb = Td(spark, expDir, "embeddings")
+    val ebk = Similarity.sampleBucket(col("vec_id")) % 100
+    AnnIndex.build(store, "ap", emb.filter(ebk =!= 0), "vec_id", "embedding",
+      dim = 64)
+    AnnIndex.append(store, "ap", emb.filter(ebk === 0), "vec_id", "embedding")
+    val aPollSec = timed(()) { AnnIndex.health(store, "ap") }
+    val aExactSec = timed({
+      if (store.exists("ap_csizes")) store.drop("ap_csizes") }) {
+      AnnIndex.health(store, "ap") }
+    val ah = AnnIndex.health(store, "ap")
+    println(f"""{"annpoll":1,"n_codes":${ah.nCodes},"n_clusters":${ah.nClusters},"poll_sec":$aPollSec%.2f,"recount_sec":$aExactSec%.2f}""")
   }
 
   def main(args: Array[String]): Unit = {

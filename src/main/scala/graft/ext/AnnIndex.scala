@@ -155,9 +155,55 @@ object AnnIndex {
     val spark = inc.sparkSession
     import spark.implicits._
     val (centroids, centers, books) = artifacts(store, name, idCol, vecCol)
+    // csizes-fold bookkeeping (see the fold below): the pre-append
+    // freshness probe + file listing are driver-side metadata, paid only
+    // to decide whether an exact O(batch) fold can keep the cache fresh
+    val fpBefore = codesFingerprint(store, name)
+    val foldable = sizesFresh(store, name, fpBefore)
+    val codesPath = new org.apache.hadoop.fs.Path(store.path(codesT(name)))
+    val fs = codesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val filesBefore: Set[String] =
+      if (foldable)
+        graft.tables.Compact.dataFiles(fs, codesPath).map(_._1.toString).toSet
+      else Set.empty
     store.append(codesT(name),
       Similarity.pqEncodeResidual(inc, centroids, centers, idCol, vecCol, books),
       partitionBy = Seq("cluster"))
+    // EXACT per-cluster size fold — the ANN twin of the r19 sketch work,
+    // except no sketch is needed: csizes is O(nlist) rows by design, so
+    // the increment's exact cluster counts merge in O(batch + nlist)
+    // where the fingerprint-keyed recount pays a full codes-table pass
+    // (the measured 0.33-0.49 s/batch silent-clapper cadence, O(corpus
+    // codes rows) at scale). The increment's rows are read back from
+    // exactly the part files this append created (listing diff +
+    // basePath, reconstructing the hive `cluster` column) — never from a
+    // re-evaluation of the caller's frame, which need not be
+    // deterministic (the Bm25.append staging lesson). Crash-safe by the
+    // same fingerprint contract as the recount: a fold that never ran,
+    // failed, or raced leaves a stale fp the next ask detects and
+    // recounts — a lost fold costs one recount, never a wrong count.
+    // deleteIds stays recount-only (its rewrite moves the fp).
+    if (foldable)
+      try {
+        val newFiles = graft.tables.Compact.dataFiles(fs, codesPath)
+          .map(_._1.toString).filterNot(filesBefore)
+        val fpAfter = codesFingerprint(store, name)
+        if (newFiles.nonEmpty) {
+          val incCounts = spark.read
+            .option("basePath", codesPath.toString)
+            .parquet(newFiles: _*)
+            .groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
+          store.overwrite(csizesT(name),
+            store.read(csizesT(name)).select(col("cluster"), col("csize"))
+              .unionByName(incCounts)
+              .groupBy(col("cluster")).agg(sum(col("csize")).as("csize"))
+              .withColumn("fp", lit(fpAfter)))
+        } else if (fpAfter != fpBefore)
+          // content-neutral listing move (an empty increment still
+          // writes a marker file): re-stamp, the compaction idiom
+          store.overwrite(csizesT(name),
+            store.read(csizesT(name)).withColumn("fp", lit(fpAfter)))
+      } catch { case scala.util.control.NonFatal(_) => () }
     // drift signal: this increment's mean quantization error under the
     // FROZEN quantizers, appended next to the build baseline — the
     // measurement that turns "retrain is an explicit new build" from a

@@ -482,11 +482,13 @@ class AnnIndexSpec extends SparkSpec {
     // build warmed the cache: no recompute on first ask, contents exact
     assert(!AnnIndex.refreshClusterSizes(store, "idx"))
     assert(cachedSizes() === actualSizes())
-    // append: the file fingerprint moves, ONE recompute, then cached
+    // append: the increment's exact cluster counts FOLD into the cache
+    // (r19 — reading back only the new part files), so the fingerprint
+    // moves WITH the cache and no recount ever runs; contents exact
     AnnIndex.append(store, "idx", corpus.filter(col("vec_id") > 30),
       "vec_id", "embedding")
-    assert(AnnIndex.refreshClusterSizes(store, "idx"))
-    assert(!AnnIndex.refreshClusterSizes(store, "idx"))
+    assert(!AnnIndex.refreshClusterSizes(store, "idx"),
+      "append must fold csizes, not stale them")
     assert(cachedSizes() === actualSizes())
     // takedown: same contract (health() validates it on its own path)
     AnnIndex.deleteIds(store, "idx", Seq(1L, 2L, 3L).toDF("vec_id"), "vec_id")
@@ -507,12 +509,16 @@ class AnnIndexSpec extends SparkSpec {
     assert(!AnnIndex.refreshClusterSizes(store, "idx"))
     assert(cachedSizes() === actualSizes())
     // ... but a cache that was STALE going into the compaction is left
-    // stale (re-stamping would freeze wrong sizes) and recounts once
-    AnnIndex.append(store, "idx",
-      Seq((90L, vec(0, 90))).toDF("vec_id", "embedding"), "vec_id", "embedding")
+    // stale (re-stamping would freeze wrong sizes) and recounts once —
+    // staleness simulated as an EXTERNAL codes mutation the fold never
+    // saw (appends themselves no longer stale the cache)
+    store.append("idx_codes",
+      store.read("idx_codes").filter(col("vec_id") === 4L),
+      partitionBy = Seq("cluster"))
     assert(AnnIndex.maintainIfNeeded(store, "idx", maxFiles = 1).nonEmpty)
     assert(AnnIndex.refreshClusterSizes(store, "idx"))
     assert(cachedSizes() === actualSizes())
+    AnnIndex.deleteIds(store, "idx", Seq(4L).toDF("vec_id"), "vec_id")
     // full takedown: empty codes table round-trips (no fp row to read)
     AnnIndex.deleteIds(store, "idx",
       AnnIndex.knownIds(store, "idx", "vec_id"), "vec_id")

@@ -1092,6 +1092,55 @@ object ScaleStress {
       AnnIndex.health(store, "ap") }
     val ah = AnnIndex.health(store, "ap")
     println(f"""{"annpoll":1,"n_codes":${ah.nCodes},"n_clusters":${ah.nClusters},"poll_sec":$aPollSec%.2f,"recount_sec":$aExactSec%.2f}""")
+    // WITNESS rows (the close of the honest-cost note): a STANDING
+    // policy with retireFraction > 0 — the state where pre-witness
+    // polls paid the corpus aggregate every ask because the upper
+    // bound can never disprove a retire. `witness_poll_sec` consults
+    // the witness's exact lower bound (flat); `standing_exact_sec`
+    // drops the witness per rep (the pre-witness cost, health cache
+    // dropped too per the honest-control rule above). Lexical: a
+    // 300-copy planted flood makes the hot bucket dominate the CMS
+    // collision mass, so the rearm bar is sketch-decidable.
+    import spark.implicits._
+    val floodDf = (0 until 300).map(i => (10000000L + i,
+      "the same boilerplate flood line every single time"))
+      .toDF("doc_id", "text")
+    DedupIndex.build(store, "lw",
+      docs.filter(b =!= 0).unionByName(floodDf), "doc_id", "text")
+    val lwRing = DedupIndex.capIfUnhealthy(store, "lw", hotBucketBudget = 256)
+    DedupIndex.dedupIncrement(store, "lw", docs.filter(b === 0).limit(20),
+      "doc_id", "text").collect() // folds sketch + witness, stales the cache
+    val wSec = timed(()) {
+      DedupIndex.capIfUnhealthy(store, "lw", hotBucketBudget = 256,
+        retireFraction = 0.25) }
+    val wExactSec = timed({
+      for (t <- Seq("lw_hh_witness", "lw_health_cache"))
+        if (store.exists(t)) store.drop(t) }) {
+      DedupIndex.capIfUnhealthy(store, "lw", hotBucketBudget = 256,
+        retireFraction = 0.25) }
+    val wh = DedupIndex.health(store, "lw")
+    println(f"""{"lexwit":1,"n_docs":${wh.nDocs},"n_band_rows":${wh.nBandRows},"rang":${lwRing.triggered},"hot_rows":${lwRing.hotBucketRows},"witness_poll_sec":$wSec%.2f,"standing_exact_sec":$wExactSec%.2f}""")
+    // BM25 twin, on the ORGANIC regime the note names: natural text's
+    // own hottest term rings a 0.8 × df budget, and the policy then
+    // never retires — pre-witness, every poll re-paid the postings
+    // aggregate forever
+    val bBudget = math.max(1L, (bh.hotTermRows * 0.8).toLong)
+    val bwRing = Bm25.capIfUnhealthy(store, "bp", hotTermBudget = bBudget)
+    // fresh synthetic ids — everything in `docs` may already be indexed
+    Bm25.append(store, "bp",
+      (0 until 20).map(i => (20000000L + i,
+        s"a new organic document number $i with the usual filler words"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text")
+    val bwSec = timed(()) {
+      Bm25.capIfUnhealthy(store, "bp", hotTermBudget = bBudget,
+        retireFraction = 0.25) }
+    val bwExactSec = timed({
+      for (t <- Seq("bp_df_witness", "bp_health_cache"))
+        if (store.exists(t)) store.drop(t) }) {
+      Bm25.capIfUnhealthy(store, "bp", hotTermBudget = bBudget,
+        retireFraction = 0.25) }
+    println(f"""{"bm25wit":1,"n_docs":${bh.nDocs},"n_postings":${bh.nPostings},"rang":${bwRing.triggered},"hot_df":${bwRing.hotTermRows},"witness_poll_sec":$bwSec%.2f,"standing_exact_sec":$bwExactSec%.2f}""")
   }
 
   def main(args: Array[String]): Unit = {

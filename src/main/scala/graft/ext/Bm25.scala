@@ -118,7 +118,9 @@ object Bm25 {
   def append(store: TableStore, name: String, docs: DataFrame,
       idCol: String, textCol: String): Unit = {
     val fpBefore =
-      if (store.exists(dfSketchT(name))) postingsFp(store, name) else ""
+      if (store.exists(dfSketchT(name)) || store.exists(dfWitnessT(name)))
+        postingsFp(store, name)
+      else ""
     val toks = TextAnalysis.wsTokens(col(textCol))
     val newPostings = docs.select(col(idCol), explode(toks).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tcnt"))
@@ -135,10 +137,14 @@ object Bm25 {
       docs.select(col(idCol), size(toks).cast("long").as("dlen")))
     writeStats(store, name)
     // O(batch) hot-term sketch fold, only when a clapper built one —
-    // crash-safe through the fingerprint, not ordering
+    // crash-safe through the fingerprint, not ordering. The witness
+    // (exact df of the last exact pass's hottest term) rides the same
+    // commit.
+    val fpAfter = postingsFp(store, name)
     HotKeySketch.fold(store, dfSketchT(name),
-      staged.select(col("term").as("k")), fpBefore,
-      postingsFp(store, name))
+      staged.select(col("term").as("k")), fpBefore, fpAfter)
+    HotKeySketch.foldWitness(store, dfWitnessT(name),
+      staged.select(col("term").as("k")), fpBefore, fpAfter)
   }
 
   /** Ids currently indexed — narrow scan of the doclen table (one row per
@@ -154,7 +160,7 @@ object Bm25 {
   def dropIndex(store: TableStore, name: String): Unit =
     Seq(s"${name}_postings", s"${name}_doclen", s"${name}_stats",
       s"${name}_health_cache", capPolicyT(name), stopTermsT(name),
-      dfSketchT(name))
+      dfSketchT(name), dfWitnessT(name))
       .foreach(t => if (store.exists(t)) store.drop(t))
 
   /** [[graft.ext.DedupIndex.maintainIfNeeded]]'s lexical twin: compact
@@ -188,10 +194,12 @@ object Bm25 {
           store.read(cacheT).select(col("fp")).collect()
             .headOption.exists(_.getString(0) == healthKey(store, name)._1)
         catch { case scala.util.control.NonFatal(_) => false }
-      // the hot-term sketch gets the same content-neutral treatment
-      // (its key is the postings listing alone)
+      // the hot-term sketch and its witness get the same content-neutral
+      // treatment (their key is the postings listing alone)
       val skWasFresh =
         HotKeySketch.isFresh(store, dfSketchT(name), postingsFp(store, name))
+      val wWasFresh =
+        HotKeySketch.isFresh(store, dfWitnessT(name), postingsFp(store, name))
       val stats =
         ts.map(t => t -> graft.tables.Compact.compact(store, t, targetBytes)).toMap
       if (wasFresh)
@@ -200,6 +208,8 @@ object Bm25 {
         catch { case scala.util.control.NonFatal(_) => () }
       if (skWasFresh)
         HotKeySketch.restamp(store, dfSketchT(name), postingsFp(store, name))
+      if (wWasFresh)
+        HotKeySketch.restamp(store, dfWitnessT(name), postingsFp(store, name))
       Some(stats)
     } else None
   }
@@ -295,6 +305,7 @@ object Bm25 {
   private def capPolicyT(name: String) = s"${name}_cap_policy"
   private def stopTermsT(name: String) = s"${name}_cap_stopterms"
   private def dfSketchT(name: String) = s"${name}_df_sketch"
+  private def dfWitnessT(name: String) = s"${name}_df_witness"
 
   /** The hot-term sketch bounding [[capIfUnhealthy]]'s routine poll —
     * [[HotKeySketch]] over the postings table's term occurrences (one
@@ -452,8 +463,14 @@ object Bm25 {
     * Steady-state cost: one fixed-width sketch read plus one 1-row
     * policy read — FLAT in corpus size, the [[DedupIndex.capIfUnhealthy]]
     * sketch contract verbatim (lazy first build, per-append fold,
-    * exact-pay re-baseline, fingerprint-enforced no-undercount); only
-    * the trigger path pays the vocabulary aggregate the stop list needs.
+    * exact-pay re-baseline, fingerprint-enforced no-undercount),
+    * INCLUDING the standing-policy state: with a policy in force and
+    * `retireFraction > 0` the poll consults the hot WITNESS (the last
+    * exact pass's hottest term with its exact df, per-append folded),
+    * whose lower bound disproves a retire in O(1) — the organic
+    * stopword policy that never retires polls flat, paying the
+    * vocabulary aggregate only at transitions. Only the trigger path
+    * pays the stop-list derivation.
     */
   def capIfUnhealthy(store: TableStore, name: String,
       hotTermBudget: Long = 262144, rearmFactor: Double = 1.25,
@@ -472,8 +489,11 @@ object Bm25 {
     // bound on short-circuited asks.
     Clapper.sketchGated(dfUpperBound(store, name), hotTermBudget,
       prev.map(_._2), rearmFactor, retireFraction,
-      hasPolicy = prev.nonEmpty) { u =>
+      hasPolicy = prev.nonEmpty,
+      witnessHot = HotKeySketch.readWitness(store, dfWitnessT(name),
+        postingsFp(store, name))) { u =>
       clearCapPolicy(store, name)
+      HotKeySketch.dropWitness(store, dfWitnessT(name))
       CapDecision(triggered = false, u, hotTermBudget, None, 0L,
         retired = true)
     } { u =>
@@ -512,6 +532,21 @@ object Bm25 {
       // build)
       try writeDfSketch(store, name)
       catch { case scala.util.control.NonFatal(_) => () }
+      // witness maintenance, same moment (the [[DedupIndex
+      // .capIfUnhealthy]] shape): while a policy stays in force the
+      // hottest term's EXACT df persists so the next standing-policy
+      // ask can DISPROVE a retire without the vocabulary aggregate
+      try {
+        if (dec.cap.nonEmpty) {
+          store.read(s"${name}_postings").groupBy(col("term"))
+            .agg(count(lit(1)).as("df"))
+            .orderBy(col("df").desc, col("term")).limit(1)
+            .collect().headOption.foreach { r =>
+              HotKeySketch.writeWitness(store, dfWitnessT(name),
+                r.getString(0), r.getLong(1), postingsFp(store, name))
+            }
+        } else HotKeySketch.dropWitness(store, dfWitnessT(name))
+      } catch { case scala.util.control.NonFatal(_) => () }
       dec
     }
   }

@@ -58,23 +58,32 @@ private[graft] object Clapper {
     *   - a possible ring (ub clears the ring bars) must be confirmed or
     *     refuted exactly (`exact`).
     *   - a policy in force with `retireFraction > 0` whose retire the
-    *     bound cannot prove ALSO pays `exact`: takedown/collision
-    *     inflation can mask a true retire, and only the exact pass can
-    *     discover it. HONEST COST NOTE: this means enabling automatic
-    *     retire forfeits the flat-poll short-circuit for as long as a
-    *     policy is in force (the exceptional, flooded state — and on an
-    *     organic corpus whose stopword policy never retires, a real
-    *     standing cost). The flat-poll guarantee is for the NO-POLICY
-    *     routine state; operators who want flat polls under a standing
-    *     policy leave retireFraction = 0 and retire manually
-    *     (clearCapPolicy) after the upstream fix.
+    *     upper bound cannot prove consults `witnessHot` — the
+    *     [[HotKeySketch]] WITNESS, an exact LOWER bound on the metric
+    *     (one designated key's exact count, ≤ the true max by
+    *     construction). A witness strictly over the retire band
+    *     disproves BOTH retire conjuncts' reachability (`metric ≥
+    *     witness > retireFraction × bar`), so the ask declines flat —
+    *     this is the r19 close of the r18 honest-cost note: the
+    *     standing-policy state (an organic stopword policy that never
+    *     retires) polls O(1) again, paying exact only at transitions
+    *     (the witness key itself declined, or ub cleared a ring bar).
+    *     A witness at/below the band, absent, or stale is
+    *     INCONCLUSIVE — another key could still sit in (band, ub] — and
+    *     pays `exact`: takedown/collision inflation can mask a true
+    *     retire, and only the exact pass can discover it. The witness
+    *     can therefore DELAY nothing and DISPROVE only truthfully: it
+    *     never retires, never rings, never substitutes for `exact` in
+    *     any branch that could change the policy.
     *   - no sketch at all (None) pays `exact`.
     *
-    * Callers re-baseline the sketch inside `exact` (the already-paying
-    * moment), which keeps every branch's next ask cheap.
+    * Callers re-baseline the sketch (and, when a policy stays in force,
+    * the witness) inside `exact` (the already-paying moment), which
+    * keeps every branch's next ask cheap.
     */
   def sketchGated[D](ub: Option[Long], bar: Long, baselineHot: Option[Long],
-      rearmFactor: Double, retireFraction: Double, hasPolicy: Boolean)(
+      rearmFactor: Double, retireFraction: Double, hasPolicy: Boolean,
+      witnessHot: => Option[Long] = None)(
       onSketchRetire: Long => D)(onSketchDecline: Long => D)(
       exact: => D): D =
     ub match {
@@ -84,8 +93,11 @@ private[graft] object Clapper {
         if (ringPossible) exact
         else if (retires(u.toDouble, bar.toDouble, retireFraction,
             hasPolicy)) onSketchRetire(u)
-        else if (hasPolicy && retireFraction > 0) exact
-        else onSketchDecline(u)
+        else if (hasPolicy && retireFraction > 0) {
+          if (witnessHot.exists(_.toDouble > retireFraction * bar))
+            onSketchDecline(u)
+          else exact
+        } else onSketchDecline(u)
       case None => exact
     }
 

@@ -195,7 +195,7 @@ object DedupIndex {
   def dropIndex(store: TableStore, name: String): Unit =
     Seq(bandsT(name), shinglesT(name), sizesT(name),
       s"${name}_health_cache", s"${name}_cap_policy", s"${name}_hh_sketch",
-      s"${name}_conf")
+      s"${name}_hh_witness", s"${name}_conf")
       .foreach(t => if (store.exists(t)) store.drop(t))
 
   // ---- audit accessors: the index's physical content in logical form ----
@@ -442,7 +442,9 @@ object DedupIndex {
     // extends — captured before the append so a fold over a sketch that
     // missed any other mutation is detected and dropped, never extended
     val fpBefore =
-      if (store.exists(hhSketchT(name))) bandsFp(store, name) else ""
+      if (store.exists(hhSketchT(name)) || store.exists(hhWitnessT(name)))
+        bandsFp(store, name)
+      else ""
     store.append(bandsT(name), stage.bands)
     // bucketed layout: the increment's rows land in their hive partitions
     // (same id→bucket formula as build — see idBucket's warning)
@@ -459,8 +461,14 @@ object DedupIndex {
     // a commit that dies before this fold leaves the sketch stamped
     // with a listing the bands table no longer has, so the next poll
     // treats it as absent and re-baselines exactly
+    val fpAfter = bandsFp(store, name)
     HotKeySketch.fold(store, hhSketchT(name),
-      stage.bands.select(hhKey.as("k")), fpBefore, bandsFp(store, name))
+      stage.bands.select(hhKey.as("k")), fpBefore, fpAfter)
+    // the witness (exact count of the last exact pass's hottest bucket)
+    // rides the same commit — O(batch), and only when a standing policy
+    // built one
+    HotKeySketch.foldWitness(store, hhWitnessT(name),
+      stage.bands.select(hhKey.as("k")), fpBefore, fpAfter)
   }
 
   /** Periodic index maintenance: compact the three append-only tables.
@@ -561,6 +569,7 @@ object DedupIndex {
 
   private def capPolicyT(name: String) = s"${name}_cap_policy"
   private def hhSketchT(name: String) = s"${name}_hh_sketch"
+  private def hhWitnessT(name: String) = s"${name}_hh_witness"
   private def hhKey =
     concat(col("band").cast("string"), lit(":"), col("bucket").cast("string"))
 
@@ -713,10 +722,16 @@ object DedupIndex {
     * 1-row policy read — FLAT in corpus size, because the first ask
     * builds a hot-bucket CMS that [[commitIncrement]] folds per batch
     * and subsequent asks arbitrate from its upper bound (see the fast
-    * path's comment for the exact one-sided-error rules). The corpus-
-    * sized aggregate is paid only when the bound cannot prove the
-    * decision; the trigger path additionally pays the bucket count the
-    * cap derivation needs.
+    * path's comment for the exact one-sided-error rules). With a policy
+    * IN FORCE and `retireFraction > 0`, the poll consults the hot
+    * WITNESS too — the last exact pass's hottest bucket with its EXACT
+    * count, folded per commit under the same fingerprint — whose lower
+    * bound disproves a retire in O(1), so the standing-policy state
+    * (the organic flood the cap exists for) also polls flat. The
+    * corpus-sized aggregate is paid only when neither bound proves the
+    * decision (transitions: a possible ring, or the witness bucket
+    * itself declined); the trigger path additionally pays the bucket
+    * count the cap derivation needs.
     */
   def capIfUnhealthy(store: TableStore, name: String,
       hotBucketBudget: Long = 4096, capFactor: Long = 8,
@@ -741,8 +756,11 @@ object DedupIndex {
     // the upper bound on short-circuited declines/retires.
     Clapper.sketchGated(hhUpperBound(store, name), hotBucketBudget,
       prev.map(_._2), rearmFactor, retireFraction,
-      hasPolicy = prev.nonEmpty) { u =>
+      hasPolicy = prev.nonEmpty,
+      witnessHot = HotKeySketch.readWitness(store, hhWitnessT(name),
+        bandsFp(store, name))) { u =>
       clearCapPolicy(store, name)
+      HotKeySketch.dropWitness(store, hhWitnessT(name))
       CapDecision(triggered = false, u, hotBucketBudget, 0.0, None,
         retired = true)
     } { u =>
@@ -777,6 +795,22 @@ object DedupIndex {
       // build — an index nobody polls never carries a sketch)
       try writeHhSketch(store, name)
       catch { case scala.util.control.NonFatal(_) => () }
+      // witness maintenance, same moment: while a policy stays in force
+      // the hottest bucket's EXACT count persists (with its key) so the
+      // next standing-policy ask can DISPROVE a retire without this
+      // aggregate; no policy → no witness (nothing would consult it)
+      try {
+        if (dec.cap.nonEmpty) {
+          store.read(bandsT(name)).groupBy(col("band"), col("bucket"))
+            .agg(count(lit(1)).as("n"))
+            .select(hhKey.as("k"), col("n"))
+            .orderBy(col("n").desc, col("k")).limit(1)
+            .collect().headOption.foreach { r =>
+              HotKeySketch.writeWitness(store, hhWitnessT(name),
+                r.getString(0), r.getLong(1), bandsFp(store, name))
+            }
+        } else HotKeySketch.dropWitness(store, hhWitnessT(name))
+      } catch { case scala.util.control.NonFatal(_) => () }
       dec
     }
   }
@@ -797,10 +831,12 @@ object DedupIndex {
         store.read(cacheT).select(col("fp")).collect()
           .headOption.exists(_.getString(0) == healthKey(store, name)._1)
       catch { case scala.util.control.NonFatal(_) => false }
-    // the hot-bucket sketch gets the same treatment (its key is the
-    // bands listing alone)
+    // the hot-bucket sketch and its witness get the same treatment
+    // (their key is the bands listing alone)
     val skWasFresh =
       HotKeySketch.isFresh(store, hhSketchT(name), bandsFp(store, name))
+    val wWasFresh =
+      HotKeySketch.isFresh(store, hhWitnessT(name), bandsFp(store, name))
     val stats = Seq(bandsT(name) -> Nil, shinglesT(name) -> shPb, sizesT(name) -> Nil)
       .map { case (t, pb) =>
         t -> graft.tables.Compact.compact(store, t, targetBytes, partitionBy = pb)
@@ -811,6 +847,8 @@ object DedupIndex {
       catch { case scala.util.control.NonFatal(_) => () }
     if (skWasFresh)
       HotKeySketch.restamp(store, hhSketchT(name), bandsFp(store, name))
+    if (wWasFresh)
+      HotKeySketch.restamp(store, hhWitnessT(name), bandsFp(store, name))
     stats
   }
 

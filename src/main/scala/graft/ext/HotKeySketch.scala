@@ -102,10 +102,84 @@ private[graft] object HotKeySketch {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Re-stamp a FRESH sketch to a new fingerprint after a content-
-    * neutral rewrite (compaction) — the health-cache re-stamp idea. The
-    * caller checks freshness against the PRE-rewrite listing and passes
-    * the post-rewrite one; a stale sketch is left stale.
+  // ---- hot witness: the LOWER bound beside the CMS's upper bound ----
+  //
+  // The sketch can prove a metric SMALL (declines, retires) but never
+  // LARGE — an upper bound over the retire band is inconclusive, which
+  // is why a standing policy with retireFraction > 0 paid the exact
+  // aggregate every ask through r19's first half (the honest-cost note
+  // on [[Clapper.sketchGated]]). The witness closes that direction: a
+  // 1-row table (k, cnt, fp) holding the EXACT occurrence count of ONE
+  // designated key — the hottest at the last exact pass — maintained
+  // under the same fingerprint contract as the sketch. Since the true
+  // hottest count is ≥ ANY single key's count, a fresh witness over the
+  // retire band DISPROVES the retire in O(1), and the standing-policy
+  // poll goes back to flat. The fold is O(batch): count the batch's
+  // occurrences of the one witness key. Same one-sided safety story,
+  // mirrored: the witness may only UNDERSTATE the metric (its key may
+  // no longer be the hottest — some other key can be hotter, never
+  // colder than 0 extra), so using it only to DISPROVE retires (never
+  // to prove one, never to ring) keeps every decision identical to the
+  // exact path's. A witness whose fp missed any mutation reads absent,
+  // exactly like the sketch.
+
+  /** Write the witness at the exact-pass moment: `key`'s exact count as
+    * the caller's aggregate just measured it, stamped with the source
+    * listing. */
+  def writeWitness(store: TableStore, witnessT: String, key: String,
+      cnt: Long, fp: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    store.overwrite(witnessT, Seq((key, cnt, fp)).toDF("k", "cnt", "fp"))
+  }
+
+  /** Drop the witness (policy retired / no policy in force) — absent is
+    * the correct state when nothing would consult it. */
+  def dropWitness(store: TableStore, witnessT: String): Unit =
+    try { if (store.exists(witnessT)) store.drop(witnessT) }
+    catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Fold a committed increment into the witness: cnt += the batch's
+    * occurrences of the witness key (exact — the batch is fully scanned
+    * for the ONE key). The [[fold]] freshness contract verbatim: a
+    * witness stamped with anything but `fpBefore` missed a mutation and
+    * drops; a failed fold drops too. No-op when no witness exists.
+    */
+  def foldWitness(store: TableStore, witnessT: String, newKeys: DataFrame,
+      fpBefore: String, fpAfter: String): Unit =
+    if (store.exists(witnessT))
+      try {
+        store.read(witnessT).collect().headOption match {
+          case Some(r) if r.getString(r.fieldIndex("fp")) == fpBefore =>
+            val k = r.getString(r.fieldIndex("k"))
+            val add = newKeys.filter(col("k") === k).count()
+            writeWitness(store, witnessT, k,
+              r.getLong(r.fieldIndex("cnt")) + add, fpAfter)
+          case _ => store.drop(witnessT)
+        }
+      } catch { case scala.util.control.NonFatal(_) =>
+        try store.drop(witnessT)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+
+  /** The witness count when one exists and is stamped exactly `fp` (the
+    * live source listing); None otherwise — the caller falls back to the
+    * exact aggregate. */
+  def readWitness(store: TableStore, witnessT: String,
+      fp: String): Option[Long] =
+    try {
+      if (!store.exists(witnessT)) None
+      else store.read(witnessT).collect().headOption.collect {
+        case r if r.getString(r.fieldIndex("fp")) == fp =>
+          r.getLong(r.fieldIndex("cnt"))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Re-stamp a FRESH sketch (or witness — the schema only needs `fp`)
+    * to a new fingerprint after a content-neutral rewrite (compaction) —
+    * the health-cache re-stamp idea. The caller checks freshness against
+    * the PRE-rewrite listing and passes the post-rewrite one; a stale
+    * sketch is left stale.
     */
   def restamp(store: TableStore, sketchT: String, fp: String): Unit =
     try store.overwrite(sketchT,

@@ -629,10 +629,13 @@ object Streams {
       // the ROUTINE poll is O(sketch), flat in corpus size: the clapper
       // lazily builds a fixed-width hot-bucket CMS that the gate's
       // commit folds per batch (O(batch)), and each ask reads its upper
-      // bound — the corpus-sized exact aggregate is paid only when the
-      // bound cannot prove the decision (a possible ring, or a pending
-      // retire masked by takedown inflation), after which the sketch
-      // re-baselines. An incrementally-maintained EXACT histogram would
+      // bound; under a STANDING policy with retireFraction > 0 the hot
+      // WITNESS (the last exact pass's hottest bucket, exact count,
+      // same per-commit fold) supplies the lower bound that disproves a
+      // retire flat — the corpus-sized exact aggregate is paid only
+      // when neither bound proves the decision (a possible ring, or the
+      // witness bucket itself declined), after which both re-baseline.
+      // An incrementally-maintained EXACT histogram would
       // still be wrong (it is itself O(corpus) rows, rewritten every
       // commit); the fixed-width sketch is what makes incremental
       // maintenance cheaper than re-aggregation. `cadence` remains the
@@ -675,10 +678,13 @@ object Streams {
       decisionTable: Option[String] = None,
       // the routine ask is O(sketch), flat in corpus size — the
       // GateCapPolicy scaling note verbatim: the clapper lazily builds
-      // a hot-term CMS that Bm25.append folds per batch, and the
-      // corpus-sized term aggregate is paid only when the bound cannot
-      // prove the decision. `cadence` remains the knob for the residual
-      // per-ask cost; bells ring at most `cadence` batches late
+      // a hot-term CMS that Bm25.append folds per batch (plus, under a
+      // standing policy, the hot-term WITNESS whose exact lower bound
+      // disproves retires flat — the organic-stopword policy that never
+      // retires no longer re-pays the term aggregate every cadence),
+      // and the corpus-sized term aggregate is paid only when neither
+      // bound proves the decision. `cadence` remains the knob for the
+      // residual per-ask cost; bells ring at most `cadence` batches late
       cadence: Int = 1) {
     require(cadence >= 1, s"cadence must be >= 1, got $cadence")
     // the callee's bounds at CONSTRUCTION (the gateBucketCap rule): the

@@ -236,6 +236,53 @@ class Bm25Spec extends SparkSpec {
     assert(!ret.triggered && ret.retired && ret.cap.isEmpty)
   }
 
+  test("capIfUnhealthy hot witness: the standing-policy retire poll declines from the exact lower bound without the vocabulary aggregate; appends fold it; transitions still pay exact and retire") {
+    val store = new graft.tables.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_bmwit").toString)
+    val docs = (1L to 6L).map(i => (i, s"alpha$i beta$i gamma$i")) ++
+      (100L to 111L).map(i => (i, s"boilerplate junk$i filler$i"))
+    Bm25.buildIndex(store, "wt", docs.toDF("doc_id", "text"),
+      "doc_id", "text")
+    // the ring's exact pass writes the witness: hottest term, exact df
+    val ring = Bm25.capIfUnhealthy(store, "wt", hotTermBudget = 10)
+    assert(ring.triggered && ring.hotTermRows === 12L)
+    val w0 = store.read("wt_df_witness").collect()(0)
+    assert(w0.getString(w0.fieldIndex("k")) === "boilerplate" &&
+      w0.getLong(w0.fieldIndex("cnt")) === 12L)
+    // standing-policy poll with retireFraction > 0: the witness's lower
+    // bound (12 > 0.5 × 10) disproves the retire — no postings
+    // aggregate, observable through the untouched health cache
+    val hcBefore = store.read("wt_health_cache").collect().toSeq
+    val hold = Bm25.capIfUnhealthy(store, "wt", hotTermBudget = 10,
+      retireFraction = 0.5)
+    assert(!hold.triggered && !hold.retired && hold.cap === Some(10L))
+    assert(store.read("wt_health_cache").collect().toSeq === hcBefore,
+      "a witness-disproved retire must not pay the exact aggregate")
+    // appends fold the witness's exact df and the poll stays flat
+    Bm25.append(store, "wt",
+      Seq((300L, "boilerplate extra300"), (301L, "boilerplate extra301"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    val w1 = store.read("wt_df_witness").collect()(0)
+    assert(w1.getLong(w1.fieldIndex("cnt")) === 14L,
+      "per-append fold must add the batch's occurrences of the witness term")
+    val hold2 = Bm25.capIfUnhealthy(store, "wt", hotTermBudget = 10,
+      retireFraction = 0.5)
+    assert(!hold2.triggered && !hold2.retired && hold2.cap === Some(10L))
+    assert(store.read("wt_health_cache").collect().toSeq === hcBefore,
+      "the folded witness must keep the standing-policy poll flat")
+    // the takedown moves the listing: witness stale → exact → retire →
+    // witness dropped with the policy
+    Bm25.deleteIds(store, "wt",
+      ((102L to 111L) ++ Seq(300L, 301L)).toDF("doc_id"), "doc_id")
+    val ret = Bm25.capIfUnhealthy(store, "wt", hotTermBudget = 10,
+      retireFraction = 0.5)
+    assert(!ret.triggered && ret.retired && ret.cap.isEmpty)
+    assert(!store.exists("wt_df_witness"),
+      "a retired policy must drop its witness")
+    Bm25.dropIndex(store, "wt")
+    assert(!store.exists("wt_df_witness"))
+  }
+
   test("capIfUnhealthy retireFraction: a takedown'd flood clears the policy on the hysteresis bar, never mid-flood, and re-arms the bell fresh; clearCapPolicy is the manual form") {
     val store = new graft.tables.TableStore(spark,
       java.nio.file.Files.createTempDirectory("graft_bmret").toString)

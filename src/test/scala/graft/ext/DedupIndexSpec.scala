@@ -439,6 +439,80 @@ class DedupIndexSpec extends SparkSpec {
     assert(!store.exists("sx_hh_sketch"))
   }
 
+  test("capIfUnhealthy hot witness: the standing-policy retire poll declines from the exact lower bound — flat, no corpus aggregate — folds ride commits, a desynced witness pays exact instead of deciding, and true transitions still retire") {
+    val store = new graft.tables.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_diwit").toString)
+    val flood = "the same boilerplate line every time"
+    val docs = corpus(7, 6).take(6) ++ (100L to 111L).map(i => (i, flood))
+    DedupIndex.build(store, "wt", docs.toDF("doc_id", "text"),
+      "doc_id", "text")
+    // no witness before a policy exists — nothing would consult it
+    val ringless = DedupIndex.capIfUnhealthy(store, "wt",
+      hotBucketBudget = 1000)
+    assert(!ringless.triggered && !store.exists("wt_hh_witness"))
+    // the ring's exact pass writes the witness beside the policy: the
+    // hottest bucket's key with its EXACT count
+    val ring = DedupIndex.capIfUnhealthy(store, "wt", hotBucketBudget = 10)
+    assert(ring.triggered && ring.hotBucketRows === 12L)
+    assert(store.exists("wt_hh_witness"))
+    val w0 = store.read("wt_hh_witness").collect()(0)
+    assert(w0.getLong(w0.fieldIndex("cnt")) === 12L)
+    // THE CLOSE OF THE r18 HONEST-COST NOTE: a standing-policy ask with
+    // retireFraction > 0 used to pay the corpus aggregate every time
+    // (the upper bound can never disprove a retire); the witness's
+    // lower bound can (12 > 0.5 × 10), so the ask declines FLAT —
+    // observable through the health cache staying untouched
+    val hcBefore = store.read("wt_health_cache").collect().toSeq
+    val hold = DedupIndex.capIfUnhealthy(store, "wt", hotBucketBudget = 10,
+      retireFraction = 0.5)
+    assert(!hold.triggered && !hold.retired && hold.cap === ring.cap)
+    assert(store.read("wt_health_cache").collect().toSeq === hcBefore,
+      "a witness-disproved retire must not pay the exact aggregate")
+    // the witness FOLDS across commits: two more flood copies land its
+    // exact count at 14, still fresh, and the poll still declines flat
+    // (14 under the 1.25 × 12 rearm bar, 14 over the retire band)
+    DedupIndex.dedupIncrement(store, "wt",
+      Seq((300L, flood), (301L, flood)).toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.7).collect()
+    val w1 = store.read("wt_hh_witness").collect()(0)
+    assert(w1.getLong(w1.fieldIndex("cnt")) === 14L,
+      "per-commit fold must add the batch's occurrences of the witness key")
+    val hold2 = DedupIndex.capIfUnhealthy(store, "wt", hotBucketBudget = 10,
+      retireFraction = 0.5)
+    assert(!hold2.triggered && !hold2.retired && hold2.cap === ring.cap)
+    assert(store.read("wt_health_cache").collect().toSeq === hcBefore,
+      "the folded witness must keep the standing-policy poll flat")
+    // a witness the fold missed (simulated crashed fold: wrong fp)
+    // reads ABSENT — the ask pays exact rather than deciding from it,
+    // and the exact pass re-baselines the witness
+    store.overwrite("wt_hh_witness",
+      Seq(("bogus:key", 99L, "stale-fp")).toDF("k", "cnt", "fp"))
+    val hold3 = DedupIndex.capIfUnhealthy(store, "wt", hotBucketBudget = 10,
+      retireFraction = 0.5)
+    assert(!hold3.triggered && !hold3.retired && hold3.cap === ring.cap)
+    assert(store.read("wt_health_cache").collect().toSeq !== hcBefore,
+      "a desynced witness must pay the exact aggregate, never decide")
+    val w2 = store.read("wt_hh_witness").collect()(0)
+    assert(w2.getLong(w2.fieldIndex("cnt")) === 14L &&
+      (w2.getString(w2.fieldIndex("k")) != "bogus:key"),
+      "the exact pass must re-baseline the witness")
+    // a TRUE transition still retires: the takedown moves the listing,
+    // the witness reads stale, the exact pass finds the flood gone and
+    // clears policy AND witness
+    DedupIndex.deleteIds(store, "wt",
+      ((102L to 111L) ++ Seq(300L, 301L)).toDF("doc_id"), "doc_id")
+    val ret = DedupIndex.capIfUnhealthy(store, "wt", hotBucketBudget = 10,
+      retireFraction = 0.5)
+    assert(!ret.triggered && ret.retired && ret.cap.isEmpty)
+    assert(!store.exists("wt_hh_witness"),
+      "a retired policy must drop its witness")
+    // dropIndex tears the witness down with the index
+    DedupIndex.capIfUnhealthy(store, "wt", hotBucketBudget = 2)
+    assert(store.exists("wt_hh_witness"))
+    DedupIndex.dropIndex(store, "wt")
+    assert(!store.exists("wt_hh_witness"))
+  }
+
   test("capIfUnhealthy retireFraction: the un-ring — a takedown'd flood clears the policy on the hysteresis bar, never mid-flood, and re-arms the bell fresh; clearCapPolicy is the manual form") {
     val store = new graft.tables.TableStore(spark,
       java.nio.file.Files.createTempDirectory("graft_diret").toString)

@@ -1107,7 +1107,10 @@ object ScaleStress {
       .toDF("doc_id", "text")
     DedupIndex.build(store, "lw",
       docs.filter(b =!= 0).unionByName(floodDf), "doc_id", "text")
-    val lwRing = DedupIndex.capIfUnhealthy(store, "lw", hotBucketBudget = 256)
+    // retireFraction at the ring ask too: the witness is kept only for
+    // configs that opted into automatic retire (rf = 0 keeps none)
+    val lwRing = DedupIndex.capIfUnhealthy(store, "lw", hotBucketBudget = 256,
+      retireFraction = 0.25)
     DedupIndex.dedupIncrement(store, "lw", docs.filter(b === 0).limit(20),
       "doc_id", "text").collect() // folds sketch + witness, stales the cache
     val wSec = timed(()) {
@@ -1125,7 +1128,8 @@ object ScaleStress {
     // never retires — pre-witness, every poll re-paid the postings
     // aggregate forever
     val bBudget = math.max(1L, (bh.hotTermRows * 0.8).toLong)
-    val bwRing = Bm25.capIfUnhealthy(store, "bp", hotTermBudget = bBudget)
+    val bwRing = Bm25.capIfUnhealthy(store, "bp", hotTermBudget = bBudget,
+      retireFraction = 0.25)
     // fresh synthetic ids — everything in `docs` may already be indexed
     Bm25.append(store, "bp",
       (0 until 20).map(i => (20000000L + i,

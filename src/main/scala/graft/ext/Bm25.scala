@@ -240,7 +240,12 @@ object Bm25 {
       // hottest term's absolute df — the postings ROWS one query term
       // drags in, the actionable quantity the maxTermFrac scaladoc
       // derives and [[capIfUnhealthy]] judges against its budget
-      hotTermRows: Long = 0L)
+      hotTermRows: Long = 0L,
+      // the hottest term itself (max_by from the SAME aggregate — no
+      // second postings scan), what the clapper's witness records; ""
+      // on an empty index. Ties resolve arbitrarily: any argmax term
+      // is an equally exact witness
+      hotTermKey: String = "")
 
   /** Compute [[Health]]: one term-grouped count over postings (map-side
     * combined), one doclen count, two file listings, one stats-row read.
@@ -270,36 +275,41 @@ object Bm25 {
     val cacheT = s"${name}_health_cache"
     // NonFatal → recompute: a concurrent refresh can swap the cache files
     // between exists() and the collect — poll-safety covers the READ too
-    val cached: Option[(Long, Long, Long, Long)] =
+    val cached: Option[(Long, Long, Long, Long, String)] =
       try {
         if (!store.exists(cacheT)) None
         else store.read(cacheT).collect().headOption.flatMap { r =>
+          // a pre-hot_key cache row throws on fieldIndex → caught below
+          // as a miss, so legacy caches migrate on their next recompute
           if (r.getString(r.fieldIndex("fp")) != fp) None
-          else Some((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          else Some((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getString(r.fieldIndex("hot_key"))))
         }
       } catch { case scala.util.control.NonFatal(_) => None }
-    val (nDocs, total, hot, vocab) = cached.getOrElse {
+    val (nDocs, total, hot, vocab, hotKey) = cached.getOrElse {
       val byTerm = store.read(s"${name}_postings")
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
         .agg(sum(col("df")).as("total"), max(col("df")).as("hot"),
-          count(lit(1)).as("vocab"))
+          count(lit(1)).as("vocab"), max_by(col("term"), col("df")).as("hotk"))
         .collect()(0)
       val nd = store.read(s"${name}_doclen").count()
       val t = if (byTerm.isNullAt(0)) 0L else byTerm.getLong(0)
       val h = if (byTerm.isNullAt(1)) 0L else byTerm.getLong(1)
+      val hk = if (byTerm.isNullAt(3)) "" else byTerm.getString(3)
       // best-effort memo: a concurrent poll racing the mutator's own
       // cadence can lose the staging swap — the values returned here are
       // computed locally either way, and a lost write just recomputes
-      try store.overwrite(cacheT, Seq((nd, t, h, byTerm.getLong(2), fp))
-        .toDF("n_docs", "n_postings", "hot_df", "vocab", "fp"))
+      try store.overwrite(cacheT, Seq((nd, t, h, byTerm.getLong(2), hk, fp))
+        .toDF("n_docs", "n_postings", "hot_df", "vocab", "hot_key", "fp"))
       catch { case scala.util.control.NonFatal(_) => () }
-      (nd, t, h, byTerm.getLong(2))
+      (nd, t, h, byTerm.getLong(2), hk)
     }
     val statsN = store.read(s"${name}_stats")
       .select(col("n_docs")).collect()(0).getLong(0)
     Health(nDocs, total, vocab,
       if (nDocs == 0) 0.0 else hot.toDouble / nDocs,
-      nfP, nfD, staleStats = statsN != nDocs, hotTermRows = hot)
+      nfP, nfD, staleStats = statsN != nDocs, hotTermRows = hot,
+      hotTermKey = hotKey)
   }
 
   private def capPolicyT(name: String) = s"${name}_cap_policy"
@@ -390,6 +400,9 @@ object Bm25 {
     val had = store.exists(capPolicyT(name))
     Seq(capPolicyT(name), stopTermsT(name))
       .foreach(t => if (store.exists(t)) store.drop(t))
+    // no policy → no witness: nothing would consult it, and a leaked one
+    // would tax every subsequent append with a dead fold
+    HotKeySketch.dropWitness(store, dfWitnessT(name))
     had
   }
 
@@ -492,8 +505,7 @@ object Bm25 {
       hasPolicy = prev.nonEmpty,
       witnessHot = HotKeySketch.readWitness(store, dfWitnessT(name),
         postingsFp(store, name))) { u =>
-      clearCapPolicy(store, name)
-      HotKeySketch.dropWitness(store, dfWitnessT(name))
+      clearCapPolicy(store, name) // drops the witness with the policy
       CapDecision(triggered = false, u, hotTermBudget, None, 0L,
         retired = true)
     } { u =>
@@ -533,19 +545,18 @@ object Bm25 {
       try writeDfSketch(store, name)
       catch { case scala.util.control.NonFatal(_) => () }
       // witness maintenance, same moment (the [[DedupIndex
-      // .capIfUnhealthy]] shape): while a policy stays in force the
-      // hottest term's EXACT df persists so the next standing-policy
-      // ask can DISPROVE a retire without the vocabulary aggregate
+      // .capIfUnhealthy]] shape): while a policy stays in force AND the
+      // caller opted into automatic retire, the hottest term's EXACT df
+      // persists (key + count from the SAME health aggregate — no
+      // second postings scan) so the next standing-policy ask can
+      // DISPROVE a retire without the vocabulary aggregate. With
+      // retireFraction = 0 nothing would ever consult it, so none is
+      // kept — no dead per-append fold for the default config
       try {
-        if (dec.cap.nonEmpty) {
-          store.read(s"${name}_postings").groupBy(col("term"))
-            .agg(count(lit(1)).as("df"))
-            .orderBy(col("df").desc, col("term")).limit(1)
-            .collect().headOption.foreach { r =>
-              HotKeySketch.writeWitness(store, dfWitnessT(name),
-                r.getString(0), r.getLong(1), postingsFp(store, name))
-            }
-        } else HotKeySketch.dropWitness(store, dfWitnessT(name))
+        if (retireFraction > 0 && dec.cap.nonEmpty && h.hotTermKey.nonEmpty)
+          HotKeySketch.writeWitness(store, dfWitnessT(name),
+            h.hotTermKey, h.hotTermRows, postingsFp(store, name))
+        else HotKeySketch.dropWitness(store, dfWitnessT(name))
       } catch { case scala.util.control.NonFatal(_) => () }
       dec
     }

@@ -77,9 +77,11 @@ private[graft] object Clapper {
     *     any branch that could change the policy.
     *   - no sketch at all (None) pays `exact`.
     *
-    * Callers re-baseline the sketch (and, when a policy stays in force,
-    * the witness) inside `exact` (the already-paying moment), which
-    * keeps every branch's next ask cheap.
+    * Callers re-baseline the sketch (and, when a policy stays in force
+    * with `retireFraction > 0` — the only state that consults one, so
+    * rf = 0 configs keep no witness and pay no fold) inside `exact`
+    * (the already-paying moment), which keeps every branch's next ask
+    * cheap.
     */
   def sketchGated[D](ub: Option[Long], bar: Long, baselineHot: Option[Long],
       rearmFactor: Double, retireFraction: Double, hasPolicy: Boolean,

@@ -507,7 +507,12 @@ object DedupIndex {
   final case class Health(
       nDocs: Long, nShingleRows: Long, nBandRows: Long,
       maxBucketFrac: Double, hotBucketRows: Long, bandsFiles: Int,
-      shinglesFiles: Int, sizesFiles: Int)
+      shinglesFiles: Int, sizesFiles: Int,
+      // appended LAST (source-compat): the hottest band:bucket key
+      // itself (max_by from the SAME aggregate — no second bands scan),
+      // what the clapper's witness records; "" on an empty index. Ties
+      // resolve arbitrarily: any argmax key is an equally exact witness
+      hotBucketKey: String = "")
 
   /** Compute [[Health]]: a (band, bucket)-grouped count over the bands
     * table (map-side combined), two narrow counts, three file listings.
@@ -537,34 +542,40 @@ object DedupIndex {
     val cacheT = s"${name}_health_cache"
     // NonFatal → recompute: a concurrent refresh can swap the cache files
     // between exists() and the collect — poll-safety covers the READ too
-    val cached: Option[(Long, Long, Long, Long)] =
+    val cached: Option[(Long, Long, Long, Long, String)] =
       try {
         if (!store.exists(cacheT)) None
         else store.read(cacheT).collect().headOption.flatMap { r =>
+          // a pre-hot_key cache row throws on fieldIndex → caught below
+          // as a miss, so legacy caches migrate on their next recompute
           if (r.getString(r.fieldIndex("fp")) != fp) None
-          else Some((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          else Some((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getString(r.fieldIndex("hot_key"))))
         }
       } catch { case scala.util.control.NonFatal(_) => None }
-    val (nDocs, nShingles, total, hot) = cached.getOrElse {
+    val (nDocs, nShingles, total, hot, hotKey) = cached.getOrElse {
       val nd = store.read(sizesT(name)).count()
       val ns = store.read(shinglesT(name)).count()
       val byBucket = store.read(bandsT(name))
         .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
-        .agg(sum(col("n")).as("total"), max(col("n")).as("hot"))
+        .agg(sum(col("n")).as("total"), max(col("n")).as("hot"),
+          max_by(hhKey, col("n")).as("hotk"))
         .collect()(0)
       val t = if (byBucket.isNullAt(0)) 0L else byBucket.getLong(0)
       val h = if (byBucket.isNullAt(1)) 0L else byBucket.getLong(1)
+      val hk = if (byBucket.isNullAt(2)) "" else byBucket.getString(2)
       // best-effort memo: a concurrent poll racing the mutator's own
       // cadence can lose the staging swap — values are computed locally
       // either way, a lost write just recomputes next call
-      try store.overwrite(cacheT, Seq((nd, ns, t, h, fp))
-        .toDF("n_docs", "n_shingles", "n_band_rows", "hot_bucket", "fp"))
+      try store.overwrite(cacheT, Seq((nd, ns, t, h, hk, fp))
+        .toDF("n_docs", "n_shingles", "n_band_rows", "hot_bucket",
+          "hot_key", "fp"))
       catch { case scala.util.control.NonFatal(_) => () }
-      (nd, ns, t, h)
+      (nd, ns, t, h, hk)
     }
     Health(nDocs, nShingles, total,
       if (nDocs == 0) 0.0 else hot.toDouble / nDocs,
-      hot, nfB, nfS, nfZ)
+      hot, nfB, nfS, nfZ, hotBucketKey = hotKey)
   }
 
   private def capPolicyT(name: String) = s"${name}_cap_policy"
@@ -657,6 +668,9 @@ object DedupIndex {
   def clearCapPolicy(store: TableStore, name: String): Boolean = {
     val had = store.exists(capPolicyT(name))
     if (had) store.drop(capPolicyT(name))
+    // no policy → no witness: nothing would consult it, and a leaked one
+    // would tax every subsequent commit with a dead fold
+    HotKeySketch.dropWitness(store, hhWitnessT(name))
     had
   }
 
@@ -759,8 +773,7 @@ object DedupIndex {
       hasPolicy = prev.nonEmpty,
       witnessHot = HotKeySketch.readWitness(store, hhWitnessT(name),
         bandsFp(store, name))) { u =>
-      clearCapPolicy(store, name)
-      HotKeySketch.dropWitness(store, hhWitnessT(name))
+      clearCapPolicy(store, name) // drops the witness with the policy
       CapDecision(triggered = false, u, hotBucketBudget, 0.0, None,
         retired = true)
     } { u =>
@@ -796,20 +809,17 @@ object DedupIndex {
       try writeHhSketch(store, name)
       catch { case scala.util.control.NonFatal(_) => () }
       // witness maintenance, same moment: while a policy stays in force
-      // the hottest bucket's EXACT count persists (with its key) so the
-      // next standing-policy ask can DISPROVE a retire without this
-      // aggregate; no policy → no witness (nothing would consult it)
+      // AND the caller opted into automatic retire, the hottest bucket's
+      // EXACT count persists (key + count from the SAME health aggregate
+      // — no second bands scan) so the next standing-policy ask can
+      // DISPROVE a retire without the corpus aggregate. With
+      // retireFraction = 0 nothing would ever consult it, so none is
+      // kept — no dead per-commit fold for the default config
       try {
-        if (dec.cap.nonEmpty) {
-          store.read(bandsT(name)).groupBy(col("band"), col("bucket"))
-            .agg(count(lit(1)).as("n"))
-            .select(hhKey.as("k"), col("n"))
-            .orderBy(col("n").desc, col("k")).limit(1)
-            .collect().headOption.foreach { r =>
-              HotKeySketch.writeWitness(store, hhWitnessT(name),
-                r.getString(0), r.getLong(1), bandsFp(store, name))
-            }
-        } else HotKeySketch.dropWitness(store, hhWitnessT(name))
+        if (retireFraction > 0 && dec.cap.nonEmpty && h.hotBucketKey.nonEmpty)
+          HotKeySketch.writeWitness(store, hhWitnessT(name),
+            h.hotBucketKey, h.hotBucketRows, bandsFp(store, name))
+        else HotKeySketch.dropWitness(store, hhWitnessT(name))
       } catch { case scala.util.control.NonFatal(_) => () }
       dec
     }

@@ -243,9 +243,19 @@ class Bm25Spec extends SparkSpec {
       (100L to 111L).map(i => (i, s"boilerplate junk$i filler$i"))
     Bm25.buildIndex(store, "wt", docs.toDF("doc_id", "text"),
       "doc_id", "text")
-    // the ring's exact pass writes the witness: hottest term, exact df
+    // default retireFraction = 0: the ring keeps NO witness — nothing
+    // would ever consult it, so the default config pays no dead
+    // per-append fold
     val ring = Bm25.capIfUnhealthy(store, "wt", hotTermBudget = 10)
     assert(ring.triggered && ring.hotTermRows === 12L)
+    assert(!store.exists("wt_df_witness"),
+      "retireFraction = 0 must keep no witness")
+    // the first retireFraction > 0 ask finds no witness, pays exact,
+    // and writes one: hottest term, exact df — key and count from the
+    // same health aggregate
+    val seed = Bm25.capIfUnhealthy(store, "wt", hotTermBudget = 10,
+      retireFraction = 0.5)
+    assert(!seed.triggered && !seed.retired && seed.cap === Some(10L))
     val w0 = store.read("wt_df_witness").collect()(0)
     assert(w0.getString(w0.fieldIndex("k")) === "boilerplate" &&
       w0.getLong(w0.fieldIndex("cnt")) === 12L)

@@ -448,11 +448,13 @@ class DedupIndexSpec extends SparkSpec {
       "doc_id", "text")
     // no witness before a policy exists — nothing would consult it
     val ringless = DedupIndex.capIfUnhealthy(store, "wt",
-      hotBucketBudget = 1000)
+      hotBucketBudget = 1000, retireFraction = 0.5)
     assert(!ringless.triggered && !store.exists("wt_hh_witness"))
-    // the ring's exact pass writes the witness beside the policy: the
-    // hottest bucket's key with its EXACT count
-    val ring = DedupIndex.capIfUnhealthy(store, "wt", hotBucketBudget = 10)
+    // a retireFraction > 0 ring's exact pass writes the witness beside
+    // the policy: the hottest bucket's key with its EXACT count, from
+    // the same health aggregate (rf = 0 keeps none — Bm25Spec pins that)
+    val ring = DedupIndex.capIfUnhealthy(store, "wt", hotBucketBudget = 10,
+      retireFraction = 0.5)
     assert(ring.triggered && ring.hotBucketRows === 12L)
     assert(store.exists("wt_hh_witness"))
     val w0 = store.read("wt_hh_witness").collect()(0)
@@ -506,8 +508,17 @@ class DedupIndexSpec extends SparkSpec {
     assert(!ret.triggered && ret.retired && ret.cap.isEmpty)
     assert(!store.exists("wt_hh_witness"),
       "a retired policy must drop its witness")
+    // manual clearCapPolicy drops the witness with the policy (no
+    // policy → no witness, so no dead per-commit fold survives it)
+    DedupIndex.capIfUnhealthy(store, "wt", hotBucketBudget = 2,
+      retireFraction = 0.5)
+    assert(store.exists("wt_hh_witness"))
+    assert(DedupIndex.clearCapPolicy(store, "wt"))
+    assert(!store.exists("wt_hh_witness"),
+      "manual clearCapPolicy must drop the witness with the policy")
     // dropIndex tears the witness down with the index
-    DedupIndex.capIfUnhealthy(store, "wt", hotBucketBudget = 2)
+    DedupIndex.capIfUnhealthy(store, "wt", hotBucketBudget = 2,
+      retireFraction = 0.5)
     assert(store.exists("wt_hh_witness"))
     DedupIndex.dropIndex(store, "wt")
     assert(!store.exists("wt_hh_witness"))

@@ -1227,6 +1227,75 @@ object ExtQueries {
     // bench covers the multimodal surface via m1/m2 on real corpus bytes
     benchmark = false)
 
+  /** M6 — REAL video FRAME decode ([[Multimodal.decodeVideoFrames]] over
+    * [[Multimodal.Avi]]): the m3 pattern one level deeper — each doc_id
+    * gets a complete Column-built RIFF/AVI container (avih + strl + movi,
+    * little-endian sizes) holding THREE uncompressed 8×4 BI_RGB DIB
+    * frames whose every pixel byte is the formula constant
+    * `(doc_id·7 + f·13) % 200 + 10`, and the engine decodes the frames
+    * on executors through the same parser + pixel walk that handles real
+    * MJPEG files (ExtSpec round-trips ImageIO-encoded MJPEG AVIs through
+    * it). The oracle states the expected per-frame rows independently by
+    * the same formulas: dims from the header, mean_px exactly the
+    * constant (the raster-sample mean over identical bytes), dhash 0 (a
+    * uniform frame has no strictly-brighter right neighbor at any of the
+    * 9×8 grid points).
+    */
+  val m6VideoFrames = QueryDef(
+    "m6_video_frames",
+    (s, dir) => {
+      import s.implicits._
+      def le32(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val hx = lpad(hex(c), 8, "0")
+        concat(unhex(substring(hx, 7, 2)), unhex(substring(hx, 5, 2)),
+          unhex(substring(hx, 3, 2)), unhex(substring(hx, 1, 2)))
+      }
+      def tag(t: String): org.apache.spark.sql.Column = encode(lit(t), "UTF-8")
+      def z(n: Int): org.apache.spark.sql.Column = unhex(lit("00" * n))
+      // one 96-byte frame payload: the per-frame constant byte repeated
+      // (8×4 px × 3 channels; row bytes 24 are already 4-aligned)
+      def frame(f: Int): org.apache.spark.sql.Column = {
+        val cByte = (col("doc_id") * 7 + f * 13) % 200 + 10
+        concat(tag("00db"), le32(lit(96)),
+          unhex(repeat(lpad(hex(cByte), 2, "0"), 96)))
+      }
+      val avih = concat(tag("avih"), le32(lit(56)),
+        le32(lit(40000)), z(12), le32(lit(3)), z(4), le32(lit(1)), z(4),
+        le32(lit(8)), le32(lit(4)), z(16))
+      val strh = concat(tag("strh"), le32(lit(56)),
+        tag("vids"), tag("DIB "), z(48))
+      val strf = concat(tag("strf"), le32(lit(40)),
+        le32(lit(40)), le32(lit(8)), le32(lit(4)),
+        unhex(lit("01001800")), // biPlanes = 1, biBitCount = 24 (LE u16s)
+        z(4), le32(lit(96)), z(16))
+      val strl = concat(tag("LIST"), le32(lit(116)), tag("strl"), strh, strf)
+      val hdrl = concat(tag("LIST"), le32(lit(192)), tag("hdrl"), avih, strl)
+      val movi = concat(tag("LIST"), le32(lit(316)), tag("movi"),
+        frame(0), frame(1), frame(2))
+      val avi = concat(tag("RIFF"), le32(lit(528)), tag("AVI "), hdrl, movi)
+      val media = Td(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("media_id"),
+          lit("video").as("kind"), avi.as("media"))
+        .as[Multimodal.MediaRow]
+      Multimodal.decodeVideoFrames(media, nFrames = 3).toDF()
+        .select(col("media_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("mean_px"), col("dhash"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    },
+    Some("""
+      SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+             CAST(8 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+             CAST((doc_id * 7 + f * 13) % 200 + 10 AS DOUBLE) AS mean_px,
+             CAST(0 AS BIGINT) AS dhash
+      FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS f) fr
+      ORDER BY media_id, frame_idx
+    """),
+    // synthetic planted prove-out like m3: correctness row only
+    benchmark = false)
+
   /** T5 — TF-IDF-style salient terms: top-3 terms per doc by
     * tf × (N/df). Rational arithmetic only (no log — libm transcendentals
     * differ across engines in the last ulp); same parenthesization both
@@ -6799,6 +6868,7 @@ object ExtQueries {
     s17AnnBudgeted, s18AnnSelfPairs, s19AnnBudgetRefine,
     s14AnnIndexIncremental, s7HardNegatives, x20CorpusReport,
     m1MediaMeta, m2FrameSample, m3VideoMeta, m4ImageDedup, m5AudioDedup,
+    m6VideoFrames,
     c1Curation, c2CurationRecipe, c3Decontaminate, c4DecontaminateBloom,
     c7SemanticDecon, c8SemanticDeconIndexed, c9SemanticDeconCalibrated,
     c10EvalLeakReport, c11LexicalLeakReport,

@@ -533,4 +533,143 @@ class ExtSpec extends SparkSpec {
       .collect().map(m => m.media_id -> m.dhash).toMap
     assert(again(3L) === hs(3L))
   }
+
+  // ---- AVI frame decode fixtures (test-side RIFF writer) ----
+
+  private def le32(v: Long): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def cc4(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+  private def riffChunk(fourcc: String, data: Array[Byte]): Array[Byte] =
+    cc4(fourcc) ++ le32(data.length.toLong) ++ data ++
+      (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+  private def riffList(listType: String, body: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", cc4(listType) ++ body)
+
+  /** A complete single-video-stream AVI: avih + strl(strh, strf) + movi
+    * with the given frame chunks — the MJPEG/DIB writer the decode spec
+    * round-trips through [[Multimodal.Avi]].
+    */
+  private def aviBytes(w: Int, h: Int, bits: Int, comp: String,
+      frames: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val avih = riffChunk("avih",
+      le32(40000L) ++ le32(0L) ++ le32(0L) ++ le32(0L) ++
+        le32(frames.length.toLong) ++ le32(0L) ++ le32(1L) ++ le32(0L) ++
+        le32(w.toLong) ++ le32(h.toLong) ++ Array.fill(16)(0.toByte))
+    val strh = riffChunk("strh",
+      cc4("vids") ++ cc4(if (comp == "RGB ") "DIB " else comp) ++
+        Array.fill(48)(0.toByte))
+    val compBytes = if (comp == "RGB ") le32(0L) else cc4(comp)
+    val strf = riffChunk("strf",
+      le32(40L) ++ le32(w.toLong) ++ le32(h.toLong) ++
+        Array[Byte](1, 0) ++
+        Array[Byte]((bits & 0xff).toByte, ((bits >> 8) & 0xff).toByte) ++
+        compBytes ++ le32((w * h * 3).toLong) ++ Array.fill(16)(0.toByte))
+    val hdrl = riffList("hdrl", avih ++ riffList("strl", strh ++ strf))
+    val movi = riffList("movi",
+      frames.flatMap { case (fc, d) => riffChunk(fc, d) }.toArray)
+    val body = cc4("AVI ") ++ hdrl ++ movi
+    cc4("RIFF") ++ le32(body.length.toLong) ++ body
+  }
+
+  /** Bottom-up padded-row BGR frame payload from a per-(x, y) pixel
+    * function returning (b, g, r) with y = 0 the TOP row. */
+  private def dibFrame(w: Int, h: Int)(
+      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val out = Array.fill(rowBytes * h)(0.toByte)
+    for (sy <- 0 until h; x <- 0 until w) {
+      val (b, g, r) = px(x, h - 1 - sy)
+      out(sy * rowBytes + x * 3) = b.toByte
+      out(sy * rowBytes + x * 3 + 1) = g.toByte
+      out(sy * rowBytes + x * 3 + 2) = r.toByte
+    }
+    out
+  }
+
+  private def jpegBytes(w: Int, h: Int)(
+      px: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = px(x, y) & 0xff
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("avi mjpeg frames: REAL per-frame JPEG decode — true dims, frame dhash identical to the still-image dhash of the same bytes; shared frames pair videos") {
+    import Multimodal.MediaRow
+    // two distinct gradient frames, JPEG-encoded once and reused so
+    // frame-content identity across videos is byte-exact
+    val f0 = jpegBytes(32, 16)((x, y) => x * 7 + y * 3)
+    val f1 = jpegBytes(32, 16)((x, y) => 255 - x * 7 - y * 3)
+    val f2 = jpegBytes(32, 16)((x, y) => (x * y) % 251)
+    val vidA = aviBytes(32, 16, 24, "MJPG", Seq("00dc" -> f0, "00dc" -> f1))
+    val vidB = aviBytes(32, 16, 24, "MJPG", Seq("00dc" -> f0, "00dc" -> f2))
+    val frames = Multimodal.decodeVideoFrames(Seq(
+        MediaRow(1L, "video", vidA), MediaRow(2L, "video", vidB)).toDS())
+      .collect().map(f => (f.media_id, f.frame_idx) -> f).toMap
+    assert(frames.size === 4)
+    assert(frames((1L, 0)).width === 32 && frames((1L, 0)).height === 16)
+    // the SAME JPEG bytes hash identically as a video frame and a still
+    val still = Multimodal.dhashImages(Seq(
+        MediaRow(9L, "image", f0)).toDS()).collect()(0).dhash
+    assert(frames((1L, 0)).dhash === still)
+    // video near-dup through frame hashes, image machinery unchanged:
+    // the shared frame pairs A with B; the disjoint frames do not
+    assert(frames((1L, 0)).dhash === frames((2L, 0)).dhash)
+    assert(frames((1L, 1)).dhash !== frames((2L, 1)).dhash)
+  }
+
+  test("avi dib frames: byte-arithmetic decode — exact mean and dims, even-stride sampling, per-frame dhash from the bottom-up raster") {
+    import Multimodal.MediaRow
+    // 5 frames, 12x8, constant byte per frame: mean is exact
+    val mk = (c: Int) => dibFrame(12, 8)((_, _) => (c, c, c))
+    val vid = aviBytes(12, 8, 24, "RGB ",
+      (0 until 5).map(i => "00db" -> mk(50 + i * 10)))
+    val out = Multimodal.decodeVideoFrames(Seq(
+        MediaRow(7L, "video", vid)).toDS(), nFrames = 3)
+      .collect().sortBy(_.frame_idx)
+    // even stride over 5 frames at nFrames = 3 picks 0, 2, 4
+    assert(out.map(_.frame_idx).toSeq === Seq(0, 2, 4))
+    assert(out.forall(f => f.width === 12 && f.height === 8))
+    assert(out.map(_.mean_px).toSeq === Seq(50.0, 70.0, 90.0))
+    // a horizontal gradient sets every dhash bit (right neighbor always
+    // brighter), a constant frame sets none — the raster orientation leg
+    val grad = aviBytes(12, 8, 24, "RGB ",
+      Seq("00db" -> dibFrame(12, 8)((x, _) => (x * 20, x * 20, x * 20))))
+    val gf = Multimodal.decodeVideoFrames(Seq(
+        MediaRow(8L, "video", grad)).toDS()).collect()(0)
+    assert(gf.dhash === -1L) // all 64 bits set
+    assert(out(0).dhash === 0L)
+  }
+
+  test("avi dirty posture: truncation, non-video kinds, overrun chunks, and zero-size chunk floods sentinel or stop — never throw") {
+    import Multimodal.{Avi, MediaRow}
+    val good = aviBytes(12, 8, 24, "RGB ",
+      Seq("00db" -> dibFrame(12, 8)((_, _) => (1, 2, 3))))
+    // truncating the movi payload drops the walk to None -> sentinel
+    val rows = Seq(
+      MediaRow(1L, "video", good.take(good.length - 20)),
+      MediaRow(2L, "image", good), // non-video kind: no parse attempted
+      MediaRow(3L, "video", "not a riff container at all".getBytes("UTF-8")))
+    val out = Multimodal.decodeVideoFrames(rows.toDS())
+      .collect().map(f => f.media_id -> f).toMap
+    assert(out.size === 3)
+    assert(out.values.forall(f => f.frame_idx === -1 && f.width === -1))
+    // a frame chunk whose declared size overruns the container: walk None
+    val overrun = good.clone()
+    // the movi frame chunk's size field sits 4 bytes after its fourcc;
+    // find "00db" and corrupt its size
+    val di = good.indexOfSlice("00db".getBytes("ISO-8859-1"))
+    System.arraycopy(le32(1000000L), 0, overrun, di + 4, 4)
+    assert(Avi.parse(overrun) === None)
+    // a zero-size chunk flood is stopped by the chunk cap, not a spin
+    val flood = cc4("RIFF") ++ le32(8L + 16 * 65540L) ++ cc4("AVI ") ++
+      Array.fill(16 * 65540)(0.toByte)
+    assert(Avi.parse(flood) === None)
+  }
 }

@@ -170,6 +170,41 @@ object Multimodal {
     })
   }
 
+  /** Null-on-failure ImageIO decode of a byte slice — the ONE wrapper
+    * every real-image leg here shares (stills and video frames must
+    * decode identically or their dhash equality silently breaks). */
+  private def readImage(bs: Array[Byte], off: Int,
+      len: Int): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bs, off, len))
+    catch { case _: Exception => null }
+
+  /** The ONE raster-gray dhash (per-pixel band mean on the 9×8 grid) —
+    * shared by [[dhashImages]] and the video-frame leg. */
+  private def rasterDhash(img: java.awt.image.BufferedImage): Long = {
+    val raster = img.getRaster
+    val ch = raster.getNumBands
+    dhashOf((x, y) => {
+      var s = 0
+      var b = 0
+      while (b < ch) { s += raster.getSample(x, y, b); b += 1 }
+      s / ch
+    }, img.getWidth, img.getHeight)
+  }
+
+  /** The ONE undecodable/too-small fallback: raw bytes under
+    * [[FakeCodec]] header dims — deterministic, and BYTE-keyed, so the
+    * same payload hashes the same whether it arrived as a still or as a
+    * video frame slice. */
+  private def rawFallbackDhash(bytes: Array[Byte]): Long = {
+    val m = FakeCodec.decode(MediaRow(0L, "image", bytes))
+    val (w, h) = (math.max(m.width, 9), math.max(m.height, 8))
+    dhashOf((x, y) => {
+      val i = y * w + x
+      if (i < bytes.length) bytes(i) & 0xff else 0
+    }, w, h)
+  }
+
   /** dHash over REAL images: `javax.imageio` decode, per-pixel luminance
     * as the band mean, the same 9×8 grid. Undecodable payloads (and
     * too-small images) fall back to the raw-raster interpretation with
@@ -178,26 +213,10 @@ object Multimodal {
   def dhashImages(media: Dataset[MediaRow]): Dataset[MediaHash] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
-        catch { case _: Exception => null }
-      if (img == null || img.getWidth < 9 || img.getHeight < 8) {
-        val m = FakeCodec.decode(r)
-        val (w, h) = (math.max(m.width, 9), math.max(m.height, 8))
-        MediaHash(r.media_id, dhashOf((x, y) => {
-          val i = y * w + x
-          if (i < r.media.length) r.media(i) & 0xff else 0
-        }, w, h))
-      } else {
-        val raster = img.getRaster
-        val ch = raster.getNumBands
-        MediaHash(r.media_id, dhashOf((x, y) => {
-          var s = 0
-          var b = 0
-          while (b < ch) { s += raster.getSample(x, y, b); b += 1 }
-          s / ch
-        }, img.getWidth, img.getHeight))
-      }
+      val img = readImage(r.media, 0, r.media.length)
+      if (img == null || img.getWidth < 9 || img.getHeight < 8)
+        MediaHash(r.media_id, rawFallbackDhash(r.media))
+      else MediaHash(r.media_id, rasterDhash(img))
     })
   }
 
@@ -417,12 +436,17 @@ object Multimodal {
     */
   private[ext] object Avi {
     final case class Info(width: Int, height: Int, usPerFrame: Long,
-        totalFrames: Long, bitCount: Int, compression: String)
-    /** One frame chunk's payload slice (offset past the 8-byte chunk
-      * header) in stream order. */
+        totalFrames: Long, bitCount: Int, compression: String,
+        topDown: Boolean)
+    /** One VIDEO-stream frame chunk's payload slice (offset past the
+      * 8-byte chunk header) in stream order. */
     final case class FrameRef(offset: Int, length: Int, fourcc: String)
 
-    private val MaxChunks = 65536
+    // a hostile-input bound on parse WORK, not a validity rule: past the
+    // cap the walk STOPS and returns what it has (a legitimate hours-long
+    // recording has millions of movi chunks; rejecting it outright would
+    // lose a video the even-stride sampler only needs a prefix of)
+    private val MaxChunks = 1 << 20
 
     def parse(bs: Array[Byte]): Option[(Info, IndexedSeq[FrameRef])] = {
       try {
@@ -434,15 +458,23 @@ object Multimodal {
         if (bs.length < 12 || typ(0) != "RIFF" || typ(8) != "AVI ") return None
         var w = 0; var h = 0; var usPf = -1L; var total = -1L
         var sawAvih = false
-        var bits = 0; var comp = ""
+        var bits = 0; var comp = ""; var topDown = false
+        // stream bookkeeping: strh chunks arrive in stream order, so the
+        // Nth strh IS stream N; the video stream's strf (the chunk
+        // FOLLOWING its 'vids' strh) is the only one read, and only
+        // frame chunks carrying that stream's number are indexed — an
+        // audio-first AVI must not poison bitCount/compression, and a
+        // second stream's frames must not decode under stream 0's format
+        var streamIdx = -1
+        var videoStream = -1
+        var awaitingVideoStrf = false
         val frames = scala.collection.mutable.ArrayBuffer.empty[FrameRef]
         var chunks = 0
         def walk(start: Long, end: Long, depth: Int): Boolean = {
           if (depth > 8) return false
           var off = start
-          while (off + 8 <= end) {
+          while (off + 8 <= end && chunks <= MaxChunks) {
             chunks += 1
-            if (chunks > MaxChunks) return false
             val cc = typ(off.toInt)
             val size = u32(off.toInt + 4)
             val dataOff = off + 8
@@ -456,13 +488,21 @@ object Multimodal {
                 usPf = u32(p); total = u32(p + 16)
                 w = u32(p + 32).toInt; h = u32(p + 36).toInt
                 sawAvih = true
-              case "strf" if size >= 20 && comp.isEmpty =>
-                // BITMAPINFOHEADER of the first (video) stream
+              case "strh" if size >= 4 =>
+                streamIdx += 1
+                awaitingVideoStrf = videoStream < 0 && typ(p) == "vids"
+                if (awaitingVideoStrf) videoStream = streamIdx
+              case "strf" if size >= 20 && awaitingVideoStrf =>
+                // BITMAPINFOHEADER of the video stream just declared
                 bits = u16(p + 14)
                 val c = u32(p + 16)
                 comp = if (c == 0) "RGB " else typ(p + 16)
+                // negative biHeight is the standard top-down DIB signal
+                topDown = u32(p + 8).toInt < 0
+                awaitingVideoStrf = false
               case _ if cc.length == 4 && cc(0).isDigit && cc(1).isDigit &&
-                  (cc.endsWith("db") || cc.endsWith("dc")) =>
+                  (cc.endsWith("db") || cc.endsWith("dc")) &&
+                  (cc.substring(0, 2).toInt == math.max(videoStream, 0)) =>
                 frames += FrameRef(p, size.toInt, cc)
               case _ => ()
             }
@@ -471,7 +511,8 @@ object Multimodal {
           true
         }
         if (walk(12L, bs.length.toLong, 0) && sawAvih)
-          Some((Info(w, h, usPf, total, bits, comp), frames.toIndexedSeq))
+          Some((Info(w, h, usPf, total, bits, comp, topDown),
+            frames.toIndexedSeq))
         else None
       } catch { case _: Exception => None }
     }
@@ -542,10 +583,7 @@ object Multimodal {
     val isJpeg = ref.length >= 2 &&
       (bs(ref.offset) & 0xff) == 0xff && (bs(ref.offset + 1) & 0xff) == 0xd8
     if (isJpeg) {
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
-          bs, ref.offset, ref.length))
-        catch { case _: Exception => null }
+      val img = readImage(bs, ref.offset, ref.length)
       if (img == null) videoSentinel(id)
       else {
         val raster = img.getRaster
@@ -561,20 +599,26 @@ object Multimodal {
           }
           y += 1
         }
-        val hash = dhashOf((x, y) => {
-          var s = 0; var b = 0
-          while (b < ch) { s += raster.getSample(x, y, b); b += 1 }
-          s / ch
-        }, w, h)
+        // the SAME hash (and the same too-small fallback, byte-keyed on
+        // the slice) the still path computes, so frame↔still near-dup
+        // equality holds at every size
+        val hash =
+          if (w < 9 || h < 8) rawFallbackDhash(
+            java.util.Arrays.copyOfRange(bs, ref.offset,
+              ref.offset + ref.length))
+          else rasterDhash(img)
         VideoFrame(id, fi, w, h, sum / (w.toLong * h * ch), hash)
       }
-    } else if (info.bitCount == 24 && info.width > 0 && info.height > 0) {
+    } else if (info.bitCount == 24 && info.width > 0 && info.height > 0 &&
+        info.width <= (1 << 15) && info.height <= (1 << 15)) {
       val (w, h) = (info.width, info.height)
       val rowBytes = ((w * 3 + 3) / 4) * 4
-      if (ref.length < rowBytes * h) videoSentinel(id)
+      // Long compare: hostile header dims must sentinel, never wrap Int
+      // and index past the array
+      if (ref.length.toLong < rowBytes.toLong * h) videoSentinel(id)
       else {
-        // bottom-up BGR; mean over CHANNEL bytes (padding excluded) —
-        // the raster-sample mean, same definition as the JPEG leg
+        // BGR rows; mean over CHANNEL bytes (padding excluded) — the
+        // raster-sample mean, same definition as the JPEG leg
         var sum = 0.0
         var y = 0
         while (y < h) {
@@ -583,8 +627,11 @@ object Multimodal {
           while (i < w * 3) { sum += (bs(ro + i) & 0xff); i += 1 }
           y += 1
         }
+        // DIB rows store bottom-up unless strf declared negative
+        // biHeight (the standard top-down signal)
         def gray(x: Int, y: Int): Int = {
-          val ro = ref.offset + (h - 1 - y) * rowBytes + x * 3
+          val srcRow = if (info.topDown) y else h - 1 - y
+          val ro = ref.offset + srcRow * rowBytes + x * 3
           ((bs(ro) & 0xff) + (bs(ro + 1) & 0xff) + (bs(ro + 2) & 0xff)) / 3
         }
         VideoFrame(id, fi, w, h, sum / (w.toLong * h * 3),

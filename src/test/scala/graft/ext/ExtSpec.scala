@@ -667,9 +667,93 @@ class ExtSpec extends SparkSpec {
     val di = good.indexOfSlice("00db".getBytes("ISO-8859-1"))
     System.arraycopy(le32(1000000L), 0, overrun, di + 4, 4)
     assert(Avi.parse(overrun) === None)
-    // a zero-size chunk flood is stopped by the chunk cap, not a spin
-    val flood = cc4("RIFF") ++ le32(8L + 16 * 65540L) ++ cc4("AVI ") ++
-      Array.fill(16 * 65540)(0.toByte)
+    // a zero-size chunk flood past the work cap stops gracefully (and,
+    // carrying no avih, parses to None) instead of spinning
+    val flood = cc4("RIFF") ++ le32(8L + (9L << 20)) ++ cc4("AVI ") ++
+      Array.fill(9 << 20)(0.toByte)
     assert(Avi.parse(flood) === None)
+  }
+
+  test("avi stream awareness + hostile dims + top-down DIB + tiny MJPEG: audio-first files decode stream 1, huge headers sentinel instead of throwing, negative biHeight flips rows, small frames hash like stills") {
+    import Multimodal.{Avi, MediaRow}
+    // rows ALTERNATE horizontal direction so a vertical flip permutes
+    // odd/even row patterns and provably changes the dhash — a
+    // same-pattern-every-row gradient would be flip-invariant and the
+    // top-down pin below would pass vacuously
+    val px = (x: Int, y: Int) => {
+      val g = if (y % 2 == 0) x * 20 else (11 - x) * 20
+      (g, g, g)
+    }
+    val f = dibFrame(12, 8)(px)
+    def vidStrf(biHeight: Long) = riffChunk("strf",
+      le32(40L) ++ le32(12L) ++ le32(biHeight & 0xffffffffL) ++
+        Array[Byte](1, 0, 24, 0) ++ le32(0L) ++ le32((12 * 8 * 3).toLong) ++
+        Array.fill(16)(0.toByte))
+    def avih(w: Long, h: Long, streams: Long) = riffChunk("avih",
+      le32(40000L) ++ le32(0L) ++ le32(0L) ++ le32(0L) ++ le32(1L) ++
+        le32(0L) ++ le32(streams) ++ le32(0L) ++ le32(w) ++ le32(h) ++
+        Array.fill(16)(0.toByte))
+    def strl(fcc: String, handler: String, strf: Array[Byte]) = riffList(
+      "strl", riffChunk("strh",
+        cc4(fcc) ++ cc4(handler) ++ Array.fill(48)(0.toByte)) ++ strf)
+    def riff(body: Array[Byte]) =
+      cc4("RIFF") ++ le32((4 + body.length).toLong) ++ cc4("AVI ") ++ body
+    // audio-first: stream 0 'auds' (WAVEFORMATEX-ish 30-byte strf that
+    // MUST NOT poison the video format), stream 1 'vids' DIB — frames
+    // carry stream number 01, the audio '00wb' chunk is ignored
+    val audioFirst = riff(
+      riffList("hdrl", avih(12, 8, 2) ++
+        strl("auds", "mp3 ", riffChunk("strf", Array.fill(30)(7.toByte))) ++
+        strl("vids", "DIB ", vidStrf(8L))) ++
+      riffList("movi",
+        riffChunk("00wb", Array.fill(64)(1.toByte)) ++
+        riffChunk("01db", f)))
+    val outA = Multimodal.decodeVideoFrames(Seq(
+        MediaRow(1L, "video", audioFirst)).toDS()).collect()
+    val ref = Multimodal.decodeVideoFrames(Seq(MediaRow(2L, "video",
+        aviBytes(12, 8, 24, "RGB ", Seq("00db" -> f)))).toDS()).collect()(0)
+    assert(outA.length === 1 && outA(0).frame_idx === 0)
+    assert(outA(0).width === 12 && outA(0).mean_px === ref.mean_px &&
+      outA(0).dhash === ref.dhash)
+    // top-down DIB (negative strf biHeight): rows stored top-first must
+    // decode to the SAME image — identical mean and dhash
+    val rowBytes = ((12 * 3 + 3) / 4) * 4
+    val fTop = Array.fill(rowBytes * 8)(0.toByte)
+    for (y <- 0 until 8; x <- 0 until 12) {
+      val (b, g, r) = px(x, y)
+      fTop(y * rowBytes + x * 3) = b.toByte
+      fTop(y * rowBytes + x * 3 + 1) = g.toByte
+      fTop(y * rowBytes + x * 3 + 2) = r.toByte
+    }
+    val topDown = riff(
+      riffList("hdrl", avih(12, 8, 1) ++
+        strl("vids", "DIB ", vidStrf(-8L))) ++
+      riffList("movi", riffChunk("00db", fTop)))
+    val outT = Multimodal.decodeVideoFrames(Seq(
+        MediaRow(3L, "video", topDown)).toDS()).collect()(0)
+    assert(outT.mean_px === ref.mean_px && outT.dhash === ref.dhash,
+      "negative biHeight must flip row order, not mirror the raster")
+    // hostile header dims: over the sanity cap, and under it but
+    // Int-overflowing rowBytes*h — both sentinel, neither throws
+    for ((w, h) <- Seq((50000L, 50000L), (30000L, 30000L))) {
+      val hostile = riff(
+        riffList("hdrl", avih(w, h, 1) ++
+          strl("vids", "DIB ", riffChunk("strf",
+            le32(40L) ++ le32(w) ++ le32(h) ++ Array[Byte](1, 0, 24, 0) ++
+              le32(0L) ++ le32(96L) ++ Array.fill(16)(0.toByte)))) ++
+        riffList("movi", riffChunk("00db", Array.fill(96)(5.toByte))))
+      val o = Multimodal.decodeVideoFrames(Seq(
+          MediaRow(4L, "video", hostile)).toDS()).collect()
+      assert(o.length === 1 && o(0).frame_idx === -1,
+        s"hostile dims ${w}x$h must sentinel")
+    }
+    // a tiny (sub-9x8-grid) MJPEG frame hashes EXACTLY like the same
+    // bytes as a still — the shared-fallback invariant
+    val tiny = jpegBytes(8, 6)((x, y) => x * 30 + y * 11)
+    val outJ = Multimodal.decodeVideoFrames(Seq(MediaRow(5L, "video",
+        aviBytes(8, 6, 24, "MJPG", Seq("00dc" -> tiny)))).toDS()).collect()(0)
+    val still = Multimodal.dhashImages(Seq(
+        MediaRow(6L, "image", tiny)).toDS()).collect()(0).dhash
+    assert(outJ.width === 8 && outJ.height === 6 && outJ.dhash === still)
   }
 }

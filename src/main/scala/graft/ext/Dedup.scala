@@ -605,21 +605,35 @@ object Dedup {
     * sharing chunk 0) can hide a genuine pair whose star pairs fail the
     * Hamming filter. Size the cap above any legitimate duplicate-group
     * size, or pass `Int.MaxValue` to restore the unconditional guarantee.
+    *
+    * `scopeCols` (appended-last, default none — the existing call shape
+    * is unchanged) SCOPE the pairing: the pigeonhole buckets key on
+    * (scope, chunk) and only same-scope rows pair — the positional
+    * variant one 64-bit sketch per (entity, position) needs, e.g. video
+    * near-dup over per-frame dHashes where frame i compares against
+    * frame i ([[Multimodal.videoNearDupPairs]]). Scope columns pass
+    * through to the output (equal on both sides by construction), and
+    * the hot-bucket cap applies per (scope, chunk) bucket.
     */
   def simhashPairs(sh: DataFrame, idCol: String, maxHamming: Int = 3,
-      bucketCap: Int = Int.MaxValue): DataFrame = {
+      bucketCap: Int = Int.MaxValue,
+      scopeCols: Seq[String] = Nil): DataFrame = {
     require(maxHamming < 4, "4-chunk pigeonhole covers Hamming <= 3")
     // capped path: stage the (id, simhash) table — two longs per doc — so
     // the hot/small/star passes don't re-run the 64-vote aggregation
     val shS = if (bucketCap == Int.MaxValue) sh else staged(sh, "simhash_stage")
     val chunks = (0 until 4).map(i =>
       struct(lit(i).as("ci"), shiftright(col("simhash"), i * 16).bitwiseAND(0xffff).as("cv")))
-    val ex = shS.select(col(idCol), col("simhash"), explode(array(chunks: _*)).as("c"))
-      .select(col(idCol), col("simhash"), col("c.ci"), col("c.cv"))
-    cappedPairs(ex, idCol, Seq("ci", "cv"), bucketCap,
-        Seq("simhash" -> ("sh_a", "sh_b")))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+    val keep = (col(idCol) +: scopeCols.map(col)) :+ col("simhash")
+    val ex = shS.select(keep :+ explode(array(chunks: _*)).as("c"): _*)
+      .select(keep :+ col("c.ci") :+ col("c.cv"): _*)
+    val scopeCarry = scopeCols.map(c => c -> (s"_sc_$c", s"_sc_${c}_b"))
+    val paired = cappedPairs(ex, idCol, scopeCols ++ Seq("ci", "cv"), bucketCap,
+      scopeCarry :+ ("simhash" -> ("sh_a", "sh_b")))
+    paired
+      .select(Seq(col("id_a"), col("id_b")) ++
+        scopeCols.map(c => col(s"_sc_$c").as(c)) :+
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"): _*)
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -573,6 +573,34 @@ object Multimodal {
     }
   }
 
+  /** Video near-dup pairs from sampled frame hashes — the still-image
+    * dHash pairing ([[graft.ext.Dedup.simhashPairs]]) applied
+    * POSITIONALLY: frame i of one video compares against frame i of
+    * another (the pigeonhole buckets are scoped by `frame_idx`, so
+    * same-cut duplicates — re-encodes, watermarks, container swaps —
+    * pair without any cross-position candidate blow-up), and a pair of
+    * videos survives when ≥ `minShared` sampled positions match within
+    * `maxHamming`. Input is [[decodeVideoFrames]]' output (sentinel
+    * rows are dropped — an undecodable video pairs with nothing);
+    * output is (id_a, id_b, n_shared, max_hamming). Feed videos through
+    * the SAME `nFrames` or positions won't line up. `bucketCap` is the
+    * d4 hot-bucket star cap, per (frame_idx, chunk) bucket — flat-color
+    * intros that hash identically across a corpus are exactly the
+    * flood it exists for.
+    */
+  def videoNearDupPairs(frames: Dataset[VideoFrame], maxHamming: Int = 3,
+      minShared: Int = 2, bucketCap: Int = Int.MaxValue): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val sh = frames.toDF()
+      .filter(col("frame_idx") >= 0)
+      .select(col("media_id"), col("frame_idx"), col("dhash").as("simhash"))
+    Dedup.simhashPairs(sh, "media_id", maxHamming, bucketCap,
+        scopeCols = Seq("frame_idx"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"), max(col("hamming")).as("max_hamming"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Decode one frame chunk: BI_RGB 24-bit DIB by byte arithmetic
     * (bottom-up BGR, rows padded to 4 bytes), anything carrying a JPEG
     * magic (MJPG streams) through ImageIO. Sentinel on everything else

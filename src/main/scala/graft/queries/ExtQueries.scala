@@ -1296,6 +1296,149 @@ object ExtQueries {
     // synthetic planted prove-out like m3: correctness row only
     benchmark = false)
 
+  /** m7's video fixture: a complete 3-frame BI_RGB AVI whose frame
+    * rasters follow the m4 gradient formula per frame —
+    * `v(x, y, f) = (a·x + b·y + c + 17·f) mod 256`, with WRAP-HEAVY
+    * per-sid coefficients (a = 3 + sid % 97, b = 5 + sid % 89) so dhash
+    * comparison patterns diverge across sids — tame gradients would
+    * hash most videos identically and make the fixture all-pairs
+    * quadratic; all three channels equal so the decoded gray IS v.
+    * Variants: 1 = a twin sharing frames 0/1 exactly with frame 2
+    * perturbed at the SAMPLED cell (14,12) (+128 → ≤ 2 dhash bits);
+    * 2 = a twin whose frames 1/2 shift the base constant by +50 (frame
+    * 0 shared exactly; the shifted frames' hashes drift with the mod
+    * wrap — whatever they drift to, the oracle replays it).
+    */
+  private def m7Avi(sid: Long, variant: Int): Array[Byte] = {
+    val (w, h) = (32, 24)
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+    def chunk(fc: String, d: Array[Byte]): Array[Byte] =
+      cc(fc) ++ le32(d.length.toLong) ++ d ++
+        (if (d.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(lt: String, b: Array[Byte]): Array[Byte] = chunk("LIST", cc(lt) ++ b)
+    // coefficients big enough that the mod-256 wrap flips comparisons
+    // differently per sid: tame m4-style gradients make most videos hash
+    // IDENTICALLY (the dhash sees only neighbor comparisons), and a
+    // near-all-pairs fixture is quadratic in the corpus on both engines
+    val a = 3 + (sid % 97).toInt
+    val b0 = 5 + (sid % 89).toInt
+    val c0 = (sid % 251).toInt
+    def frame(f: Int): Array[Byte] = {
+      val rowBytes = w * 3 // 96 — already 4-aligned
+      val out = new Array[Byte](rowBytes * h)
+      var sy = 0
+      while (sy < h) {
+        val y = h - 1 - sy // bottom-up storage
+        var x = 0
+        while (x < w) {
+          val cBase = c0 + (if (variant == 2 && f >= 1) 50 else 0)
+          var v = (a * x + b0 * y + cBase + 17 * f) % 256
+          if (variant == 1 && f == 2 && x == 14 && y == 12) v = (v + 128) % 256
+          val o = sy * rowBytes + x * 3
+          out(o) = v.toByte; out(o + 1) = v.toByte; out(o + 2) = v.toByte
+          x += 1
+        }
+        sy += 1
+      }
+      out
+    }
+    val avih = chunk("avih",
+      le32(40000L) ++ le32(0L) ++ le32(0L) ++ le32(0L) ++ le32(3L) ++
+        le32(0L) ++ le32(1L) ++ le32(0L) ++ le32(w.toLong) ++ le32(h.toLong) ++
+        Array.fill(16)(0.toByte))
+    val strh = chunk("strh", cc("vids") ++ cc("DIB ") ++ Array.fill(48)(0.toByte))
+    val strf = chunk("strf",
+      le32(40L) ++ le32(w.toLong) ++ le32(h.toLong) ++
+        Array[Byte](1, 0, 24, 0) ++ le32(0L) ++ le32((w * 3 * h).toLong) ++
+        Array.fill(16)(0.toByte))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi", (0 until 3).flatMap(f => chunk("00db", frame(f))).toArray)
+    val body = cc("AVI ") ++ hdrl ++ movi
+    cc("RIFF") ++ le32(body.length.toLong) ++ body
+  }
+
+  /** M7 — video near-dup dedup ([[Multimodal.decodeVideoFrames]] →
+    * per-frame dHash → [[Multimodal.videoNearDupPairs]], the positional
+    * frame-scoped [[Dedup.simhashPairs]]): real container walk + frame
+    * decode on executors, then videos pair when ≥ 2 of their 3 sampled
+    * positions match within Hamming 3. Planted variant-1 twins share
+    * frames 0/1 exactly and a ≤-2-bit frame 2 (pair, n_shared 3);
+    * variant-2 twins share only frame 0 exactly with drifted frames 1/2
+    * — kept or dropped exactly as the replayed hashes decide. The
+    * oracle recomputes every per-frame dHash from the generation
+    * formula (the m4 machinery with a frame dimension) and replays the
+    * frame-scoped pairing and the ≥ minShared aggregation.
+    */
+  val m7VideoDedup = QueryDef(
+    "m7_video_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val ids = Td(s, dir, "documents").select(col("doc_id"))
+      val variants = ids.select(col("doc_id").as("sid"), lit(0).as("vr"))
+        .unionByName(ids.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id").as("sid"), lit(1).as("vr")))
+        .unionByName(ids.filter(col("doc_id") % 11 === 0)
+          .select(col("doc_id").as("sid"), lit(2).as("vr")))
+      val media = variants
+        .select((col("sid") + col("vr").cast("long") * 100000000L).as("media_id"),
+          col("sid"), col("vr"))
+        .as[(Long, Long, Int)]
+        .map { case (mid, sid, vr) => Multimodal.MediaRow(mid, "video", m7Avi(sid, vr)) }
+      val frames = Multimodal.decodeVideoFrames(media, nFrames = 3)
+      Multimodal.videoNearDupPairs(frames, maxHamming = 3, minShared = 2)
+        .select(col("id_a"), col("id_b"), col("n_shared"),
+          col("max_hamming").cast("int").as("max_hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH vids AS (
+        SELECT doc_id AS media_id, doc_id AS sid, 0 AS vr FROM documents
+        UNION ALL SELECT doc_id + 100000000, doc_id, 1 FROM documents WHERE doc_id % 7 = 0
+        UNION ALL SELECT doc_id + 200000000, doc_id, 2 FROM documents WHERE doc_id % 11 = 0),
+      grid AS (SELECT f, gx, gy, (gx * 32) // 9 AS x, (gy * 24) // 8 AS y
+               FROM (SELECT unnest([0, 1, 2]) AS f),
+                    (SELECT unnest(generate_series(0, 8)) AS gx),
+                    (SELECT unnest(generate_series(0, 7)) AS gy)),
+      cells AS (SELECT i.media_id, g.f, g.gx, g.gy,
+                  CASE WHEN i.vr = 1 AND g.f = 2 AND g.x = 14 AND g.y = 12
+                    THEN ((3 + sid % 97) * g.x + (5 + sid % 89) * g.y + sid % 251 + 17 * g.f + 128) % 256
+                    WHEN i.vr = 2 AND g.f >= 1
+                    THEN ((3 + sid % 97) * g.x + (5 + sid % 89) * g.y + sid % 251 + 50 + 17 * g.f) % 256
+                    ELSE ((3 + sid % 97) * g.x + (5 + sid % 89) * g.y + sid % 251 + 17 * g.f) % 256
+                  END AS v
+                FROM vids i CROSS JOIN grid g),
+      bitrows AS (SELECT a.media_id, a.f, a.gy * 8 + a.gx AS bi
+                  FROM cells a JOIN cells b
+                    ON b.media_id = a.media_id AND b.f = a.f
+                      AND b.gy = a.gy AND b.gx = a.gx + 1
+                  WHERE a.gx < 8 AND b.v > a.v),
+      fr AS (SELECT media_id, f FROM vids, (SELECT unnest([0, 1, 2]) AS f)),
+      sim AS (SELECT fr.media_id, fr.f, CAST(coalesce(sum(
+                CASE WHEN bi = 63 THEN -9223372036854775807 - 1
+                     ELSE CAST(1 AS BIGINT) << CAST(bi AS INTEGER) END), 0) AS BIGINT) AS simhash
+              FROM fr LEFT JOIN bitrows br
+                ON br.media_id = fr.media_id AND br.f = fr.f
+              GROUP BY 1, 2),
+      exc AS (SELECT media_id, f, simhash, unnest([0, 1, 2, 3]) AS ci FROM sim),
+      ex2 AS (SELECT media_id, f, simhash, ci, (simhash >> (ci * 16)) & 65535 AS cv FROM exc),
+      rawp AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b, a.f,
+                  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+               FROM ex2 a JOIN ex2 b
+                 ON a.f = b.f AND a.ci = b.ci AND a.cv = b.cv
+                   AND a.media_id < b.media_id),
+      fpairs AS (SELECT id_a, id_b, f, hamming FROM rawp WHERE hamming <= 3)
+      SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared,
+             CAST(max(hamming) AS INT) AS max_hamming
+      FROM fpairs GROUP BY id_a, id_b HAVING count(*) >= 2
+      ORDER BY id_a, id_b
+    """),
+    // hash is map-only over synthetic containers; the pairing shape is
+    // d4's, which the bench already times on the real corpus
+    benchmark = false)
+
   /** T5 — TF-IDF-style salient terms: top-3 terms per doc by
     * tf × (N/df). Rational arithmetic only (no log — libm transcendentals
     * differ across engines in the last ulp); same parenthesization both
@@ -6868,7 +7011,7 @@ object ExtQueries {
     s17AnnBudgeted, s18AnnSelfPairs, s19AnnBudgetRefine,
     s14AnnIndexIncremental, s7HardNegatives, x20CorpusReport,
     m1MediaMeta, m2FrameSample, m3VideoMeta, m4ImageDedup, m5AudioDedup,
-    m6VideoFrames,
+    m6VideoFrames, m7VideoDedup,
     c1Curation, c2CurationRecipe, c3Decontaminate, c4DecontaminateBloom,
     c7SemanticDecon, c8SemanticDeconIndexed, c9SemanticDeconCalibrated,
     c10EvalLeakReport, c11LexicalLeakReport,

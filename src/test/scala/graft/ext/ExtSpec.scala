@@ -756,4 +756,32 @@ class ExtSpec extends SparkSpec {
         MediaRow(6L, "image", tiny)).toDS()).collect()(0).dhash
     assert(outJ.width === 8 && outJ.height === 6 && outJ.dhash === still)
   }
+
+  test("videoNearDupPairs: positional frame-scoped MJPEG pairing — twins sharing 2 of 3 positions pair, 1 of 3 doesn't, sentinels pair with nothing") {
+    import Multimodal.MediaRow
+    // three maximally-distinct frame patterns (pairwise dhash hamming
+    // >> 3, robust to JPEG loss): increasing gradient (all comparison
+    // bits set), decreasing (none), alternating (half)
+    val inc = jpegBytes(32, 16)((x, _) => x * 7)
+    val dec = jpegBytes(32, 16)((x, _) => 220 - x * 6)
+    val alt = jpegBytes(32, 16)((x, _) => (x % 2) * 200)
+    def vid(frames: Array[Byte]*) =
+      aviBytes(32, 16, 24, "MJPG", frames.map("00dc" -> _))
+    val rows = Seq(
+      MediaRow(1L, "video", vid(inc, alt, inc)),
+      MediaRow(2L, "video", vid(inc, alt, dec)), // shares positions 0, 1
+      MediaRow(3L, "video", vid(inc, dec, alt)), // shares position 0 only
+      MediaRow(4L, "video", "junk".getBytes("UTF-8"))) // sentinel
+    val frames = Multimodal.decodeVideoFrames(rows.toDS(), nFrames = 3)
+    val pairs = Multimodal.videoNearDupPairs(frames, maxHamming = 3,
+      minShared = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet === Set((1L, 2L)),
+      s"only the 2-of-3 twin pair must survive minShared = 2: $pairs")
+    assert(pairs((1L, 2L)) >= 2L)
+    // at minShared = 1 the 1-of-3 pairs appear; the sentinel never does
+    val loose = Multimodal.videoNearDupPairs(frames, maxHamming = 3,
+      minShared = 1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
 }

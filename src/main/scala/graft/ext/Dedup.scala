@@ -320,12 +320,17 @@ object Dedup {
     * (e.g. "simhash" → ("sh_a","sh_b")).
     */
   private def cappedPairs(ex: DataFrame, idCol: String, keys: Seq[String], cap: Int,
-      carry: Seq[(String, (String, String))]): DataFrame = {
+      carry: Seq[(String, (String, String))],
+      emitKeys: Seq[String] = Nil): DataFrame = {
     def aSideOf(df: DataFrame) = df.select((col(idCol).as("id_a") +: keys.map(col)) ++
       carry.map { case (c, (an, _)) => col(c).as(an) }: _*)
     def bSideOf(df: DataFrame) = df.select((col(idCol).as("id_b") +: keys.map(col)) ++
       carry.map { case (c, (_, bn)) => col(c).as(bn) }: _*)
-    val outCols = Seq("id_a", "id_b") ++ carry.flatMap { case (_, (an, bn)) => Seq(an, bn) }
+    // emitKeys (a subset of the join keys, equal on both sides by
+    // construction) pass through under their own names — the one-sided
+    // form a scoped caller needs, with no duplicate carry
+    val outCols = Seq("id_a", "id_b") ++ emitKeys ++
+      carry.flatMap { case (_, (an, bn)) => Seq(an, bn) }
     if (cap == Int.MaxValue)
       aSideOf(ex).join(bSideOf(ex), keys).filter(col("id_a") < col("id_b"))
         .select(outCols.map(col): _*)
@@ -343,7 +348,8 @@ object Dedup {
       val members = ex.join(hot, keys).filter(col(idCol) =!= col("_rep"))
       val bigPairs =
         if (carry.isEmpty)
-          members.select(col("_rep").as("id_a"), col(idCol).as("id_b"))
+          members.select(col("_rep").as("id_a") +: col(idCol).as("id_b") +:
+              keys.map(col): _*)
             .select(outCols.map(col): _*)
         else {
           val repPayload = ex.join(hot, keys)
@@ -619,6 +625,14 @@ object Dedup {
       bucketCap: Int = Int.MaxValue,
       scopeCols: Seq[String] = Nil): DataFrame = {
     require(maxHamming < 4, "4-chunk pigeonhole covers Hamming <= 3")
+    // fail fast on scope names the pairing plan reserves — a collision
+    // would otherwise surface as an opaque ambiguous-reference
+    // AnalysisException deep in the executed plan
+    val reserved = Set("ci", "cv", "simhash", "hamming", "id_a", "id_b",
+      "sh_a", "sh_b", "_sz", "_rep", idCol)
+    val bad = scopeCols.filter(reserved.contains)
+    require(bad.isEmpty,
+      s"scopeCols collide with reserved pairing column names: $bad")
     // capped path: stage the (id, simhash) table — two longs per doc — so
     // the hot/small/star passes don't re-run the 64-vote aggregation
     val shS = if (bucketCap == Int.MaxValue) sh else staged(sh, "simhash_stage")
@@ -627,12 +641,10 @@ object Dedup {
     val keep = (col(idCol) +: scopeCols.map(col)) :+ col("simhash")
     val ex = shS.select(keep :+ explode(array(chunks: _*)).as("c"): _*)
       .select(keep :+ col("c.ci") :+ col("c.cv"): _*)
-    val scopeCarry = scopeCols.map(c => c -> (s"_sc_$c", s"_sc_${c}_b"))
     val paired = cappedPairs(ex, idCol, scopeCols ++ Seq("ci", "cv"), bucketCap,
-      scopeCarry :+ ("simhash" -> ("sh_a", "sh_b")))
+      Seq("simhash" -> ("sh_a", "sh_b")), emitKeys = scopeCols)
     paired
-      .select(Seq(col("id_a"), col("id_b")) ++
-        scopeCols.map(c => col(s"_sc_$c").as(c)) :+
+      .select(Seq(col("id_a"), col("id_b")) ++ scopeCols.map(col) :+
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"): _*)
       .distinct()
       .filter(col("hamming") <= maxHamming)

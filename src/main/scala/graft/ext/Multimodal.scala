@@ -583,18 +583,36 @@ object Multimodal {
     * `maxHamming`. Input is [[decodeVideoFrames]]' output (sentinel
     * rows are dropped — an undecodable video pairs with nothing);
     * output is (id_a, id_b, n_shared, max_hamming). Feed videos through
-    * the SAME `nFrames` or positions won't line up. `bucketCap` is the
-    * d4 hot-bucket star cap, per (frame_idx, chunk) bucket — flat-color
-    * intros that hash identically across a corpus are exactly the
-    * flood it exists for.
+    * the SAME `nFrames` or positions won't line up.
+    *
+    * `floodCap` bounds the flat-color-intro flood: a frame hash shared
+    * by MORE than `floodCap` videos at one position is DROPPED before
+    * pairing — the df-cap idea, NOT the d4 star cap, deliberately. Star
+    * pairs compose with connected-components dedup but not with a
+    * per-pair `n_shared` COUNT: a star would both rob genuine twins of
+    * credit for the flood position (they'd pair only with the rep) and
+    * grant (rep, member) pairs credit for a corpus-wide intro that says
+    * nothing about duplication. Dropping the position keeps every
+    * surviving count exact over informative frames; a pair must then
+    * share `minShared` NON-flood positions, which is the near-dup
+    * question anyway.
     */
   def videoNearDupPairs(frames: Dataset[VideoFrame], maxHamming: Int = 3,
-      minShared: Int = 2, bucketCap: Int = Int.MaxValue): DataFrame = {
+      minShared: Int = 2, floodCap: Int = Int.MaxValue): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(floodCap >= 1, s"floodCap must be >= 1, got $floodCap")
     val sh = frames.toDF()
       .filter(col("frame_idx") >= 0)
       .select(col("media_id"), col("frame_idx"), col("dhash").as("simhash"))
-    Dedup.simhashPairs(sh, "media_id", maxHamming, bucketCap,
+    val kept =
+      if (floodCap == Int.MaxValue) sh
+      else {
+        val hot = sh.groupBy(col("frame_idx"), col("simhash"))
+          .agg(count(lit(1)).as("_n")).filter(col("_n") > floodCap)
+          .select(col("frame_idx"), col("simhash"))
+        sh.join(hot, Seq("frame_idx", "simhash"), "left_anti")
+      }
+    Dedup.simhashPairs(kept, "media_id", maxHamming,
         scopeCols = Seq("frame_idx"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"), max(col("hamming")).as("max_hamming"))

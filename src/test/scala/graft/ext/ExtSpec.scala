@@ -784,4 +784,53 @@ class ExtSpec extends SparkSpec {
       minShared = 1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(loose === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
+
+  /** A DIB frame whose dHash is EXACTLY `Seq.fill(8)(mask)` — sampled
+    * column values step +10/−10 by the mask bits, so distinct masks give
+    * provably distinct hashes (no reliance on gradient wrap accidents).
+    */
+  private def maskFrame(mask: Int): Array[Byte] = {
+    val xs = (0 until 9).map(gx => gx * 12 / 9)
+    dibFrame(12, 8) { (x, _) =>
+      val k = xs.lastIndexWhere(_ <= x)
+      var v = 128
+      for (j <- 1 to k) v += (if (((mask >> (j - 1)) & 1) == 1) 10 else -10)
+      (v, v, v)
+    }
+  }
+
+  test("videoNearDupPairs floodCap: a corpus-wide intro frame is DROPPED (df-cap), not star-paired — twin counts stay exact over informative frames, flood-only pairs disappear") {
+    import Multimodal.MediaRow
+    def dvid(frames: Array[Byte]*) =
+      aviBytes(12, 8, 24, "RGB ", frames.map("00db" -> _))
+    val intro = maskFrame(0xF0) // shared by every video at position 0
+    // distinct masks → provably distinct frame hashes at hamming 0
+    val rows = Seq(
+      MediaRow(10L, "video", dvid(intro, maskFrame(1), maskFrame(2))),
+      MediaRow(11L, "video", dvid(intro, maskFrame(1), maskFrame(2))),
+      MediaRow(12L, "video", dvid(intro, maskFrame(3), maskFrame(4))),
+      MediaRow(13L, "video", dvid(intro, maskFrame(5), maskFrame(6))),
+      MediaRow(14L, "video", dvid(intro, maskFrame(7), maskFrame(8))))
+    val frames = Multimodal.decodeVideoFrames(rows.toDS(), nFrames = 3)
+    // uncapped at minShared 1: the shared intro pairs EVERYTHING
+    val loose = Multimodal.videoNearDupPairs(frames, maxHamming = 0,
+      minShared = 1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose.size === 10, s"intro must pair all 5 videos uncapped: $loose")
+    // floodCap 3 < 5 drops position 0: only the genuine twins survive,
+    // and their n_shared counts exactly the two informative frames
+    val capped = Multimodal.videoNearDupPairs(frames, maxHamming = 0,
+      minShared = 1, floodCap = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped.keySet === Set((10L, 11L)),
+      s"flood position must not produce or rob pairs: $capped")
+    assert(capped((10L, 11L)) === 2L,
+      "n_shared counts informative positions exactly")
+    // scope columns colliding with the pairing plan's reserved names
+    // fail fast with the actual cause, not a deep AnalysisException
+    val sh = Seq((1L, 0, 0L)).toDF("media_id", "cv", "simhash")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(sh, "media_id", scopeCols = Seq("cv"))
+    }
+    assert(err.getMessage.contains("reserved"))
+  }
 }

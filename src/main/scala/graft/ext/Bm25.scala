@@ -117,34 +117,38 @@ object Bm25 {
     */
   def append(store: TableStore, name: String, docs: DataFrame,
       idCol: String, textCol: String): Unit = {
-    val fpBefore =
-      if (store.exists(dfSketchT(name)) || store.exists(dfWitnessT(name)))
-        postingsFp(store, name)
-      else ""
+    // The Scratch staging below exists ONLY for the clapper's sketch /
+    // witness fold, so it is gated on one existing — a never-polled
+    // index appends its plain plan and pays no extra materialization
+    // of the grouped postings (the r19 honest-cost note).
+    val needFold =
+      store.exists(dfSketchT(name)) || store.exists(dfWitnessT(name))
+    val fpBefore = if (needFold) postingsFp(store, name) else ""
     val toks = TextAnalysis.wsTokens(col(textCol))
     val newPostings = docs.select(col(idCol), explode(toks).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tcnt"))
-    // staged ONCE (the [[DedupIndex.probeIncrement]] idiom): the append
-    // and the sketch fold below must see the SAME rows, and the caller's
-    // frame need not be deterministic under re-evaluation (a limit()
-    // batch, a shuffling source) — folding from a re-run of the plan
-    // could undercount the sketch while its fingerprint reads fresh,
-    // the one direction the bound must never err. Staging also makes
-    // the tokenize a single pass.
-    val staged = Scratch.stage(newPostings, s"${name}_app_postings")
-    store.append(s"${name}_postings", staged)
+    // staged ONCE when folding (the [[DedupIndex.probeIncrement]]
+    // idiom): the append and the sketch fold below must see the SAME
+    // rows, and the caller's frame need not be deterministic under
+    // re-evaluation (a limit() batch, a shuffling source) — folding
+    // from a re-run of the plan could undercount the sketch while its
+    // fingerprint reads fresh, the one direction the bound must never
+    // err. Staging also makes the tokenize a single pass.
+    val appended =
+      if (needFold) Scratch.stage(newPostings, s"${name}_app_postings")
+      else newPostings
+    store.append(s"${name}_postings", appended)
     store.append(s"${name}_doclen",
       docs.select(col(idCol), size(toks).cast("long").as("dlen")))
     writeStats(store, name)
-    // O(batch) hot-term sketch fold, only when a clapper built one —
-    // crash-safe through the fingerprint, not ordering. The witness
-    // (exact df of the last exact pass's hottest term) rides the same
-    // commit.
-    val fpAfter = postingsFp(store, name)
-    HotKeySketch.fold(store, dfSketchT(name),
-      staged.select(col("term").as("k")), fpBefore, fpAfter)
-    HotKeySketch.foldWitness(store, dfWitnessT(name),
-      staged.select(col("term").as("k")), fpBefore, fpAfter)
+    if (needFold) {
+      // O(batch) hot-term sketch + witness fold in ONE pass over the
+      // staged rows ([[HotKeySketch.foldAll]]) — crash-safe through the
+      // fingerprint, not ordering.
+      val fpAfter = postingsFp(store, name)
+      HotKeySketch.foldAll(store, dfSketchT(name), dfWitnessT(name),
+        appended.select(col("term").as("k")), fpBefore, fpAfter)
+    }
   }
 
   /** Ids currently indexed — narrow scan of the doclen table (one row per

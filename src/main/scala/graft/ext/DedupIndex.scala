@@ -462,12 +462,11 @@ object DedupIndex {
     // with a listing the bands table no longer has, so the next poll
     // treats it as absent and re-baselines exactly
     val fpAfter = bandsFp(store, name)
-    HotKeySketch.fold(store, hhSketchT(name),
-      stage.bands.select(hhKey.as("k")), fpBefore, fpAfter)
-    // the witness (exact count of the last exact pass's hottest bucket)
-    // rides the same commit — O(batch), and only when a standing policy
-    // built one
-    HotKeySketch.foldWitness(store, hhWitnessT(name),
+    // sketch + witness (exact count of the last exact pass's hottest
+    // bucket) fold in ONE pass over the staged bands
+    // ([[HotKeySketch.foldAll]]) — O(batch), and only when a clapper /
+    // standing policy built them
+    HotKeySketch.foldAll(store, hhSketchT(name), hhWitnessT(name),
       stage.bands.select(hhKey.as("k")), fpBefore, fpAfter)
   }
 

@@ -175,6 +175,74 @@ private[graft] object HotKeySketch {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** One-pass fold of a committed increment into BOTH the sketch and the
+    * witness — [[fold]] ⊕ [[foldWitness]] with the batch scanned ONCE.
+    * When only one of the two exists, delegates to its single fold; when
+    * both do, each occurrence explodes to its d CMS row-buckets PLUS —
+    * when it is the witness key — one synthetic `(-1, 0)` cell, so the
+    * witness increment is literally a cell of the same aggregate. The
+    * aggregate's output is bounded by geometry (≤ d×w + 1 cells,
+    * 32 769 at the fixed 4×8192), so the driver read is
+    * contract-bounded, never corpus- or batch-proportional.
+    *
+    * Freshness/decision semantics are EXACTLY the two folds': a side
+    * stamped with anything but `fpBefore` drops while the fresh side
+    * still folds (alone, via its own path); any failure drops both —
+    * absent costs one exact poll, a wrong sketch costs correctness.
+    */
+  def foldAll(store: TableStore, sketchT: String, witnessT: String,
+      newKeys: DataFrame, fpBefore: String, fpAfter: String): Unit = {
+    val hasSk = store.exists(sketchT)
+    val hasW = store.exists(witnessT)
+    if (!(hasSk && hasW)) {
+      if (hasSk) fold(store, sketchT, newKeys, fpBefore, fpAfter)
+      if (hasW) foldWitness(store, witnessT, newKeys, fpBefore, fpAfter)
+    } else try {
+      val cur = store.read(sketchT)
+      val skFresh = cur.select(col("fp")).limit(1).collect()
+        .headOption.exists(_.getString(0) == fpBefore)
+      val wRow = store.read(witnessT).collect().headOption
+      val wFresh = wRow.exists(r => r.getString(r.fieldIndex("fp")) == fpBefore)
+      if (!skFresh || !wFresh) {
+        if (!skFresh) store.drop(sketchT)
+        if (!wFresh) store.drop(witnessT)
+        if (skFresh) fold(store, sketchT, newKeys, fpBefore, fpAfter)
+        if (wFresh) foldWitness(store, witnessT, newKeys, fpBefore, fpAfter)
+      } else {
+        val wk = wRow.get.getString(wRow.get.fieldIndex("k"))
+        val cells = newKeys
+          .select(explode(array(
+            (0 until Depth).map(i => lit(i)) :+ lit(-1): _*)).as("row"),
+            col("k"))
+          .filter(col("row") >= 0 || col("k") === wk)
+          .select(col("row"),
+            when(col("row") >= 0,
+              graft.functions.CountMin.bucket(col("row"), col("k"), Width))
+              .otherwise(lit(0L)).as("bucket"))
+          .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+          .collect()
+        val wAdd = cells.find(_.getInt(0) == -1)
+          .map(_.getLong(2)).getOrElse(0L)
+        val spark = org.apache.spark.sql.SparkSession.active
+        import spark.implicits._
+        val inc = cells.filter(_.getInt(0) >= 0)
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+          .toDF("row", "bucket", "cnt")
+        store.overwrite(sketchT,
+          graft.functions.CountMin.merge(
+            cur.select(col("row"), col("bucket"), col("cnt")), inc)
+            .withColumn("fp", lit(fpAfter)))
+        writeWitness(store, witnessT, wk,
+          wRow.get.getLong(wRow.get.fieldIndex("cnt")) + wAdd, fpAfter)
+      }
+    } catch { case scala.util.control.NonFatal(_) =>
+      try store.drop(sketchT)
+      catch { case scala.util.control.NonFatal(_) => () }
+      try store.drop(witnessT)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   /** Re-stamp a FRESH sketch (or witness — the schema only needs `fp`)
     * to a new fingerprint after a content-neutral rewrite (compaction) —
     * the health-cache re-stamp idea. The caller checks freshness against

@@ -129,6 +129,35 @@ class Bm25Spec extends SparkSpec {
     assert(Bm25.maintainIfNeeded(store, "bm", maxFiles = 64).isEmpty)
   }
 
+  test("append stages a scratch table ONLY when a sketch or witness will fold — the default path appends its plain plan") {
+    val store = new graft.tables.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_bmns").toString)
+    def gens(prefix: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(graft.tables.Scratch.root(spark))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(_.getPath.getName.startsWith(prefix))
+    }
+    Bm25.buildIndex(store, "nsc",
+      Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val before = gens("nsc_app_postings_g")
+    Bm25.append(store, "nsc",
+      Seq((3L, "delta beta")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(gens("nsc_app_postings_g") === before,
+      "a fold-free append must not materialize a scratch stage")
+    // the first poll lazily builds the sketch; the next append must then
+    // stage (same-rows invariant for the fold) — exactly one generation
+    val calm = Bm25.capIfUnhealthy(store, "nsc", hotTermBudget = 1000)
+    assert(!calm.triggered)
+    Bm25.append(store, "nsc",
+      Seq((4L, "eps beta")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(gens("nsc_app_postings_g") === before + 1,
+      "a folding append stages exactly once")
+    assert(Bm25.dfUpperBound(store, "nsc").exists(_ >= 4L),
+      "the fold must have seen the staged rows (sketch stays fresh)")
+  }
+
   test("capIfUnhealthy: hot term rings and persists the df-cap + stop list, searches resolve it pre-scan, rearm guard declines until measurably worse, rearmFactor=0 escapes") {
     val store = new graft.tables.TableStore(spark,
       java.nio.file.Files.createTempDirectory("graft_bmcap").toString)

@@ -1147,6 +1147,163 @@ object ScaleStress {
     println(f"""{"bm25wit":1,"n_docs":${bh.nDocs},"n_postings":${bh.nPostings},"rang":${bwRing.triggered},"hot_df":${bwRing.hotTermRows},"witness_poll_sec":$bwSec%.2f,"standing_exact_sec":$bwExactSec%.2f}""")
   }
 
+  /** 3-frame 32×24 AVI for the videodecode battery — BI_RGB DIB (byte
+    * arithmetic) or MJPEG (real ImageIO JPEG per frame). Rasters are
+    * splitmix-mixed PSEUDORANDOM bytes keyed on (seed, x, y, f): gradient
+    * fixtures concentrate dhash bits near all-ones (most comparisons
+    * increase), which floods the pairing legs' pigeonhole buckets into a
+    * quadratic blow-up no real diverse corpus has — uniform hashes keep
+    * the measured pairing cost representative. `seed` (not the media id)
+    * keys the content, so a twin replays another video's frames exactly.
+    */
+  private def stressAvi(seed: Long, mjpeg: Boolean): Array[Byte] = {
+    val (w, h) = (32, 24)
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+    def chunk(fc: String, d: Array[Byte]): Array[Byte] =
+      cc(fc) ++ le32(d.length.toLong) ++ d ++
+        (if (d.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(lt: String, b: Array[Byte]): Array[Byte] = chunk("LIST", cc(lt) ++ b)
+    def pix(x: Int, y: Int, f: Int): Int = {
+      // full splitmix64 finalizer: inputs differing by an additive
+      // constant (two seeds at the same pixel) must decorrelate, or the
+      // dhash comparison bits repeat across videos and the pairing legs
+      // drown in structural collisions (measured: a single
+      // multiply-xorshift left ~50k spurious pairs at 11k videos)
+      var z = seed * 0x9E3779B97F4A7C15L + x * 0xBF58476D1CE4E5B9L +
+        y * 0x94D049BB133111EBL + f * 0x2545F4914F6CDD1DL
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      (z & 0xff).toInt
+    }
+    def frame(f: Int): Array[Byte] =
+      if (mjpeg) {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        for (y <- 0 until h; x <- 0 until w) {
+          val g = pix(x, y, f)
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      } else {
+        val rowBytes = w * 3 // 96, already 4-aligned
+        val out = new Array[Byte](rowBytes * h)
+        var sy = 0
+        while (sy < h) {
+          val y = h - 1 - sy // bottom-up storage
+          var x = 0
+          while (x < w) {
+            val g = pix(x, y, f).toByte
+            val o = sy * rowBytes + x * 3
+            out(o) = g; out(o + 1) = g; out(o + 2) = g
+            x += 1
+          }
+          sy += 1
+        }
+        out
+      }
+    val avih = chunk("avih",
+      le32(40000L) ++ le32(0L) ++ le32(0L) ++ le32(0L) ++ le32(3L) ++
+        le32(0L) ++ le32(1L) ++ le32(0L) ++ le32(w.toLong) ++ le32(h.toLong) ++
+        Array.fill(16)(0.toByte))
+    val strh = chunk("strh",
+      cc("vids") ++ cc(if (mjpeg) "MJPG" else "DIB ") ++
+        Array.fill(48)(0.toByte))
+    val strf = chunk("strf",
+      le32(40L) ++ le32(w.toLong) ++ le32(h.toLong) ++
+        Array[Byte](1, 0, 24, 0) ++
+        (if (mjpeg) cc("MJPG") else le32(0L)) ++
+        le32((w * 3 * h).toLong) ++ Array.fill(16)(0.toByte))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val tag = if (mjpeg) "00dc" else "00db"
+    val movi = list("movi",
+      (0 until 3).flatMap(f => chunk(tag, frame(f))).toArray)
+    val body = cc("AVI ") ++ hdrl ++ movi
+    cc("RIFF") ++ le32(body.length.toLong) ++ body
+  }
+
+  /** Video frame-decode throughput + pairing cost — the measurement
+    * behind the 100 TB decode story the Multimodal scaladoc argues
+    * (CPU-bound, embarrassingly parallel, blobs never shuffle). Fixture
+    * AVIs are staged to parquet FIRST, so the timed legs pay decode
+    * only, never fixture encode. Every 10th video gets a planted twin
+    * (same seed → bit-identical frames), so the pairing legs find real
+    * structure. Pairing runs with the scale guards ON (floodCap 8,
+    * bucketCap 4096) — the configuration a 100 TB run would use.
+    */
+  private def videoDecode(spark: SparkSession, sfDir: String,
+      expDir: String, factor: Int, workDir: String): Unit = {
+    import spark.implicits._
+    import graft.ext.Multimodal
+    def timed2(f: => Unit): Double = {
+      var best = Double.MaxValue
+      for (_ <- 1 to 2) {
+        val t0 = System.nanoTime()
+        f
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      best
+    }
+    def stage(dir: String, scale: Int, mjpeg: Boolean): (String, Long) = {
+      val kind = if (mjpeg) "mjpg" else "dib"
+      val path = s"$workDir/media_${kind}_x$scale"
+      val ids = Td(spark, dir, "documents").select(col("doc_id")).as[Long]
+      val media = ids.flatMap { id =>
+        val base = Multimodal.MediaRow(id, "video", stressAvi(id, mjpeg))
+        if (id % 10 == 0)
+          Seq(base, Multimodal.MediaRow(id + (1L << 40), "video",
+            stressAvi(id, mjpeg))) // twin: same seed, distinct media_id
+        else Seq(base)
+      }
+      media.toDF().write.mode("overwrite").parquet(path)
+      (path, spark.read.parquet(path).count())
+    }
+    for (mjpeg <- Seq(false, true); (scale, dir) <- Seq(1 -> sfDir, factor -> expDir)) {
+      val (path, nDocs) = stage(dir, scale, mjpeg)
+      val media = spark.read.parquet(path).as[Multimodal.MediaRow]
+      // one untimed pass first: the x1 leg must not carry the session's
+      // JIT/codegen warmup while the x2 leg reads warm
+      Multimodal.decodeVideoFrames(media, nFrames = 3).toDF()
+        .write.format("noop").mode("overwrite").save()
+      val sec = timed2 {
+        Multimodal.decodeVideoFrames(media, nFrames = 3).toDF()
+          .write.format("noop").mode("overwrite").save()
+      }
+      val codec = if (mjpeg) "mjpg" else "dib"
+      println(f"""{"videodecode":1,"codec":"$codec","scale":$scale,"n_videos":$nDocs,"n_frames":${nDocs * 3},"sec":$sec%.2f,"videos_per_sec":${nDocs / sec}%.0f,"frames_per_sec":${nDocs * 3 / sec}%.0f}""")
+    }
+    // pairing legs over the big DIB corpus: decode ONCE to parquet (the
+    // pipeline shape — hashes persist, blobs never reshuffle), then time
+    // positional and unordered pairing over the frame-hash rows
+    val media = spark.read.parquet(s"$workDir/media_dib_x$factor")
+      .as[Multimodal.MediaRow]
+    val framesPath = s"$workDir/frames_x$factor"
+    Multimodal.decodeVideoFrames(media, nFrames = 3).toDF()
+      .write.mode("overwrite").parquet(framesPath)
+    val fr = spark.read.parquet(framesPath).as[Multimodal.VideoFrame]
+    val nVideos = fr.select(col("media_id")).distinct().count()
+    val posSec = timed2 {
+      Multimodal.videoNearDupPairs(fr, maxHamming = 3, minShared = 2,
+          floodCap = 8)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val unSec = timed2 {
+      Multimodal.videoNearDupPairsUnordered(fr, maxHamming = 3,
+          minContainment = 0.9, floodCap = 8, bucketCap = 4096)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val nPos = Multimodal.videoNearDupPairs(fr, maxHamming = 3,
+      minShared = 2, floodCap = 8).count()
+    val nUn = Multimodal.videoNearDupPairsUnordered(fr, maxHamming = 3,
+      minContainment = 0.9, floodCap = 8, bucketCap = 4096).count()
+    println(f"""{"videopair":1,"scale":$factor,"n_videos":$nVideos,"positional_sec":$posSec%.2f,"unordered_sec":$unSec%.2f,"positional_pairs":$nPos,"unordered_pairs":$nUn}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val workDir = args.lift(1).getOrElse("/tmp/graft_scale_stress")
@@ -1236,6 +1393,12 @@ object ScaleStress {
     }
     if (args.contains("lexpoll")) { // routine clapper ask vs corpus size
       lexPoll(spark, expDir, s"$workDir/lexpoll")
+      graft.tables.Scratch.cleanup(spark)
+      spark.stop()
+      return
+    }
+    if (args.contains("videodecode")) { // frame-decode throughput + pairing
+      videoDecode(spark, sfDir, expDir, factor, s"$workDir/videodecode")
       graft.tables.Scratch.cleanup(spark)
       spark.stop()
       return

@@ -625,6 +625,42 @@ object Dedup {
       bucketCap: Int = Int.MaxValue,
       scopeCols: Seq[String] = Nil): DataFrame = {
     require(maxHamming < 4, "4-chunk pigeonhole covers Hamming <= 3")
+    simhashCandidatePairs(sh, idCol, bucketCap, scopeCols)
+      .select(Seq(col("id_a"), col("id_b")) ++ scopeCols.map(col) :+
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"): _*)
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** [[simhashPairs]] keeping the matched SKETCH pair itself: one row per
+    * distinct (id_a, id_b, scope…, sh_a, sh_b) with Hamming ≤ `maxHamming`
+    * — for entities carrying MANY sketches per id (e.g. a video's
+    * per-frame dHashes, [[Multimodal.videoNearDupPairsUnordered]]), where
+    * the pair-level question is a set-overlap aggregate over the matched
+    * hashes and [[simhashPairs]]' distinct-on-hamming output would
+    * collapse distinct matched hash pairs that happen to share a Hamming
+    * distance. With one sketch per id the two are the same pairing.
+    */
+  def simhashMatchPairs(sh: DataFrame, idCol: String, maxHamming: Int = 3,
+      bucketCap: Int = Int.MaxValue,
+      scopeCols: Seq[String] = Nil): DataFrame = {
+    require(maxHamming < 4, "4-chunk pigeonhole covers Hamming <= 3")
+    simhashCandidatePairs(sh, idCol, bucketCap, scopeCols)
+      .select(Seq(col("id_a"), col("id_b")) ++ scopeCols.map(col) ++
+        Seq(col("sh_a"), col("sh_b")): _*)
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** The shared candidate core of [[simhashPairs]] /
+    * [[simhashMatchPairs]]: the Manku 4×16-bit pigeonhole bucket join
+    * (scoped, hot-bucket-capped), emitting (id_a, id_b, scope…, sh_a,
+    * sh_b) BEFORE the Hamming filter.
+    */
+  private def simhashCandidatePairs(sh: DataFrame, idCol: String,
+      bucketCap: Int, scopeCols: Seq[String]): DataFrame = {
     // fail fast on scope names the pairing plan reserves — a collision
     // would otherwise surface as an opaque ambiguous-reference
     // AnalysisException deep in the executed plan
@@ -641,13 +677,8 @@ object Dedup {
     val keep = (col(idCol) +: scopeCols.map(col)) :+ col("simhash")
     val ex = shS.select(keep :+ explode(array(chunks: _*)).as("c"): _*)
       .select(keep :+ col("c.ci") :+ col("c.cv"): _*)
-    val paired = cappedPairs(ex, idCol, scopeCols ++ Seq("ci", "cv"), bucketCap,
+    cappedPairs(ex, idCol, scopeCols ++ Seq("ci", "cv"), bucketCap,
       Seq("simhash" -> ("sh_a", "sh_b")), emitKeys = scopeCols)
-    paired
-      .select(Seq(col("id_a"), col("id_b")) ++ scopeCols.map(col) :+
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"): _*)
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** Corpus-overlap audit: estimated shingle-set Jaccard between every pair

@@ -492,13 +492,18 @@ object Multimodal {
                 streamIdx += 1
                 awaitingVideoStrf = videoStream < 0 && typ(p) == "vids"
                 if (awaitingVideoStrf) videoStream = streamIdx
-              case "strf" if size >= 20 && awaitingVideoStrf =>
-                // BITMAPINFOHEADER of the video stream just declared
-                bits = u16(p + 14)
-                val c = u32(p + 16)
-                comp = if (c == 0) "RGB " else typ(p + 16)
-                // negative biHeight is the standard top-down DIB signal
-                topDown = u32(p + 8).toInt < 0
+              case "strf" if awaitingVideoStrf =>
+                // BITMAPINFOHEADER of the video stream just declared.
+                // ANY strf closes the wait — a truncated (<20 B) strf must
+                // not leave the flag armed for a later stream's strf, which
+                // would bind the wrong format to the video stream
+                if (size >= 20) {
+                  bits = u16(p + 14)
+                  val c = u32(p + 16)
+                  comp = if (c == 0) "RGB " else typ(p + 16)
+                  // negative biHeight is the standard top-down DIB signal
+                  topDown = u32(p + 8).toInt < 0
+                }
                 awaitingVideoStrf = false
               case _ if cc.length == 4 && cc(0).isDigit && cc(1).isDigit &&
                   (cc.endsWith("db") || cc.endsWith("dc")) &&
@@ -560,7 +565,10 @@ object Multimodal {
           val picks =
             if (refs.length <= nFrames) refs.indices
             else if (n == 1) Seq(0)
-            else (0 until n).map(i => i * (refs.length - 1) / (n - 1))
+            // Long product: refs can reach the 2^20 chunk cap, where an
+            // Int i*(refs.length-1) overflows into a negative index
+            else (0 until n).map(i =>
+              (i.toLong * (refs.length - 1) / (n - 1)).toInt)
           val out = picks.distinct.map { fi =>
             decodeOneFrame(r.media_id, fi, r.media, refs(fi), info)
           }
@@ -617,6 +625,75 @@ object Multimodal {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"), max(col("hamming")).as("max_hamming"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** OFFSET-TOLERANT video near-dup pairs — the unordered complement of
+    * [[videoNearDupPairs]]' same-cut positional contract. Positional
+    * pairing compares frame i against frame i, so a duplicate trimmed by
+    * one leading frame (every position shifted) or re-sampled to a
+    * different frame count never pairs. This mode drops the position
+    * entirely: each video becomes its SET of distinct frame hashes, two
+    * hashes match within `maxHamming` (the d1 dHash tolerance through the
+    * [[Dedup.simhashMatchPairs]] pigeonhole — no all-pairs comparison),
+    * and a pair survives when the matched fraction of EITHER side's set
+    * reaches `minContainment`:
+    *
+    *   `containment = greatest(m_a / n_a, m_b / n_b)`
+    *
+    * where n is a side's distinct-hash count and m its distinct hashes
+    * with ≥ 1 tolerant match in the other. Under exact matching this IS
+    * the d19 containment coefficient |A∩B| / min(|A|, |B|) (both matched
+    * counts equal the intersection), and like d19 it deliberately
+    * catches SUBSET duplication: a trimmed or sparsely re-sampled twin
+    * is fully contained in its source (containment 1.0) while its
+    * Jaccard — and its positional n_shared — is arbitrarily poor.
+    *
+    * The flip side of dropping position, stated honestly: frame ORDER no
+    * longer distinguishes (a reversed video is containment-1.0 its
+    * original), and `floodCap` matters more — a hash shared corpus-wide
+    * (flat intro card) pairs across ALL positions here, so the over-cap
+    * DROP (same df-cap semantics and rationale as the positional mode)
+    * is the scale guard; `bucketCap` bounds hot 16-bit chunk buckets
+    * underneath exactly as in d4. Output: (id_a, id_b, n_a, n_b,
+    * n_matched_a, n_matched_b, containment).
+    */
+  def videoNearDupPairsUnordered(frames: Dataset[VideoFrame],
+      maxHamming: Int = 3, minContainment: Double = 0.75,
+      floodCap: Int = Int.MaxValue,
+      bucketCap: Int = Int.MaxValue): DataFrame = {
+    require(minContainment > 0 && minContainment <= 1,
+      s"minContainment must be in (0, 1], got $minContainment")
+    require(floodCap >= 1, s"floodCap must be >= 1, got $floodCap")
+    val hs = frames.toDF()
+      .filter(col("frame_idx") >= 0)
+      .select(col("media_id"), col("dhash").as("simhash"))
+      .distinct() // set semantics: repeated identical frames count once
+    val kept =
+      if (floodCap == Int.MaxValue) hs
+      else {
+        val hot = hs.groupBy(col("simhash"))
+          .agg(count(lit(1)).as("_n")).filter(col("_n") > floodCap)
+          .select(col("simhash"))
+        hs.join(hot, Seq("simhash"), "left_anti")
+      }
+    val sizes = kept.groupBy(col("media_id")).agg(count(lit(1)).as("n_h"))
+    val matched = Dedup.simhashMatchPairs(kept, "media_id", maxHamming,
+        bucketCap)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(countDistinct(col("sh_a")).as("n_matched_a"),
+        countDistinct(col("sh_b")).as("n_matched_b"))
+    matched
+      .join(sizes.select(col("media_id").as("id_a"), col("n_h").as("n_a")),
+        Seq("id_a"))
+      .join(sizes.select(col("media_id").as("id_b"), col("n_h").as("n_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        col("n_matched_a"), col("n_matched_b"),
+        greatest(
+          col("n_matched_a").cast("double") / col("n_a").cast("double"),
+          col("n_matched_b").cast("double") / col("n_b").cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= minContainment)
   }
 
   /** Decode one frame chunk: BI_RGB 24-bit DIB by byte arithmetic

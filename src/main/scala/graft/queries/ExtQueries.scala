@@ -1307,7 +1307,11 @@ object ExtQueries {
     * perturbed at the SAMPLED cell (14,12) (+128 → ≤ 2 dhash bits);
     * 2 = a twin whose frames 1/2 shift the base constant by +50 (frame
     * 0 shared exactly; the shifted frames' hashes drift with the mod
-    * wrap — whatever they drift to, the oracle replays it).
+    * wrap — whatever they drift to, the oracle replays it);
+    * 3 = a ONE-FRAME-TRIMMED twin (m8): the base's frames 1 and 2 only,
+    * bit-identical content at shifted positions — the case the
+    * positional mode structurally misses and the unordered containment
+    * mode exists for.
     */
   private def m7Avi(sid: Long, variant: Int): Array[Byte] = {
     val (w, h) = (32, 24)
@@ -1355,7 +1359,12 @@ object ExtQueries {
         Array[Byte](1, 0, 24, 0) ++ le32(0L) ++ le32((w * 3 * h).toLong) ++
         Array.fill(16)(0.toByte))
     val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
-    val movi = list("movi", (0 until 3).flatMap(f => chunk("00db", frame(f))).toArray)
+    // variant 3 trims the leading frame: the container holds the BASE
+    // formula's frames 1 and 2 (frame() takes the content index f, so
+    // the trimmed twin's bytes are bit-identical to the base's at a
+    // shifted position)
+    val frameIdxs = if (variant == 3) Seq(1, 2) else Seq(0, 1, 2)
+    val movi = list("movi", frameIdxs.flatMap(f => chunk("00db", frame(f))).toArray)
     val body = cc("AVI ") ++ hdrl ++ movi
     cc("RIFF") ++ le32(body.length.toLong) ++ body
   }
@@ -1437,6 +1446,89 @@ object ExtQueries {
     """),
     // hash is map-only over synthetic containers; the pairing shape is
     // d4's, which the bench already times on the real corpus
+    benchmark = false)
+
+  /** M8 — OFFSET-TOLERANT video near-dup
+    * ([[Multimodal.videoNearDupPairsUnordered]]): the m7 fixture plus
+    * variant-3 twins — the base video TRIMMED by its leading frame
+    * (frames 1/2 bit-identical at shifted positions). Positional m7
+    * pairing structurally misses them (every position compares different
+    * content); the unordered mode sets-then-contains: distinct per-video
+    * frame-hash sets, tolerant hash matching through the same pigeonhole,
+    * and `containment = greatest(m_a/n_a, m_b/n_b) ≥ 0.9` — the trimmed
+    * twin's 2-hash set is fully contained in its base's 3-hash set
+    * (containment 1.0). The oracle recomputes every frame hash from the
+    * generation formula and replays the set pairing end-to-end, so
+    * incidental cross-sid matches are stated identically on both engines.
+    */
+  val m8VideoDedupUnordered = QueryDef(
+    "m8_video_dedup_unordered",
+    (s, dir) => {
+      import s.implicits._
+      val ids = Td(s, dir, "documents").select(col("doc_id"))
+      val variants = ids.select(col("doc_id").as("sid"), lit(0).as("vr"))
+        .unionByName(ids.filter(col("doc_id") % 13 === 0)
+          .select(col("doc_id").as("sid"), lit(3).as("vr")))
+      val media = variants
+        .select((col("sid") + col("vr").cast("long") * 100000000L).as("media_id"),
+          col("sid"), col("vr"))
+        .as[(Long, Long, Int)]
+        .map { case (mid, sid, vr) => Multimodal.MediaRow(mid, "video", m7Avi(sid, vr)) }
+      val frames = Multimodal.decodeVideoFrames(media, nFrames = 3)
+      Multimodal.videoNearDupPairsUnordered(frames, maxHamming = 3,
+          minContainment = 0.9)
+        .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+          col("n_matched_a"), col("n_matched_b"), col("containment"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH vids AS (
+        SELECT doc_id AS media_id, doc_id AS sid, 0 AS vr FROM documents
+        UNION ALL SELECT doc_id + 300000000, doc_id, 3 FROM documents WHERE doc_id % 13 = 0),
+      grid AS (SELECT f, gx, gy, (gx * 32) // 9 AS x, (gy * 24) // 8 AS y
+               FROM (SELECT unnest([0, 1, 2]) AS f),
+                    (SELECT unnest(generate_series(0, 8)) AS gx),
+                    (SELECT unnest(generate_series(0, 7)) AS gy)),
+      vf AS (SELECT media_id, sid, f FROM vids, (SELECT unnest([0, 1, 2]) AS f) fs
+             WHERE vr = 0 OR f >= 1),
+      cells AS (SELECT i.media_id, g.f, g.gx, g.gy,
+                  ((3 + i.sid % 97) * g.x + (5 + i.sid % 89) * g.y + i.sid % 251 + 17 * g.f) % 256 AS v
+                FROM vf i JOIN grid g ON g.f = i.f),
+      bitrows AS (SELECT a.media_id, a.f, a.gy * 8 + a.gx AS bi
+                  FROM cells a JOIN cells b
+                    ON b.media_id = a.media_id AND b.f = a.f
+                      AND b.gy = a.gy AND b.gx = a.gx + 1
+                  WHERE a.gx < 8 AND b.v > a.v),
+      sim AS (SELECT vf.media_id, vf.f, CAST(coalesce(sum(
+                CASE WHEN bi = 63 THEN -9223372036854775807 - 1
+                     ELSE CAST(1 AS BIGINT) << CAST(bi AS INTEGER) END), 0) AS BIGINT) AS simhash
+              FROM vf LEFT JOIN bitrows br
+                ON br.media_id = vf.media_id AND br.f = vf.f
+              GROUP BY 1, 2),
+      hs AS (SELECT DISTINCT media_id, simhash FROM sim),
+      sizes AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_h FROM hs GROUP BY 1),
+      exc AS (SELECT media_id, simhash, unnest([0, 1, 2, 3]) AS ci FROM hs),
+      ex2 AS (SELECT media_id, simhash, ci, (simhash >> (ci * 16)) & 65535 AS cv FROM exc),
+      rawp AS (SELECT DISTINCT a.media_id AS id_a, a.simhash AS h_a,
+                      b.media_id AS id_b, b.simhash AS h_b
+               FROM ex2 a JOIN ex2 b
+                 ON a.ci = b.ci AND a.cv = b.cv AND a.media_id < b.media_id),
+      mp AS (SELECT id_a, h_a, id_b, h_b FROM rawp
+             WHERE bit_count(xor(h_a, h_b)) <= 3),
+      cov AS (SELECT id_a, id_b,
+                CAST(count(DISTINCT h_a) AS BIGINT) AS n_matched_a,
+                CAST(count(DISTINCT h_b) AS BIGINT) AS n_matched_b
+              FROM mp GROUP BY 1, 2),
+      scored AS (SELECT c.id_a, c.id_b, sa.n_h AS n_a, sb.n_h AS n_b,
+                   c.n_matched_a, c.n_matched_b,
+                   greatest(CAST(c.n_matched_a AS DOUBLE) / CAST(sa.n_h AS DOUBLE),
+                            CAST(c.n_matched_b AS DOUBLE) / CAST(sb.n_h AS DOUBLE)) AS containment
+                 FROM cov c JOIN sizes sa ON sa.media_id = c.id_a
+                            JOIN sizes sb ON sb.media_id = c.id_b)
+      SELECT id_a, id_b, n_a, n_b, n_matched_a, n_matched_b, containment
+      FROM scored WHERE containment >= 0.9 ORDER BY id_a, id_b
+    """),
+    // same fixture family as m7: correctness row only
     benchmark = false)
 
   /** T5 — TF-IDF-style salient terms: top-3 terms per doc by
@@ -7011,7 +7103,7 @@ object ExtQueries {
     s17AnnBudgeted, s18AnnSelfPairs, s19AnnBudgetRefine,
     s14AnnIndexIncremental, s7HardNegatives, x20CorpusReport,
     m1MediaMeta, m2FrameSample, m3VideoMeta, m4ImageDedup, m5AudioDedup,
-    m6VideoFrames, m7VideoDedup,
+    m6VideoFrames, m7VideoDedup, m8VideoDedupUnordered,
     c1Curation, c2CurationRecipe, c3Decontaminate, c4DecontaminateBloom,
     c7SemanticDecon, c8SemanticDeconIndexed, c9SemanticDeconCalibrated,
     c10EvalLeakReport, c11LexicalLeakReport,

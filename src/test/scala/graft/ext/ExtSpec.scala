@@ -833,4 +833,49 @@ class ExtSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("reserved"))
   }
+
+  test("videoNearDupPairsUnordered: a 1-frame-trimmed twin pairs at containment 1.0 in the unordered mode and NOT in the positional mode") {
+    import Multimodal.MediaRow
+    def dvid(frames: Array[Byte]*) =
+      aviBytes(12, 8, 24, "RGB ", frames.map("00db" -> _))
+    val (fa, fb, fc) = (maskFrame(1), maskFrame(2), maskFrame(3))
+    val rows = Seq(
+      MediaRow(20L, "video", dvid(fa, fb, fc)), // base
+      MediaRow(21L, "video", dvid(fb, fc)), // trimmed by its leading frame
+      MediaRow(22L, "video",
+        dvid(maskFrame(9), maskFrame(10), maskFrame(12))), // unrelated
+      MediaRow(23L, "video", "junk".getBytes("UTF-8"))) // sentinel
+    val frames = Multimodal.decodeVideoFrames(rows.toDS(), nFrames = 3)
+    // positional mode structurally misses the trim: every shared frame
+    // sits at a DIFFERENT position, so no position matches
+    val positional = Multimodal.videoNearDupPairs(frames, maxHamming = 0,
+      minShared = 1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!positional.contains((20L, 21L)),
+      s"positional mode must miss the trimmed twin: $positional")
+    // unordered mode: {fb, fc} fully contained in {fa, fb, fc}
+    val un = Multimodal.videoNearDupPairsUnordered(frames, maxHamming = 0,
+      minContainment = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    assert(un.keySet === Set((20L, 21L)),
+      s"only the trimmed twin must pair (no unrelated, no sentinel): $un")
+    val (na, nb, ma, mb, cont) = un((20L, 21L))
+    assert(na === 3L && nb === 2L && ma === 2L && mb === 2L && cont === 1.0)
+    // floodCap rides the same df-cap semantics: a hash shared corpus-wide
+    // is dropped BEFORE pairing, so the twin's containment is computed
+    // over informative hashes only
+    val intro = maskFrame(0xF0)
+    val rows2 = Seq(
+      MediaRow(30L, "video", dvid(intro, fa, fb)),
+      MediaRow(31L, "video", dvid(intro, fa, fb)), // full twin of 30
+      MediaRow(32L, "video", dvid(intro, maskFrame(5), maskFrame(6))),
+      MediaRow(33L, "video", dvid(intro, maskFrame(7), maskFrame(9))))
+    val fr2 = Multimodal.decodeVideoFrames(rows2.toDS(), nFrames = 3)
+    val capped = Multimodal.videoNearDupPairsUnordered(fr2, maxHamming = 0,
+      minContainment = 0.9, floodCap = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((30L, 31L)),
+      s"flood hash must not produce pairs nor rob the true twin: $capped")
+  }
 }

@@ -1158,14 +1158,6 @@ object ScaleStress {
     */
   private def stressAvi(seed: Long, mjpeg: Boolean): Array[Byte] = {
     val (w, h) = (32, 24)
-    def le32(v: Long): Array[Byte] = Array(
-      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-    def cc(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
-    def chunk(fc: String, d: Array[Byte]): Array[Byte] =
-      cc(fc) ++ le32(d.length.toLong) ++ d ++
-        (if (d.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
-    def list(lt: String, b: Array[Byte]): Array[Byte] = chunk("LIST", cc(lt) ++ b)
     def pix(x: Int, y: Int, f: Int): Int = {
       // full splitmix64 finalizer: inputs differing by an additive
       // constant (two seeds at the same pixel) must decorrelate, or the
@@ -1207,24 +1199,8 @@ object ScaleStress {
         }
         out
       }
-    val avih = chunk("avih",
-      le32(40000L) ++ le32(0L) ++ le32(0L) ++ le32(0L) ++ le32(3L) ++
-        le32(0L) ++ le32(1L) ++ le32(0L) ++ le32(w.toLong) ++ le32(h.toLong) ++
-        Array.fill(16)(0.toByte))
-    val strh = chunk("strh",
-      cc("vids") ++ cc(if (mjpeg) "MJPG" else "DIB ") ++
-        Array.fill(48)(0.toByte))
-    val strf = chunk("strf",
-      le32(40L) ++ le32(w.toLong) ++ le32(h.toLong) ++
-        Array[Byte](1, 0, 24, 0) ++
-        (if (mjpeg) cc("MJPG") else le32(0L)) ++
-        le32((w * 3 * h).toLong) ++ Array.fill(16)(0.toByte))
-    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
-    val tag = if (mjpeg) "00dc" else "00db"
-    val movi = list("movi",
-      (0 until 3).flatMap(f => chunk(tag, frame(f))).toArray)
-    val body = cc("AVI ") ++ hdrl ++ movi
-    cc("RIFF") ++ le32(body.length.toLong) ++ body
+    graft.ext.AviFixture.container(w, h, if (mjpeg) "MJPG" else "DIB ",
+      (0 until 3).map(frame))
   }
 
   /** Video frame-decode throughput + pairing cost — the measurement
@@ -1287,20 +1263,19 @@ object ScaleStress {
       .write.mode("overwrite").parquet(framesPath)
     val fr = spark.read.parquet(framesPath).as[Multimodal.VideoFrame]
     val nVideos = fr.select(col("media_id")).distinct().count()
+    // count() IS the timed action (full pairing executes either way), so
+    // the reported pair counts ride the timed runs instead of paying each
+    // expensive pairing job a third time
+    var nPos = 0L
     val posSec = timed2 {
-      Multimodal.videoNearDupPairs(fr, maxHamming = 3, minShared = 2,
-          floodCap = 8)
-        .write.format("noop").mode("overwrite").save()
+      nPos = Multimodal.videoNearDupPairs(fr, maxHamming = 3,
+        minShared = 2, floodCap = 8).count()
     }
+    var nUn = 0L
     val unSec = timed2 {
-      Multimodal.videoNearDupPairsUnordered(fr, maxHamming = 3,
-          minContainment = 0.9, floodCap = 8, bucketCap = 4096)
-        .write.format("noop").mode("overwrite").save()
+      nUn = Multimodal.videoNearDupPairsUnordered(fr, maxHamming = 3,
+        minContainment = 0.9, floodCap = 8, bucketCap = 4096).count()
     }
-    val nPos = Multimodal.videoNearDupPairs(fr, maxHamming = 3,
-      minShared = 2, floodCap = 8).count()
-    val nUn = Multimodal.videoNearDupPairsUnordered(fr, maxHamming = 3,
-      minContainment = 0.9, floodCap = 8, bucketCap = 4096).count()
     println(f"""{"videopair":1,"scale":$factor,"n_videos":$nVideos,"positional_sec":$posSec%.2f,"unordered_sec":$unSec%.2f,"positional_pairs":$nPos,"unordered_pairs":$nUn}""")
   }
 

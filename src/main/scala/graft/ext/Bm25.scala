@@ -114,6 +114,16 @@ object Bm25 {
     * Caller contract: `docs` must not contain already-indexed ids (their
     * postings would double-count) — guard a re-deliverable feed with an
     * anti-join against [[knownIds]], the DedupIndex idiom.
+    *
+    * Crash safety (the [[DedupIndex.commitIncrement]] append-order
+    * contract): postings land BEFORE doclen, and doclen is the
+    * membership table [[knownIds]] guards on — a crash between the two
+    * appends leaves residue postings for docs the replayed batch (which
+    * passes the guard) re-appends. [[searchIndex]] neutralizes exact
+    * residue by construction (distinct-doc df, max-collapsed per-doc
+    * term scores), so replay is at-least-once with unchanged scores —
+    * never a silently half-indexed doc (the order doclen-first would
+    * create exactly that).
     */
   def append(store: TableStore, name: String, docs: DataFrame,
       idCol: String, textCol: String): Unit = {
@@ -620,8 +630,18 @@ object Bm25 {
     val postings = store.read(s"${name}_postings")
       .filter(col("term").isInCollection(active))
       .select(col(idCol), col("term"), col("tcnt").cast("double").as("tcnt"))
-    // global df from the filtered rows themselves (term-filter preserves it)
-    val df_ = postings.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    // global df from the filtered rows themselves (term-filter preserves
+    // it) — DISTINCT docs, not rows: an [[append]] that crashed between
+    // its postings append and its doclen append leaves residue postings
+    // for docs the knownIds guard (doclen-based) still admits, so the
+    // replayed batch re-appends identical (id, term, tcnt) rows. Search
+    // neutralizes that residue by construction: df counts distinct docs
+    // here, and the per-doc term scores below collapse duplicates through
+    // max(when(term, tscore)) — at-least-once, never a double-counted
+    // score (the [[graft.ext.DedupIndex.commitIncrement]] crash contract,
+    // probe-side distinct transposed).
+    val df_ = postings.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).cast("double").as("df"))
     val lens = store.read(s"${name}_doclen")
       .select(col(idCol), col("dlen").cast("double").as("dlen"))
     val stats = store.read(s"${name}_stats")

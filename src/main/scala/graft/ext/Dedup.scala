@@ -640,12 +640,22 @@ object Dedup {
     * hashes and [[simhashPairs]]' distinct-on-hamming output would
     * collapse distinct matched hash pairs that happen to share a Hamming
     * distance. With one sketch per id the two are the same pairing.
+    *
+    * `bucketCap` here DROPS over-cap pigeonhole buckets instead of
+    * star-pairing them, deliberately: downstream consumers COUNT matched
+    * hashes per pair, and a star's (rep, member) rows would corrupt the
+    * count exactly as the m7 floodCap rationale argues — worse, with
+    * many sketches per id the star rep's carried hash is one arbitrary
+    * row of the rep (dropDuplicates), making the output nondeterministic.
+    * The completeness trade is d4's, stated: a pair whose ONLY agreeing
+    * chunk sits in a hot bucket is lost — size the cap above legitimate
+    * duplicate-group × sketches-per-entity, or leave it unbounded.
     */
   def simhashMatchPairs(sh: DataFrame, idCol: String, maxHamming: Int = 3,
       bucketCap: Int = Int.MaxValue,
       scopeCols: Seq[String] = Nil): DataFrame = {
     require(maxHamming < 4, "4-chunk pigeonhole covers Hamming <= 3")
-    simhashCandidatePairs(sh, idCol, bucketCap, scopeCols)
+    simhashCandidatePairs(sh, idCol, bucketCap, scopeCols, dropHot = true)
       .select(Seq(col("id_a"), col("id_b")) ++ scopeCols.map(col) ++
         Seq(col("sh_a"), col("sh_b")): _*)
       .distinct()
@@ -657,10 +667,14 @@ object Dedup {
   /** The shared candidate core of [[simhashPairs]] /
     * [[simhashMatchPairs]]: the Manku 4×16-bit pigeonhole bucket join
     * (scoped, hot-bucket-capped), emitting (id_a, id_b, scope…, sh_a,
-    * sh_b) BEFORE the Hamming filter.
+    * sh_b) BEFORE the Hamming filter. `dropHot = false` star-pairs
+    * over-cap buckets (the d4 connected-components contract — ONE hash
+    * per id); `dropHot = true` drops them (the match-pair counting
+    * contract — see [[simhashMatchPairs]]).
     */
   private def simhashCandidatePairs(sh: DataFrame, idCol: String,
-      bucketCap: Int, scopeCols: Seq[String]): DataFrame = {
+      bucketCap: Int, scopeCols: Seq[String],
+      dropHot: Boolean = false): DataFrame = {
     // fail fast on scope names the pairing plan reserves — a collision
     // would otherwise surface as an opaque ambiguous-reference
     // AnalysisException deep in the executed plan
@@ -677,8 +691,17 @@ object Dedup {
     val keep = (col(idCol) +: scopeCols.map(col)) :+ col("simhash")
     val ex = shS.select(keep :+ explode(array(chunks: _*)).as("c"): _*)
       .select(keep :+ col("c.ci") :+ col("c.cv"): _*)
-    cappedPairs(ex, idCol, scopeCols ++ Seq("ci", "cv"), bucketCap,
-      Seq("simhash" -> ("sh_a", "sh_b")), emitKeys = scopeCols)
+    val keys = scopeCols ++ Seq("ci", "cv")
+    if (dropHot && bucketCap != Int.MaxValue) {
+      val hot = ex.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("_sz")).filter(col("_sz") > bucketCap)
+        .select(keys.map(col): _*)
+      cappedPairs(ex.join(hot, keys, "left_anti"), idCol, keys,
+        Int.MaxValue, Seq("simhash" -> ("sh_a", "sh_b")),
+        emitKeys = scopeCols)
+    } else
+      cappedPairs(ex, idCol, keys, bucketCap,
+        Seq("simhash" -> ("sh_a", "sh_b")), emitKeys = scopeCols)
   }
 
   /** Corpus-overlap audit: estimated shingle-set Jaccard between every pair

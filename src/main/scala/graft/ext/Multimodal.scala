@@ -653,9 +653,11 @@ object Multimodal {
     * original), and `floodCap` matters more — a hash shared corpus-wide
     * (flat intro card) pairs across ALL positions here, so the over-cap
     * DROP (same df-cap semantics and rationale as the positional mode)
-    * is the scale guard; `bucketCap` bounds hot 16-bit chunk buckets
-    * underneath exactly as in d4. Output: (id_a, id_b, n_a, n_b,
-    * n_matched_a, n_matched_b, containment).
+    * is the scale guard; `bucketCap` DROPS hot 16-bit chunk buckets
+    * underneath (the match-pair counting contract — star pairs would
+    * corrupt the per-pair counts, see [[Dedup.simhashMatchPairs]]).
+    * Output: (id_a, id_b, n_a, n_b, n_matched_a, n_matched_b,
+    * containment).
     */
   def videoNearDupPairsUnordered(frames: Dataset[VideoFrame],
       maxHamming: Int = 3, minContainment: Double = 0.75,

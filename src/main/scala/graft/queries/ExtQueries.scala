@@ -1315,14 +1315,6 @@ object ExtQueries {
     */
   private def m7Avi(sid: Long, variant: Int): Array[Byte] = {
     val (w, h) = (32, 24)
-    def le32(v: Long): Array[Byte] = Array(
-      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-    def cc(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
-    def chunk(fc: String, d: Array[Byte]): Array[Byte] =
-      cc(fc) ++ le32(d.length.toLong) ++ d ++
-        (if (d.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
-    def list(lt: String, b: Array[Byte]): Array[Byte] = chunk("LIST", cc(lt) ++ b)
     // coefficients big enough that the mod-256 wrap flips comparisons
     // differently per sid: tame m4-style gradients make most videos hash
     // IDENTICALLY (the dhash sees only neighbor comparisons), and a
@@ -1349,24 +1341,12 @@ object ExtQueries {
       }
       out
     }
-    val avih = chunk("avih",
-      le32(40000L) ++ le32(0L) ++ le32(0L) ++ le32(0L) ++ le32(3L) ++
-        le32(0L) ++ le32(1L) ++ le32(0L) ++ le32(w.toLong) ++ le32(h.toLong) ++
-        Array.fill(16)(0.toByte))
-    val strh = chunk("strh", cc("vids") ++ cc("DIB ") ++ Array.fill(48)(0.toByte))
-    val strf = chunk("strf",
-      le32(40L) ++ le32(w.toLong) ++ le32(h.toLong) ++
-        Array[Byte](1, 0, 24, 0) ++ le32(0L) ++ le32((w * 3 * h).toLong) ++
-        Array.fill(16)(0.toByte))
-    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
     // variant 3 trims the leading frame: the container holds the BASE
     // formula's frames 1 and 2 (frame() takes the content index f, so
     // the trimmed twin's bytes are bit-identical to the base's at a
     // shifted position)
     val frameIdxs = if (variant == 3) Seq(1, 2) else Seq(0, 1, 2)
-    val movi = list("movi", frameIdxs.flatMap(f => chunk("00db", frame(f))).toArray)
-    val body = cc("AVI ") ++ hdrl ++ movi
-    cc("RIFF") ++ le32(body.length.toLong) ++ body
+    graft.ext.AviFixture.container(w, h, "DIB ", frameIdxs.map(frame))
   }
 
   /** M7 — video near-dup dedup ([[Multimodal.decodeVideoFrames]] →

@@ -129,6 +129,37 @@ class Bm25Spec extends SparkSpec {
     assert(Bm25.maintainIfNeeded(store, "bm", maxFiles = 64).isEmpty)
   }
 
+  test("crash residue: a postings append whose doclen half never landed is neutralized on replay — scores equal the clean union rebuild") {
+    val store = new graft.tables.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_bmres").toString)
+    val base = Seq(
+      (1L, "spark table merge table"),
+      (2L, "merge spark spark"),
+      (3L, "table table table noise")).toDF("doc_id", "text")
+    val inc = Seq(
+      (4L, "spark merge table words here"),
+      (5L, "unrelated text entirely")).toDF("doc_id", "text")
+    Bm25.buildIndex(store, "rs", base, "doc_id", "text")
+    // simulate append() dying between its two appends: the increment's
+    // postings rows land, doclen never does — the docs stay absent from
+    // knownIds, so a re-delivery guard admits the replayed batch
+    val toks = graft.ext.TextAnalysis.wsTokens(col("text"))
+    store.append("rs_postings",
+      inc.select(col("doc_id"), explode(toks).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tcnt")))
+    assert(Bm25.knownIds(store, "rs", "doc_id").as[Long].collect().toSet ===
+      Set(1L, 2L, 3L), "half-applied docs must not enter membership")
+    // the replay: a full append of the same batch (at-least-once)
+    Bm25.append(store, "rs", inc, "doc_id", "text")
+    Bm25.buildIndex(store, "rs_clean", base.unionByName(inc),
+      "doc_id", "text")
+    def res(n: String) = Bm25.searchIndex(store, n, "doc_id",
+        Seq("spark", "table"), topK = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    assert(res("rs") === res("rs_clean"),
+      "residue postings must not move df or any score")
+  }
+
   test("append stages a scratch table ONLY when a sketch or witness will fold — the default path appends its plain plan") {
     val store = new graft.tables.TableStore(spark,
       java.nio.file.Files.createTempDirectory("graft_bmns").toString)

@@ -878,4 +878,30 @@ class ExtSpec extends SparkSpec {
     assert(capped === Set((30L, 31L)),
       s"flood hash must not produce pairs nor rob the true twin: $capped")
   }
+
+  test("simhashMatchPairs bucketCap DROPS hot chunk buckets (no star pairs): counts stay exact and deterministic, pairs outside the flood survive") {
+    // flood family: 10 sketches sharing chunks 0/2/3 (buckets of 10),
+    // distinct chunk 1 (singletons) — under cap 4 every agreeing bucket
+    // is hot, so the family must emit NOTHING (a star path would emit
+    // rep pairs with arbitrary carried hashes)
+    val flood = (1L to 10L).map(i => (i, (i << 16) | 0x42L))
+    // genuine twin outside the flood: all four buckets of size 2
+    val twin = Seq((20L, 0x7B3A9C4D5E6F1122L), (21L, 0x7B3A9C4D5E6F1122L))
+    val sh = (flood ++ twin).toDF("media_id", "simhash")
+    val capped = Dedup.simhashMatchPairs(sh, "media_id", maxHamming = 3,
+      bucketCap = 4)
+    val got = capped.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === Set((20L, 21L, 0x7B3A9C4D5E6F1122L, 0x7B3A9C4D5E6F1122L)),
+      s"hot buckets must drop, the small-bucket twin must survive: $got")
+    // deterministic: a second execution returns the identical set
+    assert(capped.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet === got)
+    // uncapped control: the flood family DOES pair (hamming via chunk-1
+    // diffs <= 3), proving the cap (not the fixture) removed them
+    val loose = Dedup.simhashMatchPairs(sh, "media_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose.contains((1L, 2L)) && loose.contains((20L, 21L)))
+  }
 }

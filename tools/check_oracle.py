@@ -17,8 +17,12 @@ args = sys.argv[1:]
 json_out = None
 if "--json" in args:
     i = args.index("--json")
+    if i + 1 >= len(args):
+        sys.exit("usage: check_oracle.py <verify_out_dir> <sf_dir> [--json <path>]")
     json_out = args[i + 1]
     args = args[:i] + args[i + 2:]
+if len(args) < 2:
+    sys.exit("usage: check_oracle.py <verify_out_dir> <sf_dir> [--json <path>]")
 out_dir, sf_dir = args[0], args[1]
 if not os.path.exists(os.path.join(out_dir, "oracle_sql.json")):
     out_dir, sf_dir = sf_dir, out_dir  # accept either arg order

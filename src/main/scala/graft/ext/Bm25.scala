@@ -334,7 +334,15 @@ object Bm25 {
   /** The hot-term sketch bounding [[capIfUnhealthy]]'s routine poll —
     * [[HotKeySketch]] over the postings table's term occurrences (one
     * per (doc, term) row, so the hottest key's count IS the hottest df),
-    * fingerprinted on the postings listing. Same contract as the
+    * fingerprinted on the postings listing. Counting note: the whole
+    * clapper system — [[health]]'s metric, this sketch, and the witness
+    * — counts ROWS, deliberately, even though [[searchIndex]] scores
+    * with DISTINCT-doc df: crash residue (see [[append]]) can duplicate
+    * rows, and a row count is then a conservative ≥ of the scoring df —
+    * the one-sided contracts (sketch ≥ metric ≥ witness) hold because
+    * all three count the SAME thing; mixing a distinct-doc metric with
+    * a row-counted witness would let the witness overstate it. Same
+    * contract as the
     * DedupIndex twin: a sketch that missed any mutation reads as absent
     * (undercount impossible), exact asks re-baseline it, an index
     * nobody polls never carries one.

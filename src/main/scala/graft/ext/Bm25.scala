@@ -127,37 +127,40 @@ object Bm25 {
     */
   def append(store: TableStore, name: String, docs: DataFrame,
       idCol: String, textCol: String): Unit = {
-    // The Scratch staging below exists ONLY for the clapper's sketch /
-    // witness fold, so it is gated on one existing — a never-polled
-    // index appends its plain plan and pays no extra materialization
-    // of the grouped postings (the r19 honest-cost note).
     val needFold =
       store.exists(dfSketchT(name)) || store.exists(dfWitnessT(name))
     val fpBefore = if (needFold) postingsFp(store, name) else ""
     val toks = TextAnalysis.wsTokens(col(textCol))
-    val newPostings = docs.select(col(idCol), explode(toks).as("term"))
+    // ONE evaluation of the caller's frame, snapshotted (the
+    // [[DedupIndex.probeIncrement]] idiom): the postings half, the
+    // doclen half, AND the sketch fold must all see the SAME pick of an
+    // input that need not be deterministic under re-evaluation (a
+    // limit() batch, a shuffling source). Without the snapshot the
+    // doclen leg re-evaluates `docs`, and a doc present only in the
+    // second pick enters membership with ZERO postings rows —
+    // permanently unsearchable, with the knownIds guard blocking its
+    // replay: exactly the half-indexed state the append-order contract
+    // exists to prevent (row-level residue in the other direction is
+    // search-neutralized; a membership row without postings cannot be).
+    // The snapshot is also the single tokenize pass, and it REPLACES
+    // the grouped-postings staging the fold alone used to pay.
+    val staged = Scratch.stage(
+      docs.select(col(idCol), toks.as("_toks")), s"${name}_app_toks")
+    val newPostings = staged
+      .select(col(idCol), explode(col("_toks")).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tcnt"))
-    // staged ONCE when folding (the [[DedupIndex.probeIncrement]]
-    // idiom): the append and the sketch fold below must see the SAME
-    // rows, and the caller's frame need not be deterministic under
-    // re-evaluation (a limit() batch, a shuffling source) — folding
-    // from a re-run of the plan could undercount the sketch while its
-    // fingerprint reads fresh, the one direction the bound must never
-    // err. Staging also makes the tokenize a single pass.
-    val appended =
-      if (needFold) Scratch.stage(newPostings, s"${name}_app_postings")
-      else newPostings
-    store.append(s"${name}_postings", appended)
+    store.append(s"${name}_postings", newPostings)
     store.append(s"${name}_doclen",
-      docs.select(col(idCol), size(toks).cast("long").as("dlen")))
+      staged.select(col(idCol), size(col("_toks")).cast("long").as("dlen")))
     writeStats(store, name)
     if (needFold) {
-      // O(batch) hot-term sketch + witness fold in ONE pass over the
-      // staged rows ([[HotKeySketch.foldAll]]) — crash-safe through the
-      // fingerprint, not ordering.
+      // O(batch) hot-term sketch + witness fold in ONE pass
+      // ([[HotKeySketch.foldAll]]) — `newPostings` is a deterministic
+      // plan over the immutable snapshot, so the fold sees exactly the
+      // appended rows; crash-safe through the fingerprint, not ordering.
       val fpAfter = postingsFp(store, name)
       HotKeySketch.foldAll(store, dfSketchT(name), dfWitnessT(name),
-        appended.select(col("term").as("k")), fpBefore, fpAfter)
+        newPostings.select(col("term").as("k")), fpBefore, fpAfter)
     }
   }
 
@@ -341,8 +344,10 @@ object Bm25 {
     * rows, and a row count is then a conservative ≥ of the scoring df —
     * the one-sided contracts (sketch ≥ metric ≥ witness) hold because
     * all three count the SAME thing; mixing a distinct-doc metric with
-    * a row-counted witness would let the witness overstate it. Same
-    * contract as the
+    * a row-counted witness would let the witness overstate it. The one
+    * artifact that must match the SCORING definition instead — the
+    * materialized stop list — is derived distinct-counted at the ring
+    * (see [[capIfUnhealthy]]). Same contract as the
     * DedupIndex twin: a sketch that missed any mutation reads as absent
     * (undercount impossible), exact asks re-baseline it, an index
     * nobody polls never carries one.
@@ -549,8 +554,17 @@ object Bm25 {
             CapDecision(triggered = false, hot, hotTermBudget,
               prev.map(_._1), 0L)
         } else {
-          val stop = store.read(s"${name}_postings")
-            .groupBy(col("term")).agg(count(lit(1)).as("df"))
+          val posts = store.read(s"${name}_postings")
+          val idc = posts.columns.filterNot(Set("term", "tcnt")).head
+          // the LIST prunes by DISTINCT-doc df — the quantity its
+          // consumer scores and explicitly caps on ([[searchIndex]]) —
+          // so the stored≡explicit equivalence holds even over crash
+          // residue rows, which a row count would double. The RING
+          // above stays row-counted (with the sketch and witness — see
+          // the counting note on [[writeDfSketch]]); a residue-only
+          // ring just materializes a shorter (possibly empty) list.
+          val stop = posts.groupBy(col("term"))
+            .agg(countDistinct(col(idc)).as("df"))
             .filter(col("df") >= hotTermBudget)
           // stop list FIRST, policy row LAST: a crash between the two
           // leaves an orphaned stop list that [[storedStopTerms]]'s

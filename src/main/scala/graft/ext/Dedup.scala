@@ -625,6 +625,7 @@ object Dedup {
       bucketCap: Int = Int.MaxValue,
       scopeCols: Seq[String] = Nil): DataFrame = {
     require(maxHamming < 4, "4-chunk pigeonhole covers Hamming <= 3")
+    require(bucketCap >= 1, s"bucketCap must be >= 1, got $bucketCap")
     simhashCandidatePairs(sh, idCol, bucketCap, scopeCols)
       .select(Seq(col("id_a"), col("id_b")) ++ scopeCols.map(col) :+
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"): _*)
@@ -655,6 +656,9 @@ object Dedup {
       bucketCap: Int = Int.MaxValue,
       scopeCols: Seq[String] = Nil): DataFrame = {
     require(maxHamming < 4, "4-chunk pigeonhole covers Hamming <= 3")
+    // >= 1: under drop semantics a 0 cap would silently classify EVERY
+    // bucket hot and return an empty pair set (0 is not a sentinel here)
+    require(bucketCap >= 1, s"bucketCap must be >= 1, got $bucketCap")
     simhashCandidatePairs(sh, idCol, bucketCap, scopeCols, dropHot = true)
       .select(Seq(col("id_a"), col("id_b")) ++ scopeCols.map(col) ++
         Seq(col("sh_a"), col("sh_b")): _*)

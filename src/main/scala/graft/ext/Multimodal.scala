@@ -609,9 +609,15 @@ object Multimodal {
       minShared: Int = 2, floodCap: Int = Int.MaxValue): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(floodCap >= 1, s"floodCap must be >= 1, got $floodCap")
-    val sh = frames.toDF()
+    // snapshot the hash rows (three longs per frame): the flood
+    // aggregate, its anti-join, and both sides of the pigeonhole
+    // self-join each re-evaluate their input, and `frames` is
+    // canonically the full blob-decode plan — without the stage the
+    // most expensive CPU stage runs once per sink
+    val sh = graft.tables.Scratch.stage(frames.toDF()
       .filter(col("frame_idx") >= 0)
-      .select(col("media_id"), col("frame_idx"), col("dhash").as("simhash"))
+      .select(col("media_id"), col("frame_idx"), col("dhash").as("simhash")),
+      "videodedup_sh")
     val kept =
       if (floodCap == Int.MaxValue) sh
       else {
@@ -666,10 +672,15 @@ object Multimodal {
     require(minContainment > 0 && minContainment <= 1,
       s"minContainment must be in (0, 1], got $minContainment")
     require(floodCap >= 1, s"floodCap must be >= 1, got $floodCap")
-    val hs = frames.toDF()
+    require(bucketCap >= 1, s"bucketCap must be >= 1, got $bucketCap")
+    // snapshot (two longs per distinct frame hash) — same rationale as
+    // the positional mode: flood agg + anti-join + sizes + both
+    // self-join sides must not each re-run the blob decode upstream
+    val hs = graft.tables.Scratch.stage(frames.toDF()
       .filter(col("frame_idx") >= 0)
       .select(col("media_id"), col("dhash").as("simhash"))
-      .distinct() // set semantics: repeated identical frames count once
+      .distinct(), // set semantics: repeated identical frames count once
+      "videodedup_hs")
     val kept =
       if (floodCap == Int.MaxValue) hs
       else {

@@ -158,9 +158,25 @@ class Bm25Spec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
     assert(res("rs") === res("rs_clean"),
       "residue postings must not move df or any score")
+    // stored-policy ≡ explicit-cap equivalence holds over the residue
+    // too: the ring metric is row-counted (spark/table/merge carry 4
+    // rows each from the duplicated increment), but the materialized
+    // stop list prunes by DISTINCT-doc df (3 < 4 for every term), so
+    // the stored path prunes nothing the explicit reference keeps
+    val ring = Bm25.capIfUnhealthy(store, "rs", hotTermBudget = 4)
+    assert(ring.triggered && ring.hotTermRows === 4L,
+      s"row-counted metric must ring at the 4-row residue df: $ring")
+    assert(ring.nStopTerms === 0L,
+      "the distinct-df stop list must stay empty below the budget")
+    def resCap(cap: Long) = Bm25.searchIndex(store, "rs", "doc_id",
+        Seq("spark", "table"), topK = 5, termDfCap = cap)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    assert(resCap(0L) === resCap(4L),
+      "stored policy and explicit cap must agree over residue")
+    assert(resCap(0L) === res("rs_clean"))
   }
 
-  test("append stages a scratch table ONLY when a sketch or witness will fold — the default path appends its plain plan") {
+  test("append snapshots the tokenized increment exactly ONCE — the caller's frame is evaluated a single time, and the fold adds no second stage") {
     val store = new graft.tables.TableStore(spark,
       java.nio.file.Files.createTempDirectory("graft_bmns").toString)
     def gens(prefix: String): Int = {
@@ -172,21 +188,31 @@ class Bm25Spec extends SparkSpec {
     Bm25.buildIndex(store, "nsc",
       Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text"),
       "doc_id", "text")
-    val before = gens("nsc_app_postings_g")
-    Bm25.append(store, "nsc",
-      Seq((3L, "delta beta")).toDF("doc_id", "text"), "doc_id", "text")
-    assert(gens("nsc_app_postings_g") === before,
-      "a fold-free append must not materialize a scratch stage")
-    // the first poll lazily builds the sketch; the next append must then
-    // stage (same-rows invariant for the fold) — exactly one generation
+    // ONE evaluation of the caller's frame per append — the membership
+    // half must commit the same pick as the postings half, so a
+    // nondeterministic input cannot half-index a doc. Pinned with a
+    // partition-visit accumulator: any second evaluation shows up.
+    val acc = spark.sparkContext.longAccumulator("bm25_append_evals")
+    val counted = spark.createDataset(Seq((3L, "delta beta"))).coalesce(1)
+      .mapPartitions { it => acc.add(1L); it }.toDF("doc_id", "text")
+    val t0 = gens("nsc_app_toks_g")
+    Bm25.append(store, "nsc", counted, "doc_id", "text")
+    assert(acc.value === 1L,
+      s"append must evaluate the caller's frame exactly once, saw ${acc.value}")
+    assert(gens("nsc_app_toks_g") === t0 + 1, "one snapshot per append")
+    assert(gens("nsc_app_postings_g") === 0,
+      "the fold's old grouped-postings stage is gone")
+    // the first poll lazily builds the sketch; a folding append rides
+    // the SAME single snapshot — still no second stage
     val calm = Bm25.capIfUnhealthy(store, "nsc", hotTermBudget = 1000)
     assert(!calm.triggered)
     Bm25.append(store, "nsc",
       Seq((4L, "eps beta")).toDF("doc_id", "text"), "doc_id", "text")
-    assert(gens("nsc_app_postings_g") === before + 1,
-      "a folding append stages exactly once")
+    assert(gens("nsc_app_toks_g") === t0 + 2,
+      "a folding append snapshots exactly once too")
+    assert(gens("nsc_app_postings_g") === 0)
     assert(Bm25.dfUpperBound(store, "nsc").exists(_ >= 4L),
-      "the fold must have seen the staged rows (sketch stays fresh)")
+      "the fold must have seen the snapshotted rows (sketch stays fresh)")
   }
 
   test("capIfUnhealthy: hot term rings and persists the df-cap + stop list, searches resolve it pre-scan, rearm guard declines until measurably worse, rearmFactor=0 escapes") {

@@ -146,9 +146,16 @@ object Bm25 {
     // the grouped-postings staging the fold alone used to pay.
     val staged = Scratch.stage(
       docs.select(col(idCol), toks.as("_toks")), s"${name}_app_toks")
-    val newPostings = staged
+    val grouped = staged
       .select(col(idCol), explode(col("_toks")).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tcnt"))
+    // the folding path stages the GROUPED rows too (small — one row per
+    // (doc, term)), so the fold below reads them back instead of paying
+    // the explode+aggregate a second time; both stages are immutable
+    // snapshots, so every leg still sees the same pick
+    val newPostings =
+      if (needFold) Scratch.stage(grouped, s"${name}_app_postings")
+      else grouped
     store.append(s"${name}_postings", newPostings)
     store.append(s"${name}_doclen",
       staged.select(col(idCol), size(col("_toks")).cast("long").as("dlen")))
@@ -334,6 +341,10 @@ object Bm25 {
   private def dfSketchT(name: String) = s"${name}_df_sketch"
   private def dfWitnessT(name: String) = s"${name}_df_witness"
 
+  /** The sketch-fold freshness key: the postings listing fingerprint. */
+  private def postingsFp(store: TableStore, name: String): String =
+    graft.tables.Compact.listingFingerprint(store, s"${name}_postings")._1
+
   /** The hot-term sketch bounding [[capIfUnhealthy]]'s routine poll —
     * [[HotKeySketch]] over the postings table's term occurrences (one
     * per (doc, term) row, so the hottest key's count IS the hottest df),
@@ -344,7 +355,8 @@ object Bm25 {
     * rows, and a row count is then a conservative ≥ of the scoring df —
     * the one-sided contracts (sketch ≥ metric ≥ witness) hold because
     * all three count the SAME thing; mixing a distinct-doc metric with
-    * a row-counted witness would let the witness overstate it. The one
+    * a row-counted witness would let the witness overstate it (a future
+    * switch of the metric must move the witness fold with it). The one
     * artifact that must match the SCORING definition instead — the
     * materialized stop list — is derived distinct-counted at the ring
     * (see [[capIfUnhealthy]]). Same contract as the
@@ -352,9 +364,6 @@ object Bm25 {
     * (undercount impossible), exact asks re-baseline it, an index
     * nobody polls never carries one.
     */
-  private def postingsFp(store: TableStore, name: String): String =
-    graft.tables.Compact.listingFingerprint(store, s"${name}_postings")._1
-
   private def writeDfSketch(store: TableStore, name: String): Unit =
     HotKeySketch.rebuild(store, dfSketchT(name),
       store.read(s"${name}_postings").select(col("term").as("k")),
@@ -555,7 +564,15 @@ object Bm25 {
               prev.map(_._1), 0L)
         } else {
           val posts = store.read(s"${name}_postings")
-          val idc = posts.columns.filterNot(Set("term", "tcnt")).head
+          // the id column is whatever the caller named it at build time;
+          // the stored schema is exactly [idCol, term, tcnt], and any
+          // drift (a mergeSchema append widening the table) must fail
+          // HERE, loudly — not silently countDistinct the wrong column
+          val rest = posts.columns.filterNot(Set("term", "tcnt"))
+          require(rest.length == 1,
+            s"postings schema drifted — expected [id, term, tcnt], " +
+              s"found non-standard columns: ${posts.columns.toSeq}")
+          val idc = rest.head
           // the LIST prunes by DISTINCT-doc df — the quantity its
           // consumer scores and explicitly caps on ([[searchIndex]]) —
           // so the stored≡explicit equivalence holds even over crash

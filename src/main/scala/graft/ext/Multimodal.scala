@@ -604,6 +604,13 @@ object Multimodal {
     * surviving count exact over informative frames; a pair must then
     * share `minShared` NON-flood positions, which is the near-dup
     * question anyway.
+    *
+    * Materialization note: the call EAGERLY snapshots the frame hashes
+    * through [[graft.tables.Scratch]] (the decode plan must not re-run
+    * per sink), so the returned frame reads that snapshot and inherits
+    * Scratch's documented lifetime: consume it before `keepLast`
+    * (default 16) further pairing calls, or raise
+    * `graft.scratch.keepLast` for wider lazy fan-outs.
     */
   def videoNearDupPairs(frames: Dataset[VideoFrame], maxHamming: Int = 3,
       minShared: Int = 2, floodCap: Int = Int.MaxValue): DataFrame = {
@@ -663,7 +670,8 @@ object Multimodal {
     * underneath (the match-pair counting contract — star pairs would
     * corrupt the per-pair counts, see [[Dedup.simhashMatchPairs]]).
     * Output: (id_a, id_b, n_a, n_b, n_matched_a, n_matched_b,
-    * containment).
+    * containment). Same eager-snapshot + Scratch-lifetime note as
+    * [[videoNearDupPairs]].
     */
   def videoNearDupPairsUnordered(frames: Dataset[VideoFrame],
       maxHamming: Int = 3, minContainment: Double = 0.75,
@@ -672,7 +680,8 @@ object Multimodal {
     require(minContainment > 0 && minContainment <= 1,
       s"minContainment must be in (0, 1], got $minContainment")
     require(floodCap >= 1, s"floodCap must be >= 1, got $floodCap")
-    require(bucketCap >= 1, s"bucketCap must be >= 1, got $bucketCap")
+    // bucketCap >= 1 is validated by simhashMatchPairs (the ONE owner of
+    // the drop-semantics rule), before any action runs in this call
     // snapshot (two longs per distinct frame hash) — same rationale as
     // the positional mode: flood agg + anti-join + sizes + both
     // self-join sides must not each re-run the blob decode upstream

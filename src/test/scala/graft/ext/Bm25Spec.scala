@@ -203,14 +203,16 @@ class Bm25Spec extends SparkSpec {
     assert(gens("nsc_app_postings_g") === 0,
       "the fold's old grouped-postings stage is gone")
     // the first poll lazily builds the sketch; a folding append rides
-    // the SAME single snapshot — still no second stage
+    // the SAME token snapshot and additionally stages the small grouped
+    // rows once, so the fold re-reads them instead of re-aggregating
     val calm = Bm25.capIfUnhealthy(store, "nsc", hotTermBudget = 1000)
     assert(!calm.triggered)
     Bm25.append(store, "nsc",
       Seq((4L, "eps beta")).toDF("doc_id", "text"), "doc_id", "text")
     assert(gens("nsc_app_toks_g") === t0 + 2,
-      "a folding append snapshots exactly once too")
-    assert(gens("nsc_app_postings_g") === 0)
+      "a folding append snapshots the tokens exactly once too")
+    assert(gens("nsc_app_postings_g") === 1,
+      "only the folding append stages the grouped rows")
     assert(Bm25.dfUpperBound(store, "nsc").exists(_ >= 4L),
       "the fold must have seen the snapshotted rows (sketch stays fresh)")
   }

@@ -668,6 +668,75 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Unordered tolerant-SET containment pairing over (entity, sketch)
+    * rows — the shared core behind
+    * [[Multimodal.videoNearDupPairsUnordered]] (per-frame dHashes) and
+    * [[Multimodal.audioNearDupPairsUnordered]] (per-window energy
+    * hashes), and directly usable for any entity carrying a SET of
+    * 64-bit Hamming-proximity sketches. Input: `rows` with `idCol` and a
+    * `simhash` column (one row per (entity, sketch) occurrence —
+    * duplicates collapse here, set semantics). Two sketches match within
+    * `maxHamming` through the [[simhashMatchPairs]] pigeonhole (no
+    * all-pairs comparison), and a pair survives when the matched
+    * fraction of EITHER side's set reaches `minContainment`:
+    *
+    *   `containment = greatest(m_a / n_a, m_b / n_b)`
+    *
+    * — under exact matching exactly the [[containmentPairs]] coefficient
+    * |A∩B| / min(|A|, |B|), so SUBSET duplication (a trimmed twin fully
+    * contained in its source) scores 1.0 while its Jaccard is
+    * arbitrarily poor. `floodCap` DROPS sketches shared by more than
+    * floodCap entities before pairing (df-cap semantics — a corpus-wide
+    * boilerplate sketch pairs everything with everything here);
+    * `bucketCap` DROPS hot pigeonhole buckets underneath
+    * ([[simhashMatchPairs]]'s counting contract). Output: (id_a, id_b,
+    * n_a, n_b, n_matched_a, n_matched_b, containment).
+    *
+    * Materialization: the call EAGERLY snapshots the distinct rows
+    * through [[graft.tables.Scratch]] (the flood aggregate, its
+    * anti-join, the sizes aggregate, and both self-join sides must not
+    * each re-run a potentially expensive upstream — a blob decode,
+    * canonically), so the returned frame inherits Scratch's lifetime:
+    * consume it before `keepLast` (default 16) further calls, or raise
+    * `graft.scratch.keepLast`.
+    */
+  def sketchSetPairs(rows: DataFrame, idCol: String, maxHamming: Int = 3,
+      minContainment: Double = 0.75, floodCap: Int = Int.MaxValue,
+      bucketCap: Int = Int.MaxValue): DataFrame = {
+    require(minContainment > 0 && minContainment <= 1,
+      s"minContainment must be in (0, 1], got $minContainment")
+    require(floodCap >= 1, s"floodCap must be >= 1, got $floodCap")
+    // bucketCap >= 1 is validated by simhashMatchPairs (the ONE owner
+    // of the drop-semantics rule), before any action runs in this call
+    val hs = graft.tables.Scratch.stage(
+      rows.select(col(idCol), col("simhash")).distinct(), "sketchset_hs")
+    val kept =
+      if (floodCap == Int.MaxValue) hs
+      else {
+        val hot = hs.groupBy(col("simhash"))
+          .agg(count(lit(1)).as("_n")).filter(col("_n") > floodCap)
+          .select(col("simhash"))
+        hs.join(hot, Seq("simhash"), "left_anti")
+      }
+    val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("n_h"))
+    val matched = simhashMatchPairs(kept, idCol, maxHamming, bucketCap)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(countDistinct(col("sh_a")).as("n_matched_a"),
+        countDistinct(col("sh_b")).as("n_matched_b"))
+    matched
+      .join(sizes.select(col(idCol).as("id_a"), col("n_h").as("n_a")),
+        Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n_h").as("n_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        col("n_matched_a"), col("n_matched_b"),
+        greatest(
+          col("n_matched_a").cast("double") / col("n_a").cast("double"),
+          col("n_matched_b").cast("double") / col("n_b").cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
   /** The shared candidate core of [[simhashPairs]] /
     * [[simhashMatchPairs]]: the Manku 4×16-bit pigeonhole bucket join
     * (scoped, hot-bucket-capped), emitting (id_a, id_b, scope…, sh_a,

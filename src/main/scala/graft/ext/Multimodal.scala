@@ -287,37 +287,106 @@ object Multimodal {
   def audioHashWav(media: Dataset[MediaRow]): Dataset[MediaHash] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
-      val pcm = try {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.media))
-        val f = ais.getFormat
-        if (f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-            f.getSampleSizeInBits == 16) {
-          val bytes = ais.readAllBytes()
-          val ch = f.getChannels
-          val be = f.isBigEndian
-          val frames = bytes.length / (2 * ch)
-          Some((frames, (t: Int) => {
-            var c = 0
-            var sum = 0L
-            while (c < ch) {
-              val o = (t * ch + c) * 2
-              val v =
-                if (be) ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort.toLong
-                else ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toLong
-              sum += v
-              c += 1
-            }
-            sum / ch
-          }))
-        } else None
-      } catch { case _: Exception => None }
-      val (n, sample) = pcm.getOrElse(
-        (r.media.length / 2, (t: Int) =>
-          ((r.media(2 * t) & 0xff) | (r.media(2 * t + 1) << 8)).toShort.toLong))
+      val (n, sample) = pcmSamplesOf(r, parseContainer = true)
       MediaHash(r.media_id, energyHashOf(sample, n))
     })
   }
+
+  /** (sample count, sample accessor) for an audio payload: the real
+    * container parse (WAV/AIFF/AU through the JDK sound stack,
+    * multi-channel mixed to mono by truncating integer mean) when
+    * `parseContainer`, raw 16-bit LE mono PCM otherwise — and as the
+    * deterministic never-throw fallback for unparseable/non-PCM
+    * payloads either way ([[audioHashWav]]'s seam, shared with the
+    * windowed hashes).
+    */
+  private def pcmSamplesOf(r: MediaRow,
+      parseContainer: Boolean): (Int, Int => Long) = {
+    val pcm = if (!parseContainer) None else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.media))
+      val f = ais.getFormat
+      if (f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          f.getSampleSizeInBits == 16) {
+        val bytes = ais.readAllBytes()
+        val ch = f.getChannels
+        val be = f.isBigEndian
+        val frames = bytes.length / (2 * ch)
+        Some((frames, (t: Int) => {
+          var c = 0
+          var sum = 0L
+          while (c < ch) {
+            val o = (t * ch + c) * 2
+            val v =
+              if (be) ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort.toLong
+              else ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toLong
+            sum += v
+            c += 1
+          }
+          sum / ch
+        }))
+      } else None
+    } catch { case _: Exception => None }
+    pcm.getOrElse(
+      (r.media.length / 2, (t: Int) =>
+        ((r.media(2 * t) & 0xff) | (r.media(2 * t + 1) << 8)).toShort.toLong))
+  }
+
+  /** One fixed-duration audio window's energy-gradient hash —
+    * `window_idx` w covers samples `[w·hop, w·hop + window)`. */
+  final case class AudioWindow(media_id: Long, window_idx: Int, dhash: Long)
+
+  /** WINDOWED energy-gradient hashes — the offset-tolerant complement of
+    * the whole-clip [[audioHashPcm]]/[[audioHashWav]] fingerprint, and
+    * the audio twin of [[decodeVideoFrames]]' per-frame dHashes. The
+    * whole-clip hash divides the ENTIRE stream into 65 segments, so a
+    * trimmed copy shifts every segment boundary and the hash is
+    * unrecognizable — the exact failure mode the video modes' trim case
+    * names. Here each clip emits one [[energyHashOf]] hash per
+    * fixed-SAMPLE-COUNT window (`windowSamples` wide, every
+    * `hopSamples`), so a copy trimmed by a multiple of the hop carries
+    * bit-identical hashes at shifted window indices, and
+    * [[audioNearDupPairsUnordered]] pairs it by set containment exactly
+    * like the trimmed-video case. Stated honestly: a trim OFF the hop
+    * grid shifts content within every window — such copies pair only as
+    * far as `maxHamming` absorbs the drift, so size the hop to the trim
+    * granularity the pipeline must catch (overlap windows: hop ≤
+    * window/2). Clips shorter than one window emit NOTHING — fall back
+    * to the whole-clip hash for those. Map-only; gain invariance and
+    * the integer-exact cross-engine contract carry over from the shared
+    * core (the m9 oracle replays every window hash from the generation
+    * formula).
+    */
+  def audioWindowHashes(media: Dataset[MediaRow], windowSamples: Int,
+      hopSamples: Int, parseContainer: Boolean = false): Dataset[AudioWindow] = {
+    require(windowSamples >= 65,
+      s"windowSamples must be >= 65 (one sample per segment), got $windowSamples")
+    require(hopSamples >= 1, s"hopSamples must be >= 1, got $hopSamples")
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val (n, sample) = pcmSamplesOf(r, parseContainer)
+      val nw =
+        if (n < windowSamples) 0 else (n - windowSamples) / hopSamples + 1
+      (0 until nw).map { w =>
+        AudioWindow(r.media_id, w,
+          energyHashOf(t => sample(w * hopSamples + t), windowSamples))
+      }
+    }
+  }
+
+  /** OFFSET-TOLERANT audio near-dup pairs over [[audioWindowHashes]] —
+    * [[Dedup.sketchSetPairs]] on the window-hash sets, the audio twin of
+    * [[videoNearDupPairsUnordered]] with the same containment semantics,
+    * flood/bucket guards, and honest contract: hop-aligned trims pair at
+    * containment 1.0; window ORDER does not distinguish; a corpus-wide
+    * window hash (digital silence, test tones) is `floodCap`'s job.
+    */
+  def audioNearDupPairsUnordered(windows: Dataset[AudioWindow],
+      maxHamming: Int = 3, minContainment: Double = 0.75,
+      floodCap: Int = Int.MaxValue, bucketCap: Int = Int.MaxValue): DataFrame =
+    Dedup.sketchSetPairs(windows.toDF()
+      .select(col("media_id"), col("dhash").as("simhash")),
+      "media_id", maxHamming, minContainment, floodCap, bucketCap)
 
   /** Minimal MP4 (ISO BMFF) header reader — pure byte arithmetic, no codec:
     * walks the box tree (4-byte big-endian size + 4-char type; 64-bit
@@ -676,47 +745,15 @@ object Multimodal {
   def videoNearDupPairsUnordered(frames: Dataset[VideoFrame],
       maxHamming: Int = 3, minContainment: Double = 0.75,
       floodCap: Int = Int.MaxValue,
-      bucketCap: Int = Int.MaxValue): DataFrame = {
-    require(minContainment > 0 && minContainment <= 1,
-      s"minContainment must be in (0, 1], got $minContainment")
-    require(floodCap >= 1, s"floodCap must be >= 1, got $floodCap")
-    // bucketCap >= 1 is validated by simhashMatchPairs (the ONE owner of
-    // the drop-semantics rule), before any action runs in this call
-    // snapshot (two longs per distinct frame hash) — same rationale as
-    // the positional mode: flood agg + anti-join + sizes + both
-    // self-join sides must not each re-run the blob decode upstream
-    val hs = graft.tables.Scratch.stage(frames.toDF()
+      bucketCap: Int = Int.MaxValue): DataFrame =
+    // the generic tolerant-set containment core over the frame hashes —
+    // sentinel frames dropped first (an undecodable video pairs with
+    // nothing); repeated identical frames collapse inside (set
+    // semantics)
+    Dedup.sketchSetPairs(frames.toDF()
       .filter(col("frame_idx") >= 0)
-      .select(col("media_id"), col("dhash").as("simhash"))
-      .distinct(), // set semantics: repeated identical frames count once
-      "videodedup_hs")
-    val kept =
-      if (floodCap == Int.MaxValue) hs
-      else {
-        val hot = hs.groupBy(col("simhash"))
-          .agg(count(lit(1)).as("_n")).filter(col("_n") > floodCap)
-          .select(col("simhash"))
-        hs.join(hot, Seq("simhash"), "left_anti")
-      }
-    val sizes = kept.groupBy(col("media_id")).agg(count(lit(1)).as("n_h"))
-    val matched = Dedup.simhashMatchPairs(kept, "media_id", maxHamming,
-        bucketCap)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(countDistinct(col("sh_a")).as("n_matched_a"),
-        countDistinct(col("sh_b")).as("n_matched_b"))
-    matched
-      .join(sizes.select(col("media_id").as("id_a"), col("n_h").as("n_a")),
-        Seq("id_a"))
-      .join(sizes.select(col("media_id").as("id_b"), col("n_h").as("n_b")),
-        Seq("id_b"))
-      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
-        col("n_matched_a"), col("n_matched_b"),
-        greatest(
-          col("n_matched_a").cast("double") / col("n_a").cast("double"),
-          col("n_matched_b").cast("double") / col("n_b").cast("double"))
-          .as("containment"))
-      .filter(col("containment") >= minContainment)
-  }
+      .select(col("media_id"), col("dhash").as("simhash")),
+      "media_id", maxHamming, minContainment, floodCap, bucketCap)
 
   /** Decode one frame chunk: BI_RGB 24-bit DIB by byte arithmetic
     * (bottom-up BGR, rows padded to 4 bytes), anything carrying a JPEG

@@ -1511,6 +1511,114 @@ object ExtQueries {
     // same fixture family as m7: correctness row only
     benchmark = false)
 
+  /** m9's PCM fixture: the m5 quadratic stream at 1300 samples; the
+    * trimmed twin (variant 1) is the SAME stream minus its first 325
+    * samples — one hop — so its window w holds bit-identical content to
+    * the base's window w+1.
+    */
+  private def m9Bytes(sid: Long, variant: Int): Array[Byte] = {
+    val off = if (variant == 1) 325 else 0
+    val n = if (variant == 1) 975 else 1300
+    val a = 1 + (sid % 7)
+    val b = 1 + (sid % 13)
+    val c = sid % 101
+    val bs = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      val at = t + off
+      val v = (a * at * at + b * at + c) % 4001 - 2000
+      bs(2 * t) = (v & 0xff).toByte
+      bs(2 * t + 1) = ((v >> 8) & 0xff).toByte
+      t += 1
+    }
+    bs
+  }
+
+  /** M9 — OFFSET-TOLERANT audio near-dup
+    * ([[Multimodal.audioWindowHashes]] →
+    * [[Multimodal.audioNearDupPairsUnordered]], i.e.
+    * [[Dedup.sketchSetPairs]] over per-window energy hashes): the m8
+    * trim story on the audio column. The whole-clip m5 fingerprint
+    * divides the entire stream into 65 segments, so trimming shifts
+    * every boundary and the hash is unrecognizable; windowed hashing
+    * (650-sample windows every 325) gives a hop-aligned trimmed twin
+    * bit-identical hashes at shifted indices, and set containment pairs
+    * it at 1.0. The oracle recomputes every window hash from the
+    * generation formula (the m5 energy machinery with a window
+    * dimension) and replays the set pairing end-to-end.
+    */
+  val m9AudioDedupOffset = QueryDef(
+    "m9_audio_dedup_offset",
+    (s, dir) => {
+      import s.implicits._
+      val ids = Td(s, dir, "documents").select(col("doc_id"))
+      val variants = ids.select(col("doc_id").as("sid"), lit(0).as("vr"))
+        .unionByName(ids.filter(col("doc_id") % 13 === 0)
+          .select(col("doc_id").as("sid"), lit(1).as("vr")))
+      val media = variants
+        .select((col("sid") + col("vr").cast("long") * 100000000L).as("media_id"),
+          col("sid"), col("vr"))
+        .as[(Long, Long, Int)]
+        .map { case (mid, sid, vr) => Multimodal.MediaRow(mid, "audio", m9Bytes(sid, vr)) }
+      val wins = Multimodal.audioWindowHashes(media,
+        windowSamples = 650, hopSamples = 325)
+      Multimodal.audioNearDupPairsUnordered(wins, maxHamming = 3,
+          minContainment = 0.9)
+        .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+          col("n_matched_a"), col("n_matched_b"), col("containment"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH auds AS (
+        SELECT doc_id AS media_id, doc_id AS sid, 0 AS vr FROM documents
+        UNION ALL SELECT doc_id + 100000000, doc_id, 1 FROM documents WHERE doc_id % 13 = 0),
+      wins AS (SELECT media_id, sid, vr,
+                 unnest(CASE WHEN vr = 1 THEN [0, 1] ELSE [0, 1, 2] END) AS w
+               FROM auds),
+      ts AS (SELECT unnest(generate_series(0, 649)) AS tr),
+      sm0 AS (SELECT ws.media_id, ws.sid, ws.w, ts.tr,
+                325 * ws.w + ts.tr + CASE WHEN ws.vr = 1 THEN 325 ELSE 0 END AS at
+              FROM wins ws CROSS JOIN ts),
+      sm AS (SELECT media_id, w, tr // 10 AS seg,
+               ((1 + sid % 7) * at * at + (1 + sid % 13) * at + sid % 101) % 4001 - 2000 AS v
+             FROM sm0),
+      en AS (SELECT media_id, w, seg, sum(v * v) AS e FROM sm GROUP BY 1, 2, 3),
+      bitrows AS (SELECT a.media_id, a.w, a.seg AS bi
+                  FROM en a JOIN en b
+                    ON b.media_id = a.media_id AND b.w = a.w AND b.seg = a.seg + 1
+                  WHERE a.seg < 64 AND b.e > a.e),
+      sim AS (SELECT x.media_id, x.w, CAST(coalesce(sum(
+                CASE WHEN bi = 63 THEN -9223372036854775807 - 1
+                     ELSE CAST(1 AS BIGINT) << CAST(bi AS INTEGER) END), 0) AS BIGINT) AS simhash
+              FROM wins x LEFT JOIN bitrows br
+                ON br.media_id = x.media_id AND br.w = x.w
+              GROUP BY 1, 2),
+      hs AS (SELECT DISTINCT media_id, simhash FROM sim),
+      sizes AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_h FROM hs GROUP BY 1),
+      exc AS (SELECT media_id, simhash, unnest([0, 1, 2, 3]) AS ci FROM hs),
+      ex2 AS (SELECT media_id, simhash, ci, (simhash >> (ci * 16)) & 65535 AS cv FROM exc),
+      rawp AS (SELECT DISTINCT a.media_id AS id_a, a.simhash AS h_a,
+                      b.media_id AS id_b, b.simhash AS h_b
+               FROM ex2 a JOIN ex2 b
+                 ON a.ci = b.ci AND a.cv = b.cv AND a.media_id < b.media_id),
+      mp AS (SELECT id_a, h_a, id_b, h_b FROM rawp
+             WHERE bit_count(xor(h_a, h_b)) <= 3),
+      cov AS (SELECT id_a, id_b,
+                CAST(count(DISTINCT h_a) AS BIGINT) AS n_matched_a,
+                CAST(count(DISTINCT h_b) AS BIGINT) AS n_matched_b
+              FROM mp GROUP BY 1, 2),
+      scored AS (SELECT c.id_a, c.id_b, sa.n_h AS n_a, sb.n_h AS n_b,
+                   c.n_matched_a, c.n_matched_b,
+                   greatest(CAST(c.n_matched_a AS DOUBLE) / CAST(sa.n_h AS DOUBLE),
+                            CAST(c.n_matched_b AS DOUBLE) / CAST(sb.n_h AS DOUBLE)) AS containment
+                 FROM cov c JOIN sizes sa ON sa.media_id = c.id_a
+                            JOIN sizes sb ON sb.media_id = c.id_b)
+      SELECT id_a, id_b, n_a, n_b, n_matched_a, n_matched_b, containment
+      FROM scored WHERE containment >= 0.9 ORDER BY id_a, id_b
+    """),
+    // synthetic PCM like m5: correctness row only
+    benchmark = false)
+
   /** T5 — TF-IDF-style salient terms: top-3 terms per doc by
     * tf × (N/df). Rational arithmetic only (no log — libm transcendentals
     * differ across engines in the last ulp); same parenthesization both
@@ -7083,7 +7191,7 @@ object ExtQueries {
     s17AnnBudgeted, s18AnnSelfPairs, s19AnnBudgetRefine,
     s14AnnIndexIncremental, s7HardNegatives, x20CorpusReport,
     m1MediaMeta, m2FrameSample, m3VideoMeta, m4ImageDedup, m5AudioDedup,
-    m6VideoFrames, m7VideoDedup, m8VideoDedupUnordered,
+    m6VideoFrames, m7VideoDedup, m8VideoDedupUnordered, m9AudioDedupOffset,
     c1Curation, c2CurationRecipe, c3Decontaminate, c4DecontaminateBloom,
     c7SemanticDecon, c8SemanticDeconIndexed, c9SemanticDeconCalibrated,
     c10EvalLeakReport, c11LexicalLeakReport,

@@ -879,6 +879,48 @@ class ExtSpec extends SparkSpec {
       s"flood hash must not produce pairs nor rob the true twin: $capped")
   }
 
+  test("audioWindowHashes: a hop-aligned trimmed clip carries bit-identical window hashes at shifted indices and pairs at containment 1.0 where the whole-clip fingerprint misses") {
+    import Multimodal.MediaRow
+    def pcm(n: Int, off: Int, a: Int, b: Int, c: Int): Array[Byte] = {
+      val bs = new Array[Byte](n * 2)
+      for (t <- 0 until n) {
+        val at = t + off
+        val v = (a * at * at + b * at + c) % 4001 - 2000
+        bs(2 * t) = (v & 0xff).toByte
+        bs(2 * t + 1) = ((v >> 8) & 0xff).toByte
+      }
+      bs
+    }
+    val rows = Seq(
+      MediaRow(40L, "audio", pcm(1300, 0, 3, 5, 7)), // base: 3 windows
+      MediaRow(41L, "audio", pcm(975, 325, 3, 5, 7)), // minus one hop
+      MediaRow(42L, "audio", pcm(1300, 0, 4, 9, 55))) // unrelated stream
+    val wins = Multimodal.audioWindowHashes(rows.toDS(),
+      windowSamples = 650, hopSamples = 325)
+    val byMedia = wins.collect().groupBy(_.media_id)
+      .map { case (k, v) => k -> v.sortBy(_.window_idx).map(_.dhash).toSeq }
+    assert(byMedia(40L).length === 3 && byMedia(41L).length === 2)
+    assert(byMedia(41L) === byMedia(40L).drop(1),
+      "hop-aligned trim must replay the base's window hashes, shifted")
+    // the whole-clip fingerprint shifts every segment boundary — the
+    // trim is unrecognizable to it (deterministic fixture, no flake)
+    val whole = Multimodal.audioHashPcm(rows.take(2).toDS()).collect()
+      .map(h => h.media_id -> h.dhash).toMap
+    assert(java.lang.Long.bitCount(whole(40L) ^ whole(41L)) > 3,
+      "whole-clip hashes of base vs trim must diverge past tolerance")
+    // unordered containment: the trim's 2-hash set is fully contained
+    val pairs = Multimodal.audioNearDupPairsUnordered(wins, maxHamming = 0,
+      minContainment = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(6)).toMap
+    assert(pairs.keySet === Set((40L, 41L)),
+      s"only the trimmed twin must pair: $pairs")
+    assert(pairs((40L, 41L)) === 1.0)
+    // a clip shorter than one window emits no windows (documented)
+    assert(Multimodal.audioWindowHashes(
+      Seq(MediaRow(43L, "audio", pcm(100, 0, 3, 5, 7))).toDS(),
+      650, 325).count() === 0L)
+  }
+
   test("simhashMatchPairs bucketCap DROPS hot chunk buckets (no star pairs): counts stay exact and deterministic, pairs outside the flood survive") {
     // flood family: 10 sketches sharing chunks 0/2/3 (buckets of 10),
     // distinct chunk 1 (singletons) — under cap 4 every agreeing bucket

@@ -46,6 +46,12 @@ object Dedup {
     // minus the interpreted per-element lambda chain
     val sh = org.apache.spark.sql.graft.WordShingles.shingles(
       TextAnalysis.wsTokens(col(textCol)), n)
+    // NOT fanned here ([[Fan]]): the md5-heavy consumers fan their OWN
+    // input by id (minhashSignature*, simhash) — which both parallelizes
+    // the hash work and pre-satisfies their groupBy(id) distribution —
+    // while shingle-keyed consumers (contamination, df-caps, jaccard
+    // self-joins) reshuffle by shingle anyway, where a text-level fan
+    // measured as a pure extra exchange (c4 2.87 → 3.45 s)
     df.select(col(idCol), explode(sh).as("shingle"))
   }
 
@@ -70,6 +76,7 @@ object Dedup {
     // interpreted lambda chain whose captured substr re-walks the string's
     // UTF-8 bytes from offset 0 per element (O(len²) per document)
     val sh = org.apache.spark.sql.graft.CharShingles.shingles(col(textCol), q)
+    // not fanned — same placement rationale as [[shingleIndex]]
     df.select(col(idCol), explode(sh).as("shingle"))
   }
 
@@ -160,12 +167,42 @@ object Dedup {
     * i ∈ [0, k). One hash-agg over the shingle index; k column-parallel mins
     * ride a single shuffle.
     */
+  /** The k per-band MinHash aggregate columns — the ONE definition of the
+    * hash family, shared by [[minhashSignature]] and
+    * [[minhashSignatureWithSize]] so the two can never drift.
+    */
+  private def sigAggCols(k: Int): Seq[Column] =
+    (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
+
+  /** [[Fan]] the shingle rows by id before the signature aggregation: a
+    * one-split upstream would run all k·|shingle rows| md5s on one core
+    * (measured 1.58 s → 0.4 s at sf0.1 on 32 cores), and because the fan's
+    * hash partitioning IS the groupBy's required distribution, the agg
+    * needs no second exchange — the md5s evaluate post-shuffle across the
+    * full core count. Size-gated no-op at scale.
+    */
   def minhashSignature(shingles: DataFrame, idCol: String, k: Int = 12): DataFrame =
+    Fan.out(shingles, col(idCol)).groupBy(col(idCol))
+      .agg(sigAggCols(k).head, sigAggCols(k).tail: _*)
+
+  /** [[minhashSignature]] PLUS the per-doc distinct-shingle count, from the
+    * SAME aggregation: (id, n_sh, h0..h{k-1}). A durable-index build/probe
+    * needs both the size table and the signature — computing them as two
+    * aggregations scans the shingle rows twice and runs two shuffle jobs
+    * for what one hash-agg produces in one pass (guide §2.4: two
+    * operations keyed the same way share one exchange).
+    */
+  private[ext] def minhashSignatureWithSize(shingles: DataFrame, idCol: String,
+      k: Int): DataFrame =
+    // no Fan here: both callers ([[DedupIndex.build]]/[[DedupIndex
+    // .probeIncrement]]) fan their shingle PLAN's input by the same id, and
+    // that partitioning flows through the explode to satisfy this groupBy —
+    // a second fan would be an extra back-to-back exchange the optimizer
+    // cannot collapse across the Generate (measured: it inverted d10's win
+    // into a loss)
     shingles.groupBy(col(idCol))
-      .agg(
-        min(md5(concat(lit("0:"), col("shingle")))).as("h0"),
-        (1 until k).map(i =>
-          min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i")): _*)
+      .agg(count(lit(1)).as("n_sh"), sigAggCols(k): _*)
 
   /** LSH candidate pairs: signatures split into `bands` bands of `rows`
     * hashes; docs sharing any band bucket become candidates (a<b, distinct).
@@ -562,7 +599,10 @@ object Dedup {
     val nib = "0123456789abcdef"
     // md5 once per shingle row, then each of the 16 hex nibbles decoded
     // ONCE into a projected column (16 substr+instr per row, not 64).
-    val hashed = shingles
+    // Fanned by id first — the md5+decode is the query's hot map work
+    // (measured 1.10 → 0.55 s at sf0.1) and the vote agg below groups by
+    // the same id the fan hashes on, so no second exchange appears
+    val hashed = Fan.out(shingles, col(idCol))
       .withColumn("_gm_hh", md5(col("shingle")))
       .select(col(idCol) +: (0 until 16).map(j =>
         expr(s"instr('$nib', substr(_gm_hh, ${j + 1}, 1)) - 1").cast("bigint").as(s"_nv$j")): _*)

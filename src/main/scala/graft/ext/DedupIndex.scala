@@ -161,19 +161,45 @@ object DedupIndex {
       digest: Boolean = false, idBuckets: Int = 0): Unit = {
     require(k % bands == 0, s"k ($k) must be divisible by bands ($bands)")
     require(idBuckets >= 0, s"idBuckets must be >= 0, got $idBuckets")
-    val shStored = toStored(Dedup.shingleIndex(df, idCol, textCol, n), idCol, digest)
-    if (idBuckets > 0)
-      store.overwrite(shinglesT(name),
-        shStored.withColumn(bktCol(idBuckets), idBucket(idCol, idBuckets)),
-        partitionBy = Seq(bktCol(idBuckets)))
-    else store.overwrite(shinglesT(name), shStored)
+    // input fanned by id: the corpus-wide shingle explode, the digest-mode
+    // md5, and the table write would otherwise all run on a one-split
+    // scan's single task ([[Fan]]: size-gated no-op at scale)
+    // input fanned by id: the corpus-wide shingle explode, the digest-mode
+    // md5, and the table write would otherwise all run on a one-split
+    // scan's single task ([[Fan]]: size-gated no-op at scale)
+    val shStored = toStored(
+      Dedup.shingleIndex(Fan.out(df, col(idCol)), idCol, textCol, n),
+      idCol, digest)
+    // ONE aggregation produces sizes AND signatures (they share the
+    // groupBy-id exchange — two jobs scanned the shingles twice for it
+    // before); staged so the two table writes below read tiny parquet
+    // instead of each re-running the k-md5 agg. The shingle-table write
+    // and the signature stage are independent (the stage recomputes the
+    // per-row shingling rather than reading the stored table back —
+    // identical rows by construction: both are the same deterministic
+    // expression chain over the same input), so they OVERLAP (guide
+    // §2.6) instead of serializing write → read-back → aggregate.
+    val sigSlot = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    Par.run(
+      () =>
+        if (idBuckets > 0)
+          store.overwrite(shinglesT(name),
+            shStored.withColumn(bktCol(idBuckets), idBucket(idCol, idBuckets)),
+            partitionBy = Seq(bktCol(idBuckets)))
+        else store.overwrite(shinglesT(name), shStored),
+      () => sigSlot.set(Scratch.stage(
+        Dedup.minhashSignatureWithSize(
+          toLogical(shStored, idCol, digest), idCol, k), s"${name}_bsig")))
     // a rebuild sweeps away the interim layout's conf table — stale
     // metadata beside a schema-described index would only mislead
     if (store.exists(s"${name}_conf")) store.drop(s"${name}_conf")
-    val sh = toLogical(dropBkt(store.read(shinglesT(name))), idCol, digest)
-    store.overwrite(sizesT(name), sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh")))
-    store.overwrite(bandsT(name),
-      Dedup.bandBuckets(Dedup.minhashSignature(sh, idCol, k), idCol, bands, k / bands))
+    val sig = sigSlot.get()
+    // the two derived writes are independent of each other — overlap them
+    // too, so the cheap sizes write hides under the bands write
+    Par.run(
+      () => store.overwrite(sizesT(name), sig.select(col(idCol), col("n_sh"))),
+      () => store.overwrite(bandsT(name),
+        Dedup.bandBuckets(sig, idCol, bands, k / bands)))
   }
 
   /** Ids already present in index `name` — a narrow scan of the sizes
@@ -349,19 +375,34 @@ object DedupIndex {
       s"index '$name' was built with digest=$storedDigest; call dedupIncrement " +
         s"with digest=$storedDigest (band buckets are only comparable under " +
         "the hashing mode the index was built with)")
-    // the ONLY pass over increment text: staged IN STORAGE FORM so the
-    // appends and the signature agg scan cheap scratch parquet, not
-    // re-shingle (and, in digest mode, carry 16-byte digests, not text)
-    val shIncStored = Scratch.stage(
-      toStored(Dedup.shingleIndex(inc, idCol, textCol, n), idCol, digest),
-      s"${name}_inc_sh")
+    // staged IN STORAGE FORM so the appends and every verify-side
+    // consumer scan cheap scratch parquet, not re-shingle (and, in digest
+    // mode, carry 16-byte digests, not text). Input fanned by id —
+    // explode/digest/write parallelism, see build().
+    val shIncStoredPlan = toStored(
+      Dedup.shingleIndex(Fan.out(inc, col(idCol)), idCol, textCol, n),
+      idCol, digest)
+    // ONE aggregation over the increment produces both the size delta and
+    // the signature (previously two separate agg jobs over the same rows);
+    // the band explode and the size projection are cheap maps over this
+    // one staged table, so neither needs its own stage write. The shingle
+    // stage and the signature stage both derive from the same
+    // deterministic shingling of the increment and are independent of
+    // each other — overlapped (guide §2.6) instead of write → read-back
+    // → aggregate in series.
+    val shSlot = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    val sigSlot = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    Par.run(
+      () => shSlot.set(Scratch.stage(shIncStoredPlan, s"${name}_inc_sh")),
+      () => sigSlot.set(Scratch.stage(
+        Dedup.minhashSignatureWithSize(
+          toLogical(shIncStoredPlan, idCol, digest), idCol, k),
+        s"${name}_inc_sig")))
+    val shIncStored = shSlot.get()
     val shInc = toLogical(shIncStored, idCol, digest)
-    val ebInc = Scratch.stage(
-      Dedup.bandBuckets(Dedup.minhashSignature(shInc, idCol, k), idCol, bands, k / bands),
-      s"${name}_inc_eb")
-    val sizesInc = Scratch.stage(
-      shInc.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh")),
-      s"${name}_inc_sz")
+    val sigInc = sigSlot.get()
+    val ebInc = Dedup.bandBuckets(sigInc, idCol, bands, k / bands)
+    val sizesInc = sigInc.select(col(idCol), col("n_sh"))
     val idBuckets = idBucketsOf(shSchema)
     // probe: increment band rows vs stored ∪ staged bands (the stored index
     // does NOT yet contain the increment; the union reproduces the
@@ -428,14 +469,16 @@ object DedupIndex {
   }
 
   /** [[dedupIncrement]]'s commit HALF: append the staged deltas to the
-    * three index tables. Append ORDER is the crash-safety contract —
-    * bands, then shingles, then sizes LAST: sizes is the membership table
-    * [[knownIds]] and every re-delivery guard key on, so a doc is "in the
-    * index" only once ALL its rows are. A commit that dies part-way leaves
-    * residue rows in bands/shingles for docs absent from sizes; the
-    * replayed batch passes the guard, re-probes (probe-side distinct
-    * neutralizes the residue), and re-appends — at-least-once, never a
-    * silently unmatchable doc.
+    * three index tables. The crash-safety contract is SIZES LAST: sizes is
+    * the membership table [[knownIds]] and every re-delivery guard key on,
+    * so a doc is "in the index" only once ALL its rows are. The bands and
+    * shingles appends carry no ordering constraint BETWEEN them — a crash
+    * leaving any subset of band/shingle residue for docs absent from sizes
+    * is the same recovery case either way (the replayed batch passes the
+    * guard, re-probes — probe-side distinct neutralizes the residue — and
+    * re-appends, at-least-once, never a silently unmatchable doc) — so the
+    * two run OVERLAPPED (guide §2.6); the sizes append starts only after
+    * BOTH have durably finished.
     */
   def commitIncrement(store: TableStore, name: String, stage: IncrementStage): Unit = {
     // the sketch-fold freshness key: the bands listing THIS commit
@@ -445,15 +488,17 @@ object DedupIndex {
       if (store.exists(hhSketchT(name)) || store.exists(hhWitnessT(name)))
         bandsFp(store, name)
       else ""
-    store.append(bandsT(name), stage.bands)
-    // bucketed layout: the increment's rows land in their hive partitions
-    // (same id→bucket formula as build — see idBucket's warning)
-    if (stage.idBuckets > 0)
-      store.append(shinglesT(name),
-        stage.shStored.withColumn(
-          bktCol(stage.idBuckets), idBucket(stage.idCol, stage.idBuckets)),
-        partitionBy = Seq(bktCol(stage.idBuckets)))
-    else store.append(shinglesT(name), stage.shStored)
+    Par.run(
+      () => store.append(bandsT(name), stage.bands),
+      // bucketed layout: the increment's rows land in their hive
+      // partitions (same id→bucket formula as build — see idBucket)
+      () =>
+        if (stage.idBuckets > 0)
+          store.append(shinglesT(name),
+            stage.shStored.withColumn(
+              bktCol(stage.idBuckets), idBucket(stage.idCol, stage.idBuckets)),
+            partitionBy = Seq(bktCol(stage.idBuckets)))
+        else store.append(shinglesT(name), stage.shStored))
     store.append(sizesT(name), stage.sizes)
     // O(batch) hot-bucket sketch fold, only when a clapper built one —
     // what keeps [[capIfUnhealthy]]'s routine poll off the corpus

@@ -225,8 +225,17 @@ private[graft] object HotKeySketch {
           .map(_.getLong(2)).getOrElse(0L)
         val spark = org.apache.spark.sql.SparkSession.active
         import spark.implicits._
+        // null-safe bucket decode (ADVICE r20): a null key in the batch
+        // yields a null CMS bucket — [[graft.functions.CountMin.build]]
+        // keeps that as a null-bucket cell, so the combined path must
+        // too. The former primitive getLong NPE'd into the catch-all and
+        // silently dropped BOTH sketch and witness, an asymmetric
+        // degradation vs the fold/foldWitness paths this method claims
+        // exact equivalence with.
         val inc = cells.filter(_.getInt(0) >= 0)
-          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+          .map(r => (r.getInt(0),
+            if (r.isNullAt(1)) null
+            else java.lang.Long.valueOf(r.getLong(1)), r.getLong(2))).toSeq
           .toDF("row", "bucket", "cnt")
         store.overwrite(sketchT,
           graft.functions.CountMin.merge(

@@ -46,7 +46,10 @@ object Paragraphs {
     val lastIdx = ((size(toks) - 1) / chunkTokens).cast("int")
     val chunkAt = (i: Column) =>
       array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")
-    df.select(col(idCol), posexplode(
+    // fan before the explode: consumers md5-hash and df-aggregate every
+    // chunk row, and a one-split source would serialize all of it on one
+    // core ([[Fan]] — size-gated no-op at scale)
+    Fan.out(df, col(idCol)).select(col(idCol), posexplode(
         transform(sequence(lit(0), lastIdx), chunkAt)).as(Seq("pos", "chunk")))
   }
 
@@ -67,7 +70,7 @@ object Paragraphs {
   def chunksBySplit(df: DataFrame, idCol: String, textCol: String,
       sep: String = "\n\n"): DataFrame = {
     require(sep.nonEmpty, "chunksBySplit: separator must be non-empty")
-    df.select(col(idCol),
+    Fan.out(df, col(idCol)).select(col(idCol),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "chunk")))
   }
@@ -94,7 +97,7 @@ object Paragraphs {
       s"stride must be in [1, window], got $stride")
     val toks = TextAnalysis.wsTokens(col(textCol))
     val starts = sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride))
-    df.select(col(idCol),
+    Fan.out(df, col(idCol)).select(col(idCol),
         posexplode(transform(starts, st =>
           struct(st.as("start"), slice(toks, st + 1, lit(window)).as("toks")))))
       .select(col(idCol),

@@ -224,6 +224,10 @@ object Similarity {
         val v = r.getSeq[Double](1).toSeq
         (r.getLong(0), v, normOf(v))
       }.sortBy(_._1).toSeq
+    // NOT fanned out ([[Fan]]): measured 2× SLOWER with a fan here — the
+    // k-dot argmax is ~0.3 s of single-task work at bench scale, under the
+    // cost of the extra exchange+stages the fan adds per action (unlike
+    // the md5-heavy shingle paths, where the same fan wins 3-4×)
     assignToCentroids(withNorm(corpus.select(col(idCol), col(vecCol)), vecCol, "nrm"),
       cents, idCol, vecCol, keepScore)
   }
@@ -391,6 +395,10 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     val src = sampleMod.fold(df)(m => df.filter(sampleBucket(col(idCol)) % m === 0))
+    // NOT fanned out ([[Fan]]): x2 measured 1.4 → 3.0 s with the training
+    // frame fanned — every Lloyd action re-pays the repartition exchange
+    // and the per-pass dot work is too small to amortize it (see
+    // ivfAssign's note)
     val corpus = withNorm(
       src.select(col(idCol), quantize(col(vecCol)).as(vecCol)), vecCol, "nrm")
 
@@ -523,6 +531,7 @@ object Similarity {
     val ccosCols = cents.map { case (cid, v, cn) =>
       (dot(col(vecCol), lit(v.toArray)) / (col("nrm") * lit(cn))).as(s"_ccos$cid")
     }
+    // NOT fanned out — see [[ivfAssign]]'s measured note
     var scored = withNorm(corpus.select(col(idCol), col(vecCol)), vecCol, "nrm")
       .select(col(idCol) +: col(vecCol) +: col("nrm") +: ccosCols: _*)
     for (p <- 0 until np) {
@@ -704,7 +713,10 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, dim: Int, threshold: Double,
       bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     val planes = lshHyperplanes(bands * rowsPerBand, dim)
-    val n = withNorm(df.select(col(idCol), col(vecCol)), vecCol, "nrm")
+    // fan a one-split scan: 16 codegen'd dots per row for the bucketing,
+    // plus the verify-side dot — map-bound work (Fan: no-op at scale)
+    val n = withNorm(Fan.out(df.select(col(idCol), col(vecCol)), col(idCol)),
+      vecCol, "nrm")
     val bitCols = planes.zipWithIndex.map { case (p, i) =>
       (when(dot(col(vecCol), lit(p.toArray)) >= 0, lit(1 << (i % rowsPerBand)))
         .otherwise(lit(0))).as(s"_sb$i")

@@ -1628,6 +1628,9 @@ object ExtQueries {
     "t5_tfidf",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // NOT fanned ([[graft.ext.Fan]] measured +0.5 s here): the tf table
+      // re-shuffles on term for the df join regardless, so the fan's
+      // exchange bought nothing the plan could keep
       val docs = Td(s, dir, "documents")
       val terms = docs.select(col("doc_id"),
           explode(graft.ext.TextAnalysis.wsTokens(col("text"))).as("term"))

@@ -137,7 +137,13 @@ object MergeQueries {
       val monthly = Td(s, dir, "orders").select(
         trunc(col("o_orderdate").cast("date"), "MM").as("month"),
         col("o_orderkey"), col("o_totalprice"))
-      graft.tables.Scratch.stage(monthly, "s4_fact_stage", Seq("month"))
+      // hash-distribute by the partition column before the partitioned
+      // write (guide §6, Iceberg's write.distribution-mode=hash): one
+      // writer task per month instead of every scan task writing every
+      // month directory — parallel writers AND files-per-partition bounded
+      // by the distribution, the correct shape at 100 TB too
+      graft.tables.Scratch.stage(monthly.repartition(col("month")),
+          "s4_fact_stage", Seq("month"))
         .filter(col("month") === lit("1995-02-01").cast("date"))
         .groupBy(col("month"))
         .agg(QueryDef.dsum(col("o_totalprice")).as("revenue"),

@@ -106,6 +106,33 @@ class HotKeySketchSpec extends SparkSpec {
     assert(!s3.exists("sk") && !s3.exists("wt"))
   }
 
+  test("foldAll tolerates null keys exactly like fold + foldWitness (ADVICE r20: no silent drop of both sides)") {
+    // a null key yields a null CMS bucket; CountMin.build keeps it as a
+    // null-bucket cell and the witness filter skips it — the combined
+    // path must degrade IDENTICALLY, not NPE into its catch-all (which
+    // dropped both sketch and witness before the fix)
+    val incNull = Seq("a", null, "w", null)
+    val s1 = freshStore("nullref")
+    val s2 = freshStore("nullall")
+    for (s <- Seq(s1, s2)) {
+      HotKeySketch.rebuild(s, "sk", keysDf(base), "f0")
+      HotKeySketch.writeWitness(s, "wt", "w", 2L, "f0")
+    }
+    HotKeySketch.fold(s1, "sk", keysDf(incNull), "f0", "f1")
+    HotKeySketch.foldWitness(s1, "wt", keysDf(incNull), "f0", "f1")
+    HotKeySketch.foldAll(s2, "sk", "wt", keysDf(incNull), "f0", "f1")
+    assert(s2.exists("sk") && s2.exists("wt"),
+      "a null key must not silently drop the sketch or the witness")
+    assert(HotKeySketch.readWitness(s2, "wt", "f1") === Some(3L))
+    assert(HotKeySketch.readWitness(s1, "wt", "f1") ===
+      HotKeySketch.readWitness(s2, "wt", "f1"))
+    def cells(s: TableStore) = s.read("sk").collect()
+      .map(r => (r.getInt(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2))).toSet
+    assert(cells(s1) === cells(s2),
+      "combined path must produce fold's exact cell set, null buckets included")
+  }
+
   test("foldAll with a batch holding zero witness occurrences adds zero, and an empty batch is a stamped no-op") {
     val s = freshStore("zero")
     HotKeySketch.rebuild(s, "sk", keysDf(base), "f0")

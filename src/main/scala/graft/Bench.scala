@@ -12,10 +12,24 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // coalesce post-shuffle partitions to target size instead of keeping
-      // cpus-many tiny partitions — at local[32] on bench-scale data, task
-      // scheduling overhead dominates otherwise
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // parallelism-first AQE coalescing (Spark's default, restated for the
+      // record): r21 re-measured the r-earlier "size-first" choice with an
+      // interleaved A/B on the final tree and size-first LOST — 86.2 s vs
+      // 75.8 s min-merged, median per-query ratio 0.93 — because size-first
+      // coalesces bench-scale shuffles (< 64 MB advisory) down to ONE
+      // post-shuffle partition, serializing every heavy reduce (verify
+      // joins, hash aggs) on one core. Parallelism-first is also the right
+      // production posture: at real scale partitions exceed the advisory
+      // size and the two settings plan identically.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+      // the generated-class cache defaults to 100 entries — a 69-query
+      // bench (several codegen units each) thrashes it, recompiling
+      // whole-stage code on every pass. Interleaved A/B at r21: 79.2 s
+      // (default) vs 60.8 s (2000), median per-query ratio 0.77, no
+      // regression beyond noise. Production-sane too: any driver running a
+      // diverse query mix wants its codegen cached; cost is metaspace for
+      // ≤2000 small classes.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

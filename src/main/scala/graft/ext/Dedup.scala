@@ -599,10 +599,13 @@ object Dedup {
     val nib = "0123456789abcdef"
     // md5 once per shingle row, then each of the 16 hex nibbles decoded
     // ONCE into a projected column (16 substr+instr per row, not 64).
-    // Fanned by id first — the md5+decode is the query's hot map work
-    // (measured 1.10 → 0.55 s at sf0.1) and the vote agg below groups by
-    // the same id the fan hashes on, so no second exchange appears
-    val hashed = Fan.out(shingles, col(idCol))
+    // NOT fanned ([[Fan]]): the aggregation alone measured 2× faster
+    // fanned (1.10 → 0.55 s noop), but END-TO-END d4 measured SLOWER with
+    // the fan under the adopted parallelism-first config (min-of-4 A/B:
+    // 3.73 s off vs 6.63 s on) — the fanned stage write fragments the
+    // staged sketch table and every downstream pairing pass multiplies
+    // the extra scheduling, eating the agg win with interest
+    val hashed = shingles
       .withColumn("_gm_hh", md5(col("shingle")))
       .select(col(idCol) +: (0 until 16).map(j =>
         expr(s"instr('$nib', substr(_gm_hh, ${j + 1}, 1)) - 1").cast("bigint").as(s"_nv$j")): _*)

@@ -53,9 +53,13 @@ object PlanDump {
         java.nio.file.Paths.get(planDir, s"${name}_$tag.txt"),
         plan.getBytes("UTF-8"))
       if (passes > 0) {
+        // a failing query must fail LOUDLY (this harness produces the
+        // committed plans/rNN evidence — a silent -1 would print as if
+        // measured); the exception propagates with the query named
         val times = (1 to passes).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          try fn(spark, sfDir).count() catch { case e: Throwable =>
+            throw new RuntimeException(s"PLANDUMP $name FAILED", e) }
           (System.nanoTime() - t0) / 1e9
         }
         println(f"PLANDUMP $name%-32s min=${times.min}%.3f  passes=${times.map(t => f"$t%.3f").mkString(",")}")

@@ -164,42 +164,41 @@ object DedupIndex {
     // input fanned by id: the corpus-wide shingle explode, the digest-mode
     // md5, and the table write would otherwise all run on a one-split
     // scan's single task ([[Fan]]: size-gated no-op at scale)
-    // input fanned by id: the corpus-wide shingle explode, the digest-mode
-    // md5, and the table write would otherwise all run on a one-split
-    // scan's single task ([[Fan]]: size-gated no-op at scale)
     val shStored = toStored(
       Dedup.shingleIndex(Fan.out(df, col(idCol)), idCol, textCol, n),
       idCol, digest)
-    // ONE aggregation produces sizes AND signatures (they share the
-    // groupBy-id exchange — two jobs scanned the shingles twice for it
-    // before); staged so the two table writes below read tiny parquet
-    // instead of each re-running the k-md5 agg. The shingle-table write
-    // and the signature stage are independent (the stage recomputes the
-    // per-row shingling rather than reading the stored table back —
-    // identical rows by construction: both are the same deterministic
-    // expression chain over the same input), so they OVERLAP (guide
-    // §2.6) instead of serializing write → read-back → aggregate.
-    val sigSlot = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
-    Par.run(
-      () =>
-        if (idBuckets > 0)
-          store.overwrite(shinglesT(name),
-            shStored.withColumn(bktCol(idBuckets), idBucket(idCol, idBuckets)),
-            partitionBy = Seq(bktCol(idBuckets)))
-        else store.overwrite(shinglesT(name), shStored),
-      () => sigSlot.set(Scratch.stage(
-        Dedup.minhashSignatureWithSize(
-          toLogical(shStored, idCol, digest), idCol, k), s"${name}_bsig")))
+    // the corpus text is scanned EXACTLY ONCE: the shingle table is written
+    // first, and everything below derives from the stored parquet. r21
+    // instead overlapped the write with a signature job that re-evaluated
+    // the shingle plan (a second full corpus scan+explode at any scale),
+    // and the two concurrent fanned jobs oversubscribed the driver's
+    // local[32] box — d13 5.33 → 15.39 s on the round's ground-truth bench
+    // while the builder's box showed a win. Write-then-read-back is the
+    // posture that is right at 100 TB (one corpus pass) AND restores the
+    // structural guarantee that sizes/bands derive from the same rows the
+    // index stores (no determinism assumption on the input plan).
+    if (idBuckets > 0)
+      store.overwrite(shinglesT(name),
+        shStored.withColumn(bktCol(idBuckets), idBucket(idCol, idBuckets)),
+        partitionBy = Seq(bktCol(idBuckets)))
+    else store.overwrite(shinglesT(name), shStored)
     // a rebuild sweeps away the interim layout's conf table — stale
     // metadata beside a schema-described index would only mislead
     if (store.exists(s"${name}_conf")) store.drop(s"${name}_conf")
-    val sig = sigSlot.get()
-    // the two derived writes are independent of each other — overlap them
-    // too, so the cheap sizes write hides under the bands write
-    Par.run(
-      () => store.overwrite(sizesT(name), sig.select(col(idCol), col("n_sh"))),
-      () => store.overwrite(bandsT(name),
-        Dedup.bandBuckets(sig, idCol, bands, k / bands)))
+    // ONE aggregation over the stored shingles produces sizes AND
+    // signatures (they share the groupBy-id exchange — two jobs scanned
+    // the shingles twice for it before r21); staged so the two table
+    // writes below read tiny parquet instead of each re-running the k-md5
+    // agg. The stored table's file count carries the Fan'd write
+    // parallelism, so the read-back scan is not a one-task stage.
+    val sig = Scratch.stage(
+      Dedup.minhashSignatureWithSize(
+        toLogical(dropBkt(store.read(shinglesT(name))), idCol, digest),
+        idCol, k),
+      s"${name}_bsig")
+    store.overwrite(sizesT(name), sig.select(col(idCol), col("n_sh")))
+    store.overwrite(bandsT(name),
+      Dedup.bandBuckets(sig, idCol, bands, k / bands))
   }
 
   /** Ids already present in index `name` — a narrow scan of the sizes
@@ -379,28 +378,24 @@ object DedupIndex {
     // consumer scan cheap scratch parquet, not re-shingle (and, in digest
     // mode, carry 16-byte digests, not text). Input fanned by id —
     // explode/digest/write parallelism, see build().
-    val shIncStoredPlan = toStored(
-      Dedup.shingleIndex(Fan.out(inc, col(idCol)), idCol, textCol, n),
-      idCol, digest)
-    // ONE aggregation over the increment produces both the size delta and
-    // the signature (previously two separate agg jobs over the same rows);
-    // the band explode and the size projection are cheap maps over this
-    // one staged table, so neither needs its own stage write. The shingle
-    // stage and the signature stage both derive from the same
-    // deterministic shingling of the increment and are independent of
-    // each other — overlapped (guide §2.6) instead of write → read-back
-    // → aggregate in series.
-    val shSlot = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
-    val sigSlot = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
-    Par.run(
-      () => shSlot.set(Scratch.stage(shIncStoredPlan, s"${name}_inc_sh")),
-      () => sigSlot.set(Scratch.stage(
-        Dedup.minhashSignatureWithSize(
-          toLogical(shIncStoredPlan, idCol, digest), idCol, k),
-        s"${name}_inc_sig")))
-    val shIncStored = shSlot.get()
+    val shIncStored = Scratch.stage(
+      toStored(Dedup.shingleIndex(Fan.out(inc, col(idCol)), idCol, textCol, n),
+        idCol, digest),
+      s"${name}_inc_sh")
     val shInc = toLogical(shIncStored, idCol, digest)
-    val sigInc = sigSlot.get()
+    // ONE aggregation over the STAGED shingles produces both the size delta
+    // and the signature (previously two separate agg jobs over the same
+    // rows); the band explode and the size projection are cheap maps over
+    // this one staged table, so neither needs its own stage write. The agg
+    // reads the staged parquet back — the increment text is shingled
+    // exactly once, and the staged rows are by construction the rows every
+    // downstream consumer (probe, commit) sees, with no determinism
+    // assumption on the input plan. (r21 instead overlapped the stage write
+    // with an agg that re-evaluated the shingle plan; the concurrent fanned
+    // jobs collapsed the driver's local[32] bench — see build().)
+    val sigInc = Scratch.stage(
+      Dedup.minhashSignatureWithSize(shInc, idCol, k),
+      s"${name}_inc_sig")
     val ebInc = Dedup.bandBuckets(sigInc, idCol, bands, k / bands)
     val sizesInc = sigInc.select(col(idCol), col("n_sh"))
     val idBuckets = idBucketsOf(shSchema)
@@ -476,9 +471,12 @@ object DedupIndex {
     * leaving any subset of band/shingle residue for docs absent from sizes
     * is the same recovery case either way (the replayed batch passes the
     * guard, re-probes — probe-side distinct neutralizes the residue — and
-    * re-appends, at-least-once, never a silently unmatchable doc) — so the
-    * two run OVERLAPPED (guide §2.6); the sizes append starts only after
-    * BOTH have durably finished.
+    * re-appends, at-least-once, never a silently unmatchable doc); the
+    * sizes append starts only after both have durably finished. All three
+    * run sequentially: r21 overlapped the first two and the extra
+    * concurrent job was part of what collapsed the driver's local[32]
+    * bench (d8 3.06 → 8.65 s) — both appends read cheap staged parquet,
+    * so there is no idle tail worth back-filling.
     */
   def commitIncrement(store: TableStore, name: String, stage: IncrementStage): Unit = {
     // the sketch-fold freshness key: the bands listing THIS commit
@@ -488,17 +486,15 @@ object DedupIndex {
       if (store.exists(hhSketchT(name)) || store.exists(hhWitnessT(name)))
         bandsFp(store, name)
       else ""
-    Par.run(
-      () => store.append(bandsT(name), stage.bands),
-      // bucketed layout: the increment's rows land in their hive
-      // partitions (same id→bucket formula as build — see idBucket)
-      () =>
-        if (stage.idBuckets > 0)
-          store.append(shinglesT(name),
-            stage.shStored.withColumn(
-              bktCol(stage.idBuckets), idBucket(stage.idCol, stage.idBuckets)),
-            partitionBy = Seq(bktCol(stage.idBuckets)))
-        else store.append(shinglesT(name), stage.shStored))
+    store.append(bandsT(name), stage.bands)
+    // bucketed layout: the increment's rows land in their hive
+    // partitions (same id→bucket formula as build — see idBucket)
+    if (stage.idBuckets > 0)
+      store.append(shinglesT(name),
+        stage.shStored.withColumn(
+          bktCol(stage.idBuckets), idBucket(stage.idCol, stage.idBuckets)),
+        partitionBy = Seq(bktCol(stage.idBuckets)))
+    else store.append(shinglesT(name), stage.shStored)
     store.append(sizesT(name), stage.sizes)
     // O(batch) hot-bucket sketch fold, only when a clapper built one —
     // what keeps [[capIfUnhealthy]]'s routine poll off the corpus

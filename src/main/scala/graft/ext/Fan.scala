@@ -31,10 +31,17 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Fan {
 
-  /** Size gate (bytes): frames estimated at or under this fan out. */
+  /** Size gate (bytes): frames estimated at or under this fan out. A set
+    * but unparsable value fails loudly (the repo's precedent for
+    * behavior-controlling confs, e.g. Scratch's graft.scratch.keepLast) —
+    * silently falling back to the default would mask a typo'd override.
+    */
   private def maxBytes(df: DataFrame): Long =
-    df.sparkSession.conf.getOption("graft.fan.maxBytes")
-      .flatMap(_.toLongOption).getOrElse(64L << 20)
+    df.sparkSession.conf.getOption("graft.fan.maxBytes") match {
+      case None => 64L << 20
+      case Some(v) => v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"graft.fan.maxBytes must be a long byte count, got '$v'"))
+    }
 
   /** Hash-repartition `df` on `key` to the session default parallelism when
     * the planner estimates it small (see object doc); identity otherwise.

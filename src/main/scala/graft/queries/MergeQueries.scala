@@ -138,11 +138,15 @@ object MergeQueries {
         trunc(col("o_orderdate").cast("date"), "MM").as("month"),
         col("o_orderkey"), col("o_totalprice"))
       // hash-distribute by the partition column before the partitioned
-      // write (guide §6, Iceberg's write.distribution-mode=hash): one
-      // writer task per month instead of every scan task writing every
-      // month directory — parallel writers AND files-per-partition bounded
-      // by the distribution, the correct shape at 100 TB too
-      graft.tables.Scratch.stage(monthly.repartition(col("month")),
+      // write (guide §6, Iceberg's write.distribution-mode=hash) — via the
+      // AQE REBALANCE hint rather than a plain repartition(month): a plain
+      // hash puts each month on exactly ONE writer task, which at 100 TB
+      // makes the biggest month an unbounded single-task write (guide §2.5
+      // skew). REBALANCE keeps the by-month clustering (bounded
+      // files-per-partition) but lets AQE split a month that exceeds the
+      // advisory partition size across writers and coalesce tiny ones —
+      // runtime-stat-driven, no tuned salt constant, a no-op at bench scale
+      graft.tables.Scratch.stage(monthly.hint("rebalance", col("month")),
           "s4_fact_stage", Seq("month"))
         .filter(col("month") === lit("1995-02-01").cast("date"))
         .groupBy(col("month"))

@@ -22,6 +22,23 @@ object Bench {
       // production posture: at real scale partitions exceed the advisory
       // size and the two settings plan identically.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+      // the r21 flip above fixed the heavy reduces but taxed every
+      // tiny-shuffle query on the driver box (k4 0.41x, k3, j4, j10 — all
+      // anti-scaling): at the default 1 MB floor, parallelism-first keeps
+      // up to cpus-many near-empty post-shuffle partitions per stage.
+      // 8 MB is the floor that serves both: a 3 MB serve aggregation
+      // collapses to one task (what size-first did right) while a 60 MB
+      // shingle join still fans 8 ways (what parallelism-first does
+      // right). r22 adjudication: NEUTRAL on an idle 32-core box (55.36
+      // vs 55.53 s min-merged interleaved A/B) and 1.11x total / 1.085
+      // geomean with the bench pinned to 8 cores at local[32] — the
+      // contended regime where the driver's r21 regressions live, with
+      // the wins exactly on its regression family (k4 1.22x, j10 1.41x,
+      // j4 1.33x, f9 1.53x) and the heavy dedup reduces flat. Production-
+      // sane: post-shuffle partitions at real scale exceed 8 MB, so this
+      // plans identically to the default there — it is a floor against
+      // pathological tiny-partition scheduling, not a local[32] tune.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "8m")
       // the generated-class cache defaults to 100 entries — a 69-query
       // bench (several codegen units each) thrashes it, recompiling
       // whole-stage code on every pass. Interleaved A/B at r21: 79.2 s

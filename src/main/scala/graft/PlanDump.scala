@@ -29,6 +29,9 @@ object PlanDump {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+      // mirrors Bench exactly (see the rationale there) — this harness
+      // exists to measure with the bench's config
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "8m")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -413,29 +413,30 @@ object DedupIndex {
     val cands = Scratch.stage(
       Dedup.probeCappedPairs(ebInc, eb, idCol, cap, distinctStats = true),
       s"${name}_inc_cands")
-    // staged once: the union+distinct is a real exchange, and its result
-    // feeds the gate count, the shCand staging, and the returned plan's two
-    // size-lookup semi-joins — without staging, each consumer would
-    // recompute the shuffle
-    val candDocs = Scratch.stage(
-      cands.select(col("id_a").as(idCol))
-        .union(cands.select(col("id_b").as(idCol))).distinct(),
-      s"${name}_inc_canddocs")
+    // NOT staged (one fewer Spark job per increment — r22): the
+    // union+distinct over the just-staged cands parquet is a small shuffle
+    // each consumer (the shCand stage, the returned plan, the bucketed
+    // collect) re-derives in-job, cheaper than a dedicated stage write at
+    // any scale where cands itself is staged and capped.
+    val candDocs = cands.select(col("id_a").as(idCol))
+      .union(cands.select(col("id_b").as(idCol))).distinct()
     // candidate-doc sets are bucketCap-bounded in practice and a broadcast
     // semi-join restricts the stored-index scans without shuffling them —
     // but a huge increment probed against a dirty history can exceed the
     // driver/broadcast limit, so above `broadcastCandBytes` of staged
     // candidate parquet the hint is dropped and the semi-join shuffles
     // (AQE still promotes it back if runtime stats allow). The gate reads
-    // the stage's FILE-SIZE metadata (candDocs was just written by
+    // the CANDS stage's FILE-SIZE metadata (cands was just written by
     // Scratch.stage, so its leaf-relation stats are the listed file
-    // lengths) — no extra count() job runs. The default is deliberately
-    // conservative: COMPRESSED parquet of a long-id column under-states the
-    // in-memory HashedRelation by roughly an order of magnitude (encoded
-    // ~8 B/row vs ~60-80 B/row hashed), so 8 MB on disk bounds the
-    // broadcast near spark.sql.autoBroadcastJoinThreshold-scale heap.
+    // lengths) — no extra count() job runs, and candDocs' distinct ids are
+    // by construction no larger than cands' pair rows, so gating on cands
+    // only errs conservative. The default is deliberately conservative
+    // anyway: COMPRESSED parquet of id columns under-states the in-memory
+    // HashedRelation by roughly an order of magnitude (encoded ~8 B/row vs
+    // ~60-80 B/row hashed), so 8 MB on disk bounds the broadcast near
+    // spark.sql.autoBroadcastJoinThreshold-scale heap.
     val candKeys =
-      if (candDocs.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastCandBytes)
+      if (cands.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastCandBytes)
         broadcast(candDocs)
       else candDocs
     // verification shingles: stored candidates ∪ the staged increment's

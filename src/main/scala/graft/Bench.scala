@@ -39,6 +39,18 @@ object Bench {
       // plans identically to the default there — it is a floor against
       // pathological tiny-partition scheduling, not a local[32] tune.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "8m")
+      // let AQE rewrite sort-merge joins to shuffled-hash AT RUNTIME when
+      // every post-shuffle partition of the build side fits under 64 MB
+      // (guide §3.1 — the knob ships disabled, 0). Runtime partition sizes,
+      // not estimates, make it scale-safe: at 100 TB partitions exceed the
+      // threshold and the join stays sort-merge; at or below it the
+      // per-partition sort is pure overhead a hash build avoids, and the
+      // build map is bounded at 64 MB per task. r22 interleaved A/B at 32
+      // cores: total 55.98 -> 50.21 s (1.115x), geomean 1.104 — the shingle
+      // self-joins and verify semi-joins (d8 1.32x, d13 1.23x, d3 1.22x,
+      // d11 1.51x) and the whole j-family (1.2-1.5x) win; no regression
+      // beyond sub-0.3 s scheduling noise.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       // the generated-class cache defaults to 100 entries — a 69-query
       // bench (several codegen units each) thrashes it, recompiling
       // whole-stage code on every pass. Interleaved A/B at r21: 79.2 s

@@ -32,6 +32,7 @@ object PlanDump {
       // mirrors Bench exactly (see the rationale there) — this harness
       // exists to measure with the bench's config
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "8m")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
